@@ -1,0 +1,265 @@
+"""Declared-query registry: name -> (spark, sf_dir) -> DataFrame, plus the
+matching DuckDB oracle SQL (SURVEY.md §2 "declared query" column).
+
+Conventions for oracle stability (driver hashes values order-insensitively
+after sorting columns by name):
+- every computed column aliased identically on both sides;
+- counts cast to BIGINT on both sides;
+- sums of fixed-decimal inputs rounded to their exact decimal width
+  (the true value lies on the rounding grid, so both engines land on the
+  same grid point regardless of FP summation order);
+- top-k queries carry a full deterministic tie-break before LIMIT.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamsum_spark import oracles, pipeline
+from streamsum_spark.config import DEFAULT_CONFIG
+from streamsum_spark.operators import caches as cache_ops
+from streamsum_spark.operators.extract import extract_events
+from streamsum_spark.queries import count_summary as cs
+from streamsum_spark.tables import table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def declare(name: str, oracle: str | None = None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# §2.A — reference pipeline operators
+# ---------------------------------------------------------------------------
+
+
+@declare(
+    "scan_events",
+    "SELECT event_id, event_type, CAST(user_id AS BIGINT) AS user_id, ts FROM events",
+)
+def scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 source scan with column pruning (only 4 of 6 columns read)."""
+    return table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("user_id").cast("long").alias("user_id"), "ts"
+    )
+
+
+@declare("extract_events", oracles.TUPLES_SQL)
+def q_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 extract: events -> (pred, subj, obj, ts, seq), malformed dropped."""
+    return extract_events(table(spark, sf_dir, "events"))
+
+
+@declare(
+    "transform_fanout",
+    oracles.with_pipeline_ctes("SELECT cache_key, k, action, v, ts, seq FROM fanout"),
+)
+def q_transform_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 pattern fan-out (single-scan explode; oracle uses UNION ALL)."""
+    return pipeline.cache_tuples(spark, sf_dir)
+
+
+@declare(
+    "assoc_last_value",
+    oracles.with_pipeline_ctes(
+        """
+SELECT k, v, latest_ts FROM (
+    SELECT k, v, ts AS latest_ts,
+           row_number() OVER (PARTITION BY k ORDER BY ts DESC, seq DESC) AS rn
+    FROM fanout WHERE cache_key = 'click-obj-user'
+) WHERE rn = 1
+"""
+    ),
+)
+def q_assoc_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 assoc cache: last-value upsert per key (max_by over arrival order)."""
+    tuples = pipeline.cache_tuples(spark, sf_dir)
+    return cache_ops.assoc_last_value(tuples.where(F.col("cache_key") == "click-obj-user"))
+
+
+@declare(
+    "lastn_per_key",
+    oracles.with_pipeline_ctes(
+        """
+SELECT k, v, ts, seq, rn FROM (
+    SELECT k, v, ts, seq,
+           CAST(row_number() OVER (PARTITION BY k ORDER BY ts DESC, seq DESC) AS INTEGER) AS rn
+    FROM fanout WHERE cache_key = 'act-user-obj'
+) WHERE rn <= 20
+"""
+    ),
+)
+def q_lastn_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 lastn ring buffer, row form (rn=1 newest, rn<=N)."""
+    tuples = pipeline.cache_tuples(spark, sf_dir)
+    return cache_ops.lastn_per_key(
+        tuples.where(F.col("cache_key") == "act-user-obj"), n=DEFAULT_CONFIG.lastn_buf_size
+    )
+
+
+@declare(
+    "count_cache_inc",
+    oracles.with_pipeline_ctes("SELECT subject, action, obj, cnt, latest_ts FROM cache"),
+)
+def q_count_cache_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 count cache: groupBy(s,a,o).agg(count, max ts) — exact for inc-only."""
+    return pipeline.count_cache_view(spark, sf_dir)
+
+
+@declare(
+    "count_cache_inc_dec",
+    oracles.with_pipeline_ctes(
+        """
+SELECT subject,
+       CAST(s_final - LEAST(0, s_min) AS BIGINT) AS cnt,
+       latest_ts
+FROM (
+    SELECT subject,
+           max(CASE WHEN rn_desc = 1 THEN s_run END) AS s_final,
+           min(s_run) AS s_min,
+           max(CASE WHEN delta = 1 THEN ts END) AS latest_ts,
+           sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS n_inc
+    FROM (
+        SELECT subj AS subject, ts, seq,
+               CASE WHEN pred = 'error' THEN -1 ELSE 1 END AS delta,
+               sum(CASE WHEN pred = 'error' THEN -1 ELSE 1 END)
+                   OVER (PARTITION BY subj ORDER BY ts, seq
+                         ROWS UNBOUNDED PRECEDING) AS s_run,
+               row_number() OVER (PARTITION BY subj ORDER BY ts DESC, seq DESC) AS rn_desc
+        FROM tuples
+    )
+    GROUP BY subject
+)
+WHERE n_inc > 0
+"""
+    ),
+)
+def q_count_cache_inc_dec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 clamped-decrement fold via the prefix-sum reflection identity.
+
+    Per-user op stream over arrival order: 'error' events decrement (clamped
+    at 0, never touching the timestamp), everything else increments with the
+    max-timestamp rule — the reference's inc/dec semantics (update.clj:44-91)
+    as two window functions instead of a stateful fold.
+    """
+    tuples = extract_events(table(spark, sf_dir, "events"))
+    ops = tuples.select(
+        F.col("subj").alias("subject"),
+        F.when(F.col("pred") == "error", F.lit("dec")).otherwise(F.lit("inc")).alias("op"),
+        "ts",
+        "seq",
+    )
+    return cache_ops.count_cache_inc_dec(ops)
+
+
+@declare(
+    "keycount_per_subject",
+    oracles.with_pipeline_ctes(
+        "SELECT k, CAST(count(*) AS BIGINT) AS cnt FROM fanout GROUP BY k"
+    ),
+)
+def q_keycount_per_subject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 keycount example cache: updates per key across the whole stream."""
+    return cache_ops.keycount(pipeline.cache_tuples(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# §2.B — count-cache read-side query API
+# ---------------------------------------------------------------------------
+
+
+@declare(
+    "get_count_point",
+    oracles.with_pipeline_ctes(
+        """
+SELECT '69' AS obj, CAST(COALESCE(cache.cnt, 0) AS BIGINT) AS cnt, cache.latest_ts
+FROM (SELECT 1 AS x) probe
+LEFT JOIN cache ON cache.subject = '8' AND cache.action = 'error' AND cache.obj = '69'
+"""
+    ),
+)
+def q_get_count_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 getCount point lookup with (obj, 0, NULL) default on miss."""
+    return cs.get_count(pipeline.count_cache_view(spark, sf_dir), "8", "error", "69")
+
+
+@declare(
+    "actions_for_subj",
+    oracles.with_pipeline_ctes("SELECT DISTINCT subject, action FROM cache"),
+)
+def q_actions_for_subj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 actionsForSubj, grouped form over all subjects."""
+    return cs.actions_for_subj(pipeline.count_cache_view(spark, sf_dir))
+
+
+@declare(
+    "counts_merge_actions",
+    oracles.with_pipeline_ctes(
+        """
+SELECT subject, obj, CAST(sum(cnt) AS BIGINT) AS cnt, max(latest_ts) AS latest_ts
+FROM cache WHERE action IN ('click', 'buy')
+GROUP BY subject, obj
+"""
+    ),
+)
+def q_counts_merge_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 countsForSubjAction: per-object merge (sum cnt, max ts) across an
+    action set — the flagship query (entry())."""
+    return cs.counts_for_subj_action(
+        pipeline.count_cache_view(spark, sf_dir), actions=["click", "buy"]
+    )
+
+
+@declare(
+    "sum_counts",
+    oracles.with_pipeline_ctes(
+        "SELECT subject, CAST(sum(cnt) AS BIGINT) AS total FROM cache GROUP BY subject"
+    ),
+)
+def q_sum_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 sumCounts per subject (all actions)."""
+    return cs.sum_counts(pipeline.count_cache_view(spark, sf_dir))
+
+
+@declare(
+    "tuples_filter_scan",
+    oracles.with_pipeline_ctes(
+        """
+SELECT subject, action, obj, cnt, latest_ts
+FROM cache WHERE action IN ('click', 'error')
+"""
+    ),
+)
+def q_tuples_filter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 tuplesForSubjAction: flat scan filtered by an action set."""
+    return cs.tuples_for_subj_action(
+        pipeline.count_cache_view(spark, sf_dir), actions=["click", "error"]
+    )
+
+
+@declare(
+    "topk_by_count_time",
+    oracles.with_pipeline_ctes(
+        """
+SELECT subject, action, obj, cnt, latest_ts
+FROM cache
+ORDER BY cnt DESC, latest_ts DESC, subject, action, obj
+LIMIT 100
+"""
+    ),
+)
+def q_topk_by_count_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6+B7 ranked retrieval: top-100 by (count desc, time desc) with a
+    total-order tie-break so LIMIT is deterministic."""
+    return cs.topk_by_count_time(pipeline.count_cache_view(spark, sf_dir), k=100)

@@ -1,0 +1,138 @@
+"""A5-A9 Cache disciplines — the reference's state layer as declarative
+aggregations.
+
+The reference folds cache-mapped tuples into mutable java.util.Maps with
+three built-in disciplines plus an example extension
+(/root/reference/src-clj/streamsum/caches.clj:27-101,
+/root/reference/example/streamsum/config.clj:30-47).  Observable semantics
+(cache contents after N updates under arrival order) are preserved; the
+mutation mechanics are replaced by groupBy/window aggregation, which is what
+makes them shuffle-parallel at 100 TB (SURVEY.md §1.3).
+
+Arrival order everywhere is ``(ts, seq)`` — SURVEY.md §4.2.3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def assoc_last_value(tuples: DataFrame, key_cols: tuple[str, ...] = ("k",)) -> DataFrame:
+    """A5 assoc cache: last-value upsert per key.
+
+    Reference: ``update`` replaces the value (caches.clj:27-44,
+    TupleCache.java:17-27).  Batch equivalence: the value of the
+    arrival-order-latest tuple per key == ``max_by(v, (ts, seq))``.
+
+    Implemented with ``max_by`` over a struct rather than a window sort:
+    a hash aggregation with map-side partial combine — one shuffle of
+    pre-aggregated groups, no per-key full sort, which is the plan you want
+    when keys are many and rows-per-key large.
+    """
+    return tuples.groupBy(*key_cols).agg(
+        F.expr("max_by(v, struct(ts, seq))").alias("v"),
+        F.max("ts").alias("latest_ts"),
+    )
+
+
+def lastn_per_key(
+    tuples: DataFrame, n: int = 20, key_cols: tuple[str, ...] = ("k",)
+) -> DataFrame:
+    """A6 lastn cache: fixed-size ring buffer of the most recent N values.
+
+    Reference: append with eviction of oldest, duplicates allowed
+    (caches.clj:51-75; default N=20 caches.clj:98).  Batch form: per-key
+    ``row_number() <= N`` over arrival order descending — rn=1 is the
+    newest.  Row form (key, v, ts, seq, rn), not an array, for stable
+    oracle hashing (SURVEY.md §2 A6).
+
+    Scale note: a window top-N shuffles once on the key and sorts within
+    partitions; Spark's WindowGroupLimit pushes the rank filter down so
+    per-key state stays O(N).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.col("ts").desc(), F.col("seq").desc())
+    return (
+        tuples.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= n)
+        .select(*key_cols, "v", "ts", "seq", "rn")
+    )
+
+
+def count_cache(tuples: DataFrame) -> DataFrame:
+    """A7 count cache (inc-only): (subj, action, obj) -> [count, latest_ts].
+
+    Reference: ``inc-count!`` — count++ and timestamp := max(old, new); the
+    max rule makes it order-independent (update.clj:44-69), so a plain hash
+    aggregation is exact:
+    ``groupBy(s, a, o).agg(count(*), max(ts))``.  Catalyst gives the
+    partial/final split (map-side combine) for free — at 100 TB the shuffle
+    carries one row per distinct (s,a,o) per map task, not per event.
+
+    Input: cache-mapped tuples with non-null ``action`` (count-shaped,
+    doc/tuple-counts.md:25).  Output column names form the engine's
+    canonical count-cache view (SURVEY.md §2.B): (subject, action, obj,
+    cnt, latest_ts).
+    """
+    return (
+        tuples.where(F.col("action").isNotNull())
+        .groupBy(
+            F.col("k").alias("subject"), F.col("action"), F.col("v").alias("obj")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"), F.max("ts").alias("latest_ts"))
+    )
+
+
+def count_cache_inc_dec(ops: DataFrame, key_cols: tuple[str, ...] = ("subject",)) -> DataFrame:
+    """A7+A8: interleaved inc/dec stream with clamp-at-zero decrement.
+
+    Reference semantics (update.clj:44-91): inc always adds 1 and raises the
+    timestamp to max(old, new); dec subtracts 1 **only if count > 0** (clamp
+    at 0), never touches the timestamp, and never creates an entry.
+
+    The clamped fold looks order-dependent-and-stateful, but for x_i = +/-1
+    the recurrence ``c_i = max(0, c_{i-1} + x_i)`` has the closed form
+
+        c_n = S_n - min(0, min_{k<=n} S_k)      (prefix-sum reflection)
+
+    so the whole thing is two window functions over arrival order — fully
+    declarative, shuffle-once-per-key, and expressible in ANSI SQL for the
+    DuckDB oracle.  No applyInPandas needed in batch.  (Streaming exact form
+    still uses transformWithStateInPandas — streamsum_spark.streaming.)
+
+    Input: DataFrame with key_cols + (op IN ('inc','dec'), ts, seq).
+    Output: key_cols + (cnt, latest_ts) with latest_ts = max ts over incs;
+    keys with no inc rows are dropped (dec never creates an entry,
+    update.clj:83-91).
+    """
+    w_run = (
+        Window.partitionBy(*key_cols)
+        .orderBy("ts", "seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    delta = F.when(F.col("op") == "inc", F.lit(1)).otherwise(F.lit(-1))
+    with_run = ops.withColumn("s_run", F.sum(delta).over(w_run))
+    return (
+        with_run.groupBy(*key_cols)
+        .agg(
+            F.expr("max_by(s_run, struct(ts, seq))").alias("s_final"),
+            F.min("s_run").alias("s_min"),
+            F.max(F.when(F.col("op") == "inc", F.col("ts"))).alias("latest_ts"),
+            F.sum(F.when(F.col("op") == "inc", 1).otherwise(0)).alias("_n_inc"),
+        )
+        .where(F.col("_n_inc") > 0)
+        .select(
+            *key_cols,
+            (F.col("s_final") - F.least(F.lit(0), F.col("s_min"))).cast("long").alias("cnt"),
+            "latest_ts",
+        )
+    )
+
+
+def keycount(tuples: DataFrame, key_cols: tuple[str, ...] = ("k",)) -> DataFrame:
+    """A9 keycount cache (example TupleCache extension): updates per key.
+
+    Reference: config.clj:30-47 — map[key] := get(key, 0) + 1 on every
+    update.  Spark: ``groupBy(key).count()``.
+    """
+    return tuples.groupBy(*key_cols).agg(F.count(F.lit(1)).cast("long").alias("cnt"))

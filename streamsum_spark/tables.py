@@ -1,0 +1,63 @@
+"""Table registry over the driver's synthetic parquet directories.
+
+``load_tables(spark, sf_dir)`` reads each table lazily (a DataFrame is a
+plan, not data) and registers temp views so operators can be written in
+either DataFrame or SQL form.  Filters/projections written downstream reach
+the parquet scan via Catalyst pushdown — verified in tests via
+``explain`` containing PushedFilters/ReadSchema.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+# Columns stored as parquet TIMESTAMP(NANOS), which Spark's vectorized
+# reader rejects ([PARQUET_TYPE_ILLEGAL]).  We read them via the
+# nanosAsLong legacy conf and truncate to microseconds — the same ns->us
+# conversion DuckDB applies on read, so oracle comparisons agree.
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    nanos_cols = _NANOS_TS_COLS.get(name, ())
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos_cols:
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, register_views: bool = True) -> dict[str, DataFrame]:
+    dfs: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = table(spark, sf_dir, name)
+        dfs[name] = df
+        if register_views:
+            df.createOrReplaceTempView(name)
+    return dfs
