@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from streamsum_spark import oracles, pipeline
 from streamsum_spark.config import DEFAULT_CONFIG
 from streamsum_spark.operators import caches as cache_ops
+from streamsum_spark.operators import relational as rel
 from streamsum_spark.operators.extract import extract_events
 from streamsum_spark.queries import count_summary as cs
 from streamsum_spark.tables import table
@@ -263,3 +264,181 @@ def q_topk_by_count_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B6+B7 ranked retrieval: top-100 by (count desc, time desc) with a
     total-order tie-break so LIMIT is deterministic."""
     return cs.topk_by_count_time(pipeline.count_cache_view(spark, sf_dir), k=100)
+
+
+# ---------------------------------------------------------------------------
+# §2.C — relational surface
+# ---------------------------------------------------------------------------
+
+declare(
+    "filter_predicates",
+    """
+SELECT event_id, ts, user_id, event_type, value
+FROM events
+WHERE event_type IN ('click', 'purchase')
+  AND value >= 10.0 AND value < 50.0
+  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+""",
+)(rel.filter_predicates)
+
+declare(
+    "join_inner",
+    """
+SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+""",
+)(rel.join_inner)
+
+declare(
+    "join_semi",
+    "SELECT c_custkey, c_name FROM customer WHERE EXISTS "
+    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+)(rel.join_semi)
+
+declare(
+    "join_left_anti",
+    "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+)(rel.join_left_anti)
+
+declare(
+    "join_asof",
+    """
+SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)(rel.join_asof)
+
+declare("agg_revenue_by_flag", rel.AGG_REVENUE_SQL)(rel.agg_revenue_by_flag)
+
+declare(
+    "agg_rollup_nation_region",
+    """
+SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_cust,
+       round(sum(c_acctbal), 2) AS sum_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+)(rel.agg_rollup_nation_region)
+
+declare(
+    "agg_distinct_users",
+    """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+""",
+)(rel.agg_distinct_users)
+
+# approximate by design -> rows-only check (no oracle)
+declare("agg_approx_distinct")(rel.agg_approx_distinct)
+
+declare(
+    "window_rownum_lastn",
+    """
+SELECT user_id, event_id, event_type, ts, rn FROM (
+    SELECT user_id, event_id, event_type, ts,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS INTEGER) AS rn
+    FROM events
+) WHERE rn <= 5
+""",
+)(rel.window_rownum_lastn)
+
+declare(
+    "window_running_sum",
+    """
+SELECT user_id, event_id, ts,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 2) AS running_value
+FROM events
+""",
+)(rel.window_running_sum)
+
+declare(
+    "topk_per_group",
+    """
+SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+    SELECT p_brand, p_partkey, p_retailprice,
+           CAST(row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS INTEGER) AS rn
+    FROM part
+) WHERE rn <= 3
+""",
+)(rel.topk_per_group)
+
+declare(
+    "set_union_except",
+    """
+SELECT user_id FROM events WHERE event_type = 'click'
+UNION
+SELECT user_id FROM events WHERE event_type = 'view'
+EXCEPT
+SELECT user_id FROM events
+WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-03 00:00:00'
+""",
+)(rel.set_union_except)
+
+declare(
+    "dedup_events",
+    """
+SELECT user_id, event_type, event_id, ts FROM (
+    SELECT user_id, event_type, event_id, ts,
+           row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+    FROM events
+) WHERE rn = 1
+""",
+)(rel.dedup_events)
+
+declare(
+    "scalar_string",
+    r"""
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       substring(p_name, 1, 8) AS name_prefix,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       concat_ws('/', p_brand, p_type) AS brand_type,
+       regexp_extract(p_type, '(\w+)$', 1) AS type_last_word,
+       (p_name LIKE '%green%') AS is_green
+FROM part
+""",
+)(rel.scalar_string)
+
+declare(
+    "scalar_datetime",
+    """
+SELECT event_id,
+       date_trunc('day', ts) AS day,
+       CAST(year(ts) AS BIGINT) AS y,
+       CAST(month(ts) AS BIGINT) AS m,
+       CAST(dayofweek(ts) AS BIGINT) AS dow,
+       CAST(hour(ts) AS BIGINT) AS h
+FROM events
+""",
+)(rel.scalar_datetime)
+
+declare(
+    "json_extract_props",
+    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events",
+)(rel.json_extract_props)
+
+declare(
+    "batch_tumbling_counts",
+    """
+SELECT date_trunc('hour', ts) AS bucket, event_type,
+       CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+)(rel.batch_tumbling_counts)
+
+declare(
+    "array_ops",
+    """
+SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+       CAST(idx AS BIGINT) AS idx,
+       CAST(embedding[idx] AS DOUBLE) AS val
+FROM (SELECT vec_id, embedding, unnest(generate_series(1, 3)) AS idx FROM embeddings)
+""",
+)(rel.array_ops)

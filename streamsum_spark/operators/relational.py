@@ -1,0 +1,309 @@
+"""§2.C relational surface — filters, joins, aggregations, windows, set
+ops, dedup, scalar functions (SURVEY.md §2.C).
+
+The reference has none of these beyond its cache aggregations (its only
+"join" is a map lookup; its only sort is a comparator over query results —
+TupleComparators.java).  They are mandated by the north star
+(BASELINE.json) and implemented purely with Catalyst-native operators so
+pushdown/pruning/broadcast/AQE all apply.  Scale notes are on each op.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from streamsum_spark.tables import table
+
+
+# -- filters ----------------------------------------------------------------
+
+
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive predicates (IN + range + time range) — all push down to
+    the parquet scan (verified in tests: PushedFilters in the plan)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.where(
+        F.col("event_type").isin("click", "purchase")
+        & (F.col("value") >= 10.0)
+        & (F.col("value") < 50.0)
+        & (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp_ntz"))
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+
+
+# -- joins ------------------------------------------------------------------
+
+
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer (equi).  Customer is the dimension side: explicit
+    broadcast hint — at 100 TB the fact side never shuffles for this join."""
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner")
+        .select("o_orderkey", "o_custkey", "c_name", "c_mktsegment", "o_totalprice")
+    )
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with at least one order (left semi == EXISTS)."""
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders (left anti == NOT EXISTS)."""
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase event, the same user's most recent
+    click at-or-before it (matched purchases only — ASOF inner).
+
+    Implemented with the union+window technique rather than a range join:
+    interleave both sides ordered by (ts, side, seq) per user and carry the
+    last non-null click ts forward.  One shuffle on user_id, no join
+    explosion — the scalable as-of plan (a naive join-then-max would
+    produce |purchases|x|clicks| intermediate rows per user).
+    """
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.col("ts").alias("click_ts"), F.lit(0).alias("is_probe")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(None).cast("timestamp_ntz").alias("click_ts"),
+        F.lit(1).alias("is_probe"),
+    )
+    # at equal ts the click sorts first, so ts >= click_ts includes equality
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_probe", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .where((F.col("is_probe") == 1) & F.col("last_click_ts").isNotNull())
+        .select("event_id", "user_id", "ts", F.col("last_click_ts").alias("click_ts"))
+    )
+
+
+# -- aggregations -----------------------------------------------------------
+
+
+def agg_revenue_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary.  Sums rounded to the exact decimal
+    width of their inputs (price*discount products have <=4 decimals) so
+    both engines land on the same grid point despite FP summation order."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+                ),
+                6,
+            ).alias("sum_charge"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+AGG_REVENUE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def agg_rollup_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (region, nation) over customer counts + balances.  Both dims
+    broadcast; the rollup is a single pass with partial aggregation."""
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    joined = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+    )
+
+
+def agg_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group — expands to a two-phase exact distinct
+    aggregation (partial dedup map-side before the shuffle)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct — the 100 TB path (one pass, fixed-size
+    sketch, no distinct shuffle).  Approximate => rows-only check."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+# -- windows ----------------------------------------------------------------
+
+
+def window_rownum_lastn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last 5 events per user by arrival order — window row_number with
+    WindowGroupLimit pushdown (per-key state O(N), not O(rows))."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("user_id", "event_id", "event_type", "ts", "rn")
+    )
+
+
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running sum of value over arrival order (2-decimal inputs
+    => round 2 keeps both engines on the decimal grid)."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts per brand by retail price (deterministic tie-break)."""
+    part = table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+    return (
+        part.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rn")
+    )
+
+
+# -- set ops / dedup --------------------------------------------------------
+
+
+def set_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(clickers ∪ viewers) \\ error-ers, as distinct user sets."""
+    ev = table(spark, sf_dir, "events")
+    clickers = ev.where(F.col("event_type") == "click").select("user_id")
+    viewers = ev.where(F.col("event_type") == "view").select("user_id")
+    # restrict the subtracted set to a time window so the result is
+    # non-trivial at every SF (every user errors *eventually*)
+    erring = ev.where(
+        (F.col("event_type") == "error")
+        & (F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp_ntz"))
+    ).select("user_id")
+    # union -> EXCEPT (set semantics: subtract dedups, matching SQL EXCEPT)
+    return clickers.union(viewers).subtract(erring)
+
+
+def dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: first event per (user, type) by arrival order — the
+    window-rank formulation of dropDuplicates with a deterministic keeper."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+# -- scalar functions -------------------------------------------------------
+
+
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "part")
+    return ev.select(
+        "p_partkey",
+        F.upper(F.col("p_name")).alias("name_upper"),
+        F.substring(F.col("p_name"), 1, 8).alias("name_prefix"),
+        F.length(F.col("p_name")).cast("long").alias("name_len"),
+        F.concat_ws("/", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+        F.regexp_extract(F.col("p_type"), r"(\w+)$", 1).alias("type_last_word"),
+        F.col("p_name").like("%green%").alias("is_green"),
+    )
+
+
+def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.year("ts").cast("long").alias("y"),
+        F.month("ts").cast("long").alias("m"),
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),  # 0=Sunday, DuckDB convention
+        F.hour("ts").cast("long").alias("h"),
+    )
+
+
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+def batch_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows, batch form (streaming twin lives in
+    streamsum_spark.streaming): date_trunc bucket + hash agg."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array surface over embeddings: size + positional explode of the
+    leading elements (scalar rows hash cleanly across engines)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "vec_id",
+            F.size("embedding").cast("long").alias("dim"),
+            F.posexplode("embedding").alias("pos", "val"),
+        )
+        .where(F.col("pos") < 3)
+        .select(
+            "vec_id", "dim", (F.col("pos") + 1).cast("long").alias("idx"),
+            F.col("val").cast("double").alias("val"),
+        )
+    )

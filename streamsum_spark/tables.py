@@ -46,7 +46,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(path)
     for c in nanos_cols:
         if dict(df.dtypes).get(c) == "bigint":
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+            # Integer micros added to an NTZ epoch: exact (no double
+            # division) and independent of the session timezone — matches
+            # how the other tables' timestamps read (TIMESTAMP_NTZ) and how
+            # DuckDB treats naive parquet timestamps.
+            df = df.withColumn(
+                c,
+                F.expr(f"timestampadd(MICROSECOND, `{c}` div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
+            )
     return df
 
 
