@@ -442,3 +442,28 @@ SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
 FROM (SELECT vec_id, embedding, unnest(generate_series(1, 3)) AS idx FROM embeddings)
 """,
 )(rel.array_ops)
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline extensions: text analysis, dedup, similarity search
+# ---------------------------------------------------------------------------
+
+from streamsum_spark.operators import dedup as dd  # noqa: E402
+from streamsum_spark.operators import similarity as sim  # noqa: E402
+from streamsum_spark.operators import text as tx  # noqa: E402
+
+declare("text_token_counts", tx.TEXT_TOKEN_COUNTS_SQL)(tx.text_token_counts)
+declare("text_quality_score", tx.TEXT_QUALITY_SQL)(tx.text_quality_score)
+declare("text_langid", tx.TEXT_LANGID_SQL)(tx.text_langid)
+declare("doc_fingerprint", tx.DOC_FINGERPRINT_SQL)(tx.doc_fingerprint)
+
+declare("dedup_exact_docs", dd.DEDUP_EXACT_SQL)(dd.dedup_exact)
+declare("minhash_signatures", dd.MINHASH_SIG_SQL)(dd.minhash_signatures)
+declare("minhash_lsh_pairs", dd.LSH_PAIRS_SQL)(dd.lsh_candidate_pairs)
+declare("ngram_jaccard_dupes", dd.NGRAM_JACCARD_SQL)(dd.ngram_jaccard_dupes)
+declare("simhash_signatures", dd.SIMHASH_SQL)(dd.simhash_signatures)
+
+declare("similarity_topk", sim.SIMILARITY_TOPK_SQL)(sim.similarity_topk)
+declare("knn_per_probe", sim.KNN_PER_PROBE_SQL)(sim.knn_per_probe)
+# bucketed ANN: bucket ids are engine-internal -> rows-only check
+declare("ann_lsh_topk")(sim.ann_lsh_topk)

@@ -1,0 +1,238 @@
+"""Deduplication operators for training-data pipelines (north-star
+extension): exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design: everything is expression-level (no Python in the hot path).
+- Exact dedup: hash-groupBy — one shuffle on the fingerprint.
+- MinHash: per-doc signature via array expressions (transform/array_min) —
+  ONE pass, no token-level explode; only the 16-row-per-doc signature
+  explodes into the LSH band shuffle.  At 100 TB the band join shuffles
+  |docs| x bands small rows instead of token streams.
+- Jaccard verification joins only LSH-candidate pairs, not all pairs.
+- md5 is the cross-engine hash (bit-identical in Spark and DuckDB), which
+  is what makes the signatures oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamsum_spark.tables import table
+
+NUM_HASHES = 16
+SHINGLE = 3  # 3-word shingles
+
+_TOKS = "split(trim(text), '\\\\s+')"
+# shingles: positions 1 .. size-2 (1-based), each a 3-token join
+_SHINGLES = (
+    f"transform(sequence(1, size({_TOKS}) - {SHINGLE - 1}), "
+    f"i -> array_join(slice({_TOKS}, i, {SHINGLE}), ' '))"
+)
+
+_TOKS_SQL = r"regexp_split_to_array(trim(text), '\s+')"
+_SHINGLES_SQL = (
+    f"[array_to_string(toks[i:i+{SHINGLE - 1}], ' ') "
+    f"FOR i IN range(1, len(toks) - {SHINGLE - 2})]"
+)
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the bag-of-words fingerprint: keep the smallest
+    doc_id per group, report group size.  (Fingerprint granularity makes
+    this non-vacuous on the synthetic corpus, which has no byte-identical
+    texts; for byte dedup swap the key for md5(text).)"""
+    docs = table(spark, sf_dir, "documents")
+    fp = f"md5(array_join(array_sort(array_distinct({_TOKS})), ' '))"
+    return (
+        docs.select(F.col("doc_id"), F.expr(fp).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).cast("long").alias("group_size"),
+        )
+    )
+
+
+DEDUP_EXACT_SQL = r"""
+SELECT md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+'))), ' ')) AS fingerprint,
+       min(doc_id) AS keep_doc_id,
+       CAST(count(*) AS BIGINT) AS group_size
+FROM documents
+GROUP BY 1
+"""
+
+
+# Universal double-hashing (Kirsch–Mitzenmacher): ONE md5 per shingle,
+# then hash_j = (h1 + j*h2) mod P.  16x fewer digest calls than salting
+# the md5 per band; the permutations are integer ops inside codegen.
+# h1/h2 are the two 48-bit halves of the md5 hex, parsed identically by
+# Spark's conv(x,16,10) and DuckDB's '0x..'::BIGINT (verified).
+_MINHASH_P = 4294967291  # largest prime < 2^32; j*h2 <= 16*2^48 < 2^63
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature rows (doc_id, band, mh): 16 permuted min-hashes
+    over 3-word shingles.
+
+    Plan shape: shingle explode -> one md5 per shingle -> 16 min()
+    aggregates in a single hash aggregation (map-side partial combine, so
+    the shuffle carries 16 longs per doc per map task) -> stack to rows.
+    """
+    docs = table(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id", F.explode(F.expr(f"array_distinct({_SHINGLES})")).alias("s")
+    ).select(
+        "doc_id",
+        F.expr("CAST(conv(substring(md5(s), 1, 12), 16, 10) AS BIGINT)").alias("h1"),
+        F.expr("CAST(conv(substring(md5(s), 13, 12), 16, 10) AS BIGINT)").alias("h2"),
+    )
+    mins = ex.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("h1") + F.lit(j) * F.col("h2")) % F.lit(_MINHASH_P)).alias(f"mh{j}")
+            for j in range(1, NUM_HASHES + 1)
+        ]
+    )
+    stack_args = ", ".join(f"CAST({j} AS BIGINT), mh{j}" for j in range(1, NUM_HASHES + 1))
+    return mins.select(
+        "doc_id", F.expr(f"stack({NUM_HASHES}, {stack_args}) AS (band, mh)")
+    )
+
+
+MINHASH_SIG_SQL = f"""
+SELECT doc_id, CAST(j AS BIGINT) AS band,
+       min((h1 + j * h2) % {_MINHASH_P}) AS mh
+FROM (
+    SELECT doc_id,
+           ('0x' || substr(md5(s), 1, 12))::BIGINT AS h1,
+           ('0x' || substr(md5(s), 13, 12))::BIGINT AS h2
+    FROM (
+        SELECT doc_id, unnest(list_distinct(shingles)) AS s
+        FROM (SELECT doc_id, {_SHINGLES_SQL} AS shingles
+              FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents))
+    )
+) CROSS JOIN (SELECT unnest(generate_series(1, {NUM_HASHES})) AS j)
+GROUP BY doc_id, j
+"""
+
+
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding (r=1): docs sharing any (band, minhash) bucket are
+    candidate near-dup pairs.  The join is on the tiny signature relation;
+    a self-join of the raw corpus never happens."""
+    sig = minhash_signatures(spark, sf_dir)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.mh") == F.col("b.mh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+LSH_PAIRS_SQL = f"""
+WITH sig AS ({MINHASH_SIG_SQL})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM sig a JOIN sig b
+  ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
+"""
+
+
+def ngram_jaccard_dupes(spark: SparkSession, sf_dir: str, threshold: float = 0.2) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs: distinct-shingle intersection /
+    union >= threshold.  Jaccard is one integer division — exactly rounded
+    IEEE, so the value hashes identically across engines.
+
+    Scale path: feed only lsh_candidate_pairs through this verification;
+    here the shingle join doubles as candidate generation because docs
+    sharing zero shingles can't pass any threshold."""
+    docs = table(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id", F.explode(F.expr(f"array_distinct({_SHINGLES})")).alias("s")
+    )
+    sizes = docs.select(
+        "doc_id", F.expr(f"size(array_distinct({_SHINGLES}))").alias("n")
+    )
+    inter = (
+        ex.alias("a")
+        .join(ex.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("inter") / (F.col("sa.n") + F.col("sb.n") - F.col("inter"))).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH sh AS (
+    SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS shingles
+    FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+), ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter * 1.0 / (sa.n + sb.n - inter) AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.2
+"""
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash over tokens: bit b of the signature is the sign of
+    sum over tokens of (+1/-1 by bit b of md5(token)).
+
+    The md5 hex nibble trick (strpos on '0123456789abcdef') gives identical
+    integer bit values in both engines without hex-parsing builtins.
+    Expression-only: per-doc work is tokens x 32 bit tests inside one
+    projection, aggregated with an element-wise array sum — no shuffle, no
+    explode."""
+    docs = table(spark, sf_dir, "documents")
+    # per token: 32-element array of +1/-1; fold element-wise; then sign-bits
+    bit = (
+        "transform(sequence(0, 31), b -> "
+        "CASE WHEN (CAST(instr('0123456789abcdef', substring(md5(x), 1 + CAST(b / 4 AS INT), 1)) - 1 AS INT) "
+        "          >> (b % 4)) & 1 = 1 THEN 1 ELSE -1 END)"
+    )
+    folded = (
+        f"aggregate(transform({_TOKS}, x -> {bit}), "
+        f"transform(sequence(0, 31), b -> 0), "
+        f"(acc, v) -> zip_with(acc, v, (a, x) -> a + x))"
+    )
+    simhash = (
+        f"aggregate(zip_with({folded}, sequence(0, 31), "
+        f"(s, b) -> CASE WHEN s > 0 THEN CAST(shiftleft(CAST(1 AS BIGINT), b) AS BIGINT) ELSE CAST(0 AS BIGINT) END), "
+        f"CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    return docs.select("doc_id", F.expr(simhash).alias("simhash"))
+
+
+SIMHASH_SQL = rf"""
+WITH tok AS (
+    SELECT doc_id, unnest({_TOKS_SQL}) AS x FROM documents
+), bits AS (
+    SELECT doc_id, b,
+           sum(CASE WHEN ((strpos('0123456789abcdef', substr(md5(x), 1 + b // 4, 1)) - 1) >> (b % 4)) & 1 = 1
+                    THEN 1 ELSE -1 END) AS s
+    FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)
+    GROUP BY doc_id, b
+)
+SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""

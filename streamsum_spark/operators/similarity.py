@@ -1,0 +1,150 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Baseline: brute-force cosine top-k with array expressions — JVM-side
+zip_with/aggregate folds, no Python, no explode.  Scale path: sign-LSH
+bucketing (deterministic integer-arithmetic hyperplanes) so the candidate
+set per query is a bucket, not the corpus; at 100 TB the bucket id is a
+shuffle key and probes broadcast.
+
+Cross-engine FP policy: embeddings are float32; both sides cast to DOUBLE
+before the fold (DuckDB's list_cosine_similarity on FLOAT[] accumulates in
+float32 and diverges ~1e-7 — casting to DOUBLE[] makes both engines run
+the same sequential double fold), then round(6) pins the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from streamsum_spark.tables import table
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def _cos_expr(a: str, b: str) -> str:
+    dot = _DOT.format(a=a, b=b)
+    na = _DOT.format(a=a, b=a)
+    nb = _DOT.format(a=b, b=b)
+    return f"round({dot} / (sqrt({na}) * sqrt({nb})), 6)"
+
+
+def similarity_topk(spark: SparkSession, sf_dir: str, probe_vec_id: int = 0, k: int = 20) -> DataFrame:
+    """Exact cosine top-k against one probe vector (vec_id=0), deterministic
+    tie-break on vec_id.  The probe joins in as a broadcast single row —
+    the corpus scan never shuffles."""
+    emb = table(spark, sf_dir, "embeddings")
+    probe = emb.where(F.col("vec_id") == probe_vec_id).select(
+        F.col("embedding").alias("q")
+    )
+    return (
+        emb.join(F.broadcast(probe))
+        .select("vec_id", F.expr(_cos_expr("embedding", "q")).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+SIMILARITY_TOPK_SQL = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(CAST(embedding AS DOUBLE[]), q)
+             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(q, q))), 6) AS cos
+FROM embeddings, q
+ORDER BY cos DESC, vec_id
+LIMIT 20
+"""
+
+
+def knn_per_probe(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Batch k-NN: for each probe (vec_id % 25 == 0), top-k neighbors by
+    cosine within the same label block.  Label blocking is the partition
+    key — the quadratic term is per-block, and WindowGroupLimit keeps only
+    k rows per probe through the sort."""
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("label").alias("p_label"),
+        F.col("embedding").alias("q"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        emb.join(F.broadcast(probes), (F.col("label") == F.col("p_label")) & (F.col("vec_id") != F.col("probe_id")))
+        .select("probe_id", "vec_id", F.expr(_cos_expr("embedding", "q")).alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("probe_id", "vec_id", "cos", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+KNN_PER_PROBE_SQL = """
+WITH probes AS (
+    SELECT vec_id AS probe_id, label AS p_label, CAST(embedding AS DOUBLE[]) AS q
+    FROM embeddings WHERE vec_id % 25 = 0
+), scored AS (
+    SELECT probe_id, e.vec_id,
+           round(list_dot_product(CAST(e.embedding AS DOUBLE[]), q)
+                 / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(q, q))), 6) AS cos
+    FROM embeddings e JOIN probes ON e.label = p_label AND e.vec_id != probe_id
+)
+SELECT probe_id, vec_id, cos, CAST(rn AS BIGINT) AS rn FROM (
+    SELECT probe_id, vec_id, cos,
+           row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn
+    FROM scored
+) WHERE rn <= 3
+"""
+
+
+# --- sign-LSH scale path ----------------------------------------------------
+
+# 4 planes -> 16 buckets: sized so buckets hold enough candidates at the
+# test SFs; at larger corpora raise planes (buckets ~ corpus/expected-bucket-size)
+N_PLANES = 4
+_DIM = 64
+
+
+def _plane_expr(j: int) -> str:
+    """Deterministic pseudo-random hyperplane j: integer arithmetic only
+    (exact in both engines; no libm calls whose last ulp could differ).
+    plane[i] = ((j*73856093 + i*19349663 + 83492791) % 2000) / 1000 - 1."""
+    return (
+        f"transform(sequence(0, {_DIM - 1}), "
+        f"i -> CAST((({j} * 73856093 + i * 19349663 + 83492791) % 2000) AS DOUBLE) / 1000.0 - 1.0)"
+    )
+
+
+def lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucket id per vector: bit j = sign(embedding . plane_j).
+    Bucketing is a pure projection; similar vectors land in equal buckets,
+    turning ANN into an equi-join/groupBy on bucket."""
+    emb = table(spark, sf_dir, "embeddings")
+    bits = " + ".join(
+        f"(CASE WHEN {_DOT.format(a='embedding', b=_plane_expr(j))} > 0 "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(N_PLANES)
+    )
+    return emb.select(
+        "vec_id", F.col("label").cast("long").alias("label"),
+        F.expr(f"CAST({bits} AS BIGINT)").alias("bucket"),
+    )
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str, probe_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """ANN top-k: exact cosine only within the probe's LSH bucket."""
+    emb = table(spark, sf_dir, "embeddings")
+    buckets = lsh_bucket(spark, sf_dir).select("vec_id", "bucket")
+    with_b = emb.join(buckets, "vec_id")
+    probe = with_b.where(F.col("vec_id") == probe_vec_id).select(
+        F.col("embedding").alias("q"), F.col("bucket").alias("p_bucket")
+    )
+    return (
+        with_b.join(F.broadcast(probe), F.col("bucket") == F.col("p_bucket"))
+        .where(F.col("vec_id") != probe_vec_id)
+        .select("vec_id", F.expr(_cos_expr("embedding", "q")).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(k)
+    )

@@ -1,0 +1,141 @@
+"""Text-analysis operators for large-scale training-data pipelines
+(north-star extension, BASELINE.json; not present in the reference).
+
+All hot-path logic is Catalyst array/string expressions (JVM-side,
+codegen'd) — no Python UDFs: at 100 TB these run inside whole-stage
+codegen directly over the parquet scan.
+
+Determinism notes for the DuckDB oracles:
+- tokenization is regexp whitespace split on trimmed text, identical
+  semantics in both engines;
+- ratios are single IEEE divisions of integer-valued counts — exactly
+  rounded in both engines, so no rounding fudge is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamsum_spark.tables import table
+
+# words acting as "function words" for the quality/langid heuristics
+STOPWORDS = ("a", "the", "of", "and", "to", "in")
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# Spark SQL string literals consume one level of backslash escapes;
+# DuckDB standard strings don't — so the Spark-side pattern doubles them.
+BPE_PATTERN_SPARK = BPE_PATTERN.replace("\\", "\\\\")
+
+_TOKS = "split(trim(text), '\\\\s+')"
+
+
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token statistics per document: whitespace tokens, distinct tokens,
+    BPE-ish token count, average token length."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(f"CAST(size({_TOKS}) AS BIGINT)").alias("n_tokens"),
+        F.expr(f"CAST(size(array_distinct({_TOKS})) AS BIGINT)").alias("n_distinct"),
+        F.expr(
+            f"CAST(size(regexp_extract_all(text, '{BPE_PATTERN_SPARK}', 0)) AS BIGINT)"
+        ).alias("n_bpe_tokens"),
+        F.expr(
+            f"aggregate({_TOKS}, CAST(0 AS BIGINT), (a, x) -> a + length(x)) / CAST(size({_TOKS}) AS DOUBLE)"
+        ).alias("avg_token_len"),
+    )
+
+
+TEXT_TOKEN_COUNTS_SQL = rf"""
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+       list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) / CAST(len(toks) AS DOUBLE) AS avg_token_len
+FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)
+"""
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristics: length, stopword ratio, mean word length, and a
+    composite keep/drop flag — the shape of a C4/Gopher-style quality
+    filter, deterministic for oracle checking."""
+    docs = table(spark, sf_dir, "documents")
+    stop_arr = "array(" + ",".join(f"'{w}'" for w in STOPWORDS) + ")"
+    return docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.expr(f"CAST(size({_TOKS}) AS BIGINT)").alias("n_tokens"),
+        F.expr(
+            f"size(filter({_TOKS}, x -> array_contains({stop_arr}, x))) / CAST(size({_TOKS}) AS DOUBLE)"
+        ).alias("stopword_ratio"),
+        F.expr(
+            f"(size({_TOKS}) BETWEEN 20 AND 1000) AND "
+            f"(size(filter({_TOKS}, x -> array_contains({stop_arr}, x))) / CAST(size({_TOKS}) AS DOUBLE) >= 0.05)"
+        ).alias("keep"),
+    )
+
+
+def _stop_list_sql() -> str:
+    return "[" + ",".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+TEXT_QUALITY_SQL = rf"""
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       len(list_filter(toks, x -> list_contains({_stop_list_sql()}, x))) / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+       (len(toks) BETWEEN 20 AND 1000) AND
+       (len(list_filter(toks, x -> list_contains({_stop_list_sql()}, x))) / CAST(len(toks) AS DOUBLE) >= 0.05) AS keep
+FROM (SELECT doc_id, n_chars, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)
+"""
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/function-word language-ID heuristic: fraction of tokens that
+    are English function words; >= 0.05 classifies 'en'.  (The synthetic
+    corpus shares one vocabulary across langs, so this demonstrates the
+    operator shape; a real deployment swaps in per-language marker sets.)"""
+    docs = table(spark, sf_dir, "documents")
+    stop_arr = "array(" + ",".join(f"'{w}'" for w in STOPWORDS) + ")"
+    score = (
+        f"size(filter({_TOKS}, x -> array_contains({stop_arr}, x))) / CAST(size({_TOKS}) AS DOUBLE)"
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.expr(score).alias("en_score"),
+        F.expr(f"CASE WHEN {score} >= 0.05 THEN 'en' ELSE 'other' END").alias("pred_lang"),
+    )
+
+
+TEXT_LANGID_SQL = rf"""
+SELECT doc_id, lang,
+       len(list_filter(toks, x -> list_contains({_stop_list_sql()}, x))) / CAST(len(toks) AS DOUBLE) AS en_score,
+       CASE WHEN len(list_filter(toks, x -> list_contains({_stop_list_sql()}, x))) / CAST(len(toks) AS DOUBLE) >= 0.05
+            THEN 'en' ELSE 'other' END AS pred_lang
+FROM (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: md5 over the sorted distinct token set
+    (order-insensitive bag-of-words identity).  md5 is bit-identical across
+    engines, making the fingerprint oracle-checkable; the rolling-hash
+    winnowing variant lives in dedup.py (rows-only)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(f"md5(array_join(array_sort(array_distinct({_TOKS})), ' '))").alias(
+            "fingerprint"
+        ),
+    )
+
+
+DOC_FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+'))), ' ')) AS fingerprint
+FROM documents
+"""
