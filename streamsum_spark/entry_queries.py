@@ -30,9 +30,58 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 
+def _ensure_package_shipped(spark: SparkSession) -> None:
+    """Ship streamsum_spark to executor Python workers via addPyFile.
+
+    Functions passed to applyInPandasWithState / mapInPandas are pickled by
+    *reference* (module + name); the driver process may have /root/repo on
+    sys.path without the workers inheriting it (e.g. the harness imports
+    __spark_entry__ from a different cwd).  Shipping a zip of the package
+    makes worker-side imports work regardless of how the session was built.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_streamsum_shipped", False):
+        return
+    import os
+    import tempfile
+    import zipfile
+
+    # Right-size shuffle parallelism for the host when the session still has
+    # the 200 default: AQE coalesces batch shuffles at runtime, but streaming
+    # plans (no AQE) would run 200 state-store tasks per micro-batch.
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+            spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
+    except Exception:
+        pass
+
+    import streamsum_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(streamsum_spark.__file__))
+    zpath = os.path.join(tempfile.gettempdir(), f"streamsum_spark_pkg_{os.getpid()}.zip")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    arc = os.path.join(
+                        "streamsum_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, arc)
+    sc.addPyFile(zpath)
+    sc._streamsum_shipped = True
+
+
 def declare(name: str, oracle: str | None = None):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        QUERIES[name] = fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_package_shipped(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = getattr(fn, "__name__", name)
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
         return fn
@@ -467,3 +516,21 @@ declare("similarity_topk", sim.SIMILARITY_TOPK_SQL)(sim.similarity_topk)
 declare("knn_per_probe", sim.KNN_PER_PROBE_SQL)(sim.knn_per_probe)
 # bucketed ANN: bucket ids are engine-internal -> rows-only check
 declare("ann_lsh_topk")(sim.ann_lsh_topk)
+
+
+# ---------------------------------------------------------------------------
+# Streaming surface (SURVEY.md §7 Phase 4) — exact ops share batch oracles,
+# so batch≡streaming equivalence is enforced by the correctness gate itself.
+# ---------------------------------------------------------------------------
+
+from streamsum_spark.streaming import pipeline as streaming  # noqa: E402
+
+declare("stream_count_cache", ORACLES["count_cache_inc"])(streaming.stream_count_cache)
+declare("stream_clamp_dec", ORACLES["count_cache_inc_dec"])(streaming.stream_clamp_dec)
+declare("stream_lastn", ORACLES["lastn_per_key"])(streaming.stream_lastn)
+declare("stream_tumbling_counts", ORACLES["batch_tumbling_counts"])(
+    streaming.stream_tumbling_counts
+)
+# watermark semantics legitimately withhold/drop rows -> rows-only checks
+declare("stream_tumbling_late_data")(streaming.stream_tumbling_late_data)
+declare("stream_dedup_watermark")(streaming.stream_dedup_watermark)

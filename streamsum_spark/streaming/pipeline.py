@@ -1,0 +1,294 @@
+"""Streaming pipeline: the reference's hot path as Structured Streaming.
+
+Reference mapping (system.clj:97-115): the BlockingQueue feeder/drainer
+becomes readStream -> transformations -> writeStream; lifecycle is
+StreamingQuery start/stop (no :shutdown sentinel); backpressure is
+micro-batch admission (maxFilesPerTrigger / maxOffsetsPerTrigger);
+exactly-once state via checkpointing — strictly stronger than the
+reference's at-most-once drop-on-error (A12).
+
+The stateless stages (extract A2, transform A3) are the *same functions*
+as batch — they are plain DataFrame transforms, so batch/streaming parity
+is by construction.  The cache layer becomes:
+- count cache (A7): streaming groupBy aggregation — complete mode here
+  (bounded key space); update mode + foreachBatch MERGE for incremental
+  sinks at scale;
+- assoc (A5): max_by aggregation, same;
+- lastn (A6) and clamped inc/dec (A8): genuinely stateful ->
+  applyInPandasWithState folds (SURVEY.md §4.2.1-2);
+- metrics (A11): df.observe() + StreamingQueryListener with the
+  reference's stage-counter names (system.clj:64-79).
+
+Each helper runs an availableNow query to completion into a memory sink
+and returns the resulting static DataFrame, which is what lets the
+driver's DuckDB oracle hash-check streaming results against the batch
+oracles — batch≡streaming equivalence enforced by the correctness gate
+itself.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from streamsum_spark.config import DEFAULT_CONFIG
+from streamsum_spark.operators.caches import count_cache
+from streamsum_spark.operators.extract import extract_events
+from streamsum_spark.operators.transform import transform_fanout
+
+# raw schema of events.parquet with the nanos ts read as long (see tables.py)
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (A1 source).  The nanos
+    timestamp reads as long and converts with the same integer arithmetic
+    as the batch reader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn(
+        "ts",
+        F.expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
+    )
+
+
+def observed_tuples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extract -> transform with the reference's stage counters attached
+    (A11: :events-received, :tuples-extracted, :tuples-transformed)."""
+    ev = stream_events(spark, sf_dir).observe(
+        "events_received", F.count(F.lit(1)).alias("n")
+    )
+    tuples = extract_events(ev).observe("tuples_extracted", F.count(F.lit(1)).alias("n"))
+    fanned = transform_fanout(tuples, DEFAULT_CONFIG).observe(
+        "tuples_transformed", F.count(F.lit(1)).alias("n")
+    )
+    return fanned
+
+
+def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
+    """Run an availableNow streaming query to completion; return the sink
+    table as a static DataFrame."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    ckpt = os.path.join(tempfile.gettempdir(), f"streamsum_ckpt_{name}")
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def stream_count_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 as a streaming aggregation; result == batch count cache, so it
+    shares the batch oracle (the strongest batch≡streaming check)."""
+    fanned = observed_tuples(spark, sf_dir)
+    name = DEFAULT_CONFIG.cache_names("count")[0]
+    agg = count_cache(fanned.where(F.col("cache_key") == name))
+    return _run_to_memory(agg, "complete")
+
+
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h windows as a streaming window aggregation (complete mode
+    so every window emits and the batch oracle applies; production uses
+    append + watermark — see stream_tumbling_late_data)."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("bucket"), "event_type", "n", "sum_value")
+    )
+    return _run_to_memory(agg, "complete")
+
+
+def stream_tumbling_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode tumbling windows with a 30-minute watermark: only
+    windows the watermark has passed emit; late rows beyond the delay are
+    dropped.  Unbounded-state-safe at 100 TB (state evicts with the
+    watermark) => rows-only check (the final windows are legitimately
+    withheld)."""
+    # watermarks require TIMESTAMP (not NTZ): cast for event-time tracking,
+    # cast the bucket back to NTZ on the way out
+    ev = stream_events(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).withWatermark("ts", "30 minutes")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.col("w.start").cast("timestamp_ntz").alias("bucket"), "event_type", "n")
+    )
+    return _run_to_memory(agg, "append")
+
+
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on (user_id, event_type) within the watermark —
+    dropDuplicatesWithinWatermark bounds state, unlike global
+    dropDuplicates.  Emission picks the first-arriving row per key, which
+    matches batch first-per-key only when arrival order == (ts, seq);
+    file-source batches preserve file order, so it does here."""
+    ev = stream_events(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).withWatermark("ts", "1 hour")
+    dd = ev.dropDuplicatesWithinWatermark(["user_id", "event_type"]).select(
+        "user_id", "event_type", "event_id", F.col("ts").cast("timestamp_ntz").alias("ts")
+    )
+    return _run_to_memory(dd, "append")
+
+
+# -- stateful folds (the two non-Catalyst-native semantics, SURVEY.md §4.2) --
+
+_CLAMP_OUT = T.StructType(
+    [
+        T.StructField("subject", T.StringType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("latest_us", T.LongType()),
+    ]
+)
+_CLAMP_STATE = T.StructType(
+    [
+        T.StructField("cnt", T.LongType()),
+        T.StructField("latest_us", T.LongType()),
+        T.StructField("has_inc", T.BooleanType()),
+    ]
+)
+
+
+def _clamp_fold(
+    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Reference inc/dec fold (update.clj:44-91): inc -> cnt+1 and
+    latest := max(latest, ts); dec -> cnt-1 clamped at 0, ts untouched."""
+    if state.exists:
+        cnt, latest_us, has_inc = state.get
+    else:
+        cnt, latest_us, has_inc = 0, None, False
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["ts", "seq"])
+        for op, ts in zip(pdf["op"], pdf["ts"]):
+            us = int(pd.Timestamp(ts).value // 1000)
+            if op == "inc":
+                cnt += 1
+                has_inc = True
+                latest_us = us if latest_us is None else max(latest_us, us)
+            elif cnt > 0:
+                cnt -= 1
+    state.update((cnt, latest_us, has_inc))
+    if has_inc:
+        yield pd.DataFrame({"subject": [key[0]], "cnt": [cnt], "latest_us": [latest_us]})
+
+
+def stream_clamp_dec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 exact streaming form: per-subject applyInPandasWithState fold.
+    Shares the batch count_cache_inc_dec oracle."""
+    tuples = extract_events(stream_events(spark, sf_dir))
+    ops = tuples.select(
+        F.col("subj").alias("subject"),
+        F.when(F.col("pred") == "error", F.lit("dec")).otherwise(F.lit("inc")).alias("op"),
+        "ts",
+        "seq",
+    )
+    folded = ops.groupBy("subject").applyInPandasWithState(
+        _clamp_fold, _CLAMP_OUT, _CLAMP_STATE, "update", GroupStateTimeout.NoTimeout
+    )
+    mem = _run_to_memory(folded, "update")
+    # update-mode memory sink keeps every emission; with the single-file
+    # source each key emits exactly once per availableNow run.
+    return mem.select(
+        "subject",
+        "cnt",
+        F.expr("timestampadd(MICROSECOND, latest_us, TIMESTAMP_NTZ '1970-01-01 00:00:00')").alias(
+            "latest_ts"
+        ),
+    )
+
+
+_LASTN_OUT = T.StructType(
+    [
+        T.StructField("k", T.StringType()),
+        T.StructField("v", T.StringType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("rn", T.IntegerType()),
+    ]
+)
+_LASTN_STATE = T.StructType(
+    [
+        T.StructField("ts_us", T.ArrayType(T.LongType())),
+        T.StructField("seqs", T.ArrayType(T.LongType())),
+        T.StructField("vals", T.ArrayType(T.StringType())),
+    ]
+)
+
+_LASTN_N = DEFAULT_CONFIG.lastn_buf_size
+
+
+def _lastn_fold(
+    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """A6 exact ring buffer (caches.clj:51-75): append in arrival order,
+    keep the newest N; emit rows (rn=1 newest) like the batch window form."""
+    if state.exists:
+        ts_us, seqs, vals = (list(x) for x in state.get)
+    else:
+        ts_us, seqs, vals = [], [], []
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values(["ts", "seq"])
+        for ts, seq, v in zip(pdf["ts"], pdf["seq"], pdf["v"]):
+            ts_us.append(int(pd.Timestamp(ts).value // 1000))
+            seqs.append(int(seq))
+            vals.append(v)
+    # ring-buffer eviction: newest N by arrival order
+    ts_us, seqs, vals = ts_us[-_LASTN_N:], seqs[-_LASTN_N:], vals[-_LASTN_N:]
+    state.update((ts_us, seqs, vals))
+    n = len(vals)
+    yield pd.DataFrame(
+        {
+            "k": [key[0]] * n,
+            "v": vals,
+            "ts_us": ts_us,
+            "seq": seqs,
+            "rn": list(range(n, 0, -1)),  # newest (last appended) gets rn=1
+        }
+    )
+
+
+def stream_lastn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 exact streaming form for the 'act-user-obj' cache; shares the
+    batch lastn oracle."""
+    fanned = transform_fanout(extract_events(stream_events(spark, sf_dir)), DEFAULT_CONFIG)
+    routed = fanned.where(F.col("cache_key") == "act-user-obj").select("k", "v", "ts", "seq")
+    folded = routed.groupBy("k").applyInPandasWithState(
+        _lastn_fold, _LASTN_OUT, _LASTN_STATE, "update", GroupStateTimeout.NoTimeout
+    )
+    mem = _run_to_memory(folded, "update")
+    return mem.select(
+        "k",
+        "v",
+        F.expr("timestampadd(MICROSECOND, ts_us, TIMESTAMP_NTZ '1970-01-01 00:00:00')").alias("ts"),
+        "seq",
+        "rn",
+    )
