@@ -534,3 +534,28 @@ declare("stream_tumbling_counts", ORACLES["batch_tumbling_counts"])(
 # watermark semantics legitimately withhold/drop rows -> rows-only checks
 declare("stream_tumbling_late_data")(streaming.stream_tumbling_late_data)
 declare("stream_dedup_watermark")(streaming.stream_dedup_watermark)
+
+
+# ---------------------------------------------------------------------------
+# A10 encode — JSON output encoding of the fanned-out tuple stream
+# ---------------------------------------------------------------------------
+
+from streamsum_spark.operators import output as outp  # noqa: E402
+
+
+@declare(
+    "encode_output",
+    oracles.with_pipeline_ctes(
+        """
+SELECT cache_key, k,
+       to_json(struct_pack(cache_key := cache_key, k := k, v := v,
+                           ts := strftime(ts, '%Y-%m-%d %H:%M:%S.%f'),
+                           seq := seq)) AS encoded
+FROM fanout
+"""
+    ),
+)
+def q_encode_output(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 Encode: post-record JSON projection (timestamps pre-formatted to
+    microsecond strings so the encoding is engine-portable)."""
+    return outp.encode_output(pipeline.cache_tuples(spark, sf_dir))

@@ -136,3 +136,93 @@ def keycount(tuples: DataFrame, key_cols: tuple[str, ...] = ("k",)) -> DataFrame
     update.  Spark: ``groupBy(key).count()``.
     """
     return tuples.groupBy(*key_cols).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# undoUpdate semantics (TupleCache.java:29-33) — batch forms
+# ---------------------------------------------------------------------------
+
+
+def assoc_with_undo(tuples: DataFrame, key_cols: tuple[str, ...] = ("k",)) -> DataFrame:
+    """A5 undoUpdate: assoc tombstone — undo stores nil, the key REMAINS
+    (caches_test.clj:102-105: value nil, not removed).
+
+    Batch form: last op in arrival order wins; if it was an undo the stored
+    value is NULL.  Input needs an ``op`` column ('update'|'undo').
+    """
+    return tuples.groupBy(*key_cols).agg(
+        F.expr(
+            "CASE WHEN max_by(op, struct(ts, seq)) = 'undo' THEN NULL "
+            "ELSE max_by(v, struct(ts, seq)) END"
+        ).alias("v"),
+        F.max("ts").alias("latest_ts"),
+    )
+
+
+def lastn_with_undo(
+    tuples: DataFrame, n: int = 20, key_cols: tuple[str, ...] = ("k",)
+) -> DataFrame:
+    """A6 undoUpdate: remove ALL buffer occurrences equal to the undone
+    value (caches.clj:69-73); undo of an absent value is a no-op.
+
+    Exact reference semantics are order-dependent (overflow eviction
+    interleaves with undo removal), so the batch form is a per-key sorted
+    applyInPandas fold — the honest stateful path (SURVEY.md §4.2.2); the
+    streaming twin uses the same fold via applyInPandasWithState.
+
+    Input: (key_cols, op 'update'|'undo', v, ts, seq).
+    Output: (key_cols, v, ts, seq, rn) with rn=1 newest — same row form as
+    lastn_per_key.
+    """
+    import pandas as pd
+
+    dtypes = dict(tuples.dtypes)
+    out_fields = ", ".join(f"{c} {dtypes[c]}" for c in key_cols)
+    schema = f"{out_fields}, v {dtypes['v']}, ts {dtypes['ts']}, seq {dtypes['seq']}, rn int"
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "seq"])
+        buf: list[tuple] = []  # (v, ts, seq) oldest..newest
+        for op, v, ts, seq in zip(pdf["op"], pdf["v"], pdf["ts"], pdf["seq"]):
+            if op == "update":
+                buf.append((v, ts, seq))
+                if len(buf) > n:
+                    buf.pop(0)
+            else:  # undo: remove all occurrences equal to v
+                buf = [e for e in buf if e[0] != v]
+        rows = []
+        keys = [pdf.iloc[0][c] for c in key_cols]
+        for rn, (v, ts, seq) in enumerate(reversed(buf), start=1):
+            rows.append((*keys, v, ts, seq, rn))
+        return pd.DataFrame(
+            rows, columns=[*key_cols, "v", "ts", "seq", "rn"]
+        )
+
+    return tuples.groupBy(*key_cols).applyInPandas(fold, schema)
+
+
+def keycount_with_undo(ops: DataFrame, key_cols: tuple[str, ...] = ("k",)) -> DataFrame:
+    """A9 undo: decrement-if-positive per key (config.clj:38-45) — the same
+    clamp recurrence as A8, so the reflection-identity fold applies; unlike
+    the count cache, undo-only keys still appear (at 0) because KeyCountCache
+    ``.put``s on undo too.
+
+    Input: key_cols + (op IN ('inc','dec'), ts, seq)."""
+    w_run = (
+        Window.partitionBy(*key_cols)
+        .orderBy("ts", "seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    delta = F.when(F.col("op") == "inc", F.lit(1)).otherwise(F.lit(-1))
+    with_run = ops.withColumn("s_run", F.sum(delta).over(w_run))
+    return (
+        with_run.groupBy(*key_cols)
+        .agg(
+            F.expr("max_by(s_run, struct(ts, seq))").alias("s_final"),
+            F.min("s_run").alias("s_min"),
+        )
+        .select(
+            *key_cols,
+            (F.col("s_final") - F.least(F.lit(0), F.col("s_min"))).cast("long").alias("cnt"),
+        )
+    )

@@ -1,0 +1,58 @@
+"""Physical-plan predicates over ``df.explain`` output.
+
+These are string-level checks by design: the formatted plan is the stable
+public surface Spark exposes, and the properties asserted (PushedFilters,
+BroadcastHashJoin, WindowGroupLimit, partial HashAggregate) are exactly the
+scale-critical ones — a regression in any of them multiplies IO or shuffle
+at 100 TB long before it shows up in a small-SF benchmark.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def has_pushed_filters(df: DataFrame, *fragments: str) -> bool:
+    """True if the parquet scan carries PushedFilters mentioning every
+    fragment (e.g. a column name whose predicate must reach the scan)."""
+    plan = explain_str(df)
+    m = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    pushed = " ".join(m)
+    return bool(m) and all(f in pushed for f in fragments)
+
+
+def read_schema_columns(df: DataFrame) -> list[str]:
+    """Columns actually read from parquet (column pruning check)."""
+    plan = explain_str(df)
+    cols: list[str] = []
+    for m in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
+        cols.extend(p.split(":")[0].strip() for p in m.split(",") if p.strip())
+    return sorted(set(cols))
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    """Any broadcast strategy: hash join for equi-keys, nested-loop for
+    keyless probe joins (a 1-row broadcast cross join is the right plan)."""
+    plan = explain_str(df)
+    return "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def has_window_group_limit(df: DataFrame) -> bool:
+    return "WindowGroupLimit" in explain_str(df)
+
+
+def has_partial_aggregate(df: DataFrame) -> bool:
+    """Partial+final hash aggregation (map-side combine before shuffle)."""
+    plan = explain_str(df)
+    return "HashAggregate" in plan and "partial_" in plan.lower()
