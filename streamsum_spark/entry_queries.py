@@ -559,3 +559,63 @@ def q_encode_output(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10 Encode: post-record JSON projection (timestamps pre-formatted to
     microsecond strings so the encoding is engine-portable)."""
     return outp.encode_output(pipeline.cache_tuples(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# relational coverage, second wave: cube / pivot / intersect / math / subquery
+# ---------------------------------------------------------------------------
+
+declare(
+    "agg_cube_region_segment",
+    """
+SELECT r_name, c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+       round(sum(c_acctbal), 2) AS sum_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY CUBE (r_name, c_mktsegment)
+""",
+)(rel.agg_cube_region_segment)
+
+declare(
+    "pivot_status_by_flag",
+    """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_open,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_filled
+FROM lineitem GROUP BY l_returnflag
+""",
+)(rel.pivot_status_by_flag)
+
+declare(
+    "set_intersect",
+    """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+""",
+)(rel.set_intersect)
+
+declare(
+    "scalar_math",
+    """
+SELECT l_orderkey, l_linenumber,
+       abs(l_quantity - 25.0) AS qty_dev,
+       CAST(l_partkey % 7 AS BIGINT) AS part_mod,
+       greatest(l_discount, l_tax) AS max_rate,
+       least(l_discount, l_tax) AS min_rate,
+       round(l_discount * l_discount, 4) AS disc_sq
+FROM lineitem
+""",
+)(rel.scalar_math)
+
+declare(
+    "subquery_above_nation_avg",
+    """
+SELECT c_custkey, c_name, c_acctbal, nation_avg
+FROM customer
+JOIN (SELECT c_nationkey, round(avg(c_acctbal), 2) AS nation_avg
+      FROM customer GROUP BY c_nationkey) USING (c_nationkey)
+WHERE c_acctbal > nation_avg
+""",
+)(rel.subquery_above_nation_avg)

@@ -1,0 +1,53 @@
+"""Reusable Catalyst expression snippets shared by the text / dedup /
+similarity operators, with their DuckDB-oracle twins.
+
+Keeping these in one place pins the cross-engine conventions:
+- tokenization = regexp whitespace split on trimmed text (note the Spark
+  SQL string-literal escaping: one extra backslash level vs DuckDB);
+- array folds are sequential left folds over DOUBLE — both engines execute
+  the same op order, so results agree bitwise before any rounding.
+"""
+
+from __future__ import annotations
+
+# --- tokenization -----------------------------------------------------------
+
+TOKENS_EXPR = "split(trim(text), '\\\\s+')"  # Spark SQL
+TOKENS_SQL = r"regexp_split_to_array(trim(text), '\s+')"  # DuckDB
+
+
+def shingles_expr(n: int, toks: str = TOKENS_EXPR) -> str:
+    """Spark: n-word shingles from position 1..size-n+1 (1-based slice)."""
+    return (
+        f"transform(sequence(1, size({toks}) - {n - 1}), "
+        f"i -> array_join(slice({toks}, i, {n}), ' '))"
+    )
+
+
+def shingles_sql(n: int, toks: str = "toks") -> str:
+    """DuckDB twin: inclusive list slicing + exclusive range stop."""
+    return (
+        f"[array_to_string({toks}[i:i+{n - 1}], ' ') "
+        f"FOR i IN range(1, len({toks}) - {n - 2})]"
+    )
+
+
+# --- vector math ------------------------------------------------------------
+
+
+def dot_expr(a: str, b: str) -> str:
+    """Sequential double fold of a.b — matches DuckDB list_dot_product on
+    DOUBLE[] operand-for-operand."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def cosine_expr(a: str, b: str, digits: int = 6) -> str:
+    """round(cos(a,b), digits): the rounding pins the cross-engine hash
+    (residual FP divergence is ~1e-15, grid is 1e-6)."""
+    dot = dot_expr(a, b)
+    na = dot_expr(a, a)
+    nb = dot_expr(b, b)
+    return f"round({dot} / (sqrt({na}) * sqrt({nb})), {digits})"

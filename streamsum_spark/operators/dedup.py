@@ -22,18 +22,15 @@ from streamsum_spark.tables import table
 NUM_HASHES = 16
 SHINGLE = 3  # 3-word shingles
 
-_TOKS = "split(trim(text), '\\\\s+')"
-# shingles: positions 1 .. size-2 (1-based), each a 3-token join
-_SHINGLES = (
-    f"transform(sequence(1, size({_TOKS}) - {SHINGLE - 1}), "
-    f"i -> array_join(slice({_TOKS}, i, {SHINGLE}), ' '))"
+from streamsum_spark.functions.expressions import (  # noqa: E402
+    TOKENS_EXPR as _TOKS,
+    TOKENS_SQL as _TOKS_SQL,
+    shingles_expr,
+    shingles_sql,
 )
 
-_TOKS_SQL = r"regexp_split_to_array(trim(text), '\s+')"
-_SHINGLES_SQL = (
-    f"[array_to_string(toks[i:i+{SHINGLE - 1}], ' ') "
-    f"FOR i IN range(1, len(toks) - {SHINGLE - 2})]"
-)
+_SHINGLES = shingles_expr(SHINGLE)
+_SHINGLES_SQL = shingles_sql(SHINGLE)
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -307,3 +307,69 @@ def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("val").cast("double").alias("val"),
         )
     )
+
+
+def agg_cube_region_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (region, market segment): all four grouping combinations
+    in one pass (Expand + partial agg — no re-scan per grouping set)."""
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    joined = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return joined.cube("r_name", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+    )
+
+
+def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot l_linestatus into columns per return flag.  The oracle is the
+    equivalent conditional aggregation (engine-portable pivot form)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnsRenamed({"O": "qty_open", "F": "qty_filled"})
+    )
+
+
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users who both clicked and purchased (INTERSECT set semantics)."""
+    ev = table(spark, sf_dir, "events")
+    clickers = ev.where(F.col("event_type") == "click").select("user_id")
+    buyers = ev.where(F.col("event_type") == "purchase").select("user_id")
+    return clickers.intersect(buyers)
+
+
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar surface: abs/mod/greatest/least/square — exact-arithmetic
+    forms (x*x, not pow: libm last-ulp behavior is engine-specific)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_quantity") - 25.0).alias("qty_dev"),
+        (F.col("l_partkey") % 7).cast("long").alias("part_mod"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+        F.round(F.col("l_discount") * F.col("l_discount"), 4).alias("disc_sq"),
+    )
+
+
+def subquery_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers above their nation's (rounded) average balance — the
+    decorrelated form of a correlated scalar subquery: per-nation aggregate
+    joined back (what Catalyst rewrites the subquery to anyway).  Rounding
+    the avg to the 2-decimal grid keeps the comparison engine-stable."""
+    customer = table(spark, sf_dir, "customer")
+    nation_avg = customer.groupBy("c_nationkey").agg(
+        F.round(F.avg("c_acctbal"), 2).alias("nation_avg")
+    )
+    return (
+        customer.join(F.broadcast(nation_avg), "c_nationkey")
+        .where(F.col("c_acctbal") > F.col("nation_avg"))
+        .select("c_custkey", "c_name", "c_acctbal", "nation_avg")
+    )

@@ -19,17 +19,19 @@ from pyspark.sql import functions as F
 
 from streamsum_spark.tables import table
 
-_DOT = (
-    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-    "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-)
+from streamsum_spark.functions.expressions import cosine_expr as _cos_expr  # noqa: E402
+from streamsum_spark.functions.expressions import dot_expr  # noqa: E402
 
 
-def _cos_expr(a: str, b: str) -> str:
-    dot = _DOT.format(a=a, b=b)
-    na = _DOT.format(a=a, b=a)
-    nb = _DOT.format(a=b, b=b)
-    return f"round({dot} / (sqrt({na}) * sqrt({nb})), 6)"
+class _Dot:
+    """Back-compat .format shim over functions.expressions.dot_expr."""
+
+    @staticmethod
+    def format(a: str, b: str) -> str:
+        return dot_expr(a, b)
+
+
+_DOT = _Dot()
 
 
 def similarity_topk(spark: SparkSession, sf_dir: str, probe_vec_id: int = 0, k: int = 20) -> DataFrame:

@@ -28,7 +28,7 @@ BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 # DuckDB standard strings don't — so the Spark-side pattern doubles them.
 BPE_PATTERN_SPARK = BPE_PATTERN.replace("\\", "\\\\")
 
-_TOKS = "split(trim(text), '\\\\s+')"
+from streamsum_spark.functions.expressions import TOKENS_EXPR as _TOKS  # noqa: E402
 
 
 def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
