@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streamsum_spark.tables import table
+from streamsum_spark.util import rebalance_for_cpu
 
 NUM_HASHES = 16
 SHINGLE = 3  # 3-word shingles
@@ -75,7 +76,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates in a single hash aggregation (map-side partial combine, so
     the shuffle carries 16 longs per doc per map task) -> stack to rows.
     """
-    docs = table(spark, sf_dir, "documents")
+    docs = rebalance_for_cpu(table(spark, sf_dir, "documents"))
     ex = docs.select(
         "doc_id", F.explode(F.expr(f"array_distinct({_SHINGLES})")).alias("s")
     ).select(
@@ -147,7 +148,7 @@ def ngram_jaccard_dupes(spark: SparkSession, sf_dir: str, threshold: float = 0.2
     Scale path: feed only lsh_candidate_pairs through this verification;
     here the shingle join doubles as candidate generation because docs
     sharing zero shingles can't pass any threshold."""
-    docs = table(spark, sf_dir, "documents")
+    docs = rebalance_for_cpu(table(spark, sf_dir, "documents"))
     ex = docs.select(
         "doc_id", F.explode(F.expr(f"array_distinct({_SHINGLES})")).alias("s")
     )
@@ -200,7 +201,7 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     Expression-only: per-doc work is tokens x 32 bit tests inside one
     projection, aggregated with an element-wise array sum — no shuffle, no
     explode."""
-    docs = table(spark, sf_dir, "documents")
+    docs = rebalance_for_cpu(table(spark, sf_dir, "documents"))
     # per token: 32-element array of +1/-1; fold element-wise; then sign-bits
     bit = (
         "transform(sequence(0, 31), b -> "
