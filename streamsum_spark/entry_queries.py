@@ -619,3 +619,30 @@ JOIN (SELECT c_nationkey, round(avg(c_acctbal), 2) AS nation_avg
 WHERE c_acctbal > nation_avg
 """,
 )(rel.subquery_above_nation_avg)
+
+
+# ---------------------------------------------------------------------------
+# UDF surface + sinks + term statistics
+# ---------------------------------------------------------------------------
+
+
+@declare("udf_grouped_fold")
+def q_udf_grouped_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The declared pandas-UDF surface (SURVEY.md §2.C "UDF/UDAF/UDTF"):
+    the exact lastn-with-undo fold — a per-key sorted applyInPandas whose
+    semantics (ring-buffer eviction interleaved with undo removal) are not
+    expressible in window SQL => rows-only check.  Derivation: error events
+    undo the user's previous object value."""
+    tuples = extract_events(table(spark, sf_dir, "events"))
+    ops = tuples.select(
+        F.col("subj").alias("k"),
+        F.when(F.col("pred") == "error", F.lit("undo")).otherwise(F.lit("update")).alias("op"),
+        F.col("obj").alias("v"),
+        "ts",
+        "seq",
+    )
+    return cache_ops.lastn_with_undo(ops, n=DEFAULT_CONFIG.lastn_buf_size)
+
+
+declare("term_frequencies", tx.TERM_FREQ_SQL)(tx.term_frequencies)
+declare("top_terms_per_lang", tx.TOP_TERMS_SQL)(tx.top_terms_per_lang)

@@ -139,3 +139,55 @@ SELECT doc_id,
        md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(trim(text), '\s+'))), ' ')) AS fingerprint
 FROM documents
 """
+
+
+def term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term-frequency table: explode tokens -> count per term.
+    The canonical shuffle-aggregated text op (map-side combine makes the
+    shuffle carry |vocab| rows per task, not token streams)."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.expr(_TOKS)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+
+TERM_FREQ_SQL = r"""
+SELECT term, CAST(count(*) AS BIGINT) AS tf
+FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents)
+GROUP BY term
+"""
+
+
+def top_terms_per_lang(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Top-k terms per language (window rank over grouped counts) — the
+    doc-frequency flavor of ranked retrieval, with a total tie-break."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(F.expr(_TOKS)).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("tf").desc(), F.col("term"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("lang", "term", "tf", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+TOP_TERMS_SQL = r"""
+SELECT lang, term, tf, CAST(rn AS BIGINT) AS rn FROM (
+    SELECT lang, term, tf,
+           row_number() OVER (PARTITION BY lang ORDER BY tf DESC, term) AS rn
+    FROM (
+        SELECT lang, term, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+              FROM documents)
+        GROUP BY lang, term
+    )
+) WHERE rn <= 5
+"""

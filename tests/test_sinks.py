@@ -1,0 +1,54 @@
+"""Sinks: batch parquet round-trip and streaming foreachBatch upsert."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from streamsum_spark import pipeline, sinks
+from streamsum_spark.config import DEFAULT_CONFIG
+from streamsum_spark.operators.caches import count_cache
+from streamsum_spark.streaming.pipeline import stream_events
+from streamsum_spark.operators.extract import extract_events
+from streamsum_spark.operators.transform import transform_fanout
+from tests.conftest import SF_SMOKE, canon_rows
+
+
+def test_batch_parquet_roundtrip(spark):
+    cache = pipeline.count_cache_view(spark, SF_SMOKE)
+    path = os.path.join(tempfile.mkdtemp(), "cache_counts")
+    sinks.write_cache_parquet(cache, path, partition_cols=["action"])
+    back = spark.read.parquet(path)
+    a = canon_rows(cache.toPandas())
+    b = canon_rows(back.toPandas())
+    assert a == b
+
+
+def test_streaming_foreachbatch_upsert_matches_batch(spark):
+    fanned = transform_fanout(extract_events(stream_events(spark, SF_SMOKE)), DEFAULT_CONFIG)
+    name = DEFAULT_CONFIG.cache_names("count")[0]
+    agg = count_cache(fanned.where(F.col("cache_key") == name))
+    path = os.path.join(tempfile.mkdtemp(), "cache_upsert")
+    sinks.stream_to_cache_table(
+        agg, path, key_cols=["subject", "action", "obj"], order_col="latest_ts"
+    )
+    stored = spark.read.parquet(path).select("subject", "action", "obj", "cnt", "latest_ts")
+    batch = pipeline.count_cache_view(spark, SF_SMOKE)
+    assert canon_rows(stored.toPandas()) == canon_rows(batch.toPandas())
+
+
+def test_upsert_is_idempotent_and_merges(spark):
+    path = os.path.join(tempfile.mkdtemp(), "t")
+    df1 = spark.createDataFrame([("a", 1, 10), ("b", 2, 10)], "k string, v long, o long")
+    sinks.upsert_batch(spark, path, df1, ["k"], "o")
+    # newer value for a, new key c
+    df2 = spark.createDataFrame([("a", 9, 20), ("c", 3, 5)], "k string, v long, o long")
+    sinks.upsert_batch(spark, path, df2, ["k"], "o")
+    got = {r.k: (r.v, r.o) for r in spark.read.parquet(path).collect()}
+    assert got == {"a": (9, 20), "b": (2, 10), "c": (3, 5)}
+    # replay of df2 (idempotence under micro-batch retry)
+    sinks.upsert_batch(spark, path, df2, ["k"], "o")
+    got2 = {r.k: (r.v, r.o) for r in spark.read.parquet(path).collect()}
+    assert got2 == got
