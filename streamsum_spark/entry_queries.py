@@ -646,3 +646,16 @@ def q_udf_grouped_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 declare("term_frequencies", tx.TERM_FREQ_SQL)(tx.term_frequencies)
 declare("top_terms_per_lang", tx.TOP_TERMS_SQL)(tx.top_terms_per_lang)
+
+
+declare(
+    "join_range_bucketed",
+    """
+SELECT DISTINCT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts
+ AND p.ts - c.ts < INTERVAL 1 HOUR
+""",
+)(rel.join_range_bucketed)

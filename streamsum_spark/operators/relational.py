@@ -373,3 +373,45 @@ def subquery_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("c_acctbal") > F.col("nation_avg"))
         .select("c_custkey", "c_name", "c_acctbal", "nation_avg")
     )
+
+
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: (purchase, click) pairs for the same user with the click
+    in the hour before the purchase (0 <= purchase_ts - click_ts < 1h).
+
+    Naive non-equi joins plan as nested-loop — quadratic at scale.  The
+    scalable formulation bucketizes time and equi-joins on
+    (user, hour_bucket), probing each purchase against its own and the
+    previous bucket (explode of 2 bucket keys), then applies the exact
+    range predicate as a post-filter.  Shuffle is keyed equi-join sized;
+    the quadratic term is bounded per (user, hour).
+    """
+    ev = table(spark, sf_dir, "events")
+    hour = 3600 * 1000 * 1000  # microseconds
+    us = "CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS BIGINT)"
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.expr(us).alias("click_us"),
+        F.expr(f"{us} div {hour}").alias("bucket"),
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.expr(us).alias("purchase_us"),
+            F.explode(
+                F.array(F.expr(f"{us} div {hour}"), F.expr(f"{us} div {hour} - 1"))
+            ).alias("bucket"),
+        )
+    )
+    return (
+        purchases.join(clicks, ["user_id", "bucket"])
+        .where(
+            (F.col("purchase_us") >= F.col("click_us"))
+            & (F.col("purchase_us") - F.col("click_us") < hour)
+        )
+        .select("user_id", "purchase_id", "click_id")
+        .distinct()
+    )
