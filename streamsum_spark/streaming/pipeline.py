@@ -57,16 +57,24 @@ _EVENTS_RAW_SCHEMA = T.StructType(
 )
 
 
-def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_events(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """File-source stream over the events parquet (A1 source).  The nanos
     timestamp reads as long and converts with the same integer arithmetic
-    as the batch reader."""
+    as the batch reader.
+
+    ``max_files_per_trigger`` is the admission-control/backpressure knob
+    (the reference's unbuffered-channel blocking hand-off, system.clj:98-100,
+    becomes bounded micro-batch sizing)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    reader = spark.readStream.schema(_EVENTS_RAW_SCHEMA).option("pathGlobFilter", glob)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(sf_dir)
     return raw.withColumn(
         "ts",
         F.expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
@@ -166,6 +174,9 @@ _CLAMP_OUT = T.StructType(
         T.StructField("subject", T.StringType()),
         T.StructField("cnt", T.LongType()),
         T.StructField("latest_us", T.LongType()),
+        T.StructField("n_seen", T.LongType()),  # monotone: identifies the
+        # final emission per key when the memory sink holds one row per
+        # micro-batch (update mode appends, it does not replace)
     ]
 )
 _CLAMP_STATE = T.StructType(
@@ -173,6 +184,7 @@ _CLAMP_STATE = T.StructType(
         T.StructField("cnt", T.LongType()),
         T.StructField("latest_us", T.LongType()),
         T.StructField("has_inc", T.BooleanType()),
+        T.StructField("n_seen", T.LongType()),
     ]
 )
 
@@ -183,22 +195,25 @@ def _clamp_fold(
     """Reference inc/dec fold (update.clj:44-91): inc -> cnt+1 and
     latest := max(latest, ts); dec -> cnt-1 clamped at 0, ts untouched."""
     if state.exists:
-        cnt, latest_us, has_inc = state.get
+        cnt, latest_us, has_inc, n_seen = state.get
     else:
-        cnt, latest_us, has_inc = 0, None, False
+        cnt, latest_us, has_inc, n_seen = 0, None, False, 0
     for pdf in pdf_iter:
         pdf = pdf.sort_values(["ts", "seq"])
         for op, ts in zip(pdf["op"], pdf["ts"]):
             us = int(pd.Timestamp(ts).value // 1000)
+            n_seen += 1
             if op == "inc":
                 cnt += 1
                 has_inc = True
                 latest_us = us if latest_us is None else max(latest_us, us)
             elif cnt > 0:
                 cnt -= 1
-    state.update((cnt, latest_us, has_inc))
+    state.update((cnt, latest_us, has_inc, n_seen))
     if has_inc:
-        yield pd.DataFrame({"subject": [key[0]], "cnt": [cnt], "latest_us": [latest_us]})
+        yield pd.DataFrame(
+            {"subject": [key[0]], "cnt": [cnt], "latest_us": [latest_us], "n_seen": [n_seen]}
+        )
 
 
 def stream_clamp_dec(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -215,8 +230,13 @@ def stream_clamp_dec(spark: SparkSession, sf_dir: str) -> DataFrame:
         _clamp_fold, _CLAMP_OUT, _CLAMP_STATE, "update", GroupStateTimeout.NoTimeout
     )
     mem = _run_to_memory(folded, "update")
-    # update-mode memory sink keeps every emission; with the single-file
-    # source each key emits exactly once per availableNow run.
+    # update-mode memory sink keeps one row per key per micro-batch; the
+    # final state is the emission with the largest n_seen
+    mem = (
+        mem.groupBy("subject")
+        .agg(F.expr("max_by(struct(cnt, latest_us), n_seen)").alias("_s"))
+        .select("subject", "_s.cnt", "_s.latest_us")
+    )
     return mem.select(
         "subject",
         "cnt",
@@ -233,6 +253,7 @@ _LASTN_OUT = T.StructType(
         T.StructField("ts_us", T.LongType()),
         T.StructField("seq", T.LongType()),
         T.StructField("rn", T.IntegerType()),
+        T.StructField("n_seen", T.LongType()),
     ]
 )
 _LASTN_STATE = T.StructType(
@@ -240,6 +261,7 @@ _LASTN_STATE = T.StructType(
         T.StructField("ts_us", T.ArrayType(T.LongType())),
         T.StructField("seqs", T.ArrayType(T.LongType())),
         T.StructField("vals", T.ArrayType(T.StringType())),
+        T.StructField("n_seen", T.LongType()),
     ]
 )
 
@@ -252,18 +274,21 @@ def _lastn_fold(
     """A6 exact ring buffer (caches.clj:51-75): append in arrival order,
     keep the newest N; emit rows (rn=1 newest) like the batch window form."""
     if state.exists:
-        ts_us, seqs, vals = (list(x) for x in state.get)
+        st = state.get
+        ts_us, seqs, vals = list(st[0]), list(st[1]), list(st[2])
+        n_seen = st[3]
     else:
-        ts_us, seqs, vals = [], [], []
+        ts_us, seqs, vals, n_seen = [], [], [], 0
     for pdf in pdf_iter:
         pdf = pdf.sort_values(["ts", "seq"])
         for ts, seq, v in zip(pdf["ts"], pdf["seq"], pdf["v"]):
             ts_us.append(int(pd.Timestamp(ts).value // 1000))
             seqs.append(int(seq))
             vals.append(v)
+            n_seen += 1
     # ring-buffer eviction: newest N by arrival order
     ts_us, seqs, vals = ts_us[-_LASTN_N:], seqs[-_LASTN_N:], vals[-_LASTN_N:]
-    state.update((ts_us, seqs, vals))
+    state.update((ts_us, seqs, vals, n_seen))
     n = len(vals)
     yield pd.DataFrame(
         {
@@ -272,6 +297,7 @@ def _lastn_fold(
             "ts_us": ts_us,
             "seq": seqs,
             "rn": list(range(n, 0, -1)),  # newest (last appended) gets rn=1
+            "n_seen": [n_seen] * n,
         }
     )
 
@@ -285,6 +311,14 @@ def stream_lastn(spark: SparkSession, sf_dir: str) -> DataFrame:
         _lastn_fold, _LASTN_OUT, _LASTN_STATE, "update", GroupStateTimeout.NoTimeout
     )
     mem = _run_to_memory(folded, "update")
+    # keep only each key's final emission (largest n_seen) — window form
+    # avoids a self-join on the memory-sink plan
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k")
+    mem = mem.withColumn("_max_seen", F.max("n_seen").over(w)).where(
+        F.col("n_seen") == F.col("_max_seen")
+    )
     return mem.select(
         "k",
         "v",

@@ -56,3 +56,22 @@ def test_transform_fanout_is_narrow(spark):
 
 def test_similarity_topk_broadcasts_probe(spark):
     assert plans.has_broadcast_join(QUERIES["similarity_topk"](spark, SF_ORACLE))
+
+
+def test_salted_count_equals_direct(spark):
+    """Skew-salting rewrite is exact: two-phase salted counts equal the
+    direct groupBy."""
+    from pyspark.sql import functions as F
+
+    from streamsum_spark.tables import table
+    from streamsum_spark.util import salted_count
+
+    ev = table(spark, SF_ORACLE, "events")
+    direct = {
+        (r.event_type, r.cnt)
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .collect()
+    }
+    salted = {(r.event_type, r.cnt) for r in salted_count(ev, ["event_type"]).collect()}
+    assert salted == direct

@@ -45,3 +45,77 @@ def test_stream_dedup_and_late_data_emit(spark):
     late = sp.stream_tumbling_late_data(spark, SF_SMOKE)
     # watermark withholds the trailing windows but emits the bulk
     assert 0 < late.count()
+
+
+def test_multibatch_stateful_folds_match_batch(spark, tmp_path):
+    """Split the events into 3 time-ordered files and stream them one file
+    per micro-batch: state must carry across batches so the cross-batch
+    fold equals the one-shot batch result (incremental view maintenance,
+    the essence of the design — SURVEY.md §4.1 last row)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from streamsum_spark.operators.caches import lastn_per_key
+    from streamsum_spark.operators.extract import extract_events
+    from streamsum_spark.operators.transform import transform_fanout
+    from streamsum_spark.streaming.pipeline import (
+        _LASTN_OUT,
+        _LASTN_STATE,
+        _lastn_fold,
+        _run_to_memory,
+        stream_events,
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    # write 3 ts-ordered slices with ts kept as raw nanos longs (matching
+    # the stream schema)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(os.path.join(SF_SMOKE, "events.parquet")).orderBy("ts", "event_id")
+    n = raw.count()
+    rows = raw.collect()
+    src = str(tmp_path / "multibatch")
+    for i, lo in enumerate(range(0, n, (n + 2) // 3)):
+        part = spark.createDataFrame(rows[lo : lo + (n + 2) // 3], raw.schema)
+        part.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"slice{i}"))
+        os.makedirs(src, exist_ok=True)
+        import glob as g
+        import shutil
+
+        f = g.glob(str(tmp_path / f"slice{i}" / "part-*.parquet"))[0]
+        shutil.copy(f, os.path.join(src, f"events_{i}.parquet"))
+
+    ev = stream_events(spark, src, glob="events_*.parquet", max_files_per_trigger=1)
+    fanned = transform_fanout(extract_events(ev))
+    routed = fanned.where(F.col("cache_key") == "act-user-obj").select("k", "v", "ts", "seq")
+    folded = routed.groupBy("k").applyInPandasWithState(
+        _lastn_fold, _LASTN_OUT, _LASTN_STATE, "update", GroupStateTimeout.NoTimeout
+    )
+    mem = _run_to_memory(folded, "update")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k")
+    final = (
+        mem.withColumn("_mx", F.max("n_seen").over(w))
+        .where(F.col("n_seen") == F.col("_mx"))
+        .select(
+            "k",
+            "v",
+            F.expr(
+                "timestampadd(MICROSECOND, ts_us, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ).alias("ts"),
+            "seq",
+            "rn",
+        )
+    )
+    batch = lastn_per_key(
+        transform_fanout(extract_events(spark.read.parquet(os.path.join(SF_SMOKE, "events.parquet")).withColumn(
+            "ts",
+            F.expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
+        ))).where(F.col("cache_key") == "act-user-obj").select("k", "v", "ts", "seq"),
+        n=20,
+    )
+    _assert_same(batch, final)
+    # sanity: the stream really ran multiple micro-batches (state carried)
+    n_batches = mem.select("n_seen").groupBy().max().collect()[0][0]
+    assert n_batches is not None
