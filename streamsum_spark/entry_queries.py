@@ -659,3 +659,20 @@ JOIN (SELECT * FROM events WHERE event_type = 'click') c
  AND p.ts - c.ts < INTERVAL 1 HOUR
 """,
 )(rel.join_range_bucketed)
+
+
+declare("window_sliding_counts", rel.WINDOW_SLIDING_SQL)(rel.window_sliding_counts)
+declare("sessionize_events", rel.SESSIONIZE_SQL)(rel.sessionize_events)
+
+
+declare("agg_percentiles", rel.AGG_PERCENTILES_SQL)(rel.agg_percentiles)
+
+declare(
+    "agg_grouping_sets",
+    """
+SELECT event_type, date_trunc('day', ts) AS day,
+       CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY GROUPING SETS ((event_type, date_trunc('day', ts)), (event_type), ())
+""",
+)(rel.agg_grouping_sets)

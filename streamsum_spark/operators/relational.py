@@ -415,3 +415,109 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "purchase_id", "click_id")
         .distinct()
     )
+
+
+def window_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1h length, 30m slide): each event lands in two
+    overlapping windows.  Spark's window() generates the assignment
+    natively; the oracle reproduces it by exploding the two candidate
+    window starts per event."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n")
+    )
+
+
+WINDOW_SLIDING_SQL = """
+SELECT w_start, event_type, CAST(count(*) AS BIGINT) AS n
+FROM (
+    SELECT event_type,
+           unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                   time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS w_start,
+           ts
+    FROM events
+)
+WHERE ts >= w_start AND ts < w_start + INTERVAL 1 HOUR
+GROUP BY w_start, event_type
+"""
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str, gap_minutes: int = 5) -> DataFrame:
+    """Per-user sessionization with an inactivity gap: session_window in
+    Spark (works in batch groupBy too; streaming twin is the same
+    expression + watermark).  Output: (user_id, session_start, session_end,
+    n_events) with end = last event + gap — checked against the classic
+    gaps-and-islands SQL in DuckDB."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", f"{gap_minutes} minutes").alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+SESSIONIZE_SQL = """
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 5 MINUTE AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM (
+    SELECT user_id, ts,
+           sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         <= INTERVAL 5 MINUTE THEN 0 ELSE 1 END AS is_new
+        FROM events
+    )
+)
+GROUP BY user_id, session_id
+"""
+
+
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median/p90) per group.  Spark's
+    percentile() and DuckDB's quantile_cont() use the same linear
+    interpolation over order statistics (verified value-equal); the
+    approximate sketch path is percentile_approx/approx_quantile (rows-only
+    territory, not declared)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.min("value"), 2).alias("vmin"),
+        F.round(F.max("value"), 2).alias("vmax"),
+    )
+
+
+AGG_PERCENTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(min(value), 2) AS vmin,
+       round(max(value), 2) AS vmax
+FROM events GROUP BY event_type
+"""
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS: ((type, day), (type), ()) — finer control
+    than rollup/cube, one Expand pass."""
+    ev = table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_gs")
+    return spark.sql(
+        """
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+        FROM events_gs
+        GROUP BY GROUPING SETS ((event_type, date_trunc('day', ts)), (event_type), ())
+        """
+    )

@@ -75,3 +75,33 @@ def test_salted_count_equals_direct(spark):
     }
     salted = {(r.event_type, r.cnt) for r in salted_count(ev, ["event_type"]).collect()}
     assert salted == direct
+
+
+def test_join_asof_single_shuffle(spark):
+    """The as-of join must stay a single user_id shuffle (union + window),
+    never a nested-loop or per-row range join."""
+    plan = plans.explain_str(QUERIES["join_asof"](spark, SF_ORACLE))
+    assert "NestedLoop" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # shuffle + AQE read
+
+
+def test_udtf_surface_available(spark):
+    """Spark's Python UDTF surface (the 1->n row shape of the reference's
+    deftransform) — demonstrated here; production fan-out uses the native
+    explode plan (test_transform_fanout_is_narrow)."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="cache_key: string, k: string, v: string")
+    class FanOut:
+        def eval(self, pred: str, subj: str, obj: str):
+            if pred == "CREATE_CHAT":
+                yield ("create-thread-user", obj, subj)
+                yield ("post-user-thread", subj, obj)
+            elif pred == "REPLY_CHAT":
+                yield ("post-user-thread", subj, obj)
+
+    rows = FanOut(lit("CREATE_CHAT"), lit("u1"), lit("th1")).collect()
+    assert [(r.cache_key, r.k, r.v) for r in rows] == [
+        ("create-thread-user", "th1", "u1"),
+        ("post-user-thread", "u1", "th1"),
+    ]
