@@ -676,3 +676,9 @@ FROM events
 GROUP BY GROUPING SETS ((event_type, date_trunc('day', ts)), (event_type), ())
 """,
 )(rel.agg_grouping_sets)
+
+
+declare("winnow_fingerprints", dd.WINNOW_SQL)(dd.winnow_fingerprints)
+declare("embedding_centroids", sim.EMBEDDING_CENTROIDS_SQL)(sim.embedding_centroids)
+# coarse-quantizer routing is engine-internal -> rows-only
+declare("ann_ivf_topk")(sim.ann_ivf_topk)

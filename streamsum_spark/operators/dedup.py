@@ -234,3 +234,45 @@ WITH tok AS (
 SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id
 """
+
+
+# --- winnowing (rolling-hash document fingerprints) -------------------------
+
+WINNOW_K = 8  # character k-grams
+WINNOW_W = 4  # winnowing window
+
+
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken): hash every
+    k-char gram, then keep the minimum hash of each sliding window of W
+    grams — guarantees shared fingerprints for sufficiently long shared
+    substrings while sampling ~2/(W+1) of positions.
+
+    Expression-only: gram hashing reuses the md5-prefix integer trick
+    (cross-engine identical), window minima are an array transform — one
+    projection, no explode until the final distinct-fingerprint rows.
+    """
+    docs = rebalance_for_cpu(table(spark, sf_dir, "documents"))
+    grams = (
+        f"transform(sequence(1, length(text) - {WINNOW_K - 1}), "
+        f"i -> CAST(conv(substring(md5(substring(text, i, {WINNOW_K})), 1, 12), 16, 10) AS BIGINT))"
+    )
+    winnowed = (
+        f"array_distinct(transform(sequence(1, size({grams}) - {WINNOW_W - 1}), "
+        f"i -> array_min(slice({grams}, i, {WINNOW_W}))))"
+    )
+    return docs.select(
+        "doc_id", F.explode(F.expr(winnowed)).alias("fp")
+    )
+
+
+WINNOW_SQL = f"""
+SELECT doc_id, unnest(list_distinct([list_min(grams[i:i+{WINNOW_W - 1}])
+                                     FOR i IN range(1, len(grams) - {WINNOW_W - 2})])) AS fp
+FROM (
+    SELECT doc_id,
+           [('0x' || substr(md5(substr(text, i, {WINNOW_K})), 1, 12))::BIGINT
+            FOR i IN range(1, length(text) - {WINNOW_K - 2})] AS grams
+    FROM documents
+)
+"""

@@ -150,3 +150,64 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str, probe_vec_id: int = 0, k: int
         .orderBy(F.col("cos").desc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, element-wise mean — the IVF coarse quantizer
+    building block.  Row form (label, idx, c) for stable oracle hashing;
+    posexplode + hash agg (partial combine: the shuffle carries dim-sized
+    partials, not vectors)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            F.col("label").cast("long").alias("label"),
+            F.posexplode("embedding").alias("pos", "val"),
+        )
+        .groupBy("label", (F.col("pos") + 1).cast("long").alias("idx"))
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("c"))
+    )
+
+
+EMBEDDING_CENTROIDS_SQL = """
+SELECT CAST(label AS BIGINT) AS label, CAST(idx AS BIGINT) AS idx,
+       round(avg(CAST(embedding[idx] AS DOUBLE)), 6) AS c
+FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS idx)
+GROUP BY label, idx
+"""
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str, probe_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """IVF-style ANN: route the probe to its nearest centroid (coarse
+    quantization), then exact cosine only within that list.  At scale the
+    lists are partitions and the centroid table broadcasts — the corpus
+    scan prunes to one list instead of ranking everything.  Centroid
+    assignment is engine-internal => rows-only."""
+    emb = table(spark, sf_dir, "embeddings")
+    cents = (
+        embedding_centroids(spark, sf_dir)
+        .groupBy("label")
+        .agg(F.expr("array_agg(struct(idx, c))").alias("_ic"))
+        .select(
+            "label",
+            F.expr("transform(array_sort(_ic, (a, b) -> CAST(a.idx - b.idx AS INT)), x -> x.c)").alias(
+                "centroid"
+            ),
+        )
+    )
+    probe = emb.where(F.col("vec_id") == probe_vec_id).select(
+        F.col("embedding").alias("q")
+    )
+    nearest = (
+        cents.join(F.broadcast(probe))
+        .select("label", F.expr(_cos_expr("centroid", "q")).alias("cc"))
+        .orderBy(F.col("cc").desc(), F.col("label"))
+        .limit(1)
+    )
+    return (
+        emb.join(F.broadcast(nearest.select("label")), "label")
+        .join(F.broadcast(probe))
+        .where(F.col("vec_id") != probe_vec_id)
+        .select("vec_id", F.expr(_cos_expr("embedding", "q")).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(k)
+    )
