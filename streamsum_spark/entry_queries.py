@@ -682,3 +682,9 @@ declare("winnow_fingerprints", dd.WINNOW_SQL)(dd.winnow_fingerprints)
 declare("embedding_centroids", sim.EMBEDDING_CENTROIDS_SQL)(sim.embedding_centroids)
 # coarse-quantizer routing is engine-internal -> rows-only
 declare("ann_ivf_topk")(sim.ann_ivf_topk)
+
+
+declare("stream_assoc_last_value", ORACLES["assoc_last_value"])(
+    streaming.stream_assoc_last_value
+)
+declare("stream_keycount", ORACLES["keycount_per_subject"])(streaming.stream_keycount)

@@ -326,3 +326,21 @@ def stream_lastn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seq",
         "rn",
     )
+
+
+def stream_assoc_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 as a streaming aggregation (max_by upsert in complete mode);
+    shares the batch assoc oracle."""
+    from streamsum_spark.operators.caches import assoc_last_value
+
+    fanned = transform_fanout(extract_events(stream_events(spark, sf_dir)), DEFAULT_CONFIG)
+    agg = assoc_last_value(fanned.where(F.col("cache_key") == "click-obj-user"))
+    return _run_to_memory(agg, "complete")
+
+
+def stream_keycount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 as a streaming aggregation; shares the batch keycount oracle."""
+    from streamsum_spark.operators.caches import keycount
+
+    fanned = transform_fanout(extract_events(stream_events(spark, sf_dir)), DEFAULT_CONFIG)
+    return _run_to_memory(keycount(fanned), "complete")
