@@ -688,3 +688,16 @@ declare("stream_assoc_last_value", ORACLES["assoc_last_value"])(
     streaming.stream_assoc_last_value
 )
 declare("stream_keycount", ORACLES["keycount_per_subject"])(streaming.stream_keycount)
+
+
+declare(
+    "scalar_null_safe",
+    """
+SELECT event_id,
+       nullif(event_type, 'error') AS masked_type,
+       nullif(event_type, 'error') IS NOT DISTINCT FROM NULL AS is_error,
+       nullif(event_type, 'error') IS NOT DISTINCT FROM 'click' AS is_click,
+       coalesce(nullif(event_type, 'error'), '(err)') AS type_or_default
+FROM events
+""",
+)(rel.scalar_null_safe)

@@ -521,3 +521,18 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((event_type, date_trunc('day', ts)), (event_type), ())
         """
     )
+
+
+def scalar_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (<=> / IS NOT DISTINCT FROM) and null-generating
+    scalars (nullif/coalesce/nvl2-shaped CASE) — the null-semantics corner
+    of the scalar surface."""
+    ev = table(spark, sf_dir, "events")
+    masked = F.expr("nullif(event_type, 'error')")
+    return ev.select(
+        "event_id",
+        masked.alias("masked_type"),
+        masked.eqNullSafe(F.lit(None).cast("string")).alias("is_error"),
+        masked.eqNullSafe("click").alias("is_click"),
+        F.coalesce(masked, F.lit("(err)")).alias("type_or_default"),
+    )

@@ -52,3 +52,38 @@ def test_upsert_is_idempotent_and_merges(spark):
     sinks.upsert_batch(spark, path, df2, ["k"], "o")
     got2 = {r.k: (r.v, r.o) for r in spark.read.parquet(path).collect()}
     assert got2 == got
+
+
+def test_checkpoint_recovery_is_exactly_once(spark):
+    """Re-running the same stream against the same checkpoint must process
+    nothing new (no double-counting) — the exactly-once guarantee the
+    reference lacks (its error path is at-most-once, system.clj:89-95)."""
+    import tempfile
+    import uuid
+
+    from streamsum_spark.streaming.pipeline import stream_events
+
+    ckpt = os.path.join(tempfile.gettempdir(), f"ckpt_recov_{uuid.uuid4().hex[:8]}")
+    path = os.path.join(tempfile.mkdtemp(), "recov_table")
+
+    def run_once():
+        ev = stream_events(spark, SF_SMOKE)
+        agg = ev.groupBy("event_type").count()
+
+        def merge(batch_df, epoch_id):
+            batch_df.write.mode("overwrite").parquet(path + f"/epoch={epoch_id}")
+
+        q = (
+            agg.writeStream.foreachBatch(merge)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    first = sorted(os.listdir(path))
+    run_once()  # same checkpoint: no new files -> no new epochs
+    second = sorted(os.listdir(path))
+    assert first == second
