@@ -701,3 +701,13 @@ SELECT event_id,
 FROM events
 """,
 )(rel.scalar_null_safe)
+
+
+# ---------------------------------------------------------------------------
+# dataset preparation: deterministic splits + sequence packing
+# ---------------------------------------------------------------------------
+
+from streamsum_spark.operators import sampling as smp  # noqa: E402
+
+declare("train_val_split", smp.TRAIN_VAL_SPLIT_SQL)(smp.train_val_split)
+declare("pack_into_chunks", smp.PACK_INTO_CHUNKS_SQL)(smp.pack_into_chunks)

@@ -1,0 +1,84 @@
+"""Dataset-preparation operators for training pipelines: deterministic
+splits, shuffles, and sequence packing.
+
+Randomness is hash-based, never rand(): md5 of the stable id gives the
+same assignment on every engine and every run — reproducible splits are a
+correctness property for training data (and what makes these
+oracle-checkable).  All expression-level; shuffle cost is one window or
+one hash aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from streamsum_spark.tables import table
+
+# percentage buckets from the first 8 md5 hex chars (uniform over 2^32)
+_BUCKET = "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"
+
+
+def train_val_split(spark: SparkSession, sf_dir: str, val_pct: int = 10) -> DataFrame:
+    """Deterministic 90/10 split by id-hash bucket.  Adding docs never
+    reassigns existing ones (stable under corpus growth), unlike
+    randomSplit."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(_BUCKET).alias("bucket"),
+        F.expr(f"CASE WHEN {_BUCKET} < {val_pct} THEN 'val' ELSE 'train' END").alias("split"),
+    )
+
+
+TRAIN_VAL_SPLIT_SQL = f"""
+SELECT doc_id,
+       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bucket,
+       CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
+            THEN 'val' ELSE 'train' END AS split
+FROM documents
+"""
+
+
+def pack_into_chunks(spark: SparkSession, sf_dir: str, budget: int = 2048) -> DataFrame:
+    """Sequence packing: deterministically shuffle docs (order by id-hash),
+    then assign each to a training chunk so cumulative token count per
+    chunk stays under ``budget`` — the greedy-in-fixed-order packing used
+    to build context windows.
+
+    chunk = floor((running_tokens - n_tokens) / budget) over the shuffle
+    order: one window over one global sort.  At 100 TB you partition the
+    shuffle space first (e.g. by hash prefix) so each partition packs
+    independently — same expression, partitionBy added."""
+    docs = table(spark, sf_dir, "documents")
+    toks = "CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)"
+    shuffled = docs.select(
+        "doc_id",
+        F.expr(toks).alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("_ord"),
+    )
+    w = Window.orderBy("_ord").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        shuffled.withColumn("running", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr(f"CAST((running - n_tokens) / {budget} AS BIGINT)").alias("chunk"),
+        )
+    )
+
+
+PACK_INTO_CHUNKS_SQL = r"""
+SELECT doc_id, n_tokens,
+       CAST(floor((running - n_tokens) / 2048) AS BIGINT) AS chunk
+FROM (
+    SELECT doc_id, n_tokens,
+           sum(n_tokens) OVER (ORDER BY _ord ROWS UNBOUNDED PRECEDING) AS running
+    FROM (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR)) AS _ord
+        FROM documents
+    )
+)
+"""
