@@ -17,10 +17,19 @@ TOKENS_SQL = r"regexp_split_to_array(trim(text), '\s+')"  # DuckDB
 
 
 def shingles_expr(n: int, toks: str = TOKENS_EXPR) -> str:
-    """Spark: n-word shingles from position 1..size-n+1 (1-based slice)."""
+    """Spark: n-word shingles from position 1..size-n+1 (1-based slice).
+
+    Guarded for short documents: Spark's sequence(1, stop) with stop < 1
+    generates a DESCENDING list (step defaults to -1), so the unguarded form
+    would call slice(toks, 0, n) and throw at runtime — while the DuckDB
+    twin's range() yields an empty list.  The CASE keeps both engines at
+    "no shingles" for docs shorter than the shingle width.
+    """
     return (
+        f"CASE WHEN size({toks}) >= {n} THEN "
         f"transform(sequence(1, size({toks}) - {n - 1}), "
-        f"i -> array_join(slice({toks}, i, {n}), ' '))"
+        f"i -> array_join(slice({toks}, i, {n}), ' ')) "
+        f"ELSE array() END"
     )
 
 

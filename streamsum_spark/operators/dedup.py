@@ -253,16 +253,25 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection, no explode until the final distinct-fingerprint rows.
     """
     docs = rebalance_for_cpu(table(spark, sf_dir, "documents"))
+    return docs.select("doc_id", F.explode(F.expr(winnow_expr("text"))).alias("fp"))
+
+
+def winnow_expr(text_col: str) -> str:
+    """Winnowed fingerprint array expression over ``text_col``.
+
+    Both levels are guarded for short inputs (see shingles_expr: Spark's
+    sequence() descends for stop < start, which would crash slice())."""
     grams = (
-        f"transform(sequence(1, length(text) - {WINNOW_K - 1}), "
-        f"i -> CAST(conv(substring(md5(substring(text, i, {WINNOW_K})), 1, 12), 16, 10) AS BIGINT))"
+        f"CASE WHEN length({text_col}) >= {WINNOW_K} THEN "
+        f"transform(sequence(1, length({text_col}) - {WINNOW_K - 1}), "
+        f"i -> CAST(conv(substring(md5(substring({text_col}, i, {WINNOW_K})), 1, 12), 16, 10) AS BIGINT)) "
+        f"ELSE array() END"
     )
-    winnowed = (
+    return (
+        f"CASE WHEN size({grams}) >= {WINNOW_W} THEN "
         f"array_distinct(transform(sequence(1, size({grams}) - {WINNOW_W - 1}), "
-        f"i -> array_min(slice({grams}, i, {WINNOW_W}))))"
-    )
-    return docs.select(
-        "doc_id", F.explode(F.expr(winnowed)).alias("fp")
+        f"i -> array_min(slice({grams}, i, {WINNOW_W})))) "
+        f"ELSE array() END"
     )
 
 
