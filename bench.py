@@ -1,11 +1,13 @@
 #!/usr/bin/env python
-"""Benchmark harness: runs the headline declared queries at
-$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
-and prints ONE JSON line:
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query executes to completion (count + a cheap checksum collect) so the
-timing includes the full plan, not just planning.
+Each query is MATERIALIZED end-to-end: the timing action is a full-column
+xxhash64 checksum aggregation, so every projection/expression in the plan
+is actually evaluated (a bare .count() lets Catalyst prune unevaluated
+projections, timing only the scan for projection-only queries).
 """
 
 from __future__ import annotations
@@ -20,7 +22,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Headline set: one per operator family (pipeline, caches, read-API, joins,
-# aggs, windows, dedup, text, similarity).
+# aggs, windows, dedup, text, similarity) — kept name-stable across rounds
+# for round-over-round comparability.  Names demoted from the declared
+# registry (the driver's 50-row CORRECTNESS window) resolve through
+# EXTRA below to the same standalone implementations.
 HEADLINE = [
     "transform_fanout",
     "count_cache_inc",
@@ -40,9 +45,35 @@ HEADLINE = [
 ]
 
 
+def _materialize(df) -> int:
+    """Full-plan checksum: hash every column of every row, XOR-fold.
+    Forces evaluation of all projections (unlike count(), which lets
+    Catalyst prune them) while collecting only one scalar to the driver;
+    bit_xor cannot overflow under ANSI mode."""
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        F.expr(
+            "bit_xor(xxhash64(" + ", ".join(f"`{c}`" for c in df.columns) + "))"
+        ).alias("checksum"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    return int(row["n"])
+
+
 def main() -> None:
     from streamsum_spark.session import get_spark
     from streamsum_spark.entry_queries import QUERIES
+    from streamsum_spark.operators import relational as rel
+    from streamsum_spark.operators import similarity as sim
+    from streamsum_spark.operators import text as tx
+
+    extra = {
+        "agg_rollup_nation_region": rel.agg_rollup_nation_region,
+        "window_rownum_lastn": rel.window_rownum_lastn,
+        "text_token_counts": tx.text_token_counts,
+        "similarity_topk": sim.similarity_topk,
+    }
 
     spark = get_spark("streamsum_spark_bench")
     sf = None
@@ -53,12 +84,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     # warm the JVM + parquet footers with one tiny action
-    QUERIES["scan_events"](spark, SF_DIR).limit(1).collect()
+    QUERIES["extract_events"](spark, SF_DIR).limit(1).collect()
 
     for name in HEADLINE:
-        fn = QUERIES[name]
+        fn = QUERIES.get(name) or extra[name]
         t0 = time.perf_counter()
-        n = fn(spark, SF_DIR).count()
+        n = _materialize(fn(spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
         assert n >= 0
     total = round(sum(timings.values()), 3)

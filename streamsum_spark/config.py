@@ -72,6 +72,11 @@ class PipelineConfig:
 # Structural mirror of config.clj:7-21 over the driver's event vocabulary.
 DEFAULT_CONFIG = PipelineConfig(
     patterns=(
+        # Every pattern additionally routes a subject-counts tuple so the
+        # keycount cache is fed through the SAME dispatch-by-cache-key path
+        # as every other cache (reference record! dispatch, caches.clj:158;
+        # config.clj:88 "number of times each subject appears") — no cache
+        # reads the un-routed stream.
         # CREATE_CHAT-like: 2-way fan-out (assoc + lastn) — config.clj:9-10
         TransformPattern(
             "click",
@@ -79,10 +84,17 @@ DEFAULT_CONFIG = PipelineConfig(
                 TupleTemplate("click-obj-user", "obj", "subj"),
                 TupleTemplate("act-user-obj", "subj", "obj"),
                 TupleTemplate("interactions-user-obj", "subj", "obj", action="click"),
+                TupleTemplate("subject-counts", "subj", "subj"),
             ),
         ),
         # REPLY_CHAT-like: feeds the same lastn cache — config.clj:12
-        TransformPattern("view", (TupleTemplate("act-user-obj", "subj", "obj"),)),
+        TransformPattern(
+            "view",
+            (
+                TupleTemplate("act-user-obj", "subj", "obj"),
+                TupleTemplate("subject-counts", "subj", "subj"),
+            ),
+        ),
         # CREATE_DOC-like: 2-way fan-out — config.clj:14-15
         TransformPattern(
             "purchase",
@@ -90,14 +102,24 @@ DEFAULT_CONFIG = PipelineConfig(
                 TupleTemplate("own-obj-user", "obj", "subj"),
                 TupleTemplate("own-user-obj", "subj", "obj"),
                 TupleTemplate("interactions-user-obj", "subj", "obj", action="buy"),
+                TupleTemplate("subject-counts", "subj", "subj"),
             ),
         ),
         # ANNOTATE_DOC-like: single lastn — config.clj:17
-        TransformPattern("signup", (TupleTemplate("note-user-obj", "subj", "obj"),)),
+        TransformPattern(
+            "signup",
+            (
+                TupleTemplate("note-user-obj", "subj", "obj"),
+                TupleTemplate("subject-counts", "subj", "subj"),
+            ),
+        ),
         # STAR_MESSAGE-like: count-shaped [action obj] value — config.clj:19
         TransformPattern(
             "error",
-            (TupleTemplate("interactions-user-obj", "subj", "obj", action="error"),),
+            (
+                TupleTemplate("interactions-user-obj", "subj", "obj", action="error"),
+                TupleTemplate("subject-counts", "subj", "subj"),
+            ),
         ),
     ),
     caches=(

@@ -1,6 +1,15 @@
 """Declared-query registry: name -> (spark, sf_dir) -> DataFrame, plus the
 matching DuckDB oracle SQL (SURVEY.md §2 "declared query" column).
 
+REGISTRY SIZE CONTRACT: the driver's CORRECTNESS check records at most the
+first 50 registered queries, so the registry is budgeted to EXACTLY 50
+entries — every operator family keeps a declared, driver-checked query by
+merging same-shape twins into union-tagged results (e.g. text_stats =
+token-counts + quality + langid in one projection; stream_cache_suite =
+the assoc/keycount/lastn streaming caches against their shared batch
+oracles).  Operators whose declared twin was merged away keep their
+standalone implementations and are pinned by pytest (see SURVEY.md §2.D).
+
 Conventions for oracle stability (driver hashes values order-insensitively
 after sorting columns by name):
 - every computed column aliased identically on both sides;
@@ -28,6 +37,9 @@ from streamsum_spark.tables import table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
+
+# the driver records the first N registrations only — keep len(QUERIES) <= N
+DRIVER_QUERY_BUDGET = 50
 
 
 def _ensure_package_shipped(spark: SparkSession) -> None:
@@ -84,30 +96,25 @@ def declare(name: str, oracle: str | None = None):
         QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
+        assert len(QUERIES) <= DRIVER_QUERY_BUDGET, (
+            f"declared-query registry exceeds the driver's {DRIVER_QUERY_BUDGET}-"
+            f"row CORRECTNESS window; merge queries instead of appending"
+        )
         return fn
 
     return deco
 
 
 # ---------------------------------------------------------------------------
-# §2.A — reference pipeline operators
+# §2.A — reference pipeline operators (8)
 # ---------------------------------------------------------------------------
-
-
-@declare(
-    "scan_events",
-    "SELECT event_id, event_type, CAST(user_id AS BIGINT) AS user_id, ts FROM events",
-)
-def scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1 source scan with column pruning (only 4 of 6 columns read)."""
-    return table(spark, sf_dir, "events").select(
-        "event_id", "event_type", F.col("user_id").cast("long").alias("user_id"), "ts"
-    )
 
 
 @declare("extract_events", oracles.TUPLES_SQL)
 def q_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2 extract: events -> (pred, subj, obj, ts, seq), malformed dropped."""
+    """A1+A2 source scan + extract: events -> (pred, subj, obj, ts, seq),
+    malformed dropped; the projection prunes the parquet scan to the used
+    columns (A1 scan coverage — verified by the ReadSchema plan guard)."""
     return extract_events(table(spark, sf_dir, "events"))
 
 
@@ -120,36 +127,32 @@ def q_transform_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline.cache_tuples(spark, sf_dir)
 
 
-@declare(
-    "assoc_last_value",
-    oracles.with_pipeline_ctes(
-        """
+ASSOC_BODY = """
 SELECT k, v, latest_ts FROM (
     SELECT k, v, ts AS latest_ts,
            row_number() OVER (PARTITION BY k ORDER BY ts DESC, seq DESC) AS rn
     FROM fanout WHERE cache_key = 'click-obj-user'
 ) WHERE rn = 1
 """
-    ),
-)
+
+
+@declare("assoc_last_value", oracles.with_pipeline_ctes(ASSOC_BODY))
 def q_assoc_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 assoc cache: last-value upsert per key (max_by over arrival order)."""
     tuples = pipeline.cache_tuples(spark, sf_dir)
     return cache_ops.assoc_last_value(tuples.where(F.col("cache_key") == "click-obj-user"))
 
 
-@declare(
-    "lastn_per_key",
-    oracles.with_pipeline_ctes(
-        """
+LASTN_BODY = """
 SELECT k, v, ts, seq, rn FROM (
     SELECT k, v, ts, seq,
            CAST(row_number() OVER (PARTITION BY k ORDER BY ts DESC, seq DESC) AS INTEGER) AS rn
     FROM fanout WHERE cache_key = 'act-user-obj'
 ) WHERE rn <= 20
 """
-    ),
-)
+
+
+@declare("lastn_per_key", oracles.with_pipeline_ctes(LASTN_BODY))
 def q_lastn_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 lastn ring buffer, row form (rn=1 newest, rn<=N)."""
     tuples = pipeline.cache_tuples(spark, sf_dir)
@@ -213,19 +216,69 @@ def q_count_cache_inc_dec(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cache_ops.count_cache_inc_dec(ops)
 
 
-@declare(
-    "keycount_per_subject",
-    oracles.with_pipeline_ctes(
-        "SELECT k, CAST(count(*) AS BIGINT) AS cnt FROM fanout GROUP BY k"
-    ),
+KEYCOUNT_BODY = (
+    "SELECT k, CAST(count(*) AS BIGINT) AS cnt FROM fanout "
+    "WHERE cache_key = 'subject-counts' GROUP BY k"
 )
+
+
+@declare("keycount_per_subject", oracles.with_pipeline_ctes(KEYCOUNT_BODY))
 def q_keycount_per_subject(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A9 keycount example cache: updates per key across the whole stream."""
-    return cache_ops.keycount(pipeline.cache_tuples(spark, sf_dir))
+    """A9 keycount example cache over its ROUTED tuple subset: the
+    subject-counts cache is fed through the same dispatch-by-cache-key path
+    as every other cache (record! dispatch, caches.clj:158-179)."""
+    tuples = pipeline.cache_tuples(spark, sf_dir)
+    return cache_ops.keycount(tuples.where(F.col("cache_key") == "subject-counts"))
+
+
+def _encode_updated_oracle() -> str:
+    cfg = DEFAULT_CONFIG
+    n = cfg.lastn_buf_size
+    fmt = "%Y-%m-%d %H:%M:%S.%f"
+
+    def _in(kind: str) -> str:
+        return ", ".join(f"'{x}'" for x in cfg.cache_names(kind))
+
+    return oracles.with_pipeline_ctes(
+        f"""
+SELECT cache_key, k, seq,
+       to_json(struct_pack(cache_key := cache_key, k := k, v := val_updated,
+                           ts := strftime(ts, '{fmt}'), seq := seq)) AS encoded
+FROM (
+    SELECT cache_key, k, seq, ts,
+           CASE
+             WHEN cache_key IN ({_in('assoc')}) THEN v
+             WHEN cache_key IN ({_in('lastn')}) THEN array_to_string(list(v) OVER w_lastn, '|')
+             WHEN cache_key IN ({_in('count')}) THEN action || '=' || v || ':' ||
+                  CAST(count(*) OVER w_cnt AS VARCHAR) || '@' || strftime(max(ts) OVER w_cnt, '{fmt}')
+             WHEN cache_key IN ({_in('keycount')}) THEN CAST(count(*) OVER w_all AS VARCHAR)
+           END AS val_updated
+    FROM fanout
+    WINDOW
+      w_lastn AS (PARTITION BY cache_key, k ORDER BY ts, seq
+                  ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW),
+      w_all AS (PARTITION BY cache_key, k ORDER BY ts, seq ROWS UNBOUNDED PRECEDING),
+      w_cnt AS (PARTITION BY cache_key, k, action, v ORDER BY ts, seq ROWS UNBOUNDED PRECEDING)
+)
+"""
+    )
+
+
+@declare("encode_output_updated", _encode_updated_oracle())
+def q_encode_output_updated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4+A10 out-queue fidelity: record! emits [cache-key key val' time]
+    with val' = the POST-update cache value (caches.clj:158-164), and
+    Encode applies to that (system.clj:81-87) — this query reproduces the
+    reference's output/backup stream per discipline (assoc: stored value;
+    lastn: buffer after append; count: updated leaf; keycount: updated
+    count), JSON-encoded with pre-formatted timestamps."""
+    from streamsum_spark.operators import output as outp
+
+    return outp.encode_output_updated(pipeline.cache_tuples(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
-# §2.B — count-cache read-side query API
+# §2.B — count-cache read-side query API (6)
 # ---------------------------------------------------------------------------
 
 
@@ -316,7 +369,7 @@ def q_topk_by_count_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# §2.C — relational surface
+# §2.C — relational surface (22)
 # ---------------------------------------------------------------------------
 
 declare(
@@ -338,17 +391,7 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 """,
 )(rel.join_inner)
 
-declare(
-    "join_semi",
-    "SELECT c_custkey, c_name FROM customer WHERE EXISTS "
-    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
-)(rel.join_semi)
-
-declare(
-    "join_left_anti",
-    "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS "
-    "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
-)(rel.join_left_anti)
+declare("join_semi_anti", rel.JOIN_SEMI_ANTI_SQL)(rel.join_semi_anti)
 
 declare(
     "join_asof",
@@ -360,19 +403,31 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """,
 )(rel.join_asof)
 
+declare(
+    "join_range_bucketed",
+    """
+SELECT DISTINCT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND p.ts >= c.ts
+ AND p.ts - c.ts < INTERVAL 1 HOUR
+""",
+)(rel.join_range_bucketed)
+
 declare("agg_revenue_by_flag", rel.AGG_REVENUE_SQL)(rel.agg_revenue_by_flag)
 
+declare("agg_grouping_multi", rel.AGG_GROUPING_MULTI_SQL)(rel.agg_grouping_multi)
+
 declare(
-    "agg_rollup_nation_region",
+    "pivot_status_by_flag",
     """
-SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_cust,
-       round(sum(c_acctbal), 2) AS sum_bal
-FROM customer
-JOIN nation ON c_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-GROUP BY ROLLUP (r_name, n_name)
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_open,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_filled
+FROM lineitem GROUP BY l_returnflag
 """,
-)(rel.agg_rollup_nation_region)
+)(rel.pivot_status_by_flag)
 
 declare(
     "agg_distinct_users",
@@ -383,19 +438,7 @@ FROM events GROUP BY event_type
 """,
 )(rel.agg_distinct_users)
 
-# approximate by design -> rows-only check (no oracle)
-declare("agg_approx_distinct")(rel.agg_approx_distinct)
-
-declare(
-    "window_rownum_lastn",
-    """
-SELECT user_id, event_id, event_type, ts, rn FROM (
-    SELECT user_id, event_id, event_type, ts,
-           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS INTEGER) AS rn
-    FROM events
-) WHERE rn <= 5
-""",
-)(rel.window_rownum_lastn)
+declare("agg_percentiles", rel.AGG_PERCENTILES_SQL)(rel.agg_percentiles)
 
 declare(
     "window_running_sum",
@@ -406,6 +449,10 @@ SELECT user_id, event_id, ts,
 FROM events
 """,
 )(rel.window_running_sum)
+
+declare("window_time_buckets", rel.WINDOW_TIME_BUCKETS_SQL)(rel.window_time_buckets)
+
+declare("sessionize_events", rel.SESSIONIZE_SQL)(rel.sessionize_events)
 
 declare(
     "topk_per_group",
@@ -418,17 +465,7 @@ SELECT p_brand, p_partkey, p_retailprice, rn FROM (
 """,
 )(rel.topk_per_group)
 
-declare(
-    "set_union_except",
-    """
-SELECT user_id FROM events WHERE event_type = 'click'
-UNION
-SELECT user_id FROM events WHERE event_type = 'view'
-EXCEPT
-SELECT user_id FROM events
-WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-03 00:00:00'
-""",
-)(rel.set_union_except)
+declare("set_ops", rel.SET_OPS_SQL)(rel.set_ops)
 
 declare(
     "dedup_events",
@@ -463,138 +500,14 @@ SELECT event_id,
        CAST(year(ts) AS BIGINT) AS y,
        CAST(month(ts) AS BIGINT) AS m,
        CAST(dayofweek(ts) AS BIGINT) AS dow,
-       CAST(hour(ts) AS BIGINT) AS h
+       CAST(hour(ts) AS BIGINT) AS h,
+       nullif(event_type, 'error') AS masked_type,
+       nullif(event_type, 'error') IS NOT DISTINCT FROM NULL AS is_error,
+       nullif(event_type, 'error') IS NOT DISTINCT FROM 'click' AS is_click,
+       coalesce(nullif(event_type, 'error'), '(err)') AS type_or_default
 FROM events
 """,
 )(rel.scalar_datetime)
-
-declare(
-    "json_extract_props",
-    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events",
-)(rel.json_extract_props)
-
-declare(
-    "batch_tumbling_counts",
-    """
-SELECT date_trunc('hour', ts) AS bucket, event_type,
-       CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
-FROM events GROUP BY 1, 2
-""",
-)(rel.batch_tumbling_counts)
-
-declare(
-    "array_ops",
-    """
-SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
-       CAST(idx AS BIGINT) AS idx,
-       CAST(embedding[idx] AS DOUBLE) AS val
-FROM (SELECT vec_id, embedding, unnest(generate_series(1, 3)) AS idx FROM embeddings)
-""",
-)(rel.array_ops)
-
-
-# ---------------------------------------------------------------------------
-# LLM-data-pipeline extensions: text analysis, dedup, similarity search
-# ---------------------------------------------------------------------------
-
-from streamsum_spark.operators import dedup as dd  # noqa: E402
-from streamsum_spark.operators import similarity as sim  # noqa: E402
-from streamsum_spark.operators import text as tx  # noqa: E402
-
-declare("text_token_counts", tx.TEXT_TOKEN_COUNTS_SQL)(tx.text_token_counts)
-declare("text_quality_score", tx.TEXT_QUALITY_SQL)(tx.text_quality_score)
-declare("text_langid", tx.TEXT_LANGID_SQL)(tx.text_langid)
-declare("doc_fingerprint", tx.DOC_FINGERPRINT_SQL)(tx.doc_fingerprint)
-
-declare("dedup_exact_docs", dd.DEDUP_EXACT_SQL)(dd.dedup_exact)
-declare("minhash_signatures", dd.MINHASH_SIG_SQL)(dd.minhash_signatures)
-declare("minhash_lsh_pairs", dd.LSH_PAIRS_SQL)(dd.lsh_candidate_pairs)
-declare("ngram_jaccard_dupes", dd.NGRAM_JACCARD_SQL)(dd.ngram_jaccard_dupes)
-declare("simhash_signatures", dd.SIMHASH_SQL)(dd.simhash_signatures)
-
-declare("similarity_topk", sim.SIMILARITY_TOPK_SQL)(sim.similarity_topk)
-declare("knn_per_probe", sim.KNN_PER_PROBE_SQL)(sim.knn_per_probe)
-# bucketed ANN: bucket ids are engine-internal -> rows-only check
-declare("ann_lsh_topk")(sim.ann_lsh_topk)
-
-
-# ---------------------------------------------------------------------------
-# Streaming surface (SURVEY.md §7 Phase 4) — exact ops share batch oracles,
-# so batch≡streaming equivalence is enforced by the correctness gate itself.
-# ---------------------------------------------------------------------------
-
-from streamsum_spark.streaming import pipeline as streaming  # noqa: E402
-
-declare("stream_count_cache", ORACLES["count_cache_inc"])(streaming.stream_count_cache)
-declare("stream_clamp_dec", ORACLES["count_cache_inc_dec"])(streaming.stream_clamp_dec)
-declare("stream_lastn", ORACLES["lastn_per_key"])(streaming.stream_lastn)
-declare("stream_tumbling_counts", ORACLES["batch_tumbling_counts"])(
-    streaming.stream_tumbling_counts
-)
-# watermark semantics legitimately withhold/drop rows -> rows-only checks
-declare("stream_tumbling_late_data")(streaming.stream_tumbling_late_data)
-declare("stream_dedup_watermark")(streaming.stream_dedup_watermark)
-
-
-# ---------------------------------------------------------------------------
-# A10 encode — JSON output encoding of the fanned-out tuple stream
-# ---------------------------------------------------------------------------
-
-from streamsum_spark.operators import output as outp  # noqa: E402
-
-
-@declare(
-    "encode_output",
-    oracles.with_pipeline_ctes(
-        """
-SELECT cache_key, k,
-       to_json(struct_pack(cache_key := cache_key, k := k, v := v,
-                           ts := strftime(ts, '%Y-%m-%d %H:%M:%S.%f'),
-                           seq := seq)) AS encoded
-FROM fanout
-"""
-    ),
-)
-def q_encode_output(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A10 Encode: post-record JSON projection (timestamps pre-formatted to
-    microsecond strings so the encoding is engine-portable)."""
-    return outp.encode_output(pipeline.cache_tuples(spark, sf_dir))
-
-
-# ---------------------------------------------------------------------------
-# relational coverage, second wave: cube / pivot / intersect / math / subquery
-# ---------------------------------------------------------------------------
-
-declare(
-    "agg_cube_region_segment",
-    """
-SELECT r_name, c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
-       round(sum(c_acctbal), 2) AS sum_bal
-FROM customer
-JOIN nation ON c_nationkey = n_nationkey
-JOIN region ON n_regionkey = r_regionkey
-GROUP BY CUBE (r_name, c_mktsegment)
-""",
-)(rel.agg_cube_region_segment)
-
-declare(
-    "pivot_status_by_flag",
-    """
-SELECT l_returnflag,
-       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_open,
-       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_filled
-FROM lineitem GROUP BY l_returnflag
-""",
-)(rel.pivot_status_by_flag)
-
-declare(
-    "set_intersect",
-    """
-SELECT user_id FROM events WHERE event_type = 'click'
-INTERSECT
-SELECT user_id FROM events WHERE event_type = 'purchase'
-""",
-)(rel.set_intersect)
 
 declare(
     "scalar_math",
@@ -610,6 +523,21 @@ FROM lineitem
 )(rel.scalar_math)
 
 declare(
+    "json_extract_props",
+    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events",
+)(rel.json_extract_props)
+
+declare(
+    "array_ops",
+    """
+SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+       CAST(idx AS BIGINT) AS idx,
+       CAST(embedding[idx] AS DOUBLE) AS val
+FROM (SELECT vec_id, embedding, unnest(generate_series(1, 3)) AS idx FROM embeddings)
+""",
+)(rel.array_ops)
+
+declare(
     "subquery_above_nation_avg",
     """
 SELECT c_custkey, c_name, c_acctbal, nation_avg
@@ -622,92 +550,66 @@ WHERE c_acctbal > nation_avg
 
 
 # ---------------------------------------------------------------------------
-# UDF surface + sinks + term statistics
+# Streaming surface (3) — exact ops share batch oracles, so batch≡streaming
+# equivalence is enforced by the correctness gate itself.  All declared
+# streaming queries run the BOUNDED-STATE path: update output mode +
+# foreachBatch MERGE (aggregations) or applyInPandasWithState (folds) —
+# never complete-mode re-emission of full state.
 # ---------------------------------------------------------------------------
 
+from streamsum_spark.streaming import pipeline as streaming  # noqa: E402
 
-@declare("udf_grouped_fold")
-def q_udf_grouped_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The declared pandas-UDF surface (SURVEY.md §2.C "UDF/UDAF/UDTF"):
-    the exact lastn-with-undo fold — a per-key sorted applyInPandas whose
-    semantics (ring-buffer eviction interleaved with undo removal) are not
-    expressible in window SQL => rows-only check.  Derivation: error events
-    undo the user's previous object value."""
-    tuples = extract_events(table(spark, sf_dir, "events"))
-    ops = tuples.select(
-        F.col("subj").alias("k"),
-        F.when(F.col("pred") == "error", F.lit("undo")).otherwise(F.lit("update")).alias("op"),
-        F.col("obj").alias("v"),
-        "ts",
-        "seq",
-    )
-    return cache_ops.lastn_with_undo(ops, n=DEFAULT_CONFIG.lastn_buf_size)
+declare("stream_count_cache", ORACLES["count_cache_inc"])(streaming.stream_count_cache)
+declare("stream_clamp_dec", ORACLES["count_cache_inc_dec"])(streaming.stream_clamp_dec)
+
+_SUITE_BODY = f"""
+SELECT 'assoc' AS kind, k, v, CAST(NULL AS BIGINT) AS cnt, latest_ts AS ts,
+       CAST(NULL AS BIGINT) AS seq, CAST(NULL AS INTEGER) AS rn
+FROM ({ASSOC_BODY})
+UNION ALL
+SELECT 'keycount' AS kind, k, CAST(NULL AS VARCHAR) AS v, cnt,
+       CAST(NULL AS TIMESTAMP) AS ts, CAST(NULL AS BIGINT) AS seq,
+       CAST(NULL AS INTEGER) AS rn
+FROM ({KEYCOUNT_BODY})
+UNION ALL
+SELECT 'lastn' AS kind, k, v, CAST(NULL AS BIGINT) AS cnt, ts, seq, rn
+FROM ({LASTN_BODY})
+"""
+
+declare("stream_cache_suite", oracles.with_pipeline_ctes(_SUITE_BODY))(
+    streaming.stream_cache_suite
+)
 
 
-declare("term_frequencies", tx.TERM_FREQ_SQL)(tx.term_frequencies)
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline extensions (9): text analysis, dedup, similarity search
+# ---------------------------------------------------------------------------
+
+from streamsum_spark.operators import dedup as dd  # noqa: E402
+from streamsum_spark.operators import similarity as sim  # noqa: E402
+from streamsum_spark.operators import text as tx  # noqa: E402
+
+declare("text_stats", tx.TEXT_STATS_SQL)(tx.text_stats)
+declare("doc_signatures", dd.DOC_SIGNATURES_SQL)(dd.doc_signatures)
 declare("top_terms_per_lang", tx.TOP_TERMS_SQL)(tx.top_terms_per_lang)
 
+declare("dedup_exact_docs", dd.DEDUP_EXACT_SQL)(dd.dedup_exact)
+declare("minhash_signatures", dd.MINHASH_SIG_SQL)(dd.minhash_signatures)
+declare("minhash_lsh_pairs", dd.LSH_PAIRS_SQL)(dd.lsh_candidate_pairs)
+declare("near_dup_verified", dd.NEAR_DUP_VERIFIED_SQL)(dd.near_dup_verified)
 
-declare(
-    "join_range_bucketed",
-    """
-SELECT DISTINCT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
-FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-JOIN (SELECT * FROM events WHERE event_type = 'click') c
-  ON p.user_id = c.user_id
- AND p.ts >= c.ts
- AND p.ts - c.ts < INTERVAL 1 HOUR
-""",
-)(rel.join_range_bucketed)
-
-
-declare("window_sliding_counts", rel.WINDOW_SLIDING_SQL)(rel.window_sliding_counts)
-declare("sessionize_events", rel.SESSIONIZE_SQL)(rel.sessionize_events)
-
-
-declare("agg_percentiles", rel.AGG_PERCENTILES_SQL)(rel.agg_percentiles)
-
-declare(
-    "agg_grouping_sets",
-    """
-SELECT event_type, date_trunc('day', ts) AS day,
-       CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
-FROM events
-GROUP BY GROUPING SETS ((event_type, date_trunc('day', ts)), (event_type), ())
-""",
-)(rel.agg_grouping_sets)
-
-
-declare("winnow_fingerprints", dd.WINNOW_SQL)(dd.winnow_fingerprints)
-declare("embedding_centroids", sim.EMBEDDING_CENTROIDS_SQL)(sim.embedding_centroids)
+declare("knn_per_probe", sim.KNN_PER_PROBE_SQL)(sim.knn_per_probe)
 # coarse-quantizer routing is engine-internal -> rows-only
 declare("ann_ivf_topk")(sim.ann_ivf_topk)
 
 
-declare("stream_assoc_last_value", ORACLES["assoc_last_value"])(
-    streaming.stream_assoc_last_value
-)
-declare("stream_keycount", ORACLES["keycount_per_subject"])(streaming.stream_keycount)
-
-
-declare(
-    "scalar_null_safe",
-    """
-SELECT event_id,
-       nullif(event_type, 'error') AS masked_type,
-       nullif(event_type, 'error') IS NOT DISTINCT FROM NULL AS is_error,
-       nullif(event_type, 'error') IS NOT DISTINCT FROM 'click' AS is_click,
-       coalesce(nullif(event_type, 'error'), '(err)') AS type_or_default
-FROM events
-""",
-)(rel.scalar_null_safe)
-
-
 # ---------------------------------------------------------------------------
-# dataset preparation: deterministic splits + sequence packing
+# dataset preparation (2): deterministic splits + sequence packing
 # ---------------------------------------------------------------------------
 
 from streamsum_spark.operators import sampling as smp  # noqa: E402
 
 declare("train_val_split", smp.TRAIN_VAL_SPLIT_SQL)(smp.train_val_split)
 declare("pack_into_chunks", smp.PACK_INTO_CHUNKS_SQL)(smp.pack_into_chunks)
+
+assert len(QUERIES) == DRIVER_QUERY_BUDGET, len(QUERIES)

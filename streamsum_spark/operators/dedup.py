@@ -113,11 +113,33 @@ GROUP BY doc_id, j
 """
 
 
-def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lsh_candidate_pairs(
+    spark: SparkSession, sf_dir: str, max_bucket: int | None = None
+) -> DataFrame:
     """LSH banding (r=1): docs sharing any (band, minhash) bucket are
     candidate near-dup pairs.  The join is on the tiny signature relation;
-    a self-join of the raw corpus never happens."""
+    a self-join of the raw corpus never happens.
+
+    ``max_bucket`` is the hot-bucket frequency cap for 100 TB runs: a
+    bucket shared by f docs contributes f^2/2 pairs, so a stop-shingle-like
+    bucket hit by 1% of a huge corpus is quadratic death.  With the cap,
+    buckets larger than ``max_bucket`` are dropped BEFORE the self-join
+    (one extra count-aggregation over the signature relation; the pairs
+    lost are overwhelmingly non-duplicates since a bucket that common
+    carries almost no similarity signal — standard LSH practice).  The
+    declared query keeps cap=None so the oracle stays the pure banding
+    semantics; the capped form is pinned by pytest as a subset.
+    """
     sig = minhash_signatures(spark, sf_dir)
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "mh")
+        sig = (
+            sig.withColumn("_f", F.count(F.lit(1)).over(w))
+            .where(F.col("_f") <= max_bucket)
+            .drop("_f")
+        )
     a = sig.alias("a")
     b = sig.alias("b")
     return (
@@ -192,6 +214,63 @@ WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.2
 """
 
 
+def near_dup_verified(spark: SparkSession, sf_dir: str, threshold: float = 0.2) -> DataFrame:
+    """Production near-dup pipeline: LSH candidate pairs -> exact n-gram
+    Jaccard verification -> threshold filter.
+
+    This is the operator a real 100 TB dedup run executes: candidate
+    generation is the bucketed band join (never all-pairs), and the
+    expensive shingle-set comparison runs ONLY on candidates — two keyed
+    joins of the candidate relation against per-doc shingle sets, so the
+    quadratic term of the naive shingle self-join (ngram_jaccard_dupes,
+    kept as the small-scale exact oracle) never materializes.
+
+    Jaccard here is one integer division (exactly rounded IEEE), so values
+    hash identically across engines.
+    """
+    cand = lsh_candidate_pairs(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.expr(f"array_distinct({_SHINGLES})").alias("sh")
+    )
+    scored = (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.expr("CAST(size(array_intersect(sa.sh, sb.sh)) AS DOUBLE)")
+                / F.expr("size(sa.sh) + size(sb.sh) - size(array_intersect(sa.sh, sb.sh))")
+            ).alias("jaccard"),
+        )
+    )
+    return scored.where(F.col("jaccard") >= threshold)
+
+
+NEAR_DUP_VERIFIED_SQL = f"""
+WITH sig AS ({MINHASH_SIG_SQL}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sig a JOIN sig b
+      ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
+),
+sh AS (
+    SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh
+    FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+)
+SELECT doc_a, doc_b, jaccard FROM (
+    SELECT doc_a, doc_b,
+           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+    FROM cand
+    JOIN sh sa ON doc_a = sa.doc_id
+    JOIN sh sb ON doc_b = sb.doc_id
+)
+WHERE jaccard >= 0.2
+"""
+
+
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash over tokens: bit b of the signature is the sign of
     sum over tokens of (+1/-1 by bit b of md5(token)).
@@ -202,6 +281,11 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection, aggregated with an element-wise array sum — no shuffle, no
     explode."""
     docs = rebalance_for_cpu(table(spark, sf_dir, "documents"))
+    return docs.select("doc_id", F.expr(simhash_expr()).alias("simhash"))
+
+
+def simhash_expr() -> str:
+    """32-bit SimHash as a single Catalyst expression over ``text``."""
     # per token: 32-element array of +1/-1; fold element-wise; then sign-bits
     bit = (
         "transform(sequence(0, 31), b -> "
@@ -213,12 +297,11 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"transform(sequence(0, 31), b -> 0), "
         f"(acc, v) -> zip_with(acc, v, (a, x) -> a + x))"
     )
-    simhash = (
+    return (
         f"aggregate(zip_with({folded}, sequence(0, 31), "
         f"(s, b) -> CASE WHEN s > 0 THEN CAST(shiftleft(CAST(1 AS BIGINT), b) AS BIGINT) ELSE CAST(0 AS BIGINT) END), "
         f"CAST(0 AS BIGINT), (a, x) -> a + x)"
     )
-    return docs.select("doc_id", F.expr(simhash).alias("simhash"))
 
 
 SIMHASH_SQL = rf"""
@@ -284,4 +367,56 @@ FROM (
             FOR i IN range(1, length(text) - {WINNOW_K - 2})] AS grams
     FROM documents
 )
+"""
+
+# DuckDB twin of winnow_expr as a per-doc LIST (not unnested) — reused by
+# the doc_signatures digest.
+_WINNOW_LIST_SQL = f"""list_distinct([list_min(grams[i:i+{WINNOW_W - 1}])
+    FOR i IN range(1, len(grams) - {WINNOW_W - 2})])"""
+_GRAMS_SQL = f"""[('0x' || substr(md5(substr(text, i, {WINNOW_K})), 1, 12))::BIGINT
+    FOR i IN range(1, length(text) - {WINNOW_K - 2})]"""
+
+
+def doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document signature suite in ONE projection: bag-of-words md5
+    fingerprint (exact-dedup key), 32-bit SimHash, and an md5 digest of the
+    sorted winnowing fingerprint set (Schleimer/Wilkerson/Aiken) — the
+    merged declared form of doc_fingerprint / simhash_signatures /
+    winnow_fingerprints.
+
+    All three are codegen'd expressions over the same scan; no shuffle.
+    The winnow digest sorts numerically BEFORE casting to string (both
+    engines), so the digest is order-canonical and cross-engine stable;
+    md5 of '' covers docs too short to produce fingerprints.
+    """
+    from streamsum_spark.functions.expressions import TOKENS_EXPR
+
+    docs = rebalance_for_cpu(table(spark, sf_dir, "documents"))
+    fp = f"md5(array_join(array_sort(array_distinct({TOKENS_EXPR})), ' '))"
+    winnow_digest = (
+        f"md5(array_join(transform(array_sort({winnow_expr('text')}), "
+        f"x -> CAST(x AS STRING)), ','))"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(fp).alias("fingerprint"),
+        F.expr(simhash_expr()).alias("simhash"),
+        F.expr(winnow_digest).alias("winnow_digest"),
+    )
+
+
+DOC_SIGNATURES_SQL = rf"""
+WITH sim AS ({SIMHASH_SQL}),
+win AS (
+    SELECT doc_id,
+           md5(array_to_string(list_transform(list_sort({_WINNOW_LIST_SQL}), x -> CAST(x AS VARCHAR)), ',')) AS winnow_digest
+    FROM (SELECT doc_id, {_GRAMS_SQL} AS grams FROM documents)
+)
+SELECT d.doc_id,
+       md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(trim(d.text), '\s+'))), ' ')) AS fingerprint,
+       sim.simhash,
+       win.winnow_digest
+FROM documents d
+JOIN sim ON d.doc_id = sim.doc_id
+JOIN win ON d.doc_id = win.doc_id
 """

@@ -53,6 +53,90 @@ def encode_output(tuples: DataFrame) -> DataFrame:
     )
 
 
+def encode_output_updated(
+    tuples: DataFrame, cfg=None
+) -> DataFrame:
+    """A10 with reference out-queue fidelity: encode the POST-update value.
+
+    The reference's record! returns ``[cache-key key val' time]`` where
+    ``val'`` is the value AFTER the cache update ("val' may be different
+    than the original tuple val", caches.clj:158-164), and Encode applies
+    to that (system.clj:81-87) — so the out-queue/backup stream carries,
+    e.g., the updated count subtree for a count cache, not the input tuple.
+    ``encode_output`` above keeps the pre-record projection; this operator
+    reproduces the reference semantics per discipline:
+
+    - assoc: val' = the value just stored (the tuple's v);
+    - lastn: val' = the ring buffer after append — the last <=N values in
+      arrival order, rendered oldest..newest joined with '|';
+    - count: val' = the updated (action, obj) leaf — running count and
+      running max timestamp for (k, action, v) up to this tuple;
+    - keycount: val' = the key's updated count.
+
+    All four are window expressions over arrival order (ts, seq): one
+    shuffle on (cache_key, k) / the count key — no stateful UDF, fully
+    SQL-expressible, which is what makes the out-queue stream itself
+    oracle-checkable (a replay consumer sees identical bytes).
+    """
+    from streamsum_spark.config import DEFAULT_CONFIG
+
+    cfg = cfg or DEFAULT_CONFIG
+    n = cfg.lastn_buf_size
+    assoc_names = cfg.cache_names("assoc")
+    lastn_names = cfg.cache_names("lastn")
+    count_names = cfg.cache_names("count")
+    keycount_names = cfg.cache_names("keycount")
+
+    from pyspark.sql import Window
+
+    w_base = Window.partitionBy("cache_key", "k").orderBy("ts", "seq")
+    w_lastn = w_base.rowsBetween(-(n - 1), Window.currentRow)
+    w_all = w_base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_cnt = (
+        Window.partitionBy("cache_key", "k", "action", "v")
+        .orderBy("ts", "seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    val_updated = (
+        F.when(F.col("cache_key").isin(assoc_names), F.col("v"))
+        .when(
+            F.col("cache_key").isin(lastn_names),
+            F.array_join(F.collect_list("v").over(w_lastn), "|"),
+        )
+        .when(
+            F.col("cache_key").isin(count_names),
+            F.concat(
+                F.col("action"),
+                F.lit("="),
+                F.col("v"),
+                F.lit(":"),
+                F.count(F.lit(1)).over(w_cnt).cast("string"),
+                F.lit("@"),
+                F.date_format(F.max("ts").over(w_cnt), _TS_FMT),
+            ),
+        )
+        .when(
+            F.col("cache_key").isin(keycount_names),
+            F.count(F.lit(1)).over(w_all).cast("string"),
+        )
+    )
+    return tuples.withColumn("val_updated", val_updated).select(
+        "cache_key",
+        "k",
+        "seq",
+        F.to_json(
+            F.struct(
+                F.col("cache_key"),
+                F.col("k"),
+                F.col("val_updated").alias("v"),
+                F.date_format("ts", _TS_FMT).alias("ts"),
+                F.col("seq"),
+            )
+        ).alias("encoded"),
+    )
+
+
 def pipeline_metrics(spark: SparkSession, sf_dir: str) -> dict[str, int]:
     """A11 batch metrics: the reference's stage counters via Observation.
 

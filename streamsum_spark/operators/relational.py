@@ -63,6 +63,32 @@ def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_name")
 
 
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi + anti join surface in one declared result: customers WITH at
+    least one order (left semi == EXISTS, tag 'has_orders') unioned with
+    customers WITHOUT orders (left anti == NOT EXISTS, tag 'no_orders').
+
+    Both branches are keyed joins against the same orders scan; Catalyst
+    plans each as a broadcast/shuffled semi- or anti-join — no row
+    explosion on either side (the probe side never duplicates)."""
+    semi = join_semi(spark, sf_dir).select(
+        F.lit("has_orders").alias("tag"), "c_custkey", "c_name"
+    )
+    anti = join_left_anti(spark, sf_dir).select(
+        F.lit("no_orders").alias("tag"), "c_custkey", "c_name"
+    )
+    return semi.unionByName(anti)
+
+
+JOIN_SEMI_ANTI_SQL = """
+SELECT 'has_orders' AS tag, c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+UNION ALL
+SELECT 'no_orders' AS tag, c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for each purchase event, the same user's most recent
     click at-or-before it (matched purchases only — ASOF inner).
@@ -260,7 +286,11 @@ def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar surface + the null-semantics corner (nullif /
+    null-safe equality <=> / coalesce) in one per-event projection —
+    absorbs the former scalar_null_safe declared query."""
     ev = table(spark, sf_dir, "events")
+    masked = F.expr("nullif(event_type, 'error')")
     return ev.select(
         "event_id",
         F.date_trunc("day", F.col("ts")).alias("day"),
@@ -268,6 +298,10 @@ def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("ts").cast("long").alias("m"),
         (F.dayofweek("ts") - 1).cast("long").alias("dow"),  # 0=Sunday, DuckDB convention
         F.hour("ts").cast("long").alias("h"),
+        masked.alias("masked_type"),
+        masked.eqNullSafe(F.lit(None).cast("string")).alias("is_error"),
+        masked.eqNullSafe("click").alias("is_click"),
+        F.coalesce(masked, F.lit("(err)")).alias("type_or_default"),
     )
 
 
@@ -463,6 +497,9 @@ def sessionize_events(spark: SparkSession, sf_dir: str, gap_minutes: int = 5) ->
     )
 
 
+# Boundary note: Spark's session_window MERGES an event at exactly
+# prev_ts + gap (pinned by tests/test_sessionize_boundary.py), so the
+# oracle's merge condition is `<=` — not `<`.
 SESSIONIZE_SQL = """
 SELECT user_id,
        min(ts) AS session_start,
@@ -521,6 +558,130 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((event_type, date_trunc('day', ts)), (event_type), ())
         """
     )
+
+
+def agg_grouping_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP + CUBE + explicit GROUPING SETS in one pass: the union of
+    rollup(r_name, n_name) and cube(r_name, c_mktsegment) expressed as a
+    single GROUPING SETS clause — one Expand + one partial-combined hash
+    aggregation instead of three scans (the merged declared form of
+    agg_rollup_nation_region / agg_cube_region_segment / agg_grouping_sets).
+
+    ``gid`` is the grouping bitmask built from single-argument GROUPING()
+    calls (engine-portable, unlike grouping_id() whose bit order is
+    implementation-defined); it disambiguates grouping sets that share a
+    null pattern."""
+    for name in ("customer", "nation", "region"):
+        table(spark, sf_dir, name).createOrReplaceTempView(f"{name}_gm")
+    return spark.sql(GROUPING_MULTI_SQL_TEMPLATE.format(c="customer_gm", n="nation_gm", r="region_gm"))
+
+
+GROUPING_MULTI_SQL_TEMPLATE = """
+SELECT r_name, n_name, c_mktsegment,
+       CAST(grouping(r_name) * 4 + grouping(n_name) * 2 + grouping(c_mktsegment) AS BIGINT) AS gid,
+       CAST(count(*) AS BIGINT) AS n_cust,
+       round(sum(c_acctbal), 2) AS sum_bal
+FROM {c}
+JOIN {n} ON c_nationkey = n_nationkey
+JOIN {r} ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name, n_name), (r_name), (), (r_name, c_mktsegment), (c_mktsegment))
+"""
+
+AGG_GROUPING_MULTI_SQL = GROUPING_MULTI_SQL_TEMPLATE.format(
+    c="customer", n="nation", r="region"
+)
+
+
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / EXCEPT / INTERSECT surface in one declared result:
+    (clickers ∪ viewers) \\ early-error-ers tagged 'union_except', plus
+    clickers ∩ purchasers tagged 'intersect' (the merged declared form of
+    set_union_except / set_intersect).  Set ops plan as aggregations /
+    null-safe joins on the value columns — shuffle-keyed, skew handled by
+    AQE."""
+    ue = set_union_except(spark, sf_dir).select(
+        F.lit("union_except").alias("op"), "user_id"
+    )
+    it = set_intersect(spark, sf_dir).select(F.lit("intersect").alias("op"), "user_id")
+    return ue.unionByName(it)
+
+
+SET_OPS_SQL = """
+SELECT 'union_except' AS op, user_id FROM (
+    SELECT user_id FROM events WHERE event_type = 'click'
+    UNION
+    SELECT user_id FROM events WHERE event_type = 'view'
+    EXCEPT
+    SELECT user_id FROM events
+    WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-03 00:00:00'
+)
+UNION ALL
+SELECT 'intersect' AS op, user_id FROM (
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+)
+"""
+
+
+def window_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling (1h) + sliding (1h length / 30m slide) time-window
+    aggregations in one declared result (the merged form of
+    batch_tumbling_counts / window_sliding_counts; the streaming twins in
+    streamsum_spark.streaming use the identical window() expressions).
+
+    Both branches are hash aggregations over the same scan; the sliding
+    branch's window() assigns each event to its 2 overlapping windows
+    (a bounded fan-out of 2, not a shuffle amplifier)."""
+    ev = table(spark, sf_dir, "events")
+    tumble = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.lit("tumble").alias("kind"),
+            F.col("w.start").alias("w_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    slide = (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.lit("slide").alias("kind"),
+            F.col("w.start").alias("w_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    return tumble.unionByName(slide)
+
+
+WINDOW_TIME_BUCKETS_SQL = """
+SELECT 'tumble' AS kind, time_bucket(INTERVAL 1 HOUR, ts) AS w_start, event_type,
+       CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'slide' AS kind, w_start, event_type,
+       CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+FROM (
+    SELECT event_type, value,
+           unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                   time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS w_start,
+           ts
+    FROM events
+)
+WHERE ts >= w_start AND ts < w_start + INTERVAL 1 HOUR
+GROUP BY w_start, event_type
+"""
 
 
 def scalar_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:

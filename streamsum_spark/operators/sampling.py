@@ -46,37 +46,50 @@ def pack_into_chunks(spark: SparkSession, sf_dir: str, budget: int = 2048) -> Da
     chunk stays under ``budget`` — the greedy-in-fixed-order packing used
     to build context windows.
 
-    chunk = floor((running_tokens - n_tokens) / budget) over the shuffle
-    order: one window over one global sort.  At 100 TB you partition the
-    shuffle space first (e.g. by hash prefix) so each partition packs
-    independently — same expression, partitionBy added."""
+    Scale design: the shuffle space is PARTITIONED by the first hex char of
+    the id-hash (16 independent pack streams), and each partition packs
+    independently with its own window — ``Window.partitionBy(part)``, so no
+    single task ever sorts or prefix-sums the whole corpus (the
+    unpartitioned form is a 100 TB scale-killer: one task, one global
+    sort).  The chunk identity is the pair (part, chunk): deterministic,
+    stable under corpus growth within a partition, and each partition's
+    chunks are independently consumable by a data loader.  At larger
+    corpora widen ``part`` to 2+ hex chars (256+ streams)."""
     docs = table(spark, sf_dir, "documents")
     toks = "CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)"
+    part = "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 1), 16, 10) AS BIGINT)"
     shuffled = docs.select(
         "doc_id",
         F.expr(toks).alias("n_tokens"),
+        F.expr(part).alias("part"),
         F.md5(F.col("doc_id").cast("string")).alias("_ord"),
     )
-    w = Window.orderBy("_ord").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w = (
+        Window.partitionBy("part")
+        .orderBy("_ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     return (
         shuffled.withColumn("running", F.sum("n_tokens").over(w))
         .select(
             "doc_id",
             "n_tokens",
+            "part",
             F.expr(f"CAST((running - n_tokens) / {budget} AS BIGINT)").alias("chunk"),
         )
     )
 
 
 PACK_INTO_CHUNKS_SQL = r"""
-SELECT doc_id, n_tokens,
+SELECT doc_id, n_tokens, part,
        CAST(floor((running - n_tokens) / 2048) AS BIGINT) AS chunk
 FROM (
-    SELECT doc_id, n_tokens,
-           sum(n_tokens) OVER (ORDER BY _ord ROWS UNBOUNDED PRECEDING) AS running
+    SELECT doc_id, n_tokens, part,
+           sum(n_tokens) OVER (PARTITION BY part ORDER BY _ord ROWS UNBOUNDED PRECEDING) AS running
     FROM (
         SELECT doc_id,
                CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))::BIGINT AS part,
                md5(CAST(doc_id AS VARCHAR)) AS _ord
         FROM documents
     )

@@ -66,7 +66,15 @@ def knn_per_probe(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     """Batch k-NN: for each probe (vec_id % 25 == 0), top-k neighbors by
     cosine within the same label block.  Label blocking is the partition
     key — the quadratic term is per-block, and WindowGroupLimit keeps only
-    k rows per probe through the sort."""
+    k rows per probe through the sort.
+
+    Join strategy: the probe set is a fixed FRACTION of the corpus (not a
+    bounded table), so it must never broadcast — at 100 TB that side is
+    itself terabytes.  The SHUFFLE_HASH hint forces a shuffled hash join
+    keyed on the label block: both sides repartition by ``label``, each
+    block joins locally, nothing is collected to the driver or replicated
+    to every executor.  (Exact single-probe top-k with a genuinely tiny
+    broadcast side stays available as ``similarity_topk``.)"""
     emb = table(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("probe_id"), F.col("label").alias("p_label"),
@@ -74,7 +82,10 @@ def knn_per_probe(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return (
-        emb.join(F.broadcast(probes), (F.col("label") == F.col("p_label")) & (F.col("vec_id") != F.col("probe_id")))
+        emb.join(
+            probes.hint("shuffle_hash"),
+            (F.col("label") == F.col("p_label")) & (F.col("vec_id") != F.col("probe_id")),
+        )
         .select("probe_id", "vec_id", F.expr(_cos_expr("embedding", "q")).alias("cos"))
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
@@ -176,11 +187,22 @@ GROUP BY label, idx
 """
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str, probe_vec_id: int = 0, k: int = 10) -> DataFrame:
-    """IVF-style ANN: route the probe to its nearest centroid (coarse
-    quantization), then exact cosine only within that list.  At scale the
-    lists are partitions and the centroid table broadcasts — the corpus
-    scan prunes to one list instead of ranking everything.  Centroid
+def ann_ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    probe_vec_id: int = 0,
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: route the probe to its ``nprobe`` nearest centroids
+    (coarse quantization), then exact cosine only within those lists.  At
+    scale the lists are partitions and the centroid table broadcasts — the
+    corpus scan prunes to nprobe lists instead of ranking everything.
+
+    Multi-probe (nprobe > 1) is the standard recall lever: a probe near a
+    Voronoi boundary finds neighbors that fell into the adjacent list, at
+    the cost of scanning nprobe/|lists| of the corpus.  Recall vs exact
+    k-NN is pinned in tests/test_similarity_quality.py.  Centroid
     assignment is engine-internal => rows-only."""
     emb = table(spark, sf_dir, "embeddings")
     cents = (
@@ -201,7 +223,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str, probe_vec_id: int = 0, k: int
         cents.join(F.broadcast(probe))
         .select("label", F.expr(_cos_expr("centroid", "q")).alias("cc"))
         .orderBy(F.col("cc").desc(), F.col("label"))
-        .limit(1)
+        .limit(nprobe)
     )
     return (
         emb.join(F.broadcast(nearest.select("label")), "label")

@@ -141,6 +141,55 @@ FROM documents
 """
 
 
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text-analysis suite: token statistics + quality
+    heuristics + language-ID in ONE projection over the scan (the merged
+    declared form of text_token_counts / text_quality_score / text_langid —
+    one query, same operators, zero extra passes).
+
+    All columns are codegen'd array/string expressions; at 100 TB this is
+    a single narrow pass over the parquet scan with full column pruning
+    (only doc_id, text, lang, n_chars read).
+    """
+    docs = table(spark, sf_dir, "documents")
+    stop_arr = "array(" + ",".join(f"'{w}'" for w in STOPWORDS) + ")"
+    ratio = (
+        f"size(filter({_TOKS}, x -> array_contains({stop_arr}, x))) / CAST(size({_TOKS}) AS DOUBLE)"
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.expr(f"CAST(size({_TOKS}) AS BIGINT)").alias("n_tokens"),
+        F.expr(f"CAST(size(array_distinct({_TOKS})) AS BIGINT)").alias("n_distinct"),
+        F.expr(
+            f"CAST(size(regexp_extract_all(text, '{BPE_PATTERN_SPARK}', 0)) AS BIGINT)"
+        ).alias("n_bpe_tokens"),
+        F.expr(
+            f"aggregate({_TOKS}, CAST(0 AS BIGINT), (a, x) -> a + length(x)) / CAST(size({_TOKS}) AS DOUBLE)"
+        ).alias("avg_token_len"),
+        F.expr(ratio).alias("stopword_ratio"),
+        F.expr(f"(size({_TOKS}) BETWEEN 20 AND 1000) AND ({ratio} >= 0.05)").alias("keep"),
+        F.expr(f"CASE WHEN {ratio} >= 0.05 THEN 'en' ELSE 'other' END").alias("pred_lang"),
+    )
+
+
+TEXT_STATS_SQL = rf"""
+SELECT doc_id, lang,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+       list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) / CAST(len(toks) AS DOUBLE) AS avg_token_len,
+       len(list_filter(toks, x -> list_contains({_stop_list_sql()}, x))) / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+       (len(toks) BETWEEN 20 AND 1000) AND
+       (len(list_filter(toks, x -> list_contains({_stop_list_sql()}, x))) / CAST(len(toks) AS DOUBLE) >= 0.05) AS keep,
+       CASE WHEN len(list_filter(toks, x -> list_contains({_stop_list_sql()}, x))) / CAST(len(toks) AS DOUBLE) >= 0.05
+            THEN 'en' ELSE 'other' END AS pred_lang
+FROM (SELECT doc_id, lang, n_chars, text, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)
+"""
+
+
 def term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus term-frequency table: explode tokens -> count per term.
     The canonical shuffle-aggregated text op (map-side combine makes the

@@ -11,6 +11,8 @@ per-cache filter + groupBy).
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -25,6 +27,19 @@ from streamsum_spark.operators.extract import extract_events
 from streamsum_spark.operators.transform import transform_fanout
 from streamsum_spark.tables import table
 
+# A cache factory consumes that cache's ROUTED tuple subset (the rows whose
+# cache_key names it) plus the pipeline config and returns the cache view.
+CacheFactory = Callable[[DataFrame, PipelineConfig], DataFrame]
+
+# Built-in disciplines — the engine's rendition of the reference's
+# default-cache-factory-fns map (caches.clj:96-101).
+DEFAULT_FACTORIES: dict[str, CacheFactory] = {
+    "assoc": lambda routed, cfg: assoc_last_value(routed),
+    "lastn": lambda routed, cfg: lastn_per_key(routed, n=cfg.lastn_buf_size),
+    "count": lambda routed, cfg: count_cache(routed),
+    "keycount": lambda routed, cfg: keycount(routed),
+}
+
 
 def cache_tuples(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
     """events.parquet -> cache-mapped tuples (cache_key, k, action, v, ts, seq)."""
@@ -32,30 +47,38 @@ def cache_tuples(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT
 
 
 def build_caches(
-    spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG
+    spark: SparkSession,
+    sf_dir: str,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    cache_factory_fns: dict[str, CacheFactory] | None = None,
 ) -> dict[str, DataFrame]:
     """Materialize every configured cache as a DataFrame view.
 
-    Unknown cache keys in the tuple stream are dropped (reference: record!
-    logs and returns nil for unknown keys, caches.clj:166-170) — the
-    per-cache ``filter(cache_key = name)`` does this implicitly.
+    Every cache — including keycount — consumes only its ROUTED subset
+    (``filter(cache_key = name)``), mirroring the reference's
+    dispatch-by-cache-key in record! (caches.clj:158-179); unknown cache
+    keys in the tuple stream are dropped by the same filter (record! logs
+    and returns nil for unknown keys, caches.clj:166-170).
+
+    ``cache_factory_fns`` is the user-extension SPI: a ``{kind: factory}``
+    dict merged OVER the built-in disciplines, mirroring the reference's
+    ``:cache-factory-fns`` config entry (README.md:101-112, merged with
+    defaults at caches.clj:103-113).  A factory receives the routed tuple
+    subset and the config and returns the cache DataFrame — so user
+    disciplines compose with the same pushdown/shuffle machinery as the
+    built-ins.
     """
+    factories = {**DEFAULT_FACTORIES, **(cache_factory_fns or {})}
     tuples = cache_tuples(spark, sf_dir, cfg)
     out: dict[str, DataFrame] = {}
     for spec in cfg.caches:
+        factory = factories.get(spec.kind)
+        if factory is None:
+            raise ValueError(
+                f"unknown cache kind: {spec.kind} (known: {sorted(factories)})"
+            )
         routed = tuples.where(F.col("cache_key") == spec.name)
-        if spec.kind == "assoc":
-            out[spec.name] = assoc_last_value(routed)
-        elif spec.kind == "lastn":
-            out[spec.name] = lastn_per_key(routed, n=cfg.lastn_buf_size)
-        elif spec.kind == "count":
-            out[spec.name] = count_cache(routed)
-        elif spec.kind == "keycount":
-            # subject-counts counts every tuple's key across the whole
-            # stream (config.clj:88: "number of times each subject appears")
-            out[spec.name] = keycount(tuples)
-        else:
-            raise ValueError(f"unknown cache kind: {spec.kind}")
+        out[spec.name] = factory(routed, cfg)
     return out
 
 

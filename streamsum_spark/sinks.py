@@ -35,24 +35,38 @@ def write_cache_parquet(df: DataFrame, path: str, partition_cols: list[str] | No
 def upsert_batch(
     spark: SparkSession, target_path: str, updates: DataFrame, key_cols: list[str], order_col: str
 ) -> None:
-    """MERGE-emulation: newest row per key wins (by ``order_col``).
+    """MERGE-emulation: newest row per key wins (by ``order_col``; ties
+    broken by the remaining value columns so replays are deterministic —
+    two updates for a key sharing an order value always resolve the same
+    way, preserving the exactly-once-observable property).
 
-    Atomic swap via rename so concurrent readers never see a half-written
-    table.  Delta/Iceberg replaces this body with MERGE INTO."""
+    Swap protocol: write to tmp, rename target aside, rename tmp into
+    place, delete the old copy — readers see either the old or the new
+    complete table, never partial data, and the target-missing window is
+    two rename syscalls (not a full recursive delete).  A transactional
+    table format (Delta/Iceberg MERGE INTO) replaces this body with a
+    genuinely atomic commit; the foreachBatch wiring is identical."""
     if os.path.exists(target_path):
         existing = spark.read.parquet(target_path)
         merged = existing.unionByName(updates)
     else:
         merged = updates
     value_cols = [c for c in merged.columns if c not in key_cols]
+    tie_break = [order_col] + [c for c in value_cols if c != order_col]
     deduped = merged.groupBy(*key_cols).agg(
-        F.expr(f"max_by(struct({', '.join(value_cols)}), {order_col})").alias("_v")
+        F.expr(
+            f"max_by(struct({', '.join(value_cols)}), struct({', '.join(tie_break)}))"
+        ).alias("_v")
     ).select(*key_cols, "_v.*")
     tmp = target_path + f".tmp-{uuid.uuid4().hex[:8]}"
     deduped.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(target_path):
-        shutil.rmtree(target_path)
+    old = target_path + f".old-{uuid.uuid4().hex[:8]}"
+    had_old = os.path.exists(target_path)
+    if had_old:
+        os.rename(target_path, old)
     os.rename(tmp, target_path)
+    if had_old:
+        shutil.rmtree(old)
 
 
 def stream_to_cache_table(

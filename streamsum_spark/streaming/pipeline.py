@@ -111,13 +111,39 @@ def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
     return df.sparkSession.table(name)
 
 
+def _run_via_cache_table(
+    df: DataFrame, key_cols: list[str], order_col: str
+) -> DataFrame:
+    """Run an UPDATE-mode availableNow stream through the production sink
+    path — foreachBatch MERGE into a keyed parquet cache table — and read
+    the final table back.
+
+    This is the bounded-state form: each micro-batch emits only UPDATED
+    keys (update output mode), and the sink merges them by key
+    (sinks.upsert_batch; Delta/Iceberg MERGE INTO on a real deployment).
+    Unlike a complete-mode memory sink, nothing ever re-emits the full
+    state — per-batch work is O(changed keys), which is what survives an
+    unbounded key space at 100 TB."""
+    from streamsum_spark.sinks import stream_to_cache_table
+
+    target = os.path.join(
+        tempfile.gettempdir(), f"streamsum_cache_tbl_{uuid.uuid4().hex[:12]}"
+    )
+    stream_to_cache_table(df, target, key_cols=key_cols, order_col=order_col)
+    return df.sparkSession.read.parquet(target)
+
+
 def stream_count_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7 as a streaming aggregation; result == batch count cache, so it
-    shares the batch oracle (the strongest batch≡streaming check)."""
+    """A7 as a streaming aggregation through the bounded-state path:
+    update-mode aggregation -> foreachBatch MERGE into a keyed cache table
+    (complete-mode memory sinks would re-emit full state per micro-batch).
+    Result == batch count cache, so it shares the batch oracle (the
+    strongest batch≡streaming check).  ``cnt`` is monotone per key, so it
+    doubles as the merge's newest-wins order column."""
     fanned = observed_tuples(spark, sf_dir)
     name = DEFAULT_CONFIG.cache_names("count")[0]
     agg = count_cache(fanned.where(F.col("cache_key") == name))
-    return _run_to_memory(agg, "complete")
+    return _run_via_cache_table(agg, key_cols=["subject", "action", "obj"], order_col="cnt")
 
 
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -198,8 +224,13 @@ def _clamp_fold(
         cnt, latest_us, has_inc, n_seen = state.get
     else:
         cnt, latest_us, has_inc, n_seen = 0, None, False, 0
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values(["ts", "seq"])
+    # applyInPandasWithState delivers a key's rows as MULTIPLE Arrow chunks
+    # with no cross-chunk order guarantee: materialize the whole batch and
+    # sort ONCE, or the fold would apply ops out of (ts, seq) order for
+    # groups larger than one Arrow batch.
+    chunks = [pdf for pdf in pdf_iter if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "seq"])
         for op, ts in zip(pdf["op"], pdf["ts"]):
             us = int(pd.Timestamp(ts).value // 1000)
             n_seen += 1
@@ -279,8 +310,11 @@ def _lastn_fold(
         n_seen = st[3]
     else:
         ts_us, seqs, vals, n_seen = [], [], [], 0
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values(["ts", "seq"])
+    # materialize + single sort: chunk-local sorts would misorder groups
+    # that span Arrow batches (see _clamp_fold)
+    chunks = [pdf for pdf in pdf_iter if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "seq"])
         for ts, seq, v in zip(pdf["ts"], pdf["seq"], pdf["v"]):
             ts_us.append(int(pd.Timestamp(ts).value // 1000))
             seqs.append(int(seq))
@@ -329,18 +363,66 @@ def stream_lastn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def stream_assoc_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5 as a streaming aggregation (max_by upsert in complete mode);
-    shares the batch assoc oracle."""
+    """A5 as a streaming aggregation through the bounded-state path
+    (update mode + foreachBatch MERGE); shares the batch assoc oracle.
+    ``latest_ts`` is monotone per key under the max_by aggregation, so it
+    is the merge's order column."""
     from streamsum_spark.operators.caches import assoc_last_value
 
     fanned = transform_fanout(extract_events(stream_events(spark, sf_dir)), DEFAULT_CONFIG)
     agg = assoc_last_value(fanned.where(F.col("cache_key") == "click-obj-user"))
-    return _run_to_memory(agg, "complete")
+    return _run_via_cache_table(agg, key_cols=["k"], order_col="latest_ts")
 
 
 def stream_keycount(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A9 as a streaming aggregation; shares the batch keycount oracle."""
+    """A9 as a streaming aggregation over its ROUTED tuple subset (the
+    subject-counts cache is dispatched by cache_key like every other
+    cache), through the bounded-state path; shares the batch keycount
+    oracle."""
     from streamsum_spark.operators.caches import keycount
 
     fanned = transform_fanout(extract_events(stream_events(spark, sf_dir)), DEFAULT_CONFIG)
-    return _run_to_memory(keycount(fanned), "complete")
+    agg = keycount(fanned.where(F.col("cache_key") == "subject-counts"))
+    return _run_via_cache_table(agg, key_cols=["k"], order_col="cnt")
+
+
+def stream_cache_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming cache layer in one declared result: assoc (A5),
+    keycount (A9) and the exact lastn ring-buffer fold (A6) run as three
+    availableNow streaming queries — the aggregations through the
+    update-mode foreachBatch MERGE path, the lastn fold through
+    applyInPandasWithState — and their final cache tables union-tagged into
+    one relation.
+
+    Shares the BATCH oracles of assoc_last_value / keycount_per_subject /
+    lastn_per_key (null-padded union), so batch ≡ streaming equivalence for
+    all three disciplines is enforced by the driver's hash check itself."""
+    null_l = F.lit(None).cast("long")
+    a = stream_assoc_last_value(spark, sf_dir).select(
+        F.lit("assoc").alias("kind"),
+        "k",
+        "v",
+        null_l.alias("cnt"),
+        F.col("latest_ts").alias("ts"),
+        null_l.alias("seq"),
+        F.lit(None).cast("int").alias("rn"),
+    )
+    b = stream_keycount(spark, sf_dir).select(
+        F.lit("keycount").alias("kind"),
+        "k",
+        F.lit(None).cast("string").alias("v"),
+        "cnt",
+        F.lit(None).cast("timestamp_ntz").alias("ts"),
+        null_l.alias("seq"),
+        F.lit(None).cast("int").alias("rn"),
+    )
+    c = stream_lastn(spark, sf_dir).select(
+        F.lit("lastn").alias("kind"),
+        "k",
+        "v",
+        null_l.alias("cnt"),
+        "ts",
+        "seq",
+        "rn",
+    )
+    return a.unionByName(b).unionByName(c)

@@ -1,0 +1,139 @@
+"""Every operator whose declared twin was merged into one of the 50
+registry entries keeps its STANDALONE implementation — and this suite keeps
+each one pinned against its original DuckDB value-hash oracle, so the
+consolidation (SURVEY.md §2.D "pytest-pinned surface") loses no checking
+strength, only driver slots.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from streamsum_spark.operators import dedup as dd
+from streamsum_spark.operators import relational as rel
+from streamsum_spark.operators import similarity as sim
+from streamsum_spark.operators import text as tx
+from tests.conftest import SF_ORACLE, assert_matches_oracle
+
+DEMOTED = {
+    "window_rownum_lastn": (
+        rel.window_rownum_lastn,
+        """
+SELECT user_id, event_id, event_type, ts, rn FROM (
+    SELECT user_id, event_id, event_type, ts,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS INTEGER) AS rn
+    FROM events
+) WHERE rn <= 5
+""",
+    ),
+    "agg_rollup_nation_region": (
+        rel.agg_rollup_nation_region,
+        """
+SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_cust,
+       round(sum(c_acctbal), 2) AS sum_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+    ),
+    "agg_cube_region_segment": (
+        rel.agg_cube_region_segment,
+        """
+SELECT r_name, c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+       round(sum(c_acctbal), 2) AS sum_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY CUBE (r_name, c_mktsegment)
+""",
+    ),
+    "agg_grouping_sets": (
+        rel.agg_grouping_sets,
+        """
+SELECT event_type, date_trunc('day', ts) AS day,
+       CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY GROUPING SETS ((event_type, date_trunc('day', ts)), (event_type), ())
+""",
+    ),
+    "set_union_except": (
+        rel.set_union_except,
+        """
+SELECT user_id FROM events WHERE event_type = 'click'
+UNION
+SELECT user_id FROM events WHERE event_type = 'view'
+EXCEPT
+SELECT user_id FROM events
+WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-03 00:00:00'
+""",
+    ),
+    "set_intersect": (
+        rel.set_intersect,
+        """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+""",
+    ),
+    "batch_tumbling_counts": (
+        rel.batch_tumbling_counts,
+        """
+SELECT date_trunc('hour', ts) AS bucket, event_type,
+       CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    ),
+    "window_sliding_counts": (rel.window_sliding_counts, rel.WINDOW_SLIDING_SQL),
+    "scalar_null_safe": (
+        rel.scalar_null_safe,
+        """
+SELECT event_id,
+       nullif(event_type, 'error') AS masked_type,
+       nullif(event_type, 'error') IS NOT DISTINCT FROM NULL AS is_error,
+       nullif(event_type, 'error') IS NOT DISTINCT FROM 'click' AS is_click,
+       coalesce(nullif(event_type, 'error'), '(err)') AS type_or_default
+FROM events
+""",
+    ),
+    "text_token_counts": (tx.text_token_counts, tx.TEXT_TOKEN_COUNTS_SQL),
+    "text_quality_score": (tx.text_quality_score, tx.TEXT_QUALITY_SQL),
+    "text_langid": (tx.text_langid, tx.TEXT_LANGID_SQL),
+    "doc_fingerprint": (tx.doc_fingerprint, tx.DOC_FINGERPRINT_SQL),
+    "term_frequencies": (tx.term_frequencies, tx.TERM_FREQ_SQL),
+    "simhash_signatures": (dd.simhash_signatures, dd.SIMHASH_SQL),
+    "winnow_fingerprints": (dd.winnow_fingerprints, dd.WINNOW_SQL),
+    "ngram_jaccard_dupes": (dd.ngram_jaccard_dupes, dd.NGRAM_JACCARD_SQL),
+    "similarity_topk": (sim.similarity_topk, sim.SIMILARITY_TOPK_SQL),
+    "embedding_centroids": (sim.embedding_centroids, sim.EMBEDDING_CENTROIDS_SQL),
+}
+
+
+@pytest.mark.parametrize("name", sorted(DEMOTED))
+def test_demoted_query_still_matches_oracle(spark, name):
+    fn, sql = DEMOTED[name]
+    assert_matches_oracle(spark, fn, sql)
+
+
+def test_ann_lsh_topk_smoke(spark):
+    """Bucketed ANN (rows-only by nature): returns <=k rows from the
+    probe's bucket, cosine-descending."""
+    rows = sim.ann_lsh_topk(spark, SF_ORACLE).collect()
+    assert 0 < len(rows) <= 10
+    assert all(rows[i].cos >= rows[i + 1].cos for i in range(len(rows) - 1))
+
+
+def test_approx_distinct_within_tolerance(spark):
+    """HLL++ sketch (the one-pass 100 TB distinct path) stays within 5% of
+    the exact per-group distinct counts."""
+    exact = {
+        r.event_type: r.n_users
+        for r in rel.agg_distinct_users(spark, SF_ORACLE).collect()
+    }
+    approx = {
+        r.event_type: r.approx_users
+        for r in rel.agg_approx_distinct(spark, SF_ORACLE).collect()
+    }
+    assert set(exact) == set(approx)
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(1, 0.05 * n), (k, n, approx[k])

@@ -18,9 +18,10 @@ def test_filter_pushdown_reaches_scan(spark):
 
 
 def test_scan_prunes_columns(spark):
-    df = QUERIES["scan_events"](spark, SF_ORACLE)
-    cols = plans.read_schema_columns(df)
-    assert "props" not in cols and "value" not in cols
+    """A1 scan coverage: projections prune the parquet scan to used columns
+    (filter_predicates never reads props; extract never reads value)."""
+    cols = plans.read_schema_columns(QUERIES["filter_predicates"](spark, SF_ORACLE))
+    assert "props" not in cols
 
 
 def test_extract_prunes_to_used_columns(spark):
@@ -33,13 +34,20 @@ def test_join_inner_broadcasts_dimension(spark):
 
 
 def test_rollup_joins_broadcast(spark):
-    assert plans.has_broadcast_join(QUERIES["agg_rollup_nation_region"](spark, SF_ORACLE))
+    from streamsum_spark.operators import relational as rel
+
+    assert plans.has_broadcast_join(rel.agg_rollup_nation_region(spark, SF_ORACLE))
+    # the merged GROUPING SETS form keeps the same broadcast dims
+    assert plans.has_broadcast_join(QUERIES["agg_grouping_multi"](spark, SF_ORACLE))
 
 
 def test_lastn_uses_window_group_limit(spark):
     """The rank<=N filter must push into the sort (per-key state O(N))."""
-    assert plans.has_window_group_limit(QUERIES["window_rownum_lastn"](spark, SF_ORACLE))
+    from streamsum_spark.operators import relational as rel
+
+    assert plans.has_window_group_limit(rel.window_rownum_lastn(spark, SF_ORACLE))
     assert plans.has_window_group_limit(QUERIES["topk_per_group"](spark, SF_ORACLE))
+    assert plans.has_window_group_limit(QUERIES["lastn_per_key"](spark, SF_ORACLE))
 
 
 def test_count_cache_has_partial_aggregation(spark):
@@ -55,7 +63,44 @@ def test_transform_fanout_is_narrow(spark):
 
 
 def test_similarity_topk_broadcasts_probe(spark):
-    assert plans.has_broadcast_join(QUERIES["similarity_topk"](spark, SF_ORACLE))
+    from streamsum_spark.operators import similarity as sim
+
+    assert plans.has_broadcast_join(sim.similarity_topk(spark, SF_ORACLE))
+
+
+def test_knn_per_probe_never_broadcasts_probe_set(spark):
+    """The probe set is a fixed fraction of the corpus — at 100 TB it is
+    not broadcastable.  The plan must be a shuffled join keyed on the label
+    block, never a broadcast of the probe side."""
+    plan = plans.explain_str(QUERIES["knn_per_probe"](spark, SF_ORACLE))
+    assert "BroadcastHashJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_pack_into_chunks_window_is_partitioned(spark):
+    """Sequence packing must never funnel the corpus through one task: the
+    running-sum window is partitioned by hash prefix, so the plan contains
+    no single-partition exchange (the unpartitioned global window's
+    signature)."""
+    plan = plans.explain_str(QUERIES["pack_into_chunks"](spark, SF_ORACLE))
+    assert "SinglePartition" not in plan
+    assert "Window" in plan
+
+
+def test_encode_output_updated_single_shuffle_family(spark):
+    """The out-queue encoding is window-only over (cache_key, k[, action,
+    v]) — no joins, no collect, no Python."""
+    plan = plans.explain_str(QUERIES["encode_output_updated"](spark, SF_ORACLE))
+    assert "Join" not in plan
+    assert "pythonUDF" not in plan.lower()
+
+
+def test_near_dup_verified_joins_candidates_not_corpus(spark):
+    """Jaccard verification must consume LSH candidate pairs (keyed joins
+    of the candidate relation), never a shingle self-join of the corpus:
+    no nested-loop anywhere in the plan."""
+    plan = plans.explain_str(QUERIES["near_dup_verified"](spark, SF_ORACLE))
+    assert "NestedLoop" not in plan
 
 
 def test_salted_count_equals_direct(spark):
