@@ -206,7 +206,9 @@ def q_count_cache_inc_dec(spark: SparkSession, sf_dir: str) -> DataFrame:
     max-timestamp rule — the reference's inc/dec semantics (update.clj:44-91)
     as two window functions instead of a stateful fold.
     """
-    tuples = extract_events(table(spark, sf_dir, "events"))
+    from streamsum_spark.util import rebalance_for_cpu
+
+    tuples = extract_events(rebalance_for_cpu(table(spark, sf_dir, "events")))
     ops = tuples.select(
         F.col("subj").alias("subject"),
         F.when(F.col("pred") == "error", F.lit("dec")).otherwise(F.lit("inc")).alias("op"),

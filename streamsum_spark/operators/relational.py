@@ -628,39 +628,45 @@ def window_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling (1h) + sliding (1h length / 30m slide) time-window
     aggregations in one declared result (the merged form of
     batch_tumbling_counts / window_sliding_counts; the streaming twins in
-    streamsum_spark.streaming use the identical window() expressions).
+    streamsum_spark.streaming use the window() expressions directly).
 
-    Both branches are hash aggregations over the same scan; the sliding
-    branch's window() assigns each event to its 2 overlapping windows
-    (a bounded fan-out of 2, not a shuffle amplifier)."""
+    Plan design: both window families are DERIVED from one shared 30-minute
+    pre-aggregation — tumble(1h) re-groups the half-hour partials by hour;
+    slide(1h/30m) fans each partial out to its 2 overlapping windows
+    (explode of the tiny aggregated relation, not the event stream).  The
+    two branches share an identical aggregation subtree, so Spark's
+    exchange reuse executes the event scan + partial aggregation ONCE —
+    at 100 TB this halves the dominant cost vs aggregating each window
+    family from the raw scan.  Counts re-sum exactly; value sums re-sum on
+    the 0.01 decimal grid (round after the final sum, same convention as
+    everywhere else)."""
     ev = table(spark, sf_dir, "events")
+    base = ev.groupBy(
+        F.window("ts", "30 minutes").getField("start").alias("b30"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n30"), F.sum("value").alias("s30"))
     tumble = (
-        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        base.groupBy(F.date_trunc("hour", "b30").alias("w_start"), "event_type")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.sum("n30").cast("long").alias("n"),
+            F.round(F.sum("s30"), 2).alias("sum_value"),
         )
-        .select(
-            F.lit("tumble").alias("kind"),
-            F.col("w.start").alias("w_start"),
-            "event_type",
-            "n",
-            "sum_value",
-        )
+        .select(F.lit("tumble").alias("kind"), "w_start", "event_type", "n", "sum_value")
     )
     slide = (
-        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-        )
-        .select(
-            F.lit("slide").alias("kind"),
-            F.col("w.start").alias("w_start"),
+        base.select(
+            F.explode(
+                F.array(F.col("b30"), F.expr("b30 - INTERVAL 30 MINUTES"))
+            ).alias("w_start"),
             "event_type",
-            "n",
-            "sum_value",
+            "n30",
+            "s30",
         )
+        .groupBy("w_start", "event_type")
+        .agg(
+            F.sum("n30").cast("long").alias("n"),
+            F.round(F.sum("s30"), 2).alias("sum_value"),
+        )
+        .select(F.lit("slide").alias("kind"), "w_start", "event_type", "n", "sum_value")
     )
     return tumble.unionByName(slide)
 

