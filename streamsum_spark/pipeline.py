@@ -95,3 +95,10 @@ def count_cache_view(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEF
     tuples = cache_tuples(spark, sf_dir, cfg)
     name = cfg.cache_names("count")[0]
     return count_cache(tuples.where(F.col("cache_key") == name))
+
+
+def keycount_view(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """The keycount cache table (k, cnt) over its routed subset (A9)."""
+    tuples = cache_tuples(spark, sf_dir, cfg)
+    name = cfg.cache_names("keycount")[0]
+    return keycount(tuples.where(F.col("cache_key") == name))

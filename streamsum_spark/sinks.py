@@ -32,6 +32,34 @@ def write_cache_parquet(df: DataFrame, path: str, partition_cols: list[str] | No
     w.parquet(path)
 
 
+def write_cache_bucketed(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    bucket_cols: list[str],
+    num_buckets: int = 16,
+) -> None:
+    """Persist a cache view as a BUCKETED parquet table: rows are
+    hash-distributed into ``num_buckets`` files per partition on
+    ``bucket_cols`` and each bucket is sorted on them.
+
+    This is the co-location lever for the read-side API at scale: two
+    cache views bucketed the same way (same columns, same count) join
+    WITHOUT a shuffle — the scan itself satisfies the join's
+    distribution requirement, so repeated B-API queries against 100 TB
+    cache tables pay the shuffle once at write time, never per query
+    (pinned in tests/test_sinks.py::test_bucketed_cache_join_has_no_shuffle).
+    """
+    (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(num_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
 def upsert_batch(
     spark: SparkSession, target_path: str, updates: DataFrame, key_cols: list[str], order_col: str
 ) -> None:

@@ -54,6 +54,44 @@ def test_upsert_is_idempotent_and_merges(spark):
     assert got2 == got
 
 
+def test_bucketed_cache_join_has_no_shuffle(spark):
+    """Two cache views bucketed the same way on the join key co-locate:
+    the B-API join over them must contain NO Exchange — at 100 TB the
+    shuffle is paid once at write time, never per read-side query."""
+    from streamsum_spark.plans import explain_str
+
+    base = os.path.join(tempfile.mkdtemp(), "bucketed")
+    counts = pipeline.count_cache_view(spark, SF_SMOKE)
+    keycounts = pipeline.keycount_view(spark, SF_SMOKE).withColumnRenamed("k", "subject")
+    sinks.write_cache_bucketed(
+        counts, "cache_counts_b", os.path.join(base, "counts"), ["subject"], 8
+    )
+    sinks.write_cache_bucketed(
+        keycounts, "cache_keycounts_b", os.path.join(base, "keycounts"), ["subject"], 8
+    )
+    # hint("merge"): at real cache-table scale neither side broadcasts, so
+    # sort-merge IS the production join — at test scale Spark would pick a
+    # broadcast join and skip the bucketed path entirely
+    joined = (
+        spark.table("cache_counts_b")
+        .hint("merge")
+        .join(
+            spark.table("cache_keycounts_b")
+            .hint("merge")
+            .withColumnRenamed("cnt", "subj_updates"),
+            "subject",
+        )
+    )
+    plan = explain_str(joined)
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
+    # and the join is still correct vs the unbucketed form
+    expected = counts.join(
+        keycounts.withColumnRenamed("cnt", "subj_updates"), "subject"
+    )
+    assert canon_rows(joined.toPandas()) == canon_rows(expected.toPandas())
+
+
 def test_checkpoint_recovery_is_exactly_once(spark):
     """Re-running the same stream against the same checkpoint must process
     nothing new (no double-counting) — the exactly-once guarantee the
