@@ -187,6 +187,82 @@ GROUP BY label, idx
 """
 
 
+def kmeans_ivf_index(
+    spark: SparkSession, sf_dir: str, n_lists: int = 8, seed: int = 7
+) -> tuple[DataFrame, DataFrame]:
+    """Learned IVF coarse quantizer: k-means over the embedding space via
+    pyspark.ml (the idiomatic Spark path — Lloyd's iterations are
+    treeAggregate jobs, no driver-side loops over rows).
+
+    Returns ``(assignments, centroids)``: (vec_id, list_id) and
+    (list_id, centroid ARRAY<DOUBLE>).  Unlike the label-list quantizer
+    (embedding_centroids), the lists are GEOMETRIC Voronoi cells, so a
+    probe's true neighbors concentrate in its own + adjacent cells and
+    small-nprobe recall is high (pinned in
+    tests/test_similarity_quality.py::test_kmeans_ivf_beats_label_lists).
+
+    100 TB posture: fit on a bounded sample (the quantizer needs only
+    cluster geometry), broadcast the n_lists x dim centroid table — tiny
+    by construction — and compute assignments as a map-side argmin
+    projection; the corpus is then written partitioned by list_id so an
+    nprobe-list query prunes to nprobe partitions.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = table(spark, sf_dir, "embeddings")
+    feats = emb.select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    model = KMeans(
+        k=n_lists, seed=seed, featuresCol="features", predictionCol="list_id"
+    ).fit(feats)
+    assignments = model.transform(feats).select(
+        "vec_id", F.col("list_id").cast("long").alias("list_id")
+    )
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "list_id long, centroid array<double>",
+    )
+    return assignments, centroids
+
+
+def ann_ivf_kmeans_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    probe_vec_id: int = 0,
+    k: int = 10,
+    nprobe: int = 2,
+    n_lists: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF ANN over k-means lists: route the probe to its ``nprobe``
+    nearest centroids, exact cosine only within those lists.  Same plan
+    shape as ann_ivf_topk (broadcast centroid route -> pruned corpus scan
+    -> top-k), with the learned quantizer in place of label lists."""
+    emb = table(spark, sf_dir, "embeddings")
+    assignments, centroids = kmeans_ivf_index(spark, sf_dir, n_lists, seed)
+    probe = emb.where(F.col("vec_id") == probe_vec_id).select(
+        F.col("embedding").alias("q")
+    )
+    nearest = (
+        centroids.join(F.broadcast(probe))
+        .select("list_id", F.expr(_cos_expr("centroid", "q")).alias("cc"))
+        .orderBy(F.col("cc").desc(), F.col("list_id"))
+        .limit(nprobe)
+    )
+    return (
+        emb.join(assignments, "vec_id")
+        .join(F.broadcast(nearest.select("list_id")), "list_id")
+        .join(F.broadcast(probe))
+        .where(F.col("vec_id") != probe_vec_id)
+        .select("vec_id", F.expr(_cos_expr("embedding", "q")).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
 def ann_ivf_topk(
     spark: SparkSession,
     sf_dir: str,
