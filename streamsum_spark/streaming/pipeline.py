@@ -178,6 +178,40 @@ def stream_tumbling_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg, "append")
 
 
+def stream_sessionize(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_minutes: int = 5,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of relational.sessionize_events: the same
+    session_window expression over the event stream, update mode.
+
+    Spark supports session-window streaming aggregation in append and
+    complete modes only (update would re-emit a session whose window is
+    still merging).  This harness runs COMPLETE mode so the final snapshot
+    is the exact full session set, hash-comparable to the batch oracle;
+    the production path is append + a real-lateness watermark, where a
+    session emits (and its state evicts) once the watermark passes its
+    end — same expression, bounded state.  The watermark here still
+    drives session merging in the state store; 30 days just keeps every
+    session un-finalized so the snapshot stays complete."""
+    ev = stream_events(spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger)
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark("ts", "30 days")
+    agg = (
+        ev.groupBy("user_id", F.session_window("ts", f"{gap_minutes} minutes").alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    )
+    return _run_to_memory(agg, "complete")
+
+
 def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup on (user_id, event_type) within the watermark —
     dropDuplicatesWithinWatermark bounds state, unlike global

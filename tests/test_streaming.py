@@ -47,6 +47,36 @@ def test_stream_dedup_and_late_data_emit(spark):
     assert 0 < late.count()
 
 
+def test_stream_sessionize_multibatch_equals_batch(spark, tmp_path):
+    """Streaming session windows across micro-batches == batch
+    sessionization: sessions that straddle a micro-batch boundary must be
+    extended by the state store, not restarted."""
+    import glob as g
+    import os
+    import shutil
+
+    from streamsum_spark.operators.relational import sessionize_events
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(os.path.join(SF_SMOKE, "events.parquet")).orderBy("ts", "event_id")
+    rows = raw.collect()
+    n = len(rows)
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src, exist_ok=True)
+    step = (n + 2) // 3
+    for i, lo in enumerate(range(0, n, step)):
+        part = spark.createDataFrame(rows[lo : lo + step], raw.schema)
+        part.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"sess_slice{i}"))
+        f = g.glob(str(tmp_path / f"sess_slice{i}" / "part-*.parquet"))[0]
+        shutil.copy(f, os.path.join(src, f"events_{i}.parquet"))
+
+    stream = sp.stream_sessionize(
+        spark, src, glob="events_*.parquet", max_files_per_trigger=1
+    )
+    batch = sessionize_events(spark, SF_SMOKE)
+    _assert_same(batch, stream)
+
+
 def test_multibatch_stateful_folds_match_batch(spark, tmp_path):
     """Split the events into 3 time-ordered files and stream them one file
     per micro-batch: state must carry across batches so the cross-batch
