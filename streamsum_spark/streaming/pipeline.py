@@ -311,6 +311,109 @@ def stream_clamp_dec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_clamp_dec_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 exact streaming form on the transformWithStateInPandas API —
+    Spark 4's successor to applyInPandasWithState (SPARK-49479: arbitrary
+    named state, timers, TTL, RocksDB-backed).  Same reference fold as
+    _clamp_fold; kept alongside the applyInPandasWithState path so both
+    stateful APIs stay covered while the ecosystem migrates.
+
+    transformWithState requires the RocksDB state store provider — itself
+    the 100 TB-relevant choice (state spills to disk instead of executor
+    heap); the conf is set for this query and restored after.
+
+    Availability gate: the API's driver-side state server speaks protobuf
+    over a local socket; this container has no ``protobuf`` package, so
+    the call raises a clear RuntimeError here and runs anywhere protobuf
+    is installed (the equivalence test importorskips).  The
+    applyInPandasWithState path (stream_clamp_dec) covers the same fold
+    unconditionally."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:
+        raise RuntimeError(
+            "transformWithStateInPandas unavailable: its driver-side state "
+            "server requires the 'protobuf' package, which is not installed; "
+            "use stream_clamp_dec (applyInPandasWithState) instead"
+        ) from exc
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _ClampProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("clamp", _CLAMP_STATE)
+
+        def handleInputRows(self, key, rows, timer_values):  # noqa: ANN001
+            st = self._state.get() if self._state.exists() else None
+            cnt, latest_us, has_inc, n_seen = st if st else (0, None, False, 0)
+            chunks = [pdf for pdf in rows if len(pdf)]
+            if chunks:
+                pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "seq"])
+                for op, ts in zip(pdf["op"], pdf["ts"]):
+                    us = int(pd.Timestamp(ts).value // 1000)
+                    n_seen += 1
+                    if op == "inc":
+                        cnt += 1
+                        has_inc = True
+                        latest_us = us if latest_us is None else max(latest_us, us)
+                    elif cnt > 0:
+                        cnt -= 1
+            self._state.update((cnt, latest_us, has_inc, n_seen))
+            if has_inc:
+                yield pd.DataFrame(
+                    {
+                        "subject": [key[0]],
+                        "cnt": [cnt],
+                        "latest_us": [latest_us],
+                        "n_seen": [n_seen],
+                    }
+                )
+
+        def close(self) -> None:
+            pass
+
+    tuples = extract_events(stream_events(spark, sf_dir))
+    ops = tuples.select(
+        F.col("subj").alias("subject"),
+        F.when(F.col("pred") == "error", F.lit("dec")).otherwise(F.lit("inc")).alias("op"),
+        "ts",
+        "seq",
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        folded = ops.groupBy("subject").transformWithStateInPandas(
+            statefulProcessor=_ClampProcessor(),
+            outputStructType=_CLAMP_OUT,
+            outputMode="Update",
+            timeMode="None",
+        )
+        mem = _run_to_memory(folded, "update")
+        mem = (
+            mem.groupBy("subject")
+            .agg(F.expr("max_by(struct(cnt, latest_us), n_seen)").alias("_s"))
+            .select("subject", "_s.cnt", "_s.latest_us")
+        ).localCheckpoint()  # materialize before the provider conf reverts
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    return mem.select(
+        "subject",
+        "cnt",
+        F.expr("timestampadd(MICROSECOND, latest_us, TIMESTAMP_NTZ '1970-01-01 00:00:00')").alias(
+            "latest_ts"
+        ),
+    )
+
+
 _LASTN_OUT = T.StructType(
     [
         T.StructField("k", T.StringType()),

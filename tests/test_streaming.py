@@ -47,6 +47,37 @@ def test_stream_dedup_and_late_data_emit(spark):
     assert 0 < late.count()
 
 
+def test_stream_clamp_dec_tws_equals_batch(spark):
+    """The transformWithStateInPandas (Spark 4 stateful API, RocksDB
+    provider) clamp fold must agree with the batch closed form — same pin
+    as the applyInPandasWithState path, different state machinery.  Skips
+    where protobuf (required by the API's driver-side state server) is
+    absent; test_stream_clamp_dec_tws_gated then pins the clear error."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from streamsum_spark.entry_queries import QUERIES
+
+    batch = QUERIES["count_cache_inc_dec"](spark, SF_SMOKE)
+    stream = sp.stream_clamp_dec_tws(spark, SF_SMOKE)
+    _assert_same(batch, stream)
+
+
+def test_stream_clamp_dec_tws_gated_without_protobuf(spark):
+    """Without protobuf the TWS path must fail fast with an actionable
+    error (not a mid-query worker crash)."""
+    import pytest
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        pytest.skip("protobuf installed: gate inactive")
+    except ImportError:
+        pass
+    with pytest.raises(RuntimeError, match="transformWithStateInPandas unavailable"):
+        sp.stream_clamp_dec_tws(spark, SF_SMOKE)
+
+
 def test_stream_sessionize_multibatch_equals_batch(spark, tmp_path):
     """Streaming session windows across micro-batches == batch
     sessionization: sessions that straddle a micro-batch boundary must be
