@@ -334,28 +334,50 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     Expression-only: gram hashing reuses the md5-prefix integer trick
     (cross-engine identical), window minima are an array transform — one
     projection, no explode until the final distinct-fingerprint rows.
+
+    The gram array is materialized in its own projection column FIRST:
+    higher-order-function lambdas are interpreted (no codegen, no common
+    subexpression elimination), so inlining the gram expression into the
+    window lambda would recompute the whole md5 array per window position
+    — O(len²) digests per document (measured 40x slower at sf0.1).
     """
     docs = rebalance_for_cpu(table(spark, sf_dir, "documents"))
-    return docs.select("doc_id", F.explode(F.expr(winnow_expr("text"))).alias("fp"))
+    return (
+        docs.withColumn("_g", F.expr(grams_expr("text")))
+        .select("doc_id", F.explode(F.expr(winnow_from_grams("_g"))).alias("fp"))
+    )
 
 
-def winnow_expr(text_col: str) -> str:
-    """Winnowed fingerprint array expression over ``text_col``.
-
-    Both levels are guarded for short inputs (see shingles_expr: Spark's
+def grams_expr(text_col: str) -> str:
+    """Array of k-char-gram hashes over ``text_col`` (one md5 per
+    position), guarded for short inputs (see shingles_expr: Spark's
     sequence() descends for stop < start, which would crash slice())."""
-    grams = (
+    return (
         f"CASE WHEN length({text_col}) >= {WINNOW_K} THEN "
         f"transform(sequence(1, length({text_col}) - {WINNOW_K - 1}), "
         f"i -> CAST(conv(substring(md5(substring({text_col}, i, {WINNOW_K})), 1, 12), 16, 10) AS BIGINT)) "
         f"ELSE array() END"
     )
+
+
+def winnow_from_grams(grams_col: str) -> str:
+    """Winnowed fingerprint set over a MATERIALIZED gram-array column:
+    sliding-window minima + distinct.  Must not be fed the gram
+    expression inline (see winnow_fingerprints)."""
     return (
-        f"CASE WHEN size({grams}) >= {WINNOW_W} THEN "
-        f"array_distinct(transform(sequence(1, size({grams}) - {WINNOW_W - 1}), "
-        f"i -> array_min(slice({grams}, i, {WINNOW_W})))) "
+        f"CASE WHEN size({grams_col}) >= {WINNOW_W} THEN "
+        f"array_distinct(transform(sequence(1, size({grams_col}) - {WINNOW_W - 1}), "
+        f"i -> array_min(slice({grams_col}, i, {WINNOW_W})))) "
         f"ELSE array() END"
     )
+
+
+def winnow_expr(text_col: str) -> str:
+    """Self-contained winnow expression (gram expr inlined into the window
+    lambda).  Kept for fixture-scale tests ONLY — quadratic in document
+    length under interpreted HOF evaluation; hot paths use
+    grams_expr + winnow_from_grams over a materialized column."""
+    return winnow_from_grams(grams_expr(text_col))
 
 
 WINNOW_SQL = f"""
@@ -394,10 +416,10 @@ def doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = rebalance_for_cpu(table(spark, sf_dir, "documents"))
     fp = f"md5(array_join(array_sort(array_distinct({TOKENS_EXPR})), ' '))"
     winnow_digest = (
-        f"md5(array_join(transform(array_sort({winnow_expr('text')}), "
+        f"md5(array_join(transform(array_sort({winnow_from_grams('_g')}), "
         f"x -> CAST(x AS STRING)), ','))"
     )
-    return docs.select(
+    return docs.withColumn("_g", F.expr(grams_expr("text"))).select(
         "doc_id",
         F.expr(fp).alias("fingerprint"),
         F.expr(simhash_expr()).alias("simhash"),
