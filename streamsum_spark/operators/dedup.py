@@ -32,6 +32,11 @@ from streamsum_spark.functions.expressions import (  # noqa: E402
 
 _SHINGLES = shingles_expr(SHINGLE)
 _SHINGLES_SQL = shingles_sql(SHINGLE)
+# Shingle expression over a MATERIALIZED token-array column: the transform
+# lambda is interpreted (no CSE), so the inline form re-splits the text per
+# shingle position — hot paths project "_toks" first (same lesson as
+# winnow_from_grams).
+_SHINGLES_T = shingles_expr(SHINGLE, "_toks")
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,12 +82,14 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle carries 16 longs per doc per map task) -> stack to rows.
     """
     docs = rebalance_for_cpu(table(spark, sf_dir, "documents"))
-    ex = docs.select(
-        "doc_id", F.explode(F.expr(f"array_distinct({_SHINGLES})")).alias("s")
-    ).select(
-        "doc_id",
-        F.expr("CAST(conv(substring(md5(s), 1, 12), 16, 10) AS BIGINT)").alias("h1"),
-        F.expr("CAST(conv(substring(md5(s), 13, 12), 16, 10) AS BIGINT)").alias("h2"),
+    ex = (
+        docs.withColumn("_toks", F.expr(_TOKS))
+        .select("doc_id", F.explode(F.expr(f"array_distinct({_SHINGLES_T})")).alias("s"))
+        .select(
+            "doc_id",
+            F.expr("CAST(conv(substring(md5(s), 1, 12), 16, 10) AS BIGINT)").alias("h1"),
+            F.expr("CAST(conv(substring(md5(s), 13, 12), 16, 10) AS BIGINT)").alias("h2"),
+        )
     )
     mins = ex.groupBy("doc_id").agg(
         *[
@@ -170,12 +177,14 @@ def ngram_jaccard_dupes(spark: SparkSession, sf_dir: str, threshold: float = 0.2
     Scale path: feed only lsh_candidate_pairs through this verification;
     here the shingle join doubles as candidate generation because docs
     sharing zero shingles can't pass any threshold."""
-    docs = rebalance_for_cpu(table(spark, sf_dir, "documents"))
+    docs = rebalance_for_cpu(table(spark, sf_dir, "documents")).withColumn(
+        "_toks", F.expr(_TOKS)
+    )
     ex = docs.select(
-        "doc_id", F.explode(F.expr(f"array_distinct({_SHINGLES})")).alias("s")
+        "doc_id", F.explode(F.expr(f"array_distinct({_SHINGLES_T})")).alias("s")
     )
     sizes = docs.select(
-        "doc_id", F.expr(f"size(array_distinct({_SHINGLES}))").alias("n")
+        "doc_id", F.expr(f"size(array_distinct({_SHINGLES_T}))").alias("n")
     )
     inter = (
         ex.alias("a")
@@ -230,8 +239,8 @@ def near_dup_verified(spark: SparkSession, sf_dir: str, threshold: float = 0.2) 
     """
     cand = lsh_candidate_pairs(spark, sf_dir)
     docs = table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.expr(f"array_distinct({_SHINGLES})").alias("sh")
+    sh = docs.withColumn("_toks", F.expr(_TOKS)).select(
+        "doc_id", F.expr(f"array_distinct({_SHINGLES_T})").alias("sh")
     )
     scored = (
         cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
@@ -285,17 +294,23 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_expr() -> str:
-    """32-bit SimHash as a single Catalyst expression over ``text``."""
-    # per token: 32-element array of +1/-1; fold element-wise; then sign-bits
+    """32-bit SimHash as a single Catalyst expression over ``text``.
+
+    The token digests are materialized by an inner ``transform(toks,
+    x -> md5(x))`` and the per-bit tests reference the lambda VARIABLE
+    ``m`` — interpreted HOF lambdas get no subexpression elimination, so
+    inlining ``md5(x)`` into the bit lambda would hash every token 32
+    times (once per bit) instead of once."""
+    # per token digest m: 32-element array of +1/-1; fold element-wise
     bit = (
         "transform(sequence(0, 31), b -> "
-        "CASE WHEN (CAST(instr('0123456789abcdef', substring(md5(x), 1 + CAST(b / 4 AS INT), 1)) - 1 AS INT) "
+        "CASE WHEN (CAST(instr('0123456789abcdef', substring(m, 1 + CAST(b / 4 AS INT), 1)) - 1 AS INT) "
         "          >> (b % 4)) & 1 = 1 THEN 1 ELSE -1 END)"
     )
     folded = (
-        f"aggregate(transform({_TOKS}, x -> {bit}), "
+        f"aggregate(transform({_TOKS}, x -> md5(x)), "
         f"transform(sequence(0, 31), b -> 0), "
-        f"(acc, v) -> zip_with(acc, v, (a, x) -> a + x))"
+        f"(acc, m) -> zip_with(acc, {bit}, (a, x) -> a + x))"
     )
     return (
         f"aggregate(zip_with({folded}, sequence(0, 31), "
