@@ -163,6 +163,44 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str, probe_vec_id: int = 0, k: int
     )
 
 
+def ann_lsh_multiprobe_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    probe_vec_id: int = 0,
+    k: int = 10,
+    flip_bits: int = 1,
+) -> DataFrame:
+    """Multi-probe sign-LSH: probe the query's own bucket PLUS every
+    bucket within Hamming distance ``flip_bits`` of it (standard
+    multi-probe LSH: a vector near a hyperplane falls on the wrong side
+    of that one bit, so its bucket differs from the query's in exactly
+    that bit).
+
+    The probed bucket ids are a tiny generated relation (1 + planes
+    buckets for flip_bits=1) — explode + equi-join on bucket, so the
+    corpus-side plan is identical to single-probe: bucket stays the
+    shuffle/partition key and the scan prunes to the probed buckets.
+    Recall vs single-probe is pinned in tests/test_similarity_quality.py."""
+    assert flip_bits in (0, 1), "flip_bits > 1 not needed at these plane counts"
+    emb = table(spark, sf_dir, "embeddings")
+    buckets = lsh_bucket(spark, sf_dir).select("vec_id", "bucket")
+    with_b = emb.join(buckets, "vec_id")
+    flips = [0] + ([1 << j for j in range(N_PLANES)] if flip_bits else [])
+    probe = with_b.where(F.col("vec_id") == probe_vec_id).select(
+        F.col("embedding").alias("q"),
+        F.explode(
+            F.array(*[F.expr(f"CAST(bucket ^ {m} AS BIGINT)") for m in flips])
+        ).alias("p_bucket"),
+    )
+    return (
+        with_b.join(F.broadcast(probe), F.col("bucket") == F.col("p_bucket"))
+        .where(F.col("vec_id") != probe_vec_id)
+        .select("vec_id", F.expr(_cos_expr("embedding", "q")).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid, element-wise mean — the IVF coarse quantizer
     building block.  Row form (label, idx, c) for stable oracle hashing;

@@ -54,6 +54,30 @@ def test_upsert_is_idempotent_and_merges(spark):
     assert got2 == got
 
 
+def test_partitioned_cache_read_prunes_partitions(spark):
+    """A cache table written partitionBy(action) must serve an
+    action-filtered read by PRUNING to that partition's directory — the
+    filter appears as a PartitionFilter on the scan, not a post-scan
+    Filter over all partitions.  At 100 TB this is the difference between
+    reading one action's files and reading everything."""
+    from streamsum_spark.plans import explain_str
+
+    cache = pipeline.count_cache_view(spark, SF_SMOKE)
+    path = os.path.join(tempfile.mkdtemp(), "part_cache")
+    sinks.write_cache_parquet(cache, path, partition_cols=["action"])
+    got = spark.read.parquet(path).where(F.col("action") == "click")
+    plan = explain_str(got)
+    assert "PartitionFilters" in plan, plan
+    scan_section = plan[plan.find("PartitionFilters") :].split("]", 1)[0]
+    assert "click" in scan_section, plan
+    # and the values are right
+    expected = {
+        (r.subject, r.obj, r.cnt)
+        for r in cache.where(F.col("action") == "click").collect()
+    }
+    assert {(r.subject, r.obj, r.cnt) for r in got.collect()} == expected
+
+
 def test_bucketed_cache_join_has_no_shuffle(spark):
     """Two cache views bucketed the same way on the join key co-locate:
     the B-API join over them must contain NO Exchange — at 100 TB the
