@@ -141,6 +141,61 @@ def topk_by_count_time(cache: DataFrame, k: int = 100) -> DataFrame:
     return tuples_sorted(cache, by="count_time", asc=False).limit(k)
 
 
+class CountSummaryTable:
+    """The reference's Java read API, shape-for-shape, over a (usually
+    materialized) count-cache table — the ergonomic layer a CountSummary
+    caller switches to (CountSummary.java:6-44, Queries.java:9-25).
+
+    Methods return plain Python values like the Java API returns objects:
+    these are point reads and small merges over the PRE-AGGREGATED cache
+    relation (one row per (subject, action, obj)), so collecting the
+    result is the contract, not a scale hazard — the corpus-sized work
+    happened once, at cache build/write time.  Construct from any cache
+    DataFrame or from a stored table via :meth:`from_parquet` (pair with
+    sinks.write_cache_bucketed so repeated reads stay shuffle-free).
+    """
+
+    def __init__(self, cache: DataFrame):
+        self._cache = cache
+
+    @classmethod
+    def from_parquet(cls, spark, path: str) -> "CountSummaryTable":
+        return cls(spark.read.parquet(path))
+
+    def getCount(self, subj, action, obj) -> tuple:
+        """(obj, cnt, latest_ts); (obj, 0, None) on miss — never null."""
+        r = get_count(self._cache, subj, action, obj).collect()[0]
+        return (r.obj, r.cnt, r.latest_ts)
+
+    def actionsForSubj(self, subj) -> list:
+        """Distinct actions for the subject; [] on miss."""
+        return sorted(r.action for r in actions_for_subj(self._cache, subj).collect())
+
+    def countsForSubjAction(self, subj, *actions) -> list:
+        """Per-object (obj, cnt, latest_ts) merged across the action set."""
+        rows = counts_for_subj_action(
+            self._cache, subj, list(actions) or None
+        ).collect()
+        return sorted((r.obj, r.cnt, r.latest_ts) for r in rows)
+
+    def sumCounts(self, subj, *actions) -> int:
+        """Total count for the subject (optional action set); 0 on miss."""
+        rows = sum_counts(self._cache, subj, list(actions) or None).collect()
+        return int(rows[0].total) if rows else 0
+
+    def tuplesForSubjAction(self, subj=None, *actions, comparator=None, asc=False) -> list:
+        """Flat (subject, action, obj, cnt, latest_ts) tuples; optional
+        comparator in {'time', 'count', 'count_time'} (Queries.java:18-24)."""
+        if comparator is None:
+            df = tuples_for_subj_action(self._cache, subj, list(actions) or None)
+        else:
+            df = tuples_sorted(
+                self._cache, by=comparator, asc=asc, subj=subj,
+                actions=list(actions) or None,
+            )
+        return [(r.subject, r.action, r.obj, r.cnt, r.latest_ts) for r in df.collect()]
+
+
 def topk_per_group(
     df: DataFrame, part_cols: list[str], order_cols: list, k: int
 ) -> DataFrame:
