@@ -69,6 +69,94 @@ class PipelineConfig:
         return {c.name: c for c in self.caches}
 
 
+_KNOWN_KINDS = ("assoc", "lastn", "count", "keycount")
+
+
+def config_from_dict(d: dict) -> PipelineConfig:
+    """Build a PipelineConfig from plain data (parsed JSON/YAML/TOML) —
+    the reference's config file, minus the code-execution surface
+    (system.clj:32-38 ``load-file``s executable Clojure; we accept only
+    data).  Shape validation mirrors validate-config (system.clj:40-51):
+    every problem raises ValueError naming the offending entry.
+
+    Expected shape::
+
+        {"patterns": [{"pred": "click",
+                       "outputs": [{"cache": "c", "key_field": "subj",
+                                    "val_field": "obj", "action": null}]}],
+         "caches":   [{"name": "c", "kind": "lastn", "description": ""}],
+         "lastn_buf_size": 20}
+
+    Unknown cache ``kind``s are allowed here (the cache-factory SPI can
+    register them at build time); build_caches raises if no factory
+    matches.  A pattern output routed to an UNDECLARED cache is an error
+    — the reference drops such tuples silently at record! time
+    (caches.clj:166-170), but in a declared-config engine that is a
+    config bug worth failing fast on.
+    """
+    caches = tuple(
+        CacheSpec(c["name"], c["kind"], c.get("description", ""))
+        for c in d.get("caches", ())
+    )
+    if not caches:
+        raise ValueError("config.caches must declare at least one cache")
+    names = {c.name for c in caches}
+    patterns = []
+    for p in d.get("patterns", ()):
+        outputs = []
+        for o in p.get("outputs", ()):
+            for fld in ("cache", "key_field", "val_field"):
+                if fld not in o:
+                    raise ValueError(f"pattern {p.get('pred')!r}: output missing {fld!r}")
+            if o["cache"] not in names:
+                raise ValueError(
+                    f"pattern {p.get('pred')!r} routes to undeclared cache {o['cache']!r}"
+                )
+            if o["key_field"] not in ("subj", "obj") or o["val_field"] not in ("subj", "obj"):
+                raise ValueError(
+                    f"pattern {p.get('pred')!r}: key/val fields must be 'subj' or 'obj'"
+                )
+            outputs.append(
+                TupleTemplate(o["cache"], o["key_field"], o["val_field"], o.get("action"))
+            )
+        if not outputs:
+            raise ValueError(f"pattern {p.get('pred')!r} has no outputs")
+        patterns.append(TransformPattern(p["pred"], tuple(outputs)))
+    if not patterns:
+        raise ValueError("config.patterns must declare at least one pattern")
+    return PipelineConfig(
+        patterns=tuple(patterns),
+        caches=caches,
+        lastn_buf_size=int(d.get("lastn_buf_size", 20)),
+    )
+
+
+def config_to_dict(cfg: PipelineConfig) -> dict:
+    """Inverse of config_from_dict (round-trip stable)."""
+    return {
+        "patterns": [
+            {
+                "pred": p.pred,
+                "outputs": [
+                    {
+                        "cache": t.cache,
+                        "key_field": t.key_field,
+                        "val_field": t.val_field,
+                        "action": t.action,
+                    }
+                    for t in p.outputs
+                ],
+            }
+            for p in cfg.patterns
+        ],
+        "caches": [
+            {"name": c.name, "kind": c.kind, "description": c.description}
+            for c in cfg.caches
+        ],
+        "lastn_buf_size": cfg.lastn_buf_size,
+    }
+
+
 # Structural mirror of config.clj:7-21 over the driver's event vocabulary.
 DEFAULT_CONFIG = PipelineConfig(
     patterns=(
