@@ -201,6 +201,51 @@ def ann_lsh_multiprobe_topk(
     )
 
 
+def embedding_near_dupes(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.9,
+    flip_bits: int = 1,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (the vector-space member of
+    the dedup family, alongside MinHash/SimHash/Jaccard): candidates are
+    vectors sharing a sign-LSH bucket — one side expanded to its
+    Hamming-``flip_bits`` buckets so near-hyperplane pairs split across
+    adjacent buckets are still candidates — then exact cosine verifies
+    and ``threshold`` filters.  Output: (vec_a, vec_b, cos), vec_a < vec_b.
+
+    Scale shape: the join key is the bucket id (equi-join, shuffle on
+    bucket), so the quadratic term is per-bucket, never corpus-wide —
+    the same candidates-then-verify architecture as near_dup_verified.
+    Precision is 1.0 by construction (every emitted pair is exactly
+    verified); recall vs brute force is pinned in
+    tests/test_similarity_quality.py."""
+    assert flip_bits in (0, 1)
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    with_b = emb.join(lsh_bucket(spark, sf_dir).select("vec_id", "bucket"), "vec_id")
+    flips = [0] + ([1 << j for j in range(N_PLANES)] if flip_bits else [])
+    expanded = with_b.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.explode(
+            F.array(*[F.expr(f"CAST(bucket ^ {m} AS BIGINT)") for m in flips])
+        ).alias("bucket_b"),
+    )
+    return (
+        with_b.join(
+            expanded,
+            (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_id") < F.col("vec_b")),
+        )
+        .select(
+            F.col("vec_id").alias("vec_a"),
+            "vec_b",
+            F.expr(_cos_expr("embedding", "emb_b")).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+
+
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid, element-wise mean — the IVF coarse quantizer
     building block.  Row form (label, idx, c) for stable oracle hashing;
