@@ -73,6 +73,17 @@ GROUP BY 1
 _MINHASH_P = 4294967291  # largest prime < 2^32; j*h2 <= 16*2^48 < 2^63
 
 
+def shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh) with sh = the distinct 3-word shingle set — the shared
+    input of MinHash signature generation AND exact Jaccard verification.
+    Composite pipelines compute this ONCE (and persist it) instead of
+    re-tokenizing the corpus per consumer."""
+    docs = rebalance_for_cpu(table(spark, sf_dir, "documents"))
+    return docs.withColumn("_toks", F.expr(_TOKS)).select(
+        "doc_id", F.expr(f"array_distinct({_SHINGLES_T})").alias("sh")
+    )
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature rows (doc_id, band, mh): 16 permuted min-hashes
     over 3-word shingles.
@@ -81,10 +92,13 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates in a single hash aggregation (map-side partial combine, so
     the shuffle carries 16 longs per doc per map task) -> stack to rows.
     """
-    docs = rebalance_for_cpu(table(spark, sf_dir, "documents"))
+    return _signatures_from(shingle_sets(spark, sf_dir))
+
+
+def _signatures_from(sh: DataFrame) -> DataFrame:
+    """Signature rows from a (doc_id, sh) shingle-set relation."""
     ex = (
-        docs.withColumn("_toks", F.expr(_TOKS))
-        .select("doc_id", F.explode(F.expr(f"array_distinct({_SHINGLES_T})")).alias("s"))
+        sh.select("doc_id", F.explode("sh").alias("s"))
         .select(
             "doc_id",
             F.expr("CAST(conv(substring(md5(s), 1, 12), 16, 10) AS BIGINT)").alias("h1"),
@@ -121,7 +135,10 @@ GROUP BY doc_id, j
 
 
 def lsh_candidate_pairs(
-    spark: SparkSession, sf_dir: str, max_bucket: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    max_bucket: int | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding (r=1): docs sharing any (band, minhash) bucket are
     candidate near-dup pairs.  The join is on the tiny signature relation;
@@ -136,8 +153,13 @@ def lsh_candidate_pairs(
     carries almost no similarity signal — standard LSH practice).  The
     declared query keeps cap=None so the oracle stays the pure banding
     semantics; the capped form is pinned by pytest as a subset.
+
+    ``sig`` lets a composite pipeline pass a persisted signature relation
+    so the self-join's two sides share one computation (Catalyst does not
+    reuse the exchange across these aliased subtrees).
     """
-    sig = minhash_signatures(spark, sf_dir)
+    if sig is None:
+        sig = minhash_signatures(spark, sf_dir)
     if max_bucket is not None:
         from pyspark.sql import Window
 
@@ -176,16 +198,14 @@ def ngram_jaccard_dupes(spark: SparkSession, sf_dir: str, threshold: float = 0.2
 
     Scale path: feed only lsh_candidate_pairs through this verification;
     here the shingle join doubles as candidate generation because docs
-    sharing zero shingles can't pass any threshold."""
-    docs = rebalance_for_cpu(table(spark, sf_dir, "documents")).withColumn(
-        "_toks", F.expr(_TOKS)
-    )
-    ex = docs.select(
-        "doc_id", F.explode(F.expr(f"array_distinct({_SHINGLES_T})")).alias("s")
-    )
-    sizes = docs.select(
-        "doc_id", F.expr(f"size(array_distinct({_SHINGLES_T}))").alias("n")
-    )
+    sharing zero shingles can't pass any threshold.  The shingle-set
+    relation feeds four subtrees (ex x2, sizes x2), so it is persisted
+    once rather than re-tokenized per consumer."""
+    from pyspark import StorageLevel
+
+    sh = shingle_sets(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    sizes = sh.select("doc_id", F.expr("size(sh)").alias("n"))
     inter = (
         ex.alias("a")
         .join(ex.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -236,22 +256,34 @@ def near_dup_verified(spark: SparkSession, sf_dir: str, threshold: float = 0.2) 
 
     Jaccard here is one integer division (exactly rounded IEEE), so values
     hash identically across engines.
+
+    The shingle-set relation is the shared input of BOTH stages (signatures
+    derive from it; verification intersects it), and each stage consumes it
+    twice (self-join / sa-sb join) — Catalyst does not reuse exchanges
+    across those aliased subtrees, so without materialization the corpus
+    would be re-tokenized four times.  ``persist()`` pins the computed
+    relation once (at 100 TB the same role is played by writing the
+    signature/shingle tables out and bucketing them by doc_id); measured
+    8.8 s -> ~4 s at sf0.1.
     """
-    cand = lsh_candidate_pairs(spark, sf_dir)
-    docs = table(spark, sf_dir, "documents")
-    sh = docs.withColumn("_toks", F.expr(_TOKS)).select(
-        "doc_id", F.expr(f"array_distinct({_SHINGLES_T})").alias("sh")
-    )
+    from pyspark import StorageLevel
+
+    sh = shingle_sets(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = _signatures_from(sh).persist(StorageLevel.MEMORY_AND_DISK)
+    cand = lsh_candidate_pairs(spark, sf_dir, sig=sig)
     scored = (
         cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
         .select(
             "doc_a",
             "doc_b",
-            (
-                F.expr("CAST(size(array_intersect(sa.sh, sb.sh)) AS DOUBLE)")
-                / F.expr("size(sa.sh) + size(sb.sh) - size(array_intersect(sa.sh, sb.sh))")
-            ).alias("jaccard"),
+            F.expr("size(array_intersect(sa.sh, sb.sh))").alias("_i"),
+            F.expr("size(sa.sh) + size(sb.sh)").alias("_n"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("_i").cast("double") / (F.col("_n") - F.col("_i"))).alias("jaccard"),
         )
     )
     return scored.where(F.col("jaccard") >= threshold)
