@@ -1,0 +1,192 @@
+"""Sketch / heavy-hitter operators (north-star extension for the
+training-data pipeline family).
+
+Three scale postures, one per operator:
+
+- ``heavy_hitters_exact``: the one-shuffle declarative form — groupBy with
+  map-side partial combine, threshold against the grand total.  Right
+  whenever the distinct-key relation fits a shuffle (it usually does:
+  |keys| << |rows|).
+- ``heavy_hitters_mg``: the bounded-memory two-pass form for when the key
+  space itself is too large to aggregate exactly — phase 1 runs a
+  Misra–Gries summary per partition inside Arrow batches (at most ``k``
+  counters live at once, output <= partitions x k candidate rows), phase 2
+  exact-counts ONLY the broadcast candidate set.  The per-partition
+  guarantee composes by pigeonhole: a key with global count >= phi*N is
+  phi-heavy in at least one partition, and Misra–Gries with
+  k >= ceil(1/phi) counters never evicts a local phi-heavy key (total
+  decrement <= N_p/(k+1) < phi*N_p), so the candidate set is a superset
+  of the true heavy set and the exact pass makes precision 1.0.
+- ``hll_user_counts``: mergeable distinct-count sketches
+  (Apache DataSketches HLL via ``hll_sketch_agg``) — per-group sketches
+  union into the global estimate WITHOUT re-touching rows.  This is the
+  100 TB rollup pattern: persist per-day/per-shard sketch tables, answer
+  any distinct-count rollup by merging kilobyte sketches.
+
+Reference parity: the reference has no sketch surface (its caches are
+exact); this family extends SURVEY.md §2.D.  Accuracy and algorithmic
+guarantees are pytest-pinned in tests/test_sketches.py; the exact form is
+DuckDB-oracle-checked in tests/test_demoted_oracles.py.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamsum_spark.functions.expressions import TOKENS_EXPR as _TOKS
+from streamsum_spark.tables import table
+from streamsum_spark.util import rebalance_for_cpu
+
+
+def token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per token occurrence over the documents corpus."""
+    docs = rebalance_for_cpu(table(spark, sf_dir, "documents"))
+    return docs.select(F.explode(F.expr(_TOKS)).alias("t"))
+
+
+def heavy_hitters_exact(spark: SparkSession, sf_dir: str, phi: float = 0.02) -> DataFrame:
+    """phi-heavy hitters, exact: tokens whose count >= phi * total.
+
+    One shuffle (the groupBy; partial combine makes the shuffle carry
+    per-map-task partials, not occurrences).  The grouped relation is
+    persisted because both the grand total and the threshold filter read
+    it — vocab-sized, so the pin is cheap at any corpus scale.  The
+    threshold multiply is a single IEEE op, identical in both engines.
+    """
+    counts = (
+        token_stream(spark, sf_dir)
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .persist()
+    )
+    total = counts.agg(F.sum("cnt").cast("long").alias("total"))
+    return (
+        counts.join(F.broadcast(total))
+        .where(F.col("cnt") >= F.lit(phi) * F.col("total"))
+        .select("t", "cnt")
+    )
+
+
+HEAVY_HITTERS_SQL = r"""
+WITH tok AS (
+    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS t FROM documents
+), counts AS (
+    SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY t
+), tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts)
+SELECT t, cnt FROM counts, tot WHERE cnt >= 0.02 * total
+"""
+
+
+def _mg_reduce(counters: dict, add: dict, k: int) -> dict:
+    """Mergeable Misra–Gries reduce (Agarwal et al., 'Mergeable
+    Summaries'): pointwise-add, then if more than k counters survive,
+    subtract the (k+1)-th largest count from all and drop the
+    non-positive.  Each subtraction of m is witnessed by >= (k+1)*m
+    stream weight, so total undercount <= N/(k+1)."""
+    for key, c in add.items():
+        counters[key] = counters.get(key, 0) + int(c)
+    if len(counters) > k:
+        m = sorted(counters.values(), reverse=True)[k]
+        counters = {key: c - m for key, c in counters.items() if c - m > 0}
+    return counters
+
+
+def heavy_hitters_mg(
+    spark: SparkSession, sf_dir: str, phi: float = 0.02, k: int | None = None
+) -> DataFrame:
+    """phi-heavy hitters via per-partition Misra–Gries candidates + an
+    exact verification pass over ONLY the candidates.
+
+    Output is identical to ``heavy_hitters_exact`` for every input
+    distribution (pinned in tests/test_sketches.py): the sketch pass can
+    only over-generate candidates, and the exact pass filters on true
+    counts.  Python appears only in the bounded-state sketch (the
+    SURVEY §4.2 license: per-partition algorithmic state no expression
+    can hold); counting within each Arrow batch is vectorized
+    ``value_counts``, the MG reduce touches <= k+batch-distinct counters.
+    """
+    import pandas as pd
+
+    from streamsum_spark.entry_queries import _ensure_package_shipped
+
+    _ensure_package_shipped(spark)  # mapInPandas pickles _mg_reduce by reference
+    if k is None:
+        k = int(math.ceil(1.0 / phi))
+    stream = token_stream(spark, sf_dir)
+
+    def sketch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        counters: dict = {}
+        n = 0
+        for pdf in batches:
+            n += len(pdf)
+            counters = _mg_reduce(counters, pdf["t"].value_counts().to_dict(), k)
+        # one summary row per surviving counter + a NULL-keyed row carrying
+        # the partition's total weight (so the grand total needs no second
+        # corpus scan)
+        yield pd.DataFrame(
+            {"t": list(counters.keys()) + [None], "w": list(counters.values()) + [n]}
+        )
+
+    sk = stream.mapInPandas(sketch, "t string, w long").persist()
+    total = sk.where(F.col("t").isNull()).agg(F.sum("w").cast("long").alias("total"))
+    cands = sk.where(F.col("t").isNotNull()).select("t").distinct()
+    exact = (
+        stream.join(F.broadcast(cands), "t")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return (
+        exact.join(F.broadcast(total))
+        .where(F.col("cnt") >= F.lit(phi) * F.col("total"))
+        .select("t", "cnt")
+    )
+
+
+def mg_candidates(
+    spark: SparkSession, sf_dir: str, phi: float = 0.02, k: int | None = None
+) -> DataFrame:
+    """The phase-1 candidate relation alone (t, w lower-bound weight),
+    exposed for the bound pins: <= partitions * k rows."""
+    import pandas as pd
+
+    from streamsum_spark.entry_queries import _ensure_package_shipped
+
+    _ensure_package_shipped(spark)
+    if k is None:
+        k = int(math.ceil(1.0 / phi))
+    stream = token_stream(spark, sf_dir)
+
+    def sketch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        counters: dict = {}
+        for pdf in batches:
+            counters = _mg_reduce(counters, pdf["t"].value_counts().to_dict(), k)
+        yield pd.DataFrame({"t": list(counters.keys()), "w": list(counters.values())})
+
+    return stream.mapInPandas(sketch, "t string, w long")
+
+
+def hll_user_counts(spark: SparkSession, sf_dir: str, lg_k: int = 12) -> DataFrame:
+    """Distinct users per event_type AND overall, via mergeable HLL
+    sketches: one sketch per group, the overall row is the UNION of the
+    group sketches — no second pass over events.
+
+    (event_type, approx_users) rows plus an ('__all__', merged estimate)
+    row.  Estimates are engine-internal (DataSketches), so the pin is a
+    pytest tolerance vs exact countDistinct, not a DuckDB hash oracle.
+    """
+    ev = table(spark, sf_dir, "events")
+    per_group = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(lg_k)).alias("sk")
+    ).persist()
+    ests = per_group.select(
+        "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+    )
+    merged = per_group.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("__all__").alias("event_type"),
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+    )
+    return ests.unionByName(merged)

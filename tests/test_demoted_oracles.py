@@ -12,10 +12,12 @@ import pytest
 from streamsum_spark.operators import dedup as dd
 from streamsum_spark.operators import relational as rel
 from streamsum_spark.operators import similarity as sim
+from streamsum_spark.operators import sketches as sk
 from streamsum_spark.operators import text as tx
 from tests.conftest import SF_ORACLE, assert_matches_oracle
 
 DEMOTED = {
+    "heavy_hitters_exact": (sk.heavy_hitters_exact, sk.HEAVY_HITTERS_SQL),
     "window_rownum_lastn": (
         rel.window_rownum_lastn,
         """

@@ -1,0 +1,118 @@
+"""Pins for the sketch / heavy-hitter family (operators/sketches.py).
+
+The corpus pins are structural (exact == sketch-then-verify for ANY
+distribution; candidate bound <= partitions * k), because the synthetic
+corpus is near-uniform.  The skewed-fixture test is the algorithmic
+stress: k far below the distinct-key count forces real Misra–Gries
+evictions, and the two-pass result must STILL equal exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streamsum_spark.operators import sketches as sk
+from tests.conftest import SF_ORACLE
+
+
+def test_mg_equals_exact_on_corpus(spark):
+    exact = {(r.t, r.cnt) for r in sk.heavy_hitters_exact(spark, SF_ORACLE).collect()}
+    mg = {(r.t, r.cnt) for r in sk.heavy_hitters_mg(spark, SF_ORACLE).collect()}
+    assert exact  # phi=0.02 is below the uniform corpus frequency (~3%)
+    assert mg == exact
+
+
+def test_mg_candidate_bound(spark):
+    k = 8
+    cands = sk.mg_candidates(spark, SF_ORACLE, k=k)
+    n_parts = cands.rdd.getNumPartitions()
+    rows = cands.collect()
+    assert len(rows) <= n_parts * k
+    assert all(r.w > 0 for r in rows)
+
+
+def test_mg_equals_exact_on_skewed_fixture(spark):
+    """Zipf-ish fixture with 211 distinct keys but only k=16 counters:
+    MG must evict constantly, yet sketch-then-verify == exact."""
+    rows = (
+        [("hot",)] * 1000
+        + [(f"warm{i}",) for i in range(10) for _ in range(100)]
+        + [(f"cold{i}",) for i in range(200) for _ in range(i % 5 + 1)]
+    )
+    df = spark.createDataFrame(rows, "t string").repartition(8)
+    total = len(rows)
+    phi, k = 0.03, 16
+
+    def exact_set(phi):
+        counts = df.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+        return {
+            (r.t, r.cnt) for r in counts.where(F.col("cnt") >= phi * total).collect()
+        }
+
+    import pandas as pd
+
+    def sketch(batches):
+        counters = {}
+        n = 0
+        for pdf in batches:
+            n += len(pdf)
+            counters = sk._mg_reduce(counters, pdf["t"].value_counts().to_dict(), k)
+        yield pd.DataFrame(
+            {"t": list(counters.keys()) + [None], "w": list(counters.values()) + [n]}
+        )
+
+    sketch_df = df.mapInPandas(sketch, "t string, w long").persist()
+    cands = sketch_df.where(F.col("t").isNotNull()).select("t").distinct()
+    got_n = sketch_df.where(F.col("t").isNull()).agg(F.sum("w")).collect()[0][0]
+    assert got_n == total
+    verified = {
+        (r.t, r.cnt)
+        for r in df.join(F.broadcast(cands), "t")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .where(F.col("cnt") >= phi * total)
+        .collect()
+    }
+    want = exact_set(phi)
+    assert ("hot", 1000) in want
+    assert verified == want
+    # the candidate relation really is bounded, and far below distinct keys
+    n_cands = cands.count()
+    assert n_cands <= 8 * k < 211
+
+
+def test_mg_reduce_properties():
+    """Unit pins on the mergeable reduce: bounded size, undercount
+    never exceeds N/(k+1), counts never overcount."""
+    counters = {}
+    truth = {}
+    k = 4
+    stream = ["a"] * 50 + ["b"] * 30 + [f"x{i}" for i in range(40)] + ["a"] * 20
+    for batch in [stream[i : i + 10] for i in range(0, len(stream), 10)]:
+        add = {}
+        for t in batch:
+            add[t] = add.get(t, 0) + 1
+            truth[t] = truth.get(t, 0) + 1
+        counters = sk._mg_reduce(counters, add, k)
+        assert len(counters) <= k
+    n = len(stream)
+    for t, w in counters.items():
+        assert w <= truth[t]  # never overcounts
+        assert truth[t] - w <= n / (k + 1)
+    # heavy key guaranteed present: count(a)=70 > 140/5=28
+    assert "a" in counters
+
+
+def test_hll_sketch_accuracy_and_merge(spark):
+    got = {r.event_type: r.approx_users for r in sk.hll_user_counts(spark, SF_ORACLE).collect()}
+    from streamsum_spark.tables import table
+
+    ev = table(spark, SF_ORACLE, "events")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    exact["__all__"] = ev.agg(F.countDistinct("user_id")).collect()[0][0]
+    assert set(got) == set(exact)
+    for key, n in exact.items():
+        assert abs(got[key] - n) / n <= 0.05, (key, got[key], n)
