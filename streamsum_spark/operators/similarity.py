@@ -215,14 +215,21 @@ def embedding_near_dupes(
     and ``threshold`` filters.  Output: (vec_a, vec_b, cos), vec_a < vec_b.
 
     Scale shape: the join key is the bucket id (equi-join, shuffle on
-    bucket), so the quadratic term is per-bucket, never corpus-wide —
+    bucket — a plan guard pins the absence of nested-loop/cartesian
+    joins), so the quadratic term is per-bucket, never corpus-wide —
     the same candidates-then-verify architecture as near_dup_verified.
-    Precision is 1.0 by construction (every emitted pair is exactly
-    verified); recall vs brute force is pinned in
-    tests/test_similarity_quality.py."""
+    The bucketed corpus feeds both sides of the self-join, so it is
+    persisted once (Catalyst does not reuse exchanges across aliased
+    self-join subtrees).  Precision is 1.0 by construction (every
+    emitted pair is exactly verified); recall vs brute force is pinned
+    in tests/test_similarity_quality.py."""
+    from pyspark import StorageLevel
+
     assert flip_bits in (0, 1)
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    with_b = emb.join(lsh_bucket(spark, sf_dir).select("vec_id", "bucket"), "vec_id")
+    with_b = emb.join(
+        lsh_bucket(spark, sf_dir).select("vec_id", "bucket"), "vec_id"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     flips = [0] + ([1 << j for j in range(N_PLANES)] if flip_bits else [])
     expanded = with_b.select(
         F.col("vec_id").alias("vec_b"),

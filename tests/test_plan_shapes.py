@@ -115,6 +115,30 @@ def test_near_dup_verified_joins_candidates_not_corpus(spark):
     assert "NestedLoop" not in plan
 
 
+def test_embedding_near_dupes_is_bucket_equi_join(spark):
+    """The pair generator must join on the LSH bucket id (equi-join; the
+    vec_a < vec_b inequality is a post-join filter), never a nested-loop
+    or cartesian pair enumeration, and the bucketed corpus feeding both
+    self-join sides must come from ONE persisted computation."""
+    from streamsum_spark.operators import similarity as sim
+
+    df = sim.embedding_near_dupes(spark, SF_ORACLE, threshold=0.35)
+    plan = plans.explain_str(df)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan  # persisted bucketed corpus, both sides
+
+
+def test_heavy_hitters_mg_broadcasts_candidates(spark):
+    """The exact verification pass must join the corpus against a
+    BROADCAST candidate relation (the sketch output, <= partitions x k
+    rows) — a shuffle of the token stream keyed on candidate membership
+    would defeat the bounded two-pass design."""
+    from streamsum_spark.operators import sketches as sk
+
+    plan = plans.explain_str(sk.heavy_hitters_mg(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+
+
 def test_salted_count_equals_direct(spark):
     """Skew-salting rewrite is exact: two-phase salted counts equal the
     direct groupBy."""
