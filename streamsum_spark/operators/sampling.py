@@ -80,6 +80,74 @@ def pack_into_chunks(spark: SparkSession, sf_dir: str, budget: int = 2048) -> Da
     )
 
 
+def stratified_sample(
+    spark: SparkSession,
+    sf_dir: str,
+    rates_permille: dict[str, int] | None = None,
+    default_permille: int = 900,
+    salt: str = "strat1",
+) -> DataFrame:
+    """Per-language stratified downsampling: keep a document iff
+    md5(salt || doc_id) % 1000 < its language's keep-rate (permille).
+
+    This is the corpus-rebalancing move of a training-data pipeline
+    (e.g. downweight the over-represented language) done RIGHT for scale:
+    the keep decision is a pure projection + filter on the scan — no
+    shuffle, no rand() (reruns and engines agree, and adding documents
+    never flips existing decisions).  The salt gives independent draws
+    for independent sampling stages over the same corpus."""
+    rates = {"en": 300, **(rates_permille or {})}
+    bucket = f"CAST(conv(substring(md5(CONCAT('{salt}', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1000"
+    branches = " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(rates.items())
+    )
+    rate = f"CASE {branches} ELSE {default_permille} END"
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", "source").where(
+        F.expr(f"{bucket} < {rate}")
+    )
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, lang, source
+FROM documents
+WHERE ('0x' || substr(md5('strat1' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000
+      < CASE WHEN lang = 'en' THEN 300 ELSE 900 END
+"""
+
+
+def reservoir_per_key(
+    spark: SparkSession, sf_dir: str, n: int = 20, key: str = "source"
+) -> DataFrame:
+    """Deterministic uniform cap of ``n`` documents per ``key`` (the
+    per-source contribution cap of corpus mixing): rank by id-hash within
+    the key and keep the first n — an order-by-hash reservoir whose
+    membership is a uniform sample yet reproducible across engines/runs.
+
+    Plan: one shuffle on the key; WindowGroupLimit keeps only n rows per
+    key through the sort, so the window never materializes a full
+    per-key ordering at scale."""
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy(key).orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.select("doc_id", key)
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= n)
+    )
+
+
+RESERVOIR_PER_KEY_SQL = """
+SELECT doc_id, source, rn FROM (
+    SELECT doc_id, source,
+           CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) AS rn
+    FROM documents
+) WHERE rn <= 20
+"""
+
+
 PACK_INTO_CHUNKS_SQL = r"""
 SELECT doc_id, n_tokens, part,
        CAST(floor((running - n_tokens) / 2048) AS BIGINT) AS chunk

@@ -16,8 +16,12 @@ from streamsum_spark.operators import sketches as sk
 from streamsum_spark.operators import text as tx
 from tests.conftest import SF_ORACLE, assert_matches_oracle
 
+from streamsum_spark.operators import sampling as sp
+
 DEMOTED = {
     "heavy_hitters_exact": (sk.heavy_hitters_exact, sk.HEAVY_HITTERS_SQL),
+    "stratified_sample": (sp.stratified_sample, sp.STRATIFIED_SAMPLE_SQL),
+    "reservoir_per_key": (sp.reservoir_per_key, sp.RESERVOIR_PER_KEY_SQL),
     "window_rownum_lastn": (
         rel.window_rownum_lastn,
         """

@@ -1,0 +1,66 @@
+"""Property pins for the deterministic sampling operators: the keep
+decisions must be reproducible (hash-based, not rand), per-stratum rates
+must land near their targets, and the reservoir cap must be exact and
+uniform-ish.  Value-hash oracles live in tests/test_demoted_oracles.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streamsum_spark.operators import sampling as sp
+from streamsum_spark.tables import table
+from tests.conftest import SF_ORACLE
+
+
+def test_stratified_sample_deterministic_and_rate(spark):
+    a = {r.doc_id for r in sp.stratified_sample(spark, SF_ORACLE).collect()}
+    b = {r.doc_id for r in sp.stratified_sample(spark, SF_ORACLE).collect()}
+    assert a == b  # rerun-stable (no rand anywhere)
+    docs = table(spark, SF_ORACLE, "documents")
+    per_lang = {
+        r.lang: r.n
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    kept = {
+        r.lang: r.n
+        for r in sp.stratified_sample(spark, SF_ORACLE)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # binomial tolerance: 4 sigma on each stratum
+    for lang, n in per_lang.items():
+        p = 0.3 if lang == "en" else 0.9
+        mean, sd = n * p, (n * p * (1 - p)) ** 0.5
+        assert abs(kept.get(lang, 0) - mean) <= 4 * sd + 1, (lang, kept.get(lang), mean)
+
+
+def test_stratified_sample_salt_gives_independent_draw(spark):
+    a = {r.doc_id for r in sp.stratified_sample(spark, SF_ORACLE).collect()}
+    b = {r.doc_id for r in sp.stratified_sample(spark, SF_ORACLE, salt="strat2").collect()}
+    assert a != b  # different stage, different membership
+    # but both hit the same per-stratum rates, so sizes are close
+    assert abs(len(a) - len(b)) < 0.2 * max(len(a), len(b))
+
+
+def test_reservoir_cap_exact_and_stable(spark):
+    out = sp.reservoir_per_key(spark, SF_ORACLE, n=20)
+    per_key = (
+        out.groupBy("source").agg(F.count(F.lit(1)).alias("n"), F.max("rn").alias("mx")).collect()
+    )
+    docs = table(spark, SF_ORACLE, "documents")
+    totals = {r.source: r.n for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for r in per_key:
+        assert r.n == min(20, totals[r.source])
+        assert r.mx == r.n
+    again = {(r.doc_id, r.rn) for r in sp.reservoir_per_key(spark, SF_ORACLE, n=20).collect()}
+    assert again == {(r.doc_id, r.rn) for r in out.collect()}
+
+
+def test_reservoir_uses_window_group_limit(spark):
+    """The per-key cap must prune through the sort (WindowGroupLimit),
+    not rank every row and filter after."""
+    from streamsum_spark.plans import inspect as plans
+
+    plan = plans.explain_str(sp.reservoir_per_key(spark, SF_ORACLE, n=20))
+    assert "WindowGroupLimit" in plan
