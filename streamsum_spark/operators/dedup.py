@@ -489,3 +489,122 @@ FROM documents d
 JOIN sim ON d.doc_id = sim.doc_id
 JOIN win ON d.doc_id = win.doc_id
 """
+
+
+def simhash_near_dupes(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs: documents whose 32-bit signatures differ in
+    at most ``max_hamming`` bits, found by BANDED blocking — the signature
+    splits into 4 disjoint 8-bit bands, candidates share at least one
+    exact band, and the exact Hamming distance verifies.
+
+    Recall is 1.0 by pigeonhole: <= 3 flipped bits cannot touch all 4
+    bands, so every qualifying pair shares some band (pinned against the
+    brute-force pair set in tests/test_dedup_families.py).  Scale shape
+    matches lsh_candidate_pairs: the self-join key is (band, value) over
+    the tiny signature relation — 4 rows per doc — never the corpus, and
+    the signature relation is persisted across the self-join's two sides.
+    """
+    from pyspark import StorageLevel
+
+    sig = simhash_signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), b -> "
+                "struct(b AS band, CAST(shiftright(simhash, b * 8) & 255 AS BIGINT) AS bv))"
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bv").persist(StorageLevel.MEMORY_AND_DISK)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT)").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+SIMHASH_NEAR_DUPES_SQL = f"""
+WITH sig AS ({SIMHASH_SQL}),
+bands AS (
+    SELECT doc_id, simhash, b AS band, (simhash >> (b * 8)) & 255 AS bv
+    FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+def winnow_shared_fingerprints(
+    spark: SparkSession,
+    sf_dir: str,
+    min_shared: int = 2,
+    max_bucket: int | None = 20,
+) -> DataFrame:
+    """Winnowing overlap pairs (the plagiarism-detection join of
+    Schleimer/Wilkerson/Aiken): documents sharing at least ``min_shared``
+    winnowed fingerprints, with the shared count as the match strength.
+
+    The join key is the fingerprint, so the quadratic term is
+    per-fingerprint-bucket — and ``max_bucket`` (on by default, unlike
+    lsh_candidate_pairs, because natural-language corpora ALWAYS contain
+    boilerplate) drops fingerprints shared by more than that many
+    documents before the self-join.  A fingerprint that common is
+    boilerplate, not evidence of copying: on the uniform synthetic corpus
+    the uncapped join is quadratic (10.7M pairs at sf0.1 vs ~1k meaningful
+    capped ones), which is precisely the stop-fingerprint blowup the cap
+    exists for.  The cap filter is one windowed count over the sampled
+    fingerprint relation — same shape both engines, so the capped form is
+    still a full value-hash oracle."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    fps = winnow_fingerprints(spark, sf_dir)
+    if max_bucket is not None:
+        w = Window.partitionBy("fp")
+        fps = (
+            fps.withColumn("_f", F.count(F.lit(1)).over(w))
+            .where(F.col("_f") <= max_bucket)
+            .drop("_f")
+        )
+    fps = fps.persist(StorageLevel.MEMORY_AND_DISK)
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+
+
+WINNOW_SHARED_SQL = f"""
+WITH fps_all AS ({WINNOW_SQL}),
+fps AS (
+    SELECT doc_id, fp FROM (
+        SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS _f FROM fps_all
+    ) WHERE _f <= 20
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS shared
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""

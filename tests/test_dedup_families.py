@@ -1,0 +1,61 @@
+"""Family-completeness pins for the signature->pairs dedup operators:
+every signature type has a pair generator, and each generator's recall
+guarantee is checked against brute force where the algorithm promises one.
+Value-hash oracles live in tests/test_demoted_oracles.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streamsum_spark.operators import dedup as dd
+from tests.conftest import SF_ORACLE
+
+
+def test_simhash_banding_recall_is_total(spark):
+    """Pigeonhole guarantee: banded blocking (4 x 8-bit bands) finds EVERY
+    pair within Hamming distance 3 — compare against the brute-force
+    all-pairs set computed from the collected signature table."""
+    sigs = {r.doc_id: r.simhash for r in dd.simhash_signatures(spark, SF_ORACLE).collect()}
+    ids = sorted(sigs)
+    brute = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dd.simhash_near_dupes(spark, SF_ORACLE).collect()
+    }
+    assert got == brute
+    assert brute  # non-vacuous on this corpus
+
+
+def test_winnow_shared_pairs_symmetric_with_jaccard(spark):
+    """Winnow-overlap pairs and Jaccard near-dups measure the same
+    underlying similarity: every strong Jaccard pair (>= 0.35) must share
+    winnowed fingerprints (winnowing guarantees shared fingerprints for
+    long shared substrings)."""
+    strong = {
+        (r.doc_a, r.doc_b)
+        for r in dd.ngram_jaccard_dupes(spark, SF_ORACLE, threshold=0.35).collect()
+    }
+    winnow = {
+        (r.doc_a, r.doc_b)
+        for r in dd.winnow_shared_fingerprints(spark, SF_ORACLE, min_shared=2).collect()
+    }
+    assert winnow  # non-vacuous
+    if strong:
+        overlap = len(strong & winnow) / len(strong)
+        assert overlap >= 0.9, (overlap, len(strong), len(winnow))
+
+
+def test_pair_generators_have_no_nested_loop(spark):
+    from streamsum_spark.plans import inspect as plans
+
+    for df in (
+        dd.simhash_near_dupes(spark, SF_ORACLE),
+        dd.winnow_shared_fingerprints(spark, SF_ORACLE),
+    ):
+        plan = plans.explain_str(df)
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan

@@ -22,6 +22,8 @@ DEMOTED = {
     "heavy_hitters_exact": (sk.heavy_hitters_exact, sk.HEAVY_HITTERS_SQL),
     "stratified_sample": (sp.stratified_sample, sp.STRATIFIED_SAMPLE_SQL),
     "reservoir_per_key": (sp.reservoir_per_key, sp.RESERVOIR_PER_KEY_SQL),
+    "simhash_near_dupes": (dd.simhash_near_dupes, dd.SIMHASH_NEAR_DUPES_SQL),
+    "winnow_shared_fingerprints": (dd.winnow_shared_fingerprints, dd.WINNOW_SHARED_SQL),
     "window_rownum_lastn": (
         rel.window_rownum_lastn,
         """
