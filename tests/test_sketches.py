@@ -103,6 +103,41 @@ def test_mg_reduce_properties():
     assert "a" in counters
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        stream=st.lists(st.integers(min_value=0, max_value=30), max_size=400),
+        k=st.integers(min_value=2, max_value=12),
+        batch=st.integers(min_value=1, max_value=50),
+    )
+    def test_mg_reduce_hypothesis(stream, k, batch):
+        """For ANY stream, batch split, and k: counters stay bounded by k,
+        never overcount, undercount by at most N/(k+1), and every key with
+        true count > N/(k+1) survives."""
+        counters: dict = {}
+        truth: dict = {}
+        for i in range(0, len(stream), batch):
+            add: dict = {}
+            for t in stream[i : i + batch]:
+                add[t] = add.get(t, 0) + 1
+                truth[t] = truth.get(t, 0) + 1
+            counters = sk._mg_reduce(counters, add, k)
+            assert len(counters) <= k
+        n = len(stream)
+        for t, w in counters.items():
+            assert 0 < w <= truth[t]
+            assert truth[t] - w <= n / (k + 1)
+        for t, c in truth.items():
+            if c > n / (k + 1):
+                assert t in counters, (t, c, n, k)
+
+except ImportError:  # pragma: no cover - hypothesis is in the container
+    pass
+
+
 def test_hll_sketch_accuracy_and_merge(spark):
     got = {r.event_type: r.approx_users for r in sk.hll_user_counts(spark, SF_ORACLE).collect()}
     from streamsum_spark.tables import table
