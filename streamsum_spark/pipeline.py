@@ -45,12 +45,18 @@ DEFAULT_FACTORIES: dict[str, CacheFactory] = {
 def cache_tuples(spark: SparkSession, sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
     """events.parquet -> cache-mapped tuples (cache_key, k, action, v, ts, seq).
 
-    The scan is rebalanced when the source yields fewer splits than cores
-    (single-row-group test files): the JSON destructure + explode fan-out
-    is CPU-heavy narrow work that would otherwise run on one task.  At
-    real scale (thousands of row groups) this is a documented no-op."""
+    Extraction runs BELOW the rebalance: the null-drop filter references
+    the parsed fields, so with extraction above the exchange predicate
+    pushdown would drag the JSON parse below it into its own serial filter
+    while the projection re-parses above — two parses per row.  Extracting
+    first fuses filter+projection into the scan's codegen stage (one parse
+    via subexpression elimination) and the exchange ships the narrower
+    extracted tuples, not raw props.  The rebalance itself parallelizes
+    the explode fan-out when the source yields fewer splits than cores
+    (single-row-group test files); at real scale (thousands of row
+    groups) it is a documented no-op and the whole chain fuses anyway."""
     return transform_fanout(
-        extract_events(rebalance_for_cpu(table(spark, sf_dir, "events"))), cfg
+        rebalance_for_cpu(extract_events(table(spark, sf_dir, "events"))), cfg
     )
 
 
