@@ -492,7 +492,10 @@ JOIN win ON d.doc_id = win.doc_id
 
 
 def simhash_near_dupes(
-    spark: SparkSession, sf_dir: str, max_hamming: int = 3
+    spark: SparkSession,
+    sf_dir: str,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: documents whose 32-bit signatures differ in
     at most ``max_hamming`` bits, found by BANDED blocking — the signature
@@ -505,6 +508,15 @@ def simhash_near_dupes(
     matches lsh_candidate_pairs: the self-join key is (band, value) over
     the tiny signature relation — 4 rows per doc — never the corpus, and
     the signature relation is persisted across the self-join's two sides.
+
+    100 TB posture: an 8-bit band has 256 values, so a band bucket holds
+    ~|corpus|/256 docs and the per-bucket quadratic needs BOTH wider
+    bands (a 64-bit simhash split into 4x16-bit bands keeps the
+    pigeonhole guarantee while giving 65k buckets) AND the
+    ``max_bucket`` frequency cap for residual hot buckets (a near-empty
+    band value in skewed sign distributions).  The cap trades the recall
+    guarantee for boundedness exactly like lsh_candidate_pairs'; the
+    declared oracle keeps cap=None for the pure pigeonhole semantics.
     """
     from pyspark import StorageLevel
 
@@ -518,7 +530,17 @@ def simhash_near_dupes(
                 "struct(b AS band, CAST(shiftright(simhash, b * 8) & 255 AS BIGINT) AS bv))"
             )
         ).alias("bb"),
-    ).select("doc_id", "simhash", "bb.band", "bb.bv").persist(StorageLevel.MEMORY_AND_DISK)
+    ).select("doc_id", "simhash", "bb.band", "bb.bv")
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bv")
+        bands = (
+            bands.withColumn("_f", F.count(F.lit(1)).over(w))
+            .where(F.col("_f") <= max_bucket)
+            .drop("_f")
+        )
+    bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

@@ -218,6 +218,11 @@ def embedding_near_dupes(
     bucket — a plan guard pins the absence of nested-loop/cartesian
     joins), so the quadratic term is per-bucket, never corpus-wide —
     the same candidates-then-verify architecture as near_dup_verified.
+    N_PLANES must grow with the corpus (buckets ~ corpus / target
+    bucket size; 4 planes is sized for the test SFs) — the per-bucket
+    quadratic is |corpus|²/2^planes, so a 100 TB run uses 20+ planes,
+    optionally with the lsh_candidate_pairs-style frequency cap for
+    residual hot buckets.
     The bucketed corpus feeds both sides of the self-join, so it is
     persisted once (Catalyst does not reuse exchanges across aliased
     self-join subtrees).  Precision is 1.0 by construction (every

@@ -29,6 +29,12 @@ def test_simhash_banding_recall_is_total(spark):
     }
     assert got == brute
     assert brute  # non-vacuous on this corpus
+    # the hot-bucket cap only ever narrows the candidate set
+    capped = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dd.simhash_near_dupes(spark, SF_ORACLE, max_bucket=10).collect()
+    }
+    assert capped <= brute
 
 
 def test_winnow_shared_pairs_symmetric_with_jaccard(spark):
