@@ -358,6 +358,72 @@ def ann_ivf_kmeans_topk(
     )
 
 
+def write_embeddings_ivf(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    n_lists: int = 8,
+    seed: int = 7,
+) -> None:
+    """Materialize the IVF storage layout: the corpus written
+    ``partitionBy(list_id)`` (one directory per k-means cell) plus the
+    centroid table at ``<out_path>_centroids``.
+
+    This is the other half of IVF at 100 TB — the index is a LAYOUT, not
+    just a plan: with lists as physical partitions, an nprobe-list query
+    never opens the other lists' files at all (verified as a scan
+    PartitionFilter in tests/test_ivf_layout.py), instead of filtering
+    rows after reading everything."""
+    assignments, centroids = kmeans_ivf_index(spark, sf_dir, n_lists, seed)
+    emb = table(spark, sf_dir, "embeddings")
+    (
+        emb.join(assignments, "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(out_path)
+    )
+    centroids.write.mode("overwrite").parquet(out_path + "_centroids")
+
+
+def ann_ivf_partitioned_topk(
+    spark: SparkSession,
+    corpus_path: str,
+    sf_dir: str,
+    probe_vec_id: int = 0,
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """ANN over the materialized IVF layout: route the probe to its
+    ``nprobe`` nearest centroids, then scan ONLY those list partitions.
+
+    The nearest-list ids are collected to the driver — deliberately: they
+    are ``nprobe`` integers from the broadcast-sized centroid table, and a
+    literal IN-list is what turns the list filter into a static partition
+    filter the scan can prune on (the one place a collect is the
+    scalable choice, exactly like a warehouse query pinning partition
+    keys)."""
+    cents = spark.read.parquet(corpus_path + "_centroids")
+    probe = table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") == probe_vec_id
+    ).select(F.col("embedding").alias("q"))
+    nearest = [
+        r.list_id
+        for r in cents.join(F.broadcast(probe))
+        .select("list_id", F.expr(_cos_expr("centroid", "q")).alias("cc"))
+        .orderBy(F.col("cc").desc(), F.col("list_id"))
+        .limit(nprobe)
+        .collect()
+    ]
+    corpus = spark.read.parquet(corpus_path).where(F.col("list_id").isin(nearest))
+    return (
+        corpus.join(F.broadcast(probe))
+        .where(F.col("vec_id") != probe_vec_id)
+        .select("vec_id", F.expr(_cos_expr("embedding", "q")).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
 def ann_ivf_topk(
     spark: SparkSession,
     sf_dir: str,
