@@ -1,0 +1,84 @@
+"""Duplicate-cluster resolution: connected components over a near-dup
+pair graph, and the keep-list (one representative per cluster) a dedup
+run actually deletes against.
+
+The pair generators (dedup.py, similarity.py) emit EDGES; transitive
+identity needs components: if A~B and B~C, one of {A,B,C} survives even
+though (A,C) was never emitted.
+
+Spark-first design: iterative min-label propagation — each round every
+vertex adopts the smallest component id among itself and its neighbors,
+expressed as join + groupBy-min (both shuffle on vertex id, so AQE/
+bucketing co-locate them).  Rounds needed = graph diameter (near-dup
+clusters are shallow: dup groups are quasi-cliques, diameter 2-4); each
+round ``localCheckpoint``s to truncate lineage — THE mandatory move for
+iterative DataFrame algorithms (without it the plan doubles per round
+and planning cost explodes by round ~10).  A 100 TB run swaps
+localCheckpoint for a reliable checkpoint dir; the per-round dataflow is
+unchanged.  Equivalence to union-find is pinned in
+tests/test_dedup_clusters.py, including a worst-case path graph whose
+diameter forces many rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(id, component) for every vertex appearing in ``pairs``; component
+    = the smallest vertex id reachable from it.
+
+    Convergence is checked with one tiny aggregation per round (count of
+    vertices whose label shrank) — the loop is driver-side CONTROL FLOW
+    only; all data stays distributed."""
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    comp = (
+        edges.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # every vertex hears the component of each neighbor
+        msgs = edges.join(
+            comp.withColumnRenamed("id", "u"), "u"
+        ).select(F.col("v").alias("id"), "component")
+        new_comp = (
+            comp.union(msgs)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_comp.alias("n")
+            .join(comp.alias("o"), "id")
+            .where(F.col("n.component") < F.col("o.component"))
+            .count()
+        )
+        comp = new_comp
+        if changed == 0:
+            break
+    return comp
+
+
+def dedup_keep_list(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b") -> DataFrame:
+    """One row per duplicate cluster: (component, keep_id, cluster_size).
+    ``keep_id`` is the smallest member — the deterministic survivor; every
+    other member of the component is deletable."""
+    comp = connected_components(pairs, src, dst)
+    return comp.groupBy("component").agg(
+        F.min("id").alias("keep_id"),
+        F.count(F.lit(1)).cast("long").alias("cluster_size"),
+    )

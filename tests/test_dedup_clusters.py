@@ -1,0 +1,56 @@
+"""Connected-components pins: equivalence with union-find on the real
+near-dup graph, worst-case diameter convergence, and keep-list shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streamsum_spark.operators import clusters as cl
+from streamsum_spark.operators import dedup as dd
+from tests.conftest import SF_ORACLE
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_components_match_union_find_on_near_dups(spark):
+    pairs = dd.near_dup_verified(spark, SF_ORACLE)
+    edges = [(r.doc_a, r.doc_b) for r in pairs.collect()]
+    assert edges  # non-vacuous
+    want = _union_find(edges)
+    got = {r.id: r.component for r in cl.connected_components(pairs).collect()}
+    assert got == want
+
+
+def test_path_graph_worst_case_diameter(spark):
+    """A 25-vertex path (diameter 24) — min-label must still converge and
+    label every vertex with the path's smallest id."""
+    edges = [(i, i + 1) for i in range(24)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.id: r.component for r in cl.connected_components(pairs, max_iter=50).collect()}
+    assert got == {i: 0 for i in range(25)}
+
+
+def test_keep_list_shape(spark):
+    pairs = dd.near_dup_verified(spark, SF_ORACLE)
+    keep = cl.dedup_keep_list(pairs)
+    rows = keep.collect()
+    assert all(r.keep_id == r.component and r.cluster_size >= 2 for r in rows)
+    # every clustered doc is accounted for exactly once
+    n_members = keep.agg(F.sum("cluster_size")).collect()[0][0]
+    n_vertices = cl.connected_components(pairs).count()
+    assert n_members == n_vertices
