@@ -82,3 +82,26 @@ def dedup_keep_list(pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b") ->
         F.min("id").alias("keep_id"),
         F.count(F.lit(1)).cast("long").alias("cluster_size"),
     )
+
+
+def dedup_corpus(spark, sf_dir: str, threshold: float = 0.2) -> DataFrame:
+    """The full near-dup removal pipeline a 100 TB training-data run
+    executes, end to end: MinHash signatures -> LSH candidate pairs ->
+    exact Jaccard verify (near_dup_verified) -> connected components ->
+    drop every clustered doc except its smallest member.
+
+    Returns the SURVIVING documents (doc_id, lang, source).  The deletion
+    join is a broadcast anti-join against the (tiny: one row per deleted
+    doc) drop-list — the corpus scan itself is touched exactly twice
+    across the whole pipeline (once for signatures/verification, once for
+    the final filter)."""
+    from streamsum_spark.operators.dedup import near_dup_verified
+    from streamsum_spark.tables import table
+
+    pairs = near_dup_verified(spark, sf_dir, threshold=threshold)
+    comp = connected_components(pairs)
+    drops = comp.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return docs.join(F.broadcast(drops), "doc_id", "left_anti")

@@ -130,15 +130,22 @@ def _plane_expr(j: int) -> str:
     )
 
 
-def lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lsh_bucket(spark: SparkSession, sf_dir: str, n_planes: int = N_PLANES) -> DataFrame:
     """Sign-LSH bucket id per vector: bit j = sign(embedding . plane_j).
     Bucketing is a pure projection; similar vectors land in equal buckets,
-    turning ANN into an equi-join/groupBy on bucket."""
+    turning ANN into an equi-join/groupBy on bucket.
+
+    ``n_planes`` is the scale knob: buckets = 2^planes, so the expected
+    bucket size |corpus|/2^planes — size planes so buckets stay a few
+    hundred vectors (a 100 TB corpus wants 20+ planes; the default 4 is
+    sized for the test SFs).  More planes narrow candidates monotonically
+    (each added plane splits existing buckets), pinned in
+    tests/test_similarity_quality.py."""
     emb = table(spark, sf_dir, "embeddings")
     bits = " + ".join(
         f"(CASE WHEN {_DOT.format(a='embedding', b=_plane_expr(j))} > 0 "
         f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-        for j in range(N_PLANES)
+        for j in range(n_planes)
     )
     return emb.select(
         "vec_id", F.col("label").cast("long").alias("label"),
@@ -206,6 +213,7 @@ def embedding_near_dupes(
     sf_dir: str,
     threshold: float = 0.9,
     flip_bits: int = 1,
+    n_planes: int = N_PLANES,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS (the vector-space member of
     the dedup family, alongside MinHash/SimHash/Jaccard): candidates are
@@ -233,9 +241,9 @@ def embedding_near_dupes(
     assert flip_bits in (0, 1)
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     with_b = emb.join(
-        lsh_bucket(spark, sf_dir).select("vec_id", "bucket"), "vec_id"
+        lsh_bucket(spark, sf_dir, n_planes).select("vec_id", "bucket"), "vec_id"
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    flips = [0] + ([1 << j for j in range(N_PLANES)] if flip_bits else [])
+    flips = [0] + ([1 << j for j in range(n_planes)] if flip_bits else [])
     expanded = with_b.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("emb_b"),

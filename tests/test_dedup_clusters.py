@@ -45,6 +45,22 @@ def test_path_graph_worst_case_diameter(spark):
     assert got == {i: 0 for i in range(25)}
 
 
+def test_dedup_corpus_end_to_end(spark):
+    """Survivors = all docs minus (cluster members - representatives),
+    and re-running the pair generator over survivors finds no pair whose
+    BOTH endpoints survived (the clusters were really broken up)."""
+    from streamsum_spark.tables import table
+
+    survivors = {r.doc_id for r in cl.dedup_corpus(spark, SF_ORACLE).collect()}
+    all_ids = {r.doc_id for r in table(spark, SF_ORACLE, "documents").select("doc_id").collect()}
+    pairs = dd.near_dup_verified(spark, SF_ORACLE)
+    comp = {r.id: r.component for r in cl.connected_components(pairs).collect()}
+    expect_dropped = {i for i, c in comp.items() if i != c}
+    assert survivors == all_ids - expect_dropped
+    for r in pairs.collect():
+        assert not (r.doc_a in survivors and r.doc_b in survivors), (r.doc_a, r.doc_b)
+
+
 def test_keep_list_shape(spark):
     pairs = dd.near_dup_verified(spark, SF_ORACLE)
     keep = cl.dedup_keep_list(pairs)
