@@ -563,3 +563,135 @@ def stream_cache_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rn",
     )
     return a.unionByName(b).unionByName(c)
+
+
+# -- streaming heavy hitters (sketch family's streaming twin) ----------------
+
+_DOCS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def stream_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "documents.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over the documents corpus."""
+    reader = spark.readStream.schema(_DOCS_RAW_SCHEMA).option("pathGlobFilter", glob)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(sf_dir)
+
+
+_HH_OUT = T.StructType(
+    [
+        T.StructField("shard", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("keys", T.ArrayType(T.StringType())),
+        T.StructField("weights", T.ArrayType(T.LongType())),
+        T.StructField("batches", T.LongType()),
+    ]
+)
+_HH_STATE = T.StructType(
+    [
+        T.StructField("keys", T.ArrayType(T.StringType())),
+        T.StructField("weights", T.ArrayType(T.LongType())),
+        T.StructField("n", T.LongType()),
+        T.StructField("batches", T.LongType()),
+    ]
+)
+
+
+def stream_heavy_hitters(
+    spark: SparkSession,
+    sf_dir: str,
+    phi: float = 0.02,
+    k: int | None = None,
+    shards: int = 8,
+    glob: str = "documents.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming phi-heavy hitters: the batch Misra–Gries two-pass
+    (operators/sketches.py) with the sketch pass as BOUNDED STREAMING
+    STATE — tokens shard by hash, each shard keeps <= ``k`` MG counters
+    in applyInPandasWithState across micro-batches (state size is
+    shards x k counters TOTAL, independent of vocabulary or stream
+    length).
+
+    Correctness composes exactly as in batch: a token's whole stream
+    lands in one shard (hash routing), MG per shard never evicts a key
+    with shard-local count > N_shard/(k+1), and a globally phi-heavy key
+    is a fortiori shard-heavy — so the final candidate set is a superset
+    of the true heavy set, and the exact verification pass (batch, over
+    the static corpus) restores precision 1.0.  Pinned equal to
+    heavy_hitters_exact across multi-batch splits in
+    tests/test_streaming.py."""
+    import math
+
+    from streamsum_spark.entry_queries import _ensure_package_shipped
+    from streamsum_spark.functions.expressions import TOKENS_EXPR
+    from streamsum_spark.operators.sketches import _mg_reduce
+
+    _ensure_package_shipped(spark)
+    kk = k if k is not None else int(math.ceil(1.0 / phi))
+
+    def fold(key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            keys, weights, n, batches = state.get
+            counters = dict(zip(keys, weights))
+        else:
+            counters, n, batches = {}, 0, 0
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            counters = _mg_reduce(counters, pdf["t"].value_counts().to_dict(), kk)
+        batches += 1
+        state.update((list(counters.keys()), list(counters.values()), n, batches))
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]],
+                "n": [n],
+                "keys": [list(counters.keys())],
+                "weights": [list(counters.values())],
+                "batches": [batches],
+            }
+        )
+
+    docs = stream_documents(spark, sf_dir, glob, max_files_per_trigger)
+    toks = docs.select(F.explode(F.expr(TOKENS_EXPR)).alias("t"))
+    sharded = toks.withColumn(
+        "shard", F.pmod(F.xxhash64("t"), F.lit(shards)).cast("long")
+    )
+    folded = sharded.groupBy("shard").applyInPandasWithState(
+        fold, _HH_OUT, _HH_STATE, "update", GroupStateTimeout.NoTimeout
+    )
+    mem = _run_to_memory(folded, "update")
+    # final state per shard = the emission from its last micro-batch
+    final = mem.groupBy("shard").agg(
+        F.expr("max_by(struct(n, keys), batches)").alias("_s")
+    )
+    cands = final.select(F.explode("_s.keys").alias("t")).distinct()
+    total = final.agg(F.sum("_s.n").cast("long").alias("total"))
+    # exact verification over the static corpus, candidates only
+    from streamsum_spark.operators.sketches import token_stream
+
+    exact = (
+        token_stream(spark, sf_dir)
+        .join(F.broadcast(cands), "t")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return (
+        exact.join(F.broadcast(total))
+        .where(F.col("cnt") >= F.lit(phi) * F.col("total"))
+        .select("t", "cnt")
+    )

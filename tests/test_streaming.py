@@ -6,7 +6,7 @@ from __future__ import annotations
 from streamsum_spark import pipeline
 from streamsum_spark.operators.caches import lastn_per_key
 from streamsum_spark.streaming import pipeline as sp
-from tests.conftest import SF_SMOKE, canon_rows
+from tests.conftest import SF_ORACLE, SF_SMOKE, canon_rows
 
 
 def _assert_same(batch_df, stream_df):
@@ -180,3 +180,46 @@ def test_multibatch_stateful_folds_match_batch(spark, tmp_path):
     # sanity: the stream really ran multiple micro-batches (state carried)
     n_batches = mem.select("n_seen").groupBy().max().collect()[0][0]
     assert n_batches is not None
+
+
+def test_stream_heavy_hitters_multibatch_equals_batch(spark, tmp_path):
+    """Sharded Misra–Gries streaming state across 3 micro-batches must
+    reproduce the batch exact heavy-hitter set — the MG superset guarantee
+    composes across batches because state carries the counters forward."""
+    import glob as g
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from streamsum_spark.operators import sketches as sk
+    from streamsum_spark.tables import table
+
+    docs = table(spark, SF_ORACLE, "documents")
+    src = str(tmp_path / "hh_src")
+    # full corpus for the batch reader + verify pass
+    docs.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "full"))
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    shutil.copy(
+        g.glob(str(tmp_path / "full" / "part-*.parquet"))[0],
+        os.path.join(src, "documents.parquet"),
+    )
+    # three slices for the stream
+    for i in range(3):
+        part = docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == i)
+        part.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"hh_slice{i}"))
+        shutil.copy(
+            g.glob(str(tmp_path / f"hh_slice{i}" / "part-*.parquet"))[0],
+            os.path.join(src, f"documents_{i}.parquet"),
+        )
+
+    batch = {(r.t, r.cnt) for r in sk.heavy_hitters_exact(spark, src).collect()}
+    stream = {
+        (r.t, r.cnt)
+        for r in sp.stream_heavy_hitters(
+            spark, src, glob="documents_*.parquet", max_files_per_trigger=1
+        ).collect()
+    }
+    assert batch
+    assert stream == batch
