@@ -105,3 +105,37 @@ def dedup_corpus(spark, sf_dir: str, threshold: float = 0.2) -> DataFrame:
     )
     docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     return docs.join(F.broadcast(drops), "doc_id", "left_anti")
+
+
+def corpus_prep(spark, sf_dir: str, budget: int = 2048) -> DataFrame:
+    """The whole training-data preparation pipeline, composed end to end:
+
+      quality filter (text_quality_score.keep)
+      -> near-dup cluster removal (dedup_corpus survivors)
+      -> language rebalance (stratified_sample membership)
+      -> sequence packing over the survivors (pack_into_chunks)
+
+    Returns (doc_id, n_tokens, part, chunk) for every surviving document.
+    Each stage contributes only a doc_id keep-set (tiny relative to the
+    corpus; broadcast semi-joins), so the text column is read exactly
+    where it is needed (signature/verify inside dedup, token counts
+    inside packing) and never shuffled between stages."""
+    from streamsum_spark.operators.sampling import pack_into_chunks, stratified_sample
+    from streamsum_spark.operators.text import text_quality_score
+
+    quality_keep = text_quality_score(spark, sf_dir).where(F.col("keep")).select("doc_id")
+    dedup_keep = dedup_corpus(spark, sf_dir).select("doc_id")
+    sample_keep = stratified_sample(spark, sf_dir).select("doc_id")
+    docs = table_docs(spark, sf_dir)
+    survivors = (
+        docs.join(F.broadcast(quality_keep), "doc_id")
+        .join(F.broadcast(dedup_keep), "doc_id")
+        .join(F.broadcast(sample_keep), "doc_id")
+    )
+    return pack_into_chunks(spark, sf_dir, budget=budget, docs=survivors)
+
+
+def table_docs(spark, sf_dir: str):
+    from streamsum_spark.tables import table
+
+    return table(spark, sf_dir, "documents").select("doc_id", "text")

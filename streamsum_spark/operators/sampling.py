@@ -40,7 +40,12 @@ FROM documents
 """
 
 
-def pack_into_chunks(spark: SparkSession, sf_dir: str, budget: int = 2048) -> DataFrame:
+def pack_into_chunks(
+    spark: SparkSession,
+    sf_dir: str,
+    budget: int = 2048,
+    docs: DataFrame | None = None,
+) -> DataFrame:
     """Sequence packing: deterministically shuffle docs (order by id-hash),
     then assign each to a training chunk so cumulative token count per
     chunk stays under ``budget`` — the greedy-in-fixed-order packing used
@@ -54,8 +59,12 @@ def pack_into_chunks(spark: SparkSession, sf_dir: str, budget: int = 2048) -> Da
     sort).  The chunk identity is the pair (part, chunk): deterministic,
     stable under corpus growth within a partition, and each partition's
     chunks are independently consumable by a data loader.  At larger
-    corpora widen ``part`` to 2+ hex chars (256+ streams)."""
-    docs = table(spark, sf_dir, "documents")
+    corpora widen ``part`` to 2+ hex chars (256+ streams).
+
+    ``docs`` lets a composite (corpus_prep) pack an already-filtered
+    corpus instead of the raw table; it must carry (doc_id, text)."""
+    if docs is None:
+        docs = table(spark, sf_dir, "documents")
     toks = "CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)"
     part = "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 1), 16, 10) AS BIGINT)"
     shuffled = docs.select(

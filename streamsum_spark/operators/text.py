@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streamsum_spark.tables import table
+from streamsum_spark.util import rebalance_for_cpu
 
 # words acting as "function words" for the quality/langid heuristics
 STOPWORDS = ("a", "the", "of", "and", "to", "in")
@@ -239,4 +240,64 @@ SELECT lang, term, tf, CAST(rn AS BIGINT) AS rn FROM (
         GROUP BY lang, term
     )
 ) WHERE rn <= 5
+"""
+
+
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher-rules family):
+    per document, the fraction of token mass in the single most frequent
+    2-gram and the distinct-token ratio — high top-2-gram mass or a low
+    distinct ratio flags boilerplate/degenerate text for filtering.
+
+    Shape: one 2-gram explode -> per-(doc, gram) count -> per-doc max via
+    a second aggregation (two partial-combined shuffles keyed by doc_id;
+    the gram relation never self-joins).  Ratios are single IEEE
+    divisions, so values hash identically across engines."""
+    docs = rebalance_for_cpu(table(spark, sf_dir, "documents"))
+    toked = docs.withColumn("_toks", F.expr(_TOKS)).select(
+        "doc_id",
+        "_toks",
+        F.expr("size(_toks)").alias("n_tok"),
+        F.expr("size(array_distinct(_toks))").alias("n_distinct"),
+    )
+    grams = toked.select(
+        "doc_id",
+        "n_tok",
+        "n_distinct",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(_toks) >= 2 THEN "
+                "transform(sequence(1, size(_toks) - 1), "
+                "i -> concat(_toks[i - 1], ' ', _toks[i])) "
+                "ELSE array() END"
+            )
+        ).alias("g"),
+    )
+    per_gram = grams.groupBy("doc_id", "n_tok", "n_distinct", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return per_gram.groupBy("doc_id").agg(
+        (F.max("c") * 2.0 / F.first("n_tok")).alias("top_bigram_frac"),
+        (F.first("n_distinct") / F.first("n_tok").cast("double")).alias("distinct_ratio"),
+    )
+
+
+TEXT_REPETITION_SQL = r"""
+WITH toked AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+), base AS (
+    SELECT doc_id, toks, len(toks) AS n_tok, len(list_distinct(toks)) AS n_distinct
+    FROM toked
+), grams AS (
+    SELECT doc_id, n_tok, n_distinct,
+           unnest([toks[i] || ' ' || toks[i + 1] FOR i IN range(1, n_tok)]) AS g
+    FROM base
+), per_gram AS (
+    SELECT doc_id, n_tok, n_distinct, g, count(*) AS c
+    FROM grams GROUP BY 1, 2, 3, 4
+)
+SELECT doc_id,
+       max(c) * 2.0 / first(n_tok) AS top_bigram_frac,
+       first(n_distinct) / CAST(first(n_tok) AS DOUBLE) AS distinct_ratio
+FROM per_gram GROUP BY doc_id
 """

@@ -61,6 +61,28 @@ def test_dedup_corpus_end_to_end(spark):
         assert not (r.doc_a in survivors and r.doc_b in survivors), (r.doc_a, r.doc_b)
 
 
+def test_corpus_prep_composition(spark):
+    """Survivor set = intersection of the three keep-sets, and every
+    packed chunk respects the token budget."""
+    from streamsum_spark.operators.sampling import stratified_sample
+    from streamsum_spark.operators.text import text_quality_score
+
+    out = cl.corpus_prep(spark, SF_ORACLE, budget=512).collect()
+    got = {r.doc_id for r in out}
+    q = {r.doc_id for r in text_quality_score(spark, SF_ORACLE).where("keep").collect()}
+    d = {r.doc_id for r in cl.dedup_corpus(spark, SF_ORACLE).collect()}
+    s = {r.doc_id for r in stratified_sample(spark, SF_ORACLE).collect()}
+    assert got == q & d & s
+    assert got  # non-vacuous
+    # chunk budget: a doc starts a new chunk only when the previous would
+    # overflow, so no chunk exceeds budget unless a single doc does
+    by_chunk: dict = {}
+    for r in out:
+        by_chunk.setdefault((r.part, r.chunk), []).append(r.n_tokens)
+    for toks in by_chunk.values():
+        assert sum(toks) <= 512 + max(toks)
+
+
 def test_keep_list_shape(spark):
     pairs = dd.near_dup_verified(spark, SF_ORACLE)
     keep = cl.dedup_keep_list(pairs)

@@ -23,6 +23,7 @@ DEMOTED = {
     "stratified_sample": (sp.stratified_sample, sp.STRATIFIED_SAMPLE_SQL),
     "reservoir_per_key": (sp.reservoir_per_key, sp.RESERVOIR_PER_KEY_SQL),
     "simhash_near_dupes": (dd.simhash_near_dupes, dd.SIMHASH_NEAR_DUPES_SQL),
+    "text_repetition_signals": (tx.text_repetition_signals, tx.TEXT_REPETITION_SQL),
     "winnow_shared_fingerprints": (dd.winnow_shared_fingerprints, dd.WINNOW_SHARED_SQL),
     "window_rownum_lastn": (
         rel.window_rownum_lastn,
