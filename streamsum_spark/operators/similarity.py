@@ -478,3 +478,54 @@ def ann_ivf_topk(
         .orderBy(F.col("cos").desc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+# --- scalar quantization (storage-side ANN lever) ---------------------------
+
+
+def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization: q[i] = round(x[i] * 127 / s)
+    with s = the corpus-wide max |x[i]| (one tiny broadcast scalar).
+
+    This is the storage half of ANN at scale — a 100 TB float32 corpus
+    becomes 25 TB of int8 with ~1% cosine error, and the quantized column
+    is what the IVF/LSH partitions actually persist.  Both passes are
+    pure expressions: the scale is one max-aggregation (broadcast back as
+    a 1-row join), the quantization a transform() projection.  Recall of
+    brute-force top-k over DEquantized vectors vs float vectors is pinned
+    in tests/test_similarity_quality.py."""
+    emb = table(spark, sf_dir, "embeddings")
+    scale = emb.agg(
+        F.expr(
+            "max(aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE)))))"
+        ).alias("s")
+    )
+    return emb.join(F.broadcast(scale)).select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / s) AS TINYINT))"
+        ).alias("q8"),
+        "s",
+    )
+
+
+def similarity_topk_quantized(
+    spark: SparkSession, sf_dir: str, probe_vec_id: int = 0, k: int = 20
+) -> DataFrame:
+    """Exact cosine top-k computed over the DEquantized int8 vectors —
+    the fidelity check for quantize_embeddings (cosine is scale-invariant,
+    so the shared scale cancels and only the rounding error remains)."""
+    q = quantize_embeddings(spark, sf_dir)
+    deq = q.select(
+        "vec_id",
+        F.expr("transform(q8, v -> CAST(v AS DOUBLE))").alias("embedding"),
+    )
+    probe = deq.where(F.col("vec_id") == probe_vec_id).select(
+        F.col("embedding").alias("qv")
+    )
+    return (
+        deq.join(F.broadcast(probe))
+        .select("vec_id", F.expr(_cos_expr("embedding", "qv")).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col("vec_id"))
+        .limit(k)
+    )
