@@ -243,7 +243,12 @@ WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.2
 """
 
 
-def near_dup_verified(spark: SparkSession, sf_dir: str, threshold: float = 0.2) -> DataFrame:
+def near_dup_verified(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.2,
+    max_bucket: int | None = None,
+) -> DataFrame:
     """Production near-dup pipeline: LSH candidate pairs -> exact n-gram
     Jaccard verification -> threshold filter.
 
@@ -270,7 +275,7 @@ def near_dup_verified(spark: SparkSession, sf_dir: str, threshold: float = 0.2) 
 
     sh = shingle_sets(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     sig = _signatures_from(sh).persist(StorageLevel.MEMORY_AND_DISK)
-    cand = lsh_candidate_pairs(spark, sf_dir, sig=sig)
+    cand = lsh_candidate_pairs(spark, sf_dir, max_bucket=max_bucket, sig=sig)
     scored = (
         cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
