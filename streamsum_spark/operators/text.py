@@ -301,3 +301,128 @@ SELECT doc_id,
        first(n_distinct) / CAST(first(n_tok) AS DOUBLE) AS distinct_ratio
 FROM per_gram GROUP BY doc_id
 """
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document: tf = in-doc count, idf =
+    ln(N / df) with df = documents containing the term.
+
+    Shape: one token explode feeds BOTH the per-(doc, term) counts and
+    (via a second aggregation over the same persisted relation) the
+    document frequencies; the df relation is vocabulary-sized and
+    broadcasts back.  ln() of an integer ratio is the same libm call in
+    both engines for these magnitudes — pinned by the value-hash oracle
+    with round(6).  Deterministic tie-break on the term string."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    docs = rebalance_for_cpu(table(spark, sf_dir, "documents"))
+    tokens = docs.select("doc_id", F.explode(F.expr(_TOKS)).alias("t"))
+    tf = (
+        tokens.groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_docs = tf.select("doc_id").distinct().count()
+    df = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df), "t").select(
+        "doc_id",
+        "t",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("t"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .where(F.col("rn") <= k)
+        .select("doc_id", "t", "tfidf", "rn")
+    )
+
+
+TFIDF_TOP_TERMS_SQL = r"""
+WITH tokens AS (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS t FROM documents
+), tf AS (
+    SELECT doc_id, t, count(*) AS tf FROM tokens GROUP BY 1, 2
+), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+df AS (SELECT t, count(*) AS df FROM tf GROUP BY 1)
+SELECT doc_id, t, tfidf, rn FROM (
+    SELECT tf.doc_id, tf.t,
+           round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df), 6) AS tfidf,
+           CAST(row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df) DESC, tf.t
+           ) AS BIGINT) AS rn
+    FROM tf JOIN df ON tf.t = df.t CROSS JOIN n
+) WHERE rn <= 3
+"""
+
+
+def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document self-perplexity under an add-one-smoothed bigram LM
+    trained on the corpus itself — the perplexity-filter shape of a
+    training-data pipeline (an outlier score: high = unlike the corpus).
+
+    Two aggregations over one persisted bigram relation (LM counts +
+    per-doc scoring join); the LM tables are vocabulary-sized and
+    broadcast.  Output: avg negative log-probability per bigram,
+    round(6) for the cross-engine hash (each term is one ln() of a
+    ratio of integers — same libm on both engines at these magnitudes).
+    """
+    from pyspark import StorageLevel
+
+    docs = rebalance_for_cpu(table(spark, sf_dir, "documents"))
+    grams = (
+        docs.withColumn("_toks", F.expr(_TOKS))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(_toks) >= 2 THEN "
+                    "transform(sequence(1, size(_toks) - 1), "
+                    "i -> struct(_toks[i - 1] AS w1, _toks[i] AS w2)) "
+                    "ELSE array() END"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "g.w1", "g.w2")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    vocab = grams.select(F.col("w1").alias("w")).union(
+        grams.select(F.col("w2").alias("w"))
+    ).distinct().count()
+    big_c = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni_c = grams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    lm = big_c.join(uni_c, "w1").select(
+        "w1",
+        "w2",
+        # add-one smoothing: P(w2|w1) = (c12 + 1) / (c1 + V)
+        (F.log((F.col("c1") + F.lit(float(vocab))) / (F.col("c12") + 1.0))).alias("nll"),
+    )
+    return (
+        grams.join(F.broadcast(lm), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(F.round(F.avg("nll"), 6).alias("avg_nll"))
+    )
+
+
+BIGRAM_PERPLEXITY_SQL = r"""
+WITH toked AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+), grams AS (
+    SELECT doc_id, unnest([{'w1': toks[i], 'w2': toks[i + 1]} FOR i IN range(1, len(toks))]) AS g
+    FROM toked
+), flat AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM grams),
+vocab AS (
+    SELECT count(*) AS v FROM (
+        SELECT w1 AS w FROM flat UNION SELECT w2 AS w FROM flat
+    )
+), big_c AS (SELECT w1, w2, count(*) AS c12 FROM flat GROUP BY 1, 2),
+uni_c AS (SELECT w1, count(*) AS c1 FROM flat GROUP BY 1),
+lm AS (
+    SELECT b.w1, b.w2, ln((c1 + (SELECT CAST(v AS DOUBLE) FROM vocab)) / (c12 + 1.0)) AS nll
+    FROM big_c b JOIN uni_c u ON b.w1 = u.w1
+)
+SELECT doc_id, round(avg(nll), 6) AS avg_nll
+FROM flat JOIN lm USING (w1, w2)
+GROUP BY doc_id
+"""

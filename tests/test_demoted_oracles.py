@@ -24,6 +24,8 @@ DEMOTED = {
     "reservoir_per_key": (sp.reservoir_per_key, sp.RESERVOIR_PER_KEY_SQL),
     "simhash_near_dupes": (dd.simhash_near_dupes, dd.SIMHASH_NEAR_DUPES_SQL),
     "text_repetition_signals": (tx.text_repetition_signals, tx.TEXT_REPETITION_SQL),
+    "tfidf_top_terms": (tx.tfidf_top_terms, tx.TFIDF_TOP_TERMS_SQL),
+    "bigram_perplexity": (tx.bigram_perplexity, tx.BIGRAM_PERPLEXITY_SQL),
     "winnow_shared_fingerprints": (dd.winnow_shared_fingerprints, dd.WINNOW_SHARED_SQL),
     "window_rownum_lastn": (
         rel.window_rownum_lastn,
