@@ -330,18 +330,22 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.expr(simhash_expr()).alias("simhash"))
 
 
-def simhash_expr() -> str:
+def simhash_expr(offset_nibbles: int = 0) -> str:
     """32-bit SimHash as a single Catalyst expression over ``text``.
 
     The token digests are materialized by an inner ``transform(toks,
     x -> md5(x))`` and the per-bit tests reference the lambda VARIABLE
     ``m`` — interpreted HOF lambdas get no subexpression elimination, so
     inlining ``md5(x)`` into the bit lambda would hash every token 32
-    times (once per bit) instead of once."""
+    times (once per bit) instead of once.
+
+    ``offset_nibbles`` selects which 8 hex nibbles of the md5 digest feed
+    the 32 bits (0 = nibbles 1-8, 8 = nibbles 9-16) — two calls give the
+    two independent words of the 64-bit wide SimHash."""
     # per token digest m: 32-element array of +1/-1; fold element-wise
     bit = (
         "transform(sequence(0, 31), b -> "
-        "CASE WHEN (CAST(instr('0123456789abcdef', substring(m, 1 + CAST(b / 4 AS INT), 1)) - 1 AS INT) "
+        f"CASE WHEN (CAST(instr('0123456789abcdef', substring(m, 1 + {offset_nibbles} + CAST(b / 4 AS INT), 1)) - 1 AS INT) "
         "          >> (b % 4)) & 1 = 1 THEN 1 ELSE -1 END)"
     )
     folded = (
@@ -634,4 +638,118 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS shared
 FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 HAVING count(*) >= 2
+"""
+
+
+# --- 64-bit wide SimHash (the documented scale configuration) ---------------
+
+
+def simhash_wide_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash as TWO independent 32-bit words (doc_id, sim_hi,
+    sim_lo) — sim_lo from md5 nibbles 1-8, sim_hi from nibbles 9-16.
+
+    Two words instead of one 64-bit value keeps every intermediate
+    below 2^32: bit 63 of a packed BIGINT is the sign bit, where Spark's
+    wrapping sum and DuckDB's HUGEINT-promoting sum diverge — split
+    words make the signature fully value-hash-oracle-checkable."""
+    docs = rebalance_for_cpu(table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.expr(simhash_expr(8)).alias("sim_hi"),
+        F.expr(simhash_expr(0)).alias("sim_lo"),
+    )
+
+
+SIMHASH_WIDE_SQL = r"""
+WITH tok AS (
+    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS x FROM documents
+), bits AS (
+    SELECT doc_id, w, b,
+           sum(CASE WHEN ((strpos('0123456789abcdef', substr(md5(x), 1 + w * 8 + b // 4, 1)) - 1) >> (b % 4)) & 1 = 1
+                    THEN 1 ELSE -1 END) AS s
+    FROM tok
+    CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b)
+    CROSS JOIN (SELECT unnest([0, 1]) AS w)
+    GROUP BY doc_id, w, b
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 AND w = 1 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS sim_hi,
+       CAST(sum(CASE WHEN s > 0 AND w = 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS sim_lo
+FROM bits GROUP BY doc_id
+"""
+
+
+def simhash_wide_near_dupes(
+    spark: SparkSession,
+    sf_dir: str,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """64-bit SimHash near-dup pairs via 4 x 16-bit banded blocking — the
+    production-scale configuration the 32-bit operator's docstring
+    prescribes: 65k values per band keep bucket sizes ~|corpus|/65k, and
+    the pigeonhole recall guarantee is unchanged (<= 3 flipped bits
+    cannot touch all 4 bands).  Hamming distance = popcount over both
+    words; ``max_bucket`` is the residual hot-bucket cap."""
+    from pyspark import StorageLevel
+
+    sig = simhash_wide_signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        "sim_hi",
+        "sim_lo",
+        F.explode(
+            F.expr(
+                "array(struct(CAST(0 AS INT) AS band, CAST(sim_lo & 65535 AS BIGINT) AS bv), "
+                "      struct(CAST(1 AS INT) AS band, CAST(shiftright(sim_lo, 16) & 65535 AS BIGINT) AS bv), "
+                "      struct(CAST(2 AS INT) AS band, CAST(sim_hi & 65535 AS BIGINT) AS bv), "
+                "      struct(CAST(3 AS INT) AS band, CAST(shiftright(sim_hi, 16) & 65535 AS BIGINT) AS bv))"
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sim_hi", "sim_lo", "bb.band", "bb.bv")
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bv")
+        bands = (
+            bands.withColumn("_f", F.count(F.lit(1)).over(w))
+            .where(F.col("_f") <= max_bucket)
+            .drop("_f")
+        )
+    bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr(
+                "CAST(bit_count(a.sim_lo ^ b.sim_lo) + bit_count(a.sim_hi ^ b.sim_hi) AS BIGINT)"
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+SIMHASH_WIDE_NEAR_DUPES_SQL = f"""
+WITH sig AS ({SIMHASH_WIDE_SQL}),
+bands AS (
+    SELECT doc_id, sim_hi, sim_lo, band,
+           CASE band WHEN 0 THEN sim_lo & 65535
+                     WHEN 1 THEN (sim_lo >> 16) & 65535
+                     WHEN 2 THEN sim_hi & 65535
+                     ELSE (sim_hi >> 16) & 65535 END AS bv
+    FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sim_lo, b.sim_lo)) + bit_count(xor(a.sim_hi, b.sim_hi)) AS BIGINT) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim_lo, b.sim_lo)) + bit_count(xor(a.sim_hi, b.sim_hi)) <= 3
 """

@@ -37,6 +37,37 @@ def test_simhash_banding_recall_is_total(spark):
     assert capped <= brute
 
 
+def test_simhash_wide_banding_recall_is_total(spark):
+    """The 64-bit / 4x16-bit-band configuration keeps the pigeonhole
+    guarantee: banded candidates == brute-force pairs at Hamming <= 3
+    over the combined 64 bits."""
+    sigs = {
+        r.doc_id: (r.sim_hi, r.sim_lo)
+        for r in dd.simhash_wide_signatures(spark, SF_ORACLE).collect()
+    }
+    ids = sorted(sigs)
+
+    def ham(a, b):
+        return bin(sigs[a][0] ^ sigs[b][0]).count("1") + bin(
+            sigs[a][1] ^ sigs[b][1]
+        ).count("1")
+
+    brute = {
+        (a, b, ham(a, b))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if ham(a, b) <= 3
+    }
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dd.simhash_wide_near_dupes(spark, SF_ORACLE).collect()
+    }
+    assert got == brute
+    # 64 bits discriminate far harder than 32 on the same corpus
+    got32 = dd.simhash_near_dupes(spark, SF_ORACLE).count()
+    assert len(got) < got32
+
+
 def test_winnow_shared_pairs_symmetric_with_jaccard(spark):
     """Winnow-overlap pairs and Jaccard near-dups measure the same
     underlying similarity: every strong Jaccard pair (>= 0.35) must share

@@ -23,6 +23,8 @@ DEMOTED = {
     "stratified_sample": (sp.stratified_sample, sp.STRATIFIED_SAMPLE_SQL),
     "reservoir_per_key": (sp.reservoir_per_key, sp.RESERVOIR_PER_KEY_SQL),
     "simhash_near_dupes": (dd.simhash_near_dupes, dd.SIMHASH_NEAR_DUPES_SQL),
+    "simhash_wide_signatures": (dd.simhash_wide_signatures, dd.SIMHASH_WIDE_SQL),
+    "simhash_wide_near_dupes": (dd.simhash_wide_near_dupes, dd.SIMHASH_WIDE_NEAR_DUPES_SQL),
     "text_repetition_signals": (tx.text_repetition_signals, tx.TEXT_REPETITION_SQL),
     "tfidf_top_terms": (tx.tfidf_top_terms, tx.TFIDF_TOP_TERMS_SQL),
     "bigram_perplexity": (tx.bigram_perplexity, tx.BIGRAM_PERPLEXITY_SQL),
