@@ -540,3 +540,137 @@ def similarity_topk_quantized(
         .orderBy(F.col("cos").desc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+# --- product quantization (the compact-code ANN path) -----------------------
+
+PQ_SUBS = 8  # 64-dim -> 8 subvectors of 8 dims
+PQ_CENTS = 16  # 4-bit codes per subvector -> 8 codes = 4 bytes/vector
+
+
+def pq_train(
+    spark: SparkSession, sf_dir: str, n_subs: int = PQ_SUBS, n_cents: int = PQ_CENTS, seed: int = 7
+):
+    """Train per-subvector k-means codebooks (one small pyspark.ml fit per
+    subvector) and encode the corpus: returns ``(codes, codebooks)`` with
+    codes = (vec_id, codes ARRAY<INT>) and codebooks = list of
+    ``n_subs`` lists of ``n_cents`` centroid arrays.
+
+    100 TB posture: codebooks train on a bounded sample and are tiny
+    (subs x cents x subdim doubles); encoding is a map-side argmin
+    projection; the encoded corpus is n_subs small ints per vector —
+    a 64x compression of float32x64 — and is what the partitioned/
+    bucketed ANN layouts persist."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = table(spark, sf_dir, "embeddings")
+    sub_dim = _DIM // n_subs
+    assigns = []
+    books = []
+    for j in range(n_subs):
+        feats = emb.select(
+            "vec_id",
+            array_to_vector(
+                F.expr(f"CAST(slice(embedding, {j * sub_dim + 1}, {sub_dim}) AS ARRAY<DOUBLE>)")
+            ).alias("features"),
+        )
+        model = KMeans(
+            k=n_cents, seed=seed + j, featuresCol="features", predictionCol="code"
+        ).fit(feats)
+        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+        assigns.append(
+            model.transform(feats).select(
+                "vec_id", F.lit(j).alias("sub"), F.col("code").cast("int").alias("code")
+            )
+        )
+    allc = assigns[0]
+    for a in assigns[1:]:
+        allc = allc.unionByName(a)
+    codes = (
+        allc.groupBy("vec_id")
+        .agg(F.expr("array_agg(struct(sub, code))").alias("_sc"))
+        .select(
+            "vec_id",
+            F.expr(
+                "transform(array_sort(_sc, (a, b) -> a.sub - b.sub), x -> x.code)"
+            ).alias("codes"),
+        )
+    )
+    return codes, books
+
+
+def pq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    probe_vec_id: int = 0,
+    k: int = 10,
+    n_subs: int = PQ_SUBS,
+    n_cents: int = PQ_CENTS,
+    seed: int = 7,
+) -> DataFrame:
+    """PQ ANN via asymmetric distance computation: the probe's per-sub
+    distance-to-centroid tables become LITERAL nested arrays in the plan,
+    so scoring the encoded corpus is a pure projection (one array lookup
+    + add per subvector) — no join, no shuffle, and at scale it runs
+    inside the scan over the stored codes column.  Returns approximate
+    L2 top-k; recall vs exact L2 is pinned in
+    tests/test_similarity_quality.py."""
+    codes, books = pq_train(spark, sf_dir, n_subs, n_cents, seed)
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == probe_vec_id).select("embedding").collect()[0][0]
+    sub_dim = _DIM // n_subs
+    lut_rows = []
+    for j in range(n_subs):
+        qj = [float(x) for x in q[j * sub_dim : (j + 1) * sub_dim]]
+        lut_rows.append(
+            "array("
+            + ", ".join(
+                f"CAST({sum((a - b) ** 2 for a, b in zip(qj, c))!r} AS DOUBLE)"
+                for c in books[j]
+            )
+            + ")"
+        )
+    lut = "array(" + ", ".join(lut_rows) + ")"
+    score = (
+        f"aggregate(sequence(0, {n_subs - 1}), CAST(0.0 AS DOUBLE), "
+        f"(acc, j) -> acc + element_at(element_at({lut}, j + 1), codes[j] + 1))"
+    )
+    return (
+        codes.where(F.col("vec_id") != probe_vec_id)
+        .select("vec_id", F.expr(score).alias("adist"))
+        .orderBy(F.col("adist").asc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def pq_topk_rerank(
+    spark: SparkSession,
+    sf_dir: str,
+    probe_vec_id: int = 0,
+    k: int = 10,
+    shortlist: int = 50,
+) -> DataFrame:
+    """PQ as deployed: the compact-code scan produces a ``shortlist`` of
+    candidates (cheap, projection-only), then exact L2 re-ranks ONLY the
+    shortlist against the float vectors (a broadcast semi-join of
+    ``shortlist`` ids — the expensive vectors are touched for 50 rows,
+    not the corpus).  Recall@10 is pinned >= the raw PQ ranking's in
+    tests/test_similarity_quality.py (measured 0.4 -> 0.8 at
+    shortlist=50 on the synthetic corpus)."""
+    short = pq_topk(spark, sf_dir, probe_vec_id, k=shortlist).select("vec_id")
+    emb = table(spark, sf_dir, "embeddings")
+    probe = emb.where(F.col("vec_id") == probe_vec_id).select(
+        F.col("embedding").alias("q")
+    )
+    dist = (
+        "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), CAST(q AS ARRAY<DOUBLE>), "
+        "(a, b) -> (a - b) * (a - b)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    return (
+        emb.join(F.broadcast(short), "vec_id")
+        .join(F.broadcast(probe))
+        .select("vec_id", F.expr(dist).alias("l2"))
+        .orderBy(F.col("l2").asc(), F.col("vec_id"))
+        .limit(k)
+    )
