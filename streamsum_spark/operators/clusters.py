@@ -35,6 +35,101 @@ def connected_components(
     """(id, component) for every vertex appearing in ``pairs``; component
     = the smallest vertex id reachable from it.
 
+    Default algorithm: alternating large-star/small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") — O(log^2 n) rounds
+    for ANY graph shape, vs the O(diameter) of naive label propagation
+    (a 100 TB pair graph can hide million-hop chains).  Each half-round
+    is one groupBy-min plus one join — no per-node neighbor lists are
+    ever materialized, so a celebrity node with 10^9 neighbors costs a
+    shuffle, not an OOM.  The min-label variant is kept as
+    ``connected_components_minlabel`` and pinned equal in tests; the
+    star form's round count is pinned LOGARITHMIC on a worst-case path
+    graph (7 rounds for diameter 24)."""
+    return _cc_star(pairs, src, dst, max_iter)
+
+
+def _cc_star(pairs: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
+    edges = (
+        pairs.select(
+            F.least(F.col(src), F.col(dst)).alias("s"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("s") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    spark = pairs.sparkSession
+    global _last_cc_rounds
+    _last_cc_rounds = 0
+
+    def checksum(e):
+        r = e.agg(
+            F.expr("bit_xor(xxhash64(s, b))").alias("x"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        return (r.x, r.n)
+
+    prev = checksum(edges)
+    for _ in range(max_iter):
+        _last_cc_rounds += 1
+        # LARGE-STAR: symmetrize; every strictly-larger neighbor of u
+        # attaches to m(u) = min(neighbors(u) + u)
+        sym = edges.select("s", "b").union(
+            edges.select(F.col("b").alias("s"), F.col("s").alias("b"))
+        )
+        m = sym.groupBy("s").agg(F.least(F.first("s"), F.min("b")).alias("m"))
+        ls = (
+            sym.join(m, "s")
+            .where(F.col("b") > F.col("s"))
+            .select(F.least("b", "m").alias("s"), F.greatest("b", "m").alias("b"))
+            .where(F.col("s") != F.col("b"))
+            .distinct()
+        )
+        # SMALL-STAR: orient (big -> smaller neighbors); all of them plus
+        # big itself attach to the minimum of that neighborhood
+        m2 = ls.select(F.col("b").alias("u"), F.col("s").alias("v"))
+        mm = m2.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            m2.join(mm, "u")
+            .select(
+                F.least("v", "m").alias("s"), F.greatest("v", "m").alias("b")
+            )
+            .union(
+                mm.select(F.least("u", "m").alias("s"), F.greatest("u", "m").alias("b"))
+            )
+            .where(F.col("s") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        cur = checksum(ss)
+        edges = ss
+        if cur == prev:
+            break
+        prev = cur
+    # at the fixpoint every edge points directly at its component min
+    verts = edges.select(F.col("b").alias("id"), F.col("s").alias("component"))
+    roots = edges.select(F.col("s").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    return (
+        verts.union(roots)
+        .groupBy("id")
+        .agg(F.min("component").alias("component"))
+    )
+
+
+_last_cc_rounds = 0
+
+
+def connected_components_minlabel(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """O(diameter) min-label propagation — kept as the semantic
+    cross-check for the star algorithm (each round is simpler to reason
+    about); both are pinned equal to union-find in tests.
+
     Convergence is checked with one tiny aggregation per round (count of
     vertices whose label shrank) — the loop is driver-side CONTROL FLOW
     only; all data stays distributed."""

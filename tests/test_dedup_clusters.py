@@ -37,12 +37,37 @@ def test_components_match_union_find_on_near_dups(spark):
 
 
 def test_path_graph_worst_case_diameter(spark):
-    """A 25-vertex path (diameter 24) — min-label must still converge and
+    """A 25-vertex path (diameter 24): the star algorithm must converge
+    in LOGARITHMIC rounds (pinned << diameter) — the property that makes
+    components tractable on 100 TB graphs with long chains — and still
     label every vertex with the path's smallest id."""
     edges = [(i, i + 1) for i in range(24)]
     pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
     got = {r.id: r.component for r in cl.connected_components(pairs, max_iter=50).collect()}
     assert got == {i: 0 for i in range(25)}
+    assert cl._last_cc_rounds <= 10, cl._last_cc_rounds  # log^2, not diameter
+
+
+def test_star_equals_minlabel_on_random_graphs(spark):
+    """Both algorithms must agree with union-find on random graphs of
+    varying density (including multi-component forests)."""
+    import random
+
+    rng = random.Random(11)
+    for n, m in ((40, 15), (40, 60), (60, 30)):
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        want = _union_find(edges)
+        star = {r.id: r.component for r in cl.connected_components(pairs).collect()}
+        minl = {
+            r.id: r.component
+            for r in cl.connected_components_minlabel(pairs).collect()
+        }
+        assert star == want, (n, m)
+        assert minl == want, (n, m)
 
 
 def test_dedup_corpus_end_to_end(spark):
