@@ -88,6 +88,12 @@ def upsert_batch(
     ).select(*key_cols, "_v.*")
     tmp = target_path + f".tmp-{uuid.uuid4().hex[:8]}"
     deduped.write.mode("overwrite").parquet(tmp)
+    _atomic_swap(target_path, tmp)
+
+
+def _atomic_swap(target_path: str, tmp: str) -> None:
+    """Rename-aside swap: readers see either the old or the new complete
+    table; the target-missing window is two rename syscalls."""
     old = target_path + f".old-{uuid.uuid4().hex[:8]}"
     had_old = os.path.exists(target_path)
     if had_old:
@@ -95,6 +101,38 @@ def upsert_batch(
     os.rename(tmp, target_path)
     if had_old:
         shutil.rmtree(old)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    target_path: str,
+    max_records_per_file: int = 1_000_000,
+    partition_cols: list[str] | None = None,
+) -> None:
+    """Small-file compaction for a parquet table: rewrite with bounded
+    records per file and swap atomically.
+
+    Incremental pipelines (the foreachBatch MERGE sink, per-micro-batch
+    appends, the IVF layout writer) accrete files over time; scan cost at
+    100 TB is dominated by file/footer count long before byte count.
+    ``maxRecordsPerFile`` bounds file sizes from above while the
+    pre-write repartition bounds the file COUNT from below (without it,
+    every input split re-emits its own file and compaction is a no-op).
+    Partitioned layouts keep their partitioning: pass ``partition_cols``
+    and each partition directory is compacted in the same pass."""
+    df = spark.read.parquet(target_path)
+    n_rows = df.count()
+    n_files = max(1, -(-n_rows // max_records_per_file))
+    tmp = target_path + f".tmp-{uuid.uuid4().hex[:8]}"
+    writer = (
+        df.repartition(n_files, *partition_cols)
+        if partition_cols
+        else df.repartition(n_files)
+    ).write.mode("overwrite").option("maxRecordsPerFile", str(max_records_per_file))
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(tmp)
+    _atomic_swap(target_path, tmp)
 
 
 def stream_to_cache_table(

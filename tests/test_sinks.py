@@ -8,6 +8,7 @@ import tempfile
 from pyspark.sql import functions as F
 
 from streamsum_spark import pipeline, sinks
+from tests.conftest import SF_ORACLE
 from streamsum_spark.config import DEFAULT_CONFIG
 from streamsum_spark.operators.caches import count_cache
 from streamsum_spark.streaming.pipeline import stream_events
@@ -149,3 +150,51 @@ def test_checkpoint_recovery_is_exactly_once(spark):
     run_once()  # same checkpoint: no new files -> no new epochs
     second = sorted(os.listdir(path))
     assert first == second
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    """Compaction: a fragmented table (64 tiny files) rewrites to the
+    bounded file count, values untouched, no .tmp/.old residue."""
+    import glob as g
+
+    from pyspark.sql import functions as F
+
+    from streamsum_spark import sinks
+    from streamsum_spark.tables import table
+
+    target = str(tmp_path / "frag")
+    ev = table(spark, SF_ORACLE, "events").select("event_id", "user_id", "event_type")
+    ev.repartition(64).write.parquet(target)
+    assert len(g.glob(target + "/part-*.parquet")) >= 32
+    before = ev.agg(F.sum("event_id")).collect()[0][0]
+    sinks.compact_parquet(spark, target, max_records_per_file=100_000)
+    files = g.glob(target + "/part-*.parquet")
+    assert len(files) == 1, files
+    after_df = spark.read.parquet(target)
+    assert after_df.count() == ev.count()
+    assert after_df.agg(F.sum("event_id")).collect()[0][0] == before
+    assert not g.glob(target + ".tmp-*") and not g.glob(target + ".old-*")
+
+
+def test_compact_parquet_keeps_partitioning(spark, tmp_path):
+    """Partitioned layouts stay partitioned through compaction and a
+    partition filter still prunes at the scan."""
+    import glob as g
+
+    from streamsum_spark import sinks
+    from streamsum_spark.plans import inspect as plans
+    from streamsum_spark.tables import table
+
+    target = str(tmp_path / "part")
+    ev = table(spark, SF_ORACLE, "events").select("event_id", "user_id", "event_type")
+    ev.repartition(16).write.partitionBy("event_type").parquet(target)
+    n0 = spark.read.parquet(target).count()
+    sinks.compact_parquet(
+        spark, target, max_records_per_file=100_000, partition_cols=["event_type"]
+    )
+    assert spark.read.parquet(target).count() == n0
+    assert g.glob(target + "/event_type=*"), "partition dirs preserved"
+    df = spark.read.parquet(target).where("event_type = 'click'")
+    plan = plans.explain_str(df)
+    scan = plan[plan.find("PartitionFilters") :].split("]", 1)[0]
+    assert "event_type" in scan
