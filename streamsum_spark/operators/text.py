@@ -426,3 +426,53 @@ SELECT doc_id, round(avg(nll), 6) AS avg_nll
 FROM flat JOIN lm USING (w1, w2)
 GROUP BY doc_id
 """
+
+
+# PII redaction patterns — RE2-safe (no lookaround), so Spark's Java regex
+# and DuckDB's RE2 produce byte-identical replacements (verified); order
+# matters (emails before phones, or the phone digits inside an address
+# never match anyway since '@' breaks the run).
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus: emails, IPv4 addresses and
+    phone-number runs become typed placeholder tokens — the standard
+    pre-training scrub, as chained regexp_replace projections (codegen'd,
+    zero shuffle; at 100 TB this is scan-speed).
+
+    The declared oracle hashes the full redacted text (md5), so the
+    byte-identity of both engines' regex engines over every document IS
+    the check; the replacement logic itself is pinned on a PII-bearing
+    fixture in tests/test_text_cleaning.py (the synthetic corpus contains
+    no PII, which the fixture compensates for)."""
+    docs = rebalance_for_cpu(table(spark, sf_dir, "documents"))
+    col = F.col("text")
+    for pat, rep in PII_PATTERNS:
+        # python API: the Java pattern goes through verbatim (no SQL
+        # string-literal escaping layer, unlike F.expr)
+        col = F.regexp_replace(col, pat, rep)
+    return docs.select(
+        "doc_id",
+        F.md5(col).alias("redacted_md5"),
+        (col != F.col("text")).alias("changed"),
+    )
+
+
+def _pii_sql_chain() -> str:
+    expr = "text"
+    for pat, rep in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    return expr
+
+
+REDACT_PII_SQL = f"""
+SELECT doc_id,
+       md5({_pii_sql_chain()}) AS redacted_md5,
+       {_pii_sql_chain()} != text AS changed
+FROM documents
+"""

@@ -27,6 +27,7 @@ DEMOTED = {
     "simhash_wide_near_dupes": (dd.simhash_wide_near_dupes, dd.SIMHASH_WIDE_NEAR_DUPES_SQL),
     "text_repetition_signals": (tx.text_repetition_signals, tx.TEXT_REPETITION_SQL),
     "tfidf_top_terms": (tx.tfidf_top_terms, tx.TFIDF_TOP_TERMS_SQL),
+    "redact_pii": (tx.redact_pii, tx.REDACT_PII_SQL),
     "bigram_perplexity": (tx.bigram_perplexity, tx.BIGRAM_PERPLEXITY_SQL),
     "winnow_shared_fingerprints": (dd.winnow_shared_fingerprints, dd.WINNOW_SHARED_SQL),
     "window_rownum_lastn": (
