@@ -564,6 +564,9 @@ def pq_train(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    key = (spark.sparkContext.applicationId, sf_dir, n_subs, n_cents, seed)
+    if key in _PQ_CACHE:
+        return _PQ_CACHE[key]
     emb = table(spark, sf_dir, "embeddings")
     sub_dim = _DIM // n_subs
     assigns = []
@@ -587,6 +590,8 @@ def pq_train(
     allc = assigns[0]
     for a in assigns[1:]:
         allc = allc.unionByName(a)
+    from pyspark import StorageLevel
+
     codes = (
         allc.groupBy("vec_id")
         .agg(F.expr("array_agg(struct(sub, code))").alias("_sc"))
@@ -596,8 +601,16 @@ def pq_train(
                 "transform(array_sort(_sc, (a, b) -> a.sub - b.sub), x -> x.code)"
             ).alias("codes"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # index building is OFFLINE at scale (train once, encode once, store);
+    # memoizing per (session, corpus, params) mirrors that — repeated
+    # queries must not refit 8 KMeans models
+    _PQ_CACHE[key] = (codes, books)
     return codes, books
+
+
+_PQ_CACHE: dict = {}
 
 
 def pq_topk(
