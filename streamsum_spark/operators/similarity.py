@@ -383,6 +383,7 @@ def write_embeddings_ivf(
     out_path: str,
     n_lists: int = 8,
     seed: int = 7,
+    quantize: bool = False,
 ) -> None:
     """Materialize the IVF storage layout: the corpus written
     ``partitionBy(list_id)`` (one directory per k-means cell) plus the
@@ -392,9 +393,20 @@ def write_embeddings_ivf(
     just a plan: with lists as physical partitions, an nprobe-list query
     never opens the other lists' files at all (verified as a scan
     PartitionFilter in tests/test_ivf_layout.py), instead of filtering
-    rows after reading everything."""
+    rows after reading everything.
+
+    ``quantize=True`` stores int8 vectors (quantize_embeddings) instead
+    of float32 — the production pairing: 4x smaller list partitions, and
+    since cosine is scale-invariant the shared scale never needs to be
+    read back at query time (the query's dot folds cast per-element to
+    DOUBLE, so ARRAY<TINYINT> plugs straight into the same plan)."""
     assignments, centroids = kmeans_ivf_index(spark, sf_dir, n_lists, seed)
-    emb = table(spark, sf_dir, "embeddings")
+    if quantize:
+        emb = quantize_embeddings(spark, sf_dir).select(
+            "vec_id", F.col("q8").alias("embedding")
+        )
+    else:
+        emb = table(spark, sf_dir, "embeddings")
     (
         emb.join(assignments, "vec_id")
         .write.mode("overwrite")

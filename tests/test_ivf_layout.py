@@ -40,6 +40,29 @@ def test_partitioned_result_matches_in_memory_ivf(spark, ivf_path):
     assert on_disk == in_mem
 
 
+def test_quantized_layout_smaller_and_recall_holds(spark, tmp_path_factory, ivf_path):
+    """The int8 layout is materially smaller on disk than the float32
+    one, the same pruned query runs over it unchanged, and its top-10
+    keeps >= 0.8 overlap with the float layout's (quantization error
+    budget)."""
+    import os
+
+    qout = str(tmp_path_factory.mktemp("ivfq") / "embeddings_ivf")
+    sim.write_embeddings_ivf(spark, SF_ORACLE, qout, quantize=True)
+
+    def du(path):
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(path)
+            for f in fs
+        )
+
+    assert du(qout) < 0.6 * du(ivf_path), (du(qout), du(ivf_path))
+    fl = [r.vec_id for r in sim.ann_ivf_partitioned_topk(spark, ivf_path, SF_ORACLE, k=10).collect()]
+    qz = [r.vec_id for r in sim.ann_ivf_partitioned_topk(spark, qout, SF_ORACLE, k=10).collect()]
+    assert len(set(fl) & set(qz)) >= 8, (fl, qz)
+
+
 def test_layout_covers_whole_corpus(spark, ivf_path):
     from streamsum_spark.tables import table
 
