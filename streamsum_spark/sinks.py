@@ -61,12 +61,24 @@ def write_cache_bucketed(
 
 
 def upsert_batch(
-    spark: SparkSession, target_path: str, updates: DataFrame, key_cols: list[str], order_col: str
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    order_col: str | list[str],
 ) -> None:
-    """MERGE-emulation: newest row per key wins (by ``order_col``; ties
-    broken by the remaining value columns so replays are deterministic —
-    two updates for a key sharing an order value always resolve the same
-    way, preserving the exactly-once-observable property).
+    """MERGE-emulation: newest row per key wins (by ``order_col`` — a
+    single column or an ordered list forming a composite order key; ties
+    beyond it are broken by the remaining value columns so replays are
+    deterministic — two updates for a key sharing an order value always
+    resolve the same way, preserving the exactly-once-observable
+    property).
+
+    The order key must be strictly monotone per key across upserts for
+    newest-wins to mean arrival-order-newest: a non-decreasing-but-tying
+    column (e.g. an event timestamp with duplicate ts) needs a
+    monotone tie-breaker appended (e.g. ``["latest_ts", "latest_seq"]``)
+    or the value-column tie-break can resurrect a stale value.
 
     Swap protocol: write to tmp, rename target aside, rename tmp into
     place, delete the old copy — readers see either the old or the new
@@ -79,8 +91,9 @@ def upsert_batch(
         merged = existing.unionByName(updates)
     else:
         merged = updates
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     value_cols = [c for c in merged.columns if c not in key_cols]
-    tie_break = [order_col] + [c for c in value_cols if c != order_col]
+    tie_break = order_cols + [c for c in value_cols if c not in order_cols]
     deduped = merged.groupBy(*key_cols).agg(
         F.expr(
             f"max_by(struct({', '.join(value_cols)}), struct({', '.join(tie_break)}))"
@@ -136,7 +149,7 @@ def compact_parquet(
 
 
 def stream_to_cache_table(
-    df: DataFrame, target_path: str, key_cols: list[str], order_col: str
+    df: DataFrame, target_path: str, key_cols: list[str], order_col: str | list[str]
 ) -> None:
     """Run an availableNow update-mode stream into a keyed parquet cache
     table via foreachBatch upsert."""

@@ -112,7 +112,7 @@ def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
 
 
 def _run_via_cache_table(
-    df: DataFrame, key_cols: list[str], order_col: str
+    df: DataFrame, key_cols: list[str], order_col: str | list[str]
 ) -> DataFrame:
     """Run an UPDATE-mode availableNow stream through the production sink
     path — foreachBatch MERGE into a keyed parquet cache table — and read
@@ -499,16 +499,37 @@ def stream_lastn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def stream_assoc_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_assoc_last_value(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """A5 as a streaming aggregation through the bounded-state path
     (update mode + foreachBatch MERGE); shares the batch assoc oracle.
-    ``latest_ts`` is monotone per key under the max_by aggregation, so it
-    is the merge's order column."""
-    from streamsum_spark.operators.caches import assoc_last_value
 
-    fanned = transform_fanout(extract_events(stream_events(spark, sf_dir)), DEFAULT_CONFIG)
-    agg = assoc_last_value(fanned.where(F.col("cache_key") == "click-obj-user"))
-    return _run_via_cache_table(agg, key_cols=["k"], order_col="latest_ts")
+    ``latest_ts`` alone is non-decreasing but NOT strictly monotone per
+    key — two events for a key can share a ts (which is exactly why seq
+    exists, SURVEY.md §4.2.3).  If such a tie spans micro-batches, a
+    merge ordered by latest_ts alone falls through to the value-column
+    tie-break and can keep the stale (lexically larger) value.  So the
+    aggregation carries the winning event's seq and the merge orders by
+    the composite (latest_ts, latest_seq), which IS strictly monotone per
+    key; the seq is dropped from the returned view."""
+    fanned = transform_fanout(
+        extract_events(stream_events(spark, sf_dir, glob, max_files_per_trigger)),
+        DEFAULT_CONFIG,
+    )
+    routed = fanned.where(F.col("cache_key") == "click-obj-user")
+    agg = routed.groupBy("k").agg(
+        F.expr("max_by(v, struct(ts, seq))").alias("v"),
+        F.max("ts").alias("latest_ts"),
+        F.expr("max_by(seq, struct(ts, seq))").alias("latest_seq"),
+    )
+    merged = _run_via_cache_table(
+        agg, key_cols=["k"], order_col=["latest_ts", "latest_seq"]
+    )
+    return merged.select("k", "v", "latest_ts")
 
 
 def stream_keycount(spark: SparkSession, sf_dir: str) -> DataFrame:

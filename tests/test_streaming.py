@@ -223,3 +223,57 @@ def test_stream_heavy_hitters_multibatch_equals_batch(spark, tmp_path):
     }
     assert batch
     assert stream == batch
+
+
+def test_stream_assoc_same_ts_tie_across_batches(spark, tmp_path):
+    """Two events for one assoc key with the SAME ts but different seq,
+    split across micro-batches, must resolve to the higher-seq value —
+    the reason seq exists (SURVEY.md §4.2.3).  Regression: a merge
+    ordered by latest_ts alone tie-breaks on the value column and keeps
+    the lexically larger (stale) value; the values here are chosen so
+    '10' (newer, lexically smaller) must beat '9' (older, lexically
+    larger)."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from streamsum_spark.operators.caches import assoc_last_value
+    from streamsum_spark.operators.extract import extract_events
+    from streamsum_spark.operators.transform import transform_fanout
+
+    ts = 1_700_000_000_000_000_000  # nanos
+    batches = [
+        # batch 0: older seq, v='9' (lexically LARGER than '10')
+        [(1, ts, 9, "click", 1.0, '{"k":"obj1"}'),
+         (3, ts - 5_000_000_000, 7, "click", 1.0, '{"k":"obj2"}')],
+        # batch 1: same ts, newer seq, v='10'
+        [(2, ts, 10, "click", 1.0, '{"k":"obj1"}')],
+    ]
+    src = str(tmp_path / "assoc_tie")
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate(batches):
+        part = spark.createDataFrame(rows, sp._EVENTS_RAW_SCHEMA)
+        part.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"tie_slice{i}"))
+        import glob as g
+        import shutil
+
+        f = g.glob(str(tmp_path / f"tie_slice{i}" / "part-*.parquet"))[0]
+        shutil.copy(f, os.path.join(src, f"events_{i}.parquet"))
+
+    stream = sp.stream_assoc_last_value(
+        spark, src, glob="events_*.parquet", max_files_per_trigger=1
+    )
+    got = {r.k: (r.v, r.latest_ts) for r in stream.collect()}
+    assert got["obj1"][0] == "10"  # newer seq wins despite equal ts
+    assert got["obj2"][0] == "7"
+
+    # full equivalence against the one-shot batch assoc over the union
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.schema(sp._EVENTS_RAW_SCHEMA).parquet(src).withColumn(
+        "ts",
+        F.expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
+    )
+    fanned = transform_fanout(extract_events(raw))
+    batch = assoc_last_value(fanned.where(F.col("cache_key") == "click-obj-user"))
+    _assert_same(batch, stream)
