@@ -114,10 +114,33 @@ SELECT probe_id, vec_id, cos, CAST(rn AS BIGINT) AS rn FROM (
 
 # --- sign-LSH scale path ----------------------------------------------------
 
-# 4 planes -> 16 buckets: sized so buckets hold enough candidates at the
-# test SFs; at larger corpora raise planes (buckets ~ corpus/expected-bucket-size)
+# 4 planes -> 16 buckets: the FLOOR of the auto-scaling rule below, sized so
+# buckets hold enough candidates at the test SFs.  Callers that pass
+# n_planes=None get auto_n_planes(corpus) instead of this constant.
 N_PLANES = 4
 _DIM = 64
+
+# expected bucket size the auto rule targets: small enough that the
+# per-bucket quadratic term (bucket² cosine verifies) stays cheap, large
+# enough that near neighbors still collide.
+TARGET_BUCKET = 256
+
+
+def auto_n_planes(corpus_rows: int, target_bucket: int = TARGET_BUCKET) -> int:
+    """Plane count scaled to the corpus: 2^planes buckets sized so the
+    EXPECTED bucket is ``target_bucket`` vectors —
+    ``max(N_PLANES, ceil(log2(corpus/target_bucket)))``.
+
+    This is the knob the per-bucket quadratic depends on: candidate work
+    is Σ bucket² ≈ corpus·E[bucket], so holding E[bucket] constant keeps
+    candidate generation LINEAR in the corpus instead of quadratic — a
+    100 TB corpus (~10¹⁰ vectors) lands at ~25 planes rather than the
+    toy floor of 4.  Pure arithmetic so it is testable without a corpus."""
+    import math
+
+    if corpus_rows <= target_bucket:
+        return N_PLANES
+    return max(N_PLANES, math.ceil(math.log2(corpus_rows / target_bucket)))
 
 
 def _plane_expr(j: int) -> str:
@@ -130,27 +153,46 @@ def _plane_expr(j: int) -> str:
     )
 
 
-def lsh_bucket(spark: SparkSession, sf_dir: str, n_planes: int = N_PLANES) -> DataFrame:
-    """Sign-LSH bucket id per vector: bit j = sign(embedding . plane_j).
-    Bucketing is a pure projection; similar vectors land in equal buckets,
-    turning ANN into an equi-join/groupBy on bucket.
-
-    ``n_planes`` is the scale knob: buckets = 2^planes, so the expected
-    bucket size |corpus|/2^planes — size planes so buckets stay a few
-    hundred vectors (a 100 TB corpus wants 20+ planes; the default 4 is
-    sized for the test SFs).  More planes narrow candidates monotonically
-    (each added plane splits existing buckets), pinned in
-    tests/test_similarity_quality.py."""
-    emb = table(spark, sf_dir, "embeddings")
+def lsh_bucket_df(
+    emb: DataFrame,
+    n_planes: int | None = N_PLANES,
+    target_bucket: int = TARGET_BUCKET,
+) -> DataFrame:
+    """Sign-LSH bucket ids over an arbitrary embeddings relation (must have
+    ``vec_id``, ``embedding`` and optionally ``label``).  ``n_planes=None``
+    resolves via auto_n_planes(count) — one metadata-cheap count job,
+    amortized over the whole candidate-generation pass it configures."""
+    if n_planes is None:
+        n_planes = auto_n_planes(emb.count(), target_bucket)
     bits = " + ".join(
         f"(CASE WHEN {_DOT.format(a='embedding', b=_plane_expr(j))} > 0 "
         f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
         for j in range(n_planes)
     )
-    return emb.select(
-        "vec_id", F.col("label").cast("long").alias("label"),
-        F.expr(f"CAST({bits} AS BIGINT)").alias("bucket"),
+    cols = ["vec_id"] + (
+        [F.col("label").cast("long").alias("label")] if "label" in emb.columns else []
     )
+    return emb.select(*cols, F.expr(f"CAST({bits} AS BIGINT)").alias("bucket"))
+
+
+def lsh_bucket(
+    spark: SparkSession,
+    sf_dir: str,
+    n_planes: int | None = N_PLANES,
+    target_bucket: int = TARGET_BUCKET,
+) -> DataFrame:
+    """Sign-LSH bucket id per vector: bit j = sign(embedding . plane_j).
+    Bucketing is a pure projection; similar vectors land in equal buckets,
+    turning ANN into an equi-join/groupBy on bucket.
+
+    ``n_planes`` is the scale knob: buckets = 2^planes, so the expected
+    bucket size |corpus|/2^planes.  Pass ``None`` to size it from the
+    corpus via auto_n_planes (the production default — keeps expected
+    bucket size at ``target_bucket`` at any scale; a 100 TB corpus wants
+    20+ planes, where the explicit default 4 is sized for the test SFs).
+    More planes narrow candidates monotonically (each added plane splits
+    existing buckets), pinned in tests/test_similarity_quality.py."""
+    return lsh_bucket_df(table(spark, sf_dir, "embeddings"), n_planes, target_bucket)
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str, probe_vec_id: int = 0, k: int = 10) -> DataFrame:
@@ -213,7 +255,7 @@ def embedding_near_dupes(
     sf_dir: str,
     threshold: float = 0.9,
     flip_bits: int = 1,
-    n_planes: int = N_PLANES,
+    n_planes: int | None = None,
     max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate PAIRS (the vector-space member of
@@ -227,11 +269,13 @@ def embedding_near_dupes(
     bucket — a plan guard pins the absence of nested-loop/cartesian
     joins), so the quadratic term is per-bucket, never corpus-wide —
     the same candidates-then-verify architecture as near_dup_verified.
-    N_PLANES must grow with the corpus (buckets ~ corpus / target
-    bucket size; 4 planes is sized for the test SFs) — the per-bucket
-    quadratic is |corpus|²/2^planes, so a 100 TB run uses 20+ planes,
-    optionally with the lsh_candidate_pairs-style frequency cap for
-    residual hot buckets.
+    ``n_planes=None`` (the default) sizes the plane count from the
+    corpus via auto_n_planes, holding expected bucket size at
+    TARGET_BUCKET so candidate work stays LINEAR in the corpus (the
+    per-bucket quadratic is |corpus|²/2^planes; a fixed plane count
+    would silently go quadratic at scale).  The
+    lsh_candidate_pairs-style frequency cap handles residual hot
+    buckets.
     The bucketed corpus feeds both sides of the self-join, so it is
     persisted once (Catalyst does not reuse exchanges across aliased
     self-join subtrees).  Precision is 1.0 by construction (every
@@ -241,6 +285,8 @@ def embedding_near_dupes(
 
     assert flip_bits in (0, 1)
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if n_planes is None:
+        n_planes = auto_n_planes(emb.count())
     with_b = emb.join(
         lsh_bucket(spark, sf_dir, n_planes).select("vec_id", "bucket"), "vec_id"
     )
@@ -301,8 +347,40 @@ GROUP BY label, idx
 """
 
 
+# default cap on quantizer-training input: cluster geometry saturates long
+# before this many points, and it bounds each Lloyd iteration to a constant
+# amount of work regardless of corpus size.
+FIT_SAMPLE_CAP = 100_000
+
+
+def _bounded_fit_sample(df: DataFrame, cap: int | None, seed: int) -> DataFrame:
+    """Deterministic bounded sample for quantizer training: order by a
+    seeded hash of vec_id and take the first ``cap`` rows.
+
+    TakeOrdered shape — each partition keeps its local top-``cap`` by
+    hash, one merge produces the sample — so the pass over the corpus is
+    a single projection+top-k, no full sort and no Bernoulli-sampling
+    dependence on partition layout (same rows regardless of file split).
+    At 100 TB this is the difference between Lloyd's iterations being
+    dozens of full-corpus treeAggregate scans and being jobs over a
+    bounded 100k-row relation that gives the same cluster geometry.
+
+    Strict no-op when the corpus already fits under the cap: the
+    reorder would otherwise perturb k-means|| initialization (init
+    samples depend on row/partition order) and jitter the learned
+    codebooks for zero benefit — the count that decides this is one
+    cheap aggregate, amortized over the multi-iteration fit."""
+    if cap is None or df.count() <= cap:
+        return df
+    return df.orderBy(F.xxhash64(F.col("vec_id") + F.lit(seed))).limit(cap)
+
+
 def kmeans_ivf_index(
-    spark: SparkSession, sf_dir: str, n_lists: int = 8, seed: int = 7
+    spark: SparkSession,
+    sf_dir: str,
+    n_lists: int = 8,
+    seed: int = 7,
+    fit_sample_cap: int | None = FIT_SAMPLE_CAP,
 ) -> tuple[DataFrame, DataFrame]:
     """Learned IVF coarse quantizer: k-means over the embedding space via
     pyspark.ml (the idiomatic Spark path — Lloyd's iterations are
@@ -315,11 +393,13 @@ def kmeans_ivf_index(
     small-nprobe recall is high (pinned in
     tests/test_similarity_quality.py::test_kmeans_ivf_beats_label_lists).
 
-    100 TB posture: fit on a bounded sample (the quantizer needs only
-    cluster geometry), broadcast the n_lists x dim centroid table — tiny
-    by construction — and compute assignments as a map-side argmin
-    projection; the corpus is then written partitioned by list_id so an
-    nprobe-list query prunes to nprobe partitions.
+    100 TB posture: the fit runs on a seeded bounded sample
+    (``fit_sample_cap``, default 100k — the quantizer needs only cluster
+    geometry, and the cap bounds every Lloyd iteration regardless of
+    corpus size); the centroid table is n_lists x dim — tiny by
+    construction — and assignments are computed for the FULL corpus as a
+    map-side projection; the corpus is then written partitioned by
+    list_id so an nprobe-list query prunes to nprobe partitions.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -331,7 +411,7 @@ def kmeans_ivf_index(
     )
     model = KMeans(
         k=n_lists, seed=seed, featuresCol="features", predictionCol="list_id"
-    ).fit(feats)
+    ).fit(_bounded_fit_sample(feats, fit_sample_cap, seed))
     assignments = model.transform(feats).select(
         "vec_id", F.col("list_id").cast("long").alias("list_id")
     )
@@ -561,49 +641,64 @@ PQ_CENTS = 16  # 4-bit codes per subvector -> 8 codes = 4 bytes/vector
 
 
 def pq_train(
-    spark: SparkSession, sf_dir: str, n_subs: int = PQ_SUBS, n_cents: int = PQ_CENTS, seed: int = 7
+    spark: SparkSession,
+    sf_dir: str,
+    n_subs: int = PQ_SUBS,
+    n_cents: int = PQ_CENTS,
+    seed: int = 7,
+    fit_sample_cap: int | None = FIT_SAMPLE_CAP,
 ):
     """Train per-subvector k-means codebooks (one small pyspark.ml fit per
     subvector) and encode the corpus: returns ``(codes, codebooks)`` with
     codes = (vec_id, codes ARRAY<INT>) and codebooks = list of
     ``n_subs`` lists of ``n_cents`` centroid arrays.
 
-    100 TB posture: codebooks train on a bounded sample and are tiny
-    (subs x cents x subdim doubles); encoding is a map-side argmin
-    projection; the encoded corpus is n_subs small ints per vector —
-    a 64x compression of float32x64 — and is what the partitioned/
+    100 TB posture: codebooks train on ONE seeded bounded sample
+    (``fit_sample_cap``, default 100k) shared by all ``n_subs`` fits —
+    the sample is persisted so the corpus is scanned once for training,
+    not once per subvector — and are tiny (subs x cents x subdim
+    doubles); ENCODING runs over the full corpus as a map-side argmin
+    projection; the encoded corpus is n_subs small ints per vector — a
+    64x compression of float32x64 — and is what the partitioned/
     bucketed ANN layouts persist."""
+    from pyspark import StorageLevel
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    key = (spark.sparkContext.applicationId, sf_dir, n_subs, n_cents, seed)
+    key = (spark.sparkContext.applicationId, sf_dir, n_subs, n_cents, seed, fit_sample_cap)
     if key in _PQ_CACHE:
         return _PQ_CACHE[key]
     emb = table(spark, sf_dir, "embeddings")
+    fit_emb = _bounded_fit_sample(emb.select("vec_id", "embedding"), fit_sample_cap, seed)
+    if fit_sample_cap is not None:
+        fit_emb = fit_emb.persist(StorageLevel.MEMORY_AND_DISK)
     sub_dim = _DIM // n_subs
-    assigns = []
-    books = []
-    for j in range(n_subs):
-        feats = emb.select(
+
+    def _sub_feats(src: DataFrame, j: int) -> DataFrame:
+        return src.select(
             "vec_id",
             array_to_vector(
                 F.expr(f"CAST(slice(embedding, {j * sub_dim + 1}, {sub_dim}) AS ARRAY<DOUBLE>)")
             ).alias("features"),
         )
+
+    assigns = []
+    books = []
+    for j in range(n_subs):
         model = KMeans(
             k=n_cents, seed=seed + j, featuresCol="features", predictionCol="code"
-        ).fit(feats)
+        ).fit(_sub_feats(fit_emb, j))
         books.append([[float(x) for x in c] for c in model.clusterCenters()])
         assigns.append(
-            model.transform(feats).select(
+            model.transform(_sub_feats(emb, j)).select(
                 "vec_id", F.lit(j).alias("sub"), F.col("code").cast("int").alias("code")
             )
         )
+    if fit_sample_cap is not None:
+        fit_emb.unpersist()
     allc = assigns[0]
     for a in assigns[1:]:
         allc = allc.unionByName(a)
-    from pyspark import StorageLevel
-
     codes = (
         allc.groupBy("vec_id")
         .agg(F.expr("array_agg(struct(sub, code))").alias("_sc"))
