@@ -200,10 +200,11 @@ def ngram_jaccard_dupes(spark: SparkSession, sf_dir: str, threshold: float = 0.2
     here the shingle join doubles as candidate generation because docs
     sharing zero shingles can't pass any threshold.  The shingle-set
     relation feeds four subtrees (ex x2, sizes x2), so it is persisted
-    once rather than re-tokenized per consumer."""
-    from pyspark import StorageLevel
+    once rather than re-tokenized per consumer (keyed via shared_persist,
+    so repeat invocations replace the cached relation, never leak)."""
+    from streamsum_spark.cached import shared_persist
 
-    sh = shingle_sets(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = shared_persist(("shingle_sets", sf_dir), shingle_sets(spark, sf_dir))
     ex = sh.select("doc_id", F.explode("sh").alias("s"))
     sizes = sh.select("doc_id", F.expr("size(sh)").alias("n"))
     inter = (
@@ -269,12 +270,14 @@ def near_dup_verified(
     would be re-tokenized four times.  ``persist()`` pins the computed
     relation once (at 100 TB the same role is played by writing the
     signature/shingle tables out and bucketing them by doc_id); measured
-    8.8 s -> ~4 s at sf0.1.
+    8.8 s -> ~4 s at sf0.1.  Both pins are keyed via shared_persist:
+    re-running the operator replaces its cached relations instead of
+    accumulating blocks per call.
     """
-    from pyspark import StorageLevel
+    from streamsum_spark.cached import shared_persist
 
-    sh = shingle_sets(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
-    sig = _signatures_from(sh).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = shared_persist(("shingle_sets", sf_dir), shingle_sets(spark, sf_dir))
+    sig = shared_persist(("minhash_sig", sf_dir), _signatures_from(sh))
     cand = lsh_candidate_pairs(spark, sf_dir, max_bucket=max_bucket, sig=sig)
     scored = (
         cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
@@ -527,7 +530,7 @@ def simhash_near_dupes(
     guarantee for boundedness exactly like lsh_candidate_pairs'; the
     declared oracle keeps cap=None for the pure pigeonhole semantics.
     """
-    from pyspark import StorageLevel
+    from streamsum_spark.cached import shared_persist
 
     sig = simhash_signatures(spark, sf_dir)
     bands = sig.select(
@@ -549,7 +552,7 @@ def simhash_near_dupes(
             .where(F.col("_f") <= max_bucket)
             .drop("_f")
         )
-    bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
+    bands = shared_persist(("simhash_bands", sf_dir, max_bucket), bands)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -603,8 +606,9 @@ def winnow_shared_fingerprints(
     exists for.  The cap filter is one windowed count over the sampled
     fingerprint relation — same shape both engines, so the capped form is
     still a full value-hash oracle."""
-    from pyspark import StorageLevel
     from pyspark.sql import Window
+
+    from streamsum_spark.cached import shared_persist
 
     fps = winnow_fingerprints(spark, sf_dir)
     if max_bucket is not None:
@@ -614,7 +618,7 @@ def winnow_shared_fingerprints(
             .where(F.col("_f") <= max_bucket)
             .drop("_f")
         )
-    fps = fps.persist(StorageLevel.MEMORY_AND_DISK)
+    fps = shared_persist(("winnow_fps", sf_dir, max_bucket), fps)
     a, b = fps.alias("a"), fps.alias("b")
     return (
         a.join(
@@ -691,7 +695,7 @@ def simhash_wide_near_dupes(
     the pigeonhole recall guarantee is unchanged (<= 3 flipped bits
     cannot touch all 4 bands).  Hamming distance = popcount over both
     words; ``max_bucket`` is the residual hot-bucket cap."""
-    from pyspark import StorageLevel
+    from streamsum_spark.cached import shared_persist
 
     sig = simhash_wide_signatures(spark, sf_dir)
     bands = sig.select(
@@ -716,7 +720,7 @@ def simhash_wide_near_dupes(
             .where(F.col("_f") <= max_bucket)
             .drop("_f")
         )
-    bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
+    bands = shared_persist(("simhash_wide_bands", sf_dir, max_bucket), bands)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

@@ -57,11 +57,13 @@ def heavy_hitters_exact(spark: SparkSession, sf_dir: str, phi: float = 0.02) -> 
     it — vocab-sized, so the pin is cheap at any corpus scale.  The
     threshold multiply is a single IEEE op, identical in both engines.
     """
-    counts = (
+    from streamsum_spark.cached import shared_persist
+
+    counts = shared_persist(
+        ("heavy_hitters_exact", sf_dir),
         token_stream(spark, sf_dir)
         .groupBy("t")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .persist()
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt")),
     )
     total = counts.agg(F.sum("cnt").cast("long").alias("total"))
     return (
@@ -131,7 +133,11 @@ def heavy_hitters_mg(
             {"t": list(counters.keys()) + [None], "w": list(counters.values()) + [n]}
         )
 
-    sk = stream.mapInPandas(sketch, "t string, w long").persist()
+    from streamsum_spark.cached import shared_persist
+
+    sk = shared_persist(
+        ("heavy_hitters_mg", sf_dir, k), stream.mapInPandas(sketch, "t string, w long")
+    )
     total = sk.where(F.col("t").isNull()).agg(F.sum("w").cast("long").alias("total"))
     cands = sk.where(F.col("t").isNotNull()).select("t").distinct()
     exact = (
@@ -179,9 +185,12 @@ def hll_user_counts(spark: SparkSession, sf_dir: str, lg_k: int = 12) -> DataFra
     pytest tolerance vs exact countDistinct, not a DuckDB hash oracle.
     """
     ev = table(spark, sf_dir, "events")
-    per_group = ev.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id", F.lit(lg_k)).alias("sk")
-    ).persist()
+    from streamsum_spark.cached import shared_persist
+
+    per_group = shared_persist(
+        ("hll_user_counts", sf_dir, lg_k),
+        ev.groupBy("event_type").agg(F.hll_sketch_agg("user_id", F.lit(lg_k)).alias("sk")),
+    )
     ests = per_group.select(
         "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
     )

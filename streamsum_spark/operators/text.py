@@ -313,15 +313,15 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     broadcasts back.  ln() of an integer ratio is the same libm call in
     both engines for these magnitudes — pinned by the value-hash oracle
     with round(6).  Deterministic tie-break on the term string."""
-    from pyspark import StorageLevel
     from pyspark.sql import Window
+
+    from streamsum_spark.cached import shared_persist
 
     docs = rebalance_for_cpu(table(spark, sf_dir, "documents"))
     tokens = docs.select("doc_id", F.explode(F.expr(_TOKS)).alias("t"))
-    tf = (
-        tokens.groupBy("doc_id", "t")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    tf = shared_persist(
+        ("tfidf_tf", sf_dir),
+        tokens.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf")),
     )
     n_docs = tf.select("doc_id").distinct().count()
     df = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
