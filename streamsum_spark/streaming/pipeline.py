@@ -44,7 +44,10 @@ from streamsum_spark.operators.caches import count_cache
 from streamsum_spark.operators.extract import extract_events
 from streamsum_spark.operators.transform import transform_fanout
 
-# raw schema of events.parquet with the nanos ts read as long (see tables.py)
+# raw schema of events.parquet when the ts column is parquet TIMESTAMP(NANOS)
+# (read as long under the nanosAsLong legacy conf — see tables.py).  Kept as
+# a named constant because tests build synthetic nanos fixtures from it; the
+# live reader infers the actual on-disk schema instead of assuming it.
 _EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -63,22 +66,35 @@ def stream_events(
     glob: str = "events.parquet",
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """File-source stream over the events parquet (A1 source).  The nanos
-    timestamp reads as long and converts with the same integer arithmetic
-    as the batch reader.
+    """File-source stream over the events parquet (A1 source).
+
+    A file-source stream needs an explicit schema, so we take it from a
+    batch footer read of the same files — one driver-side metadata read,
+    no data scan — which keeps streaming ts semantics identical to the
+    batch reader (tables.table) for EITHER generator output: a
+    TIMESTAMP(NANOS) column reads as long (nanosAsLong) and truncates to
+    microseconds with the same integer arithmetic as batch; a
+    TIMESTAMP(MICROS) column reads natively as timestamp_ntz and needs no
+    conversion.  Hard-coding the nanos shape here silently produced
+    1000x-shrunk timestamps when the generator switched to micros.
 
     ``max_files_per_trigger`` is the admission-control/backpressure knob
     (the reference's unbuffered-channel blocking hand-off, system.clj:98-100,
     becomes bounded micro-batch sizing)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(_EVENTS_RAW_SCHEMA).option("pathGlobFilter", glob)
+    raw_schema = (
+        spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
+    )
+    reader = spark.readStream.schema(raw_schema).option("pathGlobFilter", glob)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     raw = reader.parquet(sf_dir)
-    return raw.withColumn(
-        "ts",
-        F.expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
-    )
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn(
+            "ts",
+            F.expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
+        )
+    return raw
 
 
 def observed_tuples(spark: SparkSession, sf_dir: str) -> DataFrame:

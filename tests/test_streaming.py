@@ -169,11 +169,12 @@ def test_multibatch_stateful_folds_match_batch(spark, tmp_path):
             "rn",
         )
     )
+    from streamsum_spark.tables import table as _table
+
     batch = lastn_per_key(
-        transform_fanout(extract_events(spark.read.parquet(os.path.join(SF_SMOKE, "events.parquet")).withColumn(
-            "ts",
-            F.expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"),
-        ))).where(F.col("cache_key") == "act-user-obj").select("k", "v", "ts", "seq"),
+        transform_fanout(extract_events(_table(spark, SF_SMOKE, "events")))
+        .where(F.col("cache_key") == "act-user-obj")
+        .select("k", "v", "ts", "seq"),
         n=20,
     )
     _assert_same(batch, final)
