@@ -2,11 +2,13 @@
 opaque BINARY columns with typed metadata, processed by Arrow-batched
 pandas functions via mapInPandas.
 
-The container has no image/audio codecs, so the *decode* step is stubbed
-(deterministic fake or NotImplementedError), but the Spark-side plumbing —
-schema, batch iteration, partition sizing, UDF signatures — is real and
-tested: this is the part that has to be right at 100 TB, where media
-blobs dominate bytes and per-batch (not per-row) Python is mandatory.
+Uncompressed formats decode for real with only the stdlib + numpy:
+BMP (24/32-bit BI_RGB, via struct header parse), PNM (binary P5/P6 and
+ascii P2/P3), and WAV (PCM16, RIFF chunk walk).  Compressed codec formats
+(PNG/JPEG/GIF/MP3/...) raise NotImplementedError — the container has no
+codecs, and pretending otherwise would hide a real production dependency.
+The default pipeline path (extract_features over synthetic_media) is
+fully real: header parse -> pixel/sample array -> per-channel statistics.
 
 Scale notes:
 - media rows are wide: keep `spark.sql.files.maxPartitionBytes` moderate
@@ -20,8 +22,10 @@ Scale notes:
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -43,20 +47,164 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType(), False),
         T.StructField("n_bytes", T.LongType(), True),
         T.StructField("content_sha", T.StringType(), True),
+        T.StructField("decoded", T.BooleanType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
         T.StructField("feature", T.ArrayType(T.FloatType()), True),
     ]
 )
 
+_CODEC_MAGICS = (b"\x89PNG", b"\xff\xd8", b"GIF8", b"ID3", b"\x00\x00\x00\x1cftyp")
 
-def decode_image(content: bytes) -> "object":
-    """Real decode requires an image codec (PIL/opencv), absent in this
-    container.  STUB — the pipeline around it is the deliverable."""
-    raise NotImplementedError("image codecs not available in this environment")
+
+# ---------------------------------------------------------------------------
+# image decode (BMP / PNM), stdlib struct + numpy only
+# ---------------------------------------------------------------------------
+
+
+def _decode_bmp(b: bytes) -> np.ndarray:
+    """BITMAPINFOHEADER, uncompressed (BI_RGB) 24/32-bit.  Rows are 4-byte
+    padded and bottom-up when height > 0; pixels are BGR(A) on disk."""
+    if len(b) < 54:
+        raise ValueError("truncated BMP header")
+    off = struct.unpack_from("<I", b, 10)[0]
+    hdr_size = struct.unpack_from("<I", b, 14)[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP not supported")
+    w, h = struct.unpack_from("<ii", b, 18)
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    comp = struct.unpack_from("<I", b, 30)[0]
+    if comp != 0 or bpp not in (24, 32):
+        raise NotImplementedError(f"BMP bpp={bpp} compression={comp} not supported")
+    bottom_up, h = h > 0, abs(h)
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    if off + stride * h > len(b):
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=off).reshape(h, stride)
+    px = rows[:, : w * nch].reshape(h, w, nch)
+    if bottom_up:
+        px = px[::-1]
+    return np.ascontiguousarray(px[:, :, [2, 1, 0]])  # BGR(A) -> RGB, alpha dropped
+
+
+def _decode_pnm(b: bytes) -> np.ndarray:
+    """PNM: binary P5 (gray) / P6 (rgb) and ascii P2 / P3.  Header is
+    ascii tokens (width height maxval) with '#' comments."""
+    magic = b[:2].decode("ascii", "replace")
+    vals: list[int] = []
+    i = 2
+    while len(vals) < 3:
+        while i < len(b) and b[i : i + 1].isspace():
+            i += 1
+        if b[i : i + 1] == b"#":
+            while i < len(b) and b[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(b) and not b[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated PNM header")
+        vals.append(int(b[i:j]))
+        i = j
+    w, h, maxval = vals
+    if maxval > 255:
+        raise NotImplementedError("16-bit PNM not supported")
+    nch = 3 if magic in ("P3", "P6") else 1
+    if magic in ("P5", "P6"):
+        i += 1  # exactly one whitespace byte after maxval, then raster
+        if i + w * h * nch > len(b):
+            raise ValueError("truncated PNM raster")
+        px = np.frombuffer(b, dtype=np.uint8, count=w * h * nch, offset=i).reshape(h, w, nch)
+    else:
+        toks = b[i:].split()
+        if len(toks) < w * h * nch:
+            raise ValueError("truncated ascii PNM raster")
+        px = np.array(toks[: w * h * nch], dtype=np.int64).astype(np.uint8).reshape(h, w, nch)
+    if nch == 1:
+        px = np.repeat(px, 3, axis=2)
+    return px
+
+
+def decode_image(content: bytes) -> np.ndarray:
+    """Decode an uncompressed image to an (h, w, 3) uint8 RGB array.
+
+    Real for BMP (BI_RGB 24/32-bit) and PNM (P2/P3/P5/P6).  Compressed
+    codec formats (PNG/JPEG/GIF/...) raise NotImplementedError: no codecs
+    in this container, and a fake decode would misreport pixel stats."""
+    if content is None:
+        raise ValueError("null content")
+    b = bytes(content)
+    if b[:2] == b"BM":
+        return _decode_bmp(b)
+    if b[:2] in (b"P2", b"P3", b"P5", b"P6"):
+        return _decode_pnm(b)
+    raise NotImplementedError("compressed image codecs not available in this environment")
+
+
+def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
+    """Decode a WAV (RIFF, PCM16) blob to ((n_samples, n_channels) int16,
+    sample_rate).  Non-PCM or non-RIFF audio raises NotImplementedError."""
+    b = bytes(content)
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise NotImplementedError("only RIFF/WAVE audio supported")
+    fmt = data = None
+    i = 12
+    while i + 8 <= len(b):
+        cid, sz = b[i : i + 4], struct.unpack_from("<I", b, i + 4)[0]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", b, i + 8)
+        elif cid == b"data":
+            data = b[i + 8 : i + 8 + sz]
+        i += 8 + sz + (sz & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, nch, rate, _, _, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise NotImplementedError("only PCM16 WAV supported")
+    samples = np.frombuffer(data, dtype="<i2")
+    samples = samples[: (len(samples) // nch) * nch].reshape(-1, nch)
+    return samples, rate
+
+
+def _image_feature(px: np.ndarray) -> list[float]:
+    """Real pixel statistics, unit-scaled: per-channel means, gray std /
+    min / max, and normalized dimensions.  Deterministic by construction."""
+    g = px.astype(np.float32).mean(axis=2)
+    return [
+        float(px[:, :, 0].mean() / 255.0),
+        float(px[:, :, 1].mean() / 255.0),
+        float(px[:, :, 2].mean() / 255.0),
+        float(g.std() / 255.0),
+        float(g.min() / 255.0),
+        float(g.max() / 255.0),
+        float(px.shape[1] / 1024.0),
+        float(px.shape[0] / 1024.0),
+    ]
+
+
+def _audio_feature(samples: np.ndarray, rate: int) -> list[float]:
+    """Real sample statistics: RMS, peak, mean, zero-cross rate, duration."""
+    x = samples.astype(np.float32) / 32768.0
+    mono = x.mean(axis=1)
+    zc = float(np.mean(np.abs(np.diff(np.signbit(mono).astype(np.int8))))) if len(mono) > 1 else 0.0
+    return [
+        float(np.sqrt(np.mean(x * x))),
+        float(np.abs(x).max() if x.size else 0.0),
+        float(mono.mean() if mono.size else 0.0),
+        zc,
+        float(len(mono) / rate),
+        float(rate / 48000.0),
+        float(samples.shape[1]),
+        0.0,
+    ]
 
 
 def _fake_feature(content: bytes, dim: int = 8) -> list[float]:
-    """Deterministic stand-in for an embedding extractor: derives `dim`
-    floats from the byte content (stable across runs/engines)."""
+    """Deterministic stand-in for codec formats we cannot decode here:
+    derives `dim` floats from the byte content (stable across runs)."""
     if content is None:
         return [0.0] * dim
     acc, out = 2166136261, []
@@ -74,23 +222,42 @@ def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
     """mapInPandas feature extraction over binary content.
 
     Arrow streams batches of (media_id, content); Python touches each blob
-    once; output is a narrow typed feature table.  Decode itself is the
-    deterministic fake (see decode_image for the honest stub)."""
+    once.  BMP/PNM images and PCM WAV audio decode for real (header parse
+    -> array -> channel statistics); codec formats fall back to the
+    deterministic byte fingerprint with decoded=false so downstream can
+    filter or route them to a codec-equipped cluster."""
     import hashlib
+
+    def one(content) -> tuple[bool, int | None, int | None, int | None, list[float]]:
+        if content is None:
+            return False, None, None, None, _fake_feature(content)
+        b = bytes(content)
+        try:
+            if b[:4] == b"RIFF":
+                samples, rate = decode_audio(b)
+                return True, None, None, int(samples.shape[1]), _audio_feature(samples, rate)
+            px = decode_image(b)
+            return True, int(px.shape[1]), int(px.shape[0]), int(px.shape[2]), _image_feature(px)
+        except (NotImplementedError, ValueError):
+            return False, None, None, None, _fake_feature(b)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = pd.DataFrame(
+            decoded = pdf["content"].map(one)
+            yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "n_bytes": pdf["content"].map(lambda c: len(c) if c is not None else 0),
                     "content_sha": pdf["content"].map(
                         lambda c: hashlib.sha256(c).hexdigest() if c is not None else None
                     ),
-                    "feature": pdf["content"].map(_fake_feature),
+                    "decoded": decoded.map(lambda t: t[0]),
+                    "width": decoded.map(lambda t: t[1]).astype("Int32"),
+                    "height": decoded.map(lambda t: t[2]).astype("Int32"),
+                    "channels": decoded.map(lambda t: t[3]).astype("Int32"),
+                    "feature": decoded.map(lambda t: t[4]),
                 }
             )
-            yield out
 
     return media.select("media_id", "content").mapInPandas(run, FEATURE_SCHEMA)
 
@@ -110,10 +277,71 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# encoders (test fixtures; also the proof the decoders parse real headers)
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(px: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a 24-bit BI_RGB BMP
+    (bottom-up rows, 4-byte padded, BGR byte order)."""
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = px[:, :, ::-1].reshape(h, w * 3)
+    data = rows[::-1].tobytes()
+    return (
+        struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+        + data
+    )
+
+
+def encode_ppm(px: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as binary P6 (with a comment
+    line, so the decoder's comment handling is exercised by fixtures)."""
+    h, w, _ = px.shape
+    return b"P6\n# streamsum test fixture\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Encode mono/stereo int16 samples as a PCM16 RIFF WAV."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    nch = samples.shape[1]
+    data = samples.astype("<i2").tobytes()
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, nch, rate, rate * 2 * nch, 2 * nch, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media table for tests (no codecs needed)."""
+    """Deterministic real-format media table for tests: BMP and PPM images
+    with gradient pixels, and PCM WAV tones — every blob decodes with the
+    stdlib decoders above, no codecs needed."""
     rows = []
     for i in range(n):
-        content = bytes((i * 31 + j * 7) % 256 for j in range(128 + (i % 5) * 64))
-        rows.append((i, "image/png" if i % 2 == 0 else "audio/wav", 64 + i % 32, 48, 1000 * (1 + i % 7), content))
+        kind = i % 3
+        if kind < 2:
+            w, h = 16 + i % 13, 8 + i % 7
+            yy, xx = np.mgrid[0:h, 0:w]
+            px = np.stack(
+                [(xx * 7 + i) % 256, (yy * 11 + 2 * i) % 256, (xx + yy + 3 * i) % 256],
+                axis=2,
+            ).astype(np.uint8)
+            content = encode_bmp(px) if kind == 0 else encode_ppm(px)
+            mime = "image/bmp" if kind == 0 else "image/x-portable-pixmap"
+            rows.append((i, mime, w, h, None, content))
+        else:
+            rate, dur_ms = 8000, 1000 * (1 + i % 7)
+            t = np.arange(rate * dur_ms // 1000)
+            tone = (3000 * np.sin(2 * np.pi * (110 + i) * t / rate)).astype(np.int16)
+            rows.append((i, "audio/wav", None, None, dur_ms, encode_wav(tone, rate)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

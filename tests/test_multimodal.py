@@ -1,41 +1,95 @@
-"""Multimodal plumbing: schema, Arrow batch flow, deterministic features."""
+"""Multimodal plumbing: real stdlib decode (BMP/PNM/WAV), Arrow batch flow,
+deterministic features, honest codec stubs."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 
 from streamsum_spark.operators import multimodal as mm
 
 
-def test_extract_features_roundtrip(spark):
-    media = mm.synthetic_media(spark, n=32)
-    feats = mm.extract_features(media)
-    rows = {r.media_id: r for r in feats.collect()}
-    assert len(rows) == 32
+def _gradient(w: int, h: int) -> np.ndarray:
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([(xx * 5) % 256, (yy * 9) % 256, (xx + yy) % 256], axis=2).astype(np.uint8)
+
+
+def test_bmp_roundtrip_pixel_exact():
+    # non-multiple-of-4 width exercises row padding; bottom-up flip
+    px = _gradient(13, 7)
+    assert np.array_equal(mm.decode_image(mm.encode_bmp(px)), px)
+
+
+def test_ppm_roundtrip_pixel_exact_with_comment_header():
+    px = _gradient(16, 9)
+    blob = mm.encode_ppm(px)
+    assert b"#" in blob[:40]  # comment line present and skipped by parser
+    assert np.array_equal(mm.decode_image(blob), px)
+
+
+def test_ascii_pgm_decodes_and_replicates_gray_to_rgb():
+    raster = " ".join(str((3 * i) % 256) for i in range(12))
+    blob = ("P2\n# c\n4 3\n255\n" + raster + "\n").encode()
+    px = mm.decode_image(blob)
+    assert px.shape == (3, 4, 3)
+    assert np.array_equal(px[:, :, 0], px[:, :, 2])
+    assert px[0, 1, 0] == 3
+
+
+def test_wav_roundtrip_sample_exact():
+    tone = (1000 * np.sin(np.arange(800) / 10.0)).astype(np.int16)
+    samples, rate = mm.decode_audio(mm.encode_wav(tone, rate=8000))
+    assert rate == 8000 and samples.shape == (800, 1)
+    assert np.array_equal(samples[:, 0], tone)
+
+
+def test_extract_features_real_stats_default_path(spark):
+    media = mm.synthetic_media(spark, n=33)
+    rows = {r.media_id: r for r in mm.extract_features(media).collect()}
+    assert len(rows) == 33
+    # everything on the default path really decodes
+    assert all(r.decoded for r in rows.values())
     assert all(len(r.feature) == 8 for r in rows.values())
     assert all(r.content_sha and len(r.content_sha) == 64 for r in rows.values())
+    # image rows carry real dimensions; audio rows carry channel count
+    img = rows[0]
+    assert (img.width, img.height, img.channels) == (16, 8, 3)
+    wav = rows[2]
+    assert wav.channels == 1 and wav.width is None
+    # pixel stats are the REAL means: check one image against numpy
+    media0 = [r for r in media.collect() if r.media_id == 0][0]
+    px = mm.decode_image(media0.content)
+    assert rows[0].feature[0] == pytest.approx(px[:, :, 0].mean() / 255.0, abs=1e-6)
     # deterministic across runs
     again = {r.media_id: r for r in mm.extract_features(media).collect()}
     assert all(rows[i].feature == again[i].feature for i in rows)
 
 
+def test_extract_features_codec_fallback_flagged(spark):
+    rows = [(1, "image/png", None, None, None, b"\x89PNG\r\n\x1a\n" + bytes(64))]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = mm.extract_features(media).collect()[0]
+    assert out.decoded is False and out.width is None
+    assert len(out.feature) == 8  # fingerprint fallback, not a crash
+
+
 def test_metadata_predicates_prune_without_touching_blobs(spark):
-    media = mm.synthetic_media(spark, n=32)
-    imgs = media.where(mm.F.col("mime") == "image/png").select("media_id", "width")
-    assert imgs.count() == 16
+    media = mm.synthetic_media(spark, n=33)
+    imgs = media.where(mm.F.col("mime") == "image/bmp").select("media_id", "width")
+    assert imgs.count() == 11
 
 
 def test_frame_sample_plan(spark):
-    media = mm.synthetic_media(spark, n=14)
+    media = mm.synthetic_media(spark, n=15)
     plan = mm.frame_sample_plan(media, every_ms=1000)
-    # durations cycle 1000..7000 -> 1..7 frames each
-    counts = dict(
-        plan.groupBy("media_id").count().collect()
-        and [(r.media_id, r["count"]) for r in plan.groupBy("media_id").count().collect()]
-    )
-    assert counts[0] == 1 and counts[6] == 7
+    counts = {r.media_id: r["count"] for r in plan.groupBy("media_id").count().collect()}
+    # only audio rows have durations; durations cycle with media_id
+    assert set(counts) == {2, 5, 8, 11, 14}
+    assert counts[2] == 3 and counts[5] == 6
 
 
-def test_decode_is_honest_stub():
+def test_decode_is_honest_stub_for_codecs():
     with pytest.raises(NotImplementedError):
-        mm.decode_image(b"\x89PNG")
+        mm.decode_image(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio(b"ID3\x04" + bytes(32))
