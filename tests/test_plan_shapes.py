@@ -186,3 +186,58 @@ def test_udtf_surface_available(spark):
         ("create-thread-user", "th1", "u1"),
         ("post-user-thread", "u1", "th1"),
     ]
+
+
+def test_runtime_bloom_filter_injects_on_scan_backed_verify_join(spark, tmp_path):
+    """Runtime bloom-filter injection (SPARK-32268) on the near-dup verify
+    join — resolution of the round-2 open item "why does it never fire?":
+
+    InjectRuntimeFilter sizes both sides from their FILE SCANS, so it
+    declines the in-session operator, whose shingle/candidate inputs are
+    persisted InMemoryRelations (pinned below).  In the production layout
+    the same relations are WRITTEN tables (near_dup_verified's docstring:
+    write + bucket by doc_id at 100 TB) — and there, with the application
+    side over the default 10 GB scan threshold (lowered here) and a
+    shuffle join, Spark 4 injects might_contain as expected."""
+    from pyspark.sql import functions as F
+
+    from streamsum_spark.operators import dedup
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        # table-backed production shape: shingle sets + candidates on disk
+        sh = dedup.shingle_sets(spark, SF_ORACLE)
+        sh.write.mode("overwrite").parquet(str(tmp_path / "sh"))
+        (
+            spark.read.parquet(str(tmp_path / "sh"))
+            .where(F.abs(F.hash("doc_id")) % 20 == 0)
+            .select(F.col("doc_id").alias("doc_a"))
+            .write.mode("overwrite")
+            .parquet(str(tmp_path / "cand"))
+        )
+        cand = spark.read.parquet(str(tmp_path / "cand")).where(F.col("doc_a") >= 0)
+        corpus = spark.read.parquet(str(tmp_path / "sh"))
+        verify = cand.join(corpus, F.col("doc_a") == F.col("doc_id"))
+        phys = verify._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in phys
+
+        # the persisted in-session operator: no scans to size -> declines
+        nd = dedup.near_dup_verified(spark, SF_ORACLE)
+        assert "might_contain" not in nd._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
