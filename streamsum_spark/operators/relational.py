@@ -409,7 +409,9 @@ def subquery_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def join_range_bucketed(
+    spark: SparkSession, sf_dir: str, ev: DataFrame | None = None
+) -> DataFrame:
     """Range join: (purchase, click) pairs for the same user with the click
     in the hour before the purchase (0 <= purchase_ts - click_ts < 1h).
 
@@ -419,8 +421,15 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     previous bucket (explode of 2 bucket keys), then applies the exact
     range predicate as a post-filter.  Shuffle is keyed equi-join sized;
     the quadratic term is bounded per (user, hour).
+
+    Skew: a hot user concentrates one (user, hour) key.  Two production
+    treatments, both pinned in tests/test_skew_range_join.py: AQE's
+    skew-join splits oversized shuffle partitions at runtime (works
+    because this is a plain equi-join), and ``join_range_salted`` spreads
+    the hot key over n_salt subkeys deterministically.  ``ev`` overrides
+    the events relation for fixtures.
     """
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events") if ev is None else ev
     hour = 3600 * 1000 * 1000  # microseconds
     us = "CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS BIGINT)"
     clicks = ev.where(F.col("event_type") == "click").select(
@@ -442,6 +451,58 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         purchases.join(clicks, ["user_id", "bucket"])
+        .where(
+            (F.col("purchase_us") >= F.col("click_us"))
+            & (F.col("purchase_us") - F.col("click_us") < hour)
+        )
+        .select("user_id", "purchase_id", "click_id")
+        .distinct()
+    )
+
+
+def join_range_salted(
+    spark: SparkSession,
+    sf_dir: str,
+    ev: DataFrame | None = None,
+    n_salt: int = 8,
+) -> DataFrame:
+    """join_range_bucketed with explicit key salting for hot users.
+
+    Each purchase row carries ONE deterministic salt (hash of its id mod
+    n_salt); the click side is replicated across all n_salt values, so
+    every qualifying (purchase, click) pair still meets exactly once and
+    the hot (user, hour) key's probe work spreads over n_salt shuffle
+    partitions.  The replication cost is n_salt x the SMALL side of the
+    skewed key — the standard trade.  Result-set equality with the
+    unsalted join is pinned on a 50%-hot-user fixture; prefer AQE skew
+    handling when available (no replication), salting when the engine's
+    runtime re-plan cannot see the skew (e.g. the skewed key feeds a
+    later aggregation too).
+    """
+    ev = table(spark, sf_dir, "events") if ev is None else ev
+    hour = 3600 * 1000 * 1000
+    us = "CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS BIGINT)"
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.expr(us).alias("click_us"),
+        F.expr(f"{us} div {hour}").alias("bucket"),
+        F.explode(F.array(*[F.lit(i) for i in range(n_salt)])).alias("salt"),
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.expr(us).alias("purchase_us"),
+            F.explode(
+                F.array(F.expr(f"{us} div {hour}"), F.expr(f"{us} div {hour} - 1"))
+            ).alias("bucket"),
+            F.pmod(F.xxhash64("event_id"), F.lit(n_salt)).cast("int").alias("salt"),
+        )
+    )
+    return (
+        purchases.join(clicks, ["user_id", "bucket", "salt"])
         .where(
             (F.col("purchase_us") >= F.col("click_us"))
             & (F.col("purchase_us") - F.col("click_us") < hour)
