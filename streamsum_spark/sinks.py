@@ -148,6 +148,65 @@ def compact_parquet(
     _atomic_swap(target_path, tmp)
 
 
+def accumulate_batch(
+    spark: SparkSession,
+    target_path: str,
+    deltas: DataFrame,
+    key_cols: list[str],
+    sum_cols: list[str],
+) -> None:
+    """MERGE-emulation for ADDITIVE state: per-key counters summed with
+    the stored table (vs upsert_batch's newest-wins for replacement
+    state).  The additive form is what incremental index maintenance
+    needs — term/gram counts are associative, so each micro-batch ships
+    only its delta counts and the table stays one row per key.  On a
+    transactional format this is MERGE INTO ... UPDATE SET c = t.c + s.c;
+    the swap protocol is the same as upsert_batch."""
+    if os.path.exists(target_path):
+        merged = spark.read.parquet(target_path).unionByName(deltas)
+    else:
+        merged = deltas
+    acc = merged.groupBy(*key_cols).agg(
+        *[F.sum(c).cast("long").alias(c) for c in sum_cols]
+    )
+    tmp = target_path + f".tmp-{uuid.uuid4().hex[:8]}"
+    acc.write.mode("overwrite").parquet(tmp)
+    _atomic_swap(target_path, tmp)
+
+
+def stream_accumulate_counts(
+    df: DataFrame,
+    target_path: str,
+    key_cols: list[str],
+    sum_cols: list[str],
+    pre_agg,
+) -> None:
+    """Run an append-mode availableNow stream into an ADDITIVE cache table:
+    ``pre_agg`` (static DataFrame -> per-key delta counts) runs inside
+    foreachBatch on each micro-batch, and the deltas sum-merge into the
+    stored table.
+
+    This is the bounded-state alternative to a streaming groupBy over an
+    unbounded key space (per-(doc, term) counts would otherwise grow
+    state forever): per-batch work is O(batch), cross-batch state lives
+    in the keyed table, and no aggregation state store is needed at all —
+    the stream itself stays stateless."""
+    spark = df.sparkSession
+    ckpt = os.path.join(tempfile.gettempdir(), f"streamsum_acc_ckpt_{uuid.uuid4().hex[:10]}")
+
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        accumulate_batch(spark, target_path, pre_agg(batch_df), key_cols, sum_cols)
+
+    q = (
+        df.writeStream.foreachBatch(merge)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_to_cache_table(
     df: DataFrame, target_path: str, key_cols: list[str], order_col: str | list[str]
 ) -> None:

@@ -278,3 +278,66 @@ def test_stream_assoc_same_ts_tie_across_batches(spark, tmp_path):
     fanned = transform_fanout(extract_events(raw))
     batch = assoc_last_value(fanned.where(F.col("cache_key") == "click-obj-user"))
     _assert_same(batch, stream)
+
+
+def _sliced_docs_src(spark, tmp_path):
+    """documents.parquet (full, for the batch reader) + 3 disjoint slices
+    documents_{i}.parquet (for the stream) in one directory."""
+    import glob as g
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from streamsum_spark.tables import table
+
+    docs = table(spark, SF_ORACLE, "documents")
+    src = str(tmp_path / "txt_src")
+    os.makedirs(src, exist_ok=True)
+    docs.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "txt_full"))
+    shutil.copy(
+        g.glob(str(tmp_path / "txt_full" / "part-*.parquet"))[0],
+        os.path.join(src, "documents.parquet"),
+    )
+    for i in range(3):
+        part = docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == i)
+        part.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"txt_slice{i}"))
+        shutil.copy(
+            g.glob(str(tmp_path / f"txt_slice{i}" / "part-*.parquet"))[0],
+            os.path.join(src, f"documents_{i}.parquet"),
+        )
+    return src
+
+
+def test_stream_tfidf_multibatch_equals_batch(spark, tmp_path):
+    """Incremental tf accumulation across 3 micro-batches + query-time idf
+    must reproduce the batch TF-IDF top-k exactly (tf/df/n_docs are all
+    integer-exact, so scores match to the bit)."""
+    from streamsum_spark.operators.text import tfidf_top_terms
+
+    src = _sliced_docs_src(spark, tmp_path)
+    batch = {tuple(r) for r in tfidf_top_terms(spark, src).collect()}
+    stream = {
+        tuple(r)
+        for r in sp.stream_tfidf_top_terms(
+            spark, src, glob="documents_*.parquet", max_files_per_trigger=1
+        ).collect()
+    }
+    assert batch and stream == batch
+
+
+def test_stream_bigram_perplexity_multibatch_equals_batch(spark, tmp_path):
+    """Gram counts MERGE-accumulated across micro-batches must yield the
+    same corpus LM and per-doc scores as batch (round(6) absorbs the
+    weighted-vs-instance summation order)."""
+    from streamsum_spark.operators.text import bigram_perplexity
+
+    src = _sliced_docs_src(spark, tmp_path)
+    batch = {(r.doc_id, r.avg_nll) for r in bigram_perplexity(spark, src).collect()}
+    stream = {
+        (r.doc_id, r.avg_nll)
+        for r in sp.stream_bigram_perplexity(
+            spark, src, glob="documents_*.parquet", max_files_per_trigger=1
+        ).collect()
+    }
+    assert batch and stream == batch
