@@ -479,7 +479,19 @@ def write_embeddings_ivf(
     of float32 — the production pairing: 4x smaller list partitions, and
     since cosine is scale-invariant the shared scale never needs to be
     read back at query time (the query's dot folds cast per-element to
-    DOUBLE, so ARRAY<TINYINT> plugs straight into the same plan)."""
+    DOUBLE, so ARRAY<TINYINT> plugs straight into the same plan).
+
+    Rows inside each list are CLUSTERED by ``loc_angle`` — the angle to
+    the list's own centroid (sortWithinPartitions before write, bounded
+    row-group size).  Angular distance is a metric on the sphere, so a
+    min-cosine query can prune ROW GROUPS inside a probed list with the
+    sound band |loc_angle - angle(probe, centroid)| <= arccos(min_cos):
+    parquet min/max statistics on the sorted column skip every row group
+    outside the band (pinned on the written files in
+    tests/test_ivf_layout.py).  This is the z-order idea specialized to
+    one dimension — for a single probe geometry the angle to the cell
+    centroid IS the locality key; nothing higher-dimensional survives
+    the sort."""
     assignments, centroids = kmeans_ivf_index(spark, sf_dir, n_lists, seed)
     if quantize:
         emb = quantize_embeddings(spark, sf_dir).select(
@@ -487,9 +499,26 @@ def write_embeddings_ivf(
         )
     else:
         emb = table(spark, sf_dir, "embeddings")
-    (
+    clustered = (
         emb.join(assignments, "vec_id")
-        .write.mode("overwrite")
+        .join(F.broadcast(centroids), "list_id")
+        .withColumn(
+            "loc_angle",
+            F.expr(
+                "acos(greatest(-1.0d, least(1.0d, "
+                + _cos_expr("embedding", "centroid")
+                + ")))"
+            ),
+        )
+        .drop("centroid")
+        .repartition("list_id")
+        .sortWithinPartitions("list_id", "loc_angle")
+    )
+    (
+        clustered.write.mode("overwrite")
+        # small row groups so min/max stats give sub-list granularity at
+        # test scale; production tunes this toward the HDFS-block default
+        .option("parquet.block.size", 16 * 1024)
         .partitionBy("list_id")
         .parquet(out_path)
     )
@@ -503,6 +532,7 @@ def ann_ivf_partitioned_topk(
     probe_vec_id: int = 0,
     k: int = 10,
     nprobe: int = 2,
+    min_cos: float | None = None,
 ) -> DataFrame:
     """ANN over the materialized IVF layout: route the probe to its
     ``nprobe`` nearest centroids, then scan ONLY those list partitions.
@@ -512,27 +542,47 @@ def ann_ivf_partitioned_topk(
     literal IN-list is what turns the list filter into a static partition
     filter the scan can prune on (the one place a collect is the
     scalable choice, exactly like a warehouse query pinning partition
-    keys)."""
+    keys).
+
+    ``min_cos``: only return results with cosine >= min_cos, AND use the
+    bound to prune row groups inside each probed list: candidates above
+    the threshold must lie within |loc_angle - angle(q, centroid)| <=
+    arccos(min_cos) (triangle inequality for angular distance), and the
+    layout's within-list loc_angle sort turns that band into parquet
+    min/max row-group skips."""
+    import math
+
     cents = spark.read.parquet(corpus_path + "_centroids")
     probe = table(spark, sf_dir, "embeddings").where(
         F.col("vec_id") == probe_vec_id
     ).select(F.col("embedding").alias("q"))
-    nearest = [
-        r.list_id
-        for r in cents.join(F.broadcast(probe))
+    routed = (
+        cents.join(F.broadcast(probe))
         .select("list_id", F.expr(_cos_expr("centroid", "q")).alias("cc"))
         .orderBy(F.col("cc").desc(), F.col("list_id"))
         .limit(nprobe)
         .collect()
-    ]
+    )
+    nearest = [r.list_id for r in routed]
     corpus = spark.read.parquet(corpus_path).where(F.col("list_id").isin(nearest))
-    return (
+    if min_cos is not None and "loc_angle" in corpus.columns:
+        radius = math.acos(max(-1.0, min(1.0, min_cos)))
+        band = None
+        for r in routed:
+            theta_pc = math.acos(max(-1.0, min(1.0, r.cc)))
+            cond = (F.col("list_id") == r.list_id) & F.col("loc_angle").between(
+                theta_pc - radius, theta_pc + radius
+            )
+            band = cond if band is None else (band | cond)
+        corpus = corpus.where(band)
+    scored = (
         corpus.join(F.broadcast(probe))
         .where(F.col("vec_id") != probe_vec_id)
         .select("vec_id", F.expr(_cos_expr("embedding", "q")).alias("cos"))
-        .orderBy(F.col("cos").desc(), F.col("vec_id"))
-        .limit(k)
     )
+    if min_cos is not None:
+        scored = scored.where(F.col("cos") >= min_cos)
+    return scored.orderBy(F.col("cos").desc(), F.col("vec_id")).limit(k)
 
 
 def ann_ivf_topk(

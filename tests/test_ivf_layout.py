@@ -69,3 +69,136 @@ def test_layout_covers_whole_corpus(spark, ivf_path):
     n_src = table(spark, SF_ORACLE, "embeddings").count()
     n_out = spark.read.parquet(ivf_path).count()
     assert n_out == n_src
+
+
+def _rg_stats(path, col="loc_angle"):
+    """(min, max) per row group for every parquet file under a path."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for r, _, fs in os.walk(path):
+        for f in fs:
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(r, f)).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[col]
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                out.append((st.min, st.max))
+    return out
+
+
+def test_within_list_rows_clustered_by_loc_angle(spark, ivf_path):
+    """The locality sort must be visible in the FILE STATISTICS: row
+    groups inside each list partition carry tight, ordered loc_angle
+    min/max ranges (this is what makes band predicates skip row groups
+    without reading them)."""
+    import os
+
+    lists = [d for d in os.listdir(ivf_path) if d.startswith("list_id=")]
+    assert len(lists) >= 4
+    multi = 0
+    for d in lists:
+        stats = _rg_stats(os.path.join(ivf_path, d))
+        assert stats  # statistics present on the sort column
+        # within a file, groups are written in sorted order
+        assert stats == sorted(stats)
+        # and ranges are genuinely sub-list: each group covers a fraction
+        lo, hi = min(s[0] for s in stats), max(s[1] for s in stats)
+        if len(stats) > 1:
+            multi += 1
+            widest = max(s[1] - s[0] for s in stats)
+            assert widest < 0.8 * (hi - lo) + 1e-9, (d, stats)
+    assert multi >= 2  # the 16 KB row groups give sub-list granularity
+
+
+@pytest.fixture(scope="module")
+def clustered_ivf(spark, tmp_path_factory):
+    """A corpus with real cluster structure (8 planted centroids, 2/3
+    tight core + 1/3 wide halo per cluster) — the geometry where
+    intra-list locality actually has something to prune.  (The sf0.01
+    random vectors are near-orthogonal: every angle concentrates around
+    pi/2 and no band can exclude anything — that corpus pins layout
+    correctness above; this one pins the pruning payoff.)"""
+    import os
+
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    dim, k, per = 64, 8, 250
+    cents = rng.normal(size=(k, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    rows, vid = [], 0
+    for c in range(k):
+        for j in range(per):
+            sigma = 0.05 if j % 3 else 0.18
+            v = cents[c] + rng.normal(scale=sigma, size=dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    sfdir = str(tmp_path_factory.mktemp("clustered_sf"))
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(sfdir, "embeddings.parquet"))
+    out = str(tmp_path_factory.mktemp("clustered_ivf") / "embeddings_ivf")
+    sim.write_embeddings_ivf(spark, sfdir, out)
+    return sfdir, out
+
+
+def test_band_predicate_skips_row_groups(spark, clustered_ivf):
+    """A min-cosine band query must intersect strictly fewer row groups
+    than the probed lists contain — the min/max stats make the skip
+    decidable before any read — while still returning real results."""
+    import math
+    import os
+
+    sfdir, out = clustered_ivf
+    min_cos = 0.6
+    got = sim.ann_ivf_partitioned_topk(
+        spark, out, sfdir, k=500, nprobe=2, min_cos=min_cos
+    ).collect()
+    assert len(got) > 20  # the band keeps the probe's true neighborhood
+    assert all(r.cos >= min_cos for r in got)
+    # recompute the band the query used and count intersecting row groups
+    cents = spark.read.parquet(out + "_centroids")
+    q = (
+        spark.read.parquet(os.path.join(sfdir, "embeddings.parquet"))
+        .where(sim.F.col("vec_id") == 0)
+        .select(sim.F.col("embedding").alias("q"))
+    )
+    routed = (
+        cents.join(sim.F.broadcast(q))
+        .select("list_id", sim.F.expr(sim._cos_expr("centroid", "q")).alias("cc"))
+        .orderBy(sim.F.col("cc").desc(), sim.F.col("list_id"))
+        .limit(2)
+        .collect()
+    )
+    radius = math.acos(min_cos)
+    total = hit = 0
+    for r in routed:
+        theta = math.acos(max(-1.0, min(1.0, r.cc)))
+        for lo, hi in _rg_stats(os.path.join(out, f"list_id={r.list_id}")):
+            total += 1
+            if not (hi < theta - radius or lo > theta + radius):
+                hit += 1
+    assert total > hit, (total, hit)  # at least one row group is skipped
+
+
+def test_min_cos_query_matches_unbanded(spark, clustered_ivf):
+    """The angular band is a pure PRUNE: with the same nprobe lists, the
+    banded query returns exactly the unbanded results at/above the
+    threshold (triangle-inequality soundness on real data)."""
+    sfdir, out = clustered_ivf
+    plain = [
+        (r.vec_id, r.cos)
+        for r in sim.ann_ivf_partitioned_topk(spark, out, sfdir, k=500, nprobe=2).collect()
+        if r.cos >= 0.6
+    ]
+    banded = [
+        (r.vec_id, r.cos)
+        for r in sim.ann_ivf_partitioned_topk(
+            spark, out, sfdir, k=500, nprobe=2, min_cos=0.6
+        ).collect()
+    ]
+    assert banded == plain and plain
