@@ -697,6 +697,8 @@ def pq_train(
     n_cents: int = PQ_CENTS,
     seed: int = 7,
     fit_sample_cap: int | None = FIT_SAMPLE_CAP,
+    emb: DataFrame | None = None,
+    cache_tag: str = "",
 ):
     """Train per-subvector k-means codebooks (one small pyspark.ml fit per
     subvector) and encode the corpus: returns ``(codes, codebooks)`` with
@@ -715,10 +717,11 @@ def pq_train(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    key = (spark.sparkContext.applicationId, sf_dir, n_subs, n_cents, seed, fit_sample_cap)
+    key = (spark.sparkContext.applicationId, sf_dir, n_subs, n_cents, seed, fit_sample_cap, cache_tag)
     if key in _PQ_CACHE:
         return _PQ_CACHE[key]
-    emb = table(spark, sf_dir, "embeddings")
+    if emb is None:
+        emb = table(spark, sf_dir, "embeddings")
     fit_emb = _bounded_fit_sample(emb.select("vec_id", "embedding"), fit_sample_cap, seed)
     if fit_sample_cap is not None:
         fit_emb = fit_emb.persist(StorageLevel.MEMORY_AND_DISK)
@@ -778,6 +781,8 @@ def pq_topk(
     n_subs: int = PQ_SUBS,
     n_cents: int = PQ_CENTS,
     seed: int = 7,
+    emb: DataFrame | None = None,
+    cache_tag: str = "",
 ) -> DataFrame:
     """PQ ANN via asymmetric distance computation: the probe's per-sub
     distance-to-centroid tables become LITERAL nested arrays in the plan,
@@ -786,8 +791,11 @@ def pq_topk(
     inside the scan over the stored codes column.  Returns approximate
     L2 top-k; recall vs exact L2 is pinned in
     tests/test_similarity_quality.py."""
-    codes, books = pq_train(spark, sf_dir, n_subs, n_cents, seed)
-    emb = table(spark, sf_dir, "embeddings")
+    codes, books = pq_train(
+        spark, sf_dir, n_subs, n_cents, seed, emb=emb, cache_tag=cache_tag
+    )
+    if emb is None:
+        emb = table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") == probe_vec_id).select("embedding").collect()[0][0]
     sub_dim = _DIM // n_subs
     lut_rows = []
@@ -820,6 +828,8 @@ def pq_topk_rerank(
     probe_vec_id: int = 0,
     k: int = 10,
     shortlist: int = 50,
+    emb: DataFrame | None = None,
+    cache_tag: str = "",
 ) -> DataFrame:
     """PQ as deployed: the compact-code scan produces a ``shortlist`` of
     candidates (cheap, projection-only), then exact L2 re-ranks ONLY the
@@ -827,8 +837,15 @@ def pq_topk_rerank(
     ``shortlist`` ids — the expensive vectors are touched for 50 rows,
     not the corpus).  Recall@10 is pinned >= the raw PQ ranking's in
     tests/test_similarity_quality.py (measured 0.4 -> 0.8 at
-    shortlist=50 on the synthetic corpus)."""
-    short = pq_topk(spark, sf_dir, probe_vec_id, k=shortlist).select("vec_id")
+    shortlist=50 on the synthetic corpus).
+
+    ``emb``/``cache_tag`` select an alternative (e.g. OPQ-rotated)
+    encoding for the shortlist; the exact re-rank always runs on the
+    ORIGINAL vectors — L2 is rotation-invariant, so the final ranking is
+    comparable either way."""
+    short = pq_topk(
+        spark, sf_dir, probe_vec_id, k=shortlist, emb=emb, cache_tag=cache_tag
+    ).select("vec_id")
     emb = table(spark, sf_dir, "embeddings")
     probe = emb.where(F.col("vec_id") == probe_vec_id).select(
         F.col("embedding").alias("q")
@@ -843,4 +860,101 @@ def pq_topk_rerank(
         .select("vec_id", F.expr(dist).alias("l2"))
         .orderBy(F.col("l2").asc(), F.col("vec_id"))
         .limit(k)
+    )
+
+
+# --- OPQ: optimized rotation before product quantization --------------------
+
+
+def opq_rotation(
+    spark: SparkSession,
+    sf_dir: str,
+    n_subs: int = PQ_SUBS,
+    seed: int = 7,
+    fit_sample_cap: int | None = FIT_SAMPLE_CAP,
+    emb: DataFrame | None = None,
+):
+    """Eigenvalue-allocation rotation — the non-parametric OPQ
+    initialization of Ge et al., "Optimized Product Quantization"
+    (CVPR 2013): PCA the data, then deal principal directions to
+    subspaces so each subquantizer sees a balanced variance PRODUCT
+    (greedy: next-largest eigenvalue goes to the open subspace with the
+    smallest running product).  PQ distortion is dominated by the
+    highest-variance subspace, so balancing is most of full OPQ's win
+    without the alternating codebook/rotation refinement.
+
+    Returns a (dim x dim) numpy orthogonal matrix (rows = reordered
+    eigenvectors).  Covariance comes from the SAME bounded fit sample
+    the codebooks train on, collected to the driver — <= cap x dim
+    floats (25 MB at the 100k default), a deliberate driver-side numpy
+    computation, same posture as collecting nprobe centroid ids."""
+    import numpy as np
+
+    if emb is None:
+        emb = table(spark, sf_dir, "embeddings")
+    sample = _bounded_fit_sample(emb.select("embedding"), fit_sample_cap, seed)
+    m = np.array([r.embedding for r in sample.collect()], dtype=np.float64)
+    m -= m.mean(axis=0)
+    evals, evecs = np.linalg.eigh(np.cov(m, rowvar=False))
+    order = np.argsort(evals)[::-1]  # descending variance
+    evals, evecs = evals[order], evecs[:, order]
+    dim = m.shape[1]
+    sub_dim = dim // n_subs
+    log_prod = [0.0] * n_subs
+    slots = [[] for _ in range(n_subs)]
+    for i in range(dim):
+        open_subs = [j for j in range(n_subs) if len(slots[j]) < sub_dim]
+        j = min(open_subs, key=lambda s: log_prod[s])
+        slots[j].append(i)
+        log_prod[j] += float(np.log(max(evals[i], 1e-12)))
+    perm = [i for sub in slots for i in sub]
+    return evecs[:, perm].T  # rows: subspace 0's dims first, then 1's, ...
+
+
+def rotate_embeddings(emb: DataFrame, rotation) -> DataFrame:
+    """Apply a (dim x dim) rotation to the embedding column — one Arrow
+    batch matmul per partition chunk (pandas_udf), the vectorized path
+    for a dense linear map that per-element SQL expressions can't match."""
+    import numpy as np
+    import pandas
+    from pyspark.sql.functions import pandas_udf
+
+    rt = np.asarray(rotation, dtype=np.float64).T
+
+    # explicit eval type: with `from __future__ import annotations` the
+    # hint strings can't name function-local imports, so skip inference
+    def _rot_fn(s):
+        mat = np.array(s.tolist(), dtype=np.float64) @ rt
+        return pandas.Series(mat.astype(np.float32).tolist())
+
+    _rot_fn.__annotations__ = {"s": pandas.Series, "return": pandas.Series}
+    _rot = pandas_udf(_rot_fn, "array<float>")
+    return emb.withColumn("embedding", _rot(F.col("embedding")))
+
+
+def opq_topk_rerank(
+    spark: SparkSession,
+    sf_dir: str,
+    probe_vec_id: int = 0,
+    k: int = 10,
+    shortlist: int = 50,
+    seed: int = 7,
+) -> DataFrame:
+    """pq_topk_rerank over the OPQ-rotated space: rotation is trained
+    once from the bounded sample, the corpus is rotated (Arrow batch
+    matmul) and PQ-encoded in the rotated space, the shortlist comes
+    from rotated codes, and the exact re-rank runs on the ORIGINAL
+    vectors (L2 is rotation-invariant).  Recall >= plain PQ is pinned on
+    a correlated-covariance corpus in tests/test_similarity_quality.py —
+    on isotropic data the rotation is a no-op by construction."""
+    rot = opq_rotation(spark, sf_dir, seed=seed)
+    rotated = rotate_embeddings(table(spark, sf_dir, "embeddings"), rot)
+    return pq_topk_rerank(
+        spark,
+        sf_dir,
+        probe_vec_id,
+        k=k,
+        shortlist=shortlist,
+        emb=rotated,
+        cache_tag=f"opq-{seed}",
     )
