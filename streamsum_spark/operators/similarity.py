@@ -773,6 +773,31 @@ def pq_train(
 _PQ_CACHE: dict = {}
 
 
+def _adc_score_expr(q, books) -> str:
+    """The probe's per-subvector distance-to-centroid tables as LITERAL
+    nested arrays, folded into one asymmetric-distance expression over a
+    ``codes`` column: score = sum_j LUT[j][codes[j]].  Shared by the
+    flat-PQ and IVFPQ query paths."""
+    n_subs = len(books)
+    sub_dim = len(q) // n_subs
+    lut_rows = []
+    for j in range(n_subs):
+        qj = [float(x) for x in q[j * sub_dim : (j + 1) * sub_dim]]
+        lut_rows.append(
+            "array("
+            + ", ".join(
+                f"CAST({sum((a - b) ** 2 for a, b in zip(qj, c))!r} AS DOUBLE)"
+                for c in books[j]
+            )
+            + ")"
+        )
+    lut = "array(" + ", ".join(lut_rows) + ")"
+    return (
+        f"aggregate(sequence(0, {n_subs - 1}), CAST(0.0 AS DOUBLE), "
+        f"(acc, j) -> acc + element_at(element_at({lut}, j + 1), codes[j] + 1))"
+    )
+
+
 def pq_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -797,23 +822,7 @@ def pq_topk(
     if emb is None:
         emb = table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") == probe_vec_id).select("embedding").collect()[0][0]
-    sub_dim = _DIM // n_subs
-    lut_rows = []
-    for j in range(n_subs):
-        qj = [float(x) for x in q[j * sub_dim : (j + 1) * sub_dim]]
-        lut_rows.append(
-            "array("
-            + ", ".join(
-                f"CAST({sum((a - b) ** 2 for a, b in zip(qj, c))!r} AS DOUBLE)"
-                for c in books[j]
-            )
-            + ")"
-        )
-    lut = "array(" + ", ".join(lut_rows) + ")"
-    score = (
-        f"aggregate(sequence(0, {n_subs - 1}), CAST(0.0 AS DOUBLE), "
-        f"(acc, j) -> acc + element_at(element_at({lut}, j + 1), codes[j] + 1))"
-    )
+    score = _adc_score_expr(q, books)
     return (
         codes.where(F.col("vec_id") != probe_vec_id)
         .select("vec_id", F.expr(score).alias("adist"))
@@ -957,4 +966,121 @@ def opq_topk_rerank(
         shortlist=shortlist,
         emb=rotated,
         cache_tag=f"opq-{seed}",
+    )
+
+
+# --- IVFPQ: coarse routing + residual product quantization ------------------
+
+
+def ivfpq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    n_lists: int = 8,
+    n_subs: int = PQ_SUBS,
+    n_cents: int = PQ_CENTS,
+    seed: int = 7,
+):
+    """The combined index (the IVFADC layout of Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): coarse
+    k-means lists + PQ codebooks trained on RESIDUALS (x - centroid of
+    x's list).  Residual encoding is what makes the combination work —
+    residual magnitudes are a fraction of vector magnitudes, so the same
+    code budget quantizes much finer near each centroid.
+
+    Returns (assignments, centroids, codes, books).  All training obeys
+    the bounded-sample posture (both fits go through pq_train /
+    kmeans_ivf_index); encoding is a full-corpus map-side projection;
+    at scale codes+list_id are what the partitioned layout stores."""
+    assignments, centroids = kmeans_ivf_index(spark, sf_dir, n_lists, seed)
+    emb = table(spark, sf_dir, "embeddings")
+    residuals = (
+        emb.join(assignments, "vec_id")
+        .join(F.broadcast(centroids), "list_id")
+        .select(
+            "vec_id",
+            F.expr(
+                "zip_with(CAST(embedding AS ARRAY<DOUBLE>), centroid, (a, b) -> a - b)"
+            ).alias("embedding"),
+        )
+    )
+    codes, books = pq_train(
+        spark,
+        sf_dir,
+        n_subs,
+        n_cents,
+        seed,
+        emb=residuals,
+        cache_tag=f"ivfpq-{n_lists}-{seed}",
+    )
+    return assignments, centroids, codes, books
+
+
+def ivfpq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    probe_vec_id: int = 0,
+    k: int = 10,
+    nprobe: int = 2,
+    shortlist: int = 50,
+    n_lists: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """IVFPQ query: route the probe to its ``nprobe`` nearest coarse
+    centroids, ADC-score ONLY those lists' residual codes — each probed
+    list gets its own literal LUT built from the probe's residual
+    against THAT centroid — then exact-rerank the shortlist on the
+    original float vectors.
+
+    Plan shape: candidate scoring is a filtered projection over the
+    codes relation (list filter + per-list CASE of literal LUTs, no
+    join); the only joins are the two broadcast singletons (probe row,
+    shortlist ids).  At 100 TB this runs over the IVF-partitioned code
+    layout and opens nprobe partitions of 4-byte codes instead of the
+    float corpus — the full IVFADC read path."""
+    assignments, centroids, codes, books = ivfpq_index(
+        spark, sf_dir, n_lists=n_lists, seed=seed
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == probe_vec_id).select("embedding").collect()[0][0]
+    routed = (
+        centroids.withColumn(
+            "d2",
+            F.expr(
+                "aggregate(zip_with(centroid, "
+                + "array(" + ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in q) + "), "
+                + "(a, b) -> (a - b) * (a - b)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+            ),
+        )
+        .orderBy(F.col("d2").asc(), F.col("list_id"))
+        .limit(nprobe)
+        .collect()
+    )
+    # per-list ADC: LUT from the probe's residual against each probed centroid
+    branches = " ".join(
+        f"WHEN list_id = {r.list_id} THEN "
+        + _adc_score_expr([a - b for a, b in zip([float(x) for x in q], r.centroid)], books)
+        for r in routed
+    )
+    cand = (
+        codes.join(assignments, "vec_id")
+        .where(F.col("list_id").isin([r.list_id for r in routed]))
+        .where(F.col("vec_id") != probe_vec_id)
+        .select("vec_id", F.expr(f"CASE {branches} END").alias("adist"))
+        .orderBy(F.col("adist").asc(), F.col("vec_id"))
+        .limit(shortlist)
+        .select("vec_id")
+    )
+    probe = emb.where(F.col("vec_id") == probe_vec_id).select(
+        F.col("embedding").alias("q")
+    )
+    dist = (
+        "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), CAST(q AS ARRAY<DOUBLE>), "
+        "(a, b) -> (a - b) * (a - b)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    return (
+        emb.join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(probe))
+        .select("vec_id", F.expr(dist).alias("l2"))
+        .orderBy(F.col("l2").asc(), F.col("vec_id"))
+        .limit(k)
     )
