@@ -154,6 +154,7 @@ def accumulate_batch(
     deltas: DataFrame,
     key_cols: list[str],
     sum_cols: list[str],
+    combine: str = "sum",
 ) -> None:
     """MERGE-emulation for ADDITIVE state: per-key counters summed with
     the stored table (vs upsert_batch's newest-wins for replacement
@@ -166,8 +167,9 @@ def accumulate_batch(
         merged = spark.read.parquet(target_path).unionByName(deltas)
     else:
         merged = deltas
+    agg_fn = {"sum": F.sum, "min": F.min, "max": F.max}[combine]
     acc = merged.groupBy(*key_cols).agg(
-        *[F.sum(c).cast("long").alias(c) for c in sum_cols]
+        *[agg_fn(c).cast("long").alias(c) for c in sum_cols]
     )
     tmp = target_path + f".tmp-{uuid.uuid4().hex[:8]}"
     acc.write.mode("overwrite").parquet(tmp)
@@ -180,6 +182,7 @@ def stream_accumulate_counts(
     key_cols: list[str],
     sum_cols: list[str],
     pre_agg,
+    combine: str = "sum",
 ) -> None:
     """Run an append-mode availableNow stream into an ADDITIVE cache table:
     ``pre_agg`` (static DataFrame -> per-key delta counts) runs inside
@@ -195,7 +198,7 @@ def stream_accumulate_counts(
     ckpt = os.path.join(tempfile.gettempdir(), f"streamsum_acc_ckpt_{uuid.uuid4().hex[:10]}")
 
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
-        accumulate_batch(spark, target_path, pre_agg(batch_df), key_cols, sum_cols)
+        accumulate_batch(spark, target_path, pre_agg(batch_df), key_cols, sum_cols, combine)
 
     q = (
         df.writeStream.foreachBatch(merge)

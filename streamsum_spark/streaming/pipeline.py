@@ -860,3 +860,46 @@ def stream_bigram_perplexity(
         .groupBy("doc_id")
         .agg(F.round(F.sum(F.col("c") * F.col("nll")) / F.sum("c"), 6).alias("avg_nll"))
     )
+
+
+def stream_minhash_signatures(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "documents.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Incremental MinHash signature maintenance (streaming twin of
+    dedup.minhash_signatures).
+
+    min() over shingle hashes is commutative, associative and idempotent,
+    so signatures merge across micro-batches by keyed MIN — the same
+    additive-cache-table path as the tf/gram twins with combine="min".
+    This also handles documents ARRIVING IN PIECES (the same doc_id in
+    later micro-batches, e.g. an appended page): the merged signature
+    equals the batch signature over the union of the pieces' shingle
+    sets, pinned in tests/test_streaming.py.  Per-batch work is one
+    shingle explode + md5 + 16 min aggregates over the batch only; state
+    is the signature table itself (16 longs per doc)."""
+    from streamsum_spark.operators.dedup import _SHINGLES_T, _signatures_from, _TOKS
+    from streamsum_spark.sinks import stream_accumulate_counts
+
+    docs = stream_documents(spark, sf_dir, glob, max_files_per_trigger)
+    target = os.path.join(
+        tempfile.gettempdir(), f"streamsum_mh_tbl_{uuid.uuid4().hex[:12]}"
+    )
+
+    def per_batch_sigs(batch_df: DataFrame) -> DataFrame:
+        sh = batch_df.withColumn("_toks", F.expr(_TOKS)).select(
+            "doc_id", F.expr(f"array_distinct({_SHINGLES_T})").alias("sh")
+        )
+        return _signatures_from(sh)
+
+    stream_accumulate_counts(
+        docs.select("doc_id", "text"),
+        target,
+        ["doc_id", "band"],
+        ["mh"],
+        per_batch_sigs,
+        combine="min",
+    )
+    return spark.read.parquet(target).select("doc_id", "band", "mh")

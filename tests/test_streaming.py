@@ -341,3 +341,63 @@ def test_stream_bigram_perplexity_multibatch_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert batch and stream == batch
+
+
+def test_stream_minhash_multibatch_equals_batch(spark, tmp_path):
+    """MinHash signatures min-merged across 3 micro-batches must equal the
+    one-shot batch signatures (min is associative/idempotent over shingle
+    hashes)."""
+    from streamsum_spark.operators.dedup import minhash_signatures
+
+    src = _sliced_docs_src(spark, tmp_path)
+    batch = {(r.doc_id, r.band, r.mh) for r in minhash_signatures(spark, src).collect()}
+    stream = {
+        (r.doc_id, r.band, r.mh)
+        for r in sp.stream_minhash_signatures(
+            spark, src, glob="documents_*.parquet", max_files_per_trigger=1
+        ).collect()
+    }
+    assert batch and stream == batch
+
+
+def test_stream_minhash_merges_chunked_documents(spark, tmp_path):
+    """A document arriving in two pieces (same doc_id, different text, in
+    different micro-batches) must end with the signature of the UNION of
+    the pieces' shingle sets — what the batch operator computes over a
+    corpus holding both rows."""
+    import glob as g
+    import os
+    import shutil
+
+    from streamsum_spark.operators.dedup import minhash_signatures
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 8),
+        (2, "one two three four five six seven eight nine", "en", "s", 9),
+    ]
+    extra = [(1, "iota kappa lambda mu nu xi omicron pi rho", "en", "s", 9)]
+    src = str(tmp_path / "chunked")
+    os.makedirs(src, exist_ok=True)
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    both = spark.createDataFrame(rows + extra, schema)
+    both.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "full"))
+    shutil.copy(
+        g.glob(str(tmp_path / "full" / "part-*.parquet"))[0],
+        os.path.join(src, "documents.parquet"),
+    )
+    for i, chunk in enumerate((rows, extra)):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp_path / f"chunk{i}")
+        )
+        shutil.copy(
+            g.glob(str(tmp_path / f"chunk{i}" / "part-*.parquet"))[0],
+            os.path.join(src, f"documents_{i}.parquet"),
+        )
+    batch = {(r.doc_id, r.band, r.mh) for r in minhash_signatures(spark, src).collect()}
+    stream = {
+        (r.doc_id, r.band, r.mh)
+        for r in sp.stream_minhash_signatures(
+            spark, src, glob="documents_*.parquet", max_files_per_trigger=1
+        ).collect()
+    }
+    assert stream == batch
