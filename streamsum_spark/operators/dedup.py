@@ -757,3 +757,86 @@ FROM bands a JOIN bands b
   ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.sim_lo, b.sim_lo)) + bit_count(xor(a.sim_hi, b.sim_hi)) <= 3
 """
+
+
+# --- benchmark decontamination ----------------------------------------------
+
+DECON_N = 8  # 8-token grams: the standard test-set-overlap unit
+
+
+def decontaminate(
+    spark: SparkSession,
+    sf_dir: str,
+    benchmark: DataFrame | None = None,
+    n: int = DECON_N,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Test-set decontamination report: for every training document, how
+    many distinct ``n``-token grams it shares with the benchmark corpus,
+    and whether that crosses ``min_hits`` (the flag a pipeline drops on).
+
+    The shape that scales: benchmark suites are bounded (thousands of
+    documents, not terabytes), so the benchmark gram set is a BROADCAST
+    relation and the corpus side is one gram explode + broadcast
+    semi-join + per-doc count with map-side combine — the 100 TB corpus
+    is scanned once, never shuffled on grams, and the only shuffle
+    carries one (doc_id, count) row per contaminated doc.
+
+    ``benchmark`` defaults to docs with doc_id % 97 == 0 — a stand-in
+    eval set drawn from the corpus so the operator is runnable and
+    oracle-checkable on the test tables; real use passes the actual
+    benchmark table.  Returns (doc_id, n_overlap, contaminated) for
+    every corpus document (benchmark members trivially flag themselves —
+    a real run excludes them via the report itself)."""
+    docs = rebalance_for_cpu(table(spark, sf_dir, "documents"))
+    if benchmark is None:
+        benchmark = docs.where(F.col("doc_id") % 97 == 0)
+    grams = shingles_expr(n, "_toks")
+    bench_grams = (
+        benchmark.withColumn("_toks", F.expr(_TOKS))
+        .select(F.explode(F.expr(f"array_distinct({grams})")).alias("g"))
+        .distinct()
+    )
+    corp_grams = (
+        docs.withColumn("_toks", F.expr(_TOKS))
+        .select("doc_id", F.explode(F.expr(f"array_distinct({grams})")).alias("g"))
+    )
+    hits = (
+        corp_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )
+
+
+DECONTAMINATE_SQL = f"""
+WITH toked AS (
+    SELECT doc_id, {{toks}} AS toks FROM documents
+), grams AS (
+    SELECT doc_id, unnest(list_distinct({{grams}})) AS g FROM toked
+), bench AS (
+    SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+), hits AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+    FROM grams JOIN bench USING (g)
+    GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(n_overlap, 0) AS n_overlap,
+       COALESCE(n_overlap, 0) >= 1 AS contaminated
+FROM (SELECT doc_id FROM documents) d LEFT JOIN hits USING (doc_id)
+"""
+
+
+def decontaminate_oracle_sql(n: int = DECON_N) -> str:
+    from streamsum_spark.functions.expressions import TOKENS_SQL, shingles_sql
+
+    return DECONTAMINATE_SQL.format(toks=TOKENS_SQL, grams=shingles_sql(n))

@@ -96,3 +96,57 @@ def test_pair_generators_have_no_nested_loop(spark):
     ):
         plan = plans.explain_str(df)
         assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A training doc copying an 8-token span from a benchmark doc must
+    flag with the right overlap count; disjoint docs must not."""
+    from pyspark.sql import functions as F
+
+    from streamsum_spark.operators.dedup import decontaminate
+    from tests.conftest import SF_ORACLE
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    bench = spark.createDataFrame(
+        [(900, "the quick brown fox jumps over the lazy dog tonight", "en", "b", 51)],
+        schema,
+    )
+    # doc 1 copies a 9-token span (=> two distinct 8-grams), doc 2 disjoint
+    corpus_extra = {
+        1: "intro words the quick brown fox jumps over the lazy dog outro",
+        2: "completely unrelated text with enough tokens to form many grams here",
+    }
+    report = {
+        r.doc_id: (r.n_overlap, r.contaminated)
+        for r in decontaminate(
+            spark,
+            SF_ORACLE,
+            benchmark=bench,
+        ).collect()
+    }
+    # the real corpus shares nothing with the synthetic benchmark
+    assert all(n == 0 and not c for n, c in report.values())
+
+    # planted corpus: overlap counting is exact
+    corpus = spark.createDataFrame(
+        [(k, v, "en", "s", len(v)) for k, v in corpus_extra.items()], schema
+    )
+    import streamsum_spark.operators.dedup as dd2
+
+    grams = dd2.shingles_expr(8, "_toks")
+    bench_g = (
+        bench.withColumn("_toks", F.expr(dd2._TOKS))
+        .select(F.explode(F.expr(f"array_distinct({grams})")).alias("g"))
+        .distinct()
+    )
+    corp_g = corpus.withColumn("_toks", F.expr(dd2._TOKS)).select(
+        "doc_id", F.explode(F.expr(f"array_distinct({grams})")).alias("g")
+    )
+    hits = {
+        r.doc_id: r.n
+        for r in corp_g.join(F.broadcast(bench_g), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert hits == {1: 2}  # the 9-token copied span yields exactly two 8-grams

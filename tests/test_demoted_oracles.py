@@ -30,6 +30,7 @@ DEMOTED = {
     "redact_pii": (tx.redact_pii, tx.REDACT_PII_SQL),
     "bigram_perplexity": (tx.bigram_perplexity, tx.BIGRAM_PERPLEXITY_SQL),
     "winnow_shared_fingerprints": (dd.winnow_shared_fingerprints, dd.WINNOW_SHARED_SQL),
+    "decontaminate": (dd.decontaminate, dd.decontaminate_oracle_sql()),
     "window_rownum_lastn": (
         rel.window_rownum_lastn,
         """
