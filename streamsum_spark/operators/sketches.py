@@ -199,3 +199,105 @@ def hll_user_counts(spark: SparkSession, sf_dir: str, lg_k: int = 12) -> DataFra
         F.hll_sketch_estimate("sk").alias("approx_users"),
     )
     return ests.unionByName(merged)
+
+
+# --- Count-Min sketch -------------------------------------------------------
+
+CM_DEPTH = 4
+CM_WIDTH = 1024
+# Kirsch–Mitzenmacher again: one md5 per token, row d uses (h1 + d*h2).
+# Same 48-bit halves as MinHash so both engines parse identically.
+_CM_P = 4294967291
+
+
+def _cm_cell_exprs(depth: int, width: int) -> list[str]:
+    return [
+        f"CAST((h1 + {d} * h2) % {_CM_P} % {width} AS BIGINT)"
+        for d in range(1, depth + 1)
+    ]
+
+
+def cm_sketch(
+    spark: SparkSession,
+    sf_dir: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+    tokens: DataFrame | None = None,
+) -> DataFrame:
+    """Count-Min sketch of the corpus token frequencies as a RELATION:
+    (d, bucket, cnt), at most depth x width rows regardless of
+    vocabulary or corpus size.
+
+    This is the linear-sketch posture that complements Misra–Gries
+    (candidates) and HLL (distinct counts): Count-Min answers point
+    frequency queries with a one-sided error (estimate >= truth,
+    overshoot <= eps*N with eps = e/width at high probability), and two
+    sketches MERGE BY CELL-WISE SUM — so per-shard/per-day sketch tables
+    roll up without re-touching rows, and the streaming twin below is
+    just the additive cache-table sink.
+
+    Plan: one explode + one md5 per token + depth stacked (cell, 1)
+    rows -> groupBy(d, bucket) count with map-side combine.  The shuffle
+    carries at most depth x width partials per map task."""
+    if tokens is None:
+        tokens = token_stream(spark, sf_dir)
+    cells = _cm_cell_exprs(depth, width)
+    stack = ", ".join(f"CAST({d + 1} AS BIGINT), {c}" for d, c in enumerate(cells))
+    return (
+        tokens.select(
+            F.expr("CAST(conv(substring(md5(t), 1, 12), 16, 10) AS BIGINT)").alias("h1"),
+            F.expr("CAST(conv(substring(md5(t), 13, 12), 16, 10) AS BIGINT)").alias("h2"),
+        )
+        .select(F.expr(f"stack({depth}, {stack}) AS (d, bucket)"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def cm_estimate(
+    spark: SparkSession,
+    sketch: DataFrame,
+    terms: DataFrame,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """Point-frequency estimates for ``terms`` (a relation with column
+    ``t``) against a Count-Min sketch relation: est(t) = min over rows d
+    of cell(d, h_d(t)).  The sketch is depth x width rows — broadcast —
+    so estimation is a map-side join over the terms relation, whatever
+    its size."""
+    cells = _cm_cell_exprs(depth, width)
+    stack = ", ".join(f"CAST({d + 1} AS BIGINT), {c}" for d, c in enumerate(cells))
+    probes = (
+        terms.select(
+            "t",
+            F.expr("CAST(conv(substring(md5(t), 1, 12), 16, 10) AS BIGINT)").alias("h1"),
+            F.expr("CAST(conv(substring(md5(t), 13, 12), 16, 10) AS BIGINT)").alias("h2"),
+        )
+        .select("t", F.expr(f"stack({depth}, {stack}) AS (d, bucket)"))
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy("t")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est"))
+    )
+
+
+CM_SKETCH_SQL = f"""
+SELECT d, bucket, CAST(count(*) AS BIGINT) AS cnt
+FROM (
+    SELECT d, (h1 + d * h2) % {_CM_P} % {{width}} AS bucket
+    FROM (
+        SELECT ('0x' || substr(md5(t), 1, 12))::BIGINT AS h1,
+               ('0x' || substr(md5(t), 13, 12))::BIGINT AS h2
+        FROM (SELECT unnest({{toks}}) AS t FROM documents)
+    ), (SELECT unnest(range(1, {{depth_excl}})) AS d)
+)
+GROUP BY d, bucket
+"""
+
+
+def cm_sketch_oracle_sql(depth: int = CM_DEPTH, width: int = CM_WIDTH) -> str:
+    from streamsum_spark.functions.expressions import TOKENS_SQL
+
+    return CM_SKETCH_SQL.format(toks=TOKENS_SQL, width=width, depth_excl=depth + 1)

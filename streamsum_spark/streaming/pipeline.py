@@ -903,3 +903,35 @@ def stream_minhash_signatures(
         combine="min",
     )
     return spark.read.parquet(target).select("doc_id", "band", "mh")
+
+
+def stream_cm_sketch(
+    spark: SparkSession,
+    sf_dir: str,
+    depth: int = 4,
+    width: int = 1024,
+    glob: str = "documents.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Incremental Count-Min maintenance: per-micro-batch sketches summed
+    cell-wise into the cache table — Count-Min is a linear sketch, so
+    sketch(A ∪ B) = sketch(A) + sketch(B) exactly, and the additive sink
+    IS the merge operator.  Pinned equal to the batch sketch over a
+    3-micro-batch split in tests/test_sketches.py."""
+    from streamsum_spark.functions.expressions import TOKENS_EXPR
+    from streamsum_spark.operators.sketches import cm_sketch
+    from streamsum_spark.sinks import stream_accumulate_counts
+
+    docs = stream_documents(spark, sf_dir, glob, max_files_per_trigger)
+    target = os.path.join(
+        tempfile.gettempdir(), f"streamsum_cm_tbl_{uuid.uuid4().hex[:12]}"
+    )
+
+    def per_batch(batch_df: DataFrame) -> DataFrame:
+        toks = batch_df.select(F.explode(F.expr(TOKENS_EXPR)).alias("t"))
+        return cm_sketch(spark, sf_dir, depth, width, tokens=toks)
+
+    stream_accumulate_counts(
+        docs.select("doc_id", "text"), target, ["d", "bucket"], ["cnt"], per_batch
+    )
+    return spark.read.parquet(target).select("d", "bucket", "cnt")

@@ -151,3 +151,75 @@ def test_hll_sketch_accuracy_and_merge(spark):
     assert set(got) == set(exact)
     for key, n in exact.items():
         assert abs(got[key] - n) / n <= 0.05, (key, got[key], n)
+
+
+def test_cm_sketch_overestimates_and_is_tight_for_heavy_tokens(spark):
+    """Count-Min guarantees: est(t) >= true count for EVERY token (min of
+    overcounting cells), and the overshoot is bounded by colliding mass
+    (~N/width per cell in expectation)."""
+    from pyspark.sql import functions as F
+
+    from streamsum_spark.operators import sketches as sk
+
+    sketch = sk.cm_sketch(spark, SF_ORACLE)
+    exact = (
+        sk.token_stream(spark, SF_ORACLE)
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    est = sk.cm_estimate(spark, sketch, exact.select("t"))
+    joined = {r.t: (r.cnt, r.est) for r in exact.join(est, "t").collect()}
+    assert joined
+    n_total = sum(c for c, _ in joined.values())
+    assert all(e >= c for c, e in joined.values())  # one-sided error, always
+    # expected collision mass per cell is N/width; allow 8x slack
+    slack = 8 * n_total / sk.CM_WIDTH
+    assert all(e - c <= slack for c, e in joined.values()), max(
+        e - c for c, e in joined.values()
+    )
+
+
+def test_cm_sketch_merges_cellwise(spark):
+    """Linear-sketch mergeability: the cell-wise SUM of per-slice sketches
+    equals the whole-corpus sketch exactly."""
+    from pyspark.sql import functions as F
+
+    from streamsum_spark.operators import sketches as sk
+    from streamsum_spark.tables import table
+
+    docs = table(spark, SF_ORACLE, "documents")
+    whole = {
+        (r.d, r.bucket): r.cnt for r in sk.cm_sketch(spark, SF_ORACLE).collect()
+    }
+    merged: dict = {}
+    for i in range(3):
+        part = docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == i)
+        toks = part.select(F.explode(F.expr(sk._TOKS)).alias("t"))
+        for r in sk.cm_sketch(spark, SF_ORACLE, tokens=toks).collect():
+            merged[(r.d, r.bucket)] = merged.get((r.d, r.bucket), 0) + r.cnt
+    assert merged == whole
+
+
+def test_cm_sketch_matches_duckdb_oracle(spark):
+    from streamsum_spark.operators import sketches as sk
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        spark, lambda s, d: sk.cm_sketch(s, d), sk.cm_sketch_oracle_sql()
+    )
+
+
+def test_stream_cm_sketch_multibatch_equals_batch(spark, tmp_path):
+    from streamsum_spark.operators import sketches as sk
+    from streamsum_spark.streaming import pipeline as sp
+    from tests.test_streaming import _sliced_docs_src
+
+    src = _sliced_docs_src(spark, tmp_path)
+    batch = {(r.d, r.bucket, r.cnt) for r in sk.cm_sketch(spark, src).collect()}
+    stream = {
+        (r.d, r.bucket, r.cnt)
+        for r in sp.stream_cm_sketch(
+            spark, src, glob="documents_*.parquet", max_files_per_trigger=1
+        ).collect()
+    }
+    assert batch and stream == batch
