@@ -155,6 +155,7 @@ def accumulate_batch(
     key_cols: list[str],
     sum_cols: list[str],
     combine: str = "sum",
+    epoch_id: int | None = None,
 ) -> None:
     """MERGE-emulation for ADDITIVE state: per-key counters summed with
     the stored table (vs upsert_batch's newest-wins for replacement
@@ -162,7 +163,26 @@ def accumulate_batch(
     needs — term/gram counts are associative, so each micro-batch ships
     only its delta counts and the table stays one row per key.  On a
     transactional format this is MERGE INTO ... UPDATE SET c = t.c + s.c;
-    the swap protocol is the same as upsert_batch."""
+    the swap protocol is the same as upsert_batch.
+
+    Replay safety: SUM-merge is NOT idempotent (newest-wins is), so a
+    foreachBatch redelivery after a partial failure would double-count.
+    ``epoch_id`` (when given) is recorded in an ``_applied_epochs.json``
+    manifest INSIDE the table directory — underscore files are invisible
+    to parquet readers, and the manifest swaps atomically WITH the data,
+    so a replayed epoch is a no-op and a crash between merge and marker
+    cannot happen (they are one rename).  This is the standard
+    foreachBatch exactly-once recipe, with the transactional commit
+    emulated by the directory swap."""
+    import json
+
+    manifest = os.path.join(target_path, "_applied_epochs.json")
+    applied: list = []
+    if os.path.exists(manifest):
+        with open(manifest) as fh:
+            applied = json.load(fh)
+        if epoch_id is not None and epoch_id in applied:
+            return  # replayed micro-batch: already folded in
     if os.path.exists(target_path):
         merged = spark.read.parquet(target_path).unionByName(deltas)
     else:
@@ -173,6 +193,9 @@ def accumulate_batch(
     )
     tmp = target_path + f".tmp-{uuid.uuid4().hex[:8]}"
     acc.write.mode("overwrite").parquet(tmp)
+    if epoch_id is not None:
+        with open(os.path.join(tmp, "_applied_epochs.json"), "w") as fh:
+            json.dump(applied + [epoch_id], fh)
     _atomic_swap(target_path, tmp)
 
 
@@ -198,7 +221,9 @@ def stream_accumulate_counts(
     ckpt = os.path.join(tempfile.gettempdir(), f"streamsum_acc_ckpt_{uuid.uuid4().hex[:10]}")
 
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
-        accumulate_batch(spark, target_path, pre_agg(batch_df), key_cols, sum_cols, combine)
+        accumulate_batch(
+            spark, target_path, pre_agg(batch_df), key_cols, sum_cols, combine, epoch_id
+        )
 
     q = (
         df.writeStream.foreachBatch(merge)

@@ -198,3 +198,40 @@ def test_compact_parquet_keeps_partitioning(spark, tmp_path):
     plan = plans.explain_str(df)
     scan = plan[plan.find("PartitionFilters") :].split("]", 1)[0]
     assert "event_type" in scan
+
+
+def test_additive_sink_replayed_epoch_is_noop(spark, tmp_path):
+    """SUM-merge is not idempotent, so the additive sink must dedupe
+    redelivered micro-batches by epoch id (manifest swaps atomically with
+    the data): replaying an applied epoch changes nothing; a new epoch
+    still folds in."""
+    from pyspark.sql import functions as F
+
+    from streamsum_spark.sinks import accumulate_batch
+
+    target = str(tmp_path / "acc_tbl")
+    deltas = spark.createDataFrame([("a", 1), ("b", 2)], "k string, c long")
+
+    accumulate_batch(spark, target, deltas, ["k"], ["c"], epoch_id=0)
+    accumulate_batch(spark, target, deltas, ["k"], ["c"], epoch_id=0)  # replay
+    got = {r.k: r.c for r in spark.read.parquet(target).collect()}
+    assert got == {"a": 1, "b": 2}, got  # NOT doubled
+
+    accumulate_batch(spark, target, deltas, ["k"], ["c"], epoch_id=1)  # new epoch
+    got = {r.k: r.c for r in spark.read.parquet(target).collect()}
+    assert got == {"a": 2, "b": 4}, got
+
+    # min-merge path honors the same guard
+    target2 = str(tmp_path / "acc_min")
+    mins = spark.createDataFrame([("a", 7)], "k string, c long")
+    accumulate_batch(spark, target2, mins, ["k"], ["c"], combine="min", epoch_id=0)
+    accumulate_batch(
+        spark,
+        target2,
+        spark.createDataFrame([("a", 3)], "k string, c long"),
+        ["k"],
+        ["c"],
+        combine="min",
+        epoch_id=0,  # replay with DIFFERENT data must still be ignored
+    )
+    assert spark.read.parquet(target2).collect()[0].c == 7
