@@ -241,3 +241,22 @@ def test_runtime_bloom_filter_injects_on_scan_backed_verify_join(spark, tmp_path
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """The benchmark gram set must broadcast: the corpus side is scanned
+    once and never shuffled on grams (no sort-merge join anywhere — the
+    only shuffle is the per-doc count aggregation)."""
+    from streamsum_spark.operators import dedup as dd
+
+    plan = plans.explain_str(dd.decontaminate(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cm_sketch_has_partial_aggregation(spark):
+    """Count-Min cell counts must combine map-side: the shuffle carries at
+    most depth x width partials per task, not one row per token."""
+    from streamsum_spark.operators import sketches as sk
+
+    assert plans.has_partial_aggregate(sk.cm_sketch(spark, SF_ORACLE))
