@@ -1084,3 +1084,108 @@ def ivfpq_topk(
         .orderBy(F.col("l2").asc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+def write_embeddings_ivfpq(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    n_lists: int = 8,
+    n_subs: int = PQ_SUBS,
+    n_cents: int = PQ_CENTS,
+    seed: int = 7,
+) -> None:
+    """Materialize the full IVFADC storage layout: PQ residual codes
+    partitioned by coarse list (``partitionBy(list_id)``), the centroid
+    table at ``<out>_centroids``, and the codebooks at ``<out>_books.json``
+    (subs x cents x subdim doubles — kilobytes, a driver-side artifact
+    like the centroids).
+
+    This is what an ANN serving layer stores at 100 TB: ~4 bytes of
+    codes per vector inside list partitions (float vectors stay in the
+    source table, touched only by the final rerank), so an nprobe query
+    opens nprobe partitions of codes and reads the float corpus for
+    ``shortlist`` rows."""
+    import json
+
+    assignments, centroids, codes, books = ivfpq_index(
+        spark, sf_dir, n_lists=n_lists, n_subs=n_subs, n_cents=n_cents, seed=seed
+    )
+    (
+        codes.join(assignments, "vec_id")
+        # one writer task per list: without this every input split emits a
+        # file per partition dir and footer overhead swamps the 4-byte
+        # codes (at scale, also the knob that bounds file count)
+        .repartition("list_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(out_path)
+    )
+    centroids.write.mode("overwrite").parquet(out_path + "_centroids")
+    with open(out_path + "_books.json", "w") as fh:
+        json.dump(books, fh)
+
+
+def ann_ivfpq_partitioned_topk(
+    spark: SparkSession,
+    corpus_path: str,
+    sf_dir: str,
+    probe_vec_id: int = 0,
+    k: int = 10,
+    nprobe: int = 2,
+    shortlist: int = 50,
+) -> DataFrame:
+    """IVFPQ over the materialized layout: route via the stored centroid
+    table, scan ONLY the probed list partitions of 4-byte codes
+    (PartitionFilters prune, pinned), ADC-score with per-list residual
+    LUTs, exact-rerank the shortlist against the float source table."""
+    import json
+    import math
+
+    with open(corpus_path + "_books.json") as fh:
+        books = json.load(fh)
+    cents = spark.read.parquet(corpus_path + "_centroids")
+    emb = table(spark, sf_dir, "embeddings")
+    q = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == probe_vec_id)
+        .select("embedding")
+        .collect()[0][0]
+    ]
+    def _seq_d2(c):  # left-to-right double fold, bit-identical to the
+        acc = 0.0  # Spark aggregate() the in-memory router uses
+        for a, b in zip(q, c):
+            acc += (a - b) * (a - b)
+        return acc
+
+    routed = sorted(cents.collect(), key=lambda r: (_seq_d2(r.centroid), r.list_id))[
+        :nprobe
+    ]
+    branches = " ".join(
+        f"WHEN list_id = {r.list_id} THEN "
+        + _adc_score_expr([a - b for a, b in zip(q, r.centroid)], books)
+        for r in routed
+    )
+    cand = (
+        spark.read.parquet(corpus_path)
+        .where(F.col("list_id").isin([r.list_id for r in routed]))
+        .where(F.col("vec_id") != probe_vec_id)
+        .select("vec_id", F.expr(f"CASE {branches} END").alias("adist"))
+        .orderBy(F.col("adist").asc(), F.col("vec_id"))
+        .limit(shortlist)
+        .select("vec_id")
+    )
+    probe = emb.where(F.col("vec_id") == probe_vec_id).select(
+        F.col("embedding").alias("q")
+    )
+    dist = (
+        "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), CAST(q AS ARRAY<DOUBLE>), "
+        "(a, b) -> (a - b) * (a - b)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    return (
+        emb.join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(probe))
+        .select("vec_id", F.expr(dist).alias("l2"))
+        .orderBy(F.col("l2").asc(), F.col("vec_id"))
+        .limit(k)
+    )

@@ -202,3 +202,33 @@ def test_min_cos_query_matches_unbanded(spark, clustered_ivf):
         ).collect()
     ]
     assert banded == plain and plain
+
+
+def test_ivfpq_layout_matches_in_memory_and_prunes(spark, tmp_path_factory):
+    """The stored IVFADC layout (codes partitioned by list + centroids +
+    codebooks sidecar) must answer identically to the in-memory IVFPQ
+    query, scan only the probed list partitions (PartitionFilters), and
+    be materially smaller than the float corpus."""
+    import os
+
+    out = str(tmp_path_factory.mktemp("ivfpq") / "codes_ivfpq")
+    sim.write_embeddings_ivfpq(spark, SF_ORACLE, out)
+
+    on_disk_df = sim.ann_ivfpq_partitioned_topk(spark, out, SF_ORACLE, nprobe=2)
+    plan = plans.explain_str(on_disk_df)
+    scan = plan[plan.find("PartitionFilters") :].split("]", 1)[0]
+    assert "list_id" in scan, plan
+
+    on_disk = [(r.vec_id, r.l2) for r in on_disk_df.collect()]
+    in_mem = [(r.vec_id, r.l2) for r in sim.ivfpq_topk(spark, SF_ORACLE, nprobe=2).collect()]
+    assert on_disk == in_mem and on_disk
+
+    def du(path):
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        return sum(
+            os.path.getsize(os.path.join(r, f)) for r, _, fs in os.walk(path) for f in fs
+        )
+
+    emb_bytes = du(os.path.join(SF_ORACLE, "embeddings.parquet"))
+    assert du(out) < 0.5 * emb_bytes, (du(out), emb_bytes)
