@@ -935,3 +935,99 @@ def stream_cm_sketch(
         docs.select("doc_id", "text"), target, ["d", "bucket"], ["cnt"], per_batch
     )
     return spark.read.parquet(target).select("d", "bucket", "cnt")
+
+
+def stream_near_dup_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.2,
+    glob: str = "documents.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Incremental near-duplicate detection — the streaming twin of
+    dedup.near_dup_verified, and the shape a continuously-ingesting
+    100 TB corpus actually runs:
+
+    per micro-batch, NEW docs' signatures equi-join on (band, mh)
+    against the ACCUMULATED signature store (new-vs-old) and themselves
+    (new-vs-new); candidates verify with exact Jaccard against the
+    accumulated shingle store; verified pairs upsert into the pair
+    table.  Old-vs-old pairs are never recomputed — per-batch cost is
+    |batch| x (bucket collisions), not |corpus|².
+
+    All three state tables maintain themselves through the KEYED upsert
+    sink (idempotent by construction, so micro-batch replays are safe
+    without the epoch manifest).  Batches are assumed to carry whole
+    documents (the standard ingest unit); piece-wise docs belong to
+    stream_minhash_signatures' min-merge, which this store could adopt
+    wholesale if needed.  Pinned equal to the batch pipeline's pair set
+    over a 3-micro-batch split in tests/test_streaming.py."""
+    from streamsum_spark.operators.dedup import _SHINGLES_T, _TOKS, _signatures_from
+    from streamsum_spark.sinks import upsert_batch
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"streamsum_ndup_{uuid.uuid4().hex[:12]}"
+    )
+    sig_tbl, sh_tbl, pair_tbl = base + "_sig", base + "_sh", base + "_pairs"
+
+    def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        b_sh = (
+            batch_df.withColumn("_toks", F.expr(_TOKS))
+            .select("doc_id", F.expr(f"array_distinct({_SHINGLES_T})").alias("sh"))
+            .localCheckpoint()
+        )
+        b_sig = _signatures_from(b_sh).localCheckpoint()
+        new_new = (
+            b_sig.alias("a")
+            .join(b_sig.alias("b"), ["band", "mh"])
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        )
+        cands = new_new
+        if os.path.exists(sig_tbl):
+            old_sig = spark.read.parquet(sig_tbl)
+            new_old = (
+                b_sig.alias("a")
+                .join(old_sig.alias("b"), ["band", "mh"])
+                .select(
+                    F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+                    F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+                )
+            )
+            cands = cands.unionByName(new_old)
+        cands = cands.distinct()
+        all_sh = b_sh
+        if os.path.exists(sh_tbl):
+            all_sh = spark.read.parquet(sh_tbl).unionByName(b_sh)
+        verified = (
+            cands.join(all_sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+            .join(all_sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+            .select(
+                "doc_a",
+                "doc_b",
+                F.expr("size(array_intersect(sa.sh, sb.sh))").alias("_i"),
+                F.expr("size(sa.sh) + size(sb.sh)").alias("_n"),
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                (F.col("_i").cast("double") / (F.col("_n") - F.col("_i"))).alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= threshold)
+        )
+        upsert_batch(spark, pair_tbl, verified, ["doc_a", "doc_b"], "jaccard")
+        upsert_batch(spark, sig_tbl, b_sig, ["doc_id", "band"], "mh")
+        upsert_batch(spark, sh_tbl, b_sh.select("doc_id", "sh"), ["doc_id"], "doc_id")
+
+    docs = stream_documents(spark, sf_dir, glob, max_files_per_trigger)
+    ckpt = os.path.join(tempfile.gettempdir(), f"streamsum_ndup_ckpt_{uuid.uuid4().hex[:10]}")
+    q = (
+        docs.select("doc_id", "text")
+        .writeStream.foreachBatch(on_batch)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(pair_tbl).select("doc_a", "doc_b", "jaccard")

@@ -401,3 +401,24 @@ def test_stream_minhash_merges_chunked_documents(spark, tmp_path):
         ).collect()
     }
     assert stream == batch
+
+
+def test_stream_near_dup_pairs_multibatch_equals_batch(spark, tmp_path):
+    """Incremental near-dup detection (new-vs-accumulated LSH candidates,
+    verified per batch) must converge to the one-shot batch pipeline's
+    exact pair set — pairs whose members arrive in DIFFERENT micro-batches
+    are found by the new-vs-old join against the accumulated stores."""
+    from streamsum_spark.operators.dedup import near_dup_verified
+
+    src = _sliced_docs_src(spark, tmp_path)
+    batch = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in near_dup_verified(spark, src).collect()
+    }
+    stream = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in sp.stream_near_dup_pairs(
+            spark, src, glob="documents_*.parquet", max_files_per_trigger=1
+        ).collect()
+    }
+    assert batch and stream == batch
