@@ -1189,3 +1189,93 @@ def ann_ivfpq_partitioned_topk(
         .orderBy(F.col("l2").asc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+def ivfpq_knn_batch(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    nprobe: int = 2,
+    shortlist: int = 50,
+    n_lists: int = 8,
+    seed: int = 7,
+    probe_modulus: int = 25,
+) -> DataFrame:
+    """Batched IVFPQ kNN: approximate top-k for a whole PROBE TABLE
+    (vec_id % probe_modulus == 0) in one distributed pass — the bulk
+    serving/offline-eval shape, vs the single-probe literal-LUT query.
+
+    Plan: probes route against the broadcast centroid table (top-nprobe
+    lists per probe through WindowGroupLimit); routed probes join the
+    coded corpus on list_id — a SHUFFLE-HASH join like knn_per_probe,
+    since the probe side is a fixed fraction of the corpus and must
+    never broadcast; per-probe scoring is ONE applyInPandas group per
+    probe: numpy builds the residual LUT once per (probe, list) and
+    scores every candidate with a vectorized gather-sum (Arrow batches,
+    no per-row Python); the per-probe ``shortlist`` then exact-reranks
+    against the float vectors (per-pair L2, WindowGroupLimit top-k).
+    Returns (probe_id, vec_id, l2, rn).  Recall vs exact L2 is pinned in
+    tests/test_similarity_quality.py."""
+    import numpy as np
+    import pandas
+
+    assignments, centroids, codes, books = ivfpq_index(
+        spark, sf_dir, n_lists=n_lists, seed=seed
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") % probe_modulus == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("q")
+    )
+    d2 = (
+        "aggregate(zip_with(centroid, CAST(q AS ARRAY<DOUBLE>), "
+        "(a, b) -> (a - b) * (a - b)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("d2").asc(), F.col("list_id"))
+    routed = (
+        probes.join(F.broadcast(centroids))
+        .withColumn("d2", F.expr(d2))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= nprobe)
+        .select("probe_id", "q", "list_id", "centroid")
+    )
+    coded = codes.join(assignments, "vec_id")
+    cand = routed.join(coded.hint("shuffle_hash"), "list_id").where(
+        F.col("vec_id") != F.col("probe_id")
+    )
+
+    bk = np.array(books, dtype=np.float64)  # (subs, cents, subdim)
+    n_subs, n_cents, sub_dim = bk.shape
+
+    def score(pdf: pandas.DataFrame) -> pandas.DataFrame:
+        q = np.array(pdf["q"].iloc[0], dtype=np.float64)
+        outs = []
+        for cent, grp in pdf.groupby(pdf["centroid"].map(tuple)):
+            res = (q - np.array(cent, dtype=np.float64)).reshape(n_subs, sub_dim)
+            lut = ((bk - res[:, None, :]) ** 2).sum(axis=2)  # (subs, cents)
+            cds = np.array(grp["codes"].tolist(), dtype=np.int64)  # (n, subs)
+            adist = lut[np.arange(n_subs)[None, :], cds].sum(axis=1)
+            outs.append(
+                pandas.DataFrame(
+                    {"probe_id": grp["probe_id"], "vec_id": grp["vec_id"], "adist": adist}
+                )
+            )
+        allc = pandas.concat(outs, ignore_index=True)
+        return allc.sort_values(["adist", "vec_id"], kind="mergesort").head(shortlist)
+
+    short = (
+        cand.select("probe_id", "q", "centroid", "vec_id", "codes")
+        .groupBy("probe_id")
+        .applyInPandas(score, "probe_id long, vec_id long, adist double")
+    )
+    l2 = (
+        "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), CAST(q AS ARRAY<DOUBLE>), "
+        "(a, b) -> (a - b) * (a - b)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    wk = Window.partitionBy("probe_id").orderBy(F.col("l2").asc(), F.col("vec_id"))
+    return (
+        short.join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(probes, "probe_id")
+        .select("probe_id", "vec_id", F.expr(l2).alias("l2"))
+        .withColumn("rn", F.row_number().over(wk).cast("long"))
+        .where(F.col("rn") <= k)
+    )
