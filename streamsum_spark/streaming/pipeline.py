@@ -1031,3 +1031,38 @@ def stream_near_dup_pairs(
     )
     q.awaitTermination()
     return spark.read.parquet(pair_tbl).select("doc_a", "doc_b", "jaccard")
+
+
+def stream_dedup_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.2,
+    glob: str = "documents.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """End-to-end incremental corpus dedup: the streaming pair detector
+    (stream_near_dup_pairs) feeds connected components + keep-list
+    resolution at READ time — pairs accrete incrementally; the
+    logarithmic-round star CC over the (tiny relative to the corpus)
+    pair table is the only recomputed piece, exactly how a production
+    run resolves clusters on a schedule over its accumulated pair log.
+    Returns the surviving documents, pinned equal to batch dedup_corpus
+    over a 3-micro-batch split."""
+    from streamsum_spark.operators.clusters import connected_components
+
+    pairs = stream_near_dup_pairs(
+        spark,
+        sf_dir,
+        threshold=threshold,
+        glob=glob,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+    comp = connected_components(pairs)
+    drops = comp.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    docs = stream_documents(spark, sf_dir, glob, max_files_per_trigger)
+    # the corpus itself also arrived by stream; collect it through the
+    # append path once (file source; at scale this is the ingested table)
+    corpus = _run_to_memory(docs.select("doc_id", "lang", "source"), "append")
+    return corpus.join(F.broadcast(drops), "doc_id", "left_anti")

@@ -422,3 +422,19 @@ def test_stream_near_dup_pairs_multibatch_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert batch and stream == batch
+
+
+def test_stream_dedup_corpus_equals_batch(spark, tmp_path):
+    """Incremental pairs + read-time components must keep exactly the
+    docs the one-shot batch dedup keeps."""
+    from streamsum_spark.operators.clusters import dedup_corpus
+
+    src = _sliced_docs_src(spark, tmp_path)
+    batch = {r.doc_id for r in dedup_corpus(spark, src).collect()}
+    stream = {
+        r.doc_id
+        for r in sp.stream_dedup_corpus(
+            spark, src, glob="documents_*.parquet", max_files_per_trigger=1
+        ).collect()
+    }
+    assert batch and stream == batch
