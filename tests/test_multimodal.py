@@ -93,3 +93,60 @@ def test_decode_is_honest_stub_for_codecs():
         mm.decode_image(b"\x89PNG\r\n\x1a\n")
     with pytest.raises(NotImplementedError):
         mm.decode_audio(b"ID3\x04" + bytes(32))
+
+
+def test_bmp_32bit_decode():
+    """BI_RGB 32-bit (BGRA on disk): alpha drops, channels map to RGB."""
+    import struct
+
+    w, h = 3, 2
+    px = _gradient(w, h)
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = b""
+        for x in range(w):
+            r, g, b = (int(v) for v in px[y, x])
+            row += bytes((b, g, r, 255))
+        rows.append(row)  # stride w*4 is already 4-byte aligned
+    data = b"".join(rows)
+    blob = (
+        struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 32, 0, len(data), 0, 0, 0, 0)
+        + data
+    )
+    assert np.array_equal(mm.decode_image(blob), px)
+
+
+def test_roundtrips_property_based():
+    """Hypothesis: encode->decode is pixel/sample-exact for arbitrary
+    sizes (including width padding edge cases) and contents."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 37),
+        h=st.integers(1, 17),
+        seed=st.integers(0, 2**31 - 1),
+        fmt=st.sampled_from(["bmp", "ppm"]),
+    )
+    def roundtrip_img(w, h, seed, fmt):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        blob = mm.encode_bmp(px) if fmt == "bmp" else mm.encode_ppm(px)
+        assert np.array_equal(mm.decode_image(blob), px)
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        n=st.integers(1, 2000),
+        nch=st.integers(1, 2),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def roundtrip_wav(n, nch, seed):
+        rng = np.random.default_rng(seed)
+        samples = rng.integers(-32768, 32768, size=(n, nch), dtype=np.int16)
+        got, rate = mm.decode_audio(mm.encode_wav(samples, rate=16000))
+        assert rate == 16000 and np.array_equal(got, samples)
+
+    roundtrip_img()
+    roundtrip_wav()
