@@ -301,3 +301,48 @@ def cm_sketch_oracle_sql(depth: int = CM_DEPTH, width: int = CM_WIDTH) -> str:
     from streamsum_spark.functions.expressions import TOKENS_SQL
 
     return CM_SKETCH_SQL.format(toks=TOKENS_SQL, width=width, depth_excl=depth + 1)
+
+
+def heavy_hitters_native(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Spark 4's built-in approx_top_k (JVM-side frequent-items sketch
+    with map-side partial merge) — the zero-custom-code top-k path.
+    Returned counts are the sketch's estimates; for clearly-heavy items
+    at default maxItemsTracked they equal exact counts (pinned vs the
+    exact aggregation in tests)."""
+    toks = token_stream(spark, sf_dir)
+    return (
+        toks.select(F.expr(f"approx_top_k(t, {k})").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("t"), F.col("e.count").cast("long").alias("cnt"))
+    )
+
+
+def heavy_hitters_cm(
+    spark: SparkSession,
+    sf_dir: str,
+    phi: float = 0.02,
+    sketch: DataFrame | None = None,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Heavy hitters WITHOUT a second corpus pass: Misra–Gries candidates
+    (bounded, superset-guaranteed) get their counts from the Count-Min
+    sketch instead of an exact recount.
+
+    With an incrementally-maintained CM table (stream_cm_sketch) this
+    answers phi-heavy queries from two SKETCH relations only — the
+    corpus is never rescanned at query time.  Guarantee shape flips
+    accordingly: CM estimates are >= truth, so the result is a SUPERSET
+    of the true phi-heavy set with estimated counts (one-sided); the
+    exact-verify path (heavy_hitters_mg) remains the precision-1.0
+    option when a rescan is affordable."""
+    if sketch is None:
+        sketch = cm_sketch(spark, sf_dir)
+    if candidates is None:
+        candidates = mg_candidates(spark, sf_dir, phi=phi)
+    total = sketch.where(F.col("d") == 1).agg(F.sum("cnt").cast("long").alias("total"))
+    est = cm_estimate(spark, sketch, candidates.select("t").distinct())
+    return (
+        est.join(F.broadcast(total))
+        .where(F.col("est") >= F.lit(phi) * F.col("total"))
+        .select("t", F.col("est").alias("cnt"))
+    )

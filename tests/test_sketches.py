@@ -223,3 +223,40 @@ def test_stream_cm_sketch_multibatch_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert batch and stream == batch
+
+
+def test_heavy_hitters_native_matches_exact_for_clear_heavies(spark):
+    """approx_top_k (Spark 4 built-in sketch): the top items and counts
+    must agree with the exact aggregation at this corpus size."""
+    from streamsum_spark.operators import sketches as sk
+
+    native = {r.t: r.cnt for r in sk.heavy_hitters_native(spark, SF_ORACLE, k=10).collect()}
+    exact = {
+        r.t: r.cnt
+        for r in sk.token_stream(spark, SF_ORACLE)
+        .groupBy("t")
+        .agg(sk.F.count(sk.F.lit(1)).cast("long").alias("cnt"))
+        .collect()
+    }
+    assert len(native) == 10
+    # every reported count is the exact count (sketch tracked them fully)
+    assert all(exact[t] == c for t, c in native.items())
+    # items STRICTLY above the rank-10 count must appear (ties at the
+    # boundary may resolve either way)
+    kth = sorted(native.values())[0]
+    must_have = {t for t, c in exact.items() if c > kth}
+    assert must_have <= set(native)
+
+
+def test_heavy_hitters_cm_superset_with_one_sided_counts(spark):
+    """The rescan-free CM path returns a SUPERSET of the exact phi-heavy
+    set, every estimated count >= the exact count, and precision stays
+    reasonable (CM overshoot rarely promotes a non-heavy candidate)."""
+    from streamsum_spark.operators import sketches as sk
+
+    exact = {r.t: r.cnt for r in sk.heavy_hitters_exact(spark, SF_ORACLE).collect()}
+    got = {r.t: r.cnt for r in sk.heavy_hitters_cm(spark, SF_ORACLE).collect()}
+    assert set(exact) <= set(got)  # superset guarantee
+    for t, cnt in exact.items():
+        assert got[t] >= cnt  # one-sided estimates
+    assert len(got) <= 2 * max(1, len(exact))  # overshoot stays bounded here
