@@ -155,6 +155,8 @@ def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
     while i + 8 <= len(b):
         cid, sz = b[i : i + 4], struct.unpack_from("<I", b, i + 4)[0]
         if cid == b"fmt ":
+            if i + 8 + 16 > len(b) or sz < 16:  # "<HHIIHH" needs 16 bytes
+                raise ValueError("truncated fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", b, i + 8)
         elif cid == b"data":
             data = b[i + 8 : i + 8 + sz]
@@ -238,7 +240,9 @@ def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
                 return True, None, None, int(samples.shape[1]), _audio_feature(samples, rate)
             px = decode_image(b)
             return True, int(px.shape[1]), int(px.shape[0]), int(px.shape[2]), _image_feature(px)
-        except (NotImplementedError, ValueError):
+        except (NotImplementedError, ValueError, struct.error):
+            # struct.error: malformed container headers past the magic
+            # check — one bad blob must fall back, not fail the task
             return False, None, None, None, _fake_feature(b)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

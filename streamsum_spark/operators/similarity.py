@@ -717,6 +717,11 @@ def pq_train(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    if emb is not None and not cache_tag:
+        # the memo key cannot see a DataFrame's identity — an explicit emb
+        # with the default tag would alias the default-corpus cache entry
+        # and return stale codes for the wrong embedding set
+        raise ValueError("pq_train: pass a non-empty cache_tag with an explicit emb")
     key = (spark.sparkContext.applicationId, sf_dir, n_subs, n_cents, seed, fit_sample_cap, cache_tag)
     if key in _PQ_CACHE:
         return _PQ_CACHE[key]

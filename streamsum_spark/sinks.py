@@ -156,6 +156,7 @@ def accumulate_batch(
     sum_cols: list[str],
     combine: str = "sum",
     epoch_id: int | None = None,
+    run_id: str | None = None,
 ) -> None:
     """MERGE-emulation for ADDITIVE state: per-key counters summed with
     the stored table (vs upsert_batch's newest-wins for replacement
@@ -173,16 +174,24 @@ def accumulate_batch(
     so a replayed epoch is a no-op and a crash between merge and marker
     cannot happen (they are one rename).  This is the standard
     foreachBatch exactly-once recipe, with the transactional commit
-    emulated by the directory swap."""
+    emulated by the directory swap.
+
+    Spark epoch ids restart at 0 for every NEW checkpoint, so a table fed
+    by more than one stream lifetime must distinguish runs: pass
+    ``run_id`` (any stable per-stream-start token — stream_accumulate_counts
+    generates one per .start()) and the manifest records (run_id, epoch_id)
+    pairs; epoch 0 of a fresh run is then folded in, not mistaken for a
+    replay of the previous run's epoch 0."""
     import json
 
     manifest = os.path.join(target_path, "_applied_epochs.json")
+    marker = None if epoch_id is None else f"{run_id or ''}:{epoch_id}"
     applied: list = []
     if os.path.exists(manifest):
         with open(manifest) as fh:
             applied = json.load(fh)
-        if epoch_id is not None and epoch_id in applied:
-            return  # replayed micro-batch: already folded in
+        if marker is not None and marker in applied:
+            return  # replayed micro-batch of the SAME run: already folded in
     if os.path.exists(target_path):
         merged = spark.read.parquet(target_path).unionByName(deltas)
     else:
@@ -193,9 +202,9 @@ def accumulate_batch(
     )
     tmp = target_path + f".tmp-{uuid.uuid4().hex[:8]}"
     acc.write.mode("overwrite").parquet(tmp)
-    if epoch_id is not None:
+    if marker is not None:
         with open(os.path.join(tmp, "_applied_epochs.json"), "w") as fh:
-            json.dump(applied + [epoch_id], fh)
+            json.dump(applied + [marker], fh)
     _atomic_swap(target_path, tmp)
 
 
@@ -219,10 +228,13 @@ def stream_accumulate_counts(
     the stream itself stays stateless."""
     spark = df.sparkSession
     ckpt = os.path.join(tempfile.gettempdir(), f"streamsum_acc_ckpt_{uuid.uuid4().hex[:10]}")
+    run_id = uuid.uuid4().hex  # per-stream-start token: epoch 0 of a later
+    # run against the same table must not look like a replay of this one's
 
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
         accumulate_batch(
-            spark, target_path, pre_agg(batch_df), key_cols, sum_cols, combine, epoch_id
+            spark, target_path, pre_agg(batch_df), key_cols, sum_cols, combine, epoch_id,
+            run_id=run_id,
         )
 
     q = (

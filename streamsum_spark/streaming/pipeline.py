@@ -993,6 +993,10 @@ def stream_near_dup_pairs(
                     F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
                     F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
                 )
+                # a doc redelivered in a later micro-batch meets its own
+                # stored signature here; the batch pipeline never emits
+                # (d, d) self-pairs
+                .where(F.col("doc_a") != F.col("doc_b"))
             )
             cands = cands.unionByName(new_old)
         cands = cands.distinct()

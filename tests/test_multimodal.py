@@ -150,3 +150,23 @@ def test_roundtrips_property_based():
 
     roundtrip_img()
     roundtrip_wav()
+
+
+def test_truncated_wav_falls_back_not_task_failure(spark):
+    """A RIFF/WAVE blob truncated inside the fmt chunk must not raise out
+    of the Arrow batch (one bad blob would fail the whole task): decode
+    raises ValueError and extract_features falls back to the fingerprint
+    path with decoded=false (ADVICE r4)."""
+    import pytest
+
+    good = mm.encode_wav(np.zeros((100, 1), dtype=np.int16), rate=8000)
+    bad = good[:20]  # RIFF/WAVE magic intact, fmt chunk truncated
+    with pytest.raises((ValueError, NotImplementedError)):
+        mm.decode_audio(bad)
+
+    media = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(bad))], "media_id long, content binary"
+    )
+    rows = {r.media_id: r for r in mm.extract_features(media).collect()}
+    assert rows[1].decoded is True
+    assert rows[2].decoded is False and len(rows[2].feature) == 8

@@ -235,3 +235,24 @@ def test_additive_sink_replayed_epoch_is_noop(spark, tmp_path):
         epoch_id=0,  # replay with DIFFERENT data must still be ignored
     )
     assert spark.read.parquet(target2).collect()[0].c == 7
+
+
+def test_additive_sink_fresh_run_epoch0_is_not_a_replay(spark, tmp_path):
+    """Spark epoch ids restart at 0 per checkpoint: a NEW stream run
+    (new run_id) feeding an existing table must fold its epoch 0 in,
+    while a replay within the SAME run stays a no-op (ADVICE r4)."""
+    from streamsum_spark.sinks import accumulate_batch
+
+    target = str(tmp_path / "acc_runs")
+    deltas = spark.createDataFrame([("a", 1)], "k string, c long")
+
+    accumulate_batch(spark, target, deltas, ["k"], ["c"], epoch_id=0, run_id="run-A")
+    accumulate_batch(spark, target, deltas, ["k"], ["c"], epoch_id=0, run_id="run-A")  # replay
+    assert spark.read.parquet(target).collect()[0].c == 1
+
+    accumulate_batch(spark, target, deltas, ["k"], ["c"], epoch_id=0, run_id="run-B")  # fresh run
+    assert spark.read.parquet(target).collect()[0].c == 2
+
+    accumulate_batch(spark, target, deltas, ["k"], ["c"], epoch_id=1, run_id="run-B")
+    accumulate_batch(spark, target, deltas, ["k"], ["c"], epoch_id=1, run_id="run-B")  # replay
+    assert spark.read.parquet(target).collect()[0].c == 3

@@ -438,3 +438,36 @@ def test_stream_dedup_corpus_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert batch and stream == batch
+
+
+def test_stream_near_dup_redelivered_doc_yields_no_self_pairs(spark, tmp_path):
+    """A document redelivered in a later micro-batch meets its own stored
+    signature in the new-vs-old join; the (d, d) candidate must be
+    filtered, and the final pair set must still equal the batch pipeline
+    over the distinct corpus (ADVICE r4)."""
+    import glob as g
+    import os
+    import shutil
+
+    from streamsum_spark.operators.dedup import near_dup_verified
+    from streamsum_spark.tables import table
+
+    docs = table(spark, SF_ORACLE, "documents").limit(200)
+    src = str(tmp_path / "redeliver_src")
+    os.makedirs(src, exist_ok=True)
+    docs.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "rd_full"))
+    full = g.glob(str(tmp_path / "rd_full" / "part-*.parquet"))[0]
+    shutil.copy(full, os.path.join(src, "documents.parquet"))
+    # two stream slices with IDENTICAL content: every doc is redelivered
+    shutil.copy(full, os.path.join(src, "documents_0.parquet"))
+    shutil.copy(full, os.path.join(src, "documents_1.parquet"))
+
+    stream = sp.stream_near_dup_pairs(
+        spark, src, glob="documents_*.parquet", max_files_per_trigger=1
+    ).collect()
+    assert all(r.doc_a != r.doc_b for r in stream)
+    batch = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in near_dup_verified(spark, src).collect()
+    }
+    assert {(r.doc_a, r.doc_b, round(r.jaccard, 9)) for r in stream} == batch
