@@ -60,12 +60,41 @@ def write_cache_bucketed(
     )
 
 
+def _with_kb(df: DataFrame, key_cols: list[str], n_buckets: int) -> DataFrame:
+    """Attach the key-bucket column: Murmur3 hash of the key columns mod
+    ``n_buckets`` — deterministic across sessions, so a key always lands
+    in the same bucket directory for the lifetime of the table."""
+    return df.withColumn(
+        "kb", F.pmod(F.hash(*key_cols), F.lit(n_buckets)).cast("int")
+    )
+
+
+def _assert_bucketed_layout(target_path: str) -> None:
+    """A bucketed merge against a FLAT table would silently ignore all
+    existing rows (it only reads kb= subdirectories) — refuse instead."""
+    if os.path.isdir(target_path) and any(
+        f.startswith("part-") for f in os.listdir(target_path)
+    ):
+        raise ValueError(
+            f"{target_path} has a flat layout; n_buckets merges require a "
+            "table created with the same n_buckets (kb= directories)"
+        )
+
+
+def read_state_table(spark: SparkSession, target_path: str) -> DataFrame:
+    """Read a keyed state table regardless of layout, hiding the internal
+    ``kb`` bucket column of bucketed tables."""
+    df = spark.read.parquet(target_path)
+    return df.drop("kb") if "kb" in df.columns else df
+
+
 def upsert_batch(
     spark: SparkSession,
     target_path: str,
     updates: DataFrame,
     key_cols: list[str],
     order_col: str | list[str],
+    n_buckets: int | None = None,
 ) -> None:
     """MERGE-emulation: newest row per key wins (by ``order_col`` — a
     single column or an ordered list forming a composite order key; ties
@@ -85,23 +114,94 @@ def upsert_batch(
     complete table, never partial data, and the target-missing window is
     two rename syscalls (not a full recursive delete).  A transactional
     table format (Delta/Iceberg MERGE INTO) replaces this body with a
-    genuinely atomic commit; the foreachBatch wiring is identical."""
+    genuinely atomic commit; the foreachBatch wiring is identical.
+
+    ``n_buckets`` switches the table to a HASH-BUCKETED layout
+    (``kb=N`` partition directories on ``hash(key_cols) % n_buckets``):
+    the merge then reads, rewrites, and swaps ONLY the buckets the batch
+    touches, so per-micro-batch cost is O(|batch| + touched-bucket rows),
+    not O(total accumulated state) — the shape that keeps incremental
+    state maintenance viable when the accumulated table is 1000× any
+    batch.  Each bucket swap is itself atomic; upsert is idempotent, so a
+    crash between bucket swaps is repaired by replaying the batch.  The
+    layout is fixed at table creation: pass the same n_buckets for the
+    table's lifetime (a flat table is refused)."""
+    if n_buckets is not None:
+        _assert_bucketed_layout(target_path)
+        upd = _with_kb(updates, key_cols, n_buckets)
+        touched = sorted(r.kb for r in upd.select("kb").distinct().collect())
+        if not touched:
+            return
+        _merge_buckets(spark, target_path, upd, key_cols, order_col, touched)
+        return
     if os.path.exists(target_path):
         existing = spark.read.parquet(target_path)
         merged = existing.unionByName(updates)
     else:
         merged = updates
-    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
-    value_cols = [c for c in merged.columns if c not in key_cols]
-    tie_break = order_cols + [c for c in value_cols if c not in order_cols]
-    deduped = merged.groupBy(*key_cols).agg(
-        F.expr(
-            f"max_by(struct({', '.join(value_cols)}), struct({', '.join(tie_break)}))"
-        ).alias("_v")
-    ).select(*key_cols, "_v.*")
+    deduped = _newest_wins(merged, key_cols, order_col)
     tmp = target_path + f".tmp-{uuid.uuid4().hex[:8]}"
     deduped.write.mode("overwrite").parquet(tmp)
     _atomic_swap(target_path, tmp)
+
+
+def _newest_wins(
+    merged: DataFrame, key_cols: list[str], order_col: str | list[str]
+) -> DataFrame:
+    """One row per key: max_by on the order key, remaining value columns
+    as deterministic tie-breakers (see upsert_batch docstring)."""
+    group_cols = list(key_cols) + (["kb"] if "kb" in merged.columns else [])
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    value_cols = [c for c in merged.columns if c not in group_cols]
+    tie_break = order_cols + [c for c in value_cols if c not in order_cols]
+    return merged.groupBy(*group_cols).agg(
+        F.expr(
+            f"max_by(struct({', '.join(value_cols)}), struct({', '.join(tie_break)}))"
+        ).alias("_v")
+    ).select(*group_cols, "_v.*")
+
+
+def _merge_buckets(
+    spark: SparkSession,
+    target_path: str,
+    upd: DataFrame,
+    key_cols: list[str],
+    order_col: str | list[str],
+    touched: list[int],
+    manifests: dict[int, list] | None = None,
+    agg=None,
+) -> None:
+    """Shared bucketed-merge body: union the batch slice with ONLY the
+    touched buckets' stored rows, reduce per key, write partitioned by
+    kb, and swap each touched bucket directory atomically.  ``agg``
+    overrides the per-key reduction (newest-wins by default);
+    ``manifests`` (bucket -> applied-marker list) is written into each
+    bucket so it commits atomically WITH that bucket's data."""
+    import json
+
+    existing_dirs = [
+        d
+        for d in (os.path.join(target_path, f"kb={b}") for b in touched)
+        if os.path.exists(d)
+    ]
+    if existing_dirs:
+        existing = spark.read.option("basePath", target_path).parquet(*existing_dirs)
+        merged = existing.unionByName(upd)
+    else:
+        merged = upd
+    reduced = agg(merged) if agg is not None else _newest_wins(merged, key_cols, order_col)
+    tmp = target_path + f".tmp-{uuid.uuid4().hex[:8]}"
+    reduced.write.mode("overwrite").partitionBy("kb").parquet(tmp)
+    os.makedirs(target_path, exist_ok=True)
+    for b in touched:
+        src = os.path.join(tmp, f"kb={b}")
+        if not os.path.exists(src):
+            os.makedirs(src)  # bucket emptied: swap in an empty directory
+        if manifests is not None:
+            with open(os.path.join(src, "_applied_epochs.json"), "w") as fh:
+                json.dump(manifests[b], fh)
+        _atomic_swap(os.path.join(target_path, f"kb={b}"), src)
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _atomic_swap(target_path: str, tmp: str) -> None:
@@ -157,6 +257,7 @@ def accumulate_batch(
     combine: str = "sum",
     epoch_id: int | None = None,
     run_id: str | None = None,
+    n_buckets: int | None = None,
 ) -> None:
     """MERGE-emulation for ADDITIVE state: per-key counters summed with
     the stored table (vs upsert_batch's newest-wins for replacement
@@ -181,11 +282,52 @@ def accumulate_batch(
     ``run_id`` (any stable per-stream-start token — stream_accumulate_counts
     generates one per .start()) and the manifest records (run_id, epoch_id)
     pairs; epoch 0 of a fresh run is then folded in, not mistaken for a
-    replay of the previous run's epoch 0."""
+    replay of the previous run's epoch 0.
+
+    ``n_buckets`` switches to the hash-bucketed layout (see upsert_batch):
+    only touched buckets are read, re-summed, and swapped, and the replay
+    manifest becomes PER-BUCKET — each bucket's marker list commits
+    atomically with that bucket's data, so a crash after swapping some of
+    a batch's buckets is repaired by replay: already-committed buckets
+    skip (their manifest has the marker), the rest fold in exactly once."""
     import json
 
-    manifest = os.path.join(target_path, "_applied_epochs.json")
     marker = None if epoch_id is None else f"{run_id or ''}:{epoch_id}"
+    agg_fn = {"sum": F.sum, "min": F.min, "max": F.max}[combine]
+
+    if n_buckets is not None:
+        _assert_bucketed_layout(target_path)
+        upd = _with_kb(deltas, key_cols, n_buckets)
+        touched = sorted(r.kb for r in upd.select("kb").distinct().collect())
+        manifests: dict[int, list] = {}
+        todo = []
+        for b in touched:
+            mpath = os.path.join(target_path, f"kb={b}", "_applied_epochs.json")
+            applied_b: list = []
+            if os.path.exists(mpath):
+                with open(mpath) as fh:
+                    applied_b = json.load(fh)
+            if marker is not None and marker in applied_b:
+                continue  # this bucket already committed this micro-batch
+            todo.append(b)
+            manifests[b] = applied_b + ([marker] if marker is not None else [])
+        if not todo:
+            return
+        upd = upd.where(F.col("kb").isin([int(b) for b in todo]))
+
+        def _sum_agg(merged: DataFrame) -> DataFrame:
+            return merged.groupBy("kb", *key_cols).agg(
+                *[agg_fn(c).cast("long").alias(c) for c in sum_cols]
+            )
+
+        _merge_buckets(
+            spark, target_path, upd, key_cols, order_col=None,
+            touched=todo, manifests=manifests if marker is not None else None,
+            agg=_sum_agg,
+        )
+        return
+
+    manifest = os.path.join(target_path, "_applied_epochs.json")
     applied: list = []
     if os.path.exists(manifest):
         with open(manifest) as fh:
@@ -196,7 +338,6 @@ def accumulate_batch(
         merged = spark.read.parquet(target_path).unionByName(deltas)
     else:
         merged = deltas
-    agg_fn = {"sum": F.sum, "min": F.min, "max": F.max}[combine]
     acc = merged.groupBy(*key_cols).agg(
         *[agg_fn(c).cast("long").alias(c) for c in sum_cols]
     )
@@ -215,11 +356,13 @@ def stream_accumulate_counts(
     sum_cols: list[str],
     pre_agg,
     combine: str = "sum",
+    n_buckets: int | None = 16,
 ) -> None:
     """Run an append-mode availableNow stream into an ADDITIVE cache table:
     ``pre_agg`` (static DataFrame -> per-key delta counts) runs inside
     foreachBatch on each micro-batch, and the deltas sum-merge into the
-    stored table.
+    stored table (hash-bucketed by default, so each merge rewrites only
+    the buckets the batch touches — read back with read_state_table).
 
     This is the bounded-state alternative to a streaming groupBy over an
     unbounded key space (per-(doc, term) counts would otherwise grow
@@ -234,7 +377,7 @@ def stream_accumulate_counts(
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
         accumulate_batch(
             spark, target_path, pre_agg(batch_df), key_cols, sum_cols, combine, epoch_id,
-            run_id=run_id,
+            run_id=run_id, n_buckets=n_buckets,
         )
 
     q = (
@@ -248,15 +391,21 @@ def stream_accumulate_counts(
 
 
 def stream_to_cache_table(
-    df: DataFrame, target_path: str, key_cols: list[str], order_col: str | list[str]
+    df: DataFrame,
+    target_path: str,
+    key_cols: list[str],
+    order_col: str | list[str],
+    n_buckets: int | None = 16,
 ) -> None:
     """Run an availableNow update-mode stream into a keyed parquet cache
-    table via foreachBatch upsert."""
+    table via foreachBatch upsert (hash-bucketed by default, so each
+    micro-batch rewrites only touched buckets — read back with
+    read_state_table)."""
     spark = df.sparkSession
     ckpt = os.path.join(tempfile.gettempdir(), f"streamsum_sink_ckpt_{uuid.uuid4().hex[:10]}")
 
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
-        upsert_batch(spark, target_path, batch_df, key_cols, order_col)
+        upsert_batch(spark, target_path, batch_df, key_cols, order_col, n_buckets=n_buckets)
 
     q = (
         df.writeStream.foreachBatch(merge)

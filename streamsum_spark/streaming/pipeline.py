@@ -39,6 +39,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from streamsum_spark.sinks import read_state_table
+
 from streamsum_spark.config import DEFAULT_CONFIG
 from streamsum_spark.operators.caches import count_cache
 from streamsum_spark.operators.extract import extract_events
@@ -146,7 +148,7 @@ def _run_via_cache_table(
         tempfile.gettempdir(), f"streamsum_cache_tbl_{uuid.uuid4().hex[:12]}"
     )
     stream_to_cache_table(df, target, key_cols=key_cols, order_col=order_col)
-    return df.sparkSession.read.parquet(target)
+    return read_state_table(df.sparkSession, target)
 
 
 def stream_count_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -777,7 +779,7 @@ def stream_tfidf_top_terms(
     stream_accumulate_counts(
         docs.select("doc_id", "text"), target, ["doc_id", "t"], ["tf"], per_batch_tf
     )
-    tf = spark.read.parquet(target)
+    tf = read_state_table(spark, target)
     n_docs = tf.select("doc_id").distinct().count()
     df_rel = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(F.broadcast(df_rel), "t").select(
@@ -841,7 +843,7 @@ def stream_bigram_perplexity(
     stream_accumulate_counts(
         docs.select("doc_id", "text"), target, ["doc_id", "w1", "w2"], ["c"], per_batch_grams
     )
-    grams = spark.read.parquet(target)
+    grams = read_state_table(spark, target)
     vocab = (
         grams.select(F.col("w1").alias("w"))
         .union(grams.select(F.col("w2").alias("w")))
@@ -902,7 +904,7 @@ def stream_minhash_signatures(
         per_batch_sigs,
         combine="min",
     )
-    return spark.read.parquet(target).select("doc_id", "band", "mh")
+    return read_state_table(spark, target).select("doc_id", "band", "mh")
 
 
 def stream_cm_sketch(
@@ -934,7 +936,7 @@ def stream_cm_sketch(
     stream_accumulate_counts(
         docs.select("doc_id", "text"), target, ["d", "bucket"], ["cnt"], per_batch
     )
-    return spark.read.parquet(target).select("d", "bucket", "cnt")
+    return read_state_table(spark, target).select("d", "bucket", "cnt")
 
 
 def stream_near_dup_pairs(
@@ -952,8 +954,16 @@ def stream_near_dup_pairs(
     against the ACCUMULATED signature store (new-vs-old) and themselves
     (new-vs-new); candidates verify with exact Jaccard against the
     accumulated shingle store; verified pairs upsert into the pair
-    table.  Old-vs-old pairs are never recomputed — per-batch cost is
-    |batch| x (bucket collisions), not |corpus|².
+    table.  Old-vs-old pairs are never recomputed, so candidate
+    GENERATION is |batch| x (bucket collisions); state MAINTENANCE is
+    bounded too — the three state tables are hash-bucketed (n_buckets=16
+    here; scale with corpus in production), so each merge reads and
+    rewrites only the buckets the batch's keys hash into, not the whole
+    accumulated store (bounded-rewrite pinned in
+    tests/test_sinks.py::test_bucketed_upsert_rewrites_only_touched_buckets).
+    The candidate join still scans the signature store's touched band
+    files per batch; a real deployment additionally partitions the
+    signature table BY BAND so the join prunes to colliding bands.
 
     All three state tables maintain themselves through the KEYED upsert
     sink (idempotent by construction, so micro-batch replays are safe
@@ -985,7 +995,7 @@ def stream_near_dup_pairs(
         )
         cands = new_new
         if os.path.exists(sig_tbl):
-            old_sig = spark.read.parquet(sig_tbl)
+            old_sig = read_state_table(spark, sig_tbl)
             new_old = (
                 b_sig.alias("a")
                 .join(old_sig.alias("b"), ["band", "mh"])
@@ -1002,7 +1012,7 @@ def stream_near_dup_pairs(
         cands = cands.distinct()
         all_sh = b_sh
         if os.path.exists(sh_tbl):
-            all_sh = spark.read.parquet(sh_tbl).unionByName(b_sh)
+            all_sh = read_state_table(spark, sh_tbl).unionByName(b_sh)
         verified = (
             cands.join(all_sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
             .join(all_sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
@@ -1019,9 +1029,9 @@ def stream_near_dup_pairs(
             )
             .where(F.col("jaccard") >= threshold)
         )
-        upsert_batch(spark, pair_tbl, verified, ["doc_a", "doc_b"], "jaccard")
-        upsert_batch(spark, sig_tbl, b_sig, ["doc_id", "band"], "mh")
-        upsert_batch(spark, sh_tbl, b_sh.select("doc_id", "sh"), ["doc_id"], "doc_id")
+        upsert_batch(spark, pair_tbl, verified, ["doc_a", "doc_b"], "jaccard", n_buckets=16)
+        upsert_batch(spark, sig_tbl, b_sig, ["doc_id", "band"], "mh", n_buckets=16)
+        upsert_batch(spark, sh_tbl, b_sh.select("doc_id", "sh"), ["doc_id"], "doc_id", n_buckets=16)
 
     docs = stream_documents(spark, sf_dir, glob, max_files_per_trigger)
     ckpt = os.path.join(tempfile.gettempdir(), f"streamsum_ndup_ckpt_{uuid.uuid4().hex[:10]}")
@@ -1034,7 +1044,7 @@ def stream_near_dup_pairs(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(pair_tbl).select("doc_a", "doc_b", "jaccard")
+    return read_state_table(spark, pair_tbl).select("doc_a", "doc_b", "jaccard")
 
 
 def stream_dedup_corpus(
