@@ -375,10 +375,41 @@ def _bounded_fit_sample(df: DataFrame, cap: int | None, seed: int) -> DataFrame:
     return df.orderBy(F.xxhash64(F.col("vec_id") + F.lit(seed))).limit(cap)
 
 
+# IVF list-count floor, and the expected list size past which the list
+# count grows instead: below N_LISTS*TARGET_LIST rows the floor of 8 holds
+# (so test-SF corpora keep the round-2 geometry and pins), above it the
+# standard IVF rule n_lists ~= sqrt(corpus) applies — each probe then scans
+# ~nprobe*sqrt(N) codes instead of nprobe*N/8.
+N_LISTS = 8
+TARGET_LIST = 1024
+
+
+def auto_n_lists(corpus_rows: int, target_list: int = TARGET_LIST) -> int:
+    """IVF coarse-list count scaled to the corpus (the twin of
+    auto_n_planes for the k-means family): the floor of 8 until lists
+    would exceed ``target_list`` expected rows, then ``isqrt(corpus)`` —
+    at 10^10 vectors that is ~10^5 lists of ~10^5 codes, vs 8 lists of
+    1.25*10^9 a fixed default would scan per probe.  Pure arithmetic so
+    it is testable without a corpus."""
+    import math
+
+    if corpus_rows <= N_LISTS * target_list:
+        return N_LISTS
+    return math.isqrt(corpus_rows)
+
+
+def _resolve_n_lists(spark: SparkSession, sf_dir: str, n_lists: int | None) -> int:
+    """``n_lists=None`` -> auto_n_lists(corpus) from one metadata-cheap
+    parquet count, amortized over the index build it configures."""
+    if n_lists is not None:
+        return n_lists
+    return auto_n_lists(table(spark, sf_dir, "embeddings").count())
+
+
 def kmeans_ivf_index(
     spark: SparkSession,
     sf_dir: str,
-    n_lists: int = 8,
+    n_lists: int | None = None,
     seed: int = 7,
     fit_sample_cap: int | None = FIT_SAMPLE_CAP,
 ) -> tuple[DataFrame, DataFrame]:
@@ -404,6 +435,7 @@ def kmeans_ivf_index(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    n_lists = _resolve_n_lists(spark, sf_dir, n_lists)
     emb = table(spark, sf_dir, "embeddings")
     feats = emb.select(
         "vec_id",
@@ -428,7 +460,7 @@ def ann_ivf_kmeans_topk(
     probe_vec_id: int = 0,
     k: int = 10,
     nprobe: int = 2,
-    n_lists: int = 8,
+    n_lists: int | None = None,
     seed: int = 7,
 ) -> DataFrame:
     """IVF ANN over k-means lists: route the probe to its ``nprobe``
@@ -461,7 +493,7 @@ def write_embeddings_ivf(
     spark: SparkSession,
     sf_dir: str,
     out_path: str,
-    n_lists: int = 8,
+    n_lists: int | None = None,
     seed: int = 7,
     quantize: bool = False,
 ) -> None:
@@ -980,7 +1012,7 @@ def opq_topk_rerank(
 def ivfpq_index(
     spark: SparkSession,
     sf_dir: str,
-    n_lists: int = 8,
+    n_lists: int | None = None,
     n_subs: int = PQ_SUBS,
     n_cents: int = PQ_CENTS,
     seed: int = 7,
@@ -996,6 +1028,7 @@ def ivfpq_index(
     the bounded-sample posture (both fits go through pq_train /
     kmeans_ivf_index); encoding is a full-corpus map-side projection;
     at scale codes+list_id are what the partitioned layout stores."""
+    n_lists = _resolve_n_lists(spark, sf_dir, n_lists)
     assignments, centroids = kmeans_ivf_index(spark, sf_dir, n_lists, seed)
     emb = table(spark, sf_dir, "embeddings")
     residuals = (
@@ -1027,7 +1060,7 @@ def ivfpq_topk(
     k: int = 10,
     nprobe: int = 2,
     shortlist: int = 50,
-    n_lists: int = 8,
+    n_lists: int | None = None,
     seed: int = 7,
 ) -> DataFrame:
     """IVFPQ query: route the probe to its ``nprobe`` nearest coarse
@@ -1095,7 +1128,7 @@ def write_embeddings_ivfpq(
     spark: SparkSession,
     sf_dir: str,
     out_path: str,
-    n_lists: int = 8,
+    n_lists: int | None = None,
     n_subs: int = PQ_SUBS,
     n_cents: int = PQ_CENTS,
     seed: int = 7,
@@ -1202,7 +1235,7 @@ def ivfpq_knn_batch(
     k: int = 10,
     nprobe: int = 2,
     shortlist: int = 50,
-    n_lists: int = 8,
+    n_lists: int | None = None,
     seed: int = 7,
     probe_modulus: int = 25,
 ) -> DataFrame:
