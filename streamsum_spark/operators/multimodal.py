@@ -128,12 +128,107 @@ def _decode_pnm(b: bytes) -> np.ndarray:
     return px
 
 
-def decode_image(content: bytes) -> np.ndarray:
-    """Decode an uncompressed image to an (h, w, 3) uint8 RGB array.
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type: 0 gray, 2 RGB, 4 gray+alpha, 6 RGBA
+_PNG_NCH = {0: 1, 2: 3, 4: 2, 6: 4}
 
-    Real for BMP (BI_RGB 24/32-bit) and PNM (P2/P3/P5/P6).  Compressed
-    codec formats (PNG/JPEG/GIF/...) raise NotImplementedError: no codecs
-    in this container, and a fake decode would misreport pixel stats."""
+
+def _png_unfilter_row(f: int, row: np.ndarray, prev: np.ndarray, nch: int) -> np.ndarray:
+    """Invert one PNG row filter (spec §9: none/sub/up/average/paeth).
+    ``row``/``prev`` are int32 arrays of the filtered/reconstructed bytes;
+    returns the reconstructed row mod 256.  Up is vectorized; sub/average/
+    paeth recur on the left neighbor, so they walk the row."""
+    if f == 0:
+        return row % 256
+    if f == 2:
+        return (row + prev) % 256
+    out = np.empty_like(row)
+    for x in range(len(row)):
+        left = int(out[x - nch]) if x >= nch else 0
+        up = int(prev[x])
+        if f == 1:  # sub
+            val = row[x] + left
+        elif f == 3:  # average
+            val = row[x] + (left + up) // 2
+        elif f == 4:  # paeth
+            ul = int(prev[x - nch]) if x >= nch else 0
+            p = left + up - ul
+            pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+            pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+            val = row[x] + pred
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[x] = val % 256
+    return out
+
+
+def _decode_png(b: bytes) -> np.ndarray:
+    """Stdlib PNG decode: chunk walk -> zlib inflate -> per-row unfilter.
+    Supports the formats a pixel-stats pass actually meets — 8-bit
+    depth, color types gray/RGB/gray+alpha/RGBA, non-interlaced.
+    Palette (PLTE-indexed), 16-bit, and Adam7 stay NotImplementedError."""
+    import zlib
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    w = h = depth = ctype = interlace = None
+    idat = bytearray()
+    i = 8
+    while i + 8 <= len(b):
+        ln = int.from_bytes(b[i : i + 4], "big")
+        typ = b[i + 4 : i + 8]
+        if i + 8 + ln > len(b):
+            raise ValueError("truncated PNG chunk")
+        data = b[i + 8 : i + 8 + ln]
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        i += 12 + ln  # length + type + data + crc
+    if w is None:
+        raise ValueError("missing IHDR")
+    if depth != 8 or interlace != 0 or ctype not in _PNG_NCH:
+        raise NotImplementedError(
+            f"PNG depth={depth} color_type={ctype} interlace={interlace} not supported"
+        )
+    if not idat:
+        raise ValueError("missing IDAT")
+    nch = _PNG_NCH[ctype]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * nch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG scanlines")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).astype(
+            np.int32
+        )
+        pos += 1 + stride
+        prev = _png_unfilter_row(f, row, prev, nch)
+        out[y] = prev.astype(np.uint8)
+    px = out.reshape(h, w, nch)
+    if ctype == 0:
+        px = np.repeat(px, 3, axis=2)
+    elif ctype == 4:
+        px = np.repeat(px[:, :, :1], 3, axis=2)  # gray+alpha: drop alpha
+    elif ctype == 6:
+        px = px[:, :, :3]  # RGBA: drop alpha
+    return np.ascontiguousarray(px)
+
+
+def decode_image(content: bytes) -> np.ndarray:
+    """Decode an image to an (h, w, 3) uint8 RGB array.
+
+    Real for BMP (BI_RGB 24/32-bit), PNM (P2/P3/P5/P6), and PNG (8-bit
+    gray/RGB/gray+alpha/RGBA, non-interlaced — stdlib zlib + the five
+    row filters, no codec libs).  Remaining codec formats (JPEG/GIF/
+    palette or 16-bit PNG/...) raise NotImplementedError: a fake decode
+    would misreport pixel stats."""
     if content is None:
         raise ValueError("null content")
     b = bytes(content)
@@ -141,6 +236,8 @@ def decode_image(content: bytes) -> np.ndarray:
         return _decode_bmp(b)
     if b[:2] in (b"P2", b"P3", b"P5", b"P6"):
         return _decode_pnm(b)
+    if b[:8] == _PNG_SIG:
+        return _decode_png(b)
     raise NotImplementedError("compressed image codecs not available in this environment")
 
 
@@ -308,6 +405,63 @@ def encode_ppm(px: np.ndarray) -> bytes:
     return b"P6\n# streamsum test fixture\n%d %d\n255\n" % (w, h) + px.tobytes()
 
 
+def encode_png(px: np.ndarray, filter_type: int = 0, color_type: int = 2) -> bytes:
+    """Encode a uint8 array as a PNG (8-bit, non-interlaced) applying the
+    SAME row filter to every scanline — the encoder-side inverse of
+    _png_unfilter_row, so fixtures can exercise each of the five filters.
+    ``color_type``: 0 gray (h, w), 2 RGB (h, w, 3), 6 RGBA (h, w, 4)."""
+    import zlib
+
+    nch = _PNG_NCH[color_type]
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, c = px.shape
+    assert c == nch, (c, nch)
+    flat = px.reshape(h, w * nch).astype(np.int32)
+    lines = bytearray()
+    prev = np.zeros(w * nch, dtype=np.int32)
+    for y in range(h):
+        row = flat[y]
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 2:
+            filt = (row - prev) % 256
+        else:
+            filt = np.empty_like(row)
+            for x in range(len(row)):
+                left = int(row[x - nch]) if x >= nch else 0
+                up = int(prev[x])
+                if filter_type == 1:
+                    filt[x] = (row[x] - left) % 256
+                elif filter_type == 3:
+                    filt[x] = (row[x] - (left + up) // 2) % 256
+                else:  # paeth
+                    ul = int(prev[x - nch]) if x >= nch else 0
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                    filt[x] = (row[x] - pred) % 256
+        lines.append(filter_type)
+        lines += filt.astype(np.uint8).tobytes()
+        prev = row
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
     """Encode mono/stereo int16 samples as a PCM16 RIFF WAV."""
     if samples.ndim == 1:
@@ -327,9 +481,10 @@ def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
 
 
 def synthetic_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic real-format media table for tests: BMP and PPM images
-    with gradient pixels, and PCM WAV tones — every blob decodes with the
-    stdlib decoders above, no codecs needed."""
+    """Deterministic real-format media table for tests: BMP, PPM, and PNG
+    images with gradient pixels (PNGs cycle through all five row
+    filters), and PCM WAV tones — every blob decodes with the stdlib
+    decoders above, no codec libs needed."""
     rows = []
     for i in range(n):
         kind = i % 3
@@ -340,8 +495,12 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
                 [(xx * 7 + i) % 256, (yy * 11 + 2 * i) % 256, (xx + yy + 3 * i) % 256],
                 axis=2,
             ).astype(np.uint8)
-            content = encode_bmp(px) if kind == 0 else encode_ppm(px)
-            mime = "image/bmp" if kind == 0 else "image/x-portable-pixmap"
+            if kind == 0:
+                content, mime = encode_bmp(px), "image/bmp"
+            elif (i // 3) % 2 == 0:
+                content, mime = encode_ppm(px), "image/x-portable-pixmap"
+            else:
+                content, mime = encode_png(px, filter_type=(i // 6) % 5), "image/png"
             rows.append((i, mime, w, h, None, content))
         else:
             rate, dur_ms = 8000, 1000 * (1 + i % 7)
