@@ -191,19 +191,45 @@ FROM sig a JOIN sig b
 """
 
 
-def ngram_jaccard_dupes(spark: SparkSession, sf_dir: str, threshold: float = 0.2) -> DataFrame:
+# ngram_jaccard_dupes is the EXACT small-scale oracle: its shingle
+# self-join generates candidates from every shared shingle, a shape that
+# is quadratic in hot-shingle frequency.  The guard keeps it from being
+# silently pointed at a production corpus — near_dup_verified (banded
+# LSH candidates -> exact verify, collision-capped) is the scale path.
+NGRAM_JACCARD_MAX_ROWS = 100_000
+
+
+def ngram_jaccard_dupes(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.2,
+    max_rows: int | None = NGRAM_JACCARD_MAX_ROWS,
+) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs: distinct-shingle intersection /
     union >= threshold.  Jaccard is one integer division — exactly rounded
     IEEE, so the value hashes identically across engines.
 
-    Scale path: feed only lsh_candidate_pairs through this verification;
-    here the shingle join doubles as candidate generation because docs
-    sharing zero shingles can't pass any threshold.  The shingle-set
-    relation feeds four subtrees (ex x2, sizes x2), so it is persisted
-    once rather than re-tokenized per consumer (keyed via shared_persist,
-    so repeat invocations replace the cached relation, never leak)."""
+    THIS IS THE SMALL-SCALE EXACT ORACLE, not a production path: the
+    shingle join doubles as candidate generation because docs sharing
+    zero shingles can't pass any threshold, but that join is quadratic
+    in shingle frequency.  A corpus above ``max_rows`` raises with a
+    pointer to near_dup_verified (LSH candidates -> exact verify), which
+    computes the same verified pairs with capped bucket joins.  The
+    shingle-set relation feeds four subtrees (ex x2, sizes x2), so it is
+    persisted once rather than re-tokenized per consumer (keyed via
+    shared_persist, so repeat invocations replace the cached relation,
+    never leak)."""
     from streamsum_spark.cached import shared_persist
 
+    if max_rows is not None:
+        n = table(spark, sf_dir, "documents").count()
+        if n > max_rows:
+            raise ValueError(
+                f"ngram_jaccard_dupes is the exact small-scale oracle "
+                f"(corpus {n} > cap {max_rows}); use near_dup_verified "
+                f"for large corpora — same verified pairs, bounded "
+                f"candidate generation"
+            )
     sh = shared_persist(("shingle_sets", sf_dir), shingle_sets(spark, sf_dir))
     ex = sh.select("doc_id", F.explode("sh").alias("s"))
     sizes = sh.select("doc_id", F.expr("size(sh)").alias("n"))

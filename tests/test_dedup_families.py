@@ -150,3 +150,15 @@ def test_decontaminate_flags_planted_overlap(spark):
         .collect()
     }
     assert hits == {1: 2}  # the 9-token copied span yields exactly two 8-grams
+
+
+def test_ngram_jaccard_refuses_large_corpus(spark, tmp_path):
+    """The exact all-pairs shingle join is the small-scale oracle only: a
+    corpus above the cap must raise with a pointer to near_dup_verified
+    (VERDICT r4 item 4), and never silently run the quadratic join."""
+    import pytest
+
+    with pytest.raises(ValueError, match="near_dup_verified"):
+        dd.ngram_jaccard_dupes(spark, SF_ORACLE, max_rows=100)
+    # default cap admits the test corpora
+    assert dd.ngram_jaccard_dupes(spark, SF_ORACLE).limit(1).count() >= 0
