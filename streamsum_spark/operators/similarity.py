@@ -1284,26 +1284,45 @@ def ivfpq_knn_batch(
     bk = np.array(books, dtype=np.float64)  # (subs, cents, subdim)
     n_subs, n_cents, sub_dim = bk.shape
 
-    def score(pdf: pandas.DataFrame) -> pandas.DataFrame:
-        q = np.array(pdf["q"].iloc[0], dtype=np.float64)
-        outs = []
-        for cent, grp in pdf.groupby(pdf["centroid"].map(tuple)):
-            res = (q - np.array(cent, dtype=np.float64)).reshape(n_subs, sub_dim)
-            lut = ((bk - res[:, None, :]) ** 2).sum(axis=2)  # (subs, cents)
-            cds = np.array(grp["codes"].tolist(), dtype=np.int64)  # (n, subs)
-            adist = lut[np.arange(n_subs)[None, :], cds].sum(axis=1)
-            outs.append(
-                pandas.DataFrame(
-                    {"probe_id": grp["probe_id"], "vec_id": grp["vec_id"], "adist": adist}
+    # Chunked ADC scoring: mapInPandas streams Arrow batches, so task
+    # memory is one batch of codes + the LUT, NOT a probe's whole
+    # candidate set (nprobe x corpus/n_lists rows — unbounded as the
+    # corpus grows).  Each chunk keeps only its local top-``shortlist``
+    # per probe; top-k is monotone, so the global top-k is contained in
+    # the union of chunk tops, and the window below re-reduces exactly.
+    def score_chunks(batches) -> "pandas.DataFrame":
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            outs = []
+            for (_pid, cent), grp in pdf.groupby(
+                ["probe_id", pdf["centroid"].map(tuple)], sort=False
+            ):
+                q = np.array(grp["q"].iloc[0], dtype=np.float64)
+                res = (q - np.array(cent, dtype=np.float64)).reshape(n_subs, sub_dim)
+                lut = ((bk - res[:, None, :]) ** 2).sum(axis=2)  # (subs, cents)
+                cds = np.array(grp["codes"].tolist(), dtype=np.int64)  # (n, subs)
+                adist = lut[np.arange(n_subs)[None, :], cds].sum(axis=1)
+                outs.append(
+                    pandas.DataFrame(
+                        {"probe_id": grp["probe_id"], "vec_id": grp["vec_id"], "adist": adist}
+                    )
                 )
+            allc = pandas.concat(outs, ignore_index=True)
+            yield (
+                allc.sort_values(["adist", "vec_id"], kind="mergesort")
+                .groupby("probe_id", sort=False)
+                .head(shortlist)
             )
-        allc = pandas.concat(outs, ignore_index=True)
-        return allc.sort_values(["adist", "vec_id"], kind="mergesort").head(shortlist)
 
+    partial = cand.select("probe_id", "q", "centroid", "vec_id", "codes").mapInPandas(
+        score_chunks, "probe_id long, vec_id long, adist double"
+    )
+    ws = Window.partitionBy("probe_id").orderBy(F.col("adist").asc(), F.col("vec_id"))
     short = (
-        cand.select("probe_id", "q", "centroid", "vec_id", "codes")
-        .groupBy("probe_id")
-        .applyInPandas(score, "probe_id long, vec_id long, adist double")
+        partial.withColumn("srn", F.row_number().over(ws))
+        .where(F.col("srn") <= shortlist)
+        .select("probe_id", "vec_id", "adist")
     )
     l2 = (
         "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), CAST(q AS ARRAY<DOUBLE>), "
