@@ -134,6 +134,7 @@ def upsert_batch(
             return
         _merge_buckets(spark, target_path, upd, key_cols, order_col, touched)
         return
+    _recover(target_path)
     if os.path.exists(target_path):
         existing = spark.read.parquet(target_path)
         merged = existing.unionByName(updates)
@@ -179,6 +180,8 @@ def _merge_buckets(
     bucket so it commits atomically WITH that bucket's data."""
     import json
 
+    if os.path.isdir(target_path):
+        _recover_buckets(target_path)
     existing_dirs = [
         d
         for d in (os.path.join(target_path, f"kb={b}") for b in touched)
@@ -206,14 +209,59 @@ def _merge_buckets(
 
 def _atomic_swap(target_path: str, tmp: str) -> None:
     """Rename-aside swap: readers see either the old or the new complete
-    table; the target-missing window is two rename syscalls."""
-    old = target_path + f".old-{uuid.uuid4().hex[:8]}"
+    table, never partial data; the target-missing window is two rename
+    syscalls.  The aside dir is DOT-prefixed so a crash can never leave a
+    directory that Spark's listing would misread (bucket dirs live inside
+    a partitioned table, where a stray ``kb=3.old-x`` would corrupt
+    partition discovery); ``_recover`` repairs any crash point before the
+    next merge."""
+    parent, base = os.path.split(os.path.abspath(target_path))
+    old = os.path.join(parent, f"._old-{base}-{uuid.uuid4().hex[:8]}")
     had_old = os.path.exists(target_path)
     if had_old:
         os.rename(target_path, old)
     os.rename(tmp, target_path)
     if had_old:
         shutil.rmtree(old)
+
+
+def _recover(target_path: str) -> None:
+    """Repair a crashed swap before the next merge (single-writer
+    protocol, as foreachBatch guarantees): a crash between the two
+    renames leaves the target missing and its old-aside complete —
+    restore it, so a replayed micro-batch merges against the pre-crash
+    state instead of mistaking its updates for the whole table.  A crash
+    after the second rename leaves a stale aside next to the already-new
+    target — delete it.  Stale tmps (crash before any rename) are
+    discarded; the batch that produced them replays."""
+    import glob as g
+
+    parent, base = os.path.split(os.path.abspath(target_path))
+    olds = sorted(g.glob(os.path.join(parent, f"._old-{base}-*")))
+    if olds and not os.path.exists(target_path):
+        os.rename(olds[0], target_path)
+        olds = olds[1:]
+    for stale in olds:
+        shutil.rmtree(stale, ignore_errors=True)
+    for tmp in g.glob(target_path + ".tmp-*"):
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _recover_buckets(target_path: str) -> None:
+    """Per-bucket swap recovery for bucketed tables: restore any bucket
+    directory whose swap crashed between renames, drop stale asides."""
+    import glob as g
+
+    for old in g.glob(os.path.join(target_path, "._old-kb=*")):
+        bdir = os.path.join(
+            target_path, os.path.basename(old)[len("._old-") :].rsplit("-", 1)[0]
+        )
+        if os.path.exists(bdir):
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.rename(old, bdir)
+    for tmp in g.glob(target_path + ".tmp-*"):
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def compact_parquet(
@@ -297,6 +345,8 @@ def accumulate_batch(
 
     if n_buckets is not None:
         _assert_bucketed_layout(target_path)
+        if os.path.isdir(target_path):
+            _recover_buckets(target_path)  # manifests must be read post-repair
         upd = _with_kb(deltas, key_cols, n_buckets)
         touched = sorted(r.kb for r in upd.select("kb").distinct().collect())
         manifests: dict[int, list] = {}
@@ -327,6 +377,7 @@ def accumulate_batch(
         )
         return
 
+    _recover(target_path)
     manifest = os.path.join(target_path, "_applied_epochs.json")
     applied: list = []
     if os.path.exists(manifest):
