@@ -9,13 +9,19 @@ xxhash64 checksum aggregation, so every projection/expression in the plan
 is actually evaluated (a bare .count() lets Catalyst prune unevaluated
 projections, timing only the scan for projection-only queries).
 
-Each query runs TWICE and the minimum is reported: the min is the
+Each query runs THREE times and the minimum is reported: the min is the
 standard noise-robust estimator for shared hosts (co-tenant load adds
 one-sided noise only — a query can run slower than its true cost, never
 faster), and it still includes codegen/JIT compile on run 1, so the
 first-run tail is visible in the max but doesn't corrupt round-over-round
-comparisons.  (Round-1 numbers were single-shot .count() — see
-README.md for the comparability note.)
+comparisons.  (Round-1 numbers were single-shot .count(); rounds 2-4 were
+best-of-2 — see README.md for the comparability note.)
+
+The JSON line also records host load (os.getloadavg() sampled before and
+after the run) and per-query max-over-min spread, so the per-round BENCH
+artifact distinguishes co-tenant noise from real regressions: rounds 3-4
+showed ±20-35%% total swing on byte-identical code, which this metadata
+makes attributable at a glance.
 """
 
 from __future__ import annotations
@@ -91,19 +97,24 @@ def main() -> None:
         pass
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     # warm the JVM + parquet footers with one tiny action
     QUERIES["extract_events"](spark, SF_DIR).limit(1).collect()
 
+    load_before = os.getloadavg()
     for name in HEADLINE:
         fn = QUERIES.get(name) or extra[name]
-        best = None
-        for _ in range(2):
+        runs = []
+        for _ in range(3):
             t0 = time.perf_counter()
             n = _materialize(fn(spark, SF_DIR))
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            runs.append(time.perf_counter() - t0)
             assert n >= 0
-        timings[name] = round(best, 3)
+        timings[name] = round(min(runs), 3)
+        # max/min over the runs: ~1 means a stable host; co-tenant load
+        # spikes show up here without touching the min estimator
+        spreads[name] = round(max(runs) / max(min(runs), 1e-9), 2)
+    load_after = os.getloadavg()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -113,6 +124,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": 3,
+                "spread": spreads,
+                "loadavg_before": [round(x, 2) for x in load_before],
+                "loadavg_after": [round(x, 2) for x in load_after],
             }
         )
     )
