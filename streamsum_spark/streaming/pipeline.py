@@ -230,6 +230,115 @@ def stream_sessionize(
     return _run_to_memory(agg, "complete")
 
 
+_SESS_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+# open sessions per user: parallel arrays (start_us, last_event_us, count)
+_SESS_STATE = T.StructType(
+    [
+        T.StructField("starts", T.ArrayType(T.LongType())),
+        T.StructField("lasts", T.ArrayType(T.LongType())),
+        T.StructField("ns", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def stream_sessionize_stateful(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_minutes: int = 5,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Per-key UPDATE-mode sessionization on applyInPandasWithState —
+    the round-4 stretch item, feasible without transformWithState (which
+    stays protobuf-gated): each user's open sessions live in the state
+    store as merged intervals; a session EMITS exactly once, when the
+    event-time watermark passes its end + gap, and its state evicts.
+
+    This is the bounded-state production shape the complete-mode twin
+    (stream_sessionize) emulates: state is open sessions only, output is
+    final closed sessions only — no re-emission, no full-snapshot sink.
+    Semantics match batch session_window exactly: merge condition is
+    ``<=`` on the gap (tests/test_sessionize_boundary.py), session_end =
+    last event + gap.  Events later than an emitted session's close are
+    dropped by the watermark contract (here the source is replayed files,
+    so nothing is late).  EventTimeTimeout closes sessions for keys
+    absent from a micro-batch; Spark's trailing no-data batch fires the
+    final timeouts before availableNow terminates.
+
+    Pinned in tests/test_streaming.py: emitted sessions are exactly the
+    batch sessions whose end + gap the final watermark passed (with a
+    0-second watermark delay that is every session except each user's
+    last-if-still-open)."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    gap_ms = gap_minutes * 60 * 1_000
+
+    def fold(
+        key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            starts, lasts, ns = (list(x) for x in state.get)
+        else:
+            starts, lasts, ns = [], [], []
+        ivals = list(zip(starts, lasts, ns))
+        for pdf in pdf_iter:
+            for t in pdf["ts"]:
+                us = int(pd.Timestamp(t).value // 1000)
+                ivals.append((us, us, 1))
+        # re-merge intervals under the gap (an arriving event can bridge
+        # two open sessions); sort makes the single pass complete
+        ivals.sort()
+        merged: list[tuple[int, int, int]] = []
+        for s, e, n in ivals:
+            if merged and s <= merged[-1][1] + gap_us:
+                ps, pe, pn = merged[-1]
+                merged[-1] = (ps, max(pe, e), pn + n)
+            else:
+                merged.append((s, e, n))
+        wm_ms = state.getCurrentWatermarkMs()
+        closed = [iv for iv in merged if (iv[1] + gap_us) // 1000 <= wm_ms]
+        kept = [iv for iv in merged if (iv[1] + gap_us) // 1000 > wm_ms]
+        if kept:
+            state.update(
+                ([s for s, _, _ in kept], [e for _, e, _ in kept], [n for _, _, n in kept])
+            )
+            # wake this key when the watermark passes its next session end
+            state.setTimeoutTimestamp(
+                max(wm_ms + 1, min(e for _, e, _ in kept) // 1000 + gap_ms)
+            )
+        else:
+            state.remove()
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(closed),
+                    "start_us": [s for s, _, _ in closed],
+                    "end_us": [e + gap_us for _, e, _ in closed],
+                    "n_events": [n for _, _, n in closed],
+                }
+            )
+
+    ev = stream_events(spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger)
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark("ts", "0 seconds")
+    folded = ev.select("user_id", "ts").groupBy("user_id").applyInPandasWithState(
+        fold, _SESS_OUT, _SESS_STATE, "update", GroupStateTimeout.EventTimeTimeout
+    )
+    mem = _run_to_memory(folded, "update")
+    epoch = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+    return mem.select(
+        "user_id",
+        F.expr(f"timestampadd(MICROSECOND, start_us, {epoch})").alias("session_start"),
+        F.expr(f"timestampadd(MICROSECOND, end_us, {epoch})").alias("session_end"),
+        "n_events",
+    )
+
+
 def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup on (user_id, event_type) within the watermark —
     dropDuplicatesWithinWatermark bounds state, unlike global

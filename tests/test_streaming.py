@@ -471,3 +471,35 @@ def test_stream_near_dup_redelivered_doc_yields_no_self_pairs(spark, tmp_path):
         for r in near_dup_verified(spark, src).collect()
     }
     assert {(r.doc_a, r.doc_b, round(r.jaccard, 9)) for r in stream} == batch
+
+
+def test_stream_sessionize_stateful_emits_closed_sessions_once(spark, tmp_path):
+    """Update-mode per-key sessionization (applyInPandasWithState +
+    EventTimeTimeout): every emitted session is FINAL (emitted exactly
+    once, byte-equal to a batch session_window session), and coverage is
+    exactly the sessions whose end + gap the final watermark passed —
+    with a 0s delay, all but each user's possibly-still-open last
+    session.  The bounded-state production shape of the complete-mode
+    twin."""
+    from streamsum_spark.operators.relational import sessionize_events
+    from streamsum_spark.tables import table
+
+    got = sp.stream_sessionize_stateful(
+        spark, SF_ORACLE, max_files_per_trigger=1
+    ).collect()
+    emitted = [(r.user_id, r.session_start, r.session_end, r.n_events) for r in got]
+    assert len(emitted) == len(set(emitted))  # closed sessions emit ONCE
+
+    batch = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in sessionize_events(spark, SF_ORACLE).collect()
+    }
+    assert set(emitted) <= batch  # every emission is a real final session
+
+    # final watermark with 0s delay = global max event ts: exactly the
+    # sessions closed by it must have emitted
+    max_ts = table(spark, SF_ORACLE, "events").agg(sp.F.max("ts")).collect()[0][0]
+    expected = {s for s in batch if s[2] <= max_ts}  # end already includes +gap
+    assert set(emitted) == expected, (
+        len(emitted), len(expected), len(batch),
+    )
