@@ -131,6 +131,10 @@ def _decode_pnm(b: bytes) -> np.ndarray:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # channels per PNG color type: 0 gray, 2 RGB, 4 gray+alpha, 6 RGBA
 _PNG_NCH = {0: 1, 2: 3, 4: 2, 6: 4}
+# decoded-scanline ceiling (256 MiB ≈ an 85-megapixel RGB image): blobs are
+# decoded inside Arrow batches, so per-row memory must stay bounded even
+# for hostile headers
+_PNG_MAX_RAW_BYTES = 256 << 20
 
 
 def _png_unfilter_row(f: int, row: np.ndarray, prev: np.ndarray, nch: int) -> np.ndarray:
@@ -196,9 +200,24 @@ def _decode_png(b: bytes) -> np.ndarray:
     if not idat:
         raise ValueError("missing IDAT")
     nch = _PNG_NCH[ctype]
-    raw = zlib.decompress(bytes(idat))
     stride = w * nch
-    if len(raw) < h * (stride + 1):
+    # Bound BOTH the claimed geometry and the inflate: a malformed header
+    # or a deflate bomb (KBs of IDAT inflating to GBs) must fail with
+    # ValueError — which extract_features turns into the fingerprint
+    # fallback — never blow executor memory inside an Arrow batch.
+    need = h * (stride + 1)
+    if need > _PNG_MAX_RAW_BYTES:
+        raise ValueError(
+            f"PNG {w}x{h}x{nch} exceeds the {_PNG_MAX_RAW_BYTES >> 20} MiB "
+            "decoded-scanline cap"
+        )
+    try:
+        raw = zlib.decompressobj().decompress(bytes(idat), need)
+    except zlib.error as e:
+        # zlib.error is not a ValueError; unwrapped it would escape
+        # extract_features' fallback catch and fail the whole task
+        raise ValueError(f"bad PNG deflate stream: {e}")
+    if len(raw) < need:
         raise ValueError("truncated PNG scanlines")
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)

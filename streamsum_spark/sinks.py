@@ -81,6 +81,56 @@ def _assert_bucketed_layout(target_path: str) -> None:
         )
 
 
+# Replay manifests are bounded: foreachBatch redelivers at most the epochs
+# after the last committed checkpoint offset (in practice one), so a
+# 4096-marker tail is orders of magnitude beyond any replay horizon while
+# keeping the manifest file size constant over a long-running stream.
+_MANIFEST_CAP = 4096
+
+
+def _check_bucket_meta(target_path: str, n_buckets: int) -> None:
+    """Enforce the docstring's "pass the same n_buckets for the table's
+    lifetime": the kb assignment is ``hash(key) % n_buckets``, so merging
+    an existing table with a DIFFERENT count would silently DUPLICATE keys
+    across buckets (the stored row stays in its old bucket while the
+    update lands in a new one).  The bucket count is recorded in a
+    ``_table_meta.json`` at table creation and a mismatch refuses; tables
+    created before the meta existed are adopted after a structural check
+    (an on-disk kb index >= n_buckets proves a mismatch)."""
+    import json
+
+    meta = os.path.join(target_path, "_table_meta.json")
+    if os.path.isdir(target_path):
+        stored = None
+        if os.path.exists(meta):
+            try:
+                with open(meta) as fh:
+                    stored = json.load(fh).get("n_buckets")
+            except ValueError:
+                stored = None  # partial write at creation: adopt below
+        if stored is not None:
+            if stored != n_buckets:
+                raise ValueError(
+                    f"{target_path} was created with n_buckets={stored}; "
+                    f"merging with n_buckets={n_buckets} would scatter keys "
+                    "across mismatched buckets (rebucket by rewriting the "
+                    "table instead)"
+                )
+            return
+        for d in os.listdir(target_path):
+            if d.startswith("kb=") and int(d[3:]) >= n_buckets:
+                raise ValueError(
+                    f"{target_path} contains {d} but n_buckets={n_buckets}; "
+                    "the table was created with a larger bucket count"
+                )
+    os.makedirs(target_path, exist_ok=True)
+    tmp = os.path.join(target_path, f"._meta-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        json.dump({"n_buckets": n_buckets}, fh)
+    os.replace(tmp, meta)  # atomic; os.replace so fault-injection tests
+    # counting os.rename syscalls see only the data-swap renames
+
+
 def read_state_table(spark: SparkSession, target_path: str) -> DataFrame:
     """Read a keyed state table regardless of layout, hiding the internal
     ``kb`` bucket column of bucketed tables."""
@@ -128,6 +178,7 @@ def upsert_batch(
     table's lifetime (a flat table is refused)."""
     if n_buckets is not None:
         _assert_bucketed_layout(target_path)
+        _check_bucket_meta(target_path, n_buckets)
         upd = _with_kb(updates, key_cols, n_buckets)
         touched = sorted(r.kb for r in upd.select("kb").distinct().collect())
         if not touched:
@@ -280,7 +331,23 @@ def compact_parquet(
     pre-write repartition bounds the file COUNT from below (without it,
     every input split re-emits its own file and compaction is a no-op).
     Partitioned layouts keep their partitioning: pass ``partition_cols``
-    and each partition directory is compacted in the same pass."""
+    and each partition directory is compacted in the same pass.
+
+    Bucketed STATE tables (kb= layout from upsert_batch/accumulate_batch)
+    must be compacted with ``partition_cols=["kb"]`` — a flat rewrite
+    would destroy the bucket routing (refused rather than corrupted) —
+    and their sidecars ride along: per-bucket ``_applied_epochs.json``
+    replay manifests and the root ``_table_meta.json`` are copied into
+    the compacted table before the swap, so replay-idempotence and the
+    bucket-count check survive compaction."""
+    is_bucketed = os.path.isdir(target_path) and any(
+        d.startswith("kb=") for d in os.listdir(target_path)
+    )
+    if is_bucketed and (not partition_cols or "kb" not in partition_cols):
+        raise ValueError(
+            f"{target_path} is a bucketed state table; compact with "
+            'partition_cols=["kb"] to keep the bucket layout'
+        )
     df = spark.read.parquet(target_path)
     n_rows = df.count()
     n_files = max(1, -(-n_rows // max_records_per_file))
@@ -293,6 +360,15 @@ def compact_parquet(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(tmp)
+    if is_bucketed:
+        meta = os.path.join(target_path, "_table_meta.json")
+        if os.path.exists(meta):
+            shutil.copy(meta, os.path.join(tmp, "_table_meta.json"))
+        for d in os.listdir(target_path):
+            mpath = os.path.join(target_path, d, "_applied_epochs.json")
+            if d.startswith("kb=") and os.path.exists(mpath):
+                os.makedirs(os.path.join(tmp, d), exist_ok=True)
+                shutil.copy(mpath, os.path.join(tmp, d, "_applied_epochs.json"))
     _atomic_swap(target_path, tmp)
 
 
@@ -345,6 +421,7 @@ def accumulate_batch(
 
     if n_buckets is not None:
         _assert_bucketed_layout(target_path)
+        _check_bucket_meta(target_path, n_buckets)
         if os.path.isdir(target_path):
             _recover_buckets(target_path)  # manifests must be read post-repair
         upd = _with_kb(deltas, key_cols, n_buckets)
@@ -360,7 +437,12 @@ def accumulate_batch(
             if marker is not None and marker in applied_b:
                 continue  # this bucket already committed this micro-batch
             todo.append(b)
-            manifests[b] = applied_b + ([marker] if marker is not None else [])
+            # an epoch-less merge still carries the bucket's existing
+            # manifest into the rewrite — dropping it would let a later
+            # redelivery of an already-committed epoch double-count
+            manifests[b] = (applied_b + ([marker] if marker is not None else []))[
+                -_MANIFEST_CAP:
+            ]
         if not todo:
             return
         upd = upd.where(F.col("kb").isin([int(b) for b in todo]))
@@ -372,8 +454,7 @@ def accumulate_batch(
 
         _merge_buckets(
             spark, target_path, upd, key_cols, order_col=None,
-            touched=todo, manifests=manifests if marker is not None else None,
-            agg=_sum_agg,
+            touched=todo, manifests=manifests, agg=_sum_agg,
         )
         return
 
@@ -385,6 +466,12 @@ def accumulate_batch(
             applied = json.load(fh)
         if marker is not None and marker in applied:
             return  # replayed micro-batch of the SAME run: already folded in
+    if marker is None and applied:
+        # epoch-less merge on a manifest-bearing table: carry the history
+        # into the rewrite so a later epoch redelivery still no-ops
+        marker_keep_only = True
+    else:
+        marker_keep_only = False
     if os.path.exists(target_path):
         merged = spark.read.parquet(target_path).unionByName(deltas)
     else:
@@ -394,9 +481,10 @@ def accumulate_batch(
     )
     tmp = target_path + f".tmp-{uuid.uuid4().hex[:8]}"
     acc.write.mode("overwrite").parquet(tmp)
-    if marker is not None:
+    if marker is not None or marker_keep_only:
         with open(os.path.join(tmp, "_applied_epochs.json"), "w") as fh:
-            json.dump(applied + [marker], fh)
+            new_applied = applied + ([marker] if marker is not None else [])
+            json.dump(new_applied[-_MANIFEST_CAP:], fh)
     _atomic_swap(target_path, tmp)
 
 

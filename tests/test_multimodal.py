@@ -241,3 +241,39 @@ def test_synthetic_media_pngs_decode_on_default_path(spark):
     blob = [r.content for r in media.collect() if r.media_id == one][0]
     px = mm.decode_image(blob)
     assert rows[one].feature[0] == pytest.approx(px[:, :, 0].mean() / 255.0, abs=1e-6)
+
+
+def test_png_hostile_headers_fail_bounded(spark):
+    """Malformed or hostile PNGs must raise ValueError (the fingerprint-
+    fallback signal) with BOUNDED memory — a deflate bomb or a giant
+    claimed geometry cannot blow an executor inside an Arrow batch."""
+    import struct as st
+    import zlib
+
+    def chunk(typ, data):
+        return st.pack(">I", len(data)) + typ + data + st.pack(">I", zlib.crc32(typ + data))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # 1) hostile geometry: 100k x 100k RGB claims ~30 GB of scanlines
+    ihdr = chunk(b"IHDR", st.pack(">IIBBBBB", 100_000, 100_000, 8, 2, 0, 0, 0))
+    bomb = sig + ihdr + chunk(b"IDAT", zlib.compress(b"\x00" * 1000)) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="cap"):
+        mm.decode_image(bomb)
+    # 2) corrupt deflate stream: zlib.error must surface as ValueError so
+    # extract_features falls back instead of failing the task
+    ihdr2 = chunk(b"IHDR", st.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0))
+    corrupt = sig + ihdr2 + chunk(b"IDAT", b"\xff\xfe\xfd\xfc") + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="deflate"):
+        mm.decode_image(corrupt)
+    # 3) in-cap geometry whose IDAT inflates to fewer bytes than claimed
+    short = sig + ihdr2 + chunk(b"IDAT", zlib.compress(b"\x00" * 5)) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="truncated"):
+        mm.decode_image(short)
+    # the fallback contract end-to-end: hostile blobs fingerprint
+    # (decoded=false), the task never fails
+    media = spark.createDataFrame(
+        [(i, blob) for i, blob in enumerate((bomb, corrupt, short))],
+        "media_id long, content binary",
+    )
+    rows = mm.extract_features(media).collect()
+    assert len(rows) == 3 and all(not r.decoded for r in rows)

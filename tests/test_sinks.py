@@ -389,3 +389,94 @@ def test_bucketed_accumulate_rewrites_only_touched_buckets(spark, tmp_path):
     assert len(changed) == 1, changed
     got = sinks.read_state_table(spark, target)
     assert got.count() == 1000 and got.where("k = 3").collect()[0].c == 6
+
+
+def test_bucketed_merge_refuses_changed_n_buckets(spark, tmp_path):
+    """kb = hash(key) % n_buckets, so a different count on an existing
+    table would scatter keys across mismatched buckets (silent duplicate
+    keys).  The count is recorded at creation and a mismatch refuses."""
+    import pytest
+
+    target = str(tmp_path / "meta_tbl")
+    df = spark.range(200).selectExpr("id AS k", "0L AS o")
+    sinks.upsert_batch(spark, target, df, ["k"], "o", n_buckets=16)
+    assert os.path.exists(os.path.join(target, "_table_meta.json"))
+    with pytest.raises(ValueError, match="n_buckets=16"):
+        sinks.upsert_batch(spark, target, df, ["k"], "o", n_buckets=32)
+    with pytest.raises(ValueError, match="n_buckets=16"):
+        sinks.accumulate_batch(spark, target, df, ["k"], ["o"], n_buckets=8)
+    # pre-meta tables: an on-disk kb index >= n_buckets proves a mismatch
+    os.remove(os.path.join(target, "_table_meta.json"))
+    big_kb = max(
+        int(d[3:]) for d in os.listdir(target) if d.startswith("kb=")
+    )
+    with pytest.raises(ValueError, match="larger bucket count"):
+        sinks.upsert_batch(spark, target, df, ["k"], "o", n_buckets=big_kb)
+    # same count: adopted (meta backfilled) and the merge proceeds
+    sinks.upsert_batch(spark, target, df, ["k"], "o", n_buckets=16)
+    assert os.path.exists(os.path.join(target, "_table_meta.json"))
+
+
+def test_epochless_merge_preserves_replay_manifests(spark, tmp_path):
+    """An epoch-less accumulate on a manifest-bearing table must carry the
+    replay history into its rewrite — dropping it would let a later
+    redelivery of an already-committed epoch double-count."""
+    for layout in ({"n_buckets": 8}, {}):
+        target = str(tmp_path / f"manifest_keep_{bool(layout)}")
+        d = spark.createDataFrame([(1, 5)], "k long, c long")
+        sinks.accumulate_batch(
+            spark, target, d, ["k"], ["c"], epoch_id=0, run_id="r", **layout
+        )
+        # epoch-less maintenance merge touching the same key's bucket
+        sinks.accumulate_batch(spark, target, d, ["k"], ["c"], **layout)
+        # redelivery of epoch 0 must still no-op
+        sinks.accumulate_batch(
+            spark, target, d, ["k"], ["c"], epoch_id=0, run_id="r", **layout
+        )
+        got = {r.k: r.c for r in sinks.read_state_table(spark, target).collect()}
+        assert got == {1: 10}, (layout, got)
+
+
+def test_manifest_growth_is_bounded(spark, tmp_path):
+    """Replay manifests keep a bounded marker tail (foreachBatch replays
+    at most the epochs past the last committed checkpoint), so the file
+    stays O(1) over a long-running stream."""
+    import json
+    from unittest import mock
+
+    target = str(tmp_path / "capped")
+    d = spark.createDataFrame([(1, 1)], "k long, c long")
+    with mock.patch.object(sinks, "_MANIFEST_CAP", 3):
+        for epoch in range(6):
+            sinks.accumulate_batch(
+                spark, target, d, ["k"], ["c"], epoch_id=epoch, run_id="r"
+            )
+    with open(os.path.join(target, "_applied_epochs.json")) as fh:
+        marks = json.load(fh)
+    assert marks == ["r:3", "r:4", "r:5"]
+    got = sinks.read_state_table(spark, target).collect()
+    assert got[0].c == 6
+
+
+def test_compact_bucketed_state_table_keeps_sidecars(spark, tmp_path):
+    """Compaction of a bucketed state table preserves the kb layout, the
+    per-bucket replay manifests, and the n_buckets meta — replaying an
+    applied epoch after compaction is still a no-op."""
+    import pytest
+
+    target = str(tmp_path / "compact_buck")
+    base = spark.range(200).selectExpr("id AS k", "1L AS c")
+    sinks.accumulate_batch(
+        spark, target, base, ["k"], ["c"], epoch_id=0, run_id="r", n_buckets=8
+    )
+    with pytest.raises(ValueError, match="bucketed state table"):
+        sinks.compact_parquet(spark, target)  # flat rewrite refused
+    sinks.compact_parquet(spark, target, partition_cols=["kb"])
+    assert os.path.exists(os.path.join(target, "_table_meta.json"))
+    # replaying the applied epoch after compaction: still a no-op
+    sinks.accumulate_batch(
+        spark, target, base, ["k"], ["c"], epoch_id=0, run_id="r", n_buckets=8
+    )
+    got = sinks.read_state_table(spark, target)
+    assert got.count() == 200
+    assert got.agg(F.sum("c")).collect()[0][0] == 200
