@@ -138,6 +138,66 @@ def read_state_table(spark: SparkSession, target_path: str) -> DataFrame:
     return df.drop("kb") if "kb" in df.columns else df
 
 
+def lookup_state_keys(
+    spark: SparkSession,
+    target_path: str,
+    key_cols: list[str],
+    key_values: list[tuple],
+) -> DataFrame:
+    """Point/multi-key lookup on a BUCKETED state table that scans ONLY
+    the bucket directories the requested keys hash into — the read-side
+    payoff of the kb layout: a B-API point query (Queries.java:9-14
+    getCount) against a 100 TB cache table touches O(|keys|) buckets, not
+    the whole table.  ``n_buckets`` comes from the table's
+    ``_table_meta.json``, so callers never re-supply (or mis-supply) it.
+
+    The kb computation reuses ``_with_kb`` on a literal DataFrame of the
+    requested keys — the exact write-side Murmur3 expression, so read and
+    write can never disagree on a key's bucket."""
+    import json
+
+    meta = os.path.join(target_path, "_table_meta.json")
+    if not os.path.exists(meta):
+        raise ValueError(
+            f"{target_path} has no _table_meta.json; lookup_state_keys "
+            "requires a bucketed table (use read_state_table + filter)"
+        )
+    with open(meta) as fh:
+        n_buckets = json.load(fh)["n_buckets"]
+    keys_df = spark.createDataFrame(
+        [tuple(v) if isinstance(v, (tuple, list)) else (v,) for v in key_values],
+        key_cols,
+    )
+    # Murmur3 hashes int and long (etc.) DIFFERENTLY, so the lookup keys
+    # must carry the table's exact key types or they route to the wrong
+    # bucket: cast to the stored schema, read from one bucket's footer
+    any_bucket = next(
+        (d for d in sorted(os.listdir(target_path)) if d.startswith("kb=")), None
+    )
+    if any_bucket is not None:
+        stored_types = {
+            f.name: f.dataType
+            for f in spark.read.parquet(os.path.join(target_path, any_bucket)).schema
+        }
+        keys_df = keys_df.select(
+            *[
+                F.col(c).cast(stored_types[c]).alias(c) if c in stored_types else F.col(c)
+                for c in key_cols
+            ]
+        )
+    want = _with_kb(keys_df, key_cols, n_buckets)
+    buckets = sorted({r.kb for r in want.select("kb").distinct().collect()})
+    dirs = [
+        d
+        for d in (os.path.join(target_path, f"kb={b}") for b in buckets)
+        if os.path.exists(d)
+    ]
+    if not dirs:
+        return read_state_table(spark, target_path).limit(0)
+    stored = spark.read.option("basePath", target_path).parquet(*dirs)
+    return stored.join(F.broadcast(keys_df), on=key_cols, how="left_semi").drop("kb")
+
+
 def upsert_batch(
     spark: SparkSession,
     target_path: str,

@@ -480,3 +480,34 @@ def test_compact_bucketed_state_table_keeps_sidecars(spark, tmp_path):
     got = sinks.read_state_table(spark, target)
     assert got.count() == 200
     assert got.agg(F.sum("c")).collect()[0][0] == 200
+
+
+def test_lookup_state_keys_scans_only_hashed_buckets(spark, tmp_path):
+    """The read-side payoff of the kb layout: a point/multi-key lookup
+    reads ONLY the bucket directories the keys hash into (pinned via
+    inputFiles), returns exactly the full-scan filter's rows, and routes
+    correctly even when the caller's Python ints would infer a different
+    Spark type than the stored key column (cast-before-hash)."""
+    target = str(tmp_path / "lookup_tbl")
+    base = spark.range(2000).selectExpr(
+        "CAST(id AS int) AS k", "CAST(id * 3 AS long) AS o"
+    )
+    sinks.upsert_batch(spark, target, base, ["k"], "o", n_buckets=16)
+
+    got = sinks.lookup_state_keys(spark, target, ["k"], [5, 700, 1999])
+    rows = {r.k: r.o for r in got.collect()}
+    assert rows == {5: 15, 700: 2100, 1999: 5997}
+    # at most 3 of 16 bucket dirs touched (fewer if keys share a bucket)
+    touched_dirs = {f.split("/kb=")[1].split("/")[0] for f in got.inputFiles()}
+    assert len(touched_dirs) <= 3, touched_dirs
+
+    # missing keys: empty result, not an error
+    assert sinks.lookup_state_keys(spark, target, ["k"], [999999]).count() == 0
+
+    # a flat table refuses with a pointer to the full-scan path
+    import pytest
+
+    flat = str(tmp_path / "lookup_flat")
+    sinks.upsert_batch(spark, flat, base, ["k"], "o")
+    with pytest.raises(ValueError, match="read_state_table"):
+        sinks.lookup_state_keys(spark, flat, ["k"], [5])
