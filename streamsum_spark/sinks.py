@@ -375,6 +375,67 @@ def _recover_buckets(target_path: str) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def rebucket_state_table(
+    spark: SparkSession,
+    target_path: str,
+    key_cols: list[str],
+    new_n_buckets: int,
+) -> None:
+    """Change a bucketed state table's bucket count in one atomic rewrite
+    — the scale-up path when a table outgrows its creation-time
+    n_buckets (per-bucket rows grow with total state, so a long-lived
+    table eventually wants more buckets; merges with the old count are
+    refused by the meta check, and this is the sanctioned rewrite the
+    refusal points at).
+
+    ``key_cols`` must be the columns the table's merges hash — verified,
+    not trusted: the old kb is recomputed from them and compared to the
+    stored kb for every row before anything is written, so a wrong key
+    set fails loudly instead of baking wrong routing into the new table.
+
+    Requires a QUIESCED table (single-writer, no in-flight epoch — stop
+    the stream, rebucket, restart): every bucket's replay manifest is
+    unioned into every new bucket, which preserves replay-idempotence
+    exactly when each recorded epoch had committed in full.  The whole
+    table swaps atomically, so a crash mid-rebucket leaves the old table
+    intact and recoverable."""
+    import json
+
+    _assert_bucketed_layout(target_path)
+    _recover_buckets(target_path)
+    meta = os.path.join(target_path, "_table_meta.json")
+    if not os.path.exists(meta):
+        raise ValueError(f"{target_path} has no _table_meta.json (not a bucketed table)")
+    with open(meta) as fh:
+        old_n_buckets = json.load(fh)["n_buckets"]
+    stored = spark.read.parquet(target_path)  # includes the kb column
+    recomputed = F.pmod(F.hash(*key_cols), F.lit(old_n_buckets)).cast("int")
+    n_bad = stored.where(F.col("kb") != recomputed).count()
+    if n_bad:
+        raise ValueError(
+            f"{n_bad} rows' stored kb disagree with hash({key_cols}) % "
+            f"{old_n_buckets}; wrong key_cols for {target_path}"
+        )
+    markers: list = []
+    for d in sorted(os.listdir(target_path)):
+        mpath = os.path.join(target_path, d, "_applied_epochs.json")
+        if d.startswith("kb=") and os.path.exists(mpath):
+            with open(mpath) as fh:
+                markers += [m for m in json.load(fh) if m not in markers]
+    markers = markers[-_MANIFEST_CAP:]
+    rekeyed = _with_kb(stored.drop("kb"), key_cols, new_n_buckets)
+    tmp = target_path + f".tmp-{uuid.uuid4().hex[:8]}"
+    rekeyed.write.mode("overwrite").partitionBy("kb").parquet(tmp)
+    with open(os.path.join(tmp, "_table_meta.json"), "w") as fh:
+        json.dump({"n_buckets": new_n_buckets}, fh)
+    if markers:
+        for d in os.listdir(tmp):
+            if d.startswith("kb="):
+                with open(os.path.join(tmp, d, "_applied_epochs.json"), "w") as fh:
+                    json.dump(markers, fh)
+    _atomic_swap(target_path, tmp)
+
+
 def compact_parquet(
     spark: SparkSession,
     target_path: str,

@@ -511,3 +511,37 @@ def test_lookup_state_keys_scans_only_hashed_buckets(spark, tmp_path):
     sinks.upsert_batch(spark, flat, base, ["k"], "o")
     with pytest.raises(ValueError, match="read_state_table"):
         sinks.lookup_state_keys(spark, flat, ["k"], [5])
+
+
+def test_rebucket_state_table_scale_up(spark, tmp_path):
+    """Rebucketing: same rows under a new bucket count, meta updated so
+    merges with the new count proceed (old count refused), replay
+    manifests survive (an applied epoch still no-ops), wrong key_cols
+    are detected before anything is written, and pruned lookups route
+    correctly against the new layout."""
+    import pytest
+
+    target = str(tmp_path / "rebucket_tbl")
+    base = spark.range(500).selectExpr("id AS k", "1L AS c")
+    sinks.accumulate_batch(
+        spark, target, base, ["k"], ["c"], epoch_id=0, run_id="r", n_buckets=4
+    )
+    before = canon_rows(sinks.read_state_table(spark, target).toPandas())
+
+    with pytest.raises(ValueError, match="wrong key_cols"):
+        sinks.rebucket_state_table(spark, target, ["c"], 16)
+
+    sinks.rebucket_state_table(spark, target, ["k"], 16)
+    assert canon_rows(sinks.read_state_table(spark, target).toPandas()) == before
+    kbs = {d for d in os.listdir(target) if d.startswith("kb=")}
+    assert len(kbs) > 4 and all(int(d[3:]) < 16 for d in kbs)
+
+    # old count refused, new count merges; applied epoch still a no-op
+    with pytest.raises(ValueError, match="n_buckets=16"):
+        sinks.accumulate_batch(spark, target, base, ["k"], ["c"], n_buckets=4)
+    sinks.accumulate_batch(
+        spark, target, base, ["k"], ["c"], epoch_id=0, run_id="r", n_buckets=16
+    )
+    assert canon_rows(sinks.read_state_table(spark, target).toPandas()) == before
+    got = sinks.lookup_state_keys(spark, target, ["k"], [3, 499])
+    assert {r.k: r.c for r in got.collect()} == {3: 1, 499: 1}
