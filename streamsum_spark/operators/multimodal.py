@@ -78,6 +78,10 @@ def _decode_bmp(b: bytes) -> np.ndarray:
     if comp != 0 or bpp not in (24, 32):
         raise NotImplementedError(f"BMP bpp={bpp} compression={comp} not supported")
     bottom_up, h = h > 0, abs(h)
+    if w <= 0 or h == 0:
+        # w < 0 would make stride 0 and the reshape below would hit a
+        # negative dim, which numpy treats as "infer" — garbage, not error
+        raise ValueError(f"bad BMP dimensions {w}x{h}")
     nch = bpp // 8
     stride = (w * nch + 3) & ~3
     if off + stride * h > len(b):
@@ -110,6 +114,10 @@ def _decode_pnm(b: bytes) -> np.ndarray:
         vals.append(int(b[i:j]))
         i = j
     w, h, maxval = vals
+    if w <= 0 or h <= 0:
+        # negative dims must fail loudly: w*h*nch == -1 would reach
+        # np.frombuffer(count=-1), which silently reads the WHOLE buffer
+        raise ValueError(f"bad PNM dimensions {w}x{h}")
     if maxval > 255:
         raise NotImplementedError("16-bit PNM not supported")
     nch = 3 if magic in ("P3", "P6") else 1

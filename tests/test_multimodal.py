@@ -277,3 +277,24 @@ def test_png_hostile_headers_fail_bounded(spark):
     )
     rows = mm.extract_features(media).collect()
     assert len(rows) == 3 and all(not r.decoded for r in rows)
+
+
+def test_bmp_pnm_negative_dimensions_fail_loudly():
+    """Negative/zero dims in BMP or PNM headers must raise ValueError —
+    numpy treats a negative reshape dim as "infer" and frombuffer(-1) as
+    "whole buffer", so unguarded they decode garbage instead of failing."""
+    import struct as st
+
+    def bmp(w, h):
+        hdr = b"BM" + st.pack("<IHHI", 54 + 12, 0, 0, 54)
+        hdr += st.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, 12, 0, 0, 0, 0)
+        return hdr + b"\x00" * 12
+
+    with pytest.raises(ValueError, match="dimensions"):
+        mm.decode_image(bmp(-1, 4))
+    with pytest.raises(ValueError, match="dimensions"):
+        mm.decode_image(bmp(0, 4))
+    with pytest.raises(ValueError, match="dimensions"):
+        mm.decode_image(b"P5\n-1 1\n255\n" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="dimensions"):
+        mm.decode_image(b"P6\n2 -3\n255\n" + b"\x00" * 64)
