@@ -89,6 +89,60 @@ def pack_into_chunks(
     )
 
 
+def split_token_windows(
+    spark: SparkSession,
+    sf_dir: str,
+    window: int = 64,
+    stride: int = 48,
+    docs: DataFrame | None = None,
+) -> DataFrame:
+    """Sliding token windows: split each document into fixed-size
+    overlapping windows of ``window`` tokens every ``stride`` tokens —
+    the complement of pack_into_chunks (that packs SHORT docs up to a
+    budget; this cuts LONG docs down to one), and the standard prep step
+    before embedding or context-window training when documents exceed
+    the model's window.
+
+    Window starts are 0, stride, 2*stride, ... while start < n_tokens,
+    so consecutive windows overlap by ``window - stride`` tokens and the
+    tail window may be shorter; expansion factor is ~window/stride.
+
+    Scale design: one corpus scan, split + sequence + explode + slice —
+    all JVM built-ins inside whole-stage codegen, NO shuffle and no
+    Python anywhere: each task windows its own partition's documents
+    independently, which is as 100 TB-friendly as an operator gets.
+    DuckDB oracle: SPLIT_TOKEN_WINDOWS_SQL (generate_series + list
+    slicing), pinned in tests/test_demoted_oracles.py."""
+    if docs is None:
+        docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    return toks.withColumn(
+        "st", F.explode(F.expr(f"sequence(0, size(toks) - 1, {stride})"))
+    ).select(
+        "doc_id",
+        F.expr(f"CAST(st DIV {stride} AS BIGINT)").alias("win_id"),
+        F.expr(f"CAST(size(slice(toks, st + 1, {window})) AS BIGINT)").alias("n_tokens"),
+        F.expr(f"array_join(slice(toks, st + 1, {window}), ' ')").alias("chunk_text"),
+    )
+
+
+SPLIT_TOKEN_WINDOWS_SQL = r"""
+SELECT doc_id,
+       CAST(st // 48 AS BIGINT) AS win_id,
+       CAST(len(toks[st + 1 : st + 64]) AS BIGINT) AS n_tokens,
+       array_to_string(toks[st + 1 : st + 64], ' ') AS chunk_text
+FROM (
+    SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS st
+    FROM (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+    )
+)
+"""
+
+
 def stratified_sample(
     spark: SparkSession,
     sf_dir: str,

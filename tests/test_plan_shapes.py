@@ -260,3 +260,13 @@ def test_cm_sketch_has_partial_aggregation(spark):
     from streamsum_spark.operators import sketches as sk
 
     assert plans.has_partial_aggregate(sk.cm_sketch(spark, SF_ORACLE))
+
+
+def test_split_token_windows_has_no_exchange(spark):
+    """The sliding-window splitter is split + sequence + explode + slice —
+    per-partition narrow work with NO shuffle of any kind: each task
+    windows its own documents independently."""
+    from streamsum_spark.operators import sampling as sp
+
+    plan = plans.explain_str(sp.split_token_windows(spark, SF_ORACLE))
+    assert "Exchange" not in plan, plan
