@@ -512,6 +512,15 @@ def test_lookup_state_keys_scans_only_hashed_buckets(spark, tmp_path):
     with pytest.raises(ValueError, match="read_state_table"):
         sinks.lookup_state_keys(spark, flat, ["k"], [5])
 
+    # composite keys route and filter on the full key tuple
+    comp = str(tmp_path / "lookup_comp")
+    base2 = spark.range(300).selectExpr(
+        "CAST(id % 10 AS int) AS k1", "CAST(id AS string) AS k2", "id AS o"
+    )
+    sinks.upsert_batch(spark, comp, base2, ["k1", "k2"], "o", n_buckets=8)
+    got2 = sinks.lookup_state_keys(spark, comp, ["k1", "k2"], [(7, "7"), (3, "123")])
+    assert {(r.k1, r.k2, r.o) for r in got2.collect()} == {(7, "7", 7), (3, "123", 123)}
+
 
 def test_rebucket_state_table_scale_up(spark, tmp_path):
     """Rebucketing: same rows under a new bucket count, meta updated so
