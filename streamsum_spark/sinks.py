@@ -237,6 +237,12 @@ def upsert_batch(
     layout is fixed at table creation: pass the same n_buckets for the
     table's lifetime (a flat table is refused)."""
     if n_buckets is not None:
+        # table-level recovery first: a whole-table swap (rebucket,
+        # compaction) crashed between its two renames leaves the target
+        # missing with the complete table in the aside dir — without this
+        # the meta check would create a fresh EMPTY table and strand the
+        # entire pre-crash state
+        _recover(target_path)
         _assert_bucketed_layout(target_path)
         _check_bucket_meta(target_path, n_buckets)
         upd = _with_kb(updates, key_cols, n_buckets)
@@ -401,6 +407,7 @@ def rebucket_state_table(
     intact and recoverable."""
     import json
 
+    _recover(target_path)  # repair a previously crashed whole-table swap
     _assert_bucketed_layout(target_path)
     _recover_buckets(target_path)
     meta = os.path.join(target_path, "_table_meta.json")
@@ -461,9 +468,13 @@ def compact_parquet(
     replay manifests and the root ``_table_meta.json`` are copied into
     the compacted table before the swap, so replay-idempotence and the
     bucket-count check survive compaction."""
+    _recover(target_path)  # a crashed swap must be repaired before the
+    # compaction read, or incomplete state gets baked into the rewrite
     is_bucketed = os.path.isdir(target_path) and any(
         d.startswith("kb=") for d in os.listdir(target_path)
     )
+    if is_bucketed:
+        _recover_buckets(target_path)
     if is_bucketed and (not partition_cols or "kb" not in partition_cols):
         raise ValueError(
             f"{target_path} is a bucketed state table; compact with "
@@ -541,6 +552,7 @@ def accumulate_batch(
     agg_fn = {"sum": F.sum, "min": F.min, "max": F.max}[combine]
 
     if n_buckets is not None:
+        _recover(target_path)  # whole-table swap crash (see upsert_batch)
         _assert_bucketed_layout(target_path)
         _check_bucket_meta(target_path, n_buckets)
         if os.path.isdir(target_path):

@@ -144,3 +144,29 @@ def test_bucketed_accumulate_crash_per_bucket_exactly_once(
     assert got == {k: 11 for k in range(64)}, got
     assert not g.glob(os.path.join(target, "._old-*"))  # recovery left no litter
     assert not g.glob(target + ".tmp-*")
+
+
+@pytest.mark.parametrize("crash_at", [1, 2])
+def test_rebucket_crash_recovered_by_next_merge(spark, tmp_path, monkeypatch, crash_at):
+    """A rebucket killed at either rename of its whole-table swap must not
+    lose state: the next bucketed merge repairs the crash at entry
+    (table-level _recover) instead of creating a fresh empty table and
+    stranding the pre-rebucket data in the aside dir."""
+    target = str(tmp_path / "rb")
+    base = spark.range(100).selectExpr("id AS k", "id * 2 AS o")
+    sinks.upsert_batch(spark, target, base, ["k"], "o", n_buckets=4)
+    expect = {(i, 2 * i) for i in range(100)}
+
+    _install_crash(monkeypatch, crash_at)
+    with pytest.raises(OSError, match="injected"):
+        sinks.rebucket_state_table(spark, target, ["k"], 16)
+    monkeypatch.undo()
+
+    # next merge repairs the swap, refuses nothing, loses nothing
+    upd = spark.createDataFrame([(5, 999)], "k long, o long")
+    sinks.upsert_batch(spark, target, upd, ["k"], "o", n_buckets=4)
+    got = {(r.k, r.o) for r in sinks.read_state_table(spark, target).collect()}
+    assert got == (expect - {(5, 10)}) | {(5, 999)}
+    import glob as gg
+
+    assert not gg.glob(str(tmp_path / "._old-rb-*")) and not gg.glob(target + ".tmp-*")
