@@ -187,6 +187,22 @@ def lookup_state_keys(
         )
     want = _with_kb(keys_df, key_cols, n_buckets)
     buckets = sorted({r.kb for r in want.select("kb").distinct().collect()})
+    import glob as g
+
+    for b in buckets:
+        bdir = os.path.join(target_path, f"kb={b}")
+        if not os.path.exists(bdir) and g.glob(
+            os.path.join(target_path, f"._old-kb={b}-*")
+        ):
+            # a crashed swap left this bucket's data in its aside dir;
+            # silently treating its keys as absent would be a WRONG
+            # answer — readers don't repair (single-writer protocol), so
+            # refuse until the writer's next merge (or
+            # recover_state_table) runs
+            raise RuntimeError(
+                f"{bdir} has a crashed swap (aside dir present); run "
+                "recover_state_table or the next merge before reading"
+            )
     dirs = [
         d
         for d in (os.path.join(target_path, f"kb={b}") for b in buckets)
@@ -379,6 +395,17 @@ def _recover_buckets(target_path: str) -> None:
             os.rename(old, bdir)
     for tmp in g.glob(target_path + ".tmp-*"):
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def recover_state_table(target_path: str) -> None:
+    """Public crash repair for a keyed state table (flat or bucketed):
+    restore any swap that crashed between its two renames and drop stale
+    asides/tmps.  The merge entry points run this automatically; it is
+    exposed for readers that hit the crashed-swap refusal (single-writer
+    protocol — call only when no writer is running)."""
+    _recover(target_path)
+    if os.path.isdir(target_path):
+        _recover_buckets(target_path)
 
 
 def rebucket_state_table(

@@ -170,3 +170,28 @@ def test_rebucket_crash_recovered_by_next_merge(spark, tmp_path, monkeypatch, cr
     import glob as gg
 
     assert not gg.glob(str(tmp_path / "._old-rb-*")) and not gg.glob(target + ".tmp-*")
+
+
+def test_lookup_refuses_crashed_bucket_then_recovers(spark, tmp_path):
+    """A reader must not silently answer 'key absent' for a bucket whose
+    swap crashed (data sitting in the aside dir): lookup refuses with a
+    pointer to recovery, and recover_state_table restores the bucket."""
+    target = str(tmp_path / "rd")
+    base = spark.range(200).selectExpr("id AS k", "id AS o")
+    sinks.upsert_batch(spark, target, base, ["k"], "o", n_buckets=4)
+    # find key 7's bucket and simulate a mid-swap crash for it
+    from pyspark.sql import functions as F
+
+    kb = spark.range(1).select(
+        F.pmod(F.hash(F.lit(7).cast("long")), F.lit(4)).cast("int").alias("kb")
+    ).collect()[0].kb
+    bdir = os.path.join(target, f"kb={kb}")
+    os.rename(bdir, os.path.join(target, f"._old-kb={kb}-deadbeef"))
+
+    with pytest.raises(RuntimeError, match="crashed swap"):
+        sinks.lookup_state_keys(spark, target, ["k"], [7])
+
+    sinks.recover_state_table(target)
+    got = sinks.lookup_state_keys(spark, target, ["k"], [7]).collect()
+    assert {(r.k, r.o) for r in got} == {(7, 7)}
+    assert not [d for d in os.listdir(target) if d.startswith("._old-")]
