@@ -139,39 +139,56 @@ def _decode_pnm(b: bytes) -> np.ndarray:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # channels per PNG color type: 0 gray, 2 RGB, 4 gray+alpha, 6 RGBA
 _PNG_NCH = {0: 1, 2: 3, 4: 2, 6: 4}
-# decoded-scanline ceiling (256 MiB ≈ an 85-megapixel RGB image): blobs are
-# decoded inside Arrow batches, so per-row memory must stay bounded even
-# for hostile headers
-_PNG_MAX_RAW_BYTES = 256 << 20
+# decoded-scanline ceiling: bounds MEMORY and, with it, CPU.  None/up rows
+# unfilter as numpy expressions and sub rows as a per-lane uint8 cumsum,
+# but average/paeth recur on the reconstructed left neighbor and must walk
+# the row in Python — so an in-cap hostile image is a CPU-amplification
+# vector exactly as large as the cap.  16 MiB of scanlines (~5.5 MP RGB,
+# ~16 MP gray — far beyond what a pixel-stats pass needs) keeps the
+# worst-case all-paeth decode at seconds, not minutes, so decode TIME is
+# bounded like decode memory.
+_PNG_MAX_RAW_BYTES = 16 << 20
 
 
 def _png_unfilter_row(f: int, row: np.ndarray, prev: np.ndarray, nch: int) -> np.ndarray:
     """Invert one PNG row filter (spec §9: none/sub/up/average/paeth).
-    ``row``/``prev`` are int32 arrays of the filtered/reconstructed bytes;
-    returns the reconstructed row mod 256.  Up is vectorized; sub/average/
-    paeth recur on the left neighbor, so they walk the row."""
+    ``row``/``prev`` are int32 arrays of the filtered/reconstructed bytes
+    (values 0..255); returns the reconstructed row mod 256.
+
+    None/up are numpy expressions; sub's recurrence out[x] = row[x] +
+    out[x-nch] is a per-lane prefix sum, done as a vectorized uint8
+    cumsum (wraparound == mod 256).  Average/paeth genuinely recur on the
+    reconstructed left neighbor, so they walk the row — over plain Python
+    ints (lists, not numpy scalar indexing, ~10× less interpreter
+    overhead), with worst-case iterations bounded by _PNG_MAX_RAW_BYTES."""
     if f == 0:
         return row % 256
     if f == 2:
         return (row + prev) % 256
-    out = np.empty_like(row)
-    for x in range(len(row)):
-        left = int(out[x - nch]) if x >= nch else 0
-        up = int(prev[x])
-        if f == 1:  # sub
-            val = row[x] + left
-        elif f == 3:  # average
-            val = row[x] + (left + up) // 2
-        elif f == 4:  # paeth
-            ul = int(prev[x - nch]) if x >= nch else 0
-            p = left + up - ul
-            pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+    if f == 1:  # sub: per-lane prefix sum; stride = w*nch is lane-divisible
+        lanes = (row % 256).astype(np.uint8).reshape(-1, nch)
+        return np.cumsum(lanes, axis=0, dtype=np.uint8).reshape(-1).astype(np.int32)
+    r = (row % 256).tolist()
+    p = (prev % 256).tolist()
+    out = [0] * len(r)
+    if f == 3:  # average
+        for x in range(len(r)):
+            left = out[x - nch] if x >= nch else 0
+            out[x] = (r[x] + ((left + p[x]) >> 1)) & 255
+    elif f == 4:  # paeth (predictor simplified: p-left=|up-ul| etc.)
+        for x in range(len(r)):
+            left = out[x - nch] if x >= nch else 0
+            up = p[x]
+            ul = p[x - nch] if x >= nch else 0
+            pa = up - ul if up >= ul else ul - up
+            pb = left - ul if left >= ul else ul - left
+            d = left + up - 2 * ul
+            pc = d if d >= 0 else -d
             pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
-            val = row[x] + pred
-        else:
-            raise ValueError(f"bad PNG filter type {f}")
-        out[x] = val % 256
-    return out
+            out[x] = (r[x] + pred) & 255
+    else:
+        raise ValueError(f"bad PNG filter type {f}")
+    return np.array(out, dtype=np.int32)
 
 
 def _decode_png(b: bytes) -> np.ndarray:

@@ -115,6 +115,14 @@ def split_token_windows(
     slicing), pinned in tests/test_demoted_oracles.py."""
     if docs is None:
         docs = table(spark, sf_dir, "documents")
+    # empty/whitespace-only docs must be dropped BEFORE tokenizing:
+    # split(trim(''), '\s+') yields [''] (size 1), which would emit a
+    # bogus (n_tokens=1, chunk_text='') window — and DuckDB's
+    # regexp_split_to_array shares the quirk, so the oracle alone cannot
+    # catch it (the SQL mirrors this predicate).  rlike '\S', not
+    # trim() != '': trim strips only spaces, so a tab-only doc would
+    # slip through a trim-based check in BOTH engines.
+    docs = docs.where(F.col("text").rlike(r"\S"))
     toks = docs.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
     )
@@ -138,6 +146,7 @@ FROM (
     FROM (
         SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
         FROM documents
+        WHERE regexp_matches(text, '\S')
     )
 )
 """

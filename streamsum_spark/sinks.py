@@ -88,15 +88,26 @@ def _assert_bucketed_layout(target_path: str) -> None:
 _MANIFEST_CAP = 4096
 
 
-def _check_bucket_meta(target_path: str, n_buckets: int) -> None:
+def _check_bucket_meta(
+    spark: SparkSession, target_path: str, n_buckets: int, key_cols: list[str]
+) -> None:
     """Enforce the docstring's "pass the same n_buckets for the table's
     lifetime": the kb assignment is ``hash(key) % n_buckets``, so merging
     an existing table with a DIFFERENT count would silently DUPLICATE keys
     across buckets (the stored row stays in its old bucket while the
     update lands in a new one).  The bucket count is recorded in a
-    ``_table_meta.json`` at table creation and a mismatch refuses; tables
-    created before the meta existed are adopted after a structural check
-    (an on-disk kb index >= n_buckets proves a mismatch)."""
+    ``_table_meta.json`` at table creation and a mismatch refuses.
+
+    Tables created before the meta existed are adopted only after a FULL
+    verification: ``pmod(hash(key_cols), n_buckets)`` is recomputed over
+    every stored row and compared to its kb partition value (the same
+    check rebucket_state_table runs).  A structural check alone (max
+    on-disk kb < n_buckets) is one-sided — a legacy 8-bucket table's
+    indices all pass a 16-bucket scan, and adopting it would bake the
+    wrong modulus into the meta, scattering keys across mismatched
+    buckets and routing lookups to the wrong bucket forever after.  The
+    verify is a one-time cost at adoption; mismatches are refused with a
+    pointer at rebucket_state_table."""
     import json
 
     meta = os.path.join(target_path, "_table_meta.json")
@@ -117,11 +128,17 @@ def _check_bucket_meta(target_path: str, n_buckets: int) -> None:
                     "table instead)"
                 )
             return
-        for d in os.listdir(target_path):
-            if d.startswith("kb=") and int(d[3:]) >= n_buckets:
+        if any(d.startswith("kb=") for d in os.listdir(target_path)):
+            stored_df = spark.read.parquet(target_path)
+            recomputed = F.pmod(F.hash(*key_cols), F.lit(n_buckets)).cast("int")
+            n_bad = stored_df.where(F.col("kb") != recomputed).count()
+            if n_bad:
                 raise ValueError(
-                    f"{target_path} contains {d} but n_buckets={n_buckets}; "
-                    "the table was created with a larger bucket count"
+                    f"{n_bad} stored rows' kb disagree with "
+                    f"hash({key_cols}) % {n_buckets} in {target_path}; the "
+                    "table was created with a different bucket count (or "
+                    "key set) — run rebucket_state_table instead of "
+                    "adopting the wrong modulus"
                 )
     os.makedirs(target_path, exist_ok=True)
     tmp = os.path.join(target_path, f"._meta-{uuid.uuid4().hex[:8]}")
@@ -154,8 +171,21 @@ def lookup_state_keys(
     The kb computation reuses ``_with_kb`` on a literal DataFrame of the
     requested keys — the exact write-side Murmur3 expression, so read and
     write can never disagree on a key's bucket."""
+    import glob as g
     import json
 
+    if not os.path.isdir(target_path):
+        parent, base = os.path.split(os.path.abspath(target_path))
+        if g.glob(os.path.join(parent, f"._old-{base}-*")):
+            # a whole-table swap (rebucket/compaction) crashed between its
+            # two renames: the complete table sits in the aside dir.  The
+            # meta check below would misdiagnose this as "not a bucketed
+            # table"; refuse with the same repair pointer the per-bucket
+            # aside refusal uses (readers don't repair — single-writer)
+            raise RuntimeError(
+                f"{target_path} has a crashed swap (aside dir present); run "
+                "recover_state_table or the next merge before reading"
+            )
     meta = os.path.join(target_path, "_table_meta.json")
     if not os.path.exists(meta):
         raise ValueError(
@@ -260,7 +290,7 @@ def upsert_batch(
         # entire pre-crash state
         _recover(target_path)
         _assert_bucketed_layout(target_path)
-        _check_bucket_meta(target_path, n_buckets)
+        _check_bucket_meta(spark, target_path, n_buckets, key_cols)
         upd = _with_kb(updates, key_cols, n_buckets)
         touched = sorted(r.kb for r in upd.select("kb").distinct().collect())
         if not touched:
@@ -429,14 +459,43 @@ def rebucket_state_table(
     Requires a QUIESCED table (single-writer, no in-flight epoch — stop
     the stream, rebucket, restart): every bucket's replay manifest is
     unioned into every new bucket, which preserves replay-idempotence
-    exactly when each recorded epoch had committed in full.  The whole
-    table swaps atomically, so a crash mid-rebucket leaves the old table
-    intact and recoverable."""
+    exactly when each recorded epoch had committed in full.  That
+    precondition is ENFORCED as far as it is detectable: any crash litter
+    (a whole-table aside, per-bucket asides, or stale tmp dirs) means a
+    merge or swap was interrupted — some touched buckets may carry an
+    epoch marker the others never received, and unioning manifests now
+    would permanently mark that epoch applied everywhere, silently
+    dropping the uncommitted buckets' deltas.  Rebucket therefore REFUSES
+    on litter instead of repairing it: after any crash, restart the
+    stream first (the replayed epoch folds into the uncommitted buckets
+    and clears the litter), or run recover_state_table for a crashed
+    whole-table swap; only then rebucket.  The whole table swaps
+    atomically, so a crash mid-rebucket leaves the old table intact and
+    recoverable."""
+    import glob as g
     import json
 
-    _recover(target_path)  # repair a previously crashed whole-table swap
+    parent, base = os.path.split(os.path.abspath(target_path))
+    litter = (
+        g.glob(os.path.join(parent, f"._old-{base}-*"))
+        + g.glob(target_path + ".tmp-*")
+        + (
+            g.glob(os.path.join(target_path, "._old-kb=*"))
+            if os.path.isdir(target_path)
+            else []
+        )
+    )
+    if litter:
+        raise RuntimeError(
+            f"{target_path} has crash litter ({os.path.basename(litter[0])}, "
+            f"{len(litter)} item(s)): an interrupted merge or swap may have "
+            "committed an epoch in some buckets only, and rebucketing now "
+            "would mark it applied everywhere (silent partial loss).  "
+            "Restart the stream so the replay folds in (or run "
+            "recover_state_table for a crashed whole-table swap), then "
+            "rebucket."
+        )
     _assert_bucketed_layout(target_path)
-    _recover_buckets(target_path)
     meta = os.path.join(target_path, "_table_meta.json")
     if not os.path.exists(meta):
         raise ValueError(f"{target_path} has no _table_meta.json (not a bucketed table)")
@@ -581,7 +640,7 @@ def accumulate_batch(
     if n_buckets is not None:
         _recover(target_path)  # whole-table swap crash (see upsert_batch)
         _assert_bucketed_layout(target_path)
-        _check_bucket_meta(target_path, n_buckets)
+        _check_bucket_meta(spark, target_path, n_buckets, key_cols)
         if os.path.isdir(target_path):
             _recover_buckets(target_path)  # manifests must be read post-repair
         upd = _with_kb(deltas, key_cols, n_buckets)

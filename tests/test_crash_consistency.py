@@ -172,6 +172,70 @@ def test_rebucket_crash_recovered_by_next_merge(spark, tmp_path, monkeypatch, cr
     assert not gg.glob(str(tmp_path / "._old-rb-*")) and not gg.glob(target + ".tmp-*")
 
 
+@pytest.mark.parametrize("crash_at", [2])
+def test_lookup_refuses_crashed_whole_table_swap(spark, tmp_path, monkeypatch, crash_at):
+    """A rebucket/compaction killed between its two renames leaves the
+    TARGET missing with the complete table in the parent-level aside.
+    lookup_state_keys must raise the crashed-swap refusal (pointing at
+    recover_state_table), not the misleading 'no _table_meta.json'
+    ValueError — and after recovery the lookup answers correctly."""
+    target = str(tmp_path / "ws")
+    base = spark.range(100).selectExpr("id AS k", "id * 2 AS o")
+    sinks.upsert_batch(spark, target, base, ["k"], "o", n_buckets=4)
+
+    _install_crash(monkeypatch, crash_at)
+    with pytest.raises(OSError, match="injected"):
+        sinks.rebucket_state_table(spark, target, ["k"], 8)
+    monkeypatch.undo()
+    assert not os.path.exists(target)  # mid-swap: data lives in the aside
+
+    with pytest.raises(RuntimeError, match="recover_state_table"):
+        sinks.lookup_state_keys(spark, target, ["k"], [7])
+
+    sinks.recover_state_table(target)
+    got = sinks.lookup_state_keys(spark, target, ["k"], [7]).collect()
+    assert {(r.k, r.o) for r in got} == {(7, 14)}
+
+
+@pytest.mark.parametrize("crash_at", [1, 2, 5])
+def test_rebucket_refuses_interrupted_merge_litter(
+    spark, tmp_path, monkeypatch, crash_at
+):
+    """A merge crash can commit an epoch's marker in SOME touched buckets
+    only; rebucketing before the replay folds in would union manifests
+    into every new bucket and permanently mark the epoch applied in
+    buckets that never received its deltas (silent partial loss).
+    Rebucket must refuse while crash litter is present, and proceed once
+    the replayed merge has repaired the table."""
+    n_buckets = 8
+    target = str(tmp_path / "rl")
+    base = spark.range(64).selectExpr("id AS k", "1L AS c")
+    sinks.accumulate_batch(
+        spark, target, base, ["k"], ["c"], epoch_id=0, run_id="r", n_buckets=n_buckets
+    )
+    deltas = spark.range(64).selectExpr("id AS k", "10L AS c")
+
+    _install_crash(monkeypatch, crash_at)
+    with pytest.raises(OSError, match="injected"):
+        sinks.accumulate_batch(
+            spark, target, deltas, ["k"], ["c"], epoch_id=1, run_id="r",
+            n_buckets=n_buckets,
+        )
+    monkeypatch.undo()
+
+    with pytest.raises(RuntimeError, match="[Rr]estart the stream"):
+        sinks.rebucket_state_table(spark, target, ["k"], 16)
+
+    # the replayed micro-batch repairs + folds in; rebucket then proceeds
+    sinks.accumulate_batch(
+        spark, target, deltas, ["k"], ["c"], epoch_id=1, run_id="r",
+        n_buckets=n_buckets,
+    )
+    sinks.rebucket_state_table(spark, target, ["k"], 16)
+    got = {r.k: r.c for r in sinks.read_state_table(spark, target).collect()}
+    assert got == {k: 11 for k in range(64)}, got
+
+
 def test_lookup_refuses_crashed_bucket_then_recovers(spark, tmp_path):
     """A reader must not silently answer 'key absent' for a bucket whose
     swap crashed (data sitting in the aside dir): lookup refuses with a

@@ -298,3 +298,17 @@ def test_bmp_pnm_negative_dimensions_fail_loudly():
         mm.decode_image(b"P5\n-1 1\n255\n" + b"\x00" * 64)
     with pytest.raises(ValueError, match="dimensions"):
         mm.decode_image(b"P6\n2 -3\n255\n" + b"\x00" * 64)
+
+
+def test_png_unfilter_vectorized_paths_and_cpu_cap():
+    """The unfilter rewrite (vectorized sub cumsum, list-walk average/
+    paeth) must stay pixel-exact at non-trivial sizes, and the decoded-
+    scanline cap must stay small: average/paeth rows walk pixels in
+    Python, so the cap bounds worst-case decode TIME as well as memory —
+    raising it without re-vectorizing reopens the CPU-amplification
+    vector."""
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(64, 200, 3), dtype=np.uint8)
+    for f in (1, 3, 4):
+        assert np.array_equal(mm.decode_image(mm.encode_png(px, filter_type=f)), px), f
+    assert mm._PNG_MAX_RAW_BYTES <= 16 << 20

@@ -64,3 +64,30 @@ def test_reservoir_uses_window_group_limit(spark):
 
     plan = plans.explain_str(sp.reservoir_per_key(spark, SF_ORACLE, n=20))
     assert "WindowGroupLimit" in plan
+
+
+def test_split_token_windows_skips_empty_docs(spark):
+    """split(trim(''), '\\s+') yields [''] (size 1), so an unfiltered
+    tokenizer would emit a bogus (n_tokens=1, chunk_text='') window for
+    empty/whitespace-only/null documents — and DuckDB's
+    regexp_split_to_array shares the quirk, so only a direct pin can
+    catch it.  Empty docs must produce NO windows; real docs are
+    unaffected."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, ""),
+            (3, "   \t  "),
+            (4, None),
+            (5, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    out = sp.split_token_windows(spark, SF_ORACLE, window=3, stride=2, docs=docs)
+    rows = out.collect()
+    assert {r.doc_id for r in rows} == {1, 5}
+    assert all(r.n_tokens >= 1 and r.chunk_text != "" for r in rows)
+    got1 = sorted(
+        (r.win_id, r.n_tokens, r.chunk_text) for r in rows if r.doc_id == 1
+    )
+    assert got1 == [(0, 3, "alpha beta gamma"), (1, 2, "gamma delta")]

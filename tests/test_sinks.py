@@ -405,16 +405,41 @@ def test_bucketed_merge_refuses_changed_n_buckets(spark, tmp_path):
         sinks.upsert_batch(spark, target, df, ["k"], "o", n_buckets=32)
     with pytest.raises(ValueError, match="n_buckets=16"):
         sinks.accumulate_batch(spark, target, df, ["k"], ["o"], n_buckets=8)
-    # pre-meta tables: an on-disk kb index >= n_buckets proves a mismatch
+    # pre-meta tables are adopted only after the stored kb values verify
+    # against hash(key) % n_buckets — a wrong count (smaller OR larger)
+    # refuses with a pointer at rebucket_state_table
     os.remove(os.path.join(target, "_table_meta.json"))
     big_kb = max(
         int(d[3:]) for d in os.listdir(target) if d.startswith("kb=")
     )
-    with pytest.raises(ValueError, match="larger bucket count"):
+    with pytest.raises(ValueError, match="rebucket_state_table"):
         sinks.upsert_batch(spark, target, df, ["k"], "o", n_buckets=big_kb)
     # same count: adopted (meta backfilled) and the merge proceeds
     sinks.upsert_batch(spark, target, df, ["k"], "o", n_buckets=16)
     assert os.path.exists(os.path.join(target, "_table_meta.json"))
+
+
+def test_premeta_adoption_refuses_larger_n_buckets(spark, tmp_path):
+    """The one-sided structural check (max on-disk kb < n_buckets) is not
+    enough: a legacy 8-bucket table's kb indices all pass a 16-bucket
+    scan, and adopting it at 16 would bake the wrong modulus into the
+    meta — merges then scatter/duplicate keys across mismatched buckets
+    and lookups answer 'key absent' for present keys.  Adoption must
+    VERIFY stored kb against hash(key) % n_buckets and refuse."""
+    import pytest
+
+    target = str(tmp_path / "legacy8")
+    df = spark.range(400).selectExpr("id AS k", "0L AS o")
+    sinks.upsert_batch(spark, target, df, ["k"], "o", n_buckets=8)
+    os.remove(os.path.join(target, "_table_meta.json"))  # legacy table
+    with pytest.raises(ValueError, match="rebucket_state_table"):
+        sinks.upsert_batch(spark, target, df, ["k"], "o", n_buckets=16)
+    with pytest.raises(ValueError, match="rebucket_state_table"):
+        sinks.accumulate_batch(spark, target, df, ["k"], ["o"], n_buckets=16)
+    # the true count still verifies and re-adopts
+    sinks.upsert_batch(spark, target, df, ["k"], "o", n_buckets=8)
+    assert os.path.exists(os.path.join(target, "_table_meta.json"))
+    assert sinks.read_state_table(spark, target).count() == 400
 
 
 def test_epochless_merge_preserves_replay_manifests(spark, tmp_path):
