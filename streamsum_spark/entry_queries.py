@@ -601,8 +601,10 @@ declare("minhash_lsh_pairs", dd.LSH_PAIRS_SQL)(dd.lsh_candidate_pairs)
 declare("near_dup_verified", dd.NEAR_DUP_VERIFIED_SQL)(dd.near_dup_verified)
 
 declare("knn_per_probe", sim.KNN_PER_PROBE_SQL)(sim.knn_per_probe)
-# coarse-quantizer routing is engine-internal -> rows-only
-declare("ann_ivf_topk")(sim.ann_ivf_topk)
+# declared at nprobe = n_lists, where IVF covers every list and is exact
+# k-NN: the routing plan runs end-to-end and the result hash-checks
+# against brute force (small-nprobe recall stays pytest-pinned)
+declare("ann_ivf_topk", sim.ANN_IVF_EXACT_COVER_SQL)(sim.ann_ivf_topk_exact_cover)
 
 
 # ---------------------------------------------------------------------------

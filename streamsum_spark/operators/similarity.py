@@ -665,6 +665,44 @@ def ann_ivf_topk(
     )
 
 
+def ann_ivf_topk_exact_cover(
+    spark: SparkSession,
+    sf_dir: str,
+    probe_vec_id: int = 0,
+    k: int = 10,
+) -> DataFrame:
+    """The driver-declared form of ``ann_ivf_topk``: probed at
+    ``nprobe = n_lists`` (every label list), where IVF degenerates to
+    EXACT k-NN — so the full routing plan (centroid scoring, nearest-list
+    ranking, list-pruned scan, top-k) runs end-to-end AND the result is
+    hash-checkable against a brute-force DuckDB oracle
+    (ANN_IVF_EXACT_COVER_SQL).  This closes the one driver slot that had
+    no check at all: approximation quality at small nprobe stays
+    separately recall-pinned in tests/test_similarity_quality.py; what
+    this checks is that the IVF plumbing itself loses nothing.
+
+    The list count is the corpus' distinct label count — one
+    metadata-cheap aggregation, exactly the cardinality the coarse
+    quantizer (embedding_centroids) produces."""
+    n_lists = (
+        table(spark, sf_dir, "embeddings").select("label").distinct().count()
+    )
+    return ann_ivf_topk(spark, sf_dir, probe_vec_id, k, nprobe=n_lists)
+
+
+ANN_IVF_EXACT_COVER_SQL = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(CAST(embedding AS DOUBLE[]), q)
+             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(q, q))), 6) AS cos
+FROM embeddings, q
+WHERE vec_id != 0
+ORDER BY cos DESC, vec_id
+LIMIT 10
+"""
+
+
 # --- scalar quantization (storage-side ANN lever) ---------------------------
 
 

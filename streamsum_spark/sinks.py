@@ -88,8 +88,46 @@ def _assert_bucketed_layout(target_path: str) -> None:
 _MANIFEST_CAP = 4096
 
 
+def _resolve_bucket_cols(
+    key_cols: list[str], bucket_cols: list[str] | None
+) -> list[str]:
+    """The columns kb hashes: default the full key; callers may narrow to
+    a SUBSET of the key columns so the bucket routing matches a read-side
+    access path (e.g. a signature store keyed (band, mh, doc_id) but
+    bucketed on (band, mh) — the LSH join key).  Only key subsets are
+    legal: bucketing on a value column would move a key to a different
+    bucket when its value changes, silently duplicating keys across
+    buckets."""
+    if bucket_cols is None:
+        return list(key_cols)
+    if not set(bucket_cols) <= set(key_cols):
+        raise ValueError(
+            f"bucket_cols {bucket_cols} must be a subset of key_cols "
+            f"{key_cols}: a non-key bucket column changes bucket when the "
+            "value changes, duplicating keys across buckets"
+        )
+    return list(bucket_cols)
+
+
+def _read_meta(target_path: str) -> dict | None:
+    import json
+
+    meta = os.path.join(target_path, "_table_meta.json")
+    if not os.path.exists(meta):
+        return None
+    try:
+        with open(meta) as fh:
+            return json.load(fh)
+    except ValueError:
+        return None
+
+
 def _check_bucket_meta(
-    spark: SparkSession, target_path: str, n_buckets: int, key_cols: list[str]
+    spark: SparkSession,
+    target_path: str,
+    n_buckets: int,
+    key_cols: list[str],
+    bucket_cols: list[str] | None = None,
 ) -> None:
     """Enforce the docstring's "pass the same n_buckets for the table's
     lifetime": the kb assignment is ``hash(key) % n_buckets``, so merging
@@ -110,15 +148,11 @@ def _check_bucket_meta(
     pointer at rebucket_state_table."""
     import json
 
+    bcols = _resolve_bucket_cols(key_cols, bucket_cols)
     meta = os.path.join(target_path, "_table_meta.json")
     if os.path.isdir(target_path):
-        stored = None
-        if os.path.exists(meta):
-            try:
-                with open(meta) as fh:
-                    stored = json.load(fh).get("n_buckets")
-            except ValueError:
-                stored = None  # partial write at creation: adopt below
+        stored_meta = _read_meta(target_path)
+        stored = stored_meta.get("n_buckets") if stored_meta else None
         if stored is not None:
             if stored != n_buckets:
                 raise ValueError(
@@ -127,15 +161,23 @@ def _check_bucket_meta(
                     "across mismatched buckets (rebucket by rewriting the "
                     "table instead)"
                 )
+            stored_bcols = stored_meta.get("bucket_cols", list(key_cols))
+            if stored_bcols != bcols:
+                raise ValueError(
+                    f"{target_path} was created with bucket_cols="
+                    f"{stored_bcols}; merging with bucket_cols={bcols} "
+                    "would route keys to different buckets (rebucket by "
+                    "rewriting the table instead)"
+                )
             return
         if any(d.startswith("kb=") for d in os.listdir(target_path)):
             stored_df = spark.read.parquet(target_path)
-            recomputed = F.pmod(F.hash(*key_cols), F.lit(n_buckets)).cast("int")
+            recomputed = F.pmod(F.hash(*bcols), F.lit(n_buckets)).cast("int")
             n_bad = stored_df.where(F.col("kb") != recomputed).count()
             if n_bad:
                 raise ValueError(
                     f"{n_bad} stored rows' kb disagree with "
-                    f"hash({key_cols}) % {n_buckets} in {target_path}; the "
+                    f"hash({bcols}) % {n_buckets} in {target_path}; the "
                     "table was created with a different bucket count (or "
                     "key set) — run rebucket_state_table instead of "
                     "adopting the wrong modulus"
@@ -143,7 +185,7 @@ def _check_bucket_meta(
     os.makedirs(target_path, exist_ok=True)
     tmp = os.path.join(target_path, f"._meta-{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as fh:
-        json.dump({"n_buckets": n_buckets}, fh)
+        json.dump({"n_buckets": n_buckets, "bucket_cols": bcols}, fh)
     os.replace(tmp, meta)  # atomic; os.replace so fault-injection tests
     # counting os.rename syscalls see only the data-swap renames
 
@@ -171,8 +213,51 @@ def lookup_state_keys(
     The kb computation reuses ``_with_kb`` on a literal DataFrame of the
     requested keys — the exact write-side Murmur3 expression, so read and
     write can never disagree on a key's bucket."""
+    keys_df = spark.createDataFrame(
+        [tuple(v) if isinstance(v, (tuple, list)) else (v,) for v in key_values],
+        key_cols,
+    )
+    stored = _read_touched(spark, target_path, keys_df, key_cols)
+    if stored is None:
+        return read_state_table(spark, target_path).limit(0)
+    pruned, keys_cast = stored
+    return pruned.join(F.broadcast(keys_cast), on=key_cols, how="left_semi")
+
+
+def read_touched_buckets(
+    spark: SparkSession, target_path: str, keys_df: DataFrame
+) -> DataFrame:
+    """Read ONLY the bucket directories that ``keys_df``'s rows hash into
+    — the DISTRIBUTED sibling of lookup_state_keys for batch-sized key
+    sets: nothing but the bucket IDS is collected to the driver (bounded
+    by n_buckets, not by |keys|), the key rows themselves never leave
+    the cluster, and the returned DataFrame is the pruned stored rows
+    for the caller to join/filter.
+
+    ``keys_df`` must carry the table's bucket columns (recorded in
+    ``_table_meta.json``); extra columns are ignored for routing.  This
+    is what keeps an incremental pipeline's per-batch READ cost
+    O(touched buckets) instead of O(total accumulated state) — e.g. the
+    streaming near-dup verifier fetching candidate docs' shingle rows,
+    or the LSH join fetching only the signature buckets a batch's
+    (band, mh) pairs collide into."""
+    got = _read_touched(spark, target_path, keys_df, list(keys_df.columns))
+    if got is None:
+        return read_state_table(spark, target_path).limit(0)
+    return got[0]
+
+
+def _read_touched(
+    spark: SparkSession,
+    target_path: str,
+    keys_df: DataFrame,
+    key_cols: list[str],
+) -> tuple[DataFrame, DataFrame] | None:
+    """Shared pruned-read body: route ``keys_df`` to its buckets via the
+    table's recorded bucket_cols, refuse crashed buckets, and return
+    (pruned stored rows without kb, type-cast keys_df) — or None when no
+    routed bucket exists on disk."""
     import glob as g
-    import json
 
     if not os.path.isdir(target_path):
         parent, base = os.path.split(os.path.abspath(target_path))
@@ -186,18 +271,20 @@ def lookup_state_keys(
                 f"{target_path} has a crashed swap (aside dir present); run "
                 "recover_state_table or the next merge before reading"
             )
-    meta = os.path.join(target_path, "_table_meta.json")
-    if not os.path.exists(meta):
+    meta = _read_meta(target_path)
+    if meta is None:
         raise ValueError(
-            f"{target_path} has no _table_meta.json; lookup_state_keys "
-            "requires a bucketed table (use read_state_table + filter)"
+            f"{target_path} has no _table_meta.json; bucket-pruned reads "
+            "require a bucketed table (use read_state_table + filter)"
         )
-    with open(meta) as fh:
-        n_buckets = json.load(fh)["n_buckets"]
-    keys_df = spark.createDataFrame(
-        [tuple(v) if isinstance(v, (tuple, list)) else (v,) for v in key_values],
-        key_cols,
-    )
+    n_buckets = meta["n_buckets"]
+    bcols = meta.get("bucket_cols") or key_cols
+    missing = [c for c in bcols if c not in keys_df.columns]
+    if missing:
+        raise ValueError(
+            f"keys are missing the table's bucket columns {missing} "
+            f"(bucket_cols={bcols}); routing needs every bucket column"
+        )
     # Murmur3 hashes int and long (etc.) DIFFERENTLY, so the lookup keys
     # must carry the table's exact key types or they route to the wrong
     # bucket: cast to the stored schema, read from one bucket's footer
@@ -212,13 +299,11 @@ def lookup_state_keys(
         keys_df = keys_df.select(
             *[
                 F.col(c).cast(stored_types[c]).alias(c) if c in stored_types else F.col(c)
-                for c in key_cols
+                for c in keys_df.columns
             ]
         )
-    want = _with_kb(keys_df, key_cols, n_buckets)
+    want = _with_kb(keys_df, bcols, n_buckets)
     buckets = sorted({r.kb for r in want.select("kb").distinct().collect()})
-    import glob as g
-
     for b in buckets:
         bdir = os.path.join(target_path, f"kb={b}")
         if not os.path.exists(bdir) and g.glob(
@@ -239,9 +324,9 @@ def lookup_state_keys(
         if os.path.exists(d)
     ]
     if not dirs:
-        return read_state_table(spark, target_path).limit(0)
+        return None
     stored = spark.read.option("basePath", target_path).parquet(*dirs)
-    return stored.join(F.broadcast(keys_df), on=key_cols, how="left_semi").drop("kb")
+    return stored.drop("kb"), keys_df
 
 
 def upsert_batch(
@@ -251,6 +336,7 @@ def upsert_batch(
     key_cols: list[str],
     order_col: str | list[str],
     n_buckets: int | None = None,
+    bucket_cols: list[str] | None = None,
 ) -> None:
     """MERGE-emulation: newest row per key wins (by ``order_col`` — a
     single column or an ordered list forming a composite order key; ties
@@ -281,7 +367,15 @@ def upsert_batch(
     batch.  Each bucket swap is itself atomic; upsert is idempotent, so a
     crash between bucket swaps is repaired by replaying the batch.  The
     layout is fixed at table creation: pass the same n_buckets for the
-    table's lifetime (a flat table is refused)."""
+    table's lifetime (a flat table is refused).
+
+    ``bucket_cols`` (default: the full key) narrows the kb hash to a
+    SUBSET of the key columns so bucket routing matches a read-side
+    access path — e.g. an LSH signature store keyed
+    ``(band, mh, doc_id)`` but bucketed on ``(band, mh)``, letting
+    read_touched_buckets prune a join on the (band, mh) collision key to
+    the colliding buckets.  Recorded in the table meta and enforced for
+    the table's lifetime like n_buckets."""
     if n_buckets is not None:
         # table-level recovery first: a whole-table swap (rebucket,
         # compaction) crashed between its two renames leaves the target
@@ -290,8 +384,8 @@ def upsert_batch(
         # entire pre-crash state
         _recover(target_path)
         _assert_bucketed_layout(target_path)
-        _check_bucket_meta(spark, target_path, n_buckets, key_cols)
-        upd = _with_kb(updates, key_cols, n_buckets)
+        _check_bucket_meta(spark, target_path, n_buckets, key_cols, bucket_cols)
+        upd = _with_kb(updates, _resolve_bucket_cols(key_cols, bucket_cols), n_buckets)
         touched = sorted(r.kb for r in upd.select("kb").distinct().collect())
         if not touched:
             return
@@ -317,6 +411,11 @@ def _newest_wins(
     group_cols = list(key_cols) + (["kb"] if "kb" in merged.columns else [])
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     value_cols = [c for c in merged.columns if c not in group_cols]
+    if not value_cols:
+        # every column is a key (e.g. an index relation like the LSH
+        # signature store keyed (band, mh, doc_id)): a row IS its key,
+        # so newest-wins degenerates to distinct
+        return merged.dropDuplicates(group_cols)
     tie_break = order_cols + [c for c in value_cols if c not in order_cols]
     return merged.groupBy(*group_cols).agg(
         F.expr(
@@ -496,17 +595,24 @@ def rebucket_state_table(
             "rebucket."
         )
     _assert_bucketed_layout(target_path)
-    meta = os.path.join(target_path, "_table_meta.json")
-    if not os.path.exists(meta):
+    stored_meta = _read_meta(target_path)
+    if stored_meta is None:
         raise ValueError(f"{target_path} has no _table_meta.json (not a bucketed table)")
-    with open(meta) as fh:
-        old_n_buckets = json.load(fh)["n_buckets"]
+    old_n_buckets = stored_meta["n_buckets"]
+    # route on the table's recorded bucket columns (a key subset); the
+    # caller's key_cols is the legacy fallback for pre-bucket_cols metas
+    bcols = stored_meta.get("bucket_cols") or list(key_cols)
+    if not set(bcols) <= set(key_cols):
+        raise ValueError(
+            f"wrong key_cols {key_cols} for {target_path}: the table's "
+            f"recorded bucket columns are {bcols}"
+        )
     stored = spark.read.parquet(target_path)  # includes the kb column
-    recomputed = F.pmod(F.hash(*key_cols), F.lit(old_n_buckets)).cast("int")
+    recomputed = F.pmod(F.hash(*bcols), F.lit(old_n_buckets)).cast("int")
     n_bad = stored.where(F.col("kb") != recomputed).count()
     if n_bad:
         raise ValueError(
-            f"{n_bad} rows' stored kb disagree with hash({key_cols}) % "
+            f"{n_bad} rows' stored kb disagree with hash({bcols}) % "
             f"{old_n_buckets}; wrong key_cols for {target_path}"
         )
     markers: list = []
@@ -516,11 +622,11 @@ def rebucket_state_table(
             with open(mpath) as fh:
                 markers += [m for m in json.load(fh) if m not in markers]
     markers = markers[-_MANIFEST_CAP:]
-    rekeyed = _with_kb(stored.drop("kb"), key_cols, new_n_buckets)
+    rekeyed = _with_kb(stored.drop("kb"), bcols, new_n_buckets)
     tmp = target_path + f".tmp-{uuid.uuid4().hex[:8]}"
     rekeyed.write.mode("overwrite").partitionBy("kb").parquet(tmp)
     with open(os.path.join(tmp, "_table_meta.json"), "w") as fh:
-        json.dump({"n_buckets": new_n_buckets}, fh)
+        json.dump({"n_buckets": new_n_buckets, "bucket_cols": bcols}, fh)
     if markers:
         for d in os.listdir(tmp):
             if d.startswith("kb="):
@@ -600,6 +706,7 @@ def accumulate_batch(
     epoch_id: int | None = None,
     run_id: str | None = None,
     n_buckets: int | None = None,
+    bucket_cols: list[str] | None = None,
 ) -> None:
     """MERGE-emulation for ADDITIVE state: per-key counters summed with
     the stored table (vs upsert_batch's newest-wins for replacement
@@ -640,10 +747,10 @@ def accumulate_batch(
     if n_buckets is not None:
         _recover(target_path)  # whole-table swap crash (see upsert_batch)
         _assert_bucketed_layout(target_path)
-        _check_bucket_meta(spark, target_path, n_buckets, key_cols)
+        _check_bucket_meta(spark, target_path, n_buckets, key_cols, bucket_cols)
         if os.path.isdir(target_path):
             _recover_buckets(target_path)  # manifests must be read post-repair
-        upd = _with_kb(deltas, key_cols, n_buckets)
+        upd = _with_kb(deltas, _resolve_bucket_cols(key_cols, bucket_cols), n_buckets)
         touched = sorted(r.kb for r in upd.select("kb").distinct().collect())
         manifests: dict[int, list] = {}
         todo = []
@@ -715,6 +822,7 @@ def stream_accumulate_counts(
     pre_agg,
     combine: str = "sum",
     n_buckets: int | None = 16,
+    bucket_cols: list[str] | None = None,
 ) -> None:
     """Run an append-mode availableNow stream into an ADDITIVE cache table:
     ``pre_agg`` (static DataFrame -> per-key delta counts) runs inside
@@ -735,7 +843,7 @@ def stream_accumulate_counts(
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
         accumulate_batch(
             spark, target_path, pre_agg(batch_df), key_cols, sum_cols, combine, epoch_id,
-            run_id=run_id, n_buckets=n_buckets,
+            run_id=run_id, n_buckets=n_buckets, bucket_cols=bucket_cols,
         )
 
     q = (
@@ -754,6 +862,7 @@ def stream_to_cache_table(
     key_cols: list[str],
     order_col: str | list[str],
     n_buckets: int | None = 16,
+    bucket_cols: list[str] | None = None,
 ) -> None:
     """Run an availableNow update-mode stream into a keyed parquet cache
     table via foreachBatch upsert (hash-bucketed by default, so each
@@ -763,7 +872,10 @@ def stream_to_cache_table(
     ckpt = os.path.join(tempfile.gettempdir(), f"streamsum_sink_ckpt_{uuid.uuid4().hex[:10]}")
 
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
-        upsert_batch(spark, target_path, batch_df, key_cols, order_col, n_buckets=n_buckets)
+        upsert_batch(
+            spark, target_path, batch_df, key_cols, order_col,
+            n_buckets=n_buckets, bucket_cols=bucket_cols,
+        )
 
     q = (
         df.writeStream.foreachBatch(merge)

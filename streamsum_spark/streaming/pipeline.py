@@ -1065,14 +1065,27 @@ def stream_near_dup_pairs(
     accumulated shingle store; verified pairs upsert into the pair
     table.  Old-vs-old pairs are never recomputed, so candidate
     GENERATION is |batch| x (bucket collisions); state MAINTENANCE is
-    bounded too — the three state tables are hash-bucketed (n_buckets=16
+    bounded — the three state tables are hash-bucketed (n_buckets=16
     here; scale with corpus in production), so each merge reads and
     rewrites only the buckets the batch's keys hash into, not the whole
     accumulated store (bounded-rewrite pinned in
     tests/test_sinks.py::test_bucketed_upsert_rewrites_only_touched_buckets).
-    The candidate join still scans the signature store's touched band
-    files per batch; a real deployment additionally partitions the
-    signature table BY BAND so the join prunes to colliding bands.
+
+    The READ side is bucket-pruned too — per-batch IO is O(touched
+    buckets), never O(accumulated corpus):
+
+    - the signature store is keyed ``(band, mh, doc_id)`` and bucketed
+      on ``(band, mh)`` — the LSH collision key — so the new-vs-old
+      candidate join reads only the signature buckets the batch's
+      (band, mh) pairs hash into (read_touched_buckets; the
+      partitioned-by-band production layout, generalized to hash
+      buckets over the full collision key).  Docs are immutable in the
+      corpus-ingest model, so the widened key is still idempotent on
+      redelivery (the same (band, mh, doc_id) row upserts onto itself).
+    - the Jaccard verify fetches ONLY the candidate doc_ids' shingle
+      rows from the touched shingle buckets, not the whole store; the
+      candidate id set is batch-sized by construction (|batch| x capped
+      bucket collisions).
 
     All three state tables maintain themselves through the KEYED upsert
     sink (idempotent by construction, so micro-batch replays are safe
@@ -1080,9 +1093,10 @@ def stream_near_dup_pairs(
     documents (the standard ingest unit); piece-wise docs belong to
     stream_minhash_signatures' min-merge, which this store could adopt
     wholesale if needed.  Pinned equal to the batch pipeline's pair set
-    over a 3-micro-batch split in tests/test_streaming.py."""
+    over a 3-micro-batch split, with the per-batch state reads pinned
+    bounded to touched buckets, in tests/test_streaming.py."""
     from streamsum_spark.operators.dedup import _SHINGLES_T, _TOKS, _signatures_from
-    from streamsum_spark.sinks import upsert_batch
+    from streamsum_spark.sinks import read_touched_buckets, upsert_batch
 
     base = os.path.join(
         tempfile.gettempdir(), f"streamsum_ndup_{uuid.uuid4().hex[:12]}"
@@ -1104,7 +1118,11 @@ def stream_near_dup_pairs(
         )
         cands = new_new
         if os.path.exists(sig_tbl):
-            old_sig = read_state_table(spark, sig_tbl)
+            # pruned read: only the signature buckets this batch's
+            # (band, mh) pairs hash into — not the whole store
+            old_sig = read_touched_buckets(
+                spark, sig_tbl, b_sig.select("band", "mh")
+            )
             new_old = (
                 b_sig.alias("a")
                 .join(old_sig.alias("b"), ["band", "mh"])
@@ -1118,10 +1136,21 @@ def stream_near_dup_pairs(
                 .where(F.col("doc_a") != F.col("doc_b"))
             )
             cands = cands.unionByName(new_old)
-        cands = cands.distinct()
+        cands = cands.distinct().localCheckpoint()
         all_sh = b_sh
         if os.path.exists(sh_tbl):
-            all_sh = read_state_table(spark, sh_tbl).unionByName(b_sh)
+            # candidate ids not in this batch: their shingles live in the
+            # store — fetch only those rows from their touched buckets
+            need = (
+                cands.select(F.col("doc_a").alias("doc_id"))
+                .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+                .distinct()
+                .join(b_sh.select("doc_id"), "doc_id", "left_anti")
+            )
+            stored_sh = read_touched_buckets(spark, sh_tbl, need).join(
+                need, "doc_id", "left_semi"
+            )
+            all_sh = stored_sh.unionByName(b_sh)
         verified = (
             cands.join(all_sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
             .join(all_sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
@@ -1139,7 +1168,10 @@ def stream_near_dup_pairs(
             .where(F.col("jaccard") >= threshold)
         )
         upsert_batch(spark, pair_tbl, verified, ["doc_a", "doc_b"], "jaccard", n_buckets=16)
-        upsert_batch(spark, sig_tbl, b_sig, ["doc_id", "band"], "mh", n_buckets=16)
+        upsert_batch(
+            spark, sig_tbl, b_sig, ["band", "mh", "doc_id"], "doc_id",
+            n_buckets=16, bucket_cols=["band", "mh"],
+        )
         upsert_batch(spark, sh_tbl, b_sh.select("doc_id", "sh"), ["doc_id"], "doc_id", n_buckets=16)
 
     docs = stream_documents(spark, sf_dir, glob, max_files_per_trigger)
@@ -1172,6 +1204,7 @@ def stream_dedup_corpus(
     Returns the surviving documents, pinned equal to batch dedup_corpus
     over a 3-micro-batch split."""
     from streamsum_spark.operators.clusters import connected_components
+    from streamsum_spark.sinks import stream_to_cache_table
 
     pairs = stream_near_dup_pairs(
         spark,
@@ -1185,7 +1218,16 @@ def stream_dedup_corpus(
         F.col("id").alias("doc_id")
     )
     docs = stream_documents(spark, sf_dir, glob, max_files_per_trigger)
-    # the corpus itself also arrived by stream; collect it through the
-    # append path once (file source; at scale this is the ingested table)
-    corpus = _run_to_memory(docs.select("doc_id", "lang", "source"), "append")
+    # the corpus itself also arrived by stream: land it in a keyed
+    # parquet cache table (bucketed upsert, executor-side IO), NOT a
+    # memory sink — the memory sink materializes every row on the
+    # driver, which at corpus cardinality is a scale-killer even for
+    # narrow columns.  At scale this table IS the ingested corpus.
+    corpus_tbl = os.path.join(
+        tempfile.gettempdir(), f"streamsum_dedup_corpus_{uuid.uuid4().hex[:12]}"
+    )
+    stream_to_cache_table(
+        docs.select("doc_id", "lang", "source"), corpus_tbl, ["doc_id"], "doc_id"
+    )
+    corpus = read_state_table(spark, corpus_tbl)
     return corpus.join(F.broadcast(drops), "doc_id", "left_anti")

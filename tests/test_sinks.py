@@ -579,3 +579,94 @@ def test_rebucket_state_table_scale_up(spark, tmp_path):
     assert canon_rows(sinks.read_state_table(spark, target).toPandas()) == before
     got = sinks.lookup_state_keys(spark, target, ["k"], [3, 499])
     assert {r.k: r.c for r in got.collect()} == {3: 1, 499: 1}
+
+
+def test_read_touched_buckets_prunes_io(spark, tmp_path):
+    """The distributed pruned read: given a batch-sized key DataFrame,
+    only the bucket directories those keys hash into are opened —
+    per-batch read IO is O(touched buckets), not O(accumulated state).
+    This is the read-side contract the streaming near-dup verifier
+    depends on."""
+    target = str(tmp_path / "rtb")
+    base = spark.range(2000).selectExpr("id AS k", "id * 3 AS o")
+    sinks.upsert_batch(spark, target, base, ["k"], "o", n_buckets=16)
+
+    keys = spark.createDataFrame([(5,)], "k long")
+    kb = spark.range(1).select(
+        F.pmod(F.hash(F.lit(5).cast("long")), F.lit(16)).cast("int").alias("kb")
+    ).collect()[0].kb
+    got = sinks.read_touched_buckets(spark, target, keys)
+    files = got.inputFiles()
+    assert files and all(f"kb={kb}/" in f for f in files), files
+    # the pruned rows are the touched bucket's contents; the caller joins
+    assert {r.k for r in got.join(keys, "k", "left_semi").collect()} == {5}
+
+
+def test_bucket_cols_subset_layout_and_pruned_join(spark, tmp_path):
+    """A table keyed (band, mh, doc_id) but bucketed on (band, mh) — the
+    LSH signature-store shape: rows co-locate by collision key, so a
+    batch's (band, mh) pairs prune the join read to colliding buckets;
+    redelivered rows upsert onto themselves (all-key table)."""
+    import pytest
+
+    target = str(tmp_path / "sigstore")
+    sig = spark.createDataFrame(
+        [(b, m, d) for d in range(50) for b, m in [(d % 4, (d * 7) % 10)]],
+        "band int, mh long, doc_id long",
+    )
+    for _ in range(2):  # redelivery: idempotent
+        sinks.upsert_batch(
+            spark, target, sig, ["band", "mh", "doc_id"], "doc_id",
+            n_buckets=8, bucket_cols=["band", "mh"],
+        )
+    assert sinks.read_state_table(spark, target).count() == 50
+
+    # pruned read by collision key: only the (band, mh)'s bucket is opened
+    probe = spark.createDataFrame([(1, 7)], "band int, mh long")
+    kb = spark.range(1).select(
+        F.pmod(F.hash(F.lit(1).cast("int"), F.lit(7).cast("long")), F.lit(8))
+        .cast("int").alias("kb")
+    ).collect()[0].kb
+    got = sinks.read_touched_buckets(spark, target, probe)
+    assert got.inputFiles() and all(f"kb={kb}/" in f for f in got.inputFiles())
+    hits = got.join(probe, ["band", "mh"]).select("doc_id").collect()
+    expect = {d for d in range(50) if d % 4 == 1 and (d * 7) % 10 == 7}
+    assert {r.doc_id for r in hits} == expect
+
+    # lifetime guards: different bucket_cols refused; non-key bucket col refused
+    with pytest.raises(ValueError, match="bucket_cols"):
+        sinks.upsert_batch(
+            spark, target, sig, ["band", "mh", "doc_id"], "doc_id", n_buckets=8
+        )
+    with pytest.raises(ValueError, match="subset of key_cols"):
+        sinks.upsert_batch(
+            spark, str(tmp_path / "bad"), sig, ["band", "doc_id"], "doc_id",
+            n_buckets=8, bucket_cols=["mh"],
+        )
+
+
+def test_rebucket_preserves_bucket_cols(spark, tmp_path):
+    """Rebucketing a bucket_cols table must keep routing on the recorded
+    subset (and record it in the new meta), so pruned reads stay correct
+    after a scale-up."""
+    target = str(tmp_path / "sigstore_rb")
+    sig = spark.createDataFrame(
+        [(d % 4, (d * 7) % 10, d) for d in range(50)],
+        "band int, mh long, doc_id long",
+    )
+    sinks.upsert_batch(
+        spark, target, sig, ["band", "mh", "doc_id"], "doc_id",
+        n_buckets=4, bucket_cols=["band", "mh"],
+    )
+    sinks.rebucket_state_table(spark, target, ["band", "mh", "doc_id"], 16)
+    import json as js
+
+    with open(os.path.join(target, "_table_meta.json")) as fh:
+        meta = js.load(fh)
+    assert meta == {"n_buckets": 16, "bucket_cols": ["band", "mh"]}
+    probe = spark.createDataFrame([(1, 7)], "band int, mh long")
+    got = sinks.read_touched_buckets(spark, target, probe).join(
+        probe, ["band", "mh"]
+    )
+    expect = {d for d in range(50) if d % 4 == 1 and (d * 7) % 10 == 7}
+    assert {r.doc_id for r in got.collect()} == expect
