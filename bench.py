@@ -56,7 +56,42 @@ HEADLINE = [
     "minhash_signatures",
     "text_token_counts",
     "similarity_topk",
+    # round 6 addition (compare totals to r<=5 minus this entry): the
+    # incremental state-table layer — 3 bucketed additive merges + read
+    "bucketed_state_merge",
 ]
+
+
+def bucketed_state_merge(spark, sf_dir):
+    """Headline for the state-sink layer: per-user event counts arriving
+    as 3 micro-batch deltas, sum-merged into a fresh 16-bucket state
+    table (read + re-reduce + atomic swap of touched buckets per merge,
+    per-bucket replay manifests), then read back.  Regressions in the
+    bucketed merge path are driver-visible through this entry, not only
+    pytest-visible."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from streamsum_spark import sinks
+    from streamsum_spark.tables import table
+
+    target = os.path.join(
+        tempfile.gettempdir(), f"bench_state_{uuid.uuid4().hex[:10]}"
+    )
+    ev = table(spark, sf_dir, "events")
+    for i in range(3):
+        deltas = (
+            ev.where(F.pmod(F.col("event_id"), F.lit(3)) == i)
+            .groupBy(F.col("user_id").alias("k"))
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        sinks.accumulate_batch(
+            spark, target, deltas, ["k"], ["c"],
+            epoch_id=i, run_id="bench", n_buckets=16,
+        )
+    return sinks.read_state_table(spark, target)
 
 
 def _materialize(df) -> int:
@@ -87,6 +122,7 @@ def main() -> None:
         "window_rownum_lastn": rel.window_rownum_lastn,
         "text_token_counts": tx.text_token_counts,
         "similarity_topk": sim.similarity_topk,
+        "bucketed_state_merge": bucketed_state_merge,
     }
 
     spark = get_spark("streamsum_spark_bench")

@@ -1170,6 +1170,7 @@ def write_embeddings_ivfpq(
     n_subs: int = PQ_SUBS,
     n_cents: int = PQ_CENTS,
     seed: int = 7,
+    block_size: int = 16 * 1024,
 ) -> None:
     """Materialize the full IVFADC storage layout: PQ residual codes
     partitioned by coarse list (``partitionBy(list_id)``), the centroid
@@ -1181,19 +1182,47 @@ def write_embeddings_ivfpq(
     codes per vector inside list partitions (float vectors stay in the
     source table, touched only by the final rerank), so an nprobe query
     opens nprobe partitions of codes and reads the float corpus for
-    ``shortlist`` rows."""
+    ``shortlist`` rows.
+
+    Codes are CLUSTERED by ``loc_angle`` inside each list — the original
+    vector's angle to its list centroid, sorted within the partition with
+    bounded row groups, exactly like the float layout
+    (write_embeddings_ivf): a min-cosine query then prunes ROW GROUPS of
+    codes with the sound band |loc_angle - angle(q, c)| <= arccos(min_cos)
+    before reading them (ordered stats + prune pinned in
+    tests/test_ivf_layout.py, same pins as the float path)."""
     import json
 
     assignments, centroids, codes, books = ivfpq_index(
         spark, sf_dir, n_lists=n_lists, n_subs=n_subs, n_cents=n_cents, seed=seed
     )
+    emb = table(spark, sf_dir, "embeddings")
+    loc = (
+        emb.join(assignments, "vec_id")
+        .join(F.broadcast(centroids), "list_id")
+        .withColumn(
+            "loc_angle",
+            F.expr(
+                "acos(greatest(-1.0d, least(1.0d, "
+                + _cos_expr("embedding", "centroid")
+                + ")))"
+            ),
+        )
+        .select("vec_id", "loc_angle")
+    )
     (
         codes.join(assignments, "vec_id")
+        .join(loc, "vec_id")
         # one writer task per list: without this every input split emits a
         # file per partition dir and footer overhead swamps the 4-byte
         # codes (at scale, also the knob that bounds file count)
         .repartition("list_id")
+        .sortWithinPartitions("list_id", "loc_angle")
         .write.mode("overwrite")
+        # small row groups so min/max stats give sub-list granularity —
+        # code rows are ~20 bytes, so the byte knob sits far lower than
+        # the float layout's; production tunes toward the HDFS default
+        .option("parquet.block.size", block_size)
         .partitionBy("list_id")
         .parquet(out_path)
     )
@@ -1210,11 +1239,20 @@ def ann_ivfpq_partitioned_topk(
     k: int = 10,
     nprobe: int = 2,
     shortlist: int = 50,
+    min_cos: float | None = None,
 ) -> DataFrame:
     """IVFPQ over the materialized layout: route via the stored centroid
     table, scan ONLY the probed list partitions of 4-byte codes
     (PartitionFilters prune, pinned), ADC-score with per-list residual
-    LUTs, exact-rerank the shortlist against the float source table."""
+    LUTs, exact-rerank the shortlist against the float source table.
+
+    ``min_cos``: only return results with exact cosine >= min_cos, AND
+    use the bound to prune ROW GROUPS of codes inside each probed list
+    before reading them: a qualifying vector must lie within
+    |loc_angle - angle(q, centroid)| <= arccos(min_cos) (angular triangle
+    inequality), and the layout's within-list loc_angle sort turns that
+    band into parquet min/max row-group skips — the float layout's prune
+    (ann_ivf_partitioned_topk), carried to the compact-code path."""
     import json
     import math
 
@@ -1242,10 +1280,28 @@ def ann_ivfpq_partitioned_topk(
         + _adc_score_expr([a - b for a, b in zip(q, r.centroid)], books)
         for r in routed
     )
+    corpus = spark.read.parquet(corpus_path).where(
+        F.col("list_id").isin([r.list_id for r in routed])
+    )
+    if min_cos is not None and "loc_angle" in corpus.columns:
+        # band per probed list: mirror the stored loc_angle's round(6)
+        # cosine grid, +1e-9 slack for the python-vs-JVM acos ulp
+        radius = math.acos(max(-1.0, min(1.0, min_cos))) + 1e-9
+        qn = math.sqrt(sum(x * x for x in q))
+        band = None
+        for r in routed:
+            cn = math.sqrt(sum(x * x for x in r.centroid))
+            cosqc = round(
+                sum(a * b for a, b in zip(q, r.centroid)) / (qn * cn), 6
+            )
+            theta = math.acos(max(-1.0, min(1.0, cosqc)))
+            cond = (F.col("list_id") == r.list_id) & F.col("loc_angle").between(
+                theta - radius, theta + radius
+            )
+            band = cond if band is None else (band | cond)
+        corpus = corpus.where(band)
     cand = (
-        spark.read.parquet(corpus_path)
-        .where(F.col("list_id").isin([r.list_id for r in routed]))
-        .where(F.col("vec_id") != probe_vec_id)
+        corpus.where(F.col("vec_id") != probe_vec_id)
         .select("vec_id", F.expr(f"CASE {branches} END").alias("adist"))
         .orderBy(F.col("adist").asc(), F.col("vec_id"))
         .limit(shortlist)
@@ -1258,10 +1314,19 @@ def ann_ivfpq_partitioned_topk(
         "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), CAST(q AS ARRAY<DOUBLE>), "
         "(a, b) -> (a - b) * (a - b)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
     )
-    return (
+    reranked = (
         emb.join(F.broadcast(cand), "vec_id")
         .join(F.broadcast(probe))
-        .select("vec_id", F.expr(dist).alias("l2"))
+        .select(
+            "vec_id",
+            F.expr(dist).alias("l2"),
+            F.expr(_cos_expr("embedding", "q")).alias("cos"),
+        )
+    )
+    if min_cos is not None:
+        reranked = reranked.where(F.col("cos") >= min_cos)
+    return (
+        reranked.select("vec_id", "l2")
         .orderBy(F.col("l2").asc(), F.col("vec_id"))
         .limit(k)
     )

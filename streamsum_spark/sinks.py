@@ -63,7 +63,19 @@ def write_cache_bucketed(
 def _with_kb(df: DataFrame, key_cols: list[str], n_buckets: int) -> DataFrame:
     """Attach the key-bucket column: Murmur3 hash of the key columns mod
     ``n_buckets`` — deterministic across sessions, so a key always lands
-    in the same bucket directory for the lifetime of the table."""
+    in the same bucket directory for the lifetime of the table.
+
+    Key SKEW caveat: the layout balances distinct KEYS, not rows — every
+    row of a hot key hashes into one bucket, so a key carrying 50% of
+    the table makes one bucket ~50% of the bytes.  Merges and lookups
+    stay CORRECT (pinned in tests/test_sinks.py::
+    test_bucketed_merge_correct_under_hot_key_skew); the cost is that
+    touching the hot key rewrites/reads its oversized bucket, and
+    rebucket_state_table fixes bucket COUNT, not skew.  This is fine for
+    one-row-per-key state (the upsert caches: a "hot" key is still one
+    row) and for pair tables keyed (doc_a, doc_b) (composite keys spread).
+    A future table with MANY ROWS per hot key would want a salt column in
+    the key — add it there, not here."""
     return df.withColumn(
         "kb", F.pmod(F.hash(*key_cols), F.lit(n_buckets)).cast("int")
     )

@@ -232,3 +232,125 @@ def test_ivfpq_layout_matches_in_memory_and_prunes(spark, tmp_path_factory):
 
     emb_bytes = du(os.path.join(SF_ORACLE, "embeddings.parquet"))
     assert du(out) < 0.5 * emb_bytes, (du(out), emb_bytes)
+
+
+@pytest.fixture(scope="module")
+def clustered_ivfpq(spark, clustered_ivf, tmp_path_factory):
+    """The IVFADC layout over the clustered corpus, written with a small
+    row-group knob (code rows are ~20 bytes, so sub-list stats
+    granularity at test scale needs a lower byte bound than the float
+    layout's 16 KB)."""
+    sfdir, _ = clustered_ivf
+    out = str(tmp_path_factory.mktemp("clustered_ivfpq") / "codes_ivfpq")
+    sim.write_embeddings_ivfpq(spark, sfdir, out, block_size=2048)
+    return sfdir, out
+
+
+def test_ivfpq_rows_clustered_by_loc_angle(spark, clustered_ivfpq):
+    """Same ordered min/max stats pin as the float layout
+    (test_within_list_rows_clustered_by_loc_angle): the loc_angle sort
+    must be visible in the CODE files' row-group statistics."""
+    import os
+
+    _, out = clustered_ivfpq
+    lists = [d for d in os.listdir(out) if d.startswith("list_id=")]
+    assert len(lists) >= 4
+    multi = 0
+    for d in lists:
+        stats = _rg_stats(os.path.join(out, d))
+        assert stats  # statistics present on the sort column
+        assert stats == sorted(stats)  # groups written in sorted order
+        lo, hi = min(s[0] for s in stats), max(s[1] for s in stats)
+        if len(stats) > 1:
+            multi += 1
+            widest = max(s[1] - s[0] for s in stats)
+            assert widest < 0.8 * (hi - lo) + 1e-9, (d, stats)
+    assert multi >= 2
+
+
+def _ivfpq_routed(spark, sfdir, out, nprobe=2):
+    """Re-derive the query's routing (L2-nearest centroids) and each
+    routed list's probe-centroid angle, exactly as the query computes
+    them."""
+    import math
+    import os
+
+    q = [
+        float(x)
+        for x in spark.read.parquet(os.path.join(sfdir, "embeddings.parquet"))
+        .where(sim.F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0][0]
+    ]
+    qn = math.sqrt(sum(x * x for x in q))
+
+    def d2(c):
+        return sum((a - b) * (a - b) for a, b in zip(q, c))
+
+    cents = spark.read.parquet(out + "_centroids").collect()
+    routed = sorted(cents, key=lambda r: (d2(r.centroid), r.list_id))[:nprobe]
+    thetas = {}
+    for r in routed:
+        cn = math.sqrt(sum(x * x for x in r.centroid))
+        cosqc = round(sum(a * b for a, b in zip(q, r.centroid)) / (qn * cn), 6)
+        thetas[r.list_id] = math.acos(max(-1.0, min(1.0, cosqc)))
+    return thetas
+
+
+def test_ivfpq_band_predicate_skips_row_groups(spark, clustered_ivfpq):
+    """A min-cosine band over the CODE layout must intersect strictly
+    fewer row groups than the probed lists contain — decidable from the
+    stats before any read — while still returning real results."""
+    import math
+    import os
+
+    sfdir, out = clustered_ivfpq
+    min_cos = 0.6
+    got = sim.ann_ivfpq_partitioned_topk(
+        spark, out, sfdir, k=500, nprobe=2, shortlist=2000, min_cos=min_cos
+    ).collect()
+    assert len(got) > 20
+
+    thetas = _ivfpq_routed(spark, sfdir, out, nprobe=2)
+    radius = math.acos(min_cos)
+    total = hit = 0
+    for list_id, theta in thetas.items():
+        for lo, hi in _rg_stats(os.path.join(out, f"list_id={list_id}")):
+            total += 1
+            if not (hi < theta - radius or lo > theta + radius):
+                hit += 1
+    assert total > hit, (total, hit)  # at least one row group is skipped
+
+
+def test_ivfpq_min_cos_matches_unbanded(spark, clustered_ivfpq):
+    """The angular band on the code layout is a pure PRUNE: with the
+    same nprobe lists and an untruncated shortlist, the banded query
+    returns exactly the unbanded results whose exact cosine clears the
+    threshold."""
+    import os
+
+    sfdir, out = clustered_ivfpq
+    plain = [
+        (r.vec_id, r.l2)
+        for r in sim.ann_ivfpq_partitioned_topk(
+            spark, out, sfdir, k=500, nprobe=2, shortlist=2000
+        ).collect()
+    ]
+    emb = spark.read.parquet(os.path.join(sfdir, "embeddings.parquet"))
+    probe = emb.where(sim.F.col("vec_id") == 0).select(
+        sim.F.col("embedding").alias("q")
+    )
+    cos_of = {
+        r.vec_id: r.cos
+        for r in emb.join(sim.F.broadcast(probe))
+        .select("vec_id", sim.F.expr(sim._cos_expr("embedding", "q")).alias("cos"))
+        .collect()
+    }
+    expected = [(v, l2) for v, l2 in plain if cos_of[v] >= 0.6]
+    banded = [
+        (r.vec_id, r.l2)
+        for r in sim.ann_ivfpq_partitioned_topk(
+            spark, out, sfdir, k=500, nprobe=2, shortlist=2000, min_cos=0.6
+        ).collect()
+    ]
+    assert banded == expected and expected

@@ -670,3 +670,39 @@ def test_rebucket_preserves_bucket_cols(spark, tmp_path):
     )
     expect = {d for d in range(50) if d % 4 == 1 and (d * 7) % 10 == 7}
     assert {r.doc_id for r in got.collect()} == expect
+
+
+def test_bucketed_merge_correct_under_hot_key_skew(spark, tmp_path):
+    """hash(key) % n_buckets concentrates a hot key in ONE bucket: with
+    one key owning 50% of the rows, merge/lookup/read must all stay
+    correct — the skew costs bucket SIZE (the known, documented cost),
+    never correctness.  Additive table: many delta rows per key collapse
+    to one stored row per key, so even the hot bucket stays one-row-ish."""
+    target = str(tmp_path / "skewed")
+    # 2000 deltas: 1000 for hot key 7, 1000 across keys 1000..1999
+    hot = spark.range(1000).selectExpr("7L AS k", "1L AS c")
+    cold = spark.range(1000, 2000).selectExpr("id AS k", "1L AS c")
+    sinks.accumulate_batch(
+        spark, target, hot.unionByName(cold), ["k"], ["c"],
+        epoch_id=0, run_id="r", n_buckets=16,
+    )
+    got = {r.k: r.c for r in sinks.read_state_table(spark, target).collect()}
+    assert got[7] == 1000 and len(got) == 1001
+    assert all(got[k] == 1 for k in range(1000, 2000))
+
+    # a second skewed batch folds into the SAME hot bucket, still correct
+    sinks.accumulate_batch(
+        spark, target, hot, ["k"], ["c"], epoch_id=1, run_id="r", n_buckets=16
+    )
+    hit = sinks.lookup_state_keys(spark, target, ["k"], [7, 1500]).collect()
+    assert {r.k: r.c for r in hit} == {7: 2000, 1500: 1}
+
+    # the hot key lives in exactly one bucket directory
+    kb = spark.range(1).select(
+        F.pmod(F.hash(F.lit(7).cast("long")), F.lit(16)).cast("int").alias("kb")
+    ).collect()[0].kb
+    rows_in = {
+        d: spark.read.parquet(os.path.join(target, d)).where("k = 7").count()
+        for d in os.listdir(target) if d.startswith("kb=")
+    }
+    assert rows_in[f"kb={kb}"] == 1 and sum(rows_in.values()) == 1
