@@ -1054,6 +1054,7 @@ def stream_near_dup_pairs(
     threshold: float = 0.2,
     glob: str = "documents.parquet",
     max_files_per_trigger: int | None = None,
+    n_buckets: int = 16,
 ) -> DataFrame:
     """Incremental near-duplicate detection — the streaming twin of
     dedup.near_dup_verified, and the shape a continuously-ingesting
@@ -1086,6 +1087,16 @@ def stream_near_dup_pairs(
       rows from the touched shingle buckets, not the whole store; the
       candidate id set is batch-sized by construction (|batch| x capped
       bucket collisions).
+
+    ``n_buckets`` is the knob that makes "touched buckets" a real bound:
+    a read prunes to ~(batch's distinct routed keys / n_buckets) of the
+    store, so size n_buckets well above the per-batch key cardinality of
+    the table's access path — the shingle fetch routes ~|candidates|
+    doc_ids (small), the signature fetch routes ~16x|batch| (band, mh)
+    pairs (large).  BULK ingest (batch keys >= n_buckets) touches every
+    bucket and the read legitimately scans the store — exactly what an
+    LSH join over the full corpus costs; the pruning pays in the
+    trickle/point regime (measured in SURVEY §2.F round-6 stress).
 
     All three state tables maintain themselves through the KEYED upsert
     sink (idempotent by construction, so micro-batch replays are safe
@@ -1167,12 +1178,18 @@ def stream_near_dup_pairs(
             )
             .where(F.col("jaccard") >= threshold)
         )
-        upsert_batch(spark, pair_tbl, verified, ["doc_a", "doc_b"], "jaccard", n_buckets=16)
+        upsert_batch(
+            spark, pair_tbl, verified, ["doc_a", "doc_b"], "jaccard",
+            n_buckets=n_buckets,
+        )
         upsert_batch(
             spark, sig_tbl, b_sig, ["band", "mh", "doc_id"], "doc_id",
-            n_buckets=16, bucket_cols=["band", "mh"],
+            n_buckets=n_buckets, bucket_cols=["band", "mh"],
         )
-        upsert_batch(spark, sh_tbl, b_sh.select("doc_id", "sh"), ["doc_id"], "doc_id", n_buckets=16)
+        upsert_batch(
+            spark, sh_tbl, b_sh.select("doc_id", "sh"), ["doc_id"], "doc_id",
+            n_buckets=n_buckets,
+        )
 
     docs = stream_documents(spark, sf_dir, glob, max_files_per_trigger)
     ckpt = os.path.join(tempfile.gettempdir(), f"streamsum_ndup_ckpt_{uuid.uuid4().hex[:10]}")
