@@ -137,8 +137,9 @@ def _decode_pnm(b: bytes) -> np.ndarray:
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-# channels per PNG color type: 0 gray, 2 RGB, 4 gray+alpha, 6 RGBA
-_PNG_NCH = {0: 1, 2: 3, 4: 2, 6: 4}
+# channels per PNG color type: 0 gray, 2 RGB, 3 palette-index, 4 gray+alpha,
+# 6 RGBA
+_PNG_NCH = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 # decoded-scanline ceiling: bounds MEMORY and, with it, CPU.  None/up rows
 # unfilter as numpy expressions and sub rows as a per-lane uint8 cumsum,
 # but average/paeth recur on the reconstructed left neighbor and must walk
@@ -191,17 +192,31 @@ def _png_unfilter_row(f: int, row: np.ndarray, prev: np.ndarray, nch: int) -> np
     return np.array(out, dtype=np.int32)
 
 
+# Adam7 interlace passes: (x_start, y_start, x_step, y_step)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+# spec-legal (color type -> bit depths); palette (3) requires PLTE
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
+
+
 def _decode_png(b: bytes) -> np.ndarray:
-    """Stdlib PNG decode: chunk walk -> zlib inflate -> per-row unfilter.
-    Supports the formats a pixel-stats pass actually meets — 8-bit
-    depth, color types gray/RGB/gray+alpha/RGBA, non-interlaced.
-    Palette (PLTE-indexed), 16-bit, and Adam7 stay NotImplementedError."""
+    """Stdlib PNG decode: chunk walk -> zlib inflate -> per-pass, per-row
+    unfilter -> depth conversion.  Covers the full spec surface a
+    pixel-stats pass can meet: all five color types (gray, RGB,
+    PLTE-palette, gray+alpha, RGBA), bit depths 1/2/4/8/16 (16-bit
+    samples downconvert to their high byte; sub-byte gray rescales to
+    0..255), and Adam7 interlacing (seven filtered sub-images written
+    back on their stride grids).  Only genuinely compressed codecs
+    (JPEG/GIF/...) remain NotImplementedError."""
     import zlib
 
     if b[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     w = h = depth = ctype = interlace = None
     idat = bytearray()
+    plte = None
     i = 8
     while i + 8 <= len(b):
         ln = int.from_bytes(b[i : i + 4], "big")
@@ -211,6 +226,8 @@ def _decode_png(b: bytes) -> np.ndarray:
         data = b[i + 8 : i + 8 + ln]
         if typ == b"IHDR":
             w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            plte = data
         elif typ == b"IDAT":
             idat += data
         elif typ == b"IEND":
@@ -218,19 +235,36 @@ def _decode_png(b: bytes) -> np.ndarray:
         i += 12 + ln  # length + type + data + crc
     if w is None:
         raise ValueError("missing IHDR")
-    if depth != 8 or interlace != 0 or ctype not in _PNG_NCH:
+    if ctype not in _PNG_DEPTHS or depth not in _PNG_DEPTHS[ctype] or interlace not in (0, 1):
         raise NotImplementedError(
             f"PNG depth={depth} color_type={ctype} interlace={interlace} not supported"
         )
+    if ctype == 3:
+        if plte is None or len(plte) % 3 or not plte:
+            raise ValueError("palette PNG missing or malformed PLTE")
     if not idat:
         raise ValueError("missing IDAT")
     nch = _PNG_NCH[ctype]
-    stride = w * nch
+    # the filter's left-neighbor step in BYTES (>= 1 even for sub-byte
+    # depths, per spec)
+    step = max(1, (nch * depth) // 8)
+
+    def stride_bytes(pw: int) -> int:
+        return (pw * nch * depth + 7) // 8
+
+    if interlace == 0:
+        passes = [(0, 0, 1, 1, w, h)]
+    else:
+        passes = []
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            passes.append((x0, y0, dx, dy, pw, ph))
     # Bound BOTH the claimed geometry and the inflate: a malformed header
     # or a deflate bomb (KBs of IDAT inflating to GBs) must fail with
     # ValueError — which extract_features turns into the fingerprint
     # fallback — never blow executor memory inside an Arrow batch.
-    need = h * (stride + 1)
+    need = sum(ph * (1 + stride_bytes(pw)) for _, _, _, _, pw, ph in passes if pw and ph)
     if need > _PNG_MAX_RAW_BYTES:
         raise ValueError(
             f"PNG {w}x{h}x{nch} exceeds the {_PNG_MAX_RAW_BYTES >> 20} MiB "
@@ -244,35 +278,60 @@ def _decode_png(b: bytes) -> np.ndarray:
         raise ValueError(f"bad PNG deflate stream: {e}")
     if len(raw) < need:
         raise ValueError("truncated PNG scanlines")
-    out = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int32)
+    samples = np.zeros((h, w, nch), dtype=np.uint8)
     pos = 0
-    for y in range(h):
-        f = raw[pos]
-        row = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).astype(
-            np.int32
-        )
-        pos += 1 + stride
-        prev = _png_unfilter_row(f, row, prev, nch)
-        out[y] = prev.astype(np.uint8)
-    px = out.reshape(h, w, nch)
+    for x0, y0, dx, dy, pw, ph in passes:
+        if not pw or not ph:
+            continue
+        sb = stride_bytes(pw)
+        rows = np.empty((ph, sb), dtype=np.uint8)
+        prev = np.zeros(sb, dtype=np.int32)
+        for y in range(ph):
+            f = raw[pos]
+            row = np.frombuffer(raw, dtype=np.uint8, count=sb, offset=pos + 1).astype(
+                np.int32
+            )
+            pos += 1 + sb
+            prev = _png_unfilter_row(f, row, prev, step)
+            rows[y] = prev.astype(np.uint8)
+        if depth == 8:
+            px = rows[:, : pw * nch].reshape(ph, pw, nch)
+        elif depth == 16:
+            # big-endian sample pairs: keep the high byte (8-bit downconvert)
+            px = rows[:, : pw * nch * 2].reshape(ph, pw, nch, 2)[:, :, :, 0]
+        else:
+            # sub-byte depths are gray or palette indices (nch == 1),
+            # packed high-bit-first within each byte
+            bits = np.unpackbits(rows, axis=1)[:, : pw * depth]
+            weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+            vals = (bits.reshape(ph, pw, depth) * weights).sum(axis=2)
+            if ctype == 0:  # rescale 0..(2^d - 1) to 0..255
+                vals = vals * 255 // ((1 << depth) - 1)
+            px = vals.astype(np.uint8)[:, :, None]
+        samples[y0::dy, x0::dx, :] = px
+    if ctype == 3:
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = samples[:, :, 0]
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("palette index out of range")
+        return np.ascontiguousarray(pal[idx])
     if ctype == 0:
-        px = np.repeat(px, 3, axis=2)
-    elif ctype == 4:
-        px = np.repeat(px[:, :, :1], 3, axis=2)  # gray+alpha: drop alpha
-    elif ctype == 6:
-        px = px[:, :, :3]  # RGBA: drop alpha
-    return np.ascontiguousarray(px)
+        return np.repeat(samples, 3, axis=2)
+    if ctype == 4:
+        return np.repeat(samples[:, :, :1], 3, axis=2)  # gray+alpha: drop alpha
+    if ctype == 6:
+        return np.ascontiguousarray(samples[:, :, :3])  # RGBA: drop alpha
+    return np.ascontiguousarray(samples)
 
 
 def decode_image(content: bytes) -> np.ndarray:
     """Decode an image to an (h, w, 3) uint8 RGB array.
 
-    Real for BMP (BI_RGB 24/32-bit), PNM (P2/P3/P5/P6), and PNG (8-bit
-    gray/RGB/gray+alpha/RGBA, non-interlaced — stdlib zlib + the five
-    row filters, no codec libs).  Remaining codec formats (JPEG/GIF/
-    palette or 16-bit PNG/...) raise NotImplementedError: a fake decode
-    would misreport pixel stats."""
+    Real for BMP (BI_RGB 24/32-bit), PNM (P2/P3/P5/P6), and the full PNG
+    spec surface (all five color types incl. PLTE palette, bit depths
+    1/2/4/8/16, Adam7 interlace — stdlib zlib + the five row filters, no
+    codec libs).  Genuinely compressed codecs (JPEG/GIF/...) raise
+    NotImplementedError: a fake decode would misreport pixel stats."""
     if content is None:
         raise ValueError("null content")
     b = bytes(content)

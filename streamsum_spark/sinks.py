@@ -233,6 +233,14 @@ def lookup_state_keys(
     if stored is None:
         return read_state_table(spark, target_path).limit(0)
     pruned, keys_cast = stored
+    if 0 < len(key_values) <= 1000:
+        # per-column IN filters (a superset of the composite key set) are
+        # PUSHABLE predicates: merges write each bucket as one key-sorted
+        # file, so the parquet scan skips row groups via min/max stats
+        # before the exact semi-join below — sub-bucket pruning
+        rows = keys_cast.collect()
+        for c in key_cols:
+            pruned = pruned.where(F.col(c).isin([r[c] for r in rows]))
     return pruned.join(F.broadcast(keys_cast), on=key_cols, how="left_semi")
 
 
@@ -468,7 +476,20 @@ def _merge_buckets(
         merged = upd
     reduced = agg(merged) if agg is not None else _newest_wins(merged, key_cols, order_col)
     tmp = target_path + f".tmp-{uuid.uuid4().hex[:8]}"
-    reduced.write.mode("overwrite").partitionBy("kb").parquet(tmp)
+    # one writer task per bucket, rows sorted by key: each rewritten
+    # bucket is ONE key-sorted file, so (a) file count stays bounded at
+    # one per bucket instead of one per shuffle partition per bucket,
+    # and (b) parquet min/max stats on the key columns let point lookups
+    # skip row groups inside a bucket (lookup_state_keys pushes key
+    # IN-filters into the scan) — the file-level pruning a transactional
+    # table format would provide, emulated with layout
+    (
+        reduced.repartition("kb")
+        .sortWithinPartitions("kb", *key_cols)
+        .write.mode("overwrite")
+        .partitionBy("kb")
+        .parquet(tmp)
+    )
     os.makedirs(target_path, exist_ok=True)
     for b in touched:
         src = os.path.join(tmp, f"kb={b}")

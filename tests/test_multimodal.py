@@ -94,8 +94,8 @@ def test_decode_is_honest_stub_for_codecs():
         mm.decode_image(b"\xff\xd8\xff\xe0" + bytes(64))
     with pytest.raises(NotImplementedError):
         mm.decode_audio(b"ID3\x04" + bytes(32))
-    # PNG variants outside the stdlib decoder's scope stay honest too:
-    # 16-bit depth and palette color both raise, never fake-decode
+    # spec-ILLEGAL depth/color combos still refuse (16-bit and palette
+    # are now real decodes — see the palette/16-bit/Adam7 tests)
     import struct as st
     import zlib
 
@@ -107,8 +107,11 @@ def test_decode_is_honest_stub_for_codecs():
         idat = st.pack(">I", 0) + b"IDAT" + st.pack(">I", zlib.crc32(b"IDAT"))
         return b"\x89PNG\r\n\x1a\n" + chunk + idat
     with pytest.raises(NotImplementedError):
-        mm.decode_image(png_with_ihdr(16, 2))
+        mm.decode_image(png_with_ihdr(4, 2))  # sub-byte RGB is not legal
     with pytest.raises(NotImplementedError):
+        mm.decode_image(png_with_ihdr(16, 3))  # 16-bit palette is not legal
+    # palette PNG without a PLTE fails loudly, never fake-decodes
+    with pytest.raises(ValueError, match="PLTE"):
         mm.decode_image(png_with_ihdr(8, 3))
 
 
@@ -312,3 +315,124 @@ def test_png_unfilter_vectorized_paths_and_cpu_cap():
     for f in (1, 3, 4):
         assert np.array_equal(mm.decode_image(mm.encode_png(px, filter_type=f)), px), f
     assert mm._PNG_MAX_RAW_BYTES <= 16 << 20
+
+
+def _png_chunk(typ, data):
+    import struct as st
+    import zlib
+
+    return st.pack(">I", len(data)) + typ + data + st.pack(
+        ">I", zlib.crc32(typ + data) & 0xFFFFFFFF
+    )
+
+
+def _png_blob(w, h, depth, ctype, interlace, raw, plte=None):
+    import struct as st
+    import zlib
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = _png_chunk(b"IHDR", st.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace))
+    body = ihdr
+    if plte is not None:
+        body += _png_chunk(b"PLTE", plte)
+    body += _png_chunk(b"IDAT", zlib.compress(bytes(raw))) + _png_chunk(b"IEND", b"")
+    return sig + body
+
+
+def test_png_palette_decodes_through_plte():
+    """PLTE-indexed PNG (color type 3), 8-bit and 4-bit indices: decoded
+    pixels are the palette entries, not the raw indices."""
+    rng = np.random.default_rng(3)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(5, 7), dtype=np.uint8)
+    # 8-bit indices, filter 0 rows
+    raw8 = bytearray()
+    for y in range(5):
+        raw8.append(0)
+        raw8 += idx[y].tobytes()
+    got8 = mm.decode_image(_png_blob(7, 5, 8, 3, 0, raw8, plte=pal.tobytes()))
+    assert np.array_equal(got8, pal[idx])
+    # 4-bit indices: two per byte, high nibble first, row-padded
+    raw4 = bytearray()
+    for y in range(5):
+        raw4.append(0)
+        row = idx[y]
+        for i in range(0, 7, 2):
+            hi = int(row[i])
+            lo = int(row[i + 1]) if i + 1 < 7 else 0
+            raw4.append((hi << 4) | lo)
+    got4 = mm.decode_image(_png_blob(7, 5, 4, 3, 0, raw4, plte=pal.tobytes()))
+    assert np.array_equal(got4, pal[idx])
+    # out-of-range index fails loudly (short palette)
+    with pytest.raises(ValueError, match="palette index"):
+        mm.decode_image(_png_blob(7, 5, 8, 3, 0, raw8, plte=pal[:8].tobytes()))
+
+
+def test_png_sub_byte_gray_rescales():
+    """1- and 4-bit grayscale: packed high-bit-first, sample values
+    rescale to the full 0..255 range."""
+    # 1-bit: 10 px wide -> 2 bytes/row, pattern 1010101010
+    raw1 = bytearray()
+    for _ in range(3):
+        raw1.append(0)
+        raw1 += bytes([0b10101010, 0b10000000])
+    got = mm.decode_image(_png_blob(10, 3, 1, 0, 0, raw1))
+    row = got[0, :, 0]
+    assert list(row) == [255, 0] * 5
+    assert np.array_equal(got[:, :, 0], got[:, :, 1])
+    # 4-bit: values 0..15 rescale v*255//15
+    vals = np.arange(8, dtype=np.uint8).reshape(1, 8)
+    raw4 = bytearray([0])
+    for i in range(0, 8, 2):
+        raw4.append((int(vals[0, i]) << 4) | int(vals[0, i + 1]))
+    got4 = mm.decode_image(_png_blob(8, 1, 4, 0, 0, raw4))
+    assert list(got4[0, :, 0]) == [v * 255 // 15 for v in range(8)]
+
+
+def test_png_16bit_keeps_high_byte():
+    """16-bit RGB: big-endian sample pairs downconvert to the high byte."""
+    rng = np.random.default_rng(5)
+    hi = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    lo = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    raw = bytearray()
+    for y in range(4):
+        raw.append(0)
+        for x in range(6):
+            for c in range(3):
+                raw += bytes([int(hi[y, x, c]), int(lo[y, x, c])])
+    got = mm.decode_image(_png_blob(6, 4, 16, 2, 0, raw))
+    assert np.array_equal(got, hi)
+
+
+def _adam7_raw(px, filter_type=0):
+    """Adam7-interlaced scanlines for an (h, w, 3) image: seven filtered
+    sub-images; supports filter 0 (none) and 2 (up) for fixtures."""
+    h, w = px.shape[:2]
+    raw = bytearray()
+    for x0, y0, dx, dy in mm._ADAM7:
+        sub = px[y0::dy, x0::dx]
+        ph, pw = sub.shape[:2]
+        if not ph or not pw:
+            continue
+        flat = sub.reshape(ph, pw * 3).astype(np.int32)
+        prev = np.zeros(pw * 3, dtype=np.int32)
+        for y in range(ph):
+            raw.append(filter_type)
+            filt = flat[y] if filter_type == 0 else (flat[y] - prev) % 256
+            raw += filt.astype(np.uint8).tobytes()
+            prev = flat[y]
+    return raw
+
+
+@pytest.mark.parametrize("ft", [0, 2])
+def test_png_adam7_interlace_roundtrips(ft):
+    """Adam7: seven passes re-assemble on their stride grids, pixel-exact,
+    with per-pass row filtering honored."""
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(13, 9, 3), dtype=np.uint8)
+    got = mm.decode_image(_png_blob(9, 13, 8, 2, 1, _adam7_raw(px, ft)))
+    assert np.array_equal(got, px)
+    # tiny images where some passes are empty
+    small = rng.integers(0, 256, size=(3, 2, 3), dtype=np.uint8)
+    got2 = mm.decode_image(_png_blob(2, 3, 8, 2, 1, _adam7_raw(small, ft)))
+    assert np.array_equal(got2, small)

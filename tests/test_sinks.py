@@ -706,3 +706,36 @@ def test_bucketed_merge_correct_under_hot_key_skew(spark, tmp_path):
         for d in os.listdir(target) if d.startswith("kb=")
     }
     assert rows_in[f"kb={kb}"] == 1 and sum(rows_in.values()) == 1
+
+
+def test_bucket_files_sorted_and_lookup_pushes_filters(spark, tmp_path):
+    """Each merge rewrites a touched bucket as ONE key-sorted file
+    (bounded file count, ordered min/max stats), and lookup_state_keys
+    pushes key IN-filters into the parquet scan so row groups inside a
+    bucket are skippable before the exact semi-join."""
+    import glob as g
+
+    import pyarrow.parquet as pq
+
+    from streamsum_spark.plans import explain_str
+
+    target = str(tmp_path / "sorted_buckets")
+    base = spark.range(4000).selectExpr("id AS k", "id * 2 AS o")
+    sinks.upsert_batch(spark, target, base, ["k"], "o", n_buckets=4)
+    for b in range(4):
+        files = g.glob(os.path.join(target, f"kb={b}", "*.parquet"))
+        assert len(files) == 1, files  # one writer task per bucket
+        md = pq.ParquetFile(files[0]).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["k"]
+        stats = [
+            (md.row_group(gi).column(idx).statistics.min,
+             md.row_group(gi).column(idx).statistics.max)
+            for gi in range(md.num_row_groups)
+        ]
+        assert stats == sorted(stats)  # key-sorted within the file
+
+    got = sinks.lookup_state_keys(spark, target, ["k"], [7, 3999])
+    plan = explain_str(got)
+    pushed = plan[plan.find("PushedFilters") :].split("]", 1)[0]
+    assert "In(k" in pushed or "EqualTo(k" in pushed, plan
+    assert {(r.k, r.o) for r in got.collect()} == {(7, 14), (3999, 7998)}
