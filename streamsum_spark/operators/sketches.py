@@ -346,3 +346,157 @@ def heavy_hitters_cm(
         .where(F.col("est") >= F.lit(phi) * F.col("total"))
         .select("t", F.col("est").alias("cnt"))
     )
+
+
+# --- Bloom filter (set membership / decontamination by key) -----------------
+
+# Default filter geometry for the test corpora; production sizes m at
+# ~10-15 bits per excluded key (1e10 keys -> ~17 GB of words as a
+# RELATION, never a driver-side object).
+BLOOM_M = 1 << 16
+BLOOM_K = 5
+
+
+def _bloom_pos_exprs(m_bits: int, k: int) -> str:
+    """k bit positions via Kirsch–Mitzenstein double hashing off one md5
+    (the CM sketch's recipe): pos_j = (h1 + j*h2) % P % m."""
+    return ", ".join(f"(h1 + {j} * h2) % {_CM_P} % {m_bits}" for j in range(1, k + 1))
+
+
+def _hash_pair(df: DataFrame, col: str) -> DataFrame:
+    return df.select(
+        *df.columns,
+        F.expr(f"CAST(conv(substring(md5({col}), 1, 12), 16, 10) AS BIGINT)").alias("h1"),
+        F.expr(f"CAST(conv(substring(md5({col}), 13, 12), 16, 10) AS BIGINT)").alias("h2"),
+    )
+
+
+def doc_content_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct content fingerprints of the documents table — the key set
+    a corpus-exclusion filter is built from (e.g. the previously-trained
+    corpus, a benchmark's documents)."""
+    return (
+        table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(F.md5("text").alias("key"))
+        .distinct()
+    )
+
+
+def bloom_build(
+    spark: SparkSession,
+    sf_dir: str,
+    keys: DataFrame | None = None,
+    m_bits: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Bloom filter of a key set as a RELATION ``(word, bits)``: m_bits
+    packed into 32-bit words (m/32 rows at most), built with one md5 per
+    key + a k-way stack + one bit_or hash aggregation (map-side partial
+    combine ships at most m/32 words per task).
+
+    This completes the sketch family's membership member (MG candidates,
+    HLL distincts, CM frequencies, Bloom membership): no false
+    negatives ever, false positives at the standard (1 - e^{-kn/m})^k
+    rate, and two filters over the same geometry MERGE by per-word
+    bit_or — per-shard/per-day filters roll up without re-touching keys.
+    32-bit words keep every mask positive in a BIGINT so Spark and
+    DuckDB agree bit-for-bit (BLOOM_BUILD_SQL value-hash oracle in
+    tests/test_demoted_oracles.py)."""
+    if keys is None:
+        keys = doc_content_keys(spark, sf_dir)
+    return (
+        _hash_pair(keys, "key")
+        .select(F.expr(f"stack({k}, {_bloom_pos_exprs(m_bits, k)}) AS (pos)"))
+        .select(
+            F.expr("CAST(pos DIV 32 AS BIGINT)").alias("word"),
+            F.expr("CAST(shiftleft(1L, CAST(pos % 32 AS INT)) AS BIGINT)").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").cast("long").alias("bits"))
+    )
+
+
+BLOOM_BUILD_SQL = f"""
+SELECT CAST(pos // 32 AS BIGINT) AS word,
+       CAST(bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS BIGINT) AS bits
+FROM (
+    SELECT (h1 + j * h2) % {_CM_P} % {BLOOM_M} AS pos
+    FROM (
+        SELECT ('0x' || substr(md5(key), 1, 12))::BIGINT AS h1,
+               ('0x' || substr(md5(key), 13, 12))::BIGINT AS h2
+        FROM (SELECT DISTINCT md5(text) AS key FROM documents WHERE text IS NOT NULL)
+    ), (SELECT unnest(range(1, {BLOOM_K + 1})) AS j)
+)
+GROUP BY word
+"""
+
+
+def bloom_might_contain(
+    spark: SparkSession,
+    bloom: DataFrame,
+    probes: DataFrame,
+    m_bits: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Membership test for ``probes`` (a relation with a ``key`` column)
+    against a Bloom relation: (key, might_contain) — true iff ALL k bit
+    positions are set; an absent word is all-zeros.
+
+    The filter side broadcasts while m/32 rows fit (the default is 2 KB);
+    a 10-GB production filter flips the hint and the same plan runs as a
+    shuffle join on ``word`` — membership stays one join either way,
+    never a driver-side structure."""
+    pr = (
+        _hash_pair(probes.select("key"), "key")
+        .select("key", F.expr(f"stack({k}, {_bloom_pos_exprs(m_bits, k)}) AS (pos)"))
+        .select(
+            "key",
+            F.expr("CAST(pos DIV 32 AS BIGINT)").alias("word"),
+            F.expr("CAST(shiftleft(1L, CAST(pos % 32 AS INT)) AS BIGINT)").alias("mask"),
+        )
+    )
+    return (
+        pr.join(F.broadcast(bloom), "word", "left")
+        .groupBy("key")
+        .agg(
+            F.min(
+                (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask")) != 0)
+                .cast("int")
+            ).alias("_all")
+        )
+        .select("key", (F.col("_all") == 1).alias("might_contain"))
+    )
+
+
+def decontaminate_by_bloom(
+    spark: SparkSession,
+    sf_dir: str,
+    exclusion_keys: DataFrame,
+    m_bits: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Drop corpus documents whose content fingerprint might be in the
+    exclusion set — the Bloom-shaped twin of ``decontaminate`` (n-gram
+    overlap vs a bounded benchmark): this one handles an exclusion set
+    too large to broadcast as raw keys (a previously-trained corpus of
+    10^10 documents), compressing it to an m-bit relation.
+
+    Guarantee shape: no false negatives means every truly-excluded
+    document IS dropped; the cost is over-dropping a ~(1 - e^{-kn/m})^k
+    fraction of clean documents — the right trade for training-data
+    hygiene, where a missed contaminant costs more than a lost clean
+    doc.  Returns the surviving documents."""
+    bloom = bloom_build(spark, sf_dir, keys=exclusion_keys, m_bits=m_bits, k=k)
+    docs = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .withColumn("key", F.md5("text"))
+    )
+    verdict = bloom_might_contain(
+        spark, bloom, docs.select("key").distinct(), m_bits=m_bits, k=k
+    )
+    return (
+        docs.join(verdict.where(F.col("might_contain")), "key", "left_anti")
+        .select("doc_id", "lang", "source")
+    )

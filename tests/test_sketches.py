@@ -260,3 +260,65 @@ def test_heavy_hitters_cm_superset_with_one_sided_counts(spark):
     for t, cnt in exact.items():
         assert got[t] >= cnt  # one-sided estimates
     assert len(got) <= 2 * max(1, len(exact))  # overshoot stays bounded here
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    """Membership guarantees: every inserted key tests True (structural —
+    its bits were set), and non-members false-positive at no more than a
+    loose multiple of the theoretical (1 - e^{-kn/m})^k rate."""
+    from pyspark.sql import functions as F
+
+    members = spark.range(300).selectExpr("md5(CAST(id AS STRING)) AS key")
+    others = spark.range(300, 1300).selectExpr("md5(CAST(id AS STRING)) AS key")
+    bloom = sk.bloom_build(spark, SF_ORACLE, keys=members)
+
+    got_m = sk.bloom_might_contain(spark, bloom, members)
+    assert got_m.where(~F.col("might_contain")).count() == 0  # no false negatives
+    n_fp = sk.bloom_might_contain(spark, bloom, others).where(
+        F.col("might_contain")
+    ).count()
+    # theory: (1 - e^(-5*300/65536))^5 ~ 4e-8 per probe -> expect 0 of 1000
+    assert n_fp <= 3, n_fp
+
+
+def test_bloom_merges_by_word_bit_or(spark):
+    """Two filters over the same geometry merge by per-word bit_or into
+    exactly the filter of the union — the per-shard rollup property."""
+    from pyspark.sql import functions as F
+
+    a = spark.range(200).selectExpr("md5(CAST(id AS STRING)) AS key")
+    b = spark.range(150, 400).selectExpr("md5(CAST(id AS STRING)) AS key")
+    fa = sk.bloom_build(spark, SF_ORACLE, keys=a)
+    fb = sk.bloom_build(spark, SF_ORACLE, keys=b)
+    merged = (
+        fa.unionByName(fb).groupBy("word").agg(F.bit_or("bits").cast("long").alias("bits"))
+    )
+    union = sk.bloom_build(spark, SF_ORACLE, keys=a.unionByName(b).distinct())
+    got = {(r.word, r.bits) for r in merged.collect()}
+    want = {(r.word, r.bits) for r in union.collect()}
+    assert got == want and want
+
+
+def test_decontaminate_by_bloom_drops_all_excluded(spark):
+    """Every document whose content is in the exclusion set is dropped
+    (no false negatives); over-drop of clean docs stays at the FP rate
+    (~0 at this geometry)."""
+    from pyspark.sql import functions as F
+
+    from streamsum_spark.tables import table
+
+    docs = table(spark, SF_ORACLE, "documents").where(F.col("text").isNotNull())
+    excluded = docs.orderBy("doc_id").limit(50)
+    ex_keys = excluded.select(F.md5("text").alias("key")).distinct()
+    kept = sk.decontaminate_by_bloom(spark, SF_ORACLE, ex_keys)
+    kept_ids = {r.doc_id for r in kept.collect()}
+    # exact-dup families: dropping by CONTENT removes every doc sharing
+    # an excluded doc's text, not only the 50 ids
+    ex_texts = excluded.select("text").distinct()
+    truly_excluded = {
+        r.doc_id for r in docs.join(ex_texts, "text", "left_semi").collect()
+    }
+    assert kept_ids.isdisjoint(truly_excluded)  # no false negatives
+    clean = {r.doc_id for r in docs.collect()} - truly_excluded
+    over_dropped = clean - kept_ids
+    assert len(over_dropped) <= 3, len(over_dropped)  # FP-rate over-drop only
