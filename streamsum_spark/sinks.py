@@ -775,7 +775,10 @@ def accumulate_batch(
     import json
 
     marker = None if epoch_id is None else f"{run_id or ''}:{epoch_id}"
-    agg_fn = {"sum": F.sum, "min": F.min, "max": F.max}[combine]
+    # bit_or serves mergeable bitmap state (e.g. incremental Bloom-filter
+    # words): like min/max it is idempotent per value, but the epoch
+    # manifest still guards it for uniformity
+    agg_fn = {"sum": F.sum, "min": F.min, "max": F.max, "bit_or": F.bit_or}[combine]
 
     if n_buckets is not None:
         _recover(target_path)  # whole-table swap crash (see upsert_batch)

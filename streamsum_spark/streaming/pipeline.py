@@ -1048,6 +1048,47 @@ def stream_cm_sketch(
     return read_state_table(spark, target).select("d", "bucket", "cnt")
 
 
+def stream_bloom_filter(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "documents.parquet",
+    max_files_per_trigger: int | None = None,
+    m_bits: int | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """Incremental exclusion-filter maintenance: per-micro-batch Bloom
+    words bit_or-merged into the cache table.  Bloom is a monotone
+    bitmap sketch — filter(A ∪ B) = bit_or(filter(A), filter(B))
+    exactly — so the additive sink with combine='bit_or' IS the merge
+    operator (stream_cm_sketch's shape, bitwise).  This keeps a
+    corpus-exclusion filter current as the corpus ingests, without
+    re-hashing history.  Pinned equal to the one-shot bloom_build over a
+    3-micro-batch split in tests/test_sketches.py."""
+    from streamsum_spark.operators.sketches import BLOOM_K, BLOOM_M, bloom_build
+    from streamsum_spark.sinks import stream_accumulate_counts
+
+    m_bits = BLOOM_M if m_bits is None else m_bits
+    k = BLOOM_K if k is None else k
+    docs = stream_documents(spark, sf_dir, glob, max_files_per_trigger)
+    target = os.path.join(
+        tempfile.gettempdir(), f"streamsum_bloom_tbl_{uuid.uuid4().hex[:12]}"
+    )
+
+    def per_batch(batch_df: DataFrame) -> DataFrame:
+        keys = (
+            batch_df.where(F.col("text").isNotNull())
+            .select(F.md5("text").alias("key"))
+            .distinct()
+        )
+        return bloom_build(spark, sf_dir, keys=keys, m_bits=m_bits, k=k)
+
+    stream_accumulate_counts(
+        docs.select("doc_id", "text"), target, ["word"], ["bits"], per_batch,
+        combine="bit_or",
+    )
+    return read_state_table(spark, target).select("word", "bits")
+
+
 def stream_near_dup_pairs(
     spark: SparkSession,
     sf_dir: str,

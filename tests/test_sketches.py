@@ -322,3 +322,22 @@ def test_decontaminate_by_bloom_drops_all_excluded(spark):
     clean = {r.doc_id for r in docs.collect()} - truly_excluded
     over_dropped = clean - kept_ids
     assert len(over_dropped) <= 3, len(over_dropped)  # FP-rate over-drop only
+
+
+def test_stream_bloom_filter_multibatch_equals_batch(spark, tmp_path):
+    """The incremental filter (per-batch Bloom words bit_or-merged
+    through the additive sink) must equal the one-shot filter of the
+    whole corpus — the monotone-bitmap merge property end-to-end."""
+    from streamsum_spark.operators import sketches as sk
+    from streamsum_spark.streaming import pipeline as sp
+    from tests.test_streaming import _sliced_docs_src
+
+    src = _sliced_docs_src(spark, tmp_path)
+    batch = {(r.word, r.bits) for r in sk.bloom_build(spark, src).collect()}
+    stream = {
+        (r.word, r.bits)
+        for r in sp.stream_bloom_filter(
+            spark, src, glob="documents_*.parquet", max_files_per_trigger=1
+        ).collect()
+    }
+    assert batch and stream == batch
