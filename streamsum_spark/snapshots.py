@@ -1,0 +1,544 @@
+"""Snapshot-manifest state tables: MVCC keyed state with atomic
+multi-bucket commits (SURVEY.md §2.C "Sinks" — the transactional-format
+answer the rename-swap layer in sinks.py only emulates per bucket).
+
+The rename-aside protocol (sinks.upsert_batch) makes each BUCKET's swap
+atomic, but a merge touching several buckets swaps them one rename at a
+time: a reader listing the table mid-merge can see bucket 3 already new
+while bucket 7 is still old (torn across buckets), and each swap has a
+two-rename window where the bucket directory is briefly missing.  Crash
+consistency is proven there; reader/writer ISOLATION is not.
+
+This module is the other shape — the one Delta Lake / Apache Iceberg
+standardized (reference semantics only; the code is original):
+
+- **Immutable generation files.** A merge never renames data into place;
+  it writes each touched bucket's full merged content as a NEW
+  ``kb=<b>/gen-<commit>.parquet`` file and leaves every existing file
+  untouched.
+- **Manifests.** A commit writes ``_snap/v<N>.json`` mapping bucket ->
+  current file list.  Commits record only their TOUCHED buckets plus a
+  parent pointer (a delta manifest — commit cost O(touched), not
+  O(n_buckets)); every ``checkpoint_interval``-th commit writes the full
+  map so readers reconstruct by walking at most ``checkpoint_interval``
+  manifests (the Delta-log checkpoint recipe).
+- **Atomic pointer swap.** ``_snap/_latest`` names the current version
+  and is the ONLY mutable file; ``os.replace`` of a one-line file commits
+  every touched bucket at once.  Readers resolve the pointer once, then
+  read an immutable file set: no torn state, no missing-directory window,
+  and a snapshot stays collectable even while later merges land
+  (pinned: tests/test_snapshots.py::test_reader_isolated_from_later_commits).
+- **Exactly-once by construction.** The (run_id, epoch) applied markers
+  live INSIDE the manifest, so marker and data commit in the same
+  pointer swap — there is no crash point between them at all (the
+  rename-swap layer needs per-bucket manifest files to approximate this).
+- **Time travel + vacuum.** Any retained version is readable
+  (``read_snapshot(version=...)``); ``vacuum_snapshots`` deletes
+  generation files unreachable from the newest ``keep_last`` versions.
+
+Scale notes: a delta manifest is O(touched buckets); the full checkpoint
+is O(n_buckets) JSON (~50 B/bucket — a 10^5-bucket table checkpoints
+~5 MB every ``checkpoint_interval`` commits, amortized away exactly as in
+the production formats).  Single writer (foreachBatch's guarantee), many
+concurrent readers.  Reference provenance: the reference keeps caches as
+in-process mutable maps (caches.clj:27-101) with no persistence story at
+all; both sink layers are the engine's scale-out replacement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamsum_spark.sinks import (
+    _MANIFEST_CAP,
+    _newest_wins,
+    _resolve_bucket_cols,
+    _with_kb,
+)
+
+_SNAP_DIR = "_snap"
+_LATEST = "_latest"
+
+
+def _snap_dir(path: str) -> str:
+    return os.path.join(path, _SNAP_DIR)
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(_snap_dir(path), f"v{version:08d}.json")
+
+
+def _latest_version(path: str) -> int | None:
+    """Resolve the pointer; None for a table with no commits yet."""
+    ptr = os.path.join(_snap_dir(path), _LATEST)
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as fh:
+        return int(fh.read().strip())
+
+
+def _min_version(path: str) -> int:
+    """Oldest still-READABLE version: vacuum raises this watermark when
+    it deletes generation files.  A manifest below it may remain on disk
+    (a delta chain reconstructs through it) but its data files are gone —
+    reads below the watermark refuse cleanly instead of surfacing a
+    missing-file scan error."""
+    p = os.path.join(_snap_dir(path), "_min_version")
+    if not os.path.exists(p):
+        return 1
+    with open(p) as fh:
+        return int(fh.read().strip())
+
+
+def _load_manifest(path: str, version: int) -> dict:
+    mpath = _manifest_path(path, version)
+    if not os.path.exists(mpath):
+        avail = snapshot_versions(path)
+        raise ValueError(
+            f"snapshot v{version} of {path} does not exist or was vacuumed; "
+            f"retained versions: {avail}"
+        )
+    with open(mpath) as fh:
+        return json.load(fh)
+
+
+def _resolve_buckets(path: str, version: int) -> tuple[dict, dict[str, list[str]]]:
+    """Walk the delta chain back to the nearest full manifest and return
+    (head manifest, bucket -> file-name list).  Bounded by
+    checkpoint_interval manifests per the commit protocol."""
+    head = _load_manifest(path, version)
+    chain = [head]
+    m = head
+    while not m["full"]:
+        m = _load_manifest(path, m["parent"])
+        chain.append(m)
+    buckets: dict[str, list[str]] = {}
+    for m in reversed(chain):  # oldest (full) first; later deltas override
+        buckets.update(m["buckets"])
+    return head, buckets
+
+
+def snapshot_versions(path: str) -> list[int]:
+    """Versions whose manifest file is still on disk (newest last).  An
+    orphan manifest from a crashed commit (written but never pointed at)
+    is excluded — it is not a committed version."""
+    sdir = _snap_dir(path)
+    if not os.path.isdir(sdir):
+        return []
+    latest = _latest_version(path)
+    if latest is None:
+        return []
+    lo = _min_version(path)
+    vs = sorted(
+        int(f[1:-5])
+        for f in os.listdir(sdir)
+        if f.startswith("v") and f.endswith(".json") and not f.startswith("v_")
+    )
+    return [v for v in vs if lo <= v <= latest]
+
+
+def _check_readable(path: str, version: int) -> None:
+    lo = _min_version(path)
+    if version < lo:
+        raise ValueError(
+            f"snapshot v{version} of {path} was vacuumed; retained "
+            f"versions: {snapshot_versions(path)}"
+        )
+
+
+def read_snapshot(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a snapshot table at ``version`` (default: latest).  The file
+    set is resolved from the manifest — never from directory listing — so
+    the result is immutable: later commits cannot tear or change it, and
+    an old version stays readable until vacuumed (time travel)."""
+    if version is None:
+        version = _latest_version(path)
+        if version is None:
+            raise ValueError(f"{path} has no committed snapshots")
+    _check_readable(path, version)
+    _, buckets = _resolve_buckets(path, version)
+    files = [
+        os.path.join(path, f"kb={b}", name)
+        for b, names in buckets.items()
+        for name in names
+    ]
+    if not files:
+        raise ValueError(f"snapshot v{version} of {path} is empty")
+    df = spark.read.option("basePath", path).parquet(*files)
+    return df.drop("kb")
+
+
+def lookup_snapshot_keys(
+    spark: SparkSession,
+    path: str,
+    key_cols: list[str],
+    key_values: list[tuple],
+    version: int | None = None,
+) -> DataFrame:
+    """Bucket-pruned point lookup against a snapshot: only the generation
+    files of the buckets the requested keys hash into are opened (the
+    manifest supplies the exact file list — no directory listing at all),
+    with per-column key IN-filters pushed into the scan for row-group
+    pruning inside a bucket, then the exact semi-join."""
+    if version is None:
+        version = _latest_version(path)
+        if version is None:
+            raise ValueError(f"{path} has no committed snapshots")
+    _check_readable(path, version)
+    head, buckets = _resolve_buckets(path, version)
+    n_buckets, bcols = head["n_buckets"], head["bucket_cols"]
+    keys_df = spark.createDataFrame(
+        [tuple(v) if isinstance(v, (tuple, list)) else (v,) for v in key_values],
+        key_cols,
+    )
+    missing = [c for c in bcols if c not in key_cols]
+    if missing:
+        raise ValueError(
+            f"lookup keys are missing the table's bucket columns {missing}"
+        )
+    # cast to stored types (Murmur3 hashes int and long differently) by
+    # peeking one referenced file's footer
+    first_b, first = next(
+        ((b, names[0]) for b, names in buckets.items() if names), (None, None)
+    )
+    if first is None:
+        return read_snapshot(spark, path, version).limit(0)
+    stored_types = {
+        f.name: f.dataType
+        for f in spark.read.parquet(
+            os.path.join(path, f"kb={first_b}", first)
+        ).schema
+    }
+    keys_df = keys_df.select(
+        *[
+            F.col(c).cast(stored_types[c]).alias(c) if c in stored_types else F.col(c)
+            for c in keys_df.columns
+        ]
+    )
+    want = _with_kb(keys_df, bcols, n_buckets)
+    touched = sorted({r.kb for r in want.select("kb").distinct().collect()})
+    files = [
+        os.path.join(path, f"kb={b}", name)
+        for b in touched
+        for name in buckets.get(str(b), [])
+    ]
+    if not files:
+        return read_snapshot(spark, path, version).limit(0)
+    pruned = spark.read.option("basePath", path).parquet(*files).drop("kb")
+    if 0 < len(key_values) <= 1000:
+        rows = keys_df.collect()
+        for c in key_cols:
+            pruned = pruned.where(F.col(c).isin([r[c] for r in rows]))
+    return pruned.join(F.broadcast(keys_df), on=key_cols, how="left_semi")
+
+
+def _commit(
+    spark: SparkSession,
+    path: str,
+    merged_writer,
+    touched: list[int],
+    head: dict | None,
+    buckets: dict[str, list[str]],
+    n_buckets: int,
+    bcols: list[str],
+    marker: str | None,
+    checkpoint_interval: int,
+) -> None:
+    """Shared commit body: materialize touched buckets' new generation
+    files, then commit them all in ONE pointer swap."""
+    commit_id = uuid.uuid4().hex[:12]
+    tmp = os.path.join(path, f"._commit-{commit_id}")
+    merged_writer(tmp)
+    new_entries: dict[str, list[str]] = {}
+    for b in touched:
+        src = os.path.join(tmp, f"kb={b}")
+        names = (
+            sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+            if os.path.isdir(src)
+            else []
+        )
+        bdir = os.path.join(path, f"kb={b}")
+        os.makedirs(bdir, exist_ok=True)
+        gen_names = []
+        for i, name in enumerate(names):
+            gen = f"gen-{commit_id}-{i:04d}.parquet"
+            os.rename(os.path.join(src, name), os.path.join(bdir, gen))
+            gen_names.append(gen)
+        new_entries[str(b)] = gen_names
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    version = (head["version"] + 1) if head is not None else 1
+    applied = list(head["applied"]) if head is not None else []
+    if marker is not None:
+        applied = (applied + [marker])[-_MANIFEST_CAP:]
+    full = head is None or (version % checkpoint_interval == 0)
+    manifest = {
+        "version": version,
+        "parent": head["version"] if head is not None else None,
+        "full": full,
+        "n_buckets": n_buckets,
+        "bucket_cols": bcols,
+        "applied": applied,
+        "buckets": ({**buckets, **new_entries} if full else new_entries),
+    }
+    os.makedirs(_snap_dir(path), exist_ok=True)
+    mtmp = os.path.join(_snap_dir(path), f"._v-{commit_id}.json")
+    with open(mtmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(mtmp, _manifest_path(path, version))  # orphan-safe overwrite:
+    # a crashed prior attempt's unreferenced v<N> is simply replaced
+    ptmp = os.path.join(_snap_dir(path), f"._ptr-{commit_id}")
+    with open(ptmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(ptmp, os.path.join(_snap_dir(path), _LATEST))  # THE commit
+
+
+def _begin(
+    spark: SparkSession,
+    path: str,
+    key_cols: list[str],
+    n_buckets: int,
+    bucket_cols: list[str] | None,
+    marker: str | None,
+):
+    """Open a commit: load the head manifest, enforce layout invariants,
+    and short-circuit a replayed epoch.  Returns (head, buckets, bcols)
+    or None when the marker is already applied."""
+    bcols = _resolve_bucket_cols(key_cols, bucket_cols)
+    latest = _latest_version(path)
+    if latest is None:
+        return None, {}, bcols
+    head, buckets = _resolve_buckets(path, latest)
+    if head["n_buckets"] != n_buckets:
+        raise ValueError(
+            f"{path} was created with n_buckets={head['n_buckets']}; "
+            f"committing with n_buckets={n_buckets} would scatter keys "
+            "across mismatched buckets"
+        )
+    if head["bucket_cols"] != bcols:
+        raise ValueError(
+            f"{path} was created with bucket_cols={head['bucket_cols']}; "
+            f"committing with bucket_cols={bcols} would route keys to "
+            "different buckets"
+        )
+    if marker is not None and marker in head["applied"]:
+        return "replay", buckets, bcols
+    return head, buckets, bcols
+
+
+def _touched_stored(
+    spark: SparkSession,
+    path: str,
+    upd: DataFrame,
+    buckets: dict[str, list[str]],
+) -> tuple[list[int], DataFrame | None]:
+    touched = sorted(r.kb for r in upd.select("kb").distinct().collect())
+    files = [
+        os.path.join(path, f"kb={b}", name)
+        for b in touched
+        for name in buckets.get(str(b), [])
+    ]
+    stored = (
+        spark.read.option("basePath", path).parquet(*files) if files else None
+    )
+    return touched, stored
+
+
+def _bucket_writer(reduced: DataFrame, key_cols: list[str]):
+    """One key-sorted file per touched bucket (row-group stats pruning +
+    bounded file count, same layout contract as sinks._merge_buckets)."""
+
+    def write(tmp: str) -> None:
+        (
+            reduced.repartition("kb")
+            .sortWithinPartitions("kb", *key_cols)
+            .write.mode("overwrite")
+            .partitionBy("kb")
+            .parquet(tmp)
+        )
+
+    return write
+
+
+def snapshot_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    order_col: str | list[str],
+    n_buckets: int = 16,
+    bucket_cols: list[str] | None = None,
+    epoch_id: int | None = None,
+    run_id: str | None = None,
+    checkpoint_interval: int = 10,
+) -> None:
+    """Newest-wins MERGE into a snapshot table: read ONLY the touched
+    buckets' current generation files, reduce per key (same semantics as
+    sinks.upsert_batch — max_by on the order key with deterministic value
+    tie-breaks), write new generation files, commit all touched buckets
+    in one pointer swap.  Per-commit cost is O(|batch| + touched-bucket
+    rows) — identical to the bucketed rename-swap merge — but the commit
+    is atomic ACROSS buckets and never disturbs a running reader."""
+    marker = None if epoch_id is None else f"{run_id or ''}:{epoch_id}"
+    head, buckets, bcols = _begin(
+        spark, path, key_cols, n_buckets, bucket_cols, marker
+    )
+    if head == "replay":
+        return
+    upd = _with_kb(updates, bcols, n_buckets)
+    touched, stored = _touched_stored(spark, path, upd, buckets)
+    if not touched:
+        return
+    merged = stored.unionByName(upd) if stored is not None else upd
+    reduced = _newest_wins(merged, key_cols, order_col)
+    _commit(
+        spark, path, _bucket_writer(reduced, key_cols), touched, head,
+        buckets, n_buckets, bcols, marker, checkpoint_interval,
+    )
+
+
+def snapshot_accumulate(
+    spark: SparkSession,
+    path: str,
+    deltas: DataFrame,
+    key_cols: list[str],
+    sum_cols: list[str],
+    combine: str = "sum",
+    n_buckets: int = 16,
+    bucket_cols: list[str] | None = None,
+    epoch_id: int | None = None,
+    run_id: str | None = None,
+    checkpoint_interval: int = 10,
+) -> None:
+    """Additive MERGE into a snapshot table (sum/min/max/bit_or per key,
+    like sinks.accumulate_batch).  SUM-merge is not idempotent, so the
+    (run_id, epoch) marker matters most here — and the snapshot layout
+    makes it airtight: the marker is part of the manifest the pointer
+    swap commits, so there is NO crash point between data and marker
+    (the rename-swap layer approximates this with per-bucket manifest
+    files; here it holds by construction)."""
+    agg_fn = {"sum": F.sum, "min": F.min, "max": F.max, "bit_or": F.bit_or}[combine]
+    marker = None if epoch_id is None else f"{run_id or ''}:{epoch_id}"
+    head, buckets, bcols = _begin(
+        spark, path, key_cols, n_buckets, bucket_cols, marker
+    )
+    if head == "replay":
+        return
+    upd = _with_kb(deltas, bcols, n_buckets)
+    touched, stored = _touched_stored(spark, path, upd, buckets)
+    if not touched:
+        return
+    merged = stored.unionByName(upd) if stored is not None else upd
+    reduced = merged.groupBy("kb", *key_cols).agg(
+        *[agg_fn(c).cast("long").alias(c) for c in sum_cols]
+    )
+    _commit(
+        spark, path, _bucket_writer(reduced, key_cols), touched, head,
+        buckets, n_buckets, bcols, marker, checkpoint_interval,
+    )
+
+
+def vacuum_snapshots(path: str, keep_last: int = 2) -> dict:
+    """Delete generation files unreachable from the newest ``keep_last``
+    versions, plus manifests no retained version's delta chain needs, plus
+    crash litter (orphan manifests/pointers/commit tmps never committed).
+    Single-writer context: run from the writer (between commits), never
+    concurrently with one — a commit in flight has generation files on
+    disk that no manifest references yet.
+
+    Returns counts for observability: {"files": n, "manifests": n}."""
+    latest = _latest_version(path)
+    if latest is None:
+        return {"files": 0, "manifests": 0}
+    versions = snapshot_versions(path)
+    retained = versions[-keep_last:]
+    # raise the readability watermark FIRST (os.replace-atomic): a crash
+    # between watermark and deletions leaves some versions refusing
+    # early, never a version whose scan hits missing files
+    if retained and retained[0] > _min_version(path):
+        wtmp = os.path.join(_snap_dir(path), f"._minv-{uuid.uuid4().hex[:8]}")
+        with open(wtmp, "w") as fh:
+            fh.write(str(retained[0]))
+        os.replace(wtmp, os.path.join(_snap_dir(path), "_min_version"))
+    needed_files: set[str] = set()
+    needed_manifests: set[int] = set()
+    for v in retained:
+        m = _load_manifest(path, v)
+        needed_manifests.add(v)
+        while not m["full"]:
+            m = _load_manifest(path, m["parent"])
+            needed_manifests.add(m["version"])
+        _, buckets = _resolve_buckets(path, v)
+        for b, names in buckets.items():
+            for name in names:
+                needed_files.add(os.path.join(f"kb={b}", name))
+    n_files = 0
+    for d in os.listdir(path):
+        full_d = os.path.join(path, d)
+        if d.startswith("._commit-"):
+            shutil.rmtree(full_d, ignore_errors=True)
+            continue
+        if not d.startswith("kb="):
+            continue
+        for f in os.listdir(full_d):
+            if os.path.join(d, f) not in needed_files:
+                os.remove(os.path.join(full_d, f))
+                n_files += 1
+    n_manifests = 0
+    sdir = _snap_dir(path)
+    for f in os.listdir(sdir):
+        if f.startswith("._"):  # crashed commit's tmp manifest/pointer
+            os.remove(os.path.join(sdir, f))
+            continue
+        if f.startswith("v") and f.endswith(".json"):
+            v = int(f[1:-5])
+            # v > latest is an orphan from a crashed commit (manifest
+            # written, pointer swap never ran) — litter, not a version
+            if v not in needed_manifests:
+                os.remove(os.path.join(sdir, f))
+                n_manifests += 1
+    return {"files": n_files, "manifests": n_manifests}
+
+
+def stream_upsert_snapshot(
+    df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    order_col: str | list[str],
+    n_buckets: int = 16,
+    bucket_cols: list[str] | None = None,
+) -> None:
+    """Run an append stream into a snapshot table via foreachBatch —
+    the streaming face of snapshot_upsert, exactly-once through the
+    in-manifest (run_id, epoch) markers."""
+    import tempfile
+
+    spark = df.sparkSession
+    ckpt = os.path.join(
+        tempfile.gettempdir(), f"streamsum_snap_ckpt_{uuid.uuid4().hex[:10]}"
+    )
+    run_id = uuid.uuid4().hex
+
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        snapshot_upsert(
+            spark, path, batch_df, key_cols, order_col,
+            n_buckets=n_buckets, bucket_cols=bucket_cols,
+            epoch_id=epoch_id, run_id=run_id,
+        )
+
+    q = (
+        df.writeStream.foreachBatch(merge)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

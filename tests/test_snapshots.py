@@ -1,0 +1,304 @@
+"""Snapshot-manifest state tables (snapshots.py): atomic multi-bucket
+commits, reader isolation, time travel, vacuum, exactly-once replay, and
+fault injection at every rename/replace syscall of the commit protocol.
+
+The crash enumeration mirrors tests/test_crash_consistency.py: the
+Python-side commit performs only os.rename (generation-file moves) and
+os.replace (manifest write, pointer swap) — Spark's parquet writes commit
+JVM-side into the private ._commit-* staging dir, which no manifest ever
+references until the pointer swap.  Counting both syscalls therefore
+enumerates every crash point."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamsum_spark import sinks, snapshots
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "k long, v long, o long")
+
+
+def _rows(df):
+    return {(r.k, r.v, r.o) for r in df.collect()}
+
+
+B1 = [(1, 10, 1), (2, 20, 1), (3, 30, 1)]
+B2 = [(2, 21, 2), (4, 40, 2)]
+B3 = [(1, 12, 3), (5, 50, 3)]
+AFTER_B1 = {(1, 10, 1), (2, 20, 1), (3, 30, 1)}
+AFTER_B2 = {(1, 10, 1), (2, 21, 2), (3, 30, 1), (4, 40, 2)}
+AFTER_B3 = {(1, 12, 3), (2, 21, 2), (3, 30, 1), (4, 40, 2), (5, 50, 3)}
+
+
+def test_snapshot_upsert_matches_rename_swap_layer(spark, tmp_path):
+    """Same merge semantics as the bucketed rename-swap upsert: three
+    batches through both layers land identical state."""
+    snap, swap = str(tmp_path / "snap"), str(tmp_path / "swap")
+    for b in (B1, B2, B3):
+        snapshots.snapshot_upsert(spark, snap, _mk(spark, b), ["k"], "o", n_buckets=8)
+        sinks.upsert_batch(spark, swap, _mk(spark, b), ["k"], "o", n_buckets=8)
+    got = _rows(snapshots.read_snapshot(spark, snap))
+    assert got == AFTER_B3
+    assert got == _rows(sinks.read_state_table(spark, swap))
+
+
+def test_reader_isolated_from_later_commits(spark, tmp_path):
+    """THE property the rename-swap layer cannot give: a DataFrame built
+    from a snapshot stays collectable — and yields the SAME rows — while
+    later merges commit, because its file set is immutable (the swap
+    layer deletes replaced files, tearing a concurrent reader)."""
+    path = str(tmp_path / "t")
+    snapshots.snapshot_upsert(spark, path, _mk(spark, B1), ["k"], "o", n_buckets=8)
+    pinned = snapshots.read_snapshot(spark, path)  # resolves v1's file set
+    assert _rows(pinned) == AFTER_B1
+    snapshots.snapshot_upsert(spark, path, _mk(spark, B2), ["k"], "o", n_buckets=8)
+    snapshots.snapshot_upsert(spark, path, _mk(spark, B3), ["k"], "o", n_buckets=8)
+    # the pinned reader re-collects identical rows mid-history
+    assert _rows(pinned) == AFTER_B1
+    assert _rows(snapshots.read_snapshot(spark, path)) == AFTER_B3
+
+
+def test_time_travel_versions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    for b in (B1, B2, B3):
+        snapshots.snapshot_upsert(spark, path, _mk(spark, b), ["k"], "o", n_buckets=8)
+    assert snapshots.snapshot_versions(path) == [1, 2, 3]
+    assert _rows(snapshots.read_snapshot(spark, path, version=1)) == AFTER_B1
+    assert _rows(snapshots.read_snapshot(spark, path, version=2)) == AFTER_B2
+    assert _rows(snapshots.read_snapshot(spark, path, version=3)) == AFTER_B3
+
+
+def test_delta_manifests_are_o_touched_with_periodic_checkpoints(spark, tmp_path):
+    """Commit cost is O(touched buckets): a one-key batch's manifest
+    records exactly one bucket; every checkpoint_interval-th commit is a
+    full map so readers walk a bounded chain."""
+    path = str(tmp_path / "t")
+    # seed all 8 buckets
+    seed = [(k, k, 0) for k in range(64)]
+    snapshots.snapshot_upsert(
+        spark, path, _mk(spark, seed), ["k"], "o", n_buckets=8, checkpoint_interval=3
+    )
+    v1 = snapshots._load_manifest(path, 1)
+    assert v1["full"] and len(v1["buckets"]) == 8
+    # single-key commits -> delta manifests with exactly one bucket
+    for i, k in enumerate([1, 2], start=2):
+        snapshots.snapshot_upsert(
+            spark, path, _mk(spark, [(k, 99, 9)]), ["k"], "o",
+            n_buckets=8, checkpoint_interval=3,
+        )
+        m = snapshots._load_manifest(path, i)
+        if m["full"]:
+            continue  # v3 lands on the checkpoint cadence
+        assert len(m["buckets"]) == 1
+    v3 = snapshots._load_manifest(path, 3)
+    assert v3["full"] and len(v3["buckets"]) == 8  # checkpoint cadence
+    got = {r.k: r.v for r in snapshots.read_snapshot(spark, path).collect()}
+    assert got[1] == 99 and got[2] == 99 and got[0] == 0 and len(got) == 64
+
+
+def test_vacuum_reclaims_unreferenced_generations(spark, tmp_path):
+    path = str(tmp_path / "t")
+    for b in (B1, B2, B3):
+        snapshots.snapshot_upsert(spark, path, _mk(spark, b), ["k"], "o", n_buckets=4)
+    stats = snapshots.vacuum_snapshots(path, keep_last=1)
+    assert stats["files"] > 0
+    # latest still reads; vacuumed versions refuse with the retained list
+    assert _rows(snapshots.read_snapshot(spark, path)) == AFTER_B3
+    with pytest.raises(ValueError, match="vacuumed"):
+        snapshots.read_snapshot(spark, path, version=1)
+    # every remaining data file is referenced by the retained manifest
+    _, buckets = snapshots._resolve_buckets(path, 3)
+    referenced = {
+        os.path.join(f"kb={b}", n) for b, names in buckets.items() for n in names
+    }
+    on_disk = {
+        os.path.join(d, f)
+        for d in os.listdir(path)
+        if d.startswith("kb=")
+        for f in os.listdir(os.path.join(path, d))
+    }
+    assert on_disk == referenced
+
+
+def test_accumulate_exactly_once_and_combine_modes(spark, tmp_path):
+    path = str(tmp_path / "a")
+    d = spark.createDataFrame([(1, 5), (2, 7)], "k long, c long")
+    snapshots.snapshot_accumulate(
+        spark, path, d, ["k"], ["c"], epoch_id=0, run_id="r", n_buckets=4
+    )
+    # replay of the SAME (run, epoch): no-op (marker is in the manifest)
+    snapshots.snapshot_accumulate(
+        spark, path, d, ["k"], ["c"], epoch_id=0, run_id="r", n_buckets=4
+    )
+    got = {r.k: r.c for r in snapshots.read_snapshot(spark, path).collect()}
+    assert got == {1: 5, 2: 7}
+    # a NEW run's epoch 0 folds in
+    snapshots.snapshot_accumulate(
+        spark, path, d, ["k"], ["c"], epoch_id=0, run_id="r2", n_buckets=4
+    )
+    got = {r.k: r.c for r in snapshots.read_snapshot(spark, path).collect()}
+    assert got == {1: 10, 2: 14}
+    # bit_or mode (mergeable bitmap state)
+    bp = str(tmp_path / "b")
+    w1 = spark.createDataFrame([(0, 0b0011)], "w long, bits long")
+    w2 = spark.createDataFrame([(0, 0b0101)], "w long, bits long")
+    snapshots.snapshot_accumulate(spark, bp, w1, ["w"], ["bits"], combine="bit_or", n_buckets=2)
+    snapshots.snapshot_accumulate(spark, bp, w2, ["w"], ["bits"], combine="bit_or", n_buckets=2)
+    assert snapshots.read_snapshot(spark, bp).collect()[0].bits == 0b0111
+
+
+def _install_crash(monkeypatch, crash_at: int):
+    """Count BOTH os.rename (gen-file moves) and os.replace (manifest,
+    pointer) and crash at the crash_at-th call."""
+    real_rename, real_replace = os.rename, os.replace
+    state = {"n": 0}
+
+    def counting(real):
+        def fn(a, b):
+            state["n"] += 1
+            if state["n"] == crash_at:
+                raise OSError("injected crash")
+            return real(a, b)
+
+        return fn
+
+    monkeypatch.setattr(os, "rename", counting(real_rename))
+    monkeypatch.setattr(os, "replace", counting(real_replace))
+    return state
+
+
+@pytest.mark.parametrize("crash_at", [1, 2, 3, 4])
+def test_commit_crash_atomic_across_buckets_then_replay(
+    spark, tmp_path, monkeypatch, crash_at
+):
+    """Crash at every syscall of a commit touching TWO buckets: the
+    reader must see exactly the old snapshot (never one bucket new and
+    one old — the torn state the per-bucket swap protocol permits), and
+    the replayed epoch must land exactly once.  B2 = keys {2, 4} routes
+    to buckets {0, 4} of 8 -> 2 gen moves + manifest replace + pointer
+    replace = 4 crash points."""
+    path = str(tmp_path / "t")
+    snapshots.snapshot_upsert(
+        spark, path, _mk(spark, B1), ["k"], "o", n_buckets=8,
+        epoch_id=0, run_id="r",
+    )
+    state = _install_crash(monkeypatch, crash_at)
+    with pytest.raises(OSError, match="injected"):
+        snapshots.snapshot_upsert(
+            spark, path, _mk(spark, B2), ["k"], "o", n_buckets=8,
+            epoch_id=1, run_id="r",
+        )
+    assert state["n"] == crash_at  # the parametrized point was exercised
+    monkeypatch.undo()
+    # reader sees the OLD snapshot, whole — atomicity across buckets
+    assert _rows(snapshots.read_snapshot(spark, path)) == AFTER_B1
+    # replay converges exactly once
+    snapshots.snapshot_upsert(
+        spark, path, _mk(spark, B2), ["k"], "o", n_buckets=8,
+        epoch_id=1, run_id="r",
+    )
+    assert _rows(snapshots.read_snapshot(spark, path)) == AFTER_B2
+    # vacuum clears the crashed attempt's orphan generations/manifests
+    snapshots.vacuum_snapshots(path, keep_last=2)
+    _, buckets = snapshots._resolve_buckets(path, snapshots._latest_version(path))
+    referenced = {
+        os.path.join(f"kb={b}", n) for b, names in buckets.items() for n in names
+    }
+    _, buckets1 = snapshots._resolve_buckets(path, 1)
+    referenced |= {
+        os.path.join(f"kb={b}", n) for b, names in buckets1.items() for n in names
+    }
+    on_disk = {
+        os.path.join(d, f)
+        for d in os.listdir(path)
+        if d.startswith("kb=")
+        for f in os.listdir(os.path.join(path, d))
+    }
+    assert on_disk == referenced
+
+
+@pytest.mark.parametrize("crash_at", [2, 3, 4])
+def test_accumulate_crash_never_double_counts(spark, tmp_path, monkeypatch, crash_at):
+    """SUM-merge: crash mid-commit (after a gen move / after the manifest
+    replace, or AT the pointer swap itself), then replay the SAME epoch — the
+    delta must fold in exactly once because marker and data share the
+    pointer swap (there is no between-them crash point by construction)."""
+    path = str(tmp_path / "a")
+    d0 = spark.createDataFrame([(1, 1), (2, 1)], "k long, c long")
+    d1 = spark.createDataFrame([(1, 10), (2, 10)], "k long, c long")
+    snapshots.snapshot_accumulate(
+        spark, path, d0, ["k"], ["c"], epoch_id=0, run_id="r", n_buckets=4
+    )
+    _install_crash(monkeypatch, crash_at)
+    with pytest.raises(OSError, match="injected"):
+        snapshots.snapshot_accumulate(
+            spark, path, d1, ["k"], ["c"], epoch_id=1, run_id="r", n_buckets=4
+        )
+    monkeypatch.undo()
+    assert {r.k: r.c for r in snapshots.read_snapshot(spark, path).collect()} == {
+        1: 1, 2: 1,
+    }
+    snapshots.snapshot_accumulate(
+        spark, path, d1, ["k"], ["c"], epoch_id=1, run_id="r", n_buckets=4
+    )
+    snapshots.snapshot_accumulate(  # second replay: still exactly once
+        spark, path, d1, ["k"], ["c"], epoch_id=1, run_id="r", n_buckets=4
+    )
+    assert {r.k: r.c for r in snapshots.read_snapshot(spark, path).collect()} == {
+        1: 11, 2: 11,
+    }
+
+
+def test_lookup_snapshot_keys_prunes_to_routed_buckets(spark, tmp_path):
+    """The point lookup opens ONLY the routed buckets' generation files
+    (inputFiles ⊆ the manifest's entries for those buckets, strictly
+    fewer than the full file set) and returns exactly the stored rows."""
+    path = str(tmp_path / "t")
+    seed = [(k, k * 10, 1) for k in range(64)]
+    snapshots.snapshot_upsert(spark, path, _mk(spark, seed), ["k"], "o", n_buckets=16)
+    got = snapshots.lookup_snapshot_keys(spark, path, ["k"], [(7,), (13,)])
+    rows = {(r.k, r.v) for r in got.collect()}
+    assert rows == {(7, 70), (13, 130)}
+    head, buckets = snapshots._resolve_buckets(path, 1)
+    all_files = sum(len(n) for n in buckets.values())
+    want = snapshots._with_kb(
+        spark.createDataFrame([(7,), (13,)], "k long"), ["k"], 16
+    )
+    routed = {r.kb for r in want.collect()}
+    allowed = {
+        os.path.join(path, f"kb={b}", n)
+        for b in routed
+        for n in buckets.get(str(b), [])
+    }
+    opened = {os.path.abspath(f.replace("file:", "")) for f in got.inputFiles()}
+    assert opened <= {os.path.abspath(p) for p in allowed}
+    assert len(opened) < all_files
+
+
+def test_mismatched_layout_refused(spark, tmp_path):
+    path = str(tmp_path / "t")
+    snapshots.snapshot_upsert(spark, path, _mk(spark, B1), ["k"], "o", n_buckets=8)
+    with pytest.raises(ValueError, match="n_buckets=8"):
+        snapshots.snapshot_upsert(spark, path, _mk(spark, B2), ["k"], "o", n_buckets=16)
+
+
+def test_stream_upsert_snapshot_matches_batch(spark, tmp_path):
+    """availableNow file-stream in 3 micro-batches through foreachBatch
+    snapshot commits == one-shot batch upsert; versions accrete 1/batch."""
+    src = str(tmp_path / "src")
+    for i, b in enumerate((B1, B2, B3)):
+        _mk(spark, b).coalesce(1).write.parquet(os.path.join(src, f"f{i}"))
+    stream = (
+        spark.readStream.schema("k long, v long, o long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f*")
+    )
+    path = str(tmp_path / "t")
+    snapshots.stream_upsert_snapshot(stream, path, ["k"], "o", n_buckets=8)
+    assert _rows(snapshots.read_snapshot(spark, path)) == AFTER_B3
+    assert len(snapshots.snapshot_versions(path)) == 3
