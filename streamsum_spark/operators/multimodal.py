@@ -327,11 +327,14 @@ def _decode_png(b: bytes) -> np.ndarray:
 def decode_image(content: bytes) -> np.ndarray:
     """Decode an image to an (h, w, 3) uint8 RGB array.
 
-    Real for BMP (BI_RGB 24/32-bit), PNM (P2/P3/P5/P6), and the full PNG
+    Real for BMP (BI_RGB 24/32-bit), PNM (P2/P3/P5/P6), the full PNG
     spec surface (all five color types incl. PLTE palette, bit depths
     1/2/4/8/16, Adam7 interlace — stdlib zlib + the five row filters, no
-    codec libs).  Genuinely compressed codecs (JPEG/GIF/...) raise
-    NotImplementedError: a fake decode would misreport pixel stats."""
+    codec libs), and baseline JPEG (SOF0 Huffman sequential, grayscale /
+    YCbCr with 4:4:4 / 4:2:2 / 4:2:0 / 4:4:0 subsampling, restart
+    intervals — operators/jpeg.py, written from ITU-T T.81).  Remaining
+    codecs (progressive JPEG, GIF, ...) raise NotImplementedError: a
+    fake decode would misreport pixel stats."""
     if content is None:
         raise ValueError("null content")
     b = bytes(content)
@@ -341,6 +344,10 @@ def decode_image(content: bytes) -> np.ndarray:
         return _decode_pnm(b)
     if b[:8] == _PNG_SIG:
         return _decode_png(b)
+    if b[:2] == b"\xff\xd8":
+        from streamsum_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(b)
     raise NotImplementedError("compressed image codecs not available in this environment")
 
 
@@ -584,10 +591,12 @@ def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
 
 
 def synthetic_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic real-format media table for tests: BMP, PPM, and PNG
-    images with gradient pixels (PNGs cycle through all five row
-    filters), and PCM WAV tones — every blob decodes with the stdlib
-    decoders above, no codec libs needed."""
+    """Deterministic real-format media table for tests: BMP, PPM, PNG
+    (cycling all five row filters), and baseline JPEG (alternating 4:4:4
+    and 4:2:0) images with gradient pixels, plus PCM WAV tones — every
+    blob decodes with the stdlib decoders above, no codec libs needed."""
+    from streamsum_spark.operators.jpeg import encode_jpeg
+
     rows = []
     for i in range(n):
         kind = i % 3
@@ -601,7 +610,13 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
             if kind == 0:
                 content, mime = encode_bmp(px), "image/bmp"
             elif (i // 3) % 2 == 0:
-                content, mime = encode_ppm(px), "image/x-portable-pixmap"
+                if (i // 3) % 4 == 0:
+                    content, mime = encode_ppm(px), "image/x-portable-pixmap"
+                else:
+                    content, mime = (
+                        encode_jpeg(px, quality=92, subsampling=(1 + (i // 6) % 2,) * 2),
+                        "image/jpeg",
+                    )
             else:
                 content, mime = encode_png(px, filter_type=(i // 6) % 5), "image/png"
             rows.append((i, mime, w, h, None, content))

@@ -89,9 +89,16 @@ def test_frame_sample_plan(spark):
 
 
 def test_decode_is_honest_stub_for_codecs():
-    # JPEG stays honestly unsupported (no codec libs in this container)
-    with pytest.raises(NotImplementedError):
-        mm.decode_image(b"\xff\xd8\xff\xe0" + bytes(64))
+    # baseline JPEG is now a real decode (operators/jpeg.py); the modes a
+    # baseline decoder cannot serve stay honestly unsupported
+    import struct as st
+
+    sof2 = st.pack(">BHHB", 8, 2, 2, 1) + bytes([1, 0x11, 0])
+    progressive = (
+        b"\xff\xd8" + b"\xff\xc2" + st.pack(">H", 2 + len(sof2)) + sof2 + b"\xff\xd9"
+    )
+    with pytest.raises(NotImplementedError, match="progressive"):
+        mm.decode_image(progressive)
     with pytest.raises(NotImplementedError):
         mm.decode_audio(b"ID3\x04" + bytes(32))
     # spec-ILLEGAL depth/color combos still refuse (16-bit and palette
@@ -436,3 +443,103 @@ def test_png_adam7_interlace_roundtrips(ft):
     small = rng.integers(0, 256, size=(3, 2, 3), dtype=np.uint8)
     got2 = mm.decode_image(_png_blob(2, 3, 8, 2, 1, _adam7_raw(small, ft)))
     assert np.array_equal(got2, small)
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG (operators/jpeg.py — written from ITU-T T.81, no codec libs)
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_gradient(h=37, w=53):
+    x = np.linspace(0, 255, w)[None, :] * np.ones((h, 1))
+    y = np.linspace(0, 255, h)[:, None] * np.ones((1, w))
+    return np.dstack([x, y, (x + y) / 2]).astype(np.uint8)
+
+
+@pytest.mark.parametrize("sub", [(1, 1), (2, 2), (2, 1), (1, 2)])
+@pytest.mark.parametrize("ri", [0, 3])
+def test_jpeg_roundtrip_subsampling_and_restarts(sub, ri):
+    """Every subsampling mode (4:4:4 / 4:2:0 / 4:2:2 / 4:4:0) and the
+    restart-interval path roundtrip a smooth gradient within JPEG's lossy
+    tolerance at quality 95 — odd dimensions exercise MCU padding/crop."""
+    from streamsum_spark.operators import jpeg
+
+    px = _jpeg_gradient()
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(px, quality=95, subsampling=sub,
+                                            restart_interval=ri))
+    assert out.shape == px.shape
+    err = np.abs(out.astype(int) - px.astype(int))
+    assert err.max() <= 10 and err.mean() <= 2.5
+
+
+def test_jpeg_grayscale_roundtrip():
+    from streamsum_spark.operators import jpeg
+
+    g = _jpeg_gradient()[:, :, 0]
+    out = jpeg.decode_jpeg(jpeg.encode_jpeg(g, quality=95))
+    assert out.shape == (*g.shape, 3)
+    # gray replicates across channels and tracks the input
+    assert np.array_equal(out[:, :, 0], out[:, :, 1])
+    assert np.abs(out[:, :, 0].astype(int) - g.astype(int)).max() <= 4
+
+
+def test_jpeg_hostile_inputs_fail_bounded():
+    """Header-declared dims are capped before allocation; malformed
+    structure raises ValueError (never a stray KeyError/IndexError the
+    batch decode loop would not catch); unsupported modes refuse."""
+    import struct as st
+
+    from streamsum_spark.operators import jpeg
+
+    # dimension bomb: 60000 x 60000 declared in a ~30-byte file
+    sof = st.pack(">BHHB", 8, 60000, 60000, 1) + bytes([1, 0x11, 0])
+    bomb = b"\xff\xd8\xff\xc0" + st.pack(">H", 2 + len(sof)) + sof + b"\xff\xd9"
+    with pytest.raises(ValueError, match="decode cap"):
+        jpeg.decode_jpeg(bomb)
+    # truncated scan: valid headers, entropy data cut off
+    full = jpeg.encode_jpeg(_jpeg_gradient(), quality=80)
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(full[: len(full) * 2 // 3])
+    # 12-bit precision refuses
+    sof12 = st.pack(">BHHB", 12, 2, 2, 1) + bytes([1, 0x11, 0])
+    with pytest.raises(NotImplementedError, match="12-bit"):
+        jpeg.decode_jpeg(
+            b"\xff\xd8\xff\xc0" + st.pack(">H", 2 + len(sof12)) + sof12
+        )
+    # arbitrary garbage after SOI: ValueError, not a crash
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg(b"\xff\xd8" + bytes(40))
+
+
+def test_jpeg_mutation_fuzz_never_escapes_valueerror():
+    """Single-byte corruptions of a valid JPEG either still decode or
+    raise ValueError/NotImplementedError — the contract extract_features
+    relies on (one bad blob falls back to fingerprint, never fails the
+    Arrow batch)."""
+    from streamsum_spark.operators import jpeg
+
+    blob = bytearray(jpeg.encode_jpeg(_jpeg_gradient(16, 24), quality=85))
+    rng = np.random.RandomState(7)
+    for _ in range(40):
+        i = int(rng.randint(2, len(blob) - 2))
+        mut = bytearray(blob)
+        mut[i] ^= 1 << int(rng.randint(8))
+        try:
+            out = jpeg.decode_jpeg(bytes(mut))
+            assert out.dtype == np.uint8 and out.ndim == 3
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_jpeg_through_extract_features(spark):
+    """synthetic_media now includes JPEGs (4:4:4 and 4:2:0); they decode
+    on the default Arrow path with real pixel stats."""
+    media = mm.synthetic_media(spark, n=64)
+    jpegs = {r.media_id for r in media.where("mime = 'image/jpeg'").collect()}
+    assert len(jpegs) >= 4
+    rows = {r.media_id: r for r in mm.extract_features(media).collect()}
+    assert all(rows[i].decoded for i in jpegs)
+    one = sorted(jpegs)[0]
+    blob = [r.content for r in media.collect() if r.media_id == one][0]
+    px = mm.decode_image(blob)
+    assert rows[one].feature[0] == pytest.approx(px[:, :, 0].mean() / 255.0, abs=1e-6)
