@@ -339,6 +339,84 @@ def stream_sessionize_stateful(
     )
 
 
+def stream_join_interval(
+    spark: SparkSession,
+    sf_dir: str,
+    how: str = "inner",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Stream-STREAM interval join (the streaming face of the batch join
+    family, §2.C "Joins"): each purchase event joins the same user's
+    click events from the preceding hour.  Both sides carry a watermark
+    and the join condition carries the time interval — exactly what
+    Spark needs to bound join state: a buffered click can be evicted
+    once the watermark passes its ts + 1h, so state is O(events in the
+    watermark horizon), not O(stream history) — the only shape a
+    stream-stream join survives at 100 TB/day.
+
+    ``how="left_outer"`` exercises the watermark-gated null emission:
+    an unmatched purchase emits (click columns null) only once the
+    watermark proves no matching click can still arrive.  Under an
+    availableNow run the LAST horizon's unmatched rows legitimately stay
+    pending (no later batch advances the watermark past them), so the
+    outer pin asserts matched == batch inner + nulls ⊆ batch anti — the
+    honest contract, pinned in tests/test_streaming.py.
+
+    Reference provenance: the reference has no stream-stream join at all
+    (caches are its only cross-event state, caches.clj:27-101); this is
+    part of the beyond-reference relational surface mandated for the
+    engine."""
+    left = stream_events(
+        spark, sf_dir, max_files_per_trigger=max_files_per_trigger
+    ).where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("p_event"),
+        # watermarks need TIMESTAMP (with zone), not the source's NTZ
+        F.col("ts").cast("timestamp").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    ).withWatermark("p_ts", "1 hour")
+    right = stream_events(
+        spark, sf_dir, max_files_per_trigger=max_files_per_trigger
+    ).where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("c_event"),
+        F.col("ts").cast("timestamp").alias("c_ts"),
+    ).withWatermark("c_ts", "1 hour")
+    joined = left.join(
+        right,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        how,
+    ).select("p_user", "p_event", "p_ts", "p_value", "c_event", "c_ts")
+    return _run_to_memory(joined, "append")
+
+
+def batch_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of stream_join_interval (the equality oracle)."""
+    from streamsum_spark.tables import table
+
+    ev = table(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("p_event"),
+        F.col("ts").cast("timestamp").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    right = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("c_event"),
+        F.col("ts").cast("timestamp").alias("c_ts"),
+    )
+    return left.join(
+        right,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    ).select("p_user", "p_event", "p_ts", "p_value", "c_event", "c_ts")
+
+
 def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup on (user_id, event_type) within the watermark —
     dropDuplicatesWithinWatermark bounds state, unlike global

@@ -590,3 +590,39 @@ def test_stream_near_dup_state_reads_are_bucket_pruned(spark, tmp_path, monkeypa
         assert len(kbs) < 16  # strictly pruned vs the 16-bucket store
     for kbs, want in sig_reads:
         assert kbs <= want  # only (band, mh)-routed signature buckets opened
+
+
+def test_stream_stream_interval_join_inner_matches_batch(spark):
+    """Stream-stream interval join (watermarks both sides + time-bounded
+    condition => bounded join state): the availableNow run over the full
+    corpus emits exactly the batch join's rows."""
+    from streamsum_spark.streaming.pipeline import (
+        batch_join_interval,
+        stream_join_interval,
+    )
+
+    got = stream_join_interval(spark, SF_SMOKE, how="inner")
+    want = batch_join_interval(spark, SF_SMOKE)
+    key = lambda r: (r.p_event, r.c_event)
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+
+
+def test_stream_stream_interval_join_outer_watermark_contract(spark):
+    """left_outer: matched rows == batch inner; null-extended rows are a
+    subset of the batch anti-join (the LAST watermark horizon's unmatched
+    purchases legitimately stay pending under availableNow — emitting
+    them early would be wrong, not late)."""
+    from streamsum_spark.streaming.pipeline import (
+        batch_join_interval,
+        stream_join_interval,
+    )
+
+    got = stream_join_interval(spark, SF_SMOKE, how="left_outer").collect()
+    want_inner = {
+        (r.p_event, r.c_event) for r in batch_join_interval(spark, SF_SMOKE).collect()
+    }
+    matched = {(r.p_event, r.c_event) for r in got if r.c_event is not None}
+    nulls = {r.p_event for r in got if r.c_event is None}
+    assert matched == want_inner
+    inner_lefts = {p for p, _ in want_inner}
+    assert nulls and nulls.isdisjoint(inner_lefts)
