@@ -59,6 +59,9 @@ HEADLINE = [
     # round 6 addition (compare totals to r<=5 minus this entry): the
     # incremental state-table layer — 3 bucketed additive merges + read
     "bucketed_state_merge",
+    # round 6: same workload through the snapshot-manifest layer (MVCC
+    # pointer-swap commits) — the two sink shapes stay directly comparable
+    "snapshot_state_merge",
 ]
 
 
@@ -94,6 +97,37 @@ def bucketed_state_merge(spark, sf_dir):
     return sinks.read_state_table(spark, target)
 
 
+def snapshot_state_merge(spark, sf_dir):
+    """Same 3-delta accumulate workload as bucketed_state_merge, through
+    the snapshot-manifest layer (snapshots.py): immutable generation
+    files + one pointer-swap commit per merge.  Keeping both entries
+    makes the cost delta between the two state-table shapes (rename-swap
+    vs MVCC manifests) driver-visible round over round."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from streamsum_spark import snapshots
+    from streamsum_spark.tables import table
+
+    target = os.path.join(
+        tempfile.gettempdir(), f"bench_snap_{uuid.uuid4().hex[:10]}"
+    )
+    ev = table(spark, sf_dir, "events")
+    for i in range(3):
+        deltas = (
+            ev.where(F.pmod(F.col("event_id"), F.lit(3)) == i)
+            .groupBy(F.col("user_id").alias("k"))
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+        snapshots.snapshot_accumulate(
+            spark, target, deltas, ["k"], ["c"],
+            epoch_id=i, run_id="bench", n_buckets=16,
+        )
+    return snapshots.read_snapshot(spark, target)
+
+
 def _materialize(df) -> int:
     """Full-plan checksum: hash every column of every row, XOR-fold.
     Forces evaluation of all projections (unlike count(), which lets
@@ -123,6 +157,7 @@ def main() -> None:
         "text_token_counts": tx.text_token_counts,
         "similarity_topk": sim.similarity_topk,
         "bucketed_state_merge": bucketed_state_merge,
+        "snapshot_state_merge": snapshot_state_merge,
     }
 
     spark = get_spark("streamsum_spark_bench")

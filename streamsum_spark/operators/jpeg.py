@@ -15,9 +15,16 @@ decode would misreport pixel stats.
 
 Hostile-input posture mirrors the PNG decoder: header-declared dims are
 capped before any allocation (decoded pixels ≤ _MAX_DECODED_BYTES) so a
-tiny crafted file cannot balloon memory, and the entropy decode walks at
-most the scan's real bytes — both memory AND CPU are bounded by the blob
-that was actually stored.
+tiny crafted file cannot balloon memory, and decode CPU has no
+amplification vector: the Huffman walk consumes ≥1 real scan bit per
+iteration and stops at the declared MCU count, so total work is
+min(8 × scan bytes, blocks × 65 symbols) — linear in the bytes actually
+stored (measured ~4 s/MB of scan worst-case), unlike a decompression
+bomb.  A truncated scan pads with 1-bits per T.81 F.2.2.5; the all-ones
+code is unassigned in all four canonical tables (asserted empirically),
+so padding terminates in ≤16 reads with "invalid Huffman code" — and
+even a crafted DHT that assigns it cannot loop, because the walk stops
+at the header-declared (and size-capped) MCU count.
 
 The DCT is the orthonormal 8×8 DCT-II as two matrix multiplies, batched
 over every block of a component in ONE numpy einsum — the per-pixel math
