@@ -240,6 +240,57 @@ def lookup_snapshot_keys(
     return pruned.join(F.broadcast(keys_df), on=key_cols, how="left_semi")
 
 
+def read_touched_snapshot_buckets(
+    spark: SparkSession, path: str, keys_df: DataFrame, version: int | None = None
+) -> DataFrame:
+    """Distributed routed read — the snapshot sibling of
+    sinks.read_touched_buckets: open ONLY the generation files of the
+    buckets ``keys_df``'s rows hash into (per the manifest: no directory
+    listing, no torn state while a writer commits).  Only bucket IDs are
+    collected (bounded by n_buckets); the key rows never leave the
+    cluster.  ``keys_df`` must carry the table's bucket columns."""
+    if version is None:
+        version = _latest_version(path)
+        if version is None:
+            raise ValueError(f"{path} has no committed snapshots")
+    _check_readable(path, version)
+    head, buckets = _resolve_buckets(path, version)
+    n_buckets, bcols = head["n_buckets"], head["bucket_cols"]
+    missing = [c for c in bcols if c not in keys_df.columns]
+    if missing:
+        raise ValueError(
+            f"keys are missing the table's bucket columns {missing} "
+            f"(bucket_cols={bcols}); routing needs every bucket column"
+        )
+    first_b, first = next(
+        ((b, names[0]) for b, names in buckets.items() if names), (None, None)
+    )
+    if first is None:
+        return read_snapshot(spark, path, version).limit(0)
+    stored_types = {
+        f.name: f.dataType
+        for f in spark.read.parquet(
+            os.path.join(path, f"kb={first_b}", first)
+        ).schema
+    }
+    keys_df = keys_df.select(
+        *[
+            F.col(c).cast(stored_types[c]).alias(c) if c in stored_types else F.col(c)
+            for c in keys_df.columns
+        ]
+    )
+    want = _with_kb(keys_df, bcols, n_buckets)
+    touched = sorted({r.kb for r in want.select("kb").distinct().collect()})
+    files = [
+        os.path.join(path, f"kb={b}", name)
+        for b in touched
+        for name in buckets.get(str(b), [])
+    ]
+    if not files:
+        return read_snapshot(spark, path, version).limit(0)
+    return spark.read.option("basePath", path).parquet(*files).drop("kb")
+
+
 def _commit(
     spark: SparkSession,
     path: str,

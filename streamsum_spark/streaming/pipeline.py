@@ -1174,6 +1174,7 @@ def stream_near_dup_pairs(
     glob: str = "documents.parquet",
     max_files_per_trigger: int | None = None,
     n_buckets: int = 16,
+    state_layer: str = "swap",
 ) -> DataFrame:
     """Incremental near-duplicate detection — the streaming twin of
     dedup.near_dup_verified, and the shape a continuously-ingesting
@@ -1224,9 +1225,55 @@ def stream_near_dup_pairs(
     stream_minhash_signatures' min-merge, which this store could adopt
     wholesale if needed.  Pinned equal to the batch pipeline's pair set
     over a 3-micro-batch split, with the per-batch state reads pinned
-    bounded to touched buckets, in tests/test_streaming.py."""
+    bounded to touched buckets, in tests/test_streaming.py.
+
+    ``state_layer`` selects the state-table implementation: ``"swap"``
+    (default) uses the rename-aside bucketed sink (sinks.py);
+    ``"snapshot"`` runs the SAME three stores on snapshot-manifest
+    tables (snapshots.py) — identical pruned-read/upsert semantics, but
+    every multi-bucket merge commits atomically in one pointer swap and
+    concurrent readers (e.g. a dashboard tailing the pair table while
+    ingest runs) are never torn.  Pinned to produce the identical pair
+    set in tests/test_streaming.py."""
     from streamsum_spark.operators.dedup import _SHINGLES_T, _TOKS, _signatures_from
-    from streamsum_spark.sinks import read_touched_buckets, upsert_batch
+
+    if state_layer == "snapshot":
+        from streamsum_spark import snapshots
+
+        def _exists(p):
+            return snapshots._latest_version(p) is not None
+
+        def _touched(p, keys_df):
+            return snapshots.read_touched_snapshot_buckets(spark, p, keys_df)
+
+        def _upsert(p, df, key_cols, order_col, bucket_cols=None):
+            snapshots.snapshot_upsert(
+                spark, p, df, key_cols, order_col,
+                n_buckets=n_buckets, bucket_cols=bucket_cols,
+            )
+
+        def _read_final(p):
+            return snapshots.read_snapshot(spark, p)
+
+    elif state_layer == "swap":
+        from streamsum_spark.sinks import read_touched_buckets, upsert_batch
+
+        _exists = os.path.exists
+
+        def _touched(p, keys_df):
+            return read_touched_buckets(spark, p, keys_df)
+
+        def _upsert(p, df, key_cols, order_col, bucket_cols=None):
+            upsert_batch(
+                spark, p, df, key_cols, order_col,
+                n_buckets=n_buckets, bucket_cols=bucket_cols,
+            )
+
+        def _read_final(p):
+            return read_state_table(spark, p)
+
+    else:
+        raise ValueError(f"unknown state_layer {state_layer!r} (swap|snapshot)")
 
     base = os.path.join(
         tempfile.gettempdir(), f"streamsum_ndup_{uuid.uuid4().hex[:12]}"
@@ -1247,12 +1294,10 @@ def stream_near_dup_pairs(
             .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         )
         cands = new_new
-        if os.path.exists(sig_tbl):
+        if _exists(sig_tbl):
             # pruned read: only the signature buckets this batch's
             # (band, mh) pairs hash into — not the whole store
-            old_sig = read_touched_buckets(
-                spark, sig_tbl, b_sig.select("band", "mh")
-            )
+            old_sig = _touched(sig_tbl, b_sig.select("band", "mh"))
             new_old = (
                 b_sig.alias("a")
                 .join(old_sig.alias("b"), ["band", "mh"])
@@ -1268,7 +1313,7 @@ def stream_near_dup_pairs(
             cands = cands.unionByName(new_old)
         cands = cands.distinct().localCheckpoint()
         all_sh = b_sh
-        if os.path.exists(sh_tbl):
+        if _exists(sh_tbl):
             # candidate ids not in this batch: their shingles live in the
             # store — fetch only those rows from their touched buckets
             need = (
@@ -1277,9 +1322,7 @@ def stream_near_dup_pairs(
                 .distinct()
                 .join(b_sh.select("doc_id"), "doc_id", "left_anti")
             )
-            stored_sh = read_touched_buckets(spark, sh_tbl, need).join(
-                need, "doc_id", "left_semi"
-            )
+            stored_sh = _touched(sh_tbl, need).join(need, "doc_id", "left_semi")
             all_sh = stored_sh.unionByName(b_sh)
         verified = (
             cands.join(all_sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
@@ -1297,18 +1340,12 @@ def stream_near_dup_pairs(
             )
             .where(F.col("jaccard") >= threshold)
         )
-        upsert_batch(
-            spark, pair_tbl, verified, ["doc_a", "doc_b"], "jaccard",
-            n_buckets=n_buckets,
+        _upsert(pair_tbl, verified, ["doc_a", "doc_b"], "jaccard")
+        _upsert(
+            sig_tbl, b_sig, ["band", "mh", "doc_id"], "doc_id",
+            bucket_cols=["band", "mh"],
         )
-        upsert_batch(
-            spark, sig_tbl, b_sig, ["band", "mh", "doc_id"], "doc_id",
-            n_buckets=n_buckets, bucket_cols=["band", "mh"],
-        )
-        upsert_batch(
-            spark, sh_tbl, b_sh.select("doc_id", "sh"), ["doc_id"], "doc_id",
-            n_buckets=n_buckets,
-        )
+        _upsert(sh_tbl, b_sh.select("doc_id", "sh"), ["doc_id"], "doc_id")
 
     docs = stream_documents(spark, sf_dir, glob, max_files_per_trigger)
     ckpt = os.path.join(tempfile.gettempdir(), f"streamsum_ndup_ckpt_{uuid.uuid4().hex[:10]}")
@@ -1321,7 +1358,7 @@ def stream_near_dup_pairs(
         .start()
     )
     q.awaitTermination()
-    return read_state_table(spark, pair_tbl).select("doc_a", "doc_b", "jaccard")
+    return _read_final(pair_tbl).select("doc_a", "doc_b", "jaccard")
 
 
 def stream_dedup_corpus(

@@ -626,3 +626,26 @@ def test_stream_stream_interval_join_outer_watermark_contract(spark):
     assert matched == want_inner
     inner_lefts = {p for p, _ in want_inner}
     assert nulls and nulls.isdisjoint(inner_lefts)
+
+
+def test_stream_near_dup_pairs_snapshot_layer_identical(spark, tmp_path):
+    """state_layer="snapshot": the same composite on snapshot-manifest
+    state tables (atomic multi-bucket commits, manifest-resolved pruned
+    reads) produces the IDENTICAL pair set as the batch pipeline — the
+    snapshot layer is a drop-in for the rename-swap sinks, not a
+    shelf-only feature."""
+    from streamsum_spark.operators.dedup import near_dup_verified
+
+    src = _sliced_docs_src(spark, tmp_path)
+    batch = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in near_dup_verified(spark, src).collect()
+    }
+    stream = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in sp.stream_near_dup_pairs(
+            spark, src, glob="documents_*.parquet", max_files_per_trigger=1,
+            state_layer="snapshot",
+        ).collect()
+    }
+    assert batch and stream == batch
