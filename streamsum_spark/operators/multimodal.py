@@ -330,11 +330,12 @@ def decode_image(content: bytes) -> np.ndarray:
     Real for BMP (BI_RGB 24/32-bit), PNM (P2/P3/P5/P6), the full PNG
     spec surface (all five color types incl. PLTE palette, bit depths
     1/2/4/8/16, Adam7 interlace — stdlib zlib + the five row filters, no
-    codec libs), and baseline JPEG (SOF0 Huffman sequential, grayscale /
+    codec libs), baseline JPEG (SOF0 Huffman sequential, grayscale /
     YCbCr with 4:4:4 / 4:2:2 / 4:2:0 / 4:4:0 subsampling, restart
-    intervals — operators/jpeg.py, written from ITU-T T.81).  Remaining
-    codecs (progressive JPEG, GIF, ...) raise NotImplementedError: a
-    fake decode would misreport pixel stats."""
+    intervals — operators/jpeg.py, written from ITU-T T.81), and GIF
+    (87a/89a LZW incl. interlace, first frame — operators/gif.py).
+    Remaining codecs (progressive JPEG, WebP, ...) raise
+    NotImplementedError: a fake decode would misreport pixel stats."""
     if content is None:
         raise ValueError("null content")
     b = bytes(content)
@@ -348,6 +349,10 @@ def decode_image(content: bytes) -> np.ndarray:
         from streamsum_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        from streamsum_spark.operators.gif import decode_gif
+
+        return decode_gif(b)
     raise NotImplementedError("compressed image codecs not available in this environment")
 
 

@@ -543,3 +543,130 @@ def test_jpeg_through_extract_features(spark):
     blob = [r.content for r in media.collect() if r.media_id == one][0]
     px = mm.decode_image(blob)
     assert rows[one].feature[0] == pytest.approx(px[:, :, 0].mean() / 255.0, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# GIF (operators/gif.py — GIF89a spec LZW, no codec libs)
+# ---------------------------------------------------------------------------
+
+
+def _gif_px(h=23, w=31, ncolors=64, seed=3):
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, size=(ncolors, 3), dtype=np.uint8)
+    return pal[rng.integers(0, ncolors, size=(h, w))]
+
+
+@pytest.mark.parametrize("interlace", [False, True])
+def test_gif_roundtrip_pixel_exact(interlace):
+    """GIF is lossless: encode->decode is pixel-exact, interlaced or not."""
+    from streamsum_spark.operators import gif
+
+    px = _gif_px()
+    out = gif.decode_gif(gif.encode_gif(px, interlace=interlace))
+    assert np.array_equal(out, px)
+
+
+def test_gif_real_lzw_with_dictionary_growth():
+    """The fixture encoder emits literal codes only; a REAL LZW stream
+    (growing dictionary, code-width bumps at 512/1024/..., the KwKwK
+    self-reference) must decode identically — compressor written here
+    from the spec to cross-check the decoder's growth path."""
+    from streamsum_spark.operators import gif
+
+    px = _gif_px(h=40, w=40, ncolors=8, seed=9)  # repetitive -> real growth
+    flat = px.reshape(-1, 3)
+    palette, inverse = np.unique(flat, axis=0, return_inverse=True)
+    seq = [int(v) for v in inverse]
+
+    min_code = 8  # encode with 8-bit roots like the fixture
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    table = {(c,): c for c in range(1 << min_code)}
+    next_code, width = eoi + 1, min_code + 1
+    acc = nbits = 0
+    out = bytearray()
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    run = (seq[0],)
+    for v in seq[1:]:
+        if run + (v,) in table:
+            run = run + (v,)
+            continue
+        emit(table[run])
+        if next_code < 4096:
+            table[run + (v,)] = next_code
+            next_code += 1
+            # interop convention (giflib): the code that FILLS the table
+            # is still emitted at the old width; widen for the next one
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        run = (v,)
+    emit(table[run])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    pal[: len(palette)] = palette
+    import struct as st
+
+    blob = bytearray(b"GIF89a")
+    blob += st.pack("<HHBBB", 40, 40, 0x87, 0, 0) + pal.tobytes()
+    blob += b"\x2c" + st.pack("<HHHHB", 0, 0, 40, 40, 0) + bytes([min_code])
+    for off in range(0, len(out), 255):
+        chunk = out[off : off + 255]
+        blob += bytes([len(chunk)]) + chunk
+    blob += b"\x00\x3b"
+    assert len(out) < len(seq)  # the stream really compressed (dict grew)
+    got = gif.decode_gif(bytes(blob))
+    assert np.array_equal(got, px)
+
+
+def test_gif_hostile_inputs_fail_bounded():
+    from streamsum_spark.operators import gif
+    import struct as st
+
+    bomb = (
+        b"GIF89a" + st.pack("<HHBBB", 60000, 60000, 0, 0, 0)
+        + b"\x2c" + st.pack("<HHHHB", 0, 0, 60000, 60000, 0)
+    )
+    with pytest.raises(ValueError, match="decode cap"):
+        gif.decode_gif(bomb)
+    full = gif.encode_gif(_gif_px())
+    with pytest.raises(ValueError):
+        gif.decode_gif(full[: len(full) // 2])
+    with pytest.raises(ValueError):
+        gif.decode_gif(b"GIF89a" + bytes(20))
+    # mutation fuzz: ValueError or a successful bounded decode, never else
+    rng = np.random.RandomState(11)
+    blob = bytearray(full)
+    for _ in range(40):
+        mut = bytearray(blob)
+        i = int(rng.randint(6, len(mut)))
+        mut[i] ^= 1 << int(rng.randint(8))
+        try:
+            out = gif.decode_gif(bytes(mut))
+            assert out.dtype == np.uint8 and out.ndim == 3
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_gif_through_extract_features(spark):
+    from streamsum_spark.operators import gif
+
+    px = _gif_px(h=12, w=18, ncolors=32, seed=5)
+    blob = gif.encode_gif(px)
+    media = spark.createDataFrame(
+        [(1, "image/gif", 18, 12, None, blob)], mm.MEDIA_SCHEMA
+    )
+    out = mm.extract_features(media).collect()[0]
+    assert out.decoded and (out.width, out.height) == (18, 12)
+    assert out.feature[0] == pytest.approx(px[:, :, 0].mean() / 255.0, abs=1e-6)
