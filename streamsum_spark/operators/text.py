@@ -476,3 +476,107 @@ SELECT doc_id,
        {_pii_sql_chain()} != text AS changed
 FROM documents
 """
+
+
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style quality-rule flags per document — the
+    rule battery a pre-training corpus filter actually runs (public
+    recipe from the Gopher paper's §A.1.1 MassiveText filters), each as
+    a JVM-side expression over one scan, plus the conjunction ``keep``:
+
+    - word count within [50, 100_000]
+    - mean word length within [3, 10]
+    - '#' or ellipsis symbol-to-word ratio <= 0.1
+    - < 90% of lines start with a bullet; < 30% end with an ellipsis
+    - >= 80% of words contain at least one alphabetic character
+    - at least 2 distinct stopwords appear
+
+    All thresholds are literals so the flags (and the conjunction) are
+    deterministic and DuckDB-oracle-checkable (tests/test_demoted_oracles
+    'gopher_quality_flags').  Reference provenance: none — part of the
+    beyond-reference dataset-prep surface; text_quality_score is the
+    C4-style sibling."""
+    docs = table(spark, sf_dir, "documents")
+    stop_arr = "array(" + ",".join(f"'{w}'" for w in STOPWORDS) + ")"
+    toks_low = f"transform({_TOKS}, x -> lower(x))"
+    lines = "split(text, '\\n')"
+    return docs.select(
+        "doc_id",
+        F.expr(f"CAST(size({_TOKS}) AS BIGINT)").alias("n_words"),
+        F.expr(
+            f"aggregate({_TOKS}, CAST(0 AS BIGINT), (a, x) -> a + length(x))"
+            f" / CAST(size({_TOKS}) AS DOUBLE)"
+        ).alias("mean_word_len"),
+        F.expr(
+            f"(size(regexp_extract_all(text, '#', 0))"
+            f" + size(regexp_extract_all(text, '\\\\.\\\\.\\\\.', 0)))"
+            f" / CAST(size({_TOKS}) AS DOUBLE)"
+        ).alias("symbol_ratio"),
+        F.expr(
+            f"size(filter({lines}, l -> l rlike '^\\\\s*[-*]'))"
+            f" / CAST(size({lines}) AS DOUBLE)"
+        ).alias("bullet_line_frac"),
+        F.expr(
+            f"size(filter({lines}, l -> l rlike '\\\\.\\\\.\\\\.$'))"
+            f" / CAST(size({lines}) AS DOUBLE)"
+        ).alias("ellipsis_line_frac"),
+        F.expr(
+            f"size(filter({_TOKS}, x -> x rlike '[a-zA-Z]'))"
+            f" / CAST(size({_TOKS}) AS DOUBLE)"
+        ).alias("alpha_word_frac"),
+        F.expr(
+            f"CAST(size(filter({stop_arr}, s -> array_contains({toks_low}, s))) AS BIGINT)"
+        ).alias("n_distinct_stopwords"),
+        F.expr(
+            f"size({_TOKS}) BETWEEN 50 AND 100000"
+            f" AND (aggregate({_TOKS}, CAST(0 AS BIGINT), (a, x) -> a + length(x))"
+            f"      / CAST(size({_TOKS}) AS DOUBLE)) BETWEEN 3 AND 10"
+            f" AND ((size(regexp_extract_all(text, '#', 0))"
+            f"       + size(regexp_extract_all(text, '\\\\.\\\\.\\\\.', 0)))"
+            f"      / CAST(size({_TOKS}) AS DOUBLE)) <= 0.1"
+            f" AND (size(filter({lines}, l -> l rlike '^\\\\s*[-*]'))"
+            f"      / CAST(size({lines}) AS DOUBLE)) < 0.9"
+            f" AND (size(filter({lines}, l -> l rlike '\\\\.\\\\.\\\\.$'))"
+            f"      / CAST(size({lines}) AS DOUBLE)) < 0.3"
+            f" AND (size(filter({_TOKS}, x -> x rlike '[a-zA-Z]'))"
+            f"      / CAST(size({_TOKS}) AS DOUBLE)) >= 0.8"
+            f" AND size(filter({stop_arr}, s -> array_contains({toks_low}, s))) >= 2"
+        ).alias("keep"),
+    )
+
+
+GOPHER_QUALITY_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\s+') AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT)))
+           / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+         (len(regexp_extract_all(text, '#'))
+          + len(regexp_extract_all(text, '\.\.\.')))
+           / CAST(len(toks) AS DOUBLE) AS symbol_ratio,
+         len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*]')))
+           / CAST(len(lines) AS DOUBLE) AS bullet_line_frac,
+         len(list_filter(lines, l -> regexp_matches(l, '\.\.\.$')))
+           / CAST(len(lines) AS DOUBLE) AS ellipsis_line_frac,
+         len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+           / CAST(len(toks) AS DOUBLE) AS alpha_word_frac,
+         CAST(len(list_filter({_stop_list_sql()},
+                  s -> list_contains(list_transform(toks, x -> lower(x)), s))) AS BIGINT)
+           AS n_distinct_stopwords
+  FROM t
+)
+SELECT *,
+       n_words BETWEEN 50 AND 100000
+       AND mean_word_len BETWEEN 3 AND 10
+       AND symbol_ratio <= 0.1
+       AND bullet_line_frac < 0.9
+       AND ellipsis_line_frac < 0.3
+       AND alpha_word_frac >= 0.8
+       AND n_distinct_stopwords >= 2 AS keep
+FROM m
+"""

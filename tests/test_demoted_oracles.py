@@ -28,6 +28,7 @@ DEMOTED = {
     "simhash_wide_signatures": (dd.simhash_wide_signatures, dd.SIMHASH_WIDE_SQL),
     "simhash_wide_near_dupes": (dd.simhash_wide_near_dupes, dd.SIMHASH_WIDE_NEAR_DUPES_SQL),
     "text_repetition_signals": (tx.text_repetition_signals, tx.TEXT_REPETITION_SQL),
+    "gopher_quality_flags": (tx.gopher_quality_flags, tx.GOPHER_QUALITY_SQL),
     "tfidf_top_terms": (tx.tfidf_top_terms, tx.TFIDF_TOP_TERMS_SQL),
     "redact_pii": (tx.redact_pii, tx.REDACT_PII_SQL),
     "bigram_perplexity": (tx.bigram_perplexity, tx.BIGRAM_PERPLEXITY_SQL),
