@@ -235,3 +235,57 @@ FROM (
     )
 )
 """
+
+
+def temperature_mix_sample(
+    spark: SparkSession, sf_dir: str, alpha: float = 0.3
+) -> DataFrame:
+    """Temperature-based language mixing — the corpus-weighting step for
+    multilingual LLM training mixes (the multilingual-T5 recipe: target
+    shares p(L) ∝ n_L^alpha with alpha < 1 flattening toward uniform).
+    Realized as downsampling-only keep rates — no doc is duplicated:
+    rate_L = (n_min / n_L)^(1 - alpha), so every lower-resource language
+    keeps ALL its docs (rate 1.0) and larger languages are sampled down
+    toward the flattened share; alpha=1 keeps natural proportions,
+    alpha=0 equalizes counts.  The synthetic corpus is en-heavy (~2-3x
+    the others), so the rates genuinely discriminate.
+
+    Selection is deterministic id-hash thresholding (md5 bucket <
+    rate * 2^32), never rand(): the same doc keeps/drops on every run and
+    on every engine, which is what makes a mixing decision auditable —
+    and DuckDB-oracle-checkable (tests/test_demoted_oracles
+    'temperature_mix_sample').
+
+    Scale shape: one hash-agg over source (tiny relation) broadcast back
+    onto the scan; the filter is a pure per-row expression — no shuffle
+    of the corpus at all."""
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    # rate_L = (n_min / n_L)^(1-alpha): computed on the tiny per-language
+    # relation, then broadcast-joined onto the corpus scan
+    n_min = counts.agg(F.min("n_lang").alias("m"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "lang",
+        F.col("n_lang").cast("long").alias("n_lang"),
+        F.pow(F.col("m") / F.col("n_lang"), F.lit(1.0 - alpha)).alias("rate"),
+    )
+    hash64 = "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .where(F.expr(hash64) < F.col("rate") * F.lit(float(1 << 32)))
+        .select("doc_id", "lang", "n_lang", F.round("rate", 9).alias("rate"))
+    )
+
+
+TEMPERATURE_MIX_SQL = """
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM documents GROUP BY lang
+), rates AS (
+  SELECT lang, n_lang,
+         pow(CAST((SELECT min(n_lang) FROM counts) AS DOUBLE) / n_lang, 0.7) AS rate
+  FROM counts
+)
+SELECT doc_id, d.lang AS lang, n_lang, round(rate, 9) AS rate
+FROM documents d JOIN rates r ON d.lang = r.lang
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < rate * 4294967296.0
+"""

@@ -22,6 +22,7 @@ DEMOTED = {
     "heavy_hitters_exact": (sk.heavy_hitters_exact, sk.HEAVY_HITTERS_SQL),
     "bloom_filter_relation": (sk.bloom_build, sk.BLOOM_BUILD_SQL),
     "split_token_windows": (sp.split_token_windows, sp.SPLIT_TOKEN_WINDOWS_SQL),
+    "temperature_mix_sample": (sp.temperature_mix_sample, sp.TEMPERATURE_MIX_SQL),
     "stratified_sample": (sp.stratified_sample, sp.STRATIFIED_SAMPLE_SQL),
     "reservoir_per_key": (sp.reservoir_per_key, sp.RESERVOIR_PER_KEY_SQL),
     "simhash_near_dupes": (dd.simhash_near_dupes, dd.SIMHASH_NEAR_DUPES_SQL),
