@@ -302,12 +302,25 @@ def _commit(
     bcols: list[str],
     marker: str | None,
     checkpoint_interval: int,
+    changes: DataFrame | None = None,
 ) -> None:
     """Shared commit body: materialize touched buckets' new generation
-    files, then commit them all in ONE pointer swap."""
+    files (plus the optional change-feed file), then commit them all in
+    ONE pointer swap."""
     commit_id = uuid.uuid4().hex[:12]
     tmp = os.path.join(path, f"._commit-{commit_id}")
     merged_writer(tmp)
+    changes_name = None
+    if changes is not None:
+        ctmp = os.path.join(path, f"._changes-{commit_id}")
+        changes.coalesce(1).write.mode("overwrite").parquet(ctmp)
+        part = next(f for f in os.listdir(ctmp) if f.endswith(".parquet"))
+        os.makedirs(os.path.join(path, "_changes"), exist_ok=True)
+        changes_name = f"ch-{commit_id}.parquet"
+        os.rename(
+            os.path.join(ctmp, part), os.path.join(path, "_changes", changes_name)
+        )
+        shutil.rmtree(ctmp, ignore_errors=True)
     new_entries: dict[str, list[str]] = {}
     for b in touched:
         src = os.path.join(tmp, f"kb={b}")
@@ -338,6 +351,7 @@ def _commit(
         "n_buckets": n_buckets,
         "bucket_cols": bcols,
         "applied": applied,
+        "changes": changes_name,
         "buckets": ({**buckets, **new_entries} if full else new_entries),
     }
     os.makedirs(_snap_dir(path), exist_ok=True)
@@ -430,6 +444,7 @@ def snapshot_upsert(
     epoch_id: int | None = None,
     run_id: str | None = None,
     checkpoint_interval: int = 10,
+    change_feed: bool = False,
 ) -> None:
     """Newest-wins MERGE into a snapshot table: read ONLY the touched
     buckets' current generation files, reduce per key (same semantics as
@@ -437,7 +452,13 @@ def snapshot_upsert(
     tie-breaks), write new generation files, commit all touched buckets
     in one pointer swap.  Per-commit cost is O(|batch| + touched-bucket
     rows) — identical to the bucketed rename-swap merge — but the commit
-    is atomic ACROSS buckets and never disturbs a running reader."""
+    is atomic ACROSS buckets and never disturbs a running reader.
+
+    ``change_feed=True`` additionally records this commit's POST-image
+    (the winning row for every key the batch touched) in a per-version
+    ``_changes/`` file referenced by the manifest — a change-data feed
+    at O(batch) extra cost, so downstream incremental consumers read
+    per-version deltas (snapshot_changes) instead of diffing snapshots."""
     marker = None if epoch_id is None else f"{run_id or ''}:{epoch_id}"
     head, buckets, bcols = _begin(
         spark, path, key_cols, n_buckets, bucket_cols, marker
@@ -450,9 +471,16 @@ def snapshot_upsert(
         return
     merged = stored.unionByName(upd) if stored is not None else upd
     reduced = _newest_wins(merged, key_cols, order_col)
+    changes = None
+    if change_feed:
+        reduced = reduced.localCheckpoint()  # reuse one materialization
+        changes = reduced.drop("kb").join(
+            upd.select(*key_cols).distinct(), key_cols, "left_semi"
+        )
     _commit(
         spark, path, _bucket_writer(reduced, key_cols), touched, head,
         buckets, n_buckets, bcols, marker, checkpoint_interval,
+        changes=changes,
     )
 
 
@@ -468,6 +496,7 @@ def snapshot_accumulate(
     epoch_id: int | None = None,
     run_id: str | None = None,
     checkpoint_interval: int = 10,
+    change_feed: bool = False,
 ) -> None:
     """Additive MERGE into a snapshot table (sum/min/max/bit_or per key,
     like sinks.accumulate_batch).  SUM-merge is not idempotent, so the
@@ -491,10 +520,67 @@ def snapshot_accumulate(
     reduced = merged.groupBy("kb", *key_cols).agg(
         *[agg_fn(c).cast("long").alias(c) for c in sum_cols]
     )
+    changes = None
+    if change_feed:
+        reduced = reduced.localCheckpoint()
+        changes = reduced.drop("kb").join(
+            upd.select(*key_cols).distinct(), key_cols, "left_semi"
+        )
     _commit(
         spark, path, _bucket_writer(reduced, key_cols), touched, head,
         buckets, n_buckets, bcols, marker, checkpoint_interval,
+        changes=changes,
     )
+
+
+def snapshot_changes(
+    spark: SparkSession, path: str, from_version: int, to_version: int | None = None
+) -> DataFrame:
+    """Change-data feed: the per-commit POST-image rows for every version
+    in (from_version, to_version] — what a downstream incremental
+    consumer reads instead of diffing whole snapshots.  Requires the
+    writer to have committed with ``change_feed=True``; a version in
+    range without a recorded change file (feed off, or vacuumed) refuses
+    loudly rather than silently skipping a delta.  Each row carries its
+    ``_version``."""
+    latest = _latest_version(path)
+    if latest is None:
+        raise ValueError(f"{path} has no committed snapshots")
+    if to_version is None:
+        to_version = latest
+    lo = _min_version(path)
+    frames = []
+    for v in range(from_version + 1, to_version + 1):
+        if v < lo:
+            raise ValueError(
+                f"changes for v{v} of {path} were vacuumed (min readable "
+                f"version is {lo}); re-seed the consumer from a full "
+                "snapshot read"
+            )
+        m = _load_manifest(path, v)
+        name = m.get("changes")
+        if name is None:
+            raise ValueError(
+                f"snapshot v{v} of {path} has no change file (commit ran "
+                "without change_feed=True, or it was vacuumed)"
+            )
+        f = os.path.join(path, "_changes", name)
+        if not os.path.exists(f):
+            raise ValueError(
+                f"change file for v{v} of {path} was vacuumed; re-seed the "
+                "consumer from a full snapshot read"
+            )
+        frames.append(
+            spark.read.parquet(f).withColumn("_version", F.lit(v))
+        )
+    if not frames:
+        return read_snapshot(spark, path, latest).limit(0).withColumn(
+            "_version", F.lit(0)
+        )
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
 
 
 def vacuum_snapshots(path: str, keep_last: int = 2) -> dict:
@@ -531,11 +617,28 @@ def vacuum_snapshots(path: str, keep_last: int = 2) -> dict:
         for b, names in buckets.items():
             for name in names:
                 needed_files.add(os.path.join(f"kb={b}", name))
+    # change files below the readability watermark are reclaimed even
+    # when their manifest survives for delta-chain reconstruction — the
+    # feed refuses below the watermark, so nothing can still read them
+    needed_changes = set()
+    watermark = retained[0] if retained else 0
+    for v in needed_manifests:
+        if v < watermark:
+            continue
+        name = _load_manifest(path, v).get("changes")
+        if name:
+            needed_changes.add(name)
     n_files = 0
     for d in os.listdir(path):
         full_d = os.path.join(path, d)
-        if d.startswith("._commit-"):
+        if d.startswith("._commit-") or d.startswith("._changes-"):
             shutil.rmtree(full_d, ignore_errors=True)
+            continue
+        if d == "_changes":
+            for f in os.listdir(full_d):
+                if f not in needed_changes:
+                    os.remove(os.path.join(full_d, f))
+                    n_files += 1
             continue
         if not d.startswith("kb="):
             continue
@@ -593,3 +696,67 @@ def stream_upsert_snapshot(
         .start()
     )
     q.awaitTermination()
+
+
+def rebucket_snapshot_table(
+    spark: SparkSession, path: str, new_n_buckets: int,
+    checkpoint_interval: int = 10,
+) -> None:
+    """Change a snapshot table's bucket count — and here the rewrite is
+    just another COMMIT: every bucket's rows re-hash into new generation
+    files and a full manifest lands in one pointer swap.  Unlike the
+    rename-swap layer's whole-table swap, readers pinned on any prior
+    version keep working (their generation files are untouched until
+    vacuum), there is no quiesced-crash-litter precondition to enforce —
+    the applied-markers ride inside the manifest, so an interrupted
+    rebucket simply never commits — and a crash at any point leaves the
+    old version intact."""
+    latest = _latest_version(path)
+    if latest is None:
+        raise ValueError(f"{path} has no committed snapshots")
+    head, _ = _resolve_buckets(path, latest)
+    bcols = head["bucket_cols"]
+    rekeyed = _with_kb(read_snapshot(spark, path), bcols, new_n_buckets)
+    touched = sorted(
+        r.kb for r in rekeyed.select("kb").distinct().collect()
+    )
+    version = head["version"] + 1
+    commit_id = uuid.uuid4().hex[:12]
+    tmp = os.path.join(path, f"._commit-{commit_id}")
+    (
+        rekeyed.repartition("kb")
+        .sortWithinPartitions("kb", *bcols)
+        .write.mode("overwrite")
+        .partitionBy("kb")
+        .parquet(tmp)
+    )
+    new_entries: dict[str, list[str]] = {}
+    for b in touched:
+        src = os.path.join(tmp, f"kb={b}")
+        names = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+        bdir = os.path.join(path, f"kb={b}")
+        os.makedirs(bdir, exist_ok=True)
+        gen_names = []
+        for i, name in enumerate(names):
+            gen = f"gen-{commit_id}-{i:04d}.parquet"
+            os.rename(os.path.join(src, name), os.path.join(bdir, gen))
+            gen_names.append(gen)
+        new_entries[str(b)] = gen_names
+    shutil.rmtree(tmp, ignore_errors=True)
+    manifest = {
+        "version": version,
+        "parent": head["version"],
+        "full": True,  # the bucket map changed wholesale
+        "n_buckets": new_n_buckets,
+        "bucket_cols": bcols,
+        "applied": head["applied"],
+        "buckets": new_entries,
+    }
+    mtmp = os.path.join(_snap_dir(path), f"._v-{commit_id}.json")
+    with open(mtmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(mtmp, _manifest_path(path, version))
+    ptmp = os.path.join(_snap_dir(path), f"._ptr-{commit_id}")
+    with open(ptmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(ptmp, os.path.join(_snap_dir(path), _LATEST))

@@ -302,3 +302,70 @@ def test_stream_upsert_snapshot_matches_batch(spark, tmp_path):
     snapshots.stream_upsert_snapshot(stream, path, ["k"], "o", n_buckets=8)
     assert _rows(snapshots.read_snapshot(spark, path)) == AFTER_B3
     assert len(snapshots.snapshot_versions(path)) == 3
+
+
+def test_rebucket_snapshot_is_just_a_commit(spark, tmp_path):
+    """Rebucketing = one more commit: new bucket count, full manifest,
+    same rows — and a reader pinned on the PRE-rebucket version keeps
+    collecting its old layout (no quiesce precondition, no whole-table
+    swap window)."""
+    path = str(tmp_path / "t")
+    seed = [(k, k * 10, 1) for k in range(64)]
+    snapshots.snapshot_upsert(spark, path, _mk(spark, seed), ["k"], "o", n_buckets=4)
+    pinned = snapshots.read_snapshot(spark, path)
+    snapshots.rebucket_snapshot_table(spark, path, 16)
+    head, buckets = snapshots._resolve_buckets(path, 2)
+    assert head["n_buckets"] == 16 and head["full"]
+    assert len(buckets) > 4  # rows really spread over the new bucket count
+    got = {(r.k, r.v) for r in snapshots.read_snapshot(spark, path).collect()}
+    assert got == {(k, k * 10) for k in range(64)}
+    assert len(set(pinned.collect())) == 64  # pre-rebucket reader intact
+    # merges continue against the new count; the old count refuses
+    snapshots.snapshot_upsert(spark, path, _mk(spark, [(1, 99, 9)]), ["k"], "o", n_buckets=16)
+    with pytest.raises(ValueError, match="n_buckets=16"):
+        snapshots.snapshot_upsert(spark, path, _mk(spark, [(2, 5, 9)]), ["k"], "o", n_buckets=4)
+    # bucket-pruned lookup routes correctly on the new layout
+    rows = {(r.k, r.v) for r in snapshots.lookup_snapshot_keys(spark, path, ["k"], [(1,), (7,)]).collect()}
+    assert rows == {(1, 99), (7, 70)}
+
+
+def test_change_feed_post_images_per_version(spark, tmp_path):
+    """change_feed=True records each commit's post-image: winners only
+    (a stale update whose stored row wins records the STORED value, not
+    the batch's), one file per version, readable as a range."""
+    path = str(tmp_path / "t")
+    snapshots.snapshot_upsert(
+        spark, path, _mk(spark, B1), ["k"], "o", n_buckets=4, change_feed=True
+    )
+    # v2: k=2 updated (o=2 wins), k=4 new
+    snapshots.snapshot_upsert(
+        spark, path, _mk(spark, B2), ["k"], "o", n_buckets=4, change_feed=True
+    )
+    # v3: stale update for k=2 (o=1 < stored o=2): post-image keeps stored
+    stale = [(2, 77, 1), (6, 60, 1)]
+    snapshots.snapshot_upsert(
+        spark, path, _mk(spark, stale), ["k"], "o", n_buckets=4, change_feed=True
+    )
+    ch = snapshots.snapshot_changes(spark, path, from_version=1)
+    got = {(r._version, r.k, r.v, r.o) for r in ch.collect()}
+    assert got == {
+        (2, 2, 21, 2), (2, 4, 40, 2),
+        (3, 2, 21, 2),  # stored row won over the stale update
+        (3, 6, 60, 1),
+    }
+    # replaying the accumulated feed reproduces the latest snapshot for
+    # the touched keys (newest _version wins per key)
+    latest = {r.k: (r.v, r.o) for r in snapshots.read_snapshot(spark, path).collect()}
+    feed_latest = {}
+    for v, k, val, o in sorted(got):
+        feed_latest[k] = (val, o)
+    for k, vo in feed_latest.items():
+        assert latest[k] == vo
+    # a range over a feed-less version refuses
+    snapshots.snapshot_upsert(spark, path, _mk(spark, [(9, 9, 9)]), ["k"], "o", n_buckets=4)
+    with pytest.raises(ValueError, match="change_feed"):
+        snapshots.snapshot_changes(spark, path, from_version=1).collect()
+    # vacuum drops old change files; the range read then refuses loudly
+    snapshots.vacuum_snapshots(path, keep_last=1)
+    with pytest.raises(ValueError, match="vacuumed|change"):
+        snapshots.snapshot_changes(spark, path, from_version=1, to_version=3)
