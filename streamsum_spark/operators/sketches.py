@@ -500,3 +500,64 @@ def decontaminate_by_bloom(
         docs.join(verdict.where(F.col("might_contain")), "key", "left_anti")
         .select("doc_id", "lang", "source")
     )
+
+
+def log_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE summary — the remaining classic of the sketch
+    family (MG candidates, HLL distincts, CM frequencies, Bloom
+    membership, and now quantiles): per-event-type log2-binned value
+    histograms as a (event_type, bin, n) RELATION, mergeable by plain
+    per-bin SUM (shard rollups, stream accumulation through the additive
+    sink, cross-corpus unions all compose).
+
+    The bin is the BIT LENGTH of the value scaled to an integer
+    (length(bin(CAST(value*1000 AS BIGINT)))) — pure integer arithmetic,
+    so both engines bin identically and the relation is value-hash
+    oracle-checkable, unlike floor(log2(x)) whose last-ulp differences
+    straddle bin edges.  Bin b covers [2^(b-1), 2^b)/1000, so a quantile
+    read from the histogram (histogram_quantile) carries a one-sided
+    relative error bounded by 2x — pinned against exact percentiles in
+    tests/test_sketches.py.  Spark's own approx_percentile(GK) serves
+    single-pass queries; THIS shape is for state you must persist small
+    and merge across time/shards — the same persist-sketches-not-rows
+    posture as the CM/HLL rows (SURVEY §2)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.expr("length(bin(CAST(value * 1000 AS BIGINT)))").alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+LOG_HISTOGRAM_SQL = """
+SELECT event_type,
+       CAST(length(bin(CAST(value * 1000 AS BIGINT))) AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type, bin
+"""
+
+
+def histogram_quantile(hist: DataFrame, q: float) -> DataFrame:
+    """Quantile estimate per key from a log-histogram relation: walk the
+    cumulative counts to the bin where q*N falls and report the bin's
+    upper edge / 1000 — within 2x of the true quantile by construction.
+    One window over the (tiny) histogram relation, never the raw rows."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("bin")
+    tot = Window.partitionBy("event_type")
+    return (
+        hist.withColumn("cum", F.sum("n").over(w))
+        .withColumn("total", F.sum("n").over(tot))
+        .where(F.col("cum") >= F.lit(q) * F.col("total"))
+        .groupBy("event_type")
+        .agg(F.min("bin").alias("qbin"))
+        .select(
+            "event_type",
+            (F.pow(F.lit(2.0), F.col("qbin")) / F.lit(1000.0)).alias("q_upper"),
+        )
+    )

@@ -20,6 +20,7 @@ from streamsum_spark.operators import sampling as sp
 
 DEMOTED = {
     "heavy_hitters_exact": (sk.heavy_hitters_exact, sk.HEAVY_HITTERS_SQL),
+    "log_histogram_sketch": (sk.log_histogram_sketch, sk.LOG_HISTOGRAM_SQL),
     "bloom_filter_relation": (sk.bloom_build, sk.BLOOM_BUILD_SQL),
     "split_token_windows": (sp.split_token_windows, sp.SPLIT_TOKEN_WINDOWS_SQL),
     "temperature_mix_sample": (sp.temperature_mix_sample, sp.TEMPERATURE_MIX_SQL),

@@ -341,3 +341,62 @@ def test_stream_bloom_filter_multibatch_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert batch and stream == batch
+
+
+def test_log_histogram_merges_by_sum_and_bounds_quantiles(spark):
+    """The quantile summary of the sketch family: (a) shard sketches
+    merged by per-bin SUM equal the whole-corpus sketch (mergeability —
+    the property that lets it persist through the additive sink); (b)
+    the histogram quantile's upper-edge estimate brackets the exact
+    percentile within its 2x design bound."""
+    from pyspark.sql import functions as F
+
+    from streamsum_spark.operators.sketches import (
+        histogram_quantile,
+        log_histogram_sketch,
+    )
+    from streamsum_spark.tables import table
+    from tests.conftest import SF_SMOKE
+
+    whole = log_histogram_sketch(spark, SF_SMOKE)
+    ev = table(spark, SF_SMOKE, "events")
+    bin_expr = F.expr("length(bin(CAST(value * 1000 AS BIGINT)))").alias("bin")
+    shards = [
+        ev.where(F.pmod("event_id", F.lit(2)) == i)
+        .select("event_type", bin_expr)
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        for i in (0, 1)
+    ]
+    merged = (
+        shards[0].unionByName(shards[1])
+        .groupBy("event_type", "bin")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    key = lambda df: {(r.event_type, r.bin): r.n for r in df.collect()}
+    assert key(merged) == key(whole)
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("value")
+    tot = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type", "value",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(tot).alias("n"),
+    )
+    for q in (0.5, 0.9, 0.99):
+        est = {r.event_type: r.q_upper for r in histogram_quantile(whole, q).collect()}
+        # the DISCRETE quantile under the same rank convention the
+        # histogram walk uses (first value with cum >= q*N): the bound
+        # est/disc in (1, 2] is exact by construction, while Spark's
+        # interpolated percentile() can sit below the bin's lower edge
+        disc = {
+            r.event_type: r.p
+            for r in ranked.where(F.col("r") >= F.lit(q) * F.col("n"))
+            .groupBy("event_type")
+            .agg(F.min("value").alias("p"))
+            .collect()
+        }
+        for k, p in disc.items():
+            assert 1.0 < est[k] / p <= 2.001, (q, k, est[k], p)
