@@ -1126,6 +1126,38 @@ def stream_cm_sketch(
     return read_state_table(spark, target).select("d", "bucket", "cnt")
 
 
+def stream_log_histogram(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Incremental quantile-summary maintenance: per-micro-batch
+    log-histogram relations sum per (event_type, bin) into the additive
+    cache table — the histogram is a linear sketch like Count-Min, so
+    the additive sink IS the merge.  Pinned equal to the batch sketch
+    over a micro-batched run in tests/test_sketches.py."""
+    from streamsum_spark.sinks import stream_accumulate_counts
+
+    ev = stream_events(spark, sf_dir, glob, max_files_per_trigger)
+    target = os.path.join(
+        tempfile.gettempdir(), f"streamsum_hist_tbl_{uuid.uuid4().hex[:12]}"
+    )
+
+    def per_batch(batch_df: DataFrame) -> DataFrame:
+        return (
+            batch_df.select(
+                "event_type",
+                F.expr("length(bin(CAST(value * 1000 AS BIGINT)))").alias("bin"),
+            )
+            .groupBy("event_type", "bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+
+    stream_accumulate_counts(ev, target, ["event_type", "bin"], ["n"], per_batch)
+    return read_state_table(spark, target).select("event_type", "bin", "n")
+
+
 def stream_bloom_filter(
     spark: SparkSession,
     sf_dir: str,

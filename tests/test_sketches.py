@@ -400,3 +400,21 @@ def test_log_histogram_merges_by_sum_and_bounds_quantiles(spark):
         }
         for k, p in disc.items():
             assert 1.0 < est[k] / p <= 2.001, (q, k, est[k], p)
+
+
+def test_stream_log_histogram_equals_batch(spark):
+    """The additive sink maintains the quantile summary incrementally:
+    the streamed histogram equals the one-shot batch relation."""
+    from streamsum_spark.operators.sketches import log_histogram_sketch
+    from streamsum_spark.streaming.pipeline import stream_log_histogram
+    from tests.conftest import SF_SMOKE
+
+    batch = {
+        (r.event_type, r.bin): r.n
+        for r in log_histogram_sketch(spark, SF_SMOKE).collect()
+    }
+    stream = {
+        (r.event_type, r.bin): r.n
+        for r in stream_log_histogram(spark, SF_SMOKE).collect()
+    }
+    assert stream == batch
