@@ -366,8 +366,25 @@ def stream_join_interval(
     (caches are its only cross-event state, caches.clj:27-101); this is
     part of the beyond-reference relational surface mandated for the
     engine."""
+    joined = _join_interval_plan(
+        spark, sf_dir, how, glob="events.parquet",
+        max_files_per_trigger=max_files_per_trigger,
+    )
+    return _run_to_memory(joined, "append")
+
+
+def _join_interval_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    how: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """The unstarted streaming plan of stream_join_interval — separated
+    so tests can attach their own sink and read the state-store metrics
+    off the running query (the bounded-state pin)."""
     left = stream_events(
-        spark, sf_dir, max_files_per_trigger=max_files_per_trigger
+        spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
     ).where(F.col("event_type") == "purchase").select(
         F.col("user_id").alias("p_user"),
         F.col("event_id").alias("p_event"),
@@ -376,20 +393,19 @@ def stream_join_interval(
         F.col("value").alias("p_value"),
     ).withWatermark("p_ts", "1 hour")
     right = stream_events(
-        spark, sf_dir, max_files_per_trigger=max_files_per_trigger
+        spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
     ).where(F.col("event_type") == "click").select(
         F.col("user_id").alias("c_user"),
         F.col("event_id").alias("c_event"),
         F.col("ts").cast("timestamp").alias("c_ts"),
     ).withWatermark("c_ts", "1 hour")
-    joined = left.join(
+    return left.join(
         right,
         (F.col("p_user") == F.col("c_user"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
         & (F.col("c_ts") <= F.col("p_ts")),
         how,
     ).select("p_user", "p_event", "p_ts", "p_value", "c_event", "c_ts")
-    return _run_to_memory(joined, "append")
 
 
 def batch_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -649,3 +649,63 @@ def test_stream_near_dup_pairs_snapshot_layer_identical(spark, tmp_path):
         ).collect()
     }
     assert batch and stream == batch
+
+
+def test_stream_stream_join_state_evicts_with_watermark(spark, tmp_path):
+    """The bounded-state claim, measured: over a time-ordered 4-slice
+    ingest, the join's state store holds rows near the moving 1-hour
+    horizon, NOT the whole stream history — final-batch state must be a
+    small fraction of the total joined-side rows."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from streamsum_spark.streaming.pipeline import _join_interval_plan
+    from streamsum_spark.tables import table
+
+    import glob as g
+    import shutil
+
+    src = str(tmp_path / "ev")
+    os.makedirs(src, exist_ok=True)
+    ev = table(spark, SF_SMOKE, "events")
+    # 4 time-contiguous slices so each micro-batch advances the watermark
+    ev = ev.withColumn(
+        "slice", F.ntile(4).over(__import__("pyspark").sql.Window.orderBy("ts"))
+    )
+    for i in range(1, 5):
+        tmp_i = str(tmp_path / f"ev_tmp_{i}")
+        ev.where(F.col("slice") == i).drop("slice").coalesce(1).write.parquet(tmp_i)
+        shutil.copy(
+            g.glob(os.path.join(tmp_i, "part-*.parquet"))[0],
+            os.path.join(src, f"events_{i}.parquet"),
+        )
+    plan = _join_interval_plan(
+        spark, src, "inner", glob="events_*.parquet", max_files_per_trigger=1
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        plan.writeStream.format("memory")
+        .queryName("jw")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progresses = [p for p in q.recentProgress if p["stateOperators"]]
+    assert len(progresses) >= 3  # really ran multiple micro-batches
+    state_rows = [
+        sum(op["numRowsTotal"] for op in p["stateOperators"]) for p in progresses
+    ]
+    removed = sum(
+        op.get("numRowsRemoved", 0)
+        for p in progresses
+        for op in p["stateOperators"]
+    )
+    sides = spark.read.parquet(src + "/events_*.parquet").where(
+        F.col("event_type").isin("purchase", "click")
+    ).count()
+    # eviction really happened, and final state is a fraction of history
+    assert removed > 0
+    assert state_rows[-1] < sides * 0.6
