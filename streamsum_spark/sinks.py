@@ -60,6 +60,24 @@ def write_cache_bucketed(
     )
 
 
+def _check_state_columns(stored_cols, upd_cols, target_path: str) -> None:
+    """State tables do not silently auto-evolve: a merge whose batch
+    schema differs from the stored schema refuses with the actual
+    difference instead of surfacing Spark's unresolved-column union
+    error mid-plan.  Evolution is an explicit rewrite (read, add/backfill
+    the column, write a new table) — at 100 TB a schema change is a
+    migration, not a side effect of one micro-batch."""
+    stored, upd = set(stored_cols) - {"kb"}, set(upd_cols) - {"kb"}
+    if stored != upd:
+        raise ValueError(
+            f"schema mismatch merging into {target_path}: updates have "
+            f"{sorted(upd)} but the stored table has {sorted(stored)} "
+            f"(missing from updates: {sorted(stored - upd)}; new in "
+            f"updates: {sorted(upd - stored)}).  State tables do not "
+            "auto-evolve; migrate explicitly by rewriting the table."
+        )
+
+
 def _with_kb(df: DataFrame, key_cols: list[str], n_buckets: int) -> DataFrame:
     """Attach the key-bucket column: Murmur3 hash of the key columns mod
     ``n_buckets`` — deterministic across sessions, so a key always lands
@@ -414,6 +432,7 @@ def upsert_batch(
     _recover(target_path)
     if os.path.exists(target_path):
         existing = spark.read.parquet(target_path)
+        _check_state_columns(existing.columns, updates.columns, target_path)
         merged = existing.unionByName(updates)
     else:
         merged = updates
@@ -464,6 +483,18 @@ def _merge_buckets(
 
     if os.path.isdir(target_path):
         _recover_buckets(target_path)
+        # schema guard against the TABLE, not just the touched buckets —
+        # a batch routed to a brand-new bucket must not smuggle a drifted
+        # schema into the layout (one footer read)
+        any_b = next(
+            (d for d in sorted(os.listdir(target_path)) if d.startswith("kb=")),
+            None,
+        )
+        if any_b is not None:
+            tbl_cols = spark.read.parquet(
+                os.path.join(target_path, any_b)
+            ).columns
+            _check_state_columns(tbl_cols, upd.columns, target_path)
     existing_dirs = [
         d
         for d in (os.path.join(target_path, f"kb={b}") for b in touched)
@@ -835,7 +866,9 @@ def accumulate_batch(
     else:
         marker_keep_only = False
     if os.path.exists(target_path):
-        merged = spark.read.parquet(target_path).unionByName(deltas)
+        existing = spark.read.parquet(target_path)
+        _check_state_columns(existing.columns, deltas.columns, target_path)
+        merged = existing.unionByName(deltas)
     else:
         merged = deltas
     acc = merged.groupBy(*key_cols).agg(

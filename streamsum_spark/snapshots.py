@@ -57,6 +57,7 @@ from pyspark.sql import functions as F
 
 from streamsum_spark.sinks import (
     _MANIFEST_CAP,
+    _check_state_columns,
     _newest_wins,
     _resolve_bucket_cols,
     _with_kb,
@@ -399,6 +400,18 @@ def _begin(
     return head, buckets, bcols
 
 
+def _peek_columns(spark: SparkSession, path: str, buckets: dict) -> list | None:
+    """Table schema from one referenced generation file's footer (None
+    for an empty table) — the drift guard must compare against the TABLE
+    even when the batch routes only to untouched or new buckets."""
+    first_b, first = next(
+        ((b, names[0]) for b, names in buckets.items() if names), (None, None)
+    )
+    if first is None:
+        return None
+    return spark.read.parquet(os.path.join(path, f"kb={first_b}", first)).columns
+
+
 def _touched_stored(
     spark: SparkSession,
     path: str,
@@ -466,6 +479,9 @@ def snapshot_upsert(
     if head == "replay":
         return
     upd = _with_kb(updates, bcols, n_buckets)
+    tbl_cols = _peek_columns(spark, path, buckets)
+    if tbl_cols is not None:
+        _check_state_columns(tbl_cols, upd.columns, path)
     touched, stored = _touched_stored(spark, path, upd, buckets)
     if not touched:
         return
@@ -513,6 +529,9 @@ def snapshot_accumulate(
     if head == "replay":
         return
     upd = _with_kb(deltas, bcols, n_buckets)
+    tbl_cols = _peek_columns(spark, path, buckets)
+    if tbl_cols is not None:
+        _check_state_columns(tbl_cols, upd.columns, path)
     touched, stored = _touched_stored(spark, path, upd, buckets)
     if not touched:
         return

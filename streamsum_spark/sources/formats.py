@@ -175,3 +175,22 @@ def kafka_events(
             "package to the Spark classpath"
         ) from exc
     return kafka_value_projection(raw)
+
+
+def write_events_orc(events: DataFrame, path: str) -> None:
+    events.write.mode("overwrite").orc(path)
+
+
+def read_events_orc(
+    spark: SparkSession, path: str, streaming: bool = False
+) -> DataFrame:
+    """ORC reader on the canonical events schema — the columnar sibling
+    of the parquet source (ORC ships in Spark core, no extra package):
+    same predicate pushdown / column pruning / stripe-level min-max
+    skipping class as parquet, so the A1 scan posture carries over.
+    Binary columnar formats have no row-level corrupt-record concept
+    (a malformed stripe fails the file, not the row) — quarantine
+    belongs to the text sources; schema is enforced, never inferred."""
+    if streaming:
+        return spark.readStream.schema(EVENTS_SCHEMA).orc(path)
+    return spark.read.schema(EVENTS_SCHEMA).orc(path)

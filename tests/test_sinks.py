@@ -739,3 +739,29 @@ def test_bucket_files_sorted_and_lookup_pushes_filters(spark, tmp_path):
     pushed = plan[plan.find("PushedFilters") :].split("]", 1)[0]
     assert "In(k" in pushed or "EqualTo(k" in pushed, plan
     assert {(r.k, r.o) for r in got.collect()} == {(7, 14), (3999, 7998)}
+
+
+def test_state_merge_refuses_schema_drift_loudly(spark, tmp_path):
+    """A batch whose schema differs from the stored state refuses with
+    the actual column difference (both layers, both directions) — never
+    Spark's unresolved-column union error, never silent evolution."""
+    import pytest
+
+    from streamsum_spark import snapshots
+
+    d1 = spark.createDataFrame([(1, 10, 1)], "k long, v long, o long")
+    extra = spark.createDataFrame([(2, 20, 2, "x")], "k long, v long, o long, tag string")
+    missing = spark.createDataFrame([(2, 2)], "k long, o long")
+    swap, snap = str(tmp_path / "s1"), str(tmp_path / "s2")
+    sinks.upsert_batch(spark, swap, d1, ["k"], "o", n_buckets=4)
+    snapshots.snapshot_upsert(spark, snap, d1, ["k"], "o", n_buckets=4)
+    for bad, frag in ((extra, "new in updates: \\['tag'\\]"), (missing, "missing from updates: \\['v'\\]")):
+        with pytest.raises(ValueError, match=frag):
+            sinks.upsert_batch(spark, swap, bad, ["k"], "o", n_buckets=4)
+        with pytest.raises(ValueError, match=frag):
+            snapshots.snapshot_upsert(spark, snap, bad, ["k"], "o", n_buckets=4)
+    # flat layer too
+    flat = str(tmp_path / "s3")
+    sinks.upsert_batch(spark, flat, d1, ["k"], "o")
+    with pytest.raises(ValueError, match="auto-evolve"):
+        sinks.upsert_batch(spark, flat, extra, ["k"], "o")

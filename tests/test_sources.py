@@ -103,3 +103,36 @@ def test_kafka_value_projection(spark):
 def test_kafka_wiring_raises_without_connector(spark):
     with pytest.raises(RuntimeError, match="Kafka data source unavailable"):
         fmt.kafka_events(spark, "localhost:9092", "events")
+
+
+def test_orc_roundtrip_batch_and_stream(spark, tmp_path):
+    """ORC source parity: canonical events written to ORC read back
+    identically (batch and streaming), and a predicate reaches the ORC
+    scan as a pushed filter — the same scan posture as parquet."""
+    from streamsum_spark.plans import explain_str
+    from streamsum_spark.sources.formats import read_events_orc, write_events_orc
+    from streamsum_spark.tables import table
+    from tests.conftest import SF_SMOKE
+
+    ev = table(spark, SF_SMOKE, "events")
+    path = str(tmp_path / "ev_orc")
+    write_events_orc(ev, path)
+    back = read_events_orc(spark, path)
+    assert back.count() == ev.count()
+    a = {(r.event_id, r.user_id, r.event_type) for r in back.collect()}
+    b = {(r.event_id, r.user_id, r.event_type) for r in ev.collect()}
+    assert a == b
+    plan = explain_str(back.where(F.col("event_type") == "click").select("event_id"))
+    assert "PushedFilters: [" in plan and "event_type" in plan
+    # streaming face: availableNow over the same files == batch
+    stream = read_events_orc(spark, path, streaming=True)
+    name = f"orc_{abs(hash(path)) % 10**8}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.table(name).count() == ev.count()
