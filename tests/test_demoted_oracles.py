@@ -36,6 +36,18 @@ DEMOTED = {
     "bigram_perplexity": (tx.bigram_perplexity, tx.BIGRAM_PERPLEXITY_SQL),
     "winnow_shared_fingerprints": (dd.winnow_shared_fingerprints, dd.WINNOW_SHARED_SQL),
     "decontaminate": (dd.decontaminate, dd.decontaminate_oracle_sql()),
+    "profile_events": (rel.profile_events, rel.PROFILE_EVENTS_SQL),
+    "batch_join_interval": (
+        __import__("streamsum_spark.streaming.pipeline", fromlist=["x"]).batch_join_interval,
+        """
+SELECT p.user_id AS p_user, p.event_id AS p_event, p.ts AS p_ts,
+       p.value AS p_value, c.event_id AS c_event, c.ts AS c_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+""",
+    ),
     "window_rownum_lastn": (
         rel.window_rownum_lastn,
         """
