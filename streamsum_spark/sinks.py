@@ -67,7 +67,8 @@ def _check_state_columns(stored_cols, upd_cols, target_path: str) -> None:
     error mid-plan.  Evolution is an explicit rewrite (read, add/backfill
     the column, write a new table) — at 100 TB a schema change is a
     migration, not a side effect of one micro-batch."""
-    stored, upd = set(stored_cols) - {"kb"}, set(upd_cols) - {"kb"}
+    stored = set(stored_cols) - {"kb", DELETED_COL}
+    upd = set(upd_cols) - {"kb", DELETED_COL}
     if stored != upd:
         raise ValueError(
             f"schema mismatch merging into {target_path}: updates have "
@@ -116,6 +117,30 @@ def _assert_bucketed_layout(target_path: str) -> None:
 # 4096-marker tail is orders of magnitude beyond any replay horizon while
 # keeping the manifest file size constant over a long-running stream.
 _MANIFEST_CAP = 4096
+
+#: Tombstone column: a batch row with _deleted = true DELETES its key if
+#: it wins newest-wins (a stale delete loses to a newer upsert, exactly
+#: like a stale update).  The column is merge INSTRUCTION, not state —
+#: winners are filtered and the column dropped before write, so the
+#: stored table never carries it.
+DELETED_COL = "_deleted"
+
+
+def _align_tombstones(stored: DataFrame | None, upd: DataFrame):
+    """When the batch carries the tombstone column, give the stored side
+    an all-false twin so the union resolves; returns (stored, has_del)."""
+    has_del = DELETED_COL in upd.columns
+    if has_del and stored is not None and DELETED_COL not in stored.columns:
+        stored = stored.withColumn(DELETED_COL, F.lit(False))
+    return stored, has_del
+
+
+def _drop_deleted(reduced: DataFrame, has_del: bool) -> DataFrame:
+    if not has_del:
+        return reduced
+    return reduced.where(
+        ~F.coalesce(F.col(DELETED_COL), F.lit(False))
+    ).drop(DELETED_COL)
 
 
 def _resolve_bucket_cols(
@@ -220,10 +245,34 @@ def _check_bucket_meta(
     # counting os.rename syscalls see only the data-swap renames
 
 
+def _write_schema_sidecar(target_path: str, schema_json: str) -> None:
+    """Record the table schema at the root so an emptied table (every key
+    tombstoned) still reads as a TYPED empty relation.  Metadata only —
+    written via os.replace, not part of the crash-atomic data swaps."""
+    tmp = os.path.join(target_path, f"._schema-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as fh:
+        fh.write(schema_json)
+    os.replace(tmp, os.path.join(target_path, "_schema.json"))
+
+
 def read_state_table(spark: SparkSession, target_path: str) -> DataFrame:
     """Read a keyed state table regardless of layout, hiding the internal
-    ``kb`` bucket column of bucketed tables."""
-    df = spark.read.parquet(target_path)
+    ``kb`` bucket column of bucketed tables.  A table whose keys were all
+    tombstoned reads as a typed empty relation via the schema sidecar."""
+    from pyspark.sql import types as T
+
+    try:
+        df = spark.read.parquet(target_path)
+    except Exception:
+        sidecar = os.path.join(target_path, "_schema.json")
+        if os.path.exists(sidecar):
+            import json
+
+            with open(sidecar) as fh:
+                schema = T.StructType.fromJson(json.load(fh))
+            df = spark.createDataFrame([], schema)
+        else:
+            raise
     return df.drop("kb") if "kb" in df.columns else df
 
 
@@ -433,13 +482,15 @@ def upsert_batch(
     if os.path.exists(target_path):
         existing = spark.read.parquet(target_path)
         _check_state_columns(existing.columns, updates.columns, target_path)
+        existing, has_del = _align_tombstones(existing, updates)
         merged = existing.unionByName(updates)
     else:
-        merged = updates
-    deduped = _newest_wins(merged, key_cols, order_col)
+        merged, has_del = updates, DELETED_COL in updates.columns
+    deduped = _drop_deleted(_newest_wins(merged, key_cols, order_col), has_del)
     tmp = target_path + f".tmp-{uuid.uuid4().hex[:8]}"
     deduped.write.mode("overwrite").parquet(tmp)
     _atomic_swap(target_path, tmp)
+    _write_schema_sidecar(target_path, deduped.schema.json())
 
 
 def _newest_wins(
@@ -502,10 +553,13 @@ def _merge_buckets(
     ]
     if existing_dirs:
         existing = spark.read.option("basePath", target_path).parquet(*existing_dirs)
+        existing, has_del = _align_tombstones(existing, upd)
         merged = existing.unionByName(upd)
     else:
-        merged = upd
-    reduced = agg(merged) if agg is not None else _newest_wins(merged, key_cols, order_col)
+        merged, has_del = upd, DELETED_COL in upd.columns
+    reduced = agg(merged) if agg is not None else _drop_deleted(
+        _newest_wins(merged, key_cols, order_col), has_del
+    )
     tmp = target_path + f".tmp-{uuid.uuid4().hex[:8]}"
     # one writer task per bucket, rows sorted by key: each rewritten
     # bucket is ONE key-sorted file, so (a) file count stays bounded at
@@ -522,6 +576,7 @@ def _merge_buckets(
         .parquet(tmp)
     )
     os.makedirs(target_path, exist_ok=True)
+    _write_schema_sidecar(target_path, reduced.schema.json())
     for b in touched:
         src = os.path.join(tmp, f"kb={b}")
         if not os.path.exists(src):

@@ -57,7 +57,10 @@ from pyspark.sql import functions as F
 
 from streamsum_spark.sinks import (
     _MANIFEST_CAP,
+    DELETED_COL,
+    _align_tombstones,
     _check_state_columns,
+    _drop_deleted,
     _newest_wins,
     _resolve_bucket_cols,
     _with_kb,
@@ -165,13 +168,22 @@ def read_snapshot(
         if version is None:
             raise ValueError(f"{path} has no committed snapshots")
     _check_readable(path, version)
-    _, buckets = _resolve_buckets(path, version)
+    head, buckets = _resolve_buckets(path, version)
     files = [
         os.path.join(path, f"kb={b}", name)
         for b, names in buckets.items()
         for name in names
     ]
     if not files:
+        # every key tombstoned: a typed empty relation via the manifest
+        # schema (older manifests may predate the field — then refuse)
+        if head.get("schema"):
+            import json as _json
+
+            from pyspark.sql import types as T
+
+            schema = T.StructType.fromJson(_json.loads(head["schema"]))
+            return spark.createDataFrame([], schema).drop("kb")
         raise ValueError(f"snapshot v{version} of {path} is empty")
     df = spark.read.option("basePath", path).parquet(*files)
     return df.drop("kb")
@@ -304,6 +316,7 @@ def _commit(
     marker: str | None,
     checkpoint_interval: int,
     changes: DataFrame | None = None,
+    schema_json: str | None = None,
 ) -> None:
     """Shared commit body: materialize touched buckets' new generation
     files (plus the optional change-feed file), then commit them all in
@@ -353,6 +366,7 @@ def _commit(
         "bucket_cols": bcols,
         "applied": applied,
         "changes": changes_name,
+        "schema": schema_json,
         "buckets": ({**buckets, **new_entries} if full else new_entries),
     }
     os.makedirs(_snap_dir(path), exist_ok=True)
@@ -485,18 +499,24 @@ def snapshot_upsert(
     touched, stored = _touched_stored(spark, path, upd, buckets)
     if not touched:
         return
+    stored, has_del = _align_tombstones(stored, upd)
     merged = stored.unionByName(upd) if stored is not None else upd
     reduced = _newest_wins(merged, key_cols, order_col)
     changes = None
     if change_feed:
         reduced = reduced.localCheckpoint()  # reuse one materialization
+        # the feed records winners for every batch key INCLUDING deletes
+        # (with the tombstone marker), so a consumer can apply removals
         changes = reduced.drop("kb").join(
             upd.select(*key_cols).distinct(), key_cols, "left_semi"
         )
+        if not has_del:
+            changes = changes.withColumn(DELETED_COL, F.lit(False))
+    reduced = _drop_deleted(reduced, has_del)
     _commit(
         spark, path, _bucket_writer(reduced, key_cols), touched, head,
         buckets, n_buckets, bcols, marker, checkpoint_interval,
-        changes=changes,
+        changes=changes, schema_json=reduced.schema.json(),
     )
 
 

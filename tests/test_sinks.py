@@ -765,3 +765,37 @@ def test_state_merge_refuses_schema_drift_loudly(spark, tmp_path):
     sinks.upsert_batch(spark, flat, d1, ["k"], "o")
     with pytest.raises(ValueError, match="auto-evolve"):
         sinks.upsert_batch(spark, flat, extra, ["k"], "o")
+
+
+def test_tombstone_deletes_newest_wins_and_replay(spark, tmp_path):
+    """MERGE deletes: a batch row with _deleted=true removes its key iff
+    it is the newest write for that key (a stale delete loses like a
+    stale update); replays are idempotent; the stored table never
+    carries the tombstone column."""
+    flat, bk = str(tmp_path / "f"), str(tmp_path / "b")
+    d1 = spark.createDataFrame([(1, 10, 1), (2, 20, 1), (3, 30, 1)], "k long, v long, o long")
+    dels = spark.createDataFrame(
+        [(2, 0, 5, True), (3, 0, 0, True), (4, 40, 5, False)],
+        "k long, v long, o long, _deleted boolean",
+    )  # k=2 deleted (newest), k=3 delete is STALE (o=0 < 1), k=4 upserted
+    for path, kw in ((flat, {}), (bk, {"n_buckets": 4})):
+        sinks.upsert_batch(spark, path, d1, ["k"], "o", **kw)
+        sinks.upsert_batch(spark, path, dels, ["k"], "o", **kw)
+        got = spark.read.parquet(path)
+        assert "_deleted" not in got.columns
+        rows = {r.k: r.v for r in got.collect()}
+        assert rows == {1: 10, 3: 30, 4: 40}, (path, rows)
+        # replay of the delete batch: same end state
+        sinks.upsert_batch(spark, path, dels, ["k"], "o", **kw)
+        assert {r.k: r.v for r in spark.read.parquet(path).collect()} == rows
+
+
+def test_tombstone_can_empty_a_bucket(spark, tmp_path):
+    path = str(tmp_path / "b")
+    import pyspark.sql.functions as F
+
+    seed = spark.createDataFrame([(k, k, 1) for k in range(32)], "k long, v long, o long")
+    sinks.upsert_batch(spark, path, seed, ["k"], "o", n_buckets=4)
+    dels = seed.select("k", "v", (F.col("o") + 1).alias("o"), F.lit(True).alias("_deleted"))
+    sinks.upsert_batch(spark, path, dels, ["k"], "o", n_buckets=4)
+    assert sinks.read_state_table(spark, path).count() == 0

@@ -369,3 +369,34 @@ def test_change_feed_post_images_per_version(spark, tmp_path):
     snapshots.vacuum_snapshots(path, keep_last=1)
     with pytest.raises(ValueError, match="vacuumed|change"):
         snapshots.snapshot_changes(spark, path, from_version=1, to_version=3)
+
+
+def test_snapshot_tombstones_with_time_travel_and_feed(spark, tmp_path):
+    """Deletes on the snapshot layer: the key disappears from the live
+    version, the PRE-delete snapshot still shows it (time travel), and
+    the change feed records the removal with its tombstone marker."""
+    path = str(tmp_path / "t")
+    snapshots.snapshot_upsert(
+        spark, path, _mk(spark, B1), ["k"], "o", n_buckets=4, change_feed=True
+    )
+    dels = spark.createDataFrame(
+        [(2, 0, 9, True)], "k long, v long, o long, _deleted boolean"
+    )
+    snapshots.snapshot_upsert(
+        spark, path, dels, ["k"], "o", n_buckets=4, change_feed=True,
+        epoch_id=1, run_id="r",
+    )
+    live = {r.k for r in snapshots.read_snapshot(spark, path).collect()}
+    assert live == {1, 3}
+    v1 = {r.k for r in snapshots.read_snapshot(spark, path, version=1).collect()}
+    assert v1 == {1, 2, 3}  # time travel shows the pre-delete state
+    ch = snapshots.snapshot_changes(spark, path, from_version=1)
+    marks = {(r.k, r._deleted) for r in ch.collect()}
+    assert (2, True) in marks
+    # replay of the delete epoch: no new version, state unchanged
+    snapshots.snapshot_upsert(
+        spark, path, dels, ["k"], "o", n_buckets=4, change_feed=True,
+        epoch_id=1, run_id="r",
+    )
+    assert snapshots._latest_version(path) == 2
+    assert {r.k for r in snapshots.read_snapshot(spark, path).collect()} == {1, 3}
