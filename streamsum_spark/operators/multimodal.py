@@ -356,9 +356,81 @@ def decode_image(content: bytes) -> np.ndarray:
     raise NotImplementedError("compressed image codecs not available in this environment")
 
 
+def _decode_g711(data: bytes, law: str) -> np.ndarray:
+    """ITU-T G.711 companded 8-bit telephony samples -> int16, via a
+    256-entry lookup table built from the spec's expansion formulas —
+    one vectorized take(), no per-sample Python."""
+    codes = np.arange(256, dtype=np.uint8)
+    if law == "mu":
+        u = ~codes
+        sign = np.where(u & 0x80, -1, 1)
+        exponent = (u >> 4) & 0x07
+        mantissa = u & 0x0F
+        magnitude = ((mantissa.astype(np.int32) << 3) + 0x84) << exponent
+        lut = (sign * (magnitude - 0x84)).astype(np.int16)
+    else:  # A-law (bit 7 SET means positive, per the reference tables)
+        a = codes ^ 0x55
+        sign = np.where(a & 0x80, 1, -1)
+        exponent = (a >> 4) & 0x07
+        mantissa = (a & 0x0F).astype(np.int32)
+        magnitude = np.where(
+            exponent == 0,
+            (mantissa << 4) + 8,
+            ((mantissa << 4) + 0x108) << (exponent - 1),
+        )
+        lut = (sign * magnitude).astype(np.int16)
+    return lut[np.frombuffer(data, dtype=np.uint8)]
+
+
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int32)
+_IMA_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+
+def _decode_ima_adpcm(data: bytes, nch: int, block_align: int) -> np.ndarray:
+    """IMA/DVI ADPCM (WAV format tag 0x11), mono: 4-bit deltas against a
+    stepped predictor, block-reset headers.  The nibble walk is the
+    inherently sequential part (like the JPEG Huffman walk) — bounded by
+    the stored bytes, which the feature path's decode cap already
+    limits."""
+    if nch != 1:
+        raise NotImplementedError("IMA ADPCM decode supports mono only")
+    out: list[int] = []
+    for off in range(0, len(data) - 3, block_align):
+        block = data[off : off + block_align]
+        pred = struct.unpack_from("<h", block, 0)[0]
+        index = min(88, max(0, block[2]))
+        out.append(pred)
+        for byte in block[4:]:
+            for nib in (byte & 0x0F, byte >> 4):
+                step = int(_IMA_STEPS[index])
+                diff = step >> 3
+                if nib & 1:
+                    diff += step >> 2
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 4:
+                    diff += step
+                pred = pred - diff if nib & 8 else pred + diff
+                pred = max(-32768, min(32767, pred))
+                index = min(88, max(0, index + int(_IMA_INDEX_ADJ[nib & 7])))
+                out.append(pred)
+    return np.array(out, dtype=np.int16)
+
+
 def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
-    """Decode a WAV (RIFF, PCM16) blob to ((n_samples, n_channels) int16,
-    sample_rate).  Non-PCM or non-RIFF audio raises NotImplementedError."""
+    """Decode a WAV (RIFF) blob to ((n_samples, n_channels) int16,
+    sample_rate).  Real for PCM16 (tag 1), G.711 A-law/mu-law telephony
+    (tags 6/7 — LUT expansion, vectorized), and mono IMA ADPCM (tag
+    0x11).  Other codecs (MP3, AAC, ...) raise NotImplementedError: a
+    fake decode would misreport the audio stats."""
     b = bytes(content)
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise NotImplementedError("only RIFF/WAVE audio supported")
@@ -375,10 +447,19 @@ def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
         i += 8 + sz + (sz & 1)
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    audio_fmt, nch, rate, _, _, bits = fmt
-    if audio_fmt != 1 or bits != 16:
-        raise NotImplementedError("only PCM16 WAV supported")
-    samples = np.frombuffer(data, dtype="<i2")
+    audio_fmt, nch, rate, _, block_align, bits = fmt
+    if nch < 1:
+        raise ValueError("corrupt WAV: zero channels")
+    if audio_fmt == 1 and bits == 16:
+        samples = np.frombuffer(data, dtype="<i2")
+    elif audio_fmt in (6, 7) and bits == 8:
+        samples = _decode_g711(data, "alaw" if audio_fmt == 6 else "mu")
+    elif audio_fmt == 0x11 and bits == 4:
+        samples = _decode_ima_adpcm(data, nch, max(block_align, 4))
+    else:
+        raise NotImplementedError(
+            f"WAV format tag {audio_fmt} ({bits}-bit) not supported"
+        )
     samples = samples[: (len(samples) // nch) * nch].reshape(-1, nch)
     return samples, rate
 

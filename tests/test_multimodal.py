@@ -670,3 +670,130 @@ def test_gif_through_extract_features(spark):
     out = mm.extract_features(media).collect()[0]
     assert out.decoded and (out.width, out.height) == (18, 12)
     assert out.feature[0] == pytest.approx(px[:, :, 0].mean() / 255.0, abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# WAV codec breadth: G.711 A-law / mu-law, IMA ADPCM (spec-built, no libs)
+# ---------------------------------------------------------------------------
+
+
+def _wav_blob(data: bytes, audio_fmt: int, bits: int, nch=1, rate=8000, block_align=None):
+    import struct as st
+
+    ba = block_align if block_align is not None else nch * max(1, bits // 8)
+    return (
+        b"RIFF" + st.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + st.pack("<I", 16)
+        + st.pack("<HHIIHH", audio_fmt, nch, rate, rate * ba, ba, bits)
+        + b"data" + st.pack("<I", len(data)) + data
+    )
+
+
+@pytest.mark.parametrize("law,tag", [("mu", 7), ("alaw", 6)])
+def test_g711_encode_of_decode_is_identity(law, tag):
+    """The strong no-reference check: G.711 is a bijection from the 256
+    codes onto its quantized magnitudes, so compressing each code's
+    DECODED value (compressor written here from the spec) must return
+    the original code — and the WAV path routes tags 6/7 through it."""
+    from streamsum_spark.operators import multimodal as mmx
+
+    decoded = mmx._decode_g711(bytes(range(256)), law).astype(np.int32)
+
+    def mu_encode(x):
+        BIAS, CLIP = 0x84, 32635
+        s = 0x80 if x < 0 else 0
+        x = min(abs(int(x)), CLIP) + BIAS
+        exp = 7
+        for e in range(7, -1, -1):
+            if x & (0x4000 >> (7 - e)):
+                exp = e
+                break
+        mant = (x >> (exp + 3)) & 0x0F
+        return ~(s | (exp << 4) | mant) & 0xFF
+
+    def alaw_encode(x):
+        s = 0x80 if x >= 0 else 0
+        x = min(abs(int(x)), 32767) >> 4  # 12-bit magnitude (<<4 in decode)
+        if x < 16:
+            code = x
+        else:
+            exp = x.bit_length() - 5
+            mant = (x >> exp) & 0x0F
+            code = ((exp + 1) << 4) | mant
+        return (s | code) ^ 0x55
+
+    enc = mu_encode if law == "mu" else alaw_encode
+    for code in range(256):
+        if law == "mu" and code == 0x7F:
+            continue  # negative zero: 0x7F and 0xFF both decode to 0, and
+            # the compressor canonically returns 0xFF for 0
+        assert enc(decoded[code]) == code, (law, code, decoded[code])
+    # and through the WAV container
+    samples, rate = mmx.decode_audio(_wav_blob(bytes(range(256)), tag, 8))
+    assert rate == 8000 and np.array_equal(samples[:, 0], decoded.astype(np.int16))
+
+
+def test_ima_adpcm_tracks_the_signal():
+    """IMA ADPCM is lossy: encode a smooth tone with a spec-built
+    compressor and assert the decode tracks it closely (and exactly
+    reproduces the per-block predictor seeds)."""
+    import struct as st
+
+    from streamsum_spark.operators import multimodal as mmx
+
+    t = np.arange(2000)
+    sig = (6000 * np.sin(2 * np.pi * 220 * t / 8000)).astype(np.int16)
+
+    steps, adj = mmx._IMA_STEPS, mmx._IMA_INDEX_ADJ
+    blocks = bytearray()
+    block_align = 256  # 2-byte pred + reserved + 252 data bytes = 505 samples
+    i = 0
+    while i < len(sig):
+        pred, index = int(sig[i]), 0 if i == 0 else index  # carry index over
+        blocks += st.pack("<hBB", pred, index, 0)
+        nibs = []
+        for x in sig[i + 1 : i + 1 + (block_align - 4) * 2]:
+            step = int(steps[index])
+            delta = int(x) - pred
+            nib = 8 if delta < 0 else 0
+            delta = abs(delta)
+            diff = step >> 3
+            if delta >= step:
+                nib |= 4
+                delta -= step
+                diff += step
+            if delta >= step >> 1:
+                nib |= 2
+                delta -= step >> 1
+                diff += step >> 1
+            if delta >= step >> 2:
+                nib |= 1
+                diff += step >> 2
+            pred = pred - diff if nib & 8 else pred + diff
+            pred = max(-32768, min(32767, pred))
+            index = min(88, max(0, index + int(adj[nib & 7])))
+            nibs.append(nib)
+        if len(nibs) % 2:
+            nibs.append(0)
+        for a, b in zip(nibs[::2], nibs[1::2]):
+            blocks += bytes([(b << 4) | a])
+        i += 1 + (block_align - 4) * 2
+
+    samples, rate = mmx.decode_audio(
+        _wav_blob(bytes(blocks), 0x11, 4, block_align=block_align)
+    )
+    got = samples[:, 0].astype(np.int32)[: len(sig)]
+    want = sig.astype(np.int32)[: len(got)]
+    err = np.abs(got - want)
+    # the first samples show classic slope overload (index seeds at 0 and
+    # adapts up); once adapted the decode tracks the tone tightly
+    assert err.mean() < 300
+    assert err[500:].max() < 1000, err[500:].max()
+    assert got[0] == want[0]  # block seed exact
+
+
+def test_unsupported_wav_tags_still_refuse():
+    from streamsum_spark.operators import multimodal as mmx
+
+    with pytest.raises(NotImplementedError, match="format tag 85"):
+        mmx.decode_audio(_wav_blob(b"\x00" * 64, 85, 0))  # MP3-in-WAV
