@@ -597,6 +597,8 @@ def snapshot_changes(
                 "snapshot read"
             )
         m = _load_manifest(path, v)
+        if m.get("no_data_change"):
+            continue  # layout-only commit (rebucket): no delta to emit
         name = m.get("changes")
         if name is None:
             raise ValueError(
@@ -789,6 +791,10 @@ def rebucket_snapshot_table(
         "n_buckets": new_n_buckets,
         "bucket_cols": bcols,
         "applied": head["applied"],
+        "changes": None,
+        "no_data_change": True,  # layout-only commit: the change feed
+        # skips this version instead of refusing
+        "schema": rekeyed.schema.json(),
         "buckets": new_entries,
     }
     mtmp = os.path.join(_snap_dir(path), f"._v-{commit_id}.json")

@@ -400,3 +400,19 @@ def test_snapshot_tombstones_with_time_travel_and_feed(spark, tmp_path):
     )
     assert snapshots._latest_version(path) == 2
     assert {r.k for r in snapshots.read_snapshot(spark, path).collect()} == {1, 3}
+
+
+def test_change_feed_skips_rebucket_versions(spark, tmp_path):
+    """A rebucket is a layout-only commit: the change feed skips it
+    rather than refusing, and deltas before/after it still read."""
+    path = str(tmp_path / "t")
+    snapshots.snapshot_upsert(
+        spark, path, _mk(spark, B1), ["k"], "o", n_buckets=4, change_feed=True
+    )
+    snapshots.rebucket_snapshot_table(spark, path, 8)
+    snapshots.snapshot_upsert(
+        spark, path, _mk(spark, B2), ["k"], "o", n_buckets=8, change_feed=True
+    )
+    ch = snapshots.snapshot_changes(spark, path, from_version=1)
+    got = {(r._version, r.k) for r in ch.collect()}
+    assert got == {(3, 2), (3, 4)}  # v2 (rebucket) silently skipped
