@@ -428,10 +428,16 @@ def _decode_ima_adpcm(data: bytes, nch: int, block_align: int) -> np.ndarray:
 def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
     """Decode a WAV (RIFF) blob to ((n_samples, n_channels) int16,
     sample_rate).  Real for PCM16 (tag 1), G.711 A-law/mu-law telephony
-    (tags 6/7 — LUT expansion, vectorized), and mono IMA ADPCM (tag
-    0x11).  Other codecs (MP3, AAC, ...) raise NotImplementedError: a
-    fake decode would misreport the audio stats."""
+    (tags 6/7 — LUT expansion, vectorized), mono IMA ADPCM (tag 0x11),
+    and FLAC (operators/flac.py — full fixed-blocksize surface from
+    RFC 9639, CRC-verified, returned as int32).  Other codecs (MP3,
+    AAC, ...) raise NotImplementedError: a fake decode would misreport
+    the audio stats."""
     b = bytes(content)
+    if b[:4] == b"fLaC":
+        from streamsum_spark.operators.flac import decode_flac
+
+        return decode_flac(b)
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise NotImplementedError("only RIFF/WAVE audio supported")
     fmt = data = None
@@ -528,7 +534,7 @@ def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
             return False, None, None, None, _fake_feature(content)
         b = bytes(content)
         try:
-            if b[:4] == b"RIFF":
+            if b[:4] in (b"RIFF", b"fLaC"):
                 samples, rate = decode_audio(b)
                 return True, None, None, int(samples.shape[1]), _audio_feature(samples, rate)
             px = decode_image(b)

@@ -797,3 +797,108 @@ def test_unsupported_wav_tags_still_refuse():
 
     with pytest.raises(NotImplementedError, match="format tag 85"):
         mmx.decode_audio(_wav_blob(b"\x00" * 64, 85, 0))  # MP3-in-WAV
+
+
+# ---------------------------------------------------------------------------
+# FLAC (operators/flac.py — RFC 9639, no codec libs; lossless => exact pins)
+# ---------------------------------------------------------------------------
+
+
+def _flac_tone(n=3000, seed=3):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n)
+    return (
+        5000 * np.sin(2 * np.pi * 220 * t / 8000)
+        + rng.integers(-50, 50, n)
+    ).astype(np.int16)
+
+
+def test_flac_roundtrip_bit_exact_all_subframe_types():
+    from streamsum_spark.operators import flac
+
+    mono = _flac_tone()
+    for kw in (
+        {},  # constant/fixed auto
+        {"force_type": "verbatim"},
+        {"force_type": "fixed0"},
+        {"force_type": "fixed1"},
+        {"force_type": "fixed3"},
+        {"force_type": "fixed4"},
+        {"lpc": ([60, -29], 7, 5)},
+    ):
+        out, rate = flac.decode_flac(flac.encode_flac(mono, block_size=500, **kw))
+        assert rate == 8000
+        assert np.array_equal(out[:, 0], mono.astype(np.int32)), kw
+    silence = np.zeros(400, dtype=np.int16)
+    out, _ = flac.decode_flac(flac.encode_flac(silence, block_size=200))
+    assert np.array_equal(out[:, 0], silence.astype(np.int32))
+
+
+@pytest.mark.parametrize(
+    "mode", ["independent", "left_side", "right_side", "mid_side"]
+)
+def test_flac_stereo_decorrelation_bit_exact(mode):
+    from streamsum_spark.operators import flac
+
+    l = _flac_tone()
+    rng = np.random.default_rng(9)
+    r = (l // 2 + rng.integers(-30, 30, len(l))).astype(np.int16)
+    st_arr = np.stack([l, r], axis=1)
+    out, _ = flac.decode_flac(
+        flac.encode_flac(st_arr, block_size=512, stereo_mode=mode)
+    )
+    assert np.array_equal(out, st_arr.astype(np.int32))
+
+
+def test_flac_crc_guards_and_hostile_inputs():
+    """A flipped bit anywhere in a frame must be CAUGHT by the CRC, not
+    decoded into wrong samples; dimension bombs and truncation refuse."""
+    import struct as st
+
+    from streamsum_spark.operators import flac
+
+    blob = bytearray(flac.encode_flac(_flac_tone(800), block_size=400))
+    # sample-budget bomb: STREAMINFO declaring 2^35 samples
+    bomb = bytearray(blob)
+    # total-samples field: last 36 bits of the 18-byte STREAMINFO body
+    with pytest.raises(ValueError, match="decode cap"):
+        hdr = flac.encode_flac(np.zeros(4, dtype=np.int16))
+        big = bytearray(hdr)
+        big[21] ^= 0  # locate STREAMINFO: bytes 8.. (4 magic + 4 block hdr)
+        # craft: set total-samples bits high (byte 8+13 .. 8+17)
+        big[8 + 13] = 0xFF
+        big[8 + 14] = 0xFF
+        big[8 + 15] = 0xFF
+        flac.decode_flac(bytes(big))
+    with pytest.raises(ValueError):
+        flac.decode_flac(bytes(blob[: len(blob) // 2]))
+    # single-bit corruption across the stream: ValueError every time a
+    # frame byte flips (CRC-8/CRC-16), never silent wrong samples
+    want, _ = flac.decode_flac(bytes(blob))
+    rng = np.random.RandomState(17)
+    caught = 0
+    for _ in range(30):
+        mut = bytearray(blob)
+        i = int(rng.randint(46, len(mut)))  # past STREAMINFO: frame bytes
+        mut[i] ^= 1 << int(rng.randint(8))
+        try:
+            got, _ = flac.decode_flac(bytes(mut))
+            assert np.array_equal(got, want)  # flip in slack bits only
+        except (ValueError, NotImplementedError):
+            caught += 1
+    assert caught >= 25  # CRCs catch essentially all frame corruption
+
+
+def test_flac_through_decode_audio_and_features(spark):
+    from streamsum_spark.operators import flac
+    from streamsum_spark.operators import multimodal as mmx
+
+    tone = _flac_tone(1600)
+    blob = flac.encode_flac(tone, rate=16000, block_size=800)
+    samples, rate = mmx.decode_audio(blob)
+    assert rate == 16000 and np.array_equal(samples[:, 0], tone.astype(np.int32))
+    media = spark.createDataFrame(
+        [(1, "audio/flac", None, None, 100, blob)], mmx.MEDIA_SCHEMA
+    )
+    out = mmx.extract_features(media).collect()[0]
+    assert out.decoded and out.channels == 1
