@@ -287,6 +287,13 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("corrupt JPEG: SOS before SOF")
             ns = seg[0]
+            if frame is not None and ns != len(frame["comps"]):
+                # spec-legal but rare: separate per-component scans.  A
+                # partial decode here would return scrambled pixels as if
+                # they were real — refuse instead (module contract)
+                raise NotImplementedError(
+                    "non-interleaved (multi-scan) baseline JPEG not supported"
+                )
             scomp = []
             for c in range(ns):
                 cs, tdta = seg[1 + c * 2 : 3 + c * 2]

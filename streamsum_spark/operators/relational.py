@@ -768,12 +768,15 @@ def scalar_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-profiling pass — the quality gate a pipeline runs before
-    trusting a new drop of data: per-column null counts, exact distinct
-    cardinalities, and numeric min/max/mean, computed in ONE aggregation
-    over one scan (a struct of aggregates per column, unpivoted to a
-    (column, metric...) relation).  Exact count(DISTINCT) keeps it
+    trusting a new drop of data: per-column row counts, null counts, and
+    exact distinct cardinalities, computed in ONE aggregation over one
+    scan and unpivoted via stack() to a (column, n_rows, n_nulls,
+    n_distinct) relation.  Exact count(DISTINCT) keeps it
     oracle-checkable; the approx_count_distinct variant is the 100 TB
-    substitution and shares the plan shape."""
+    substitution and shares the plan shape.  Numeric range stats
+    (min/max/mean) belong to a typed per-column query, not this uniform
+    relation — agg_percentiles and the log-histogram sketch cover
+    value-distribution checks."""
     ev = table(spark, sf_dir, "events")
     cols = ["event_id", "user_id", "event_type", "value"]
     aggs = []

@@ -1284,16 +1284,19 @@ def ann_ivfpq_partitioned_topk(
         F.col("list_id").isin([r.list_id for r in routed])
     )
     if min_cos is not None and "loc_angle" in corpus.columns:
-        # band per probed list: mirror the stored loc_angle's round(6)
-        # cosine grid, +1e-9 slack for the python-vs-JVM acos ulp
-        radius = math.acos(max(-1.0, min(1.0, min_cos))) + 1e-9
+        # the stored loc_angle is acos of the UNROUNDED JVM cosine; the
+        # query-side cosine here uses the same float32 operands in the
+        # same sequential order, so the two angles differ only by float
+        # epsilon — 1e-6 rad slack covers it with orders of margin.
+        # (A round(6) grid on either side would NOT be sound: d(acos) =
+        # eps/sin(theta) blows a 5e-7 cosine rounding up to ~1e-3 rad
+        # near the poles, enough to drop a qualifying row group.)
+        radius = math.acos(max(-1.0, min(1.0, min_cos))) + 1e-6
         qn = math.sqrt(sum(x * x for x in q))
         band = None
         for r in routed:
             cn = math.sqrt(sum(x * x for x in r.centroid))
-            cosqc = round(
-                sum(a * b for a, b in zip(q, r.centroid)) / (qn * cn), 6
-            )
+            cosqc = sum(a * b for a, b in zip(q, r.centroid)) / (qn * cn)
             theta = math.acos(max(-1.0, min(1.0, cosqc)))
             cond = (F.col("list_id") == r.list_id) & F.col("loc_angle").between(
                 theta - radius, theta + radius

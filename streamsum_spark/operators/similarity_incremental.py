@@ -22,9 +22,10 @@ so this module stores the posting lists AS a snapshot table:
 
 The coarse quantizer is trained ONCE on the base corpus and frozen
 (standard IVF practice — FAISS's add() does the same); drift after
-massive appends is handled by retraining + rebuilding, which here is
-just ``build_ivf_snapshot`` again (and the snapshot layer even keeps the
-old index readable while the new one builds).
+massive appends is handled by retraining + rebuilding INTO A FRESH PATH
+(build_ivf_snapshot refuses a live index path — new centroids over old
+posting lists would strand stale rows) while the old index keeps
+serving, then readers repoint.
 
 Pinned in tests/test_similarity_incremental.py: append-then-query equals
 rebuild-with-same-centroids; nprobe=n_lists is EXACT over base+appended;
@@ -83,7 +84,22 @@ def build_ivf_snapshot(
     ``<out_path>_centroids``, and commit the base posting lists as
     snapshot version 1.  ``base`` narrows the indexed subset (defaults to
     the whole embeddings table) — the quantizer still trains on the full
-    table's geometry."""
+    table's geometry.
+
+    Refuses an ``out_path`` that already holds an index: re-training
+    changes the centroids, and upserting new (list, vec) keys would
+    leave each moved vector's STALE row under its old list (duplicate
+    ids in probes, wrong-list postings forever).  Retrain into a NEW
+    path — the old index stays readable while the new one builds, then
+    repoint readers."""
+    from streamsum_spark.snapshots import _latest_version
+
+    if _latest_version(out_path) is not None:
+        raise ValueError(
+            f"{out_path} already holds an IVF snapshot index; retraining "
+            "must build into a fresh path (stale old-centroid postings "
+            "would survive a merge) — build new, then repoint readers"
+        )
     _, centroids = kmeans_ivf_index(spark, sf_dir, n_lists, seed)
     centroids.write.mode("overwrite").parquet(out_path + "_centroids")
     emb = base if base is not None else table(spark, sf_dir, "embeddings")

@@ -527,21 +527,18 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"CAST(size(filter({stop_arr}, s -> array_contains({toks_low}, s))) AS BIGINT)"
         ).alias("n_distinct_stopwords"),
-        F.expr(
-            f"size({_TOKS}) BETWEEN 50 AND 100000"
-            f" AND (aggregate({_TOKS}, CAST(0 AS BIGINT), (a, x) -> a + length(x))"
-            f"      / CAST(size({_TOKS}) AS DOUBLE)) BETWEEN 3 AND 10"
-            f" AND ((size(regexp_extract_all(text, '#', 0))"
-            f"       + size(regexp_extract_all(text, '\\\\.\\\\.\\\\.', 0)))"
-            f"      / CAST(size({_TOKS}) AS DOUBLE)) <= 0.1"
-            f" AND (size(filter({lines}, l -> l rlike '^\\\\s*[-*]'))"
-            f"      / CAST(size({lines}) AS DOUBLE)) < 0.9"
-            f" AND (size(filter({lines}, l -> l rlike '\\\\.\\\\.\\\\.$'))"
-            f"      / CAST(size({lines}) AS DOUBLE)) < 0.3"
-            f" AND (size(filter({_TOKS}, x -> x rlike '[a-zA-Z]'))"
-            f"      / CAST(size({_TOKS}) AS DOUBLE)) >= 0.8"
-            f" AND size(filter({stop_arr}, s -> array_contains({toks_low}, s))) >= 2"
-        ).alias("keep"),
+    ).withColumn(
+        # keep derives from the COMPUTED columns — one source of truth
+        # per rule, so a threshold edit cannot desync metric and verdict
+        # (the SQL oracle's CTE has the same shape)
+        "keep",
+        F.col("n_words").between(50, 100000)
+        & F.col("mean_word_len").between(3, 10)
+        & (F.col("symbol_ratio") <= 0.1)
+        & (F.col("bullet_line_frac") < 0.9)
+        & (F.col("ellipsis_line_frac") < 0.3)
+        & (F.col("alpha_word_frac") >= 0.8)
+        & (F.col("n_distinct_stopwords") >= 2),
     )
 
 

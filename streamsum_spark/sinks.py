@@ -475,6 +475,9 @@ def upsert_batch(
         upd = _with_kb(updates, _resolve_bucket_cols(key_cols, bucket_cols), n_buckets)
         touched = sorted(r.kb for r in upd.select("kb").distinct().collect())
         if not touched:
+            # an all-empty stream still yields a READABLE (typed empty)
+            # table: record the schema so read_state_table has a fallback
+            _write_schema_sidecar(target_path, upd.drop("kb").schema.json())
             return
         _merge_buckets(spark, target_path, upd, key_cols, order_col, touched)
         return

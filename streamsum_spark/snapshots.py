@@ -189,6 +189,49 @@ def read_snapshot(
     return df.drop("kb")
 
 
+def _route_keys(
+    spark: SparkSession, path: str, version: int, keys_df: DataFrame
+) -> tuple[dict, dict, DataFrame | None, list]:
+    """Shared routed-read body: resolve the manifest, cast the key
+    DataFrame to the stored column types (Murmur3 hashes int and long
+    differently), and return (head, buckets, keys_df_cast, files) where
+    ``files`` is the routed buckets' generation-file list — or
+    keys_df_cast None when the table holds no data files."""
+    head, buckets = _resolve_buckets(path, version)
+    n_buckets, bcols = head["n_buckets"], head["bucket_cols"]
+    missing = [c for c in bcols if c not in keys_df.columns]
+    if missing:
+        raise ValueError(
+            f"keys are missing the table's bucket columns {missing} "
+            f"(bucket_cols={bcols}); routing needs every bucket column"
+        )
+    first_b, first = next(
+        ((b, names[0]) for b, names in buckets.items() if names), (None, None)
+    )
+    if first is None:
+        return head, buckets, None, []
+    stored_types = {
+        f.name: f.dataType
+        for f in spark.read.parquet(
+            os.path.join(path, f"kb={first_b}", first)
+        ).schema
+    }
+    keys_df = keys_df.select(
+        *[
+            F.col(c).cast(stored_types[c]).alias(c) if c in stored_types else F.col(c)
+            for c in keys_df.columns
+        ]
+    )
+    want = _with_kb(keys_df, bcols, n_buckets)
+    touched = sorted({r.kb for r in want.select("kb").distinct().collect()})
+    files = [
+        os.path.join(path, f"kb={b}", name)
+        for b in touched
+        for name in buckets.get(str(b), [])
+    ]
+    return head, buckets, keys_df, files
+
+
 def lookup_snapshot_keys(
     spark: SparkSession,
     path: str,
@@ -206,51 +249,19 @@ def lookup_snapshot_keys(
         if version is None:
             raise ValueError(f"{path} has no committed snapshots")
     _check_readable(path, version)
-    head, buckets = _resolve_buckets(path, version)
-    n_buckets, bcols = head["n_buckets"], head["bucket_cols"]
     keys_df = spark.createDataFrame(
         [tuple(v) if isinstance(v, (tuple, list)) else (v,) for v in key_values],
         key_cols,
     )
-    missing = [c for c in bcols if c not in key_cols]
-    if missing:
-        raise ValueError(
-            f"lookup keys are missing the table's bucket columns {missing}"
-        )
-    # cast to stored types (Murmur3 hashes int and long differently) by
-    # peeking one referenced file's footer
-    first_b, first = next(
-        ((b, names[0]) for b, names in buckets.items() if names), (None, None)
-    )
-    if first is None:
-        return read_snapshot(spark, path, version).limit(0)
-    stored_types = {
-        f.name: f.dataType
-        for f in spark.read.parquet(
-            os.path.join(path, f"kb={first_b}", first)
-        ).schema
-    }
-    keys_df = keys_df.select(
-        *[
-            F.col(c).cast(stored_types[c]).alias(c) if c in stored_types else F.col(c)
-            for c in keys_df.columns
-        ]
-    )
-    want = _with_kb(keys_df, bcols, n_buckets)
-    touched = sorted({r.kb for r in want.select("kb").distinct().collect()})
-    files = [
-        os.path.join(path, f"kb={b}", name)
-        for b in touched
-        for name in buckets.get(str(b), [])
-    ]
-    if not files:
+    _, _, keys_cast, files = _route_keys(spark, path, version, keys_df)
+    if keys_cast is None or not files:
         return read_snapshot(spark, path, version).limit(0)
     pruned = spark.read.option("basePath", path).parquet(*files).drop("kb")
     if 0 < len(key_values) <= 1000:
-        rows = keys_df.collect()
+        rows = keys_cast.collect()
         for c in key_cols:
             pruned = pruned.where(F.col(c).isin([r[c] for r in rows]))
-    return pruned.join(F.broadcast(keys_df), on=key_cols, how="left_semi")
+    return pruned.join(F.broadcast(keys_cast), on=key_cols, how="left_semi")
 
 
 def read_touched_snapshot_buckets(
@@ -267,39 +278,8 @@ def read_touched_snapshot_buckets(
         if version is None:
             raise ValueError(f"{path} has no committed snapshots")
     _check_readable(path, version)
-    head, buckets = _resolve_buckets(path, version)
-    n_buckets, bcols = head["n_buckets"], head["bucket_cols"]
-    missing = [c for c in bcols if c not in keys_df.columns]
-    if missing:
-        raise ValueError(
-            f"keys are missing the table's bucket columns {missing} "
-            f"(bucket_cols={bcols}); routing needs every bucket column"
-        )
-    first_b, first = next(
-        ((b, names[0]) for b, names in buckets.items() if names), (None, None)
-    )
-    if first is None:
-        return read_snapshot(spark, path, version).limit(0)
-    stored_types = {
-        f.name: f.dataType
-        for f in spark.read.parquet(
-            os.path.join(path, f"kb={first_b}", first)
-        ).schema
-    }
-    keys_df = keys_df.select(
-        *[
-            F.col(c).cast(stored_types[c]).alias(c) if c in stored_types else F.col(c)
-            for c in keys_df.columns
-        ]
-    )
-    want = _with_kb(keys_df, bcols, n_buckets)
-    touched = sorted({r.kb for r in want.select("kb").distinct().collect()})
-    files = [
-        os.path.join(path, f"kb={b}", name)
-        for b in touched
-        for name in buckets.get(str(b), [])
-    ]
-    if not files:
+    _, _, keys_cast, files = _route_keys(spark, path, version, keys_df)
+    if keys_cast is None or not files:
         return read_snapshot(spark, path, version).limit(0)
     return spark.read.option("basePath", path).parquet(*files).drop("kb")
 
@@ -317,6 +297,8 @@ def _commit(
     checkpoint_interval: int,
     changes: DataFrame | None = None,
     schema_json: str | None = None,
+    force_full: bool = False,
+    extra_fields: dict | None = None,
 ) -> None:
     """Shared commit body: materialize touched buckets' new generation
     files (plus the optional change-feed file), then commit them all in
@@ -357,7 +339,7 @@ def _commit(
     applied = list(head["applied"]) if head is not None else []
     if marker is not None:
         applied = (applied + [marker])[-_MANIFEST_CAP:]
-    full = head is None or (version % checkpoint_interval == 0)
+    full = force_full or head is None or (version % checkpoint_interval == 0)
     manifest = {
         "version": version,
         "parent": head["version"] if head is not None else None,
@@ -367,6 +349,7 @@ def _commit(
         "applied": applied,
         "changes": changes_name,
         "schema": schema_json,
+        **(extra_fields or {}),
         "buckets": ({**buckets, **new_entries} if full else new_entries),
     }
     os.makedirs(_snap_dir(path), exist_ok=True)
@@ -758,50 +741,12 @@ def rebucket_snapshot_table(
     head, _ = _resolve_buckets(path, latest)
     bcols = head["bucket_cols"]
     rekeyed = _with_kb(read_snapshot(spark, path), bcols, new_n_buckets)
-    touched = sorted(
-        r.kb for r in rekeyed.select("kb").distinct().collect()
+    touched = sorted(r.kb for r in rekeyed.select("kb").distinct().collect())
+    _commit(
+        spark, path, _bucket_writer(rekeyed, bcols), touched, head,
+        {},  # the bucket map changes wholesale: only new entries survive
+        new_n_buckets, bcols, marker=None, checkpoint_interval=1,
+        schema_json=rekeyed.schema.json(), force_full=True,
+        extra_fields={"no_data_change": True},  # layout-only commit: the
+        # change feed skips this version instead of refusing
     )
-    version = head["version"] + 1
-    commit_id = uuid.uuid4().hex[:12]
-    tmp = os.path.join(path, f"._commit-{commit_id}")
-    (
-        rekeyed.repartition("kb")
-        .sortWithinPartitions("kb", *bcols)
-        .write.mode("overwrite")
-        .partitionBy("kb")
-        .parquet(tmp)
-    )
-    new_entries: dict[str, list[str]] = {}
-    for b in touched:
-        src = os.path.join(tmp, f"kb={b}")
-        names = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
-        bdir = os.path.join(path, f"kb={b}")
-        os.makedirs(bdir, exist_ok=True)
-        gen_names = []
-        for i, name in enumerate(names):
-            gen = f"gen-{commit_id}-{i:04d}.parquet"
-            os.rename(os.path.join(src, name), os.path.join(bdir, gen))
-            gen_names.append(gen)
-        new_entries[str(b)] = gen_names
-    shutil.rmtree(tmp, ignore_errors=True)
-    manifest = {
-        "version": version,
-        "parent": head["version"],
-        "full": True,  # the bucket map changed wholesale
-        "n_buckets": new_n_buckets,
-        "bucket_cols": bcols,
-        "applied": head["applied"],
-        "changes": None,
-        "no_data_change": True,  # layout-only commit: the change feed
-        # skips this version instead of refusing
-        "schema": rekeyed.schema.json(),
-        "buckets": new_entries,
-    }
-    mtmp = os.path.join(_snap_dir(path), f"._v-{commit_id}.json")
-    with open(mtmp, "w") as fh:
-        json.dump(manifest, fh)
-    os.replace(mtmp, _manifest_path(path, version))
-    ptmp = os.path.join(_snap_dir(path), f"._ptr-{commit_id}")
-    with open(ptmp, "w") as fh:
-        fh.write(str(version))
-    os.replace(ptmp, os.path.join(_snap_dir(path), _LATEST))

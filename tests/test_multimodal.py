@@ -902,3 +902,22 @@ def test_flac_through_decode_audio_and_features(spark):
     )
     out = mmx.extract_features(media).collect()[0]
     assert out.decoded and out.channels == 1
+
+
+def test_jpeg_multi_scan_refuses_not_scrambles():
+    """A spec-legal baseline JPEG with separate per-component scans must
+    refuse (NotImplementedError), never return scrambled pixels as real."""
+    import struct as st
+
+    from streamsum_spark.operators import jpeg
+
+    full = bytearray(jpeg.encode_jpeg(_jpeg_gradient(16, 16), quality=90))
+    # rewrite the SOS to a single-component scan (ns=1) over the same data
+    i = full.find(b"\xff\xda")
+    assert i > 0
+    sos = bytes([1, 1, 0x00]) + b"\x00\x3f\x00"
+    mut = full[:i] + b"\xff\xda" + st.pack(">H", 2 + len(sos)) + sos + full[
+        i + 2 + st.unpack_from(">H", full, i + 2)[0] :
+    ]
+    with pytest.raises(NotImplementedError, match="non-interleaved"):
+        jpeg.decode_jpeg(bytes(mut))

@@ -149,3 +149,15 @@ def test_time_travel_probe_reproduces_pre_append_results(spark, tmp_path):
         for r in si.ivf_snapshot_topk(spark, path, q, k=10, nprobe=N_LISTS).collect()
     }
     assert v1 != live or all(v < 400 for v in live)
+
+
+def test_rebuild_over_live_index_refuses(spark, tmp_path):
+    """Retraining writes NEW centroids; merging their postings onto the
+    old index would strand stale rows under old lists — refused."""
+    import pytest
+
+    emb, path = _build_with_appends(spark, tmp_path)
+    with pytest.raises(ValueError, match="fresh path"):
+        si.build_ivf_snapshot(
+            spark, SF_SMOKE, path, n_lists=N_LISTS, n_buckets=N_BUCKETS
+        )

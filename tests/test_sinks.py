@@ -799,3 +799,14 @@ def test_tombstone_can_empty_a_bucket(spark, tmp_path):
     dels = seed.select("k", "v", (F.col("o") + 1).alias("o"), F.lit(True).alias("_deleted"))
     sinks.upsert_batch(spark, path, dels, ["k"], "o", n_buckets=4)
     assert sinks.read_state_table(spark, path).count() == 0
+
+
+def test_empty_stream_yields_typed_empty_table(spark, tmp_path):
+    """An all-empty merge stream (zero-row batches) still leaves a
+    READABLE typed empty table — the schema sidecar is written even when
+    no bucket is touched (previously: unable-to-infer-schema on read)."""
+    path = str(tmp_path / "t")
+    empty = spark.createDataFrame([], "k long, v long, o long")
+    sinks.upsert_batch(spark, path, empty, ["k"], "o", n_buckets=4)
+    got = sinks.read_state_table(spark, path)
+    assert got.count() == 0 and set(got.columns) == {"k", "v", "o"}
