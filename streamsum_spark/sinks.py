@@ -183,6 +183,7 @@ def _check_bucket_meta(
     n_buckets: int,
     key_cols: list[str],
     bucket_cols: list[str] | None = None,
+    columns: list[str] | None = None,
 ) -> None:
     """Enforce the docstring's "pass the same n_buckets for the table's
     lifetime": the kb assignment is ``hash(key) % n_buckets``, so merging
@@ -240,7 +241,10 @@ def _check_bucket_meta(
     os.makedirs(target_path, exist_ok=True)
     tmp = os.path.join(target_path, f"._meta-{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as fh:
-        json.dump({"n_buckets": n_buckets, "bucket_cols": bcols}, fh)
+        json.dump(
+            {"n_buckets": n_buckets, "bucket_cols": bcols, "columns": columns},
+            fh,
+        )
     os.replace(tmp, meta)  # atomic; os.replace so fault-injection tests
     # counting os.rename syscalls see only the data-swap renames
 
@@ -471,7 +475,10 @@ def upsert_batch(
         # entire pre-crash state
         _recover(target_path)
         _assert_bucketed_layout(target_path)
-        _check_bucket_meta(spark, target_path, n_buckets, key_cols, bucket_cols)
+        _check_bucket_meta(
+            spark, target_path, n_buckets, key_cols, bucket_cols,
+            columns=[c for c in updates.columns if c != DELETED_COL],
+        )
         upd = _with_kb(updates, _resolve_bucket_cols(key_cols, bucket_cols), n_buckets)
         touched = sorted(r.kb for r in upd.select("kb").distinct().collect())
         if not touched:
@@ -539,15 +546,21 @@ def _merge_buckets(
         _recover_buckets(target_path)
         # schema guard against the TABLE, not just the touched buckets —
         # a batch routed to a brand-new bucket must not smuggle a drifted
-        # schema into the layout (one footer read)
-        any_b = next(
-            (d for d in sorted(os.listdir(target_path)) if d.startswith("kb=")),
-            None,
-        )
-        if any_b is not None:
-            tbl_cols = spark.read.parquet(
-                os.path.join(target_path, any_b)
-            ).columns
+        # schema into the layout.  The column list rides in the table
+        # meta (zero Spark jobs); legacy tables without it fall back to
+        # one footer read
+        meta_now = _read_meta(target_path)
+        tbl_cols = (meta_now or {}).get("columns")
+        if tbl_cols is None:
+            any_b = next(
+                (d for d in sorted(os.listdir(target_path)) if d.startswith("kb=")),
+                None,
+            )
+            if any_b is not None:
+                tbl_cols = spark.read.parquet(
+                    os.path.join(target_path, any_b)
+                ).columns
+        if tbl_cols is not None:
             _check_state_columns(tbl_cols, upd.columns, target_path)
     existing_dirs = [
         d
@@ -872,7 +885,10 @@ def accumulate_batch(
     if n_buckets is not None:
         _recover(target_path)  # whole-table swap crash (see upsert_batch)
         _assert_bucketed_layout(target_path)
-        _check_bucket_meta(spark, target_path, n_buckets, key_cols, bucket_cols)
+        _check_bucket_meta(
+            spark, target_path, n_buckets, key_cols, bucket_cols,
+            columns=list(deltas.columns),
+        )
         if os.path.isdir(target_path):
             _recover_buckets(target_path)  # manifests must be read post-repair
         upd = _with_kb(deltas, _resolve_bucket_cols(key_cols, bucket_cols), n_buckets)

@@ -397,10 +397,16 @@ def _begin(
     return head, buckets, bcols
 
 
-def _peek_columns(spark: SparkSession, path: str, buckets: dict) -> list | None:
-    """Table schema from one referenced generation file's footer (None
-    for an empty table) — the drift guard must compare against the TABLE
-    even when the batch routes only to untouched or new buckets."""
+def _peek_columns(
+    spark: SparkSession, path: str, buckets: dict, head: dict | None = None
+) -> list | None:
+    """Table columns for the drift guard (against the TABLE, even when
+    the batch routes only to untouched or new buckets): from the head
+    manifest's recorded schema when present (zero Spark jobs), else one
+    generation-file footer read; None for an empty table."""
+    if head is not None and head.get("schema"):
+        schema = json.loads(head["schema"])
+        return [f["name"] for f in schema["fields"]]
     first_b, first = next(
         ((b, names[0]) for b, names in buckets.items() if names), (None, None)
     )
@@ -476,7 +482,7 @@ def snapshot_upsert(
     if head == "replay":
         return
     upd = _with_kb(updates, bcols, n_buckets)
-    tbl_cols = _peek_columns(spark, path, buckets)
+    tbl_cols = _peek_columns(spark, path, buckets, head if head != "replay" else None)
     if tbl_cols is not None:
         _check_state_columns(tbl_cols, upd.columns, path)
     touched, stored = _touched_stored(spark, path, upd, buckets)
@@ -532,7 +538,7 @@ def snapshot_accumulate(
     if head == "replay":
         return
     upd = _with_kb(deltas, bcols, n_buckets)
-    tbl_cols = _peek_columns(spark, path, buckets)
+    tbl_cols = _peek_columns(spark, path, buckets, head if head != "replay" else None)
     if tbl_cols is not None:
         _check_state_columns(tbl_cols, upd.columns, path)
     touched, stored = _touched_stored(spark, path, upd, buckets)
