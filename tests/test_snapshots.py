@@ -416,3 +416,36 @@ def test_change_feed_skips_rebucket_versions(spark, tmp_path):
     ch = snapshots.snapshot_changes(spark, path, from_version=1)
     got = {(r._version, r.k) for r in ch.collect()}
     assert got == {(3, 2), (3, 4)}  # v2 (rebucket) silently skipped
+
+
+def test_sync_from_changes_materializes_downstream(spark, tmp_path):
+    """The CDC loop end-to-end: a downstream snapshot table follows the
+    source through upserts AND deletes via the change feed, exactly once
+    (re-running the sync applies nothing), and keeps converging as the
+    source moves on."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    for b in (B1, B2):
+        snapshots.snapshot_upsert(
+            spark, src, _mk(spark, b), ["k"], "o", n_buckets=4, change_feed=True
+        )
+    assert snapshots.sync_from_changes(spark, src, dst, ["k"]) == 2
+    live = lambda p: {
+        (r.k, r.v, r.o)
+        for r in snapshots.read_snapshot(spark, p).select("k", "v", "o").collect()
+    }
+    assert live(dst) == AFTER_B2
+    # exactly once: nothing new to apply
+    assert snapshots.sync_from_changes(spark, src, dst, ["k"]) == 0
+    # a delete + an upsert flow through on the next sync
+    dels = spark.createDataFrame(
+        [(2, 0, 9, True)], "k long, v long, o long, _deleted boolean"
+    )
+    snapshots.snapshot_upsert(
+        spark, src, dels, ["k"], "o", n_buckets=4, change_feed=True
+    )
+    snapshots.snapshot_upsert(
+        spark, src, _mk(spark, B3), ["k"], "o", n_buckets=4, change_feed=True
+    )
+    assert snapshots.sync_from_changes(spark, src, dst, ["k"]) == 2
+    assert live(dst) == live(src)
+    assert 2 not in {r.k for r in snapshots.read_snapshot(spark, dst).collect()}
