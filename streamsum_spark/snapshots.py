@@ -804,3 +804,43 @@ def sync_from_changes(
         )
         n += 1
     return n
+
+
+def stream_accumulate_snapshot(
+    df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    sum_cols: list[str],
+    pre_agg,
+    combine: str = "sum",
+    n_buckets: int = 16,
+    bucket_cols: list[str] | None = None,
+) -> None:
+    """Additive streaming sink on the snapshot layer — the MVCC twin of
+    sinks.stream_accumulate_counts: ``pre_agg`` turns each micro-batch
+    into per-key deltas, snapshot_accumulate folds them in with the
+    in-manifest exactly-once markers, and concurrent readers of the
+    accumulating table are never torn mid-merge."""
+    import tempfile
+
+    spark = df.sparkSession
+    ckpt = os.path.join(
+        tempfile.gettempdir(), f"streamsum_snapacc_ckpt_{uuid.uuid4().hex[:10]}"
+    )
+    run_id = uuid.uuid4().hex
+
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        snapshot_accumulate(
+            spark, path, pre_agg(batch_df), key_cols, sum_cols, combine,
+            n_buckets=n_buckets, bucket_cols=bucket_cols,
+            epoch_id=epoch_id, run_id=run_id,
+        )
+
+    q = (
+        df.writeStream.foreachBatch(merge)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

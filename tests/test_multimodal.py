@@ -921,3 +921,18 @@ def test_jpeg_multi_scan_refuses_not_scrambles():
     ]
     with pytest.raises(NotImplementedError, match="non-interleaved"):
         jpeg.decode_jpeg(bytes(mut))
+
+
+@pytest.mark.parametrize("bps", [8, 24])
+def test_flac_other_bit_depths_roundtrip(bps):
+    """The decoder's sample-size surface beyond 16-bit: 8- and 24-bit
+    streams roundtrip bit-exact (values generated within range)."""
+    from streamsum_spark.operators import flac
+
+    rng = np.random.default_rng(bps)
+    lim = 1 << (bps - 1)
+    sig = rng.integers(-lim, lim, 1200)
+    out, rate = flac.decode_flac(
+        flac.encode_flac(sig, bps=bps, block_size=400, force_type="fixed1")
+    )
+    assert np.array_equal(out[:, 0], sig.astype(np.int64).astype(np.int32))

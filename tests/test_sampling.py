@@ -91,3 +91,16 @@ def test_split_token_windows_skips_empty_docs(spark):
         (r.win_id, r.n_tokens, r.chunk_text) for r in rows if r.doc_id == 1
     )
     assert got1 == [(0, 3, "alpha beta gamma"), (1, 2, "gamma delta")]
+
+
+def test_temperature_mix_plan_broadcasts_rates(spark):
+    """The per-language rate relation must reach the corpus scan as a
+    BroadcastHashJoin — a shuffle join of a 5-row relation against the
+    corpus would be the 100 TB mistake."""
+    from streamsum_spark.operators.sampling import temperature_mix_sample
+    from streamsum_spark.plans import explain_str
+    from tests.conftest import SF_SMOKE
+
+    plan = explain_str(temperature_mix_sample(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

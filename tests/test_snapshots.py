@@ -449,3 +449,51 @@ def test_sync_from_changes_materializes_downstream(spark, tmp_path):
     assert snapshots.sync_from_changes(spark, src, dst, ["k"]) == 2
     assert live(dst) == live(src)
     assert 2 not in {r.k for r in snapshots.read_snapshot(spark, dst).collect()}
+
+
+def test_stream_accumulate_snapshot_matches_batch_histogram(spark, tmp_path):
+    """The additive streaming sink on the snapshot layer reproduces the
+    one-shot batch log-histogram exactly (linear sketch + exactly-once
+    markers), with one readable version per micro-batch."""
+    import os
+
+    from streamsum_spark.operators.sketches import log_histogram_sketch
+    from tests.conftest import SF_SMOKE
+
+    batch = {
+        (r.event_type, r.bin): r.n
+        for r in log_histogram_sketch(spark, SF_SMOKE).collect()
+    }
+    # the raw parquet read needs the nanos conf regardless of whether an
+    # earlier test's table() call already set it (test-order robustness)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(
+            spark.read.option("pathGlobFilter", "events.parquet")
+            .parquet(SF_SMOKE)
+            .schema
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(SF_SMOKE)
+    )
+    path = str(tmp_path / "hist")
+
+    def pre_agg(b):
+        return (
+            b.select(
+                "event_type",
+                F.expr("length(bin(CAST(value * 1000 AS BIGINT)))").alias("bin"),
+            )
+            .groupBy("event_type", "bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+
+    snapshots.stream_accumulate_snapshot(
+        stream, path, ["event_type", "bin"], ["n"], pre_agg, n_buckets=8
+    )
+    got = {
+        (r.event_type, r.bin): r.n
+        for r in snapshots.read_snapshot(spark, path).collect()
+    }
+    assert got == batch
