@@ -394,35 +394,55 @@ _IMA_STEPS = np.array([
 _IMA_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
 
 
-def _decode_ima_adpcm(data: bytes, nch: int, block_align: int) -> np.ndarray:
-    """IMA/DVI ADPCM (WAV format tag 0x11), mono: 4-bit deltas against a
-    stepped predictor, block-reset headers.  The nibble walk is the
-    inherently sequential part (like the JPEG Huffman walk) — bounded by
-    the stored bytes, which the feature path's decode cap already
-    limits."""
-    if nch != 1:
-        raise NotImplementedError("IMA ADPCM decode supports mono only")
-    out: list[int] = []
-    for off in range(0, len(data) - 3, block_align):
-        block = data[off : off + block_align]
-        pred = struct.unpack_from("<h", block, 0)[0]
-        index = min(88, max(0, block[2]))
+def _ima_decode_nibbles(nibbles, pred: int, index: int) -> list[int]:
+    """The IMA step-predictor walk shared by the mono and stereo paths:
+    inherently sequential (like the JPEG Huffman walk), bounded by the
+    stored bytes the feature path's decode cap already limits."""
+    out = [pred]
+    for nib in nibbles:
+        step = int(_IMA_STEPS[index])
+        diff = step >> 3
+        if nib & 1:
+            diff += step >> 2
+        if nib & 2:
+            diff += step >> 1
+        if nib & 4:
+            diff += step
+        pred = pred - diff if nib & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        index = min(88, max(0, index + int(_IMA_INDEX_ADJ[nib & 7])))
         out.append(pred)
-        for byte in block[4:]:
-            for nib in (byte & 0x0F, byte >> 4):
-                step = int(_IMA_STEPS[index])
-                diff = step >> 3
-                if nib & 1:
-                    diff += step >> 2
-                if nib & 2:
-                    diff += step >> 1
-                if nib & 4:
-                    diff += step
-                pred = pred - diff if nib & 8 else pred + diff
-                pred = max(-32768, min(32767, pred))
-                index = min(88, max(0, index + int(_IMA_INDEX_ADJ[nib & 7])))
-                out.append(pred)
-    return np.array(out, dtype=np.int16)
+    return out
+
+
+def _decode_ima_adpcm(data: bytes, nch: int, block_align: int) -> np.ndarray:
+    """IMA/DVI ADPCM (WAV format tag 0x11), mono or stereo: 4-bit deltas
+    against a per-channel stepped predictor, block-reset headers.  In
+    stereo, each block carries a 4-byte header PER CHANNEL and the data
+    interleaves in 4-byte (8-nibble) channel groups, per the spec."""
+    if nch not in (1, 2):
+        raise NotImplementedError(f"IMA ADPCM with {nch} channels not supported")
+    chans: list[list[int]] = [[] for _ in range(nch)]
+    for off in range(0, len(data) - 4 * nch + 1, block_align):
+        block = data[off : off + block_align]
+        nibs: list[list[int]] = [[] for _ in range(nch)]
+        seeds = []
+        for c in range(nch):
+            pred = struct.unpack_from("<h", block, 4 * c)[0]
+            index = min(88, max(0, block[4 * c + 2]))
+            seeds.append((pred, index))
+        body = block[4 * nch :]
+        # data interleaves per channel in 4-byte groups
+        for g in range(0, len(body), 4 * nch):
+            for c in range(nch):
+                for byte in body[g + 4 * c : g + 4 * c + 4]:
+                    nibs[c].append(byte & 0x0F)
+                    nibs[c].append(byte >> 4)
+        for c in range(nch):
+            chans[c].extend(_ima_decode_nibbles(nibs[c], *seeds[c]))
+    n = min(len(ch) for ch in chans)
+    # interleaved (n, nch) like the PCM path; decode_audio reshapes by nch
+    return np.stack([ch[:n] for ch in chans], axis=1).reshape(-1).astype(np.int16)
 
 
 def decode_audio(content: bytes) -> tuple[np.ndarray, int]:

@@ -936,3 +936,75 @@ def test_flac_other_bit_depths_roundtrip(bps):
         flac.encode_flac(sig, bps=bps, block_size=400, force_type="fixed1")
     )
     assert np.array_equal(out[:, 0], sig.astype(np.int64).astype(np.int32))
+
+
+def test_ima_adpcm_stereo_tracks_both_channels():
+    """Stereo IMA ADPCM: per-channel block headers + 4-byte interleaved
+    nibble groups; both channels decode independently and track their
+    signals (spec-built stereo compressor in the test)."""
+    import struct as st
+
+    from streamsum_spark.operators import multimodal as mmx
+
+    t = np.arange(1600)
+    sigs = [
+        (5000 * np.sin(2 * np.pi * 220 * t / 8000)).astype(np.int16),
+        (4000 * np.sin(2 * np.pi * 330 * t / 8000 + 1.0)).astype(np.int16),
+    ]
+    steps, adj = mmx._IMA_STEPS, mmx._IMA_INDEX_ADJ
+
+    def compress(sig, pred, index):
+        nibs = []
+        for x in sig:
+            step = int(steps[index])
+            delta = int(x) - pred
+            nib = 8 if delta < 0 else 0
+            delta = abs(delta)
+            diff = step >> 3
+            if delta >= step:
+                nib |= 4; delta -= step; diff += step
+            if delta >= step >> 1:
+                nib |= 2; delta -= step >> 1; diff += step >> 1
+            if delta >= step >> 2:
+                nib |= 1; diff += step >> 2
+            pred = pred - diff if nib & 8 else pred + diff
+            pred = max(-32768, min(32767, pred))
+            index = min(88, max(0, index + int(adj[nib & 7])))
+            nibs.append(nib)
+        return nibs, pred, index
+
+    block_align = 256  # 8 header bytes + 248 data = 31 groups x 4 bytes/ch
+    samples_per_block = 1 + (block_align - 8) // 8 * 8  # 1 seed + 248/8*8 nibbles
+    blocks = bytearray()
+    idx = [0, 0]
+    i = 0
+    while i < len(sigs[0]):
+        hdr = b""
+        payload_nibs = []
+        for c in range(2):
+            seed = int(sigs[c][i])
+            hdr += st.pack("<hBB", seed, idx[c], 0)
+            nibs, _, idx[c] = compress(
+                sigs[c][i + 1 : i + samples_per_block], seed, idx[c]
+            )
+            while len(nibs) % 8:
+                nibs.append(0)
+            payload_nibs.append(nibs)
+        blocks += hdr
+        for g in range(0, len(payload_nibs[0]), 8):
+            for c in range(2):
+                chunk = payload_nibs[c][g : g + 8]
+                for a, b in zip(chunk[::2], chunk[1::2]):
+                    blocks += bytes([(b << 4) | a])
+        i += samples_per_block
+
+    samples, rate = mmx.decode_audio(
+        _wav_blob(bytes(blocks), 0x11, 4, nch=2, block_align=block_align)
+    )
+    assert samples.shape[1] == 2
+    for c in range(2):
+        got = samples[:, c].astype(np.int32)[: len(sigs[c])]
+        want = sigs[c].astype(np.int32)[: len(got)]
+        err = np.abs(got - want)
+        assert err.mean() < 300 and err[500:].max() < 1200, (c, err.mean())
+        assert got[0] == want[0]
