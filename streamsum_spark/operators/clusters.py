@@ -186,10 +186,14 @@ def dedup_corpus(spark, sf_dir: str, threshold: float = 0.2) -> DataFrame:
     drop every clustered doc except its smallest member.
 
     Returns the SURVIVING documents (doc_id, lang, source).  The deletion
-    join is a broadcast anti-join against the (tiny: one row per deleted
-    doc) drop-list — the corpus scan itself is touched exactly twice
-    across the whole pipeline (once for signatures/verification, once for
-    the final filter)."""
+    join is a plain anti-join against the drop-list with NO broadcast
+    hint: the drop-list is one row per deleted doc, which is O(corpus)
+    by construction (a 90%-duplicate crawl makes it 90% of doc_ids), so
+    forcing a broadcast would push billions of ids through the driver at
+    100 TB.  Both sides hash-partition on doc_id; AQE picks broadcast
+    only when the list really is small.  The corpus scan itself is
+    touched exactly twice across the whole pipeline (once for
+    signatures/verification, once for the final filter)."""
     from streamsum_spark.operators.dedup import near_dup_verified
     from streamsum_spark.tables import table
 
@@ -199,7 +203,7 @@ def dedup_corpus(spark, sf_dir: str, threshold: float = 0.2) -> DataFrame:
         F.col("id").alias("doc_id")
     )
     docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
-    return docs.join(F.broadcast(drops), "doc_id", "left_anti")
+    return docs.join(drops, "doc_id", "left_anti")
 
 
 def corpus_prep(spark, sf_dir: str, budget: int = 2048) -> DataFrame:
@@ -211,10 +215,13 @@ def corpus_prep(spark, sf_dir: str, budget: int = 2048) -> DataFrame:
       -> sequence packing over the survivors (pack_into_chunks)
 
     Returns (doc_id, n_tokens, part, chunk) for every surviving document.
-    Each stage contributes only a doc_id keep-set (tiny relative to the
-    corpus; broadcast semi-joins), so the text column is read exactly
-    where it is needed (signature/verify inside dedup, token counts
-    inside packing) and never shuffled between stages."""
+    Each stage contributes only a doc_id keep-set.  Keep-sets are
+    O(corpus) by construction (a quality keep-set is MOST of the corpus),
+    so the joins carry no broadcast hint — every side hash-partitions on
+    doc_id and AQE downgrades to broadcast only when a set really is
+    small.  The text column is read exactly where it is needed
+    (signature/verify inside dedup, token counts inside packing) and
+    never shuffled between stages."""
     from streamsum_spark.operators.sampling import pack_into_chunks, stratified_sample
     from streamsum_spark.operators.text import text_quality_score
 
@@ -223,9 +230,9 @@ def corpus_prep(spark, sf_dir: str, budget: int = 2048) -> DataFrame:
     sample_keep = stratified_sample(spark, sf_dir).select("doc_id")
     docs = table_docs(spark, sf_dir)
     survivors = (
-        docs.join(F.broadcast(quality_keep), "doc_id")
-        .join(F.broadcast(dedup_keep), "doc_id")
-        .join(F.broadcast(sample_keep), "doc_id")
+        docs.join(quality_keep, "doc_id")
+        .join(dedup_keep, "doc_id")
+        .join(sample_keep, "doc_id")
     )
     return pack_into_chunks(spark, sf_dir, budget=budget, docs=survivors)
 

@@ -1451,4 +1451,7 @@ def stream_dedup_corpus(
         docs.select("doc_id", "lang", "source"), corpus_tbl, ["doc_id"], "doc_id"
     )
     corpus = read_state_table(spark, corpus_tbl)
-    return corpus.join(F.broadcast(drops), "doc_id", "left_anti")
+    # no broadcast hint on the drop-list: it is O(corpus) on a
+    # duplicate-heavy stream (the 10x stress corpus is 90% dups, so the
+    # drop-list IS 90% of doc_ids) — let AQE choose the join strategy.
+    return corpus.join(drops, "doc_id", "left_anti")

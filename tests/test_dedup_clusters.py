@@ -140,3 +140,69 @@ def test_star_rounds_logarithmic_on_10x_dup_stress_graph(spark):
     # ceil(log2(diameter-bound)) + fixpoint-detection round; measured 2-4
     bound = math.ceil(math.log2(16)) + 1
     assert cl._last_cc_rounds <= bound, cl._last_cc_rounds
+
+
+_NO_BROADCAST_CONFS = {
+    # simulate the 100 TB regime where the keep/drop lists exceed any
+    # broadcast threshold: with hints removed (round-7 fix), the planner
+    # MUST degrade to shuffle joins instead of forcing a driver collect.
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def _with_confs(spark, confs):
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    return saved
+
+
+def _restore_confs(spark, saved):
+    for k, v in saved.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+def _doc_id_broadcast_joins(plan: str) -> list:
+    """BroadcastHashJoin nodes whose join keys are doc_id — the forced
+    corpus-cardinality broadcasts the round-6 verdict flagged."""
+    import re
+
+    return [
+        ln
+        for ln in plan.splitlines()
+        if re.search(r"BroadcastHashJoin \[doc_id", ln.strip())
+    ]
+
+
+def test_dedup_corpus_drop_join_degrades_to_shuffle(spark):
+    """The drop-list anti-join carries NO broadcast hint: when the list
+    is too big to broadcast (threshold -1 simulates corpus-cardinality
+    drop lists), the plan must fall back to a shuffle anti-join on
+    doc_id, never a forced BroadcastHashJoin."""
+    from streamsum_spark import plans
+
+    saved = _with_confs(spark, _NO_BROADCAST_CONFS)
+    try:
+        plan = plans.explain_str(cl.dedup_corpus(spark, SF_ORACLE))
+    finally:
+        _restore_confs(spark, saved)
+    assert "LeftAnti" in plan
+    assert not _doc_id_broadcast_joins(plan), _doc_id_broadcast_joins(plan)
+
+
+def test_corpus_prep_keep_joins_degrade_to_shuffle(spark):
+    """Same property for the three keep-set semi-joins in corpus_prep:
+    keep-sets are O(corpus) (a quality keep-set is MOST of the corpus),
+    so none of the doc_id joins may be hint-forced broadcasts."""
+    from streamsum_spark import plans
+
+    saved = _with_confs(spark, _NO_BROADCAST_CONFS)
+    try:
+        plan = plans.explain_str(cl.corpus_prep(spark, SF_ORACLE, budget=512))
+    finally:
+        _restore_confs(spark, saved)
+    assert not _doc_id_broadcast_joins(plan), _doc_id_broadcast_joins(plan)
