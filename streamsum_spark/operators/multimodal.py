@@ -481,7 +481,13 @@ def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
     elif audio_fmt in (6, 7) and bits == 8:
         samples = _decode_g711(data, "alaw" if audio_fmt == 6 else "mu")
     elif audio_fmt == 0x11 and bits == 4:
-        samples = _decode_ima_adpcm(data, nch, max(block_align, 4))
+        # a block needs a 4-byte header PER CHANNEL; a declared
+        # block_align below that would slice undersized blocks and
+        # crash channel 1's header unpack mid-decode
+        try:
+            samples = _decode_ima_adpcm(data, nch, max(block_align, 4 * nch))
+        except (struct.error, IndexError) as exc:
+            raise ValueError(f"corrupt IMA ADPCM stream: {exc}") from exc
     else:
         raise NotImplementedError(
             f"WAV format tag {audio_fmt} ({bits}-bit) not supported"

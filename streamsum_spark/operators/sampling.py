@@ -277,15 +277,26 @@ def temperature_mix_sample(
     )
 
 
-TEMPERATURE_MIX_SQL = """
+_TEMPERATURE_MIX_SQL_TEMPLATE = """
 WITH counts AS (
   SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM documents GROUP BY lang
 ), rates AS (
   SELECT lang, n_lang,
-         pow(CAST((SELECT min(n_lang) FROM counts) AS DOUBLE) / n_lang, 0.7) AS rate
+         pow(CAST((SELECT min(n_lang) FROM counts) AS DOUBLE) / n_lang, {exponent}) AS rate
   FROM counts
 )
 SELECT doc_id, d.lang AS lang, n_lang, round(rate, 9) AS rate
 FROM documents d JOIN rates r ON d.lang = r.lang
 WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < rate * 4294967296.0
 """
+
+
+def temperature_mix_sql(alpha: float = 0.3) -> str:
+    """DuckDB oracle for temperature_mix_sample AT THE SAME alpha: the
+    exponent is derived from the parameter (repr of the identical
+    Python double the Spark side folds into its plan), so the pair
+    cannot silently drift for non-default alphas."""
+    return _TEMPERATURE_MIX_SQL_TEMPLATE.format(exponent=repr(1.0 - alpha))
+
+
+TEMPERATURE_MIX_SQL = temperature_mix_sql()

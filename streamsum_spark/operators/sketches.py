@@ -520,12 +520,29 @@ def log_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_sketches.py.  Spark's own approx_percentile(GK) serves
     single-pass queries; THIS shape is for state you must persist small
     and merge across time/shards — the same persist-sketches-not-rows
-    posture as the CM/HLL rows (SURVEY §2)."""
-    ev = table(spark, sf_dir, "events")
+    posture as the CM/HLL rows (SURVEY §2).
+
+    Input contract, ENFORCED: values must be non-negative (a negative's
+    two's-complement bin string is 64 chars — every negative would
+    silently collapse into a top bin sorted above all positives, so the
+    guard raises instead); NULL values are skipped like any aggregate
+    skips nulls (mirrored in LOG_HISTOGRAM_SQL)."""
+    ev = table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    # the guard lives INSIDE the binning expression so column pruning
+    # can never drop it
+    guarded = F.when(
+        F.col("value") < 0,
+        F.raise_error(
+            F.lit(
+                "log_histogram_sketch requires non-negative values: "
+                "log2-binning a negative collapses it into the sign bit"
+            )
+        ),
+    ).otherwise(F.col("value"))
     return (
         ev.select(
             "event_type",
-            F.expr("length(bin(CAST(value * 1000 AS BIGINT)))").alias("bin"),
+            F.length(F.bin((guarded * 1000).cast("bigint"))).alias("bin"),
         )
         .groupBy("event_type", "bin")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
@@ -537,6 +554,7 @@ SELECT event_type,
        CAST(length(bin(CAST(value * 1000 AS BIGINT))) AS INT) AS bin,
        CAST(count(*) AS BIGINT) AS n
 FROM events
+WHERE value IS NOT NULL
 GROUP BY event_type, bin
 """
 

@@ -268,8 +268,24 @@ def read_state_table(spark: SparkSession, target_path: str) -> DataFrame:
     try:
         df = spark.read.parquet(target_path)
     except Exception:
+        # the typed-empty fallback is ONLY for a genuinely emptied table
+        # (every key tombstoned: no data files at all, just the sidecar).
+        # A table that HAS data files but failed to read — corrupt
+        # footer, permission error, transient FS fault — must raise, not
+        # silently become "no state" and poison downstream merges.
         sidecar = os.path.join(target_path, "_schema.json")
-        if os.path.exists(sidecar):
+        has_data = False
+        for _root, dirs, fs in os.walk(target_path):
+            # prune metadata/staging subtrees (_snap, _changes, ._swap…):
+            # only committed data layout counts as "has data"
+            dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+            if any(
+                f.endswith(".parquet") and not f.startswith((".", "_"))
+                for f in fs
+            ):
+                has_data = True
+                break
+        if os.path.exists(sidecar) and not has_data:
             import json
 
             with open(sidecar) as fh:

@@ -39,8 +39,11 @@ standardized (reference semantics only; the code is original):
 Scale notes: a delta manifest is O(touched buckets); the full checkpoint
 is O(n_buckets) JSON (~50 B/bucket — a 10^5-bucket table checkpoints
 ~5 MB every ``checkpoint_interval`` commits, amortized away exactly as in
-the production formats).  Single writer (foreachBatch's guarantee), many
-concurrent readers.  Reference provenance: the reference keeps caches as
+the production formats).  Many concurrent readers; concurrent WRITERS are
+protected by optimistic concurrency (put-if-absent manifest claims via
+SnapshotConflictError + retry-from-new-head — the same recipe Delta's
+LogStore uses), so two independent jobs can never silently drop each
+other's commits.  Reference provenance: the reference keeps caches as
 in-process mutable maps (caches.clj:27-101) with no persistence story at
 all; both sink layers are the engine's scale-out replacement.
 """
@@ -68,6 +71,18 @@ from streamsum_spark.sinks import (
 
 _SNAP_DIR = "_snap"
 _LATEST = "_latest"
+
+
+class SnapshotConflictError(RuntimeError):
+    """Another writer claimed the version this commit targeted.
+
+    Raised from the atomic put-if-absent on the manifest file — the
+    optimistic-concurrency check (the Delta/Iceberg recipe: a version
+    number can be claimed exactly once).  The public merge entry points
+    catch it and retry from a fresh head, so two interleaved writers
+    both land (at consecutive versions) or the loser fails LOUDLY after
+    its retries — a commit can never be silently dropped by a racing
+    ``_latest`` replace."""
 
 
 def _snap_dir(path: str) -> str:
@@ -340,6 +355,14 @@ def _commit(
     if marker is not None:
         applied = (applied + [marker])[-_MANIFEST_CAP:]
     full = force_full or head is None or (version % checkpoint_interval == 0)
+    # cdc_offsets (sync_from_changes' contiguous consumer offsets) must
+    # survive UNRELATED commits by other writers to the same table, so
+    # the head's map carries forward unless this commit updates it
+    carried = (
+        {"cdc_offsets": head["cdc_offsets"]}
+        if head is not None and "cdc_offsets" in head
+        else {}
+    )
     manifest = {
         "version": version,
         "parent": head["version"] if head is not None else None,
@@ -349,6 +372,7 @@ def _commit(
         "applied": applied,
         "changes": changes_name,
         "schema": schema_json,
+        **carried,
         **(extra_fields or {}),
         "buckets": ({**buckets, **new_entries} if full else new_entries),
     }
@@ -356,12 +380,46 @@ def _commit(
     mtmp = os.path.join(_snap_dir(path), f"._v-{commit_id}.json")
     with open(mtmp, "w") as fh:
         json.dump(manifest, fh)
-    os.replace(mtmp, _manifest_path(path, version))  # orphan-safe overwrite:
-    # a crashed prior attempt's unreferenced v<N> is simply replaced
+    _claim_manifest(mtmp, _manifest_path(path, version), marker)
     ptmp = os.path.join(_snap_dir(path), f"._ptr-{commit_id}")
     with open(ptmp, "w") as fh:
         fh.write(str(version))
     os.replace(ptmp, os.path.join(_snap_dir(path), _LATEST))  # THE commit
+
+
+def _claim_manifest(mtmp: str, final: str, marker: str | None) -> None:
+    """Atomically claim manifest version ``final`` (put-if-absent via
+    hard link — the optimistic-concurrency point).  A manifest already
+    at that version means one of two things:
+
+    - our OWN crashed attempt's orphan (same exactly-once marker: the
+      commit was staged but the pointer swap never ran) — replaying the
+      epoch over it is idempotent, so overwrite is safe;
+    - ANY other writer (different marker, or no marker to compare) —
+      refuse with SnapshotConflictError so the caller re-reads the head
+      and retries at the next version, instead of two writers silently
+      racing the ``_latest`` replace."""
+    try:
+        os.link(mtmp, final)
+        os.unlink(mtmp)
+        return
+    except FileExistsError:
+        pass
+    try:
+        with open(final) as fh:
+            orphan = json.load(fh)
+        orphan_marker = (orphan.get("applied") or [None])[-1]
+    except (json.JSONDecodeError, OSError):
+        orphan_marker = None
+    if marker is not None and orphan_marker == marker:
+        os.replace(mtmp, final)  # own crashed replay: safe overwrite
+        return
+    os.unlink(mtmp)
+    raise SnapshotConflictError(
+        f"{final} already exists: another writer committed this version "
+        "concurrently (retrying from the new head), or a crashed "
+        "markerless commit left an orphan (vacuum_snapshots reclaims it)"
+    )
 
 
 def _begin(
@@ -449,6 +507,20 @@ def _bucket_writer(reduced: DataFrame, key_cols: list[str]):
     return write
 
 
+def _retry_conflicts(fn, retries: int):
+    """Run a commit attempt up to ``1 + retries`` times: every
+    SnapshotConflictError re-reads the head inside ``fn`` (via _begin),
+    so the retry merges against the RACING WRITER'S committed state and
+    lands at the next version — optimistic concurrency, Delta-style.
+    The final conflict propagates loudly."""
+    for attempt in range(retries + 1):
+        try:
+            return fn()
+        except SnapshotConflictError:
+            if attempt == retries:
+                raise
+
+
 def snapshot_upsert(
     spark: SparkSession,
     path: str,
@@ -461,6 +533,8 @@ def snapshot_upsert(
     run_id: str | None = None,
     checkpoint_interval: int = 10,
     change_feed: bool = False,
+    retries: int = 2,
+    extra_fields: dict | None = None,
 ) -> None:
     """Newest-wins MERGE into a snapshot table: read ONLY the touched
     buckets' current generation files, reduce per key (same semantics as
@@ -469,12 +543,28 @@ def snapshot_upsert(
     in one pointer swap.  Per-commit cost is O(|batch| + touched-bucket
     rows) — identical to the bucketed rename-swap merge — but the commit
     is atomic ACROSS buckets and never disturbs a running reader.
+    Version claims are put-if-absent (optimistic concurrency): a racing
+    writer costs a retry from the new head, never a lost commit.
 
     ``change_feed=True`` additionally records this commit's POST-image
     (the winning row for every key the batch touched) in a per-version
     ``_changes/`` file referenced by the manifest — a change-data feed
     at O(batch) extra cost, so downstream incremental consumers read
     per-version deltas (snapshot_changes) instead of diffing snapshots."""
+    _retry_conflicts(
+        lambda: _snapshot_upsert_once(
+            spark, path, updates, key_cols, order_col, n_buckets,
+            bucket_cols, epoch_id, run_id, checkpoint_interval,
+            change_feed, extra_fields,
+        ),
+        retries,
+    )
+
+
+def _snapshot_upsert_once(
+    spark, path, updates, key_cols, order_col, n_buckets, bucket_cols,
+    epoch_id, run_id, checkpoint_interval, change_feed, extra_fields,
+) -> None:
     marker = None if epoch_id is None else f"{run_id or ''}:{epoch_id}"
     head, buckets, bcols = _begin(
         spark, path, key_cols, n_buckets, bucket_cols, marker
@@ -506,6 +596,7 @@ def snapshot_upsert(
         spark, path, _bucket_writer(reduced, key_cols), touched, head,
         buckets, n_buckets, bcols, marker, checkpoint_interval,
         changes=changes, schema_json=reduced.schema.json(),
+        extra_fields=extra_fields,
     )
 
 
@@ -522,6 +613,7 @@ def snapshot_accumulate(
     run_id: str | None = None,
     checkpoint_interval: int = 10,
     change_feed: bool = False,
+    retries: int = 2,
 ) -> None:
     """Additive MERGE into a snapshot table (sum/min/max/bit_or per key,
     like sinks.accumulate_batch).  SUM-merge is not idempotent, so the
@@ -529,7 +621,21 @@ def snapshot_accumulate(
     makes it airtight: the marker is part of the manifest the pointer
     swap commits, so there is NO crash point between data and marker
     (the rename-swap layer approximates this with per-bucket manifest
-    files; here it holds by construction)."""
+    files; here it holds by construction).  Version claims are
+    put-if-absent, as in snapshot_upsert."""
+    _retry_conflicts(
+        lambda: _snapshot_accumulate_once(
+            spark, path, deltas, key_cols, sum_cols, combine, n_buckets,
+            bucket_cols, epoch_id, run_id, checkpoint_interval, change_feed,
+        ),
+        retries,
+    )
+
+
+def _snapshot_accumulate_once(
+    spark, path, deltas, key_cols, sum_cols, combine, n_buckets,
+    bucket_cols, epoch_id, run_id, checkpoint_interval, change_feed,
+) -> None:
     agg_fn = {"sum": F.sum, "min": F.min, "max": F.max, "bit_or": F.bit_or}[combine]
     marker = None if epoch_id is None else f"{run_id or ''}:{epoch_id}"
     head, buckets, bcols = _begin(
@@ -771,12 +877,19 @@ def sync_from_changes(
     (including tombstones) to ``dst_path``, one snapshot commit per
     source version, ordered by the feed's ``_version`` column.
 
-    The consumer offset IS the exactly-once machinery: each applied
-    version commits under the marker ``cdc:<v>`` with run_id derived
-    from the source path, so a crashed or re-run sync replays into
-    no-ops and a missed version can never be skipped silently (the scan
-    below walks versions in order and snapshot_changes refuses vacuumed
-    gaps with the re-seed message).  Returns the number of versions
+    The consumer offset is PERSISTED in the destination's manifest
+    (``cdc_offsets``: run_id -> max contiguously-applied source
+    version) and the walk starts there — never from v1.  The capped
+    ``applied`` marker list alone cannot carry this: past
+    _MANIFEST_CAP synced versions, evicted markers would make old
+    versions look unapplied, re-walk O(all versions) per sync,
+    resurrect keys a later tombstone deleted (the re-applied old
+    post-image wins newest-wins against a row that no longer exists),
+    and wedge permanently once an old source manifest is vacuumed.
+    Markers still back up the offset within the cap window, and each
+    applied version commits under ``cdc:<src>:<v>`` so a crashed or
+    re-run sync replays into no-ops; snapshot_changes refuses vacuumed
+    gaps with the re-seed message.  Returns the number of versions
     applied this call.
 
     At scale this is how a derived table (a serving copy, a filtered
@@ -787,20 +900,29 @@ def sync_from_changes(
         return 0
     run_id = f"cdc:{os.path.abspath(src_path)}"
     applied: set[str] = set()
+    offsets: dict[str, int] = {}
     dst_latest = _latest_version(dst_path)
     if dst_latest is not None:
-        applied = set(_load_manifest(dst_path, dst_latest)["applied"])
+        dst_head = _load_manifest(dst_path, dst_latest)
+        applied = set(dst_head["applied"])
+        offsets = dict(dst_head.get("cdc_offsets") or {})
+    start = int(offsets.get(run_id, 0))
     n = 0
-    for v in range(1, latest + 1):
-        if f"{run_id}:{v}" in applied:
-            continue
-        if _load_manifest(src_path, v).get("no_data_change"):
+    for v in range(start + 1, latest + 1):
+        # the walk is in order, so by the time v commits every version
+        # below it was applied (now or earlier) or carried no data —
+        # v IS the new contiguous offset
+        if (
+            f"{run_id}:{v}" in applied
+            or _load_manifest(src_path, v).get("no_data_change")
+        ):
             continue
         delta = snapshot_changes(spark, src_path, from_version=v - 1, to_version=v)
         snapshot_upsert(
             spark, dst_path, delta, key_cols, "_version",
             n_buckets=n_buckets, bucket_cols=bucket_cols,
             epoch_id=v, run_id=run_id,
+            extra_fields={"cdc_offsets": {**offsets, run_id: v}},
         )
         n += 1
     return n

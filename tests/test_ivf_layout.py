@@ -138,9 +138,14 @@ def clustered_ivf(spark, tmp_path_factory):
             rows.append((vid, [float(x) for x in v]))
             vid += 1
     sfdir = str(tmp_path_factory.mktemp("clustered_sf"))
-    spark.createDataFrame(rows, "vec_id long, embedding array<float>").write.mode(
-        "overwrite"
-    ).parquet(os.path.join(sfdir, "embeddings.parquet"))
+    # single file/partition: the k-means fit then traverses identical
+    # data in identical order no matter what earlier tests did to the
+    # shared session — without this the fitted centroid geometry shifts
+    # under full-suite session shapes and the row-group-skip pins flip
+    # (same flake class as the OPQ pin, fixed the same way)
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(sfdir, "embeddings.parquet"))
     out = str(tmp_path_factory.mktemp("clustered_ivf") / "embeddings_ivf")
     sim.write_embeddings_ivf(spark, sfdir, out)
     return sfdir, out

@@ -1008,3 +1008,19 @@ def test_ima_adpcm_stereo_tracks_both_channels():
         err = np.abs(got - want)
         assert err.mean() < 300 and err[500:].max() < 1200, (c, err.mean())
         assert got[0] == want[0]
+
+
+def test_stereo_adpcm_undersized_block_align_raises_valueerror():
+    """A stereo IMA ADPCM WAV declaring block_align < 8 (too small for
+    the 4-byte-per-channel block headers) must raise the module's
+    ValueError contract, not leak struct.error from the header unpack."""
+    from streamsum_spark.operators import multimodal as mmx
+
+    blob = _wav_blob(b"\x00" * 64, audio_fmt=0x11, bits=4, nch=2, block_align=4)
+    try:
+        out, _ = mmx.decode_audio(blob)
+        assert out.shape[1] == 2  # clamped block_align decoded cleanly
+    except ValueError:
+        pass  # also within contract for malformed input
+    except Exception as exc:  # struct.error / IndexError leak = bug
+        raise AssertionError(f"non-ValueError leaked: {type(exc).__name__}: {exc}")

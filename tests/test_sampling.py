@@ -104,3 +104,19 @@ def test_temperature_mix_plan_broadcasts_rates(spark):
     plan = explain_str(temperature_mix_sample(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_temperature_mix_oracle_tracks_alpha(spark):
+    """The oracle SQL is a template on alpha (round-7): a NON-default
+    alpha must still hash-match DuckDB — previously the SQL hardcoded
+    exponent 0.7 and silently desynced for any other alpha."""
+    import functools
+
+    from tests.conftest import assert_matches_oracle
+
+    for alpha in (0.0, 0.5):
+        assert_matches_oracle(
+            spark,
+            functools.partial(sp.temperature_mix_sample, alpha=alpha),
+            sp.temperature_mix_sql(alpha),
+        )

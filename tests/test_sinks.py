@@ -810,3 +810,25 @@ def test_empty_stream_yields_typed_empty_table(spark, tmp_path):
     sinks.upsert_batch(spark, path, empty, ["k"], "o", n_buckets=4)
     got = sinks.read_state_table(spark, path)
     assert got.count() == 0 and set(got.columns) == {"k", "v", "o"}
+
+
+def test_corrupt_data_file_raises_not_empty(spark, tmp_path):
+    """A read failure on a table that HAS data files must raise — not
+    silently degrade to the typed-empty fallback (which exists only for
+    the genuinely emptied, all-tombstoned case).  Silent 'no state' on a
+    corrupt footer would poison every downstream merge."""
+    import pytest
+
+    path = str(tmp_path / "t")
+    seed = spark.createDataFrame([(k, k, 1) for k in range(8)], "k long, v long, o long")
+    sinks.upsert_batch(spark, path, seed, ["k"], "o", n_buckets=2)
+    # corrupt every data file's footer in place
+    for root, dirs, fs in __import__("os").walk(path):
+        for f in fs:
+            if f.endswith(".parquet"):
+                p = __import__("os").path.join(root, f)
+                with open(p, "r+b") as fh:
+                    fh.seek(-8, 2)
+                    fh.write(b"XXXXXXXX")
+    with pytest.raises(Exception):
+        sinks.read_state_table(spark, path).collect()

@@ -418,3 +418,34 @@ def test_stream_log_histogram_equals_batch(spark):
         for r in stream_log_histogram(spark, SF_SMOKE).collect()
     }
     assert stream == batch
+
+
+def test_log_histogram_rejects_negatives_skips_nulls(spark, tmp_path):
+    """Input-contract guard (round-7): a negative value would bin into
+    the 64-char two's-complement top bin and silently poison every
+    quantile — the sketch must RAISE instead; NULL values are skipped
+    exactly as the oracle SQL's WHERE clause skips them."""
+    import os
+
+    import pytest
+
+    from streamsum_spark.tables import table
+    from tests.conftest import SF_SMOKE
+
+    base = table(spark, SF_SMOKE, "events").limit(20)
+    sf_neg = str(tmp_path / "neg")
+    base.withColumn("value", -F.abs(F.col("value")) - F.lit(1.0)).write.parquet(
+        os.path.join(sf_neg, "events.parquet")
+    )
+    with pytest.raises(Exception, match="non-negative"):
+        sk.log_histogram_sketch(spark, sf_neg).collect()
+
+    sf_null = str(tmp_path / "null")
+    mixed = base.withColumn(
+        "value", F.when(F.col("event_id") % 2 == 0, F.col("value"))
+    )
+    n_nonnull = mixed.where(F.col("value").isNotNull()).count()
+    mixed.write.parquet(os.path.join(sf_null, "events.parquet"))
+    hist = sk.log_histogram_sketch(spark, sf_null)
+    assert hist.agg(F.sum("n")).collect()[0][0] == n_nonnull
+    assert not [r for r in hist.collect() if r.bin is None]

@@ -153,22 +153,32 @@ def test_accumulate_exactly_once_and_combine_modes(spark, tmp_path):
 
 
 def _install_crash(monkeypatch, crash_at: int):
-    """Count BOTH os.rename (gen-file moves) and os.replace (manifest,
-    pointer) and crash at the crash_at-th call."""
+    """Count os.rename (gen-file moves), the manifest claim
+    (_claim_manifest — the put-if-absent link), and os.replace (pointer)
+    and crash at the crash_at-th call."""
     real_rename, real_replace = os.rename, os.replace
+    real_claim = snapshots._claim_manifest
     state = {"n": 0}
+
+    def tick():
+        state["n"] += 1
+        if state["n"] == crash_at:
+            raise OSError("injected crash")
 
     def counting(real):
         def fn(a, b):
-            state["n"] += 1
-            if state["n"] == crash_at:
-                raise OSError("injected crash")
+            tick()
             return real(a, b)
 
         return fn
 
+    def claim(mtmp, final, marker):
+        tick()
+        return real_claim(mtmp, final, marker)
+
     monkeypatch.setattr(os, "rename", counting(real_rename))
     monkeypatch.setattr(os, "replace", counting(real_replace))
+    monkeypatch.setattr(snapshots, "_claim_manifest", claim)
     return state
 
 
@@ -497,3 +507,108 @@ def test_stream_accumulate_snapshot_matches_batch_histogram(spark, tmp_path):
         for r in snapshots.read_snapshot(spark, path).collect()
     }
     assert got == batch
+
+
+def test_concurrent_writers_both_land(spark, tmp_path, monkeypatch):
+    """Optimistic concurrency: writer B commits BETWEEN writer A's head
+    read and A's manifest claim.  A's put-if-absent hits B's manifest,
+    raises SnapshotConflictError internally, and the retry re-merges
+    against B's committed state — both commits land, at consecutive
+    versions, with no silent loss through the pointer swap."""
+    path = str(tmp_path / "t")
+    snapshots.snapshot_upsert(spark, path, _mk(spark, B1), ["k"], "o", n_buckets=8)
+    real = snapshots._bucket_writer
+    state = {"fired": False}
+
+    def wrapping(reduced, key_cols):
+        w = real(reduced, key_cols)
+
+        def write(tmp):
+            if not state["fired"]:
+                state["fired"] = True  # fire B exactly once, mid-A
+                snapshots.snapshot_upsert(
+                    spark, path, _mk(spark, [(9, 90, 2)]), ["k"], "o", n_buckets=8
+                )
+            w(tmp)
+
+        return write
+
+    monkeypatch.setattr(snapshots, "_bucket_writer", wrapping)
+    snapshots.snapshot_upsert(spark, path, _mk(spark, B2), ["k"], "o", n_buckets=8)
+    monkeypatch.undo()
+    assert snapshots._latest_version(path) == 3  # B at v2, A retried at v3
+    assert _rows(snapshots.read_snapshot(spark, path)) == AFTER_B2 | {(9, 90, 2)}
+
+
+def test_conflict_without_retry_raises_loudly(spark, tmp_path):
+    """A markerless orphan manifest at the target version (a crashed
+    OTHER writer — indistinguishable from a live one) must refuse the
+    commit rather than overwrite; vacuum reclaims the orphan and the
+    commit then proceeds."""
+    import json
+    import shutil
+
+    path = str(tmp_path / "t")
+    snapshots.snapshot_upsert(spark, path, _mk(spark, B1), ["k"], "o", n_buckets=8)
+    m1 = snapshots._load_manifest(path, 1)
+    orphan = {**m1, "version": 2, "parent": 1, "full": False, "applied": []}
+    with open(snapshots._manifest_path(path, 2), "w") as fh:
+        json.dump(orphan, fh)
+    with pytest.raises(snapshots.SnapshotConflictError, match="another writer"):
+        snapshots.snapshot_upsert(
+            spark, path, _mk(spark, B2), ["k"], "o", n_buckets=8, retries=0
+        )
+    # the refused attempt left the table readable at v1, untouched
+    assert _rows(snapshots.read_snapshot(spark, path)) == AFTER_B1
+    snapshots.vacuum_snapshots(path, keep_last=2)  # reclaims the orphan
+    snapshots.snapshot_upsert(
+        spark, path, _mk(spark, B2), ["k"], "o", n_buckets=8, retries=0
+    )
+    assert _rows(snapshots.read_snapshot(spark, path)) == AFTER_B2
+
+
+def test_sync_offset_survives_marker_cap(spark, tmp_path, monkeypatch):
+    """The persisted cdc_offsets consumer offset — NOT the capped marker
+    list — bounds the sync walk: with _MANIFEST_CAP shrunk to 3, six
+    synced versions evict the early markers, yet a re-sync applies
+    nothing (no O(all versions) re-walk, no tombstoned key resurrected
+    by a re-applied old post-image), and an unrelated commit to the
+    destination carries the offset forward."""
+    monkeypatch.setattr(snapshots, "_MANIFEST_CAP", 3)
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    batches = [
+        [(1, 10, 1), (2, 20, 1)],
+        [(3, 30, 2)],
+        [(4, 40, 3)],
+        [(5, 50, 4)],
+        [(6, 60, 5)],
+    ]
+    for b in batches:
+        snapshots.snapshot_upsert(
+            spark, src, _mk(spark, b), ["k"], "o", n_buckets=4, change_feed=True
+        )
+    # v6 deletes key 2: a naive marker-window re-walk would later
+    # re-apply v1's (2, 20) post-image and resurrect it
+    dels = spark.createDataFrame(
+        [(2, 0, 6, True)], "k long, v long, o long, _deleted boolean"
+    )
+    snapshots.snapshot_upsert(
+        spark, src, dels, ["k"], "o", n_buckets=4, change_feed=True
+    )
+    assert snapshots.sync_from_changes(spark, src, dst, ["k"]) == 6
+    head = snapshots._load_manifest(dst, snapshots._latest_version(dst))
+    run_id = f"cdc:{os.path.abspath(src)}"
+    assert head["cdc_offsets"] == {run_id: 6}
+    assert len(head["applied"]) == 3  # the cap really evicted markers
+    live = {r.k for r in snapshots.read_snapshot(spark, dst).collect()}
+    assert live == {1, 3, 4, 5, 6}  # key 2 deleted
+    # re-sync: offset says everything is applied — zero work, no
+    # resurrection of key 2
+    assert snapshots.sync_from_changes(spark, src, dst, ["k"]) == 0
+    assert {r.k for r in snapshots.read_snapshot(spark, dst).collect()} == live
+    # an unrelated writer commits to dst; the offset must carry forward
+    extra = spark.createDataFrame(
+        [(99, 990, 9, 0)], "k long, v long, o long, _version long"
+    )
+    snapshots.snapshot_upsert(spark, dst, extra, ["k"], "o", n_buckets=16)
+    assert snapshots.sync_from_changes(spark, src, dst, ["k"]) == 0
