@@ -62,6 +62,11 @@ HEADLINE = [
     # round 6: same workload through the snapshot-manifest layer (MVCC
     # pointer-swap commits) — the two sink shapes stay directly comparable
     "snapshot_state_merge",
+    # round 7 additions (compare totals to r<=6 minus these two): codec
+    # decode through the Arrow batch path, and the MVCC read path —
+    # regressions there were previously pytest-visible only
+    "multimodal_decode",
+    "snapshot_read",
 ]
 
 
@@ -128,6 +133,58 @@ def snapshot_state_merge(spark, sf_dir):
     return snapshots.read_snapshot(spark, target)
 
 
+def multimodal_decode(spark, sf_dir):
+    """Headline for the codec family: 600 real-format blobs (BMP, PPM,
+    PNG across all five row filters, baseline JPEG 4:4:4/4:2:0, PCM WAV)
+    through extract_features' mapInPandas decode — pixel/audio stats via
+    the spec-built stdlib+numpy decoders.  Blob generation (driver-side
+    encoders) is part of the entry, identical every run."""
+    from streamsum_spark.operators import multimodal as mm
+
+    return mm.extract_features(mm.synthetic_media(spark, n=600))
+
+
+_SNAP_READ_CACHE: dict[str, str] = {}
+
+
+def snapshot_read(spark, sf_dir):
+    """Headline for the MVCC READ path: read_snapshot (manifest resolve +
+    generation-file scan) plus a 1000-key bucket-pruned
+    lookup_snapshot_keys against a prebuilt 3-version snapshot table.
+    The build is memoized across the 3 timed runs, so the min-of-3
+    reflects the pure read cost (run 1 carries the build in its spread)."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from streamsum_spark import snapshots
+    from streamsum_spark.tables import table
+
+    target = _SNAP_READ_CACHE.get(sf_dir)
+    if target is None:
+        target = os.path.join(
+            tempfile.gettempdir(), f"bench_snapread_{uuid.uuid4().hex[:10]}"
+        )
+        ev = table(spark, sf_dir, "events")
+        for i in range(3):
+            deltas = (
+                ev.where(F.pmod(F.col("event_id"), F.lit(3)) == i)
+                .groupBy(F.col("user_id").alias("k"))
+                .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            )
+            snapshots.snapshot_accumulate(
+                spark, target, deltas, ["k"], ["c"],
+                epoch_id=i, run_id="bench_read", n_buckets=16,
+            )
+        _SNAP_READ_CACHE[sf_dir] = target
+    full = snapshots.read_snapshot(spark, target)
+    lk = snapshots.lookup_snapshot_keys(
+        spark, target, ["k"], [(k,) for k in range(0, 2000, 2)]
+    )
+    return full.unionByName(lk)
+
+
 def _materialize(df) -> int:
     """Full-plan checksum: hash every column of every row, XOR-fold.
     Forces evaluation of all projections (unlike count(), which lets
@@ -158,6 +215,8 @@ def main() -> None:
         "similarity_topk": sim.similarity_topk,
         "bucketed_state_merge": bucketed_state_merge,
         "snapshot_state_merge": snapshot_state_merge,
+        "multimodal_decode": multimodal_decode,
+        "snapshot_read": snapshot_read,
     }
 
     spark = get_spark("streamsum_spark_bench")

@@ -93,8 +93,12 @@ def _with_kb(df: DataFrame, key_cols: list[str], n_buckets: int) -> DataFrame:
     rebucket_state_table fixes bucket COUNT, not skew.  This is fine for
     one-row-per-key state (the upsert caches: a "hot" key is still one
     row) and for pair tables keyed (doc_a, doc_b) (composite keys spread).
-    A future table with MANY ROWS per hot key would want a salt column in
-    the key — add it there, not here."""
+    A table with MANY ROWS per hot key (count-style additive state fed
+    by a celebrity key) takes the opt-in ``n_salt`` of accumulate_batch:
+    the key widens with a salt column so the hot key's partials spread
+    across up to n_salt buckets, and reads merge the partials back
+    (read_state_table / lookup_state_keys are salt-aware via the table
+    meta)."""
     return df.withColumn(
         "kb", F.pmod(F.hash(*key_cols), F.lit(n_buckets)).cast("int")
     )
@@ -117,6 +121,12 @@ def _assert_bucketed_layout(target_path: str) -> None:
 # 4096-marker tail is orders of magnitude beyond any replay horizon while
 # keeping the manifest file size constant over a long-running stream.
 _MANIFEST_CAP = 4096
+
+#: Hot-key salt column (opt-in via accumulate_batch n_salt): widens the
+#: key so a celebrity key's ADDITIVE partials spread across up to n_salt
+#: buckets instead of concentrating in one.  Like kb, it is layout, not
+#: state — salt-aware reads merge the partials and drop the column.
+SALT_COL = "_salt"
 
 #: Tombstone column: a batch row with _deleted = true DELETES its key if
 #: it wins newest-wins (a stale delete loses to a newer upsert, exactly
@@ -184,6 +194,7 @@ def _check_bucket_meta(
     key_cols: list[str],
     bucket_cols: list[str] | None = None,
     columns: list[str] | None = None,
+    extra_meta: dict | None = None,
 ) -> None:
     """Enforce the docstring's "pass the same n_buckets for the table's
     lifetime": the kb assignment is ``hash(key) % n_buckets``, so merging
@@ -217,6 +228,18 @@ def _check_bucket_meta(
                     "across mismatched buckets (rebucket by rewriting the "
                     "table instead)"
                 )
+            stored_salt = stored_meta.get("n_salt")
+            want_salt = (extra_meta or {}).get("n_salt")
+            if stored_salt != want_salt:
+                # diagnosed BEFORE bucket_cols: a salt mismatch also
+                # perturbs bucket_cols (the salt is one of them), and
+                # the root cause is the salt
+                raise ValueError(
+                    f"{target_path} was created with n_salt={stored_salt}; "
+                    f"merging with n_salt={want_salt} would route a key's "
+                    "salted partials to different buckets (rewrite the "
+                    "table to change the salt)"
+                )
             stored_bcols = stored_meta.get("bucket_cols", list(key_cols))
             if stored_bcols != bcols:
                 raise ValueError(
@@ -242,7 +265,12 @@ def _check_bucket_meta(
     tmp = os.path.join(target_path, f"._meta-{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as fh:
         json.dump(
-            {"n_buckets": n_buckets, "bucket_cols": bcols, "columns": columns},
+            {
+                "n_buckets": n_buckets,
+                "bucket_cols": bcols,
+                "columns": columns,
+                **(extra_meta or {}),
+            },
             fh,
         )
     os.replace(tmp, meta)  # atomic; os.replace so fault-injection tests
@@ -259,9 +287,26 @@ def _write_schema_sidecar(target_path: str, schema_json: str) -> None:
     os.replace(tmp, os.path.join(target_path, "_schema.json"))
 
 
+def _merge_salt_partials(df: DataFrame, meta: dict) -> DataFrame:
+    """Collapse a salted additive table's per-salt PARTIAL rows back to
+    the logical one-row-per-key table, using the combine recorded at
+    table creation.  Column order is preserved (minus the salt)."""
+    agg_fn = {"sum": F.sum, "min": F.min, "max": F.max, "bit_or": F.bit_or}[
+        meta.get("combine", "sum")
+    ]
+    sum_cols = meta["sum_cols"]
+    group = [c for c in df.columns if c not in sum_cols and c != SALT_COL]
+    out = df.groupBy(*group).agg(
+        *[agg_fn(c).cast("long").alias(c) for c in sum_cols]
+    )
+    return out.select(*[c for c in df.columns if c != SALT_COL])
+
+
 def read_state_table(spark: SparkSession, target_path: str) -> DataFrame:
     """Read a keyed state table regardless of layout, hiding the internal
-    ``kb`` bucket column of bucketed tables.  A table whose keys were all
+    ``kb`` bucket column of bucketed tables — and, for salted additive
+    tables, merging the per-salt partials so callers always see the
+    logical one-row-per-key table.  A table whose keys were all
     tombstoned reads as a typed empty relation via the schema sidecar."""
     from pyspark.sql import types as T
 
@@ -293,7 +338,12 @@ def read_state_table(spark: SparkSession, target_path: str) -> DataFrame:
             df = spark.createDataFrame([], schema)
         else:
             raise
-    return df.drop("kb") if "kb" in df.columns else df
+    df = df.drop("kb") if "kb" in df.columns else df
+    if SALT_COL in df.columns:
+        meta = _read_meta(target_path)
+        if meta and meta.get("n_salt"):
+            df = _merge_salt_partials(df, meta)
+    return df
 
 
 def lookup_state_keys(
@@ -311,11 +361,21 @@ def lookup_state_keys(
 
     The kb computation reuses ``_with_kb`` on a literal DataFrame of the
     requested keys — the exact write-side Murmur3 expression, so read and
-    write can never disagree on a key's bucket."""
+    write can never disagree on a key's bucket.
+
+    Salted additive tables route each requested key to ALL of its
+    n_salt possible buckets (a bounded n_salt-fold expansion of the key
+    list, never a full scan) and merge the partials before returning —
+    callers still see one row per stored key."""
     keys_df = spark.createDataFrame(
         [tuple(v) if isinstance(v, (tuple, list)) else (v,) for v in key_values],
         key_cols,
     )
+    meta = _read_meta(target_path)
+    n_salt = (meta or {}).get("n_salt")
+    if n_salt:
+        salts = spark.createDataFrame([(s,) for s in range(n_salt)], f"{SALT_COL} int")
+        keys_df = keys_df.crossJoin(salts)
     stored = _read_touched(spark, target_path, keys_df, key_cols)
     if stored is None:
         return read_state_table(spark, target_path).limit(0)
@@ -328,7 +388,14 @@ def lookup_state_keys(
         rows = keys_cast.collect()
         for c in key_cols:
             pruned = pruned.where(F.col(c).isin([r[c] for r in rows]))
-    return pruned.join(F.broadcast(keys_cast), on=key_cols, how="left_semi")
+    out = pruned.join(
+        F.broadcast(keys_cast.drop(SALT_COL) if n_salt else keys_cast),
+        on=key_cols,
+        how="left_semi",
+    )
+    if n_salt:
+        out = _merge_salt_partials(out, meta)
+    return out
 
 
 def read_touched_buckets(
@@ -858,6 +925,7 @@ def accumulate_batch(
     run_id: str | None = None,
     n_buckets: int | None = None,
     bucket_cols: list[str] | None = None,
+    n_salt: int | None = None,
 ) -> None:
     """MERGE-emulation for ADDITIVE state: per-key counters summed with
     the stored table (vs upsert_batch's newest-wins for replacement
@@ -889,8 +957,29 @@ def accumulate_batch(
     manifest becomes PER-BUCKET — each bucket's marker list commits
     atomically with that bucket's data, so a crash after swapping some of
     a batch's buckets is repaired by replay: already-committed buckets
-    skip (their manifest has the marker), the rest fold in exactly once."""
+    skip (their manifest has the marker), the rest fold in exactly once.
+
+    ``n_salt`` (opt-in, requires n_buckets) is the hot-key skew
+    treatment: additive state is associative, so the key can widen with
+    a salt — partition-id mod n_salt — and a celebrity key's rows land
+    as up to n_salt PARTIAL rows in up to n_salt different buckets
+    instead of concentrating one bucket to 50% of the table's bytes.
+    Salt-aware reads (read_state_table, lookup_state_keys) merge the
+    partials back via the combine recorded in the table meta, so the
+    logical table is unchanged; only the layout spreads.  The salt value
+    is not semantic — replay safety still comes from the epoch markers,
+    which gate the whole batch regardless of how its rows salted."""
     import json
+
+    if n_salt is not None:
+        if n_buckets is None:
+            raise ValueError("n_salt requires the bucketed layout (n_buckets)")
+        deltas = deltas.withColumn(
+            SALT_COL, F.pmod(F.spark_partition_id(), F.lit(n_salt)).cast("int")
+        )
+        key_cols = list(key_cols) + [SALT_COL]
+        if bucket_cols is not None:
+            bucket_cols = list(bucket_cols) + [SALT_COL]
 
     marker = None if epoch_id is None else f"{run_id or ''}:{epoch_id}"
     # bit_or serves mergeable bitmap state (e.g. incremental Bloom-filter
@@ -904,6 +993,11 @@ def accumulate_batch(
         _check_bucket_meta(
             spark, target_path, n_buckets, key_cols, bucket_cols,
             columns=list(deltas.columns),
+            extra_meta=(
+                {"n_salt": n_salt, "sum_cols": list(sum_cols), "combine": combine}
+                if n_salt is not None
+                else None
+            ),
         )
         if os.path.isdir(target_path):
             _recover_buckets(target_path)  # manifests must be read post-repair
