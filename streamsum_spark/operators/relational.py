@@ -766,25 +766,31 @@ def scalar_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def profile_events(
+    spark: SparkSession, sf_dir: str, approx: bool = False
+) -> DataFrame:
     """Data-profiling pass — the quality gate a pipeline runs before
     trusting a new drop of data: per-column row counts, null counts, and
-    exact distinct cardinalities, computed in ONE aggregation over one
+    distinct cardinalities, computed in ONE aggregation over one
     scan and unpivoted via stack() to a (column, n_rows, n_nulls,
     n_distinct) relation.  Exact count(DISTINCT) keeps it
-    oracle-checkable; the approx_count_distinct variant is the 100 TB
-    substitution and shares the plan shape.  Numeric range stats
-    (min/max/mean) belong to a typed per-column query, not this uniform
-    relation — agg_percentiles and the log-histogram sketch cover
+    oracle-checkable; ``approx=True`` switches every cardinality to
+    approx_count_distinct (HLL++, default 5% rsd) — the 100 TB
+    substitution, sharing the identical single-scan plan shape with no
+    per-column distinct expansion — and is pinned within 5% of exact in
+    tests/test_demoted_oracles.py.  Numeric range stats (min/max/mean)
+    belong to a typed per-column query, not this uniform relation —
+    agg_percentiles and the log-histogram sketch cover
     value-distribution checks."""
     ev = table(spark, sf_dir, "events")
     cols = ["event_id", "user_id", "event_type", "value"]
+    distinct_fn = F.approx_count_distinct if approx else F.countDistinct
     aggs = []
     for c in cols:
         aggs += [
             F.count(F.lit(1)).cast("long").alias(f"{c}__n"),
             F.sum(F.col(c).isNull().cast("long")).cast("long").alias(f"{c}__nulls"),
-            F.countDistinct(c).cast("long").alias(f"{c}__distinct"),
+            distinct_fn(c).cast("long").alias(f"{c}__distinct"),
         ]
     row = ev.agg(*aggs)
     stacked = row.select(

@@ -344,6 +344,7 @@ def stream_join_interval(
     sf_dir: str,
     how: str = "inner",
     max_files_per_trigger: int | None = None,
+    n_salt: int | None = None,
 ) -> DataFrame:
     """Stream-STREAM interval join (the streaming face of the batch join
     family, §2.C "Joins"): each purchase event joins the same user's
@@ -362,13 +363,26 @@ def stream_join_interval(
     outer pin asserts matched == batch inner + nulls ⊆ batch anti — the
     honest contract, pinned in tests/test_streaming.py.
 
+    ``n_salt`` is the hot-key skew treatment (the streaming port of
+    join_range_salted): a stateful stream-stream join shuffles on the
+    join key with NO AQE skew-split available (micro-batch symmetric
+    hash join state is keyed, not re-plannable), so a celebrity user
+    concentrates one state-store partition.  With a salt, each purchase
+    carries one deterministic salt (hash of its id mod n_salt) and the
+    click side replicates across all n_salt values, so every qualifying
+    pair still meets exactly once while the hot user's probe work and
+    buffered click state spread over n_salt partitions — the standard
+    replication-for-spread trade (state grows n_salt x on the SMALL
+    side).  inner and left_outer only: a right/full outer would emit one
+    spurious null row per extra replica of an unmatched click.
+
     Reference provenance: the reference has no stream-stream join at all
     (caches are its only cross-event state, caches.clj:27-101); this is
     part of the beyond-reference relational surface mandated for the
     engine."""
     joined = _join_interval_plan(
         spark, sf_dir, how, glob="events.parquet",
-        max_files_per_trigger=max_files_per_trigger,
+        max_files_per_trigger=max_files_per_trigger, n_salt=n_salt,
     )
     return _run_to_memory(joined, "append")
 
@@ -379,10 +393,17 @@ def _join_interval_plan(
     how: str,
     glob: str = "events.parquet",
     max_files_per_trigger: int | None = None,
+    n_salt: int | None = None,
 ) -> DataFrame:
     """The unstarted streaming plan of stream_join_interval — separated
     so tests can attach their own sink and read the state-store metrics
     off the running query (the bounded-state pin)."""
+    if n_salt is not None and how not in ("inner", "left_outer"):
+        raise ValueError(
+            "n_salt supports inner/left_outer only: replicating the "
+            "click side makes an unmatched click emit one spurious null "
+            "row per replica under right/full outer"
+        )
     left = stream_events(
         spark, sf_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
     ).where(F.col("event_type") == "purchase").select(
@@ -399,13 +420,25 @@ def _join_interval_plan(
         F.col("event_id").alias("c_event"),
         F.col("ts").cast("timestamp").alias("c_ts"),
     ).withWatermark("c_ts", "1 hour")
-    return left.join(
-        right,
+    cond = (
         (F.col("p_user") == F.col("c_user"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
-        & (F.col("c_ts") <= F.col("p_ts")),
-        how,
-    ).select("p_user", "p_event", "p_ts", "p_value", "c_event", "c_ts")
+        & (F.col("c_ts") <= F.col("p_ts"))
+    )
+    if n_salt is not None:
+        # one deterministic salt per purchase; clicks replicate across
+        # all salts (explode after the watermark: a stateless projection
+        # that passes c_ts through, so eviction semantics are unchanged)
+        left = left.withColumn(
+            "p_salt", F.pmod(F.xxhash64("p_event"), F.lit(n_salt)).cast("int")
+        )
+        right = right.withColumn(
+            "c_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+        )
+        cond = cond & (F.col("p_salt") == F.col("c_salt"))
+    return left.join(right, cond, how).select(
+        "p_user", "p_event", "p_ts", "p_value", "c_event", "c_ts"
+    )
 
 
 def batch_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -169,3 +169,22 @@ def test_approx_distinct_within_tolerance(spark):
     assert set(exact) == set(approx)
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(1, 0.05 * n), (k, n, approx[k])
+
+
+def test_profile_events_approx_within_tolerance(spark):
+    """The approx profiling variant (the 100 TB substitution the
+    docstring names) mirrors agg_approx_distinct's pin: identical rows /
+    nulls, every per-column cardinality within 5% of exact, same single
+    stack()-relation shape."""
+    exact = {r.column: r for r in rel.profile_events(spark, SF_ORACLE).collect()}
+    approx = {
+        r.column: r
+        for r in rel.profile_events(spark, SF_ORACLE, approx=True).collect()
+    }
+    assert set(exact) == set(approx)
+    for c, e in exact.items():
+        a = approx[c]
+        assert (a.n_rows, a.n_nulls) == (e.n_rows, e.n_nulls), c
+        assert abs(a.n_distinct - e.n_distinct) <= max(1, 0.05 * e.n_distinct), (
+            c, e.n_distinct, a.n_distinct,
+        )

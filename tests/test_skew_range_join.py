@@ -100,3 +100,66 @@ def test_salted_join_matches_unsalted_on_real_corpus(spark):
     plain = set(map(tuple, rel.join_range_bucketed(spark, SF_ORACLE).collect()))
     salted = set(map(tuple, rel.join_range_salted(spark, SF_ORACLE, n_salt=4).collect()))
     assert salted == plain
+
+
+@pytest.fixture(scope="module")
+def hot_stream_dir(spark, tmp_path_factory):
+    """A smaller hot-user fixture laid out the way the file-source
+    streams expect (a single events.parquet FILE in a dir): user 1 owns
+    50% of events packed into 2 hours, 50 cold users spread over a
+    week."""
+    import glob as g
+    import shutil
+
+    rng = random.Random(11)
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(400):
+        ts = base + datetime.timedelta(seconds=rng.randrange(2 * 3600))
+        rows.append((i, ts, 1, "click" if i % 2 else "purchase", 1.0, "{}"))
+    for i in range(400):
+        ts = base + datetime.timedelta(seconds=rng.randrange(7 * 24 * 3600))
+        rows.append((400 + i, ts, 2 + rng.randrange(50), "click" if i % 2 else "purchase", 1.0, "{}"))
+    out = tmp_path_factory.mktemp("skewstream")
+    tmp = str(out / "_tmp")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    ).coalesce(1).write.parquet(tmp)
+    shutil.move(g.glob(tmp + "/part-*.parquet")[0], str(out / "events.parquet"))
+    shutil.rmtree(tmp)
+    return str(out)
+
+
+def test_streaming_salted_interval_join_parity_on_hot_user(spark, hot_stream_dir):
+    """The streaming port of the salt treatment (round-7): a stateful
+    stream-stream join cannot use AQE skew-split (state is keyed per
+    micro-batch), so the hot user concentrates one state partition —
+    n_salt spreads it.  Pinned: salted == unsalted == batch oracle on
+    the 50%-hot-user fixture, and the salt really participates in the
+    streaming join keys."""
+    from streamsum_spark.plans import inspect as plans
+    from streamsum_spark.streaming import pipeline as sp
+
+    want = {
+        (r.p_event, r.c_event)
+        for r in sp.batch_join_interval(spark, hot_stream_dir).collect()
+    }
+    plain = {
+        (r.p_event, r.c_event)
+        for r in sp.stream_join_interval(spark, hot_stream_dir, how="inner").collect()
+    }
+    salted = {
+        (r.p_event, r.c_event)
+        for r in sp.stream_join_interval(
+            spark, hot_stream_dir, how="inner", n_salt=8
+        ).collect()
+    }
+    assert want and salted == want == plain
+    plan = plans.explain_str(
+        sp._join_interval_plan(spark, hot_stream_dir, "inner", n_salt=8)
+    )
+    assert "p_salt" in plan and "c_salt" in plan
+    # outer flavors that would emit spurious nulls are refused
+    with pytest.raises(ValueError, match="n_salt"):
+        sp._join_interval_plan(spark, hot_stream_dir, "full_outer", n_salt=8)
