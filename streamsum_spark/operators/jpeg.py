@@ -5,13 +5,16 @@ JPEG stayed NotImplementedError while BMP/PNM/WAV/PNG went real): the
 container has no PIL/libjpeg, so the decoder is written from the public
 JPEG spec (ITU-T T.81) the way the PNG decoder was written from RFC 2083.
 
-Supported (the baseline profile that covers the overwhelming majority of
-real-world files): SOF0 baseline sequential DCT, 8-bit samples, Huffman
+Supported: SOF0/SOF1 baseline/extended sequential DCT (interleaved or
+per-component multi-scan) AND SOF2 progressive DCT — both progressive
+mechanisms: spectral selection (per-band scans, T.81 G.1.1.1.1) and
+successive approximation (bitplane first/refinement scans, G.1.1.1.2,
+incl. EOB-run coding and AC correction bits) — 8-bit samples, Huffman
 entropy coding, grayscale or 3-component YCbCr with arbitrary 1-2×
-chroma subsampling (4:4:4 / 4:2:2 / 4:2:0 / 4:4:0), restart intervals,
-JFIF/EXIF APPn segments.  Honest NotImplementedError for progressive
-(SOF2), arithmetic coding, 12-bit, and hierarchical modes — a partial
-decode would misreport pixel stats.
+chroma subsampling (4:4:4 / 4:2:2 / 4:2:0 / 4:4:0), restart intervals
+in every scan shape, JFIF/EXIF APPn segments.  Honest
+NotImplementedError only for arithmetic coding, 12-bit, lossless, and
+hierarchical modes — a partial decode would misreport pixel stats.
 
 Hostile-input posture mirrors the PNG decoder: header-declared dims are
 capped before any allocation (decoded pixels ≤ _MAX_DECODED_BYTES) so a
@@ -31,9 +34,14 @@ over every block of a component in ONE numpy einsum — the per-pixel math
 never runs in a Python loop; only the inherently sequential Huffman
 symbol walk does (bounded by scan bytes).
 
-``encode_jpeg`` (baseline 4:4:4 / grayscale, Annex K quantization scaled
-by ``quality``, Annex K Huffman tables) exists so tests can round-trip
-without any codec library, exactly like multimodal.encode_png.
+``encode_jpeg`` (baseline) and ``encode_jpeg_progressive`` (DC-first +
+two spectral AC bands per component, every first scan at Al=1 with a
+refinement pass — both progressive mechanisms exercised) exist so tests
+can round-trip without any codec library, exactly like
+multimodal.encode_png.  Both quantize identically, so
+decode(progressive bytes) == decode(baseline bytes) EXACTLY — the
+cross-check that validates the progressive entropy layer against the
+independently-tested baseline one.
 """
 
 from __future__ import annotations
@@ -199,23 +207,26 @@ def _unstuff(scan: bytes) -> bytes:
 
 
 def decode_jpeg(b: bytes) -> np.ndarray:
-    """Decode a baseline JPEG to an (h, w, 3) uint8 RGB array.  Any
-    malformed structure surfaces as ValueError (never a stray
-    KeyError/IndexError a batch decode loop would not be catching)."""
+    """Decode a baseline or progressive JPEG to an (h, w, 3) uint8 RGB
+    array.  Any malformed structure surfaces as ValueError (never a
+    stray KeyError/IndexError a batch decode loop would not be
+    catching)."""
     try:
         return _decode_jpeg(bytes(b))
-    except (KeyError, IndexError, StopIteration, struct.error) as e:
+    except (KeyError, IndexError, StopIteration, struct.error, OverflowError) as e:
         raise ValueError(f"corrupt JPEG: {type(e).__name__}") from e
 
 
 def _decode_jpeg(b: bytes) -> np.ndarray:
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
-    qt: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], _HuffTable] = {}  # (class 0=DC/1=AC, id)
+    qt = {}
+    huff = {}
     frame = None
     restart_interval = 0
+    n_scans = 0
     i = 2
+    saw_scan = False
     while i < len(b):
         if b[i] != 0xFF:
             raise ValueError("corrupt JPEG: expected marker")
@@ -232,7 +243,7 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
         if len(seg) != seg_len - 2:
             raise ValueError("corrupt JPEG: truncated segment")
         i += seg_len
-        if marker == 0xDB:  # DQT
+        if marker == 0xDB:
             j = 0
             while j < len(seg):
                 prec, tid = seg[j] >> 4, seg[j] & 0xF
@@ -244,7 +255,7 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
                     vals = np.frombuffer(seg[j : j + 64], dtype=np.uint8).astype(np.int64)
                     j += 64
                 qt[tid] = vals
-        elif marker == 0xC4:  # DHT
+        elif marker == 0xC4:
             j = 0
             while j < len(seg):
                 tc, th = seg[j] >> 4, seg[j] & 0xF
@@ -253,9 +264,10 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
                 huffval = list(seg[j + 17 : j + 17 + n])
                 huff[(tc, th)] = _HuffTable(bits, huffval)
                 j += 17 + n
-        elif marker == 0xDD:  # DRI
+        elif marker == 0xDD:
             (restart_interval,) = struct.unpack(">H", seg[:2])
-        elif marker == 0xC0 or marker == 0xC1:  # baseline / ext. sequential
+        elif marker in (0xC0, 0xC1, 0xC2):
+            progressive = marker == 0xC2
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG not supported")
@@ -277,29 +289,23 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
                         f"sampling factors {hi}x{vi} not supported"
                     )
                 comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = _init_frame(h, w, comps, progressive)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCC, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "progressive/arithmetic/hierarchical JPEG not supported"
+                "arithmetic/hierarchical/lossless JPEG not supported"
             )
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:
             if frame is None:
                 raise ValueError("corrupt JPEG: SOS before SOF")
             ns = seg[0]
-            if frame is not None and ns != len(frame["comps"]):
-                # spec-legal but rare: separate per-component scans.  A
-                # partial decode here would return scrambled pixels as if
-                # they were real — refuse instead (module contract)
-                raise NotImplementedError(
-                    "non-interleaved (multi-scan) baseline JPEG not supported"
-                )
             scomp = []
             for c in range(ns):
                 cs, tdta = seg[1 + c * 2 : 3 + c * 2]
                 comp = next(x for x in frame["comps"] if x["id"] == cs)
                 scomp.append((comp, tdta >> 4, tdta & 0xF))
-            # entropy data runs to the next non-RST marker
+            ss, se, ahal = seg[1 + ns * 2 : 4 + ns * 2]
+            ah, al = ahal >> 4, ahal & 0xF
             j = i
             while j + 1 < len(b):
                 if b[j] == 0xFF and b[j + 1] != 0x00 and not (
@@ -309,21 +315,83 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
                 j += 1
             scan = b[i:j] if j + 1 < len(b) else b[i:]
             i = j
-            return _decode_scan(frame, scomp, qt, huff, scan, restart_interval)
-        # APPn / COM / others: skipped
-    raise ValueError("corrupt JPEG: no scan")
+            _decode_scan(frame, scomp, huff, scan, restart_interval,
+                          ss, se, ah, al)
+            saw_scan = True
+            n_scans += 1
+            if n_scans > 4 * 64 * len(frame["comps"]):
+                # a file cannot need more scans than (bands x bits x
+                # comps); cap so a crafted scan list cannot loop decode
+                raise ValueError("corrupt JPEG: too many scans")
+    if frame is None or not saw_scan:
+        raise ValueError("corrupt JPEG: no scan")
+    for comp in frame["comps"]:
+        # a component the scan schedule never covered (e.g. a multi-scan
+        # file cut short) would reconstruct as flat zero — half-decoded
+        # pixels presented as real.  Refuse instead (module contract).
+        if not comp["dc_done"]:
+            raise ValueError(
+                "corrupt JPEG: component without a scan (incomplete file)"
+            )
+    return _reconstruct(frame, qt)
 
 
-def _decode_scan(frame, scomp, qt, huff, scan: bytes, ri: int) -> np.ndarray:
-    h, w = frame["h"], frame["w"]
-    hmax = max(c["h"] for c in frame["comps"])
-    vmax = max(c["v"] for c in frame["comps"])
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = -(-w // mcu_w)
-    mcus_y = -(-h // mcu_h)
-    n_mcus = mcus_x * mcus_y
+def _init_frame(h, w, comps, progressive):
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    for c in comps:
+        c["bw"] = mcus_x * c["h"]
+        c["bh"] = mcus_y * c["v"]
+        # non-interleaved block grid: ceil(component samples / 8)
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        c["nb_w"] = -(-cw // 8)
+        c["nb_h"] = -(-ch // 8)
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
+        c["dc_done"] = False
+    return {
+        "h": h, "w": w, "comps": comps, "progressive": progressive,
+        "hmax": hmax, "vmax": vmax, "mcus_x": mcus_x, "mcus_y": mcus_y,
+    }
 
-    # split on restart markers; each interval resets DC predictors
+
+def _scan_units(frame, scomp):
+    """The (comp, block_row, block_col) sequence of one scan, per T.81:
+    interleaved scans traverse the MCU grid with h x v blocks per comp;
+    a single-component scan traverses that component's own block grid
+    in raster order (which may be SMALLER than its MCU-padded grid)."""
+    if len(scomp) > 1:
+        for mcu in range(frame["mcus_x"] * frame["mcus_y"]):
+            my, mx = divmod(mcu, frame["mcus_x"])
+            for comp, td, ta in scomp:
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        yield comp, td, ta, my * comp["v"] + by, mx * comp["h"] + bx
+    else:
+        comp, td, ta = scomp[0]
+        for r in range(comp["nb_h"]):
+            for c in range(comp["nb_w"]):
+                yield comp, td, ta, r, c
+
+
+def _decode_scan(frame, scomp, huff, scan, ri, ss, se, ah, al):
+    if not frame["progressive"]:
+        ss, se, ah, al = 0, 63, 0, 0
+    if ss > se or se > 63 or al > 13 or ah > 13:
+        raise ValueError("corrupt JPEG: bad spectral selection")
+    if frame["progressive"]:
+        if ss == 0 and se != 0:
+            raise ValueError("corrupt JPEG: DC scan must have Se=0")
+        if ss > 0 and len(scomp) != 1:
+            raise ValueError("corrupt JPEG: interleaved AC scan")
+        if ss > 0 and not scomp[0][0]["dc_done"]:
+            raise ValueError("corrupt JPEG: AC scan before DC scan")
+
+    units = list(_scan_units(frame, scomp))
+    n_units = len(units)
+
     if ri:
         segments = []
         seg_start, j = 0, 0
@@ -338,55 +406,133 @@ def _decode_scan(frame, scomp, qt, huff, scan: bytes, ri: int) -> np.ndarray:
     else:
         segments = [scan]
 
-    # per component: coefficient store, one (8,8) block grid
-    for comp, _, _ in scomp:
-        comp["bw"] = mcus_x * comp["h"]
-        comp["bh"] = mcus_y * comp["v"]
-        comp["coef"] = np.zeros((comp["bh"] * comp["bw"], 64), dtype=np.int64)
+    # interleaved scans count MCUs per restart; non-interleaved count blocks
+    per_restart = ri if len(scomp) == 1 else ri * sum(
+        c["h"] * c["v"] for c, _, _ in scomp
+    )
 
-    mcu = 0
+    u = 0
     for seg_bytes in segments:
         br = _BitReader(_unstuff(seg_bytes))
         pred = {c["id"]: 0 for c, _, _ in scomp}
-        end = min(n_mcus, mcu + ri) if ri else n_mcus
-        while mcu < end:
-            my, mx = divmod(mcu, mcus_x)
-            for comp, td, ta in scomp:
-                dct = huff[(0, td)]
-                act = huff[(1, ta)]
-                for by in range(comp["v"]):
-                    for bx in range(comp["h"]):
-                        zz = [0] * 64  # plain list: the symbol walk is
-                        # Python-side anyway; numpy starts at the batch ops
-                        t = br.decode_symbol(dct)
-                        diff = _extend(br.read(t), t) if t else 0
-                        pred[comp["id"]] += diff
-                        zz[0] = pred[comp["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = br.decode_symbol(act)
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("corrupt JPEG: AC overrun")
-                            zz[k] = _extend(br.read(s), s)
-                            k += 1
-                        row = my * comp["v"] + by
-                        col = mx * comp["h"] + bx
-                        comp["coef"][row * comp["bw"] + col] = zz
-            mcu += 1
-    if mcu != n_mcus:
+        eobrun = 0
+        end = min(n_units, u + per_restart) if ri else n_units
+        while u < end:
+            comp, td, ta, row, col = units[u]
+            blk = comp["coef"][row * comp["bw"] + col]
+            if ss == 0:
+                if ah == 0:  # first DC scan (baseline: DC+AC together)
+                    t = br.decode_symbol(huff[(0, td)])
+                    if t > 11:  # 8-bit DC categories are 0..11 (F.1.2.1)
+                        raise ValueError("corrupt JPEG: bad DC category")
+                    diff = _extend(br.read(t), t) if t else 0
+                    pred[comp["id"]] += diff
+                    blk[0] = pred[comp["id"]] << al
+                    if not frame["progressive"]:
+                        _first_ac(br, huff[(1, ta)], blk, 1, 63, 0, [0])
+                else:  # DC refinement: one bit, appended at position al
+                    if br.read(1):
+                        blk[0] |= 1 << al
+            elif ah == 0:  # first AC scan (with EOB runs)
+                if eobrun:
+                    eobrun -= 1
+                else:
+                    e = [eobrun]
+                    _first_ac(br, huff[(1, ta)], blk, ss, se, al, e)
+                    eobrun = e[0]
+            else:  # AC refinement
+                eobrun = _refine_ac(br, huff[(1, ta)], blk, ss, se, al, eobrun)
+            u += 1
+    if u != n_units:
         raise ValueError("corrupt JPEG: truncated scan")
+    if ss == 0:
+        for comp, _, _ in scomp:
+            comp["dc_done"] = True
 
+
+def _first_ac(br, act, blk, ss, se, al, eobrun_out):
+    """T.81 G.2.2 (and baseline F.2.2.2 when ss=1..63, al=0): run-length
+    AC decode with EOB-run accumulation into eobrun_out[0]."""
+    k = ss
+    while k <= se:
+        rs = br.decode_symbol(act)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            eobrun_out[0] = (1 << r) - 1
+            if r:
+                eobrun_out[0] += br.read(r)
+            break
+        if s > 10:  # 8-bit AC sizes are 1..10 (F.1.2.2.1)
+            raise ValueError("corrupt JPEG: bad AC size")
+        k += r
+        if k > se:
+            raise ValueError("corrupt JPEG: AC overrun")
+        blk[int(_ZIGZAG[k])] = _extend(br.read(s), s) << al
+        k += 1
+
+
+def _refine_ac(br, act, blk, ss, se, al, eobrun):
+    """T.81 G.2.3: successive-approximation AC refinement — newly
+    nonzero coefficients arrive as +-1<<al; already-nonzero ones take a
+    correction bit each time the scan passes them."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = br.decode_symbol(act)
+            r, s = rs >> 4, rs & 0xF
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("corrupt JPEG: bad refinement size")
+                newval = p1 if br.read(1) else m1
+            while k <= se:
+                pos = int(_ZIGZAG[k])
+                if blk[pos] != 0:
+                    if br.read(1) and (blk[pos] & p1) == 0:
+                        blk[pos] += p1 if blk[pos] >= 0 else m1
+                else:
+                    if r == 0:
+                        if newval:
+                            blk[pos] = newval
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+            else:
+                if newval:
+                    raise ValueError("corrupt JPEG: refinement overrun")
+    if eobrun > 0:
+        while k <= se:
+            pos = int(_ZIGZAG[k])
+            if blk[pos] != 0:
+                if br.read(1) and (blk[pos] & p1) == 0:
+                    blk[pos] += p1 if blk[pos] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct(frame, qt):
+    h, w = frame["h"], frame["w"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
     planes = []
-    for comp, _, _ in scomp:
-        q = qt[comp["tq"]]
-        de = (comp["coef"] * q[np.newaxis, :])[:, _UNZIGZAG].reshape(-1, 8, 8)
+    for comp in frame["comps"]:
+        q = qt[comp["tq"]][_UNZIGZAG]  # raster-order quant table
+        de = (comp["coef"][:, :] * 1)
+        # coef is stored in RASTER position already (we wrote via _ZIGZAG)
+        de = de * q[np.newaxis, :]
+        de = de.reshape(-1, 8, 8)
         spatial = np.einsum("ij,njk,kl->nil", _C.T, de.astype(np.float64), _C)
         plane = (
             spatial.reshape(comp["bh"], comp["bw"], 8, 8)
@@ -397,7 +543,6 @@ def _decode_scan(frame, scomp, qt, huff, scan: bytes, ri: int) -> np.ndarray:
             np.repeat(plane, vmax // comp["v"], axis=0), hmax // comp["h"], axis=1
         )
         planes.append(plane[:h, :w])
-
     if len(planes) == 1:
         y = np.clip(planes[0], 0, 255)
         return np.dstack([y, y, y]).astype(np.uint8)
@@ -406,6 +551,7 @@ def _decode_scan(frame, scomp, qt, huff, scan: bytes, ri: int) -> np.ndarray:
     g = y - 0.344136 * cb - 0.714136 * cr
     bl = y + 1.772 * cb
     return np.clip(np.dstack([r, g, bl]), 0, 255).astype(np.uint8)
+
 
 
 # ---------------------------------------------------------------------------
@@ -592,4 +738,321 @@ def encode_jpeg(
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+# ---------------------------------------------------------------------------
+# progressive encoder (test fixture partner of decode_jpeg's SOF2 path)
+# ---------------------------------------------------------------------------
+
+
+class _AcFirstWriter:
+    """Encode one first-pass AC scan band with EOB-run buffering."""
+
+    def __init__(self, bw, ac_map):
+        self.bw = bw
+        self.ac_map = ac_map
+        self.eobrun = 0
+
+    def flush_eob(self):
+        if self.eobrun:
+            r = self.eobrun.bit_length() - 1
+            code, length = self.ac_map[r << 4]
+            self.bw.write(code, length)
+            if r:
+                self.bw.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+
+    def block(self, vals, ss, se):
+        """vals: point-transformed (already //2^al, toward zero) raster
+        coefficients of one block."""
+        run = 0
+        wrote = False
+        for k in range(ss, se + 1):
+            v = int(vals[int(_ZIGZAG[k])])
+            if v == 0:
+                run += 1
+                continue
+            self.flush_eob()
+            while run > 15:
+                code, length = self.ac_map[0xF0]
+                self.bw.write(code, length)
+                run -= 16
+            s = _mag_cat(v)
+            code, length = self.ac_map[(run << 4) | s]
+            self.bw.write(code, length)
+            self.bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+            wrote = True
+        if run or not wrote:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self.flush_eob()
+
+
+class _AcRefineWriter:
+    """Encode one refinement AC scan band (T.81 G.1.2.3 shape)."""
+
+    def __init__(self, bw, ac_map):
+        self.bw = bw
+        self.ac_map = ac_map
+        self.eobrun = 0
+        self.pending_bits = []  # correction bits buffered with the EOB run
+
+    def flush_eob(self):
+        if self.eobrun or self.pending_bits:
+            r = self.eobrun.bit_length() - 1 if self.eobrun else 0
+            code, length = self.ac_map[r << 4]
+            self.bw.write(code, length)
+            if r:
+                self.bw.write(self.eobrun - (1 << r), r)
+            for bit in self.pending_bits:
+                self.bw.write(bit, 1)
+            self.eobrun = 0
+            self.pending_bits = []
+
+    def block(self, coefs, ss, se, al):
+        """coefs: the FULL-precision raster coefficients of one block;
+        the scan refines bit ``al`` given bits >al were already sent."""
+        absv = []
+        eob = 0  # last position whose truncated value becomes +-1 now
+        for k in range(ss, se + 1):
+            v = int(coefs[int(_ZIGZAG[k])])
+            t = (abs(v)) >> al
+            absv.append(t)
+            if t == 1:
+                eob = k
+        run = 0
+        cur_bits = []
+        for idx, k in enumerate(range(ss, se + 1)):
+            t = absv[idx]
+            if t == 0:
+                run += 1
+                continue
+            while run > 15 and k <= eob:
+                self.flush_eob()
+                code, length = self.ac_map[0xF0]
+                self.bw.write(code, length)
+                run -= 16
+                for bit in cur_bits:
+                    self.bw.write(bit, 1)
+                cur_bits = []
+            if t > 1:
+                # history-nonzero: correction bit rides with the NEXT
+                # emitted symbol (or the EOB run)
+                cur_bits.append(t & 1)
+                continue
+            # newly nonzero (t == 1)
+            self.flush_eob()
+            code, length = self.ac_map[(run << 4) | 1]
+            self.bw.write(code, length)
+            v = int(coefs[int(_ZIGZAG[k])])
+            self.bw.write(1 if v >= 0 else 0, 1)
+            for bit in cur_bits:
+                self.bw.write(bit, 1)
+            cur_bits = []
+            run = 0
+        if run > 0 or cur_bits:
+            self.eobrun += 1
+            self.pending_bits.extend(cur_bits)
+            if self.eobrun == 0x7FFF:
+                self.flush_eob()
+
+
+def encode_jpeg_progressive(
+    px: np.ndarray,
+    quality: int = 90,
+    subsampling: tuple[int, int] = (1, 1),
+    restart_interval: int = 0,
+) -> bytes:
+    """Progressive JFIF encoder exercising BOTH progressive mechanisms:
+    spectral selection (DC scan; AC bands 1-5 and 6-63 per component)
+    and successive approximation (every first scan sends bits >al=1,
+    refinement scans deliver the last bit).  Annex K tables; the
+    quantized coefficients are IDENTICAL to encode_jpeg's at the same
+    quality, so decode(progressive) == decode(baseline) exactly."""
+    px = np.asarray(px)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    sh, sv = (1, 1) if gray else subsampling
+    if not (1 <= sh <= 2 and 1 <= sv <= 2):
+        raise ValueError("subsampling factors must be 1 or 2")
+    if gray:
+        planes = [px.astype(np.float64)]
+    else:
+        rgb = px.astype(np.float64)
+        r, g, bch = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * bch
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * bch + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * bch + 128.0
+        planes = [y, cb, cr]
+    q_lum, q_chrom = _scale_q(_Q_LUM, quality), _scale_q(_Q_CHROM, quality)
+    qts = [q_lum] if gray else [q_lum, q_chrom]
+    factors = [(sh, sv)] + ([] if gray else [(1, 1), (1, 1)])
+    nc = len(planes)
+
+    out = bytearray(b"\xff\xd8")
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+    for tid, q in enumerate(qts):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + bytes(
+            int(x) for x in q[_ZIGZAG]
+        )
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for c in range(nc):
+        hi, vi = factors[c]
+        sof += bytes([c + 1, (hi << 4) | vi, 0 if c == 0 else 1])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+    # Annex K AC tables have NO EOBn symbols (progressive-only codes), so
+    # progressive scans need their own DHT — a conforming generic table:
+    # all 256 run/size symbols, 255 at 8 bits + 1 at 9 (the all-ones
+    # code stays unassigned per C.2).  Bigger scans than an optimized
+    # table, but byte-exact decode is what the fixtures test.
+    ac_generic = ([0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0],
+                  list(range(256)))
+    tables = [(0, 0, _DC_LUM), (1, 0, ac_generic)]
+    if not gray:
+        tables += [(0, 1, _DC_CHROM), (1, 1, ac_generic)]
+    maps = {}
+    for tc, th, (bits, vals) in tables:
+        payload = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+        maps[(tc, th)] = _HuffTable(bits, vals).encode_map()
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    class _Rst:
+        """Per-scan restart emitter: numbering restarts at RST0 each scan."""
+
+        def __init__(self):
+            self.n = 0
+
+        def emit(self, bw):
+            bw.flush()
+            bw.out += bytes([0xFF, 0xD0 + self.n % 8])
+            self.n += 1
+
+    # quantized zig-zag->raster coefficient grids, identical to baseline
+    mcu_w, mcu_h = 8 * sh, 8 * sv
+    mcus_x, mcus_y = -(-w // mcu_w), -(-h // mcu_h)
+    coefs = []  # per comp: (brs, bcs, 64) RASTER coefficients
+    nb = []  # per comp: non-interleaved block grid (nb_h, nb_w)
+    for ci, plane in enumerate(planes):
+        hi, vi = factors[ci]
+        if ci > 0 and (sh > 1 or sv > 1):
+            ph = plane if h % sv == 0 else np.pad(plane, ((0, sv - h % sv), (0, 0)), mode="edge")
+            ph = ph if w % sh == 0 else np.pad(ph, ((0, 0), (0, sh - ph.shape[1] % sh)), mode="edge")
+            plane = ph.reshape(ph.shape[0] // sv, sv, ph.shape[1] // sh, sh).mean(axis=(1, 3))
+        brs, bcs = mcus_y * vi, mcus_x * hi
+        padded = np.pad(
+            plane,
+            ((0, brs * 8 - plane.shape[0]), (0, bcs * 8 - plane.shape[1])),
+            mode="edge",
+        ) - 128.0
+        blocks = (
+            padded.reshape(brs, 8, bcs, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        )
+        dct = np.einsum("ij,njk,kl->nil", _C, blocks, _C.T)
+        q = qts[min(ci, len(qts) - 1)].astype(np.float64).reshape(8, 8)
+        rast = np.round(dct / q[np.newaxis]).reshape(-1, 64).astype(np.int64)
+        coefs.append(rast.reshape(brs, bcs, 64))
+        cw = -(-w * hi // sh) if not gray else w
+        ch = -(-h * vi // sv) if not gray else h
+        nb.append((-(-ch // 8), -(-cw // 8)))
+
+    def sos_header(comps_ts, ss, se, ah, al):
+        seg = bytes([len(comps_ts)])
+        for cid, td, ta in comps_ts:
+            seg += bytes([cid, (td << 4) | ta])
+        seg += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(seg)) + seg
+
+    # scan 1: interleaved DC first pass, al=1 (arithmetic shift)
+    bw = _BitWriter()
+    preds = [0] * nc
+    rst = _Rst()
+    for mcu in range(mcus_x * mcus_y):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            rst.emit(bw)
+            preds = [0] * nc
+        my, mx = divmod(mcu, mcus_x)
+        for ci in range(nc):
+            hi, vi = factors[ci]
+            t = 0 if ci == 0 else 1
+            dc_map = maps[(0, t)]
+            for by in range(vi):
+                for bx in range(hi):
+                    dc = int(coefs[ci][my * vi + by, mx * hi + bx, 0]) >> 1
+                    diff = dc - preds[ci]
+                    preds[ci] = dc
+                    s = _mag_cat(diff)
+                    code, length = dc_map[s]
+                    bw.write(code, length)
+                    if s:
+                        bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    bw.flush()
+    out += sos_header([(c + 1, 0 if c == 0 else 1, 0) for c in range(nc)], 0, 0, 0, 1)
+    out += bw.out
+
+    # per component AC first scans, two spectral bands, al=1
+    for ci in range(nc):
+        t = 0 if ci == 0 else 1
+        for ss, se in ((1, 5), (6, 63)):
+            bw = _BitWriter()
+            wr = _AcFirstWriter(bw, maps[(1, t)])
+            brs, bcs = nb[ci]
+            rst = _Rst()
+            n_blk = 0
+            for r in range(brs):
+                for c in range(bcs):
+                    if restart_interval and n_blk and n_blk % restart_interval == 0:
+                        wr.flush_eob()
+                        rst.emit(bw)
+                    full = coefs[ci][r, c]
+                    # AC point transform truncates toward zero
+                    vals = np.sign(full) * (np.abs(full) >> 1)
+                    wr.block(vals, ss, se)
+                    n_blk += 1
+            wr.flush_eob()
+            bw.flush()
+            out += sos_header([(ci + 1, 0, t)], ss, se, 0, 1)
+            out += bw.out
+
+    # DC refinement scan (interleaved), ah=1, al=0
+    bw = _BitWriter()
+    rst = _Rst()
+    for mcu in range(mcus_x * mcus_y):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            rst.emit(bw)
+        my, mx = divmod(mcu, mcus_x)
+        for ci in range(nc):
+            hi, vi = factors[ci]
+            for by in range(vi):
+                for bx in range(hi):
+                    bw.write(int(coefs[ci][my * vi + by, mx * hi + bx, 0]) & 1, 1)
+    bw.flush()
+    out += sos_header([(c + 1, 0, 0) for c in range(nc)], 0, 0, 1, 0)
+    out += bw.out
+
+    # per component AC refinement scans, ah=1, al=0
+    for ci in range(nc):
+        t = 0 if ci == 0 else 1
+        for ss, se in ((1, 5), (6, 63)):
+            bw = _BitWriter()
+            wr = _AcRefineWriter(bw, maps[(1, t)])
+            brs, bcs = nb[ci]
+            rst = _Rst()
+            n_blk = 0
+            for r in range(brs):
+                for c in range(bcs):
+                    if restart_interval and n_blk and n_blk % restart_interval == 0:
+                        wr.flush_eob()
+                        rst.emit(bw)
+                    wr.block(coefs[ci][r, c], ss, se, 0)
+                    n_blk += 1
+            wr.flush_eob()
+            bw.flush()
+            out += sos_header([(ci + 1, 0, t)], ss, se, 1, 0)
+            out += bw.out
+
+    out += b"\xff\xd9"
     return bytes(out)

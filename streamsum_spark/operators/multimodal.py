@@ -330,12 +330,13 @@ def decode_image(content: bytes) -> np.ndarray:
     Real for BMP (BI_RGB 24/32-bit), PNM (P2/P3/P5/P6), the full PNG
     spec surface (all five color types incl. PLTE palette, bit depths
     1/2/4/8/16, Adam7 interlace — stdlib zlib + the five row filters, no
-    codec libs), baseline JPEG (SOF0 Huffman sequential, grayscale /
-    YCbCr with 4:4:4 / 4:2:2 / 4:2:0 / 4:4:0 subsampling, restart
-    intervals — operators/jpeg.py, written from ITU-T T.81), and GIF
-    (87a/89a LZW incl. interlace, first frame — operators/gif.py).
-    Remaining codecs (progressive JPEG, WebP, ...) raise
-    NotImplementedError: a fake decode would misreport pixel stats."""
+    codec libs), JPEG — baseline SOF0/SOF1 AND progressive SOF2 with
+    spectral selection + successive approximation (grayscale / YCbCr,
+    4:4:4 / 4:2:2 / 4:2:0 / 4:4:0 subsampling, restart intervals —
+    operators/jpeg.py, written from ITU-T T.81), and GIF (87a/89a LZW
+    incl. interlace, first frame — operators/gif.py).  Remaining codecs
+    (arithmetic-coded JPEG, WebP, ...) raise NotImplementedError: a
+    fake decode would misreport pixel stats."""
     if content is None:
         raise ValueError("null content")
     b = bytes(content)
@@ -710,10 +711,13 @@ def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
 
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic real-format media table for tests: BMP, PPM, PNG
-    (cycling all five row filters), and baseline JPEG (alternating 4:4:4
-    and 4:2:0) images with gradient pixels, plus PCM WAV tones — every
-    blob decodes with the stdlib decoders above, no codec libs needed."""
-    from streamsum_spark.operators.jpeg import encode_jpeg
+    (cycling all five row filters), and JPEG — alternating 4:4:4 and
+    4:2:0, alternating BASELINE and PROGRESSIVE encodings (most web
+    JPEGs over ~64 KB are progressive, so the default pipeline path
+    must exercise it) — images with gradient pixels, plus PCM WAV
+    tones; every blob decodes with the stdlib decoders above, no codec
+    libs needed."""
+    from streamsum_spark.operators.jpeg import encode_jpeg, encode_jpeg_progressive
 
     rows = []
     for i in range(n):
@@ -731,8 +735,9 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
                 if (i // 3) % 4 == 0:
                     content, mime = encode_ppm(px), "image/x-portable-pixmap"
                 else:
+                    enc = encode_jpeg if (i // 12) % 2 == 0 else encode_jpeg_progressive
                     content, mime = (
-                        encode_jpeg(px, quality=92, subsampling=(1 + (i // 6) % 2,) * 2),
+                        enc(px, quality=92, subsampling=(1 + (i // 6) % 2,) * 2),
                         "image/jpeg",
                     )
             else:

@@ -89,16 +89,17 @@ def test_frame_sample_plan(spark):
 
 
 def test_decode_is_honest_stub_for_codecs():
-    # baseline JPEG is now a real decode (operators/jpeg.py); the modes a
-    # baseline decoder cannot serve stay honestly unsupported
+    # baseline AND progressive JPEG are real decodes (operators/jpeg.py);
+    # the modes a DCT Huffman decoder cannot serve stay honestly
+    # unsupported (arithmetic coding needs the MQ coder, a separate spec)
     import struct as st
 
-    sof2 = st.pack(">BHHB", 8, 2, 2, 1) + bytes([1, 0x11, 0])
-    progressive = (
-        b"\xff\xd8" + b"\xff\xc2" + st.pack(">H", 2 + len(sof2)) + sof2 + b"\xff\xd9"
+    sof = st.pack(">BHHB", 8, 2, 2, 1) + bytes([1, 0x11, 0])
+    arithmetic = (
+        b"\xff\xd8" + b"\xff\xc9" + st.pack(">H", 2 + len(sof)) + sof + b"\xff\xd9"
     )
-    with pytest.raises(NotImplementedError, match="progressive"):
-        mm.decode_image(progressive)
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        mm.decode_image(arithmetic)
     with pytest.raises(NotImplementedError):
         mm.decode_audio(b"ID3\x04" + bytes(32))
     # spec-ILLEGAL depth/color combos still refuse (16-bit and palette
@@ -904,9 +905,13 @@ def test_flac_through_decode_audio_and_features(spark):
     assert out.decoded and out.channels == 1
 
 
-def test_jpeg_multi_scan_refuses_not_scrambles():
-    """A spec-legal baseline JPEG with separate per-component scans must
-    refuse (NotImplementedError), never return scrambled pixels as real."""
+def test_jpeg_incomplete_scan_coverage_refuses_not_scrambles():
+    """Round 7: per-component multi-scan files now DECODE (the
+    progressive machinery gives non-interleaved traversal for free), so
+    the old blanket refusal is gone — but a file whose scans never cover
+    some component (here: a color image rewritten to scan only Y) must
+    still refuse, never return the untouched components as flat zero
+    pretending to be real pixels."""
     import struct as st
 
     from streamsum_spark.operators import jpeg
@@ -919,7 +924,7 @@ def test_jpeg_multi_scan_refuses_not_scrambles():
     mut = full[:i] + b"\xff\xda" + st.pack(">H", 2 + len(sos)) + sos + full[
         i + 2 + st.unpack_from(">H", full, i + 2)[0] :
     ]
-    with pytest.raises(NotImplementedError, match="non-interleaved"):
+    with pytest.raises(ValueError, match="without a scan"):
         jpeg.decode_jpeg(bytes(mut))
 
 
@@ -1024,3 +1029,95 @@ def test_stereo_adpcm_undersized_block_align_raises_valueerror():
         pass  # also within contract for malformed input
     except Exception as exc:  # struct.error / IndexError leak = bug
         raise AssertionError(f"non-ValueError leaked: {type(exc).__name__}: {exc}")
+
+
+# ---------------------------------------------------------------------------
+# progressive JPEG (SOF2 — spectral selection + successive approximation)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sub,ri", [((1, 1), 0), ((2, 2), 0), ((2, 1), 3), ((1, 2), 1)])
+def test_progressive_jpeg_equals_baseline_decode(sub, ri):
+    """THE cross-check that validates the progressive entropy layer:
+    encode_jpeg and encode_jpeg_progressive quantize identically, and
+    both entropy layers are lossless, so decoding the progressive bytes
+    must reproduce the baseline decode BYTE-EXACTLY — any error in the
+    EOB-run / refinement / spectral-band logic breaks the equality."""
+    from streamsum_spark.operators import jpeg
+
+    px = _jpeg_gradient()
+    rng = np.random.RandomState(5)
+    noisy = ((px.astype(int) + rng.randint(0, 40, px.shape)) % 256).astype(np.uint8)
+    for img in (px, noisy):
+        for q in (92, 50):
+            want = jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=q, subsampling=sub))
+            got = jpeg.decode_jpeg(
+                jpeg.encode_jpeg_progressive(
+                    img, quality=q, subsampling=sub, restart_interval=ri
+                )
+            )
+            assert np.array_equal(want, got)
+
+
+def test_progressive_jpeg_grayscale_and_flat():
+    """Grayscale path + flat images (all-zero AC bands -> EOB runs that
+    span many blocks, the decoder's eobrun skip path)."""
+    from streamsum_spark.operators import jpeg
+
+    g = _jpeg_gradient()[:, :, 0]
+    assert np.array_equal(
+        jpeg.decode_jpeg(jpeg.encode_jpeg(g, quality=85)),
+        jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(g, quality=85)),
+    )
+    for val in (0, 128, 255):
+        img = np.full((48, 64, 3), val, dtype=np.uint8)
+        assert np.array_equal(
+            jpeg.decode_jpeg(jpeg.encode_jpeg(img, quality=90)),
+            jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(img, quality=90)),
+        )
+
+
+def test_progressive_jpeg_mutation_fuzz_never_escapes_valueerror():
+    """Same contract as the baseline fuzz pin, over the progressive scan
+    machinery (EOB runs, refinement bits, per-scan restarts)."""
+    from streamsum_spark.operators import jpeg
+
+    blob = bytearray(
+        jpeg.encode_jpeg_progressive(
+            _jpeg_gradient(16, 24), quality=85, subsampling=(2, 1), restart_interval=3
+        )
+    )
+    rng = np.random.RandomState(11)
+    for _ in range(60):
+        mut = bytearray(blob)
+        for _ in range(int(rng.randint(1, 4))):
+            mut[int(rng.randint(2, len(mut)))] = int(rng.randint(256))
+        try:
+            out = jpeg.decode_jpeg(bytes(mut))
+            assert out.dtype == np.uint8 and out.ndim == 3
+        except (ValueError, NotImplementedError):
+            pass
+    # truncations refuse cleanly at every cut point
+    for cut in range(2, len(blob), 199):
+        try:
+            jpeg.decode_jpeg(bytes(blob[:cut]))
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_progressive_jpeg_through_extract_features(spark):
+    """synthetic_media now mixes progressive JPEGs in; they decode on the
+    default Arrow path with real pixel stats (decoded=true)."""
+    media = mm.synthetic_media(spark, n=64)
+    rows = {r.media_id: r for r in mm.extract_features(media).collect()}
+    blobs = {r.media_id: bytes(r.content) for r in media.collect() if r.mime == "image/jpeg"}
+    n_prog = 0
+    for mid, b in blobs.items():
+        assert rows[mid].decoded
+        if b"\xff\xc2" in b[:200]:  # SOF2 marker in the header region
+            n_prog += 1
+            px = mm.decode_image(b)
+            assert rows[mid].feature[0] == pytest.approx(
+                px[:, :, 0].mean() / 255.0, abs=1e-6
+            )
+    assert n_prog >= 2  # the mix really contains progressive files
