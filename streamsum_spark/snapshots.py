@@ -61,9 +61,11 @@ from pyspark.sql import functions as F
 from streamsum_spark.sinks import (
     _MANIFEST_CAP,
     DELETED_COL,
+    SALT_COL,
     _align_tombstones,
     _check_state_columns,
     _drop_deleted,
+    _merge_salt_partials,
     _newest_wins,
     _resolve_bucket_cols,
     _with_kb,
@@ -198,10 +200,14 @@ def read_snapshot(
             from pyspark.sql import types as T
 
             schema = T.StructType.fromJson(_json.loads(head["schema"]))
-            return spark.createDataFrame([], schema).drop("kb")
-        raise ValueError(f"snapshot v{version} of {path} is empty")
-    df = spark.read.option("basePath", path).parquet(*files)
-    return df.drop("kb")
+            df = spark.createDataFrame([], schema).drop("kb")
+        else:
+            raise ValueError(f"snapshot v{version} of {path} is empty")
+    else:
+        df = spark.read.option("basePath", path).parquet(*files).drop("kb")
+    if head.get("n_salt") and SALT_COL in df.columns:
+        df = _merge_salt_partials(df, head)
+    return df
 
 
 def _route_keys(
@@ -268,6 +274,13 @@ def lookup_snapshot_keys(
         [tuple(v) if isinstance(v, (tuple, list)) else (v,) for v in key_values],
         key_cols,
     )
+    head = _load_manifest(path, version)
+    n_salt = head.get("n_salt")
+    if n_salt:
+        # salted additive table: route each key to ALL its n_salt
+        # candidate buckets (bounded expansion), merge partials below
+        salts = spark.createDataFrame([(s,) for s in range(n_salt)], f"{SALT_COL} int")
+        keys_df = keys_df.crossJoin(salts)
     _, _, keys_cast, files = _route_keys(spark, path, version, keys_df)
     if keys_cast is None or not files:
         return read_snapshot(spark, path, version).limit(0)
@@ -276,7 +289,14 @@ def lookup_snapshot_keys(
         rows = keys_cast.collect()
         for c in key_cols:
             pruned = pruned.where(F.col(c).isin([r[c] for r in rows]))
-    return pruned.join(F.broadcast(keys_cast), on=key_cols, how="left_semi")
+    out = pruned.join(
+        F.broadcast(keys_cast.drop(SALT_COL) if n_salt else keys_cast),
+        on=key_cols,
+        how="left_semi",
+    )
+    if n_salt:
+        out = _merge_salt_partials(out, head)
+    return out
 
 
 def read_touched_snapshot_buckets(
@@ -355,14 +375,15 @@ def _commit(
     if marker is not None:
         applied = (applied + [marker])[-_MANIFEST_CAP:]
     full = force_full or head is None or (version % checkpoint_interval == 0)
-    # cdc_offsets (sync_from_changes' contiguous consumer offsets) must
-    # survive UNRELATED commits by other writers to the same table, so
-    # the head's map carries forward unless this commit updates it
-    carried = (
-        {"cdc_offsets": head["cdc_offsets"]}
-        if head is not None and "cdc_offsets" in head
-        else {}
-    )
+    # cdc_offsets (sync_from_changes' contiguous consumer offsets) and
+    # the salted-layout fields must survive UNRELATED commits (rebucket,
+    # other writers), so the head's values carry forward unless this
+    # commit overrides them
+    carried = {
+        k: head[k]
+        for k in ("cdc_offsets", "n_salt", "sum_cols", "combine")
+        if head is not None and k in head
+    }
     manifest = {
         "version": version,
         "parent": head["version"] if head is not None else None,
@@ -429,6 +450,7 @@ def _begin(
     n_buckets: int,
     bucket_cols: list[str] | None,
     marker: str | None,
+    n_salt: int | None = None,
 ):
     """Open a commit: load the head manifest, enforce layout invariants,
     and short-circuit a replayed epoch.  Returns (head, buckets, bcols)
@@ -443,6 +465,17 @@ def _begin(
             f"{path} was created with n_buckets={head['n_buckets']}; "
             f"committing with n_buckets={n_buckets} would scatter keys "
             "across mismatched buckets"
+        )
+    if head.get("n_salt") != n_salt:
+        # diagnosed BEFORE bucket_cols: a salt mismatch also perturbs
+        # bucket_cols (the salt is one of them) and the root cause is
+        # the salt — this also refuses newest-wins upserts into a
+        # salted additive table (they do not compose with partials)
+        raise ValueError(
+            f"{path} was created with n_salt={head.get('n_salt')}; "
+            f"committing with n_salt={n_salt} would route a key's salted "
+            "partials to different buckets (accumulate with the table's "
+            "n_salt, or rewrite the table to change it)"
         )
     if head["bucket_cols"] != bcols:
         raise ValueError(
@@ -614,6 +647,7 @@ def snapshot_accumulate(
     checkpoint_interval: int = 10,
     change_feed: bool = False,
     retries: int = 2,
+    n_salt: int | None = None,
 ) -> None:
     """Additive MERGE into a snapshot table (sum/min/max/bit_or per key,
     like sinks.accumulate_batch).  SUM-merge is not idempotent, so the
@@ -622,11 +656,19 @@ def snapshot_accumulate(
     swap commits, so there is NO crash point between data and marker
     (the rename-swap layer approximates this with per-bucket manifest
     files; here it holds by construction).  Version claims are
-    put-if-absent, as in snapshot_upsert."""
+    put-if-absent, as in snapshot_upsert.
+
+    ``n_salt`` is the same hot-key skew treatment as
+    sinks.accumulate_batch: the key widens with a partition-derived
+    salt so a celebrity key's additive partials spread across up to
+    n_salt buckets; the manifest records (n_salt, sum_cols, combine)
+    and the salt-aware reads (read_snapshot, lookup_snapshot_keys)
+    merge the partials back — the logical table is unchanged."""
     _retry_conflicts(
         lambda: _snapshot_accumulate_once(
             spark, path, deltas, key_cols, sum_cols, combine, n_buckets,
             bucket_cols, epoch_id, run_id, checkpoint_interval, change_feed,
+            n_salt,
         ),
         retries,
     )
@@ -635,11 +677,19 @@ def snapshot_accumulate(
 def _snapshot_accumulate_once(
     spark, path, deltas, key_cols, sum_cols, combine, n_buckets,
     bucket_cols, epoch_id, run_id, checkpoint_interval, change_feed,
+    n_salt=None,
 ) -> None:
     agg_fn = {"sum": F.sum, "min": F.min, "max": F.max, "bit_or": F.bit_or}[combine]
+    if n_salt is not None:
+        deltas = deltas.withColumn(
+            SALT_COL, F.pmod(F.spark_partition_id(), F.lit(n_salt)).cast("int")
+        )
+        key_cols = list(key_cols) + [SALT_COL]
+        if bucket_cols is not None:
+            bucket_cols = list(bucket_cols) + [SALT_COL]
     marker = None if epoch_id is None else f"{run_id or ''}:{epoch_id}"
     head, buckets, bcols = _begin(
-        spark, path, key_cols, n_buckets, bucket_cols, marker
+        spark, path, key_cols, n_buckets, bucket_cols, marker, n_salt=n_salt
     )
     if head == "replay":
         return
@@ -664,6 +714,11 @@ def _snapshot_accumulate_once(
         spark, path, _bucket_writer(reduced, key_cols), touched, head,
         buckets, n_buckets, bcols, marker, checkpoint_interval,
         changes=changes,
+        extra_fields=(
+            {"n_salt": n_salt, "sum_cols": list(sum_cols), "combine": combine}
+            if n_salt is not None
+            else None
+        ),
     )
 
 
@@ -850,9 +905,23 @@ def rebucket_snapshot_table(
     latest = _latest_version(path)
     if latest is None:
         raise ValueError(f"{path} has no committed snapshots")
-    head, _ = _resolve_buckets(path, latest)
+    head, buckets_map = _resolve_buckets(path, latest)
     bcols = head["bucket_cols"]
-    rekeyed = _with_kb(read_snapshot(spark, path), bcols, new_n_buckets)
+    # RAW rows, not read_snapshot: a salted table's read merges the salt
+    # partials away, but the rewrite must re-route the partials
+    # themselves (the salt is one of the bucket columns)
+    files = [
+        os.path.join(path, f"kb={b}", name)
+        for b, names in buckets_map.items()
+        for name in names
+    ]
+    if not files:
+        raise ValueError(
+            f"cannot rebucket {path}: snapshot v{latest} has no data files "
+            "(every key tombstoned) — write into a fresh table instead"
+        )
+    raw = spark.read.option("basePath", path).parquet(*files).drop("kb")
+    rekeyed = _with_kb(raw, bcols, new_n_buckets)
     touched = sorted(r.kb for r in rekeyed.select("kb").distinct().collect())
     _commit(
         spark, path, _bucket_writer(rekeyed, bcols), touched, head,
