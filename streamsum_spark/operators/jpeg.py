@@ -388,6 +388,11 @@ def _decode_scan(frame, scomp, huff, scan, ri, ss, se, ah, al):
             raise ValueError("corrupt JPEG: interleaved AC scan")
         if ss > 0 and not scomp[0][0]["dc_done"]:
             raise ValueError("corrupt JPEG: AC scan before DC scan")
+        if ss == 0 and ah > 0 and not all(c["dc_done"] for c, _, _ in scomp):
+            # a refinement without the first scan would OR bits into
+            # all-zero coefficients and pass the coverage guard —
+            # near-flat noise presented as real pixels
+            raise ValueError("corrupt JPEG: DC refinement before DC scan")
 
     units = list(_scan_units(frame, scomp))
     n_units = len(units)
@@ -445,7 +450,9 @@ def _decode_scan(frame, scomp, huff, scan, ri, ss, se, ah, al):
             u += 1
     if u != n_units:
         raise ValueError("corrupt JPEG: truncated scan")
-    if ss == 0:
+    if ss == 0 and ah == 0:
+        # only a FIRST DC scan counts for coverage: a refinement scan
+        # refines bits of data that must already exist
         for comp, _, _ in scomp:
             comp["dc_done"] = True
 
@@ -529,10 +536,8 @@ def _reconstruct(frame, qt):
     planes = []
     for comp in frame["comps"]:
         q = qt[comp["tq"]][_UNZIGZAG]  # raster-order quant table
-        de = (comp["coef"][:, :] * 1)
         # coef is stored in RASTER position already (we wrote via _ZIGZAG)
-        de = de * q[np.newaxis, :]
-        de = de.reshape(-1, 8, 8)
+        de = (comp["coef"] * q[np.newaxis, :]).reshape(-1, 8, 8)
         spatial = np.einsum("ij,njk,kl->nil", _C.T, de.astype(np.float64), _C)
         plane = (
             spatial.reshape(comp["bh"], comp["bw"], 8, 8)

@@ -341,8 +341,17 @@ def read_state_table(spark: SparkSession, target_path: str) -> DataFrame:
     df = df.drop("kb") if "kb" in df.columns else df
     if SALT_COL in df.columns:
         meta = _read_meta(target_path)
-        if meta and meta.get("n_salt"):
-            df = _merge_salt_partials(df, meta)
+        if not (meta and meta.get("n_salt") and meta.get("sum_cols")):
+            # a _salt column IS the salted layout: silently returning the
+            # per-salt partials (multiple rows per logical key, internal
+            # column leaked) would feed duplicates downstream — the meta
+            # must say how to merge them, so its absence is corruption
+            raise ValueError(
+                f"{target_path} has a {SALT_COL} column but no readable "
+                "salted-layout meta (n_salt/sum_cols in _table_meta.json) "
+                "— cannot merge the partials; restore the table meta"
+            )
+        df = _merge_salt_partials(df, meta)
     return df
 
 
@@ -961,27 +970,39 @@ def accumulate_batch(
 
     ``n_salt`` (opt-in, requires n_buckets) is the hot-key skew
     treatment: additive state is associative, so the key can widen with
-    a salt — partition-id mod n_salt — and a celebrity key's rows land
-    as up to n_salt PARTIAL rows in up to n_salt different buckets
-    instead of concentrating one bucket to 50% of the table's bytes.
-    Salt-aware reads (read_state_table, lookup_state_keys) merge the
-    partials back via the combine recorded in the table meta, so the
-    logical table is unchanged; only the layout spreads.  The salt value
-    is not semantic — replay safety still comes from the epoch markers,
-    which gate the whole batch regardless of how its rows salted."""
+    a salt and a celebrity key's rows land as up to n_salt PARTIAL rows
+    in up to n_salt different buckets instead of concentrating one
+    bucket to 50% of the table's bytes.  Salt-aware reads
+    (read_state_table, lookup_state_keys) merge the partials back via
+    the combine recorded in the table meta, so the logical table is
+    unchanged; only the layout spreads.
+
+    The salt MUST be deterministic per row: it routes rows to buckets
+    whose per-bucket replay markers assume a redelivered batch re-routes
+    identically, and the merge evaluates the deltas more than once
+    (touched-bucket collect, then write) — a nondeterministic salt
+    (partition id, rand) could re-route between evaluations and lose or
+    double-count rows.  So the salt is xxhash64 of the row's full
+    content PLUS the epoch marker: replays reproduce it exactly, while
+    a hot key's per-epoch partials still spread across epochs (within
+    one epoch its delta rows collapse into one partial per merge
+    anyway).  Epoch-less merges of byte-identical delta rows keep one
+    salt forever — pass epochs if spread matters there."""
     import json
 
+    marker = None if epoch_id is None else f"{run_id or ''}:{epoch_id}"
     if n_salt is not None:
         if n_buckets is None:
             raise ValueError("n_salt requires the bucketed layout (n_buckets)")
         deltas = deltas.withColumn(
-            SALT_COL, F.pmod(F.spark_partition_id(), F.lit(n_salt)).cast("int")
+            SALT_COL,
+            F.pmod(
+                F.xxhash64(F.lit(marker or ""), *deltas.columns), F.lit(n_salt)
+            ).cast("int"),
         )
         key_cols = list(key_cols) + [SALT_COL]
         if bucket_cols is not None:
             bucket_cols = list(bucket_cols) + [SALT_COL]
-
-    marker = None if epoch_id is None else f"{run_id or ''}:{epoch_id}"
     # bit_or serves mergeable bitmap state (e.g. incremental Bloom-filter
     # words): like min/max it is idempotent per value, but the epoch
     # manifest still guards it for uniformity

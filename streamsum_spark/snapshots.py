@@ -205,20 +205,31 @@ def read_snapshot(
             raise ValueError(f"snapshot v{version} of {path} is empty")
     else:
         df = spark.read.option("basePath", path).parquet(*files).drop("kb")
-    if head.get("n_salt") and SALT_COL in df.columns:
+    if SALT_COL in df.columns:
+        if not (head.get("n_salt") and head.get("sum_cols")):
+            raise ValueError(
+                f"snapshot v{version} of {path} has a {SALT_COL} column "
+                "but its manifest lacks the salted-layout fields "
+                "(n_salt/sum_cols) — cannot merge the partials"
+            )
         df = _merge_salt_partials(df, head)
     return df
 
 
 def _route_keys(
-    spark: SparkSession, path: str, version: int, keys_df: DataFrame
+    spark: SparkSession,
+    path: str,
+    version: int,
+    keys_df: DataFrame,
+    resolved: tuple[dict, dict] | None = None,
 ) -> tuple[dict, dict, DataFrame | None, list]:
-    """Shared routed-read body: resolve the manifest, cast the key
-    DataFrame to the stored column types (Murmur3 hashes int and long
+    """Shared routed-read body: resolve the manifest (or reuse a caller's
+    ``resolved`` (head, buckets) to avoid re-reading the chain), cast the
+    key DataFrame to the stored column types (Murmur3 hashes int and long
     differently), and return (head, buckets, keys_df_cast, files) where
     ``files`` is the routed buckets' generation-file list — or
     keys_df_cast None when the table holds no data files."""
-    head, buckets = _resolve_buckets(path, version)
+    head, buckets = resolved if resolved is not None else _resolve_buckets(path, version)
     n_buckets, bcols = head["n_buckets"], head["bucket_cols"]
     missing = [c for c in bcols if c not in keys_df.columns]
     if missing:
@@ -274,14 +285,16 @@ def lookup_snapshot_keys(
         [tuple(v) if isinstance(v, (tuple, list)) else (v,) for v in key_values],
         key_cols,
     )
-    head = _load_manifest(path, version)
+    head, buckets = _resolve_buckets(path, version)
     n_salt = head.get("n_salt")
     if n_salt:
         # salted additive table: route each key to ALL its n_salt
         # candidate buckets (bounded expansion), merge partials below
         salts = spark.createDataFrame([(s,) for s in range(n_salt)], f"{SALT_COL} int")
         keys_df = keys_df.crossJoin(salts)
-    _, _, keys_cast, files = _route_keys(spark, path, version, keys_df)
+    _, _, keys_cast, files = _route_keys(
+        spark, path, version, keys_df, resolved=(head, buckets)
+    )
     if keys_cast is None or not files:
         return read_snapshot(spark, path, version).limit(0)
     pruned = spark.read.option("basePath", path).parquet(*files).drop("kb")
@@ -384,6 +397,15 @@ def _commit(
         for k in ("cdc_offsets", "n_salt", "sum_cols", "combine")
         if head is not None and k in head
     }
+    if extra_fields and "cdc_offsets" in extra_fields:
+        # offsets only ever ADVANCE, so merge per-consumer with max:
+        # a sync holding a stale snapshot of the map (loaded before a
+        # concurrent sync from another source advanced, or re-run after
+        # a conflict retry) must never regress that consumer's offset
+        merged = {**carried.get("cdc_offsets", {})}
+        for rid, v in extra_fields["cdc_offsets"].items():
+            merged[rid] = max(int(v), int(merged.get(rid, 0)))
+        extra_fields = {**extra_fields, "cdc_offsets": merged}
     manifest = {
         "version": version,
         "parent": head["version"] if head is not None else None,
@@ -680,14 +702,28 @@ def _snapshot_accumulate_once(
     n_salt=None,
 ) -> None:
     agg_fn = {"sum": F.sum, "min": F.min, "max": F.max, "bit_or": F.bit_or}[combine]
+    marker = None if epoch_id is None else f"{run_id or ''}:{epoch_id}"
     if n_salt is not None:
+        if change_feed:
+            raise ValueError(
+                "change_feed does not compose with n_salt: the feed would "
+                "record per-salt PARTIAL rows as post-images and a "
+                "non-salt-aware consumer would keep one arbitrary partial "
+                "as the key's value — merge the partials into an unsalted "
+                "derived table instead"
+            )
+        # deterministic per-row salt (content + epoch marker), same
+        # contract as sinks.accumulate_batch: replays and the
+        # touched-collect/write double evaluation must route identically
         deltas = deltas.withColumn(
-            SALT_COL, F.pmod(F.spark_partition_id(), F.lit(n_salt)).cast("int")
+            SALT_COL,
+            F.pmod(
+                F.xxhash64(F.lit(marker or ""), *deltas.columns), F.lit(n_salt)
+            ).cast("int"),
         )
         key_cols = list(key_cols) + [SALT_COL]
         if bucket_cols is not None:
             bucket_cols = list(bucket_cols) + [SALT_COL]
-    marker = None if epoch_id is None else f"{run_id or ''}:{epoch_id}"
     head, buckets, bcols = _begin(
         spark, path, key_cols, n_buckets, bucket_cols, marker, n_salt=n_salt
     )

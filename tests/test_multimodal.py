@@ -1121,3 +1121,27 @@ def test_progressive_jpeg_through_extract_features(spark):
                 px[:, :, 0].mean() / 255.0, abs=1e-6
             )
     assert n_prog >= 2  # the mix really contains progressive files
+
+
+def test_progressive_jpeg_refinement_before_first_scan_refuses():
+    """A progressive file whose scan schedule starts at a refinement
+    (first DC/AC scans excised) must refuse: OR-ing refinement bits into
+    all-zero coefficients would pass the coverage guard and present
+    near-flat noise as real pixels."""
+    from streamsum_spark.operators import jpeg
+
+    g = _jpeg_gradient()[:, :, 0]
+    blob = jpeg.encode_jpeg_progressive(g, quality=85)
+    # entropy bytes can never contain FF DA (FF is stuffed), so scan
+    # boundaries split cleanly; gray scan order is
+    # [DC first, AC(1,5), AC(6,63), DC refine, AC ref(1,5), AC ref(6,63)]
+    parts = blob.split(b"\xff\xda")
+    assert len(parts) == 7
+    # drop the three FIRST-pass scans: the stream now opens on DC refine
+    mut = parts[0] + b"\xff\xda" + b"\xff\xda".join(parts[4:])
+    with pytest.raises(ValueError, match="refinement before DC scan"):
+        jpeg.decode_jpeg(mut)
+    # drop only the DC first scan: the stream opens on an AC scan
+    mut2 = parts[0] + b"\xff\xda" + b"\xff\xda".join(parts[2:])
+    with pytest.raises(ValueError, match="AC scan before DC scan"):
+        jpeg.decode_jpeg(mut2)

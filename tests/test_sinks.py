@@ -838,22 +838,31 @@ def test_salted_accumulate_spreads_hot_key_and_preserves_semantics(spark, tmp_pa
     """Opt-in n_salt (round-7): a celebrity key carrying 50% of the rows
     must spread across >1 bucket as salted partials, while the LOGICAL
     table (read_state_table, lookup_state_keys) and exactly-once replay
-    stay byte-identical to the unsalted layout."""
+    stay byte-identical to the unsalted layout.  The salt is
+    deterministic (content + epoch marker — NOT partition id), so a
+    redelivered epoch re-routes identically; spread accrues across
+    epochs (within one epoch a key's identical delta rows collapse to
+    one partial anyway)."""
     import os
 
     import pyspark.sql.functions as F
+    import pytest
 
-    rows = [(1, 1)] * 4000 + [(k, 1) for k in range(2, 402) for _ in range(10)]
-    deltas = spark.createDataFrame(rows, "k long, c long").repartition(8)
     salted, plain = str(tmp_path / "s"), str(tmp_path / "p")
-    sinks.accumulate_batch(
-        spark, salted, deltas, ["k"], ["c"], n_buckets=16, n_salt=4,
-        epoch_id=0, run_id="r",
-    )
-    sinks.accumulate_batch(
-        spark, plain, deltas, ["k"], ["c"], n_buckets=16,
-        epoch_id=0, run_id="r",
-    )
+
+    def epoch_rows(e):
+        return [(1, e + 1)] * 2000 + [(k, e + 1) for k in range(2, 202) for _ in range(5)]
+
+    for e in range(4):
+        deltas = spark.createDataFrame(epoch_rows(e), "k long, c long").repartition(8)
+        sinks.accumulate_batch(
+            spark, salted, deltas, ["k"], ["c"], n_buckets=16, n_salt=4,
+            epoch_id=e, run_id="r",
+        )
+        sinks.accumulate_batch(
+            spark, plain, deltas, ["k"], ["c"], n_buckets=16,
+            epoch_id=e, run_id="r",
+        )
     # the hot key's PHYSICAL partials sit in more than one bucket
     phys = spark.read.parquet(salted).where(F.col("k") == 1)
     hot_buckets = {r.kb for r in phys.select("kb").distinct().collect()}
@@ -863,26 +872,19 @@ def test_salted_accumulate_spreads_hot_key_and_preserves_semantics(spark, tmp_pa
     want = {(r.k, r.c) for r in sinks.read_state_table(spark, plain).collect()}
     got = {(r.k, r.c) for r in sinks.read_state_table(spark, salted).collect()}
     assert got == want
-    assert ("_salt") not in sinks.read_state_table(spark, salted).columns
+    assert "_salt" not in sinks.read_state_table(spark, salted).columns
     # point lookup merges the partials: one row, the full sum
     lk = sinks.lookup_state_keys(spark, salted, ["k"], [(1,), (2,)]).collect()
-    assert {(r.k, r.c) for r in lk} == {(1, 4000), (2, 10)}
-    # replay of the same epoch is still exactly once
+    assert {(r.k, r.c) for r in lk} == {(1, 2000 * 10), (2, 5 * 10)}
+    # replay of an already-applied epoch is still exactly once: the
+    # deterministic salt re-routes the redelivered rows to the SAME
+    # buckets, whose markers no-op them
+    deltas = spark.createDataFrame(epoch_rows(3), "k long, c long").repartition(8)
     sinks.accumulate_batch(
         spark, salted, deltas, ["k"], ["c"], n_buckets=16, n_salt=4,
-        epoch_id=0, run_id="r",
+        epoch_id=3, run_id="r",
     )
     assert {(r.k, r.c) for r in sinks.read_state_table(spark, salted).collect()} == want
-    # a second epoch folds in on top of the partials
-    sinks.accumulate_batch(
-        spark, salted, deltas, ["k"], ["c"], n_buckets=16, n_salt=4,
-        epoch_id=1, run_id="r",
-    )
-    assert {
-        (r.k, r.c) for r in sinks.read_state_table(spark, salted).collect()
-    } == {(k, 2 * c) for k, c in want}
     # layout contract: mixing salted and unsalted merges is refused
-    import pytest
-
     with pytest.raises(ValueError, match="n_salt"):
         sinks.accumulate_batch(spark, salted, deltas, ["k"], ["c"], n_buckets=16)

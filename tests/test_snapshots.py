@@ -616,46 +616,50 @@ def test_sync_offset_survives_marker_cap(spark, tmp_path, monkeypatch):
 
 def test_salted_snapshot_accumulate_parity_with_sinks_layer(spark, tmp_path):
     """n_salt on the MVCC layer (round-7 parity with
-    sinks.accumulate_batch): hot key spreads across >1 bucket as salted
-    partials; read_snapshot and lookup_snapshot_keys return the logical
-    table; replay exactly-once; rebucket carries the salted-layout
-    fields forward; upserts into a salted table refuse."""
+    sinks.accumulate_batch): deterministic content+marker salt, hot key
+    spreads across >1 bucket as partials accrue over epochs,
+    read_snapshot and lookup_snapshot_keys return the logical table,
+    replay exactly-once, rebucket carries the salted-layout fields
+    forward, and upserts / change_feed / salt mismatches refuse."""
     import pyspark.sql.functions as F
 
-    rows = [(1, 1)] * 2000 + [(k, 1) for k in range(2, 202) for _ in range(10)]
-    deltas = spark.createDataFrame(rows, "k long, c long").repartition(8)
     salted, plain = str(tmp_path / "s"), str(tmp_path / "p")
-    for path, ns in ((salted, 4), (plain, None)):
+
+    def epoch_rows(e):
+        return [(1, e + 1)] * 1000 + [(k, e + 1) for k in range(2, 102) for _ in range(5)]
+
+    for e in range(4):
+        deltas = spark.createDataFrame(epoch_rows(e), "k long, c long").repartition(8)
         snapshots.snapshot_accumulate(
-            spark, path, deltas, ["k"], ["c"], n_buckets=16, n_salt=ns,
-            epoch_id=0, run_id="r",
+            spark, salted, deltas, ["k"], ["c"], n_buckets=16, n_salt=4,
+            epoch_id=e, run_id="r",
         )
-    head, buckets = snapshots._resolve_buckets(salted, 1)
+        snapshots.snapshot_accumulate(
+            spark, plain, deltas, ["k"], ["c"], n_buckets=16,
+            epoch_id=e, run_id="r",
+        )
+    head, buckets = snapshots._resolve_buckets(salted, snapshots._latest_version(salted))
     assert head["n_salt"] == 4 and head["sum_cols"] == ["c"]
     files = [
         os.path.join(salted, f"kb={b}", n) for b, names in buckets.items() for n in names
     ]
     phys = spark.read.option("basePath", salted).parquet(*files).where(F.col("k") == 1)
     assert phys.select("kb").distinct().count() > 1
+    assert phys.count() > 1
     want = {(r.k, r.c) for r in snapshots.read_snapshot(spark, plain).collect()}
     got = {(r.k, r.c) for r in snapshots.read_snapshot(spark, salted).collect()}
     assert got == want and "_salt" not in snapshots.read_snapshot(spark, salted).columns
     lk = snapshots.lookup_snapshot_keys(spark, salted, ["k"], [(1,), (2,)]).collect()
-    assert {(r.k, r.c) for r in lk} == {(1, 2000), (2, 10)}
-    # replay no-ops; a second epoch folds onto the partials
+    assert {(r.k, r.c) for r in lk} == {(1, 1000 * 10), (2, 5 * 10)}
+    # replay no-ops (deterministic salt re-routes identically)
+    deltas = spark.createDataFrame(epoch_rows(3), "k long, c long").repartition(8)
     snapshots.snapshot_accumulate(
         spark, salted, deltas, ["k"], ["c"], n_buckets=16, n_salt=4,
-        epoch_id=0, run_id="r",
+        epoch_id=3, run_id="r",
     )
     assert {(r.k, r.c) for r in snapshots.read_snapshot(spark, salted).collect()} == want
-    snapshots.snapshot_accumulate(
-        spark, salted, deltas, ["k"], ["c"], n_buckets=16, n_salt=4,
-        epoch_id=1, run_id="r",
-    )
-    assert {
-        (r.k, r.c) for r in snapshots.read_snapshot(spark, salted).collect()
-    } == {(k, 2 * c) for k, c in want}
-    # layout contract: salt mismatch and upsert-into-salted refuse
+    # layout contract: salt mismatch, upsert-into-salted, and
+    # change_feed (per-salt partials would poison the feed) all refuse
     with pytest.raises(ValueError, match="n_salt"):
         snapshots.snapshot_accumulate(spark, salted, deltas, ["k"], ["c"], n_buckets=16)
     with pytest.raises(ValueError, match="n_salt"):
@@ -664,11 +668,14 @@ def test_salted_snapshot_accumulate_parity_with_sinks_layer(spark, tmp_path):
             spark.createDataFrame([(1, 5, 0)], "k long, c long, _salt int"),
             ["k", "_salt"], "c", n_buckets=16,
         )
+    with pytest.raises(ValueError, match="change_feed"):
+        snapshots.snapshot_accumulate(
+            spark, salted, deltas, ["k"], ["c"], n_buckets=16, n_salt=4,
+            epoch_id=4, run_id="r", change_feed=True,
+        )
     # rebucket is a layout commit: salted fields carry forward, reads
     # still merge partials
     snapshots.rebucket_snapshot_table(spark, salted, 8)
     head2 = snapshots._load_manifest(salted, snapshots._latest_version(salted))
     assert head2["n_salt"] == 4 and head2["combine"] == "sum"
-    assert {
-        (r.k, r.c) for r in snapshots.read_snapshot(spark, salted).collect()
-    } == {(k, 2 * c) for k, c in want}
+    assert {(r.k, r.c) for r in snapshots.read_snapshot(spark, salted).collect()} == want
