@@ -443,9 +443,13 @@ def bloom_might_contain(
     against a Bloom relation: (key, might_contain) — true iff ALL k bit
     positions are set; an absent word is all-zeros.
 
-    The filter side broadcasts while m/32 rows fit (the default is 2 KB);
-    a 10-GB production filter flips the hint and the same plan runs as a
-    shuffle join on ``word`` — membership stays one join either way,
+    The filter relation carries NO broadcast hint: AQE broadcasts it
+    while m/32 rows measure small (the default is 2 KB) and degrades to
+    a shuffle join on ``word`` for a production-sized filter — Spark's
+    8 GiB broadcast hard limit means a forced hint would turn a 10-GB
+    filter into a job failure, so the plan choice is left to the
+    runtime (shuffle degradation pinned at threshold -1 in
+    tests/test_text_plans.py).  Membership stays one join either way,
     never a driver-side structure."""
     pr = (
         _hash_pair(probes.select("key"), "key")
@@ -457,7 +461,7 @@ def bloom_might_contain(
         )
     )
     return (
-        pr.join(F.broadcast(bloom), "word", "left")
+        pr.join(bloom, "word", "left")
         .groupBy("key")
         .agg(
             F.min(

@@ -309,8 +309,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
 
     Shape: one token explode feeds BOTH the per-(doc, term) counts and
     (via a second aggregation over the same persisted relation) the
-    document frequencies; the df relation is vocabulary-sized and
-    broadcasts back.  ln() of an integer ratio is the same libm call in
+    document frequencies; the df relation is vocabulary-sized —
+    UNBOUNDED in corpus size (typos/numbers/junk make web-scale
+    vocabularies billions of rows), so it carries NO broadcast hint:
+    AQE broadcasts it when it measures small and degrades to a shuffle
+    join on ``t`` otherwise (pinned at threshold -1 in
+    tests/test_text_plans.py).  ln() of an integer ratio is the same libm call in
     both engines for these magnitudes — pinned by the value-hash oracle
     with round(6).  Deterministic tie-break on the term string."""
     from pyspark.sql import Window
@@ -325,7 +329,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     )
     n_docs = tf.select("doc_id").distinct().count()
     df = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(df), "t").select(
+    scored = tf.join(df, "t").select(
         "doc_id",
         "t",
         F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
@@ -363,8 +367,11 @@ def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-data pipeline (an outlier score: high = unlike the corpus).
 
     Two aggregations over one persisted bigram relation (LM counts +
-    per-doc scoring join); the LM tables are vocabulary-sized and
-    broadcast.  Output: avg negative log-probability per bigram,
+    per-doc scoring join); the LM relation is distinct-bigram-sized —
+    grows FASTER than the vocabulary and is unbounded in corpus size,
+    so the scoring join carries NO broadcast hint (AQE decides; shuffle
+    degradation pinned at threshold -1 in tests/test_text_plans.py).
+    Output: avg negative log-probability per bigram,
     round(6) for the cross-engine hash (each term is one ln() of a
     ratio of integers — same libm on both engines at these magnitudes).
     """
@@ -399,7 +406,7 @@ def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.log((F.col("c1") + F.lit(float(vocab))) / (F.col("c12") + 1.0))).alias("nll"),
     )
     return (
-        grams.join(F.broadcast(lm), ["w1", "w2"])
+        grams.join(lm, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(F.round(F.avg("nll"), 6).alias("avg_nll"))
     )

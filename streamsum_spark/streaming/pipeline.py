@@ -1018,7 +1018,7 @@ def stream_tfidf_top_terms(
     tf = read_state_table(spark, target)
     n_docs = tf.select("doc_id").distinct().count()
     df_rel = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(df_rel), "t").select(
+    scored = tf.join(df_rel, "t").select(
         "doc_id",
         "t",
         F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
@@ -1094,7 +1094,7 @@ def stream_bigram_perplexity(
         (F.log((F.col("c1") + F.lit(float(vocab))) / (F.col("c12") + 1.0))).alias("nll"),
     )
     return (
-        grams.join(F.broadcast(lm), ["w1", "w2"])
+        grams.join(lm, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(F.round(F.sum(F.col("c") * F.col("nll")) / F.sum("c"), 6).alias("avg_nll"))
     )
