@@ -319,9 +319,12 @@ def _decode_jpeg(b: bytes) -> np.ndarray:
                           ss, se, ah, al)
             saw_scan = True
             n_scans += 1
-            if n_scans > 4 * 64 * len(frame["comps"]):
-                # a file cannot need more scans than (bands x bits x
-                # comps); cap so a crafted scan list cannot loop decode
+            if n_scans > 64 * 14 * len(frame["comps"]):
+                # spec-legal worst case: up to 64 single-coefficient
+                # spectral bands x 14 successive-approximation passes
+                # (Al 0..13) per component — ~896 scans/comp (T.81
+                # G.1.1.1.2); cap above that so a crafted scan list
+                # cannot loop decode while extreme-but-valid files pass
                 raise ValueError("corrupt JPEG: too many scans")
     if frame is None or not saw_scan:
         raise ValueError("corrupt JPEG: no scan")

@@ -458,10 +458,38 @@ def _claim_manifest(mtmp: str, final: str, marker: str | None) -> None:
         os.replace(mtmp, final)  # own crashed replay: safe overwrite
         return
     os.unlink(mtmp)
+    # distinguish the two refusal cases for the operator: a manifest at
+    # a version the _latest pointer already covers means a concurrent
+    # writer COMMITTED (pointer swapped) — retry-from-head self-heals;
+    # a manifest ABOVE the pointer is claimed-but-unswapped: either an
+    # in-flight writer about to swap (retry succeeds once it does) or a
+    # crashed markerless writer's orphan that wedges every retry.  The
+    # two are indistinguishable without a lease (a "stale" claim may
+    # just be a slow writer whose swap would be silently lost if we
+    # reclaimed), so recovery from the crashed case is explicit:
+    # stop writers, run vacuum_snapshots(path) (it deletes manifests
+    # above the pointer), resume.  Marker-bearing writers self-heal by
+    # overwriting their OWN orphan above.
+    sdir = os.path.dirname(final)
+    try:
+        with open(os.path.join(sdir, _LATEST)) as fh:
+            ptr = int(fh.read().strip())
+    except (OSError, ValueError):
+        ptr = 0
+    claimed_v = int(os.path.basename(final)[1:-5])
+    if claimed_v > ptr:
+        raise SnapshotConflictError(
+            f"{final} is claimed but not committed (_latest={ptr}): a "
+            "concurrent writer is mid-commit (retrying from the head "
+            "succeeds once it swaps the pointer), or a crashed "
+            "markerless writer left an orphan that wedges every retry "
+            "at this version. If conflicts persist with no writer "
+            "running: stop all writers, run vacuum_snapshots(path) to "
+            "delete the orphan, then resume."
+        )
     raise SnapshotConflictError(
         f"{final} already exists: another writer committed this version "
-        "concurrently (retrying from the new head), or a crashed "
-        "markerless commit left an orphan (vacuum_snapshots reclaims it)"
+        "concurrently — retrying from the new head"
     )
 
 
@@ -1012,6 +1040,21 @@ def sync_from_changes(
         applied = set(dst_head["applied"])
         offsets = dict(dst_head.get("cdc_offsets") or {})
     start = int(offsets.get(run_id, 0))
+    # legacy seed: a destination synced BEFORE cdc_offsets existed
+    # carries only markers, and past _MANIFEST_CAP applied versions the
+    # evicted ones would look unapplied and be RE-applied (resurrecting
+    # keys a later tombstone deleted).  The walk is ordered, so the
+    # HIGHEST applied marker for this source proves every lower version
+    # was applied or skipped in an earlier sync — seed the offset there.
+    prefix = f"{run_id}:"
+    marker_vs = [
+        int(m[len(prefix):])
+        for m in applied
+        if m.startswith(prefix) and m[len(prefix):].isdigit()
+    ]
+    if marker_vs:
+        start = max(start, max(marker_vs))
+    persisted = int(offsets.get(run_id, 0))
     n = 0
     for v in range(start + 1, latest + 1):
         # the walk is in order, so by the time v commits every version
@@ -1029,8 +1072,48 @@ def sync_from_changes(
             epoch_id=v, run_id=run_id,
             extra_fields={"cdc_offsets": {**offsets, run_id: v}},
         )
+        persisted = v
         n += 1
+    if latest > persisted and _latest_version(dst_path) is not None:
+        # every version in (persisted, latest] was SKIPPED (layout-only
+        # no_data_change commits, marker-applied versions, or the legacy
+        # seed above) — no upsert carried the offset forward, so without
+        # this a caught-up sync re-reads every source manifest above the
+        # stored offset on each call (and a legacy destination re-seeds
+        # from the marker scan forever).  Persist offset=latest with a
+        # data-free commit.
+        try:
+            _retry_conflicts(
+                lambda: _advance_cdc_offsets_once(
+                    spark, dst_path, {run_id: latest}
+                ),
+                2,
+            )
+        except SnapshotConflictError:
+            pass  # pure optimization: the next sync re-derives and retries
     return n
+
+
+def _advance_cdc_offsets_once(
+    spark: SparkSession, dst_path: str, offsets: dict[str, int]
+) -> None:
+    """Persist advanced consumer offsets with a DATA-FREE commit: no
+    generation files move (touched=[]), the head's layout and offsets
+    carry forward (_commit merges cdc_offsets per-consumer with max, so
+    a concurrent sync from another source never regresses), and the
+    commit is marked ``no_data_change`` so this destination's own change
+    feed and downstream syncs skip the version."""
+    latest = _latest_version(dst_path)
+    if latest is None:
+        return
+    head, buckets = _resolve_buckets(dst_path, latest)
+    _commit(
+        spark, dst_path, lambda tmp: os.makedirs(tmp, exist_ok=True), [],
+        head, buckets, head["n_buckets"], head["bucket_cols"],
+        marker=None, checkpoint_interval=10,
+        schema_json=head.get("schema"),
+        extra_fields={"cdc_offsets": offsets, "no_data_change": True},
+    )
 
 
 def stream_accumulate_snapshot(

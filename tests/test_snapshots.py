@@ -554,7 +554,11 @@ def test_conflict_without_retry_raises_loudly(spark, tmp_path):
     orphan = {**m1, "version": 2, "parent": 1, "full": False, "applied": []}
     with open(snapshots._manifest_path(path, 2), "w") as fh:
         json.dump(orphan, fh)
-    with pytest.raises(snapshots.SnapshotConflictError, match="another writer"):
+    # the orphan sits ABOVE the _latest pointer: the error must name the
+    # claimed-but-unswapped case and its recovery (stop writers, vacuum)
+    with pytest.raises(
+        snapshots.SnapshotConflictError, match="claimed but not committed"
+    ):
         snapshots.snapshot_upsert(
             spark, path, _mk(spark, B2), ["k"], "o", n_buckets=8, retries=0
         )
@@ -679,3 +683,91 @@ def test_salted_snapshot_accumulate_parity_with_sinks_layer(spark, tmp_path):
     head2 = snapshots._load_manifest(salted, snapshots._latest_version(salted))
     assert head2["n_salt"] == 4 and head2["combine"] == "sum"
     assert {(r.k, r.c) for r in snapshots.read_snapshot(spark, salted).collect()} == want
+
+
+def test_sync_offset_advances_past_trailing_skipped_versions(spark, tmp_path):
+    """A caught-up sync whose newest source versions were all SKIPPED
+    (layout-only no_data_change commits) persists offset=latest with a
+    data-free commit instead of stalling below them — so the next sync
+    loads ZERO source manifests rather than re-reading every version
+    above the stalled offset on each call."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    for b in (B1, B2):
+        snapshots.snapshot_upsert(
+            spark, src, _mk(spark, b), ["k"], "o", n_buckets=4, change_feed=True
+        )
+    assert snapshots.sync_from_changes(spark, src, dst, ["k"]) == 2
+    run_id = f"cdc:{os.path.abspath(src)}"
+    # two trailing layout-only versions (v3, v4): nothing to apply
+    snapshots.rebucket_snapshot_table(spark, src, 8)
+    snapshots.rebucket_snapshot_table(spark, src, 16)
+    assert snapshots.sync_from_changes(spark, src, dst, ["k"]) == 0
+    head = snapshots._load_manifest(dst, snapshots._latest_version(dst))
+    assert head["cdc_offsets"] == {run_id: 4}  # advanced past the skips
+    assert head.get("no_data_change")  # the advance commit moved no data
+    # dst data unchanged by the advance commit
+    assert {
+        (r.k, r.v, r.o)
+        for r in snapshots.read_snapshot(spark, dst).select("k", "v", "o").collect()
+    } == AFTER_B2
+    # caught up: the walk now starts AT latest — no src manifest loads
+    loads = []
+    orig = snapshots._load_manifest
+
+    def counting(path, v):
+        if os.path.abspath(path) == os.path.abspath(src):
+            loads.append(v)
+        return orig(path, v)
+
+    snapshots._load_manifest, _ld = counting, snapshots._load_manifest
+    try:
+        assert snapshots.sync_from_changes(spark, src, dst, ["k"]) == 0
+    finally:
+        snapshots._load_manifest = _ld
+    assert loads == []  # offset == latest: zero source manifests re-read
+
+
+def test_sync_legacy_destination_seeds_offset_from_markers(spark, tmp_path, monkeypatch):
+    """A destination synced before cdc_offsets existed (markers only,
+    early ones already evicted by the cap) must NOT re-apply evicted
+    versions on first run after upgrade — the resurrection case the
+    offset exists to prevent.  The highest surviving marker seeds the
+    offset, and the sync then persists it."""
+    monkeypatch.setattr(snapshots, "_MANIFEST_CAP", 3)
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    batches = [
+        [(1, 10, 1), (2, 20, 1)],
+        [(3, 30, 2)],
+        [(4, 40, 3)],
+        [(5, 50, 4)],
+    ]
+    for b in batches:
+        snapshots.snapshot_upsert(
+            spark, src, _mk(spark, b), ["k"], "o", n_buckets=4, change_feed=True
+        )
+    # v5 deletes key 2: re-applying evicted v1 would resurrect it
+    dels = spark.createDataFrame(
+        [(2, 0, 5, True)], "k long, v long, o long, _deleted boolean"
+    )
+    snapshots.snapshot_upsert(
+        spark, src, dels, ["k"], "o", n_buckets=4, change_feed=True
+    )
+    assert snapshots.sync_from_changes(spark, src, dst, ["k"]) == 5
+    # surgically de-upgrade the destination: strip cdc_offsets from the
+    # head manifest, leaving only the capped marker list (3 of 5 left)
+    import json
+
+    head_v = snapshots._latest_version(dst)
+    mpath = snapshots._manifest_path(dst, head_v)
+    with open(mpath) as fh:
+        m = json.load(fh)
+    assert m.pop("cdc_offsets") and len(m["applied"]) == 3
+    with open(mpath, "w") as fh:
+        json.dump(m, fh)
+    # first post-upgrade sync: nothing re-applied, key 2 stays deleted
+    assert snapshots.sync_from_changes(spark, src, dst, ["k"]) == 0
+    live = {r.k for r in snapshots.read_snapshot(spark, dst).collect()}
+    assert live == {1, 3, 4, 5}
+    head = snapshots._load_manifest(dst, snapshots._latest_version(dst))
+    run_id = f"cdc:{os.path.abspath(src)}"
+    assert head["cdc_offsets"] == {run_id: 5}  # seeded AND persisted
