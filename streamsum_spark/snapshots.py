@@ -23,8 +23,12 @@ standardized (reference semantics only; the code is original):
   map so readers reconstruct by walking at most ``checkpoint_interval``
   manifests (the Delta-log checkpoint recipe).
 - **Atomic pointer swap.** ``_snap/_latest`` names the current version
-  and is the ONLY mutable file; ``os.replace`` of a one-line file commits
-  every touched bucket at once.  Readers resolve the pointer once, then
+  and is the ONLY mutable file; an atomic replace of a one-line file
+  commits every touched bucket at once.  The replace — and the
+  put-if-absent manifest claim below — go through a pluggable
+  CommitBackend (commitio.py): POSIX link/rename by default, a
+  conditional-PUT contract for object stores; those two primitives are
+  the layer's ENTIRE storage requirement.  Readers resolve the pointer once, then
   read an immutable file set: no torn state, no missing-directory window,
   and a snapshot stays collectable even while later merges land
   (pinned: tests/test_snapshots.py::test_reader_isolated_from_later_commits).
@@ -57,6 +61,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from streamsum_spark import commitio
 
 from streamsum_spark.sinks import (
     _MANIFEST_CAP,
@@ -427,13 +433,16 @@ def _commit(
     ptmp = os.path.join(_snap_dir(path), f"._ptr-{commit_id}")
     with open(ptmp, "w") as fh:
         fh.write(str(version))
-    os.replace(ptmp, os.path.join(_snap_dir(path), _LATEST))  # THE commit
+    commitio.get_backend().replace(
+        ptmp, os.path.join(_snap_dir(path), _LATEST)
+    )  # THE commit
 
 
 def _claim_manifest(mtmp: str, final: str, marker: str | None) -> None:
     """Atomically claim manifest version ``final`` (put-if-absent via
-    hard link — the optimistic-concurrency point).  A manifest already
-    at that version means one of two things:
+    the commit backend — POSIX hard link by default, a conditional PUT
+    on object stores; see commitio.py for the exact storage contract).
+    A manifest already at that version means one of two things:
 
     - our OWN crashed attempt's orphan (same exactly-once marker: the
       commit was staged but the pointer swap never ran) — replaying the
@@ -442,12 +451,8 @@ def _claim_manifest(mtmp: str, final: str, marker: str | None) -> None:
       refuse with SnapshotConflictError so the caller re-reads the head
       and retries at the next version, instead of two writers silently
       racing the ``_latest`` replace."""
-    try:
-        os.link(mtmp, final)
-        os.unlink(mtmp)
+    if commitio.get_backend().put_if_absent(mtmp, final):
         return
-    except FileExistsError:
-        pass
     try:
         with open(final) as fh:
             orphan = json.load(fh)
@@ -455,7 +460,8 @@ def _claim_manifest(mtmp: str, final: str, marker: str | None) -> None:
     except (json.JSONDecodeError, OSError):
         orphan_marker = None
     if marker is not None and orphan_marker == marker:
-        os.replace(mtmp, final)  # own crashed replay: safe overwrite
+        # own crashed replay: safe overwrite
+        commitio.get_backend().replace(mtmp, final)
         return
     os.unlink(mtmp)
     # distinguish the two refusal cases for the operator: a manifest at
@@ -859,7 +865,9 @@ def vacuum_snapshots(path: str, keep_last: int = 2) -> dict:
         wtmp = os.path.join(_snap_dir(path), f"._minv-{uuid.uuid4().hex[:8]}")
         with open(wtmp, "w") as fh:
             fh.write(str(retained[0]))
-        os.replace(wtmp, os.path.join(_snap_dir(path), "_min_version"))
+        commitio.get_backend().replace(
+            wtmp, os.path.join(_snap_dir(path), "_min_version")
+        )
     needed_files: set[str] = set()
     needed_manifests: set[int] = set()
     for v in retained:

@@ -152,6 +152,26 @@ def test_accumulate_exactly_once_and_combine_modes(spark, tmp_path):
     assert snapshots.read_snapshot(spark, bp).collect()[0].bits == 0b0111
 
 
+@pytest.fixture(params=["posix", "condput"])
+def commit_backend(request):
+    """Run commit-protocol tests against BOTH storage primitive sets:
+    the POSIX default (hard-link claim + rename replace) and the
+    object-store-shaped conditional-PUT emulation (O_EXCL create, no
+    hard links) — proving the protocol relies only on the CommitBackend
+    contract in commitio.py, not on POSIX specifics."""
+    from streamsum_spark import commitio
+
+    backend = (
+        commitio.PosixCommitBackend()
+        if request.param == "posix"
+        else commitio.CondPutCommitBackend()
+    )
+    saved = commitio.get_backend()
+    commitio.set_backend(backend)
+    yield backend
+    commitio.set_backend(saved)
+
+
 def _install_crash(monkeypatch, crash_at: int):
     """Count os.rename (gen-file moves), the manifest claim
     (_claim_manifest — the put-if-absent link), and os.replace (pointer)
@@ -184,7 +204,7 @@ def _install_crash(monkeypatch, crash_at: int):
 
 @pytest.mark.parametrize("crash_at", [1, 2, 3, 4])
 def test_commit_crash_atomic_across_buckets_then_replay(
-    spark, tmp_path, monkeypatch, crash_at
+    spark, tmp_path, monkeypatch, crash_at, commit_backend
 ):
     """Crash at every syscall of a commit touching TWO buckets: the
     reader must see exactly the old snapshot (never one bucket new and
@@ -233,7 +253,9 @@ def test_commit_crash_atomic_across_buckets_then_replay(
 
 
 @pytest.mark.parametrize("crash_at", [2, 3, 4])
-def test_accumulate_crash_never_double_counts(spark, tmp_path, monkeypatch, crash_at):
+def test_accumulate_crash_never_double_counts(
+    spark, tmp_path, monkeypatch, crash_at, commit_backend
+):
     """SUM-merge: crash mid-commit (after a gen move / after the manifest
     replace, or AT the pointer swap itself), then replay the SAME epoch — the
     delta must fold in exactly once because marker and data share the
@@ -509,7 +531,7 @@ def test_stream_accumulate_snapshot_matches_batch_histogram(spark, tmp_path):
     assert got == batch
 
 
-def test_concurrent_writers_both_land(spark, tmp_path, monkeypatch):
+def test_concurrent_writers_both_land(spark, tmp_path, monkeypatch, commit_backend):
     """Optimistic concurrency: writer B commits BETWEEN writer A's head
     read and A's manifest claim.  A's put-if-absent hits B's manifest,
     raises SnapshotConflictError internally, and the retry re-merges
@@ -540,7 +562,7 @@ def test_concurrent_writers_both_land(spark, tmp_path, monkeypatch):
     assert _rows(snapshots.read_snapshot(spark, path)) == AFTER_B2 | {(9, 90, 2)}
 
 
-def test_conflict_without_retry_raises_loudly(spark, tmp_path):
+def test_conflict_without_retry_raises_loudly(spark, tmp_path, commit_backend):
     """A markerless orphan manifest at the target version (a crashed
     OTHER writer — indistinguishable from a live one) must refuse the
     commit rather than overwrite; vacuum reclaims the orphan and the
