@@ -719,7 +719,13 @@ def snapshot_accumulate(
     salt so a celebrity key's additive partials spread across up to
     n_salt buckets; the manifest records (n_salt, sum_cols, combine)
     and the salt-aware reads (read_snapshot, lookup_snapshot_keys)
-    merge the partials back — the logical table is unchanged."""
+    merge the partials back — the logical table is unchanged.
+
+    ``change_feed`` composes with ``n_salt``: the feed records each
+    batch key's MERGED post-image (partials combined across every salt
+    variant, including those in buckets this commit didn't touch),
+    never per-salt partials — a downstream consumer sees exactly the
+    rows an unsalted twin would emit, pinned in tests/test_snapshots.py."""
     _retry_conflicts(
         lambda: _snapshot_accumulate_once(
             spark, path, deltas, key_cols, sum_cols, combine, n_buckets,
@@ -737,15 +743,8 @@ def _snapshot_accumulate_once(
 ) -> None:
     agg_fn = {"sum": F.sum, "min": F.min, "max": F.max, "bit_or": F.bit_or}[combine]
     marker = None if epoch_id is None else f"{run_id or ''}:{epoch_id}"
+    okeys = list(key_cols)
     if n_salt is not None:
-        if change_feed:
-            raise ValueError(
-                "change_feed does not compose with n_salt: the feed would "
-                "record per-salt PARTIAL rows as post-images and a "
-                "non-salt-aware consumer would keep one arbitrary partial "
-                "as the key's value — merge the partials into an unsalted "
-                "derived table instead"
-            )
         # deterministic per-row salt (content + epoch marker), same
         # contract as sinks.accumulate_batch: replays and the
         # touched-collect/write double evaluation must route identically
@@ -777,9 +776,51 @@ def _snapshot_accumulate_once(
     changes = None
     if change_feed:
         reduced = reduced.localCheckpoint()
-        changes = reduced.drop("kb").join(
-            upd.select(*key_cols).distinct(), key_cols, "left_semi"
-        )
+        if n_salt is None:
+            changes = reduced.drop("kb").join(
+                upd.select(*key_cols).distinct(), key_cols, "left_semi"
+            )
+        else:
+            # a salted table's feed must record the key's MERGED value,
+            # never per-salt partials (a non-salt-aware consumer would
+            # keep one arbitrary partial as the post-image).  The commit
+            # already holds the new partials for the TOUCHED buckets in
+            # ``reduced``; a batch key's other partials (earlier epochs'
+            # salts routed elsewhere) sit in UNtouched buckets of the
+            # still-current head — enumerate each batch key's n_salt
+            # variants, route them, read only those extra buckets, and
+            # combine.  Cost: O(batch keys x n_salt) routing rows plus
+            # at most n_salt extra bucket reads — the same bound as a
+            # salt-aware lookup, and the driver sees only bucket IDs.
+            bkeys = upd.select(*okeys).distinct()
+            variants = bkeys.crossJoin(
+                spark.range(n_salt).select(F.col("id").cast("int").alias(SALT_COL))
+            )
+            t_set = set(touched)
+            other_ids = sorted(
+                r.kb
+                for r in _with_kb(variants, bcols, n_buckets)
+                .select("kb").distinct().collect()
+                if r.kb not in t_set
+            )
+            files = [
+                os.path.join(path, f"kb={b}", name)
+                for b in other_ids
+                for name in buckets.get(str(b), [])
+            ]
+            allp = reduced.drop("kb").join(bkeys, okeys, "left_semi").select(
+                *okeys, *sum_cols
+            )
+            if files:
+                old_part = (
+                    spark.read.option("basePath", path).parquet(*files)
+                    .join(bkeys, okeys, "left_semi")
+                    .select(*okeys, *sum_cols)
+                )
+                allp = allp.unionByName(old_part)
+            changes = allp.groupBy(*okeys).agg(
+                *[agg_fn(c).cast("long").alias(c) for c in sum_cols]
+            )
     _commit(
         spark, path, _bucket_writer(reduced, key_cols), touched, head,
         buckets, n_buckets, bcols, marker, checkpoint_interval,

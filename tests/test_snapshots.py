@@ -684,8 +684,7 @@ def test_salted_snapshot_accumulate_parity_with_sinks_layer(spark, tmp_path):
         epoch_id=3, run_id="r",
     )
     assert {(r.k, r.c) for r in snapshots.read_snapshot(spark, salted).collect()} == want
-    # layout contract: salt mismatch, upsert-into-salted, and
-    # change_feed (per-salt partials would poison the feed) all refuse
+    # layout contract: salt mismatch and upsert-into-salted refuse
     with pytest.raises(ValueError, match="n_salt"):
         snapshots.snapshot_accumulate(spark, salted, deltas, ["k"], ["c"], n_buckets=16)
     with pytest.raises(ValueError, match="n_salt"):
@@ -694,17 +693,25 @@ def test_salted_snapshot_accumulate_parity_with_sinks_layer(spark, tmp_path):
             spark.createDataFrame([(1, 5, 0)], "k long, c long, _salt int"),
             ["k", "_salt"], "c", n_buckets=16,
         )
-    with pytest.raises(ValueError, match="change_feed"):
-        snapshots.snapshot_accumulate(
-            spark, salted, deltas, ["k"], ["c"], n_buckets=16, n_salt=4,
-            epoch_id=4, run_id="r", change_feed=True,
-        )
+    # change_feed composes with n_salt (round 8): the feed version
+    # records MERGED post-images — since this batch touches every key,
+    # the feed equals the whole post-commit logical table
+    pre = snapshots._latest_version(salted)
+    snapshots.snapshot_accumulate(
+        spark, salted, deltas, ["k"], ["c"], n_buckets=16, n_salt=4,
+        epoch_id=4, run_id="r", change_feed=True,
+    )
+    ch = snapshots.snapshot_changes(spark, salted, from_version=pre)
+    assert "_salt" not in ch.columns
+    after4 = {(r.k, r.c) for r in snapshots.read_snapshot(spark, salted).collect()}
+    assert {(r.k, r.c) for r in ch.collect()} == after4
+    assert (1, 1000 * 10 + 1000 * 4) in after4  # hot key merged, not a partial
     # rebucket is a layout commit: salted fields carry forward, reads
     # still merge partials
     snapshots.rebucket_snapshot_table(spark, salted, 8)
     head2 = snapshots._load_manifest(salted, snapshots._latest_version(salted))
     assert head2["n_salt"] == 4 and head2["combine"] == "sum"
-    assert {(r.k, r.c) for r in snapshots.read_snapshot(spark, salted).collect()} == want
+    assert {(r.k, r.c) for r in snapshots.read_snapshot(spark, salted).collect()} == after4
 
 
 def test_sync_offset_advances_past_trailing_skipped_versions(spark, tmp_path):
@@ -793,3 +800,61 @@ def test_sync_legacy_destination_seeds_offset_from_markers(spark, tmp_path, monk
     head = snapshots._load_manifest(dst, snapshots._latest_version(dst))
     run_id = f"cdc:{os.path.abspath(src)}"
     assert head["cdc_offsets"] == {run_id: 5}  # seeded AND persisted
+
+
+def test_salted_change_feed_emits_merged_post_images(spark, tmp_path):
+    """change_feed now composes with n_salt (it used to refuse): every
+    feed version must carry the key's MERGED value — identical rows to
+    an unsalted twin fed the same epochs — even though the salted
+    table's physical rows are per-salt partials spread across buckets
+    this commit didn't touch.  A downstream sync from the salted feed
+    then lands the same table as one from the unsalted feed."""
+    salted, plain = str(tmp_path / "s"), str(tmp_path / "p")
+
+    def epoch_rows(e):
+        # hot key 1 (spreads over salts) + a cold key per epoch
+        return [(1, 10)] * 400 + [(100 + e, 7)]
+
+    for e in range(3):
+        deltas = spark.createDataFrame(epoch_rows(e), "k long, c long").repartition(8)
+        snapshots.snapshot_accumulate(
+            spark, salted, deltas, ["k"], ["c"], n_buckets=16, n_salt=4,
+            epoch_id=e, run_id="r", change_feed=True,
+        )
+        snapshots.snapshot_accumulate(
+            spark, plain, deltas, ["k"], ["c"], n_buckets=16,
+            epoch_id=e, run_id="r", change_feed=True,
+        )
+    # precondition: the hot key really is salted across >1 physical row
+    _, buckets = snapshots._resolve_buckets(salted, snapshots._latest_version(salted))
+    files = [
+        os.path.join(salted, f"kb={b}", n) for b, names in buckets.items() for n in names
+    ]
+    phys = spark.read.option("basePath", salted).parquet(*files).where(F.col("k") == 1)
+    assert phys.count() > 1
+    # per-version feed parity with the unsalted twin: merged post-images
+    for v in (1, 2, 3):
+        got = {
+            (r.k, r.c)
+            for r in snapshots.snapshot_changes(
+                spark, salted, from_version=v - 1, to_version=v
+            ).collect()
+        }
+        want = {
+            (r.k, r.c)
+            for r in snapshots.snapshot_changes(
+                spark, plain, from_version=v - 1, to_version=v
+            ).collect()
+        }
+        assert got == want, (v, got, want)
+        assert (1, 400 * 10 * v) in got  # the hot key's FULL merged value
+    # no _salt column ever reaches a consumer
+    feed = snapshots.snapshot_changes(spark, salted, from_version=0)
+    assert "_salt" not in feed.columns
+    # downstream materialization from the salted feed == from the plain
+    d1, d2 = str(tmp_path / "d1"), str(tmp_path / "d2")
+    assert snapshots.sync_from_changes(spark, salted, d1, ["k"]) == 3
+    snapshots.sync_from_changes(spark, plain, d2, ["k"])
+    got = {(r.k, r.c) for r in snapshots.read_snapshot(spark, d1).select("k", "c").collect()}
+    want = {(r.k, r.c) for r in snapshots.read_snapshot(spark, d2).select("k", "c").collect()}
+    assert got == want
