@@ -230,6 +230,13 @@ def main() -> None:
     spreads: dict[str, float] = {}
     # warm the JVM + parquet footers with one tiny action
     QUERIES["extract_events"](spark, SF_DIR).limit(1).collect()
+    # warm the Python-worker pool + Arrow batch path (mapInPandas):
+    # daemon fork, pandas import, and Arrow codegen otherwise land in
+    # multimodal_decode's first timed run (r7 spread 4.5x was exactly
+    # this — JIT noise, not codec cost)
+    from streamsum_spark.operators import multimodal as _mm
+
+    _materialize(_mm.extract_features(_mm.synthetic_media(spark, n=8)))
 
     load_before = os.getloadavg()
     for name in HEADLINE:
@@ -246,21 +253,29 @@ def main() -> None:
         spreads[name] = round(max(runs) / max(min(runs), 1e-9), 2)
     load_after = os.getloadavg()
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "runs_per_query": 3,
-                "spread": spreads,
-                "loadavg_before": [round(x, 2) for x in load_before],
-                "loadavg_after": [round(x, 2) for x in load_after],
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "runs_per_query": 3,
+        "spread": spreads,
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in load_after],
+    }
+    # ride-along scale-factor sweep (tools/scale_sweep.py): one sf1.0
+    # datapoint per query so the per-round artifact carries scaling
+    # SLOPES, not just one scale's absolute times
+    sweep_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BENCH_SF1_SWEEP.json")
+    if os.path.exists(sweep_path):
+        try:
+            with open(sweep_path) as fh:
+                out["sf_sweep"] = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            pass
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

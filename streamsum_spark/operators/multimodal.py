@@ -333,10 +333,12 @@ def decode_image(content: bytes) -> np.ndarray:
     codec libs), JPEG — baseline SOF0/SOF1 AND progressive SOF2 with
     spectral selection + successive approximation (grayscale / YCbCr,
     4:4:4 / 4:2:2 / 4:2:0 / 4:4:0 subsampling, restart intervals —
-    operators/jpeg.py, written from ITU-T T.81), and GIF (87a/89a LZW
-    incl. interlace, first frame — operators/gif.py).  Remaining codecs
-    (arithmetic-coded JPEG, WebP, ...) raise NotImplementedError: a
-    fake decode would misreport pixel stats."""
+    operators/jpeg.py, written from ITU-T T.81), GIF (87a/89a LZW
+    incl. interlace, first frame — operators/gif.py), and lossless WebP
+    (VP8L: prefix codes, color cache, LZ77 2D backrefs, all four
+    transforms — operators/webp.py, written from RFC 9649).  Remaining
+    codecs (arithmetic-coded JPEG, lossy VP8, ...) raise
+    NotImplementedError: a fake decode would misreport pixel stats."""
     if content is None:
         raise ValueError("null content")
     b = bytes(content)
@@ -354,6 +356,10 @@ def decode_image(content: bytes) -> np.ndarray:
         from streamsum_spark.operators.gif import decode_gif
 
         return decode_gif(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        from streamsum_spark.operators.webp import decode_webp
+
+        return decode_webp(b)  # VP8L lossless; lossy VP8 refuses inside
     raise NotImplementedError("compressed image codecs not available in this environment")
 
 
@@ -561,7 +567,9 @@ def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
             return False, None, None, None, _fake_feature(content)
         b = bytes(content)
         try:
-            if b[:4] in (b"RIFF", b"fLaC"):
+            # RIFF is a shared container: WAVE routes to audio, WEBP to
+            # the image path (VP8L decodes; lossy VP8 falls back below)
+            if b[:4] == b"RIFF" and b[8:12] == b"WAVE" or b[:4] == b"fLaC":
                 samples, rate = decode_audio(b)
                 return True, None, None, int(samples.shape[1]), _audio_feature(samples, rate)
             px = decode_image(b)

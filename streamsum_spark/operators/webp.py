@@ -1,0 +1,744 @@
+"""WebP lossless (VP8L) decoder in pure stdlib + numpy — no codec libs.
+
+Written from the public WebP Lossless Bitstream Specification (RFC 9649
+/ the webp container spec) the way jpeg.py was written from T.81 and the
+PNG decoder from RFC 2083.  Covered surface:
+
+- RIFF/WEBP container walk: bare ``VP8L`` files and extended ``VP8X``
+  containers whose image chunk is VP8L.  Lossy ``VP8 `` payloads raise
+  NotImplementedError (the VP8 intra codec — boolean coder + DCT + loop
+  filter — is a different spec; a fake decode would misreport pixel
+  stats, same refusal contract as multimodal.py's other codecs).
+- The VP8L entropy layer: canonical prefix codes (simple 1/2-symbol and
+  full code-length-coded forms with 16/17/18 repeats and the optional
+  max_symbol early-out), LSB-first bit reader with DEFLATE-style
+  MSB-first code packing, per-tile meta prefix codes, color cache
+  (0x1e35a7bd multiplicative hash), and LZ77 backward references with
+  the 120-entry two-dimensional distance mapping.  The distance table
+  is GENERATED from its definition — the 120 closest (dx, dy ∈
+  dx -7..8, dy 0..7, dy>0 or dx>0) offsets ordered by euclidean
+  distance, ties by larger dy first, positive dx before negative —
+  which reproduces the spec's listed table exactly (sanity-pinned
+  against its first entries in tests).
+- All four transforms, inverse-applied in reverse bitstream order:
+  predictor (14 modes incl. Select and the ClampAddSubtract pair, with
+  the spec's flat-array edge semantics), cross-color (signed 3.5
+  fixed-point deltas), subtract-green, and color indexing incl. the
+  packed-pixel widths for palettes of ≤ 16 colors.
+
+Validation posture: decode(encode(x)) == x roundtrips across all
+transforms (``encode_webp_lossless`` below quantizes nothing — VP8L is
+lossless, so roundtrips are byte-exact), crafted bitstreams pin the
+color-cache and backward-reference paths, and mutation fuzz pins the
+hostile-input bounds.  No externally-encoded VP8L file ships in this
+environment (the stdlib test asset is lossy VP8), so — unlike the JPEG
+path, which is pinned against Java ImageIO — cross-implementation
+validation for VP8L remains encoder/decoder-symmetric; the docstring
+says so rather than overclaiming.
+
+Hostile-input posture matches gif.py: declared dimensions are capped
+before allocation (≤ _MAX_DECODED_BYTES), every prefix-code read is
+bounded by the stored bytes, backward references are range-checked, and
+malformed structure raises ValueError.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_MAX_DECODED_BYTES = 16 * 1024 * 1024
+
+# code-length-code read order (spec: "kCodeLengthCodeOrder")
+_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+
+def _distance_map() -> list[tuple[int, int]]:
+    """The 120 short-distance (dx, dy) offsets, generated from their
+    definition instead of transcribing the spec's table: every offset
+    with dx in [-7, 8], dy in [0, 7], pointing at an already-decoded
+    pixel (dy > 0, or dy == 0 and dx > 0) — exactly 120 such — ordered
+    by euclidean distance, larger dy first within ties, positive dx
+    before its negative twin."""
+    cands = [
+        (dx, dy)
+        for dy in range(8)
+        for dx in range(-7, 9)
+        if dy > 0 or dx > 0
+    ]
+    cands.sort(key=lambda p: (p[0] ** 2 + p[1] ** 2, -p[1], -(p[0] > 0), abs(p[0])))
+    assert len(cands) == 120
+    return cands
+
+
+_DIST_MAP = _distance_map()
+
+
+class _Bits:
+    """LSB-first bit reader over the VP8L payload."""
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0  # bit position
+
+    def read(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            byte = self.pos >> 3
+            if byte >= len(self.d):
+                raise ValueError("truncated VP8L stream")
+            v |= ((self.d[byte] >> (self.pos & 7)) & 1) << i
+            self.pos += 1
+        return v
+
+
+class _Prefix:
+    """Canonical prefix code (DEFLATE numbering): codes assigned in
+    order of (length, symbol); the stream stores each code MSB-first,
+    so the decoder accumulates left-shifted bits."""
+
+    def __init__(self, lengths: list[int]):
+        self.single = None
+        nz = [(l, s) for s, l in enumerate(lengths) if l > 0]
+        if not nz:
+            raise ValueError("empty prefix code")
+        if len(nz) == 1:
+            self.single = nz[0][1]
+            return
+        # completeness (kraft == 1) — an over/under-subscribed code is
+        # corrupt and could otherwise loop the decode
+        kraft = sum(2 ** -l for l, _ in nz)
+        if abs(kraft - 1.0) > 1e-9:
+            raise ValueError("invalid prefix code (kraft sum != 1)")
+        # standard canonical construction (length-major, then symbol)
+        self.table: dict[tuple[int, int], int] = {}
+        next_code = 0
+        prev_len = 0
+        for l, s in sorted(nz):
+            next_code <<= l - prev_len
+            self.table[(l, next_code)] = s
+            next_code += 1
+            prev_len = l
+        self.max_len = max(l for l, _ in nz)
+
+    def decode(self, br: _Bits) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        for l in range(1, self.max_len + 1):
+            code = (code << 1) | br.read(1)
+            s = self.table.get((l, code))
+            if s is not None:
+                return s
+        raise ValueError("invalid prefix code word")
+
+
+def _read_prefix_code(br: _Bits, alphabet_size: int) -> _Prefix:
+    if br.read(1):  # simple code: 1 or 2 symbols
+        num = br.read(1) + 1
+        first_8 = br.read(1)
+        s0 = br.read(8 if first_8 else 1)
+        lengths = [0] * alphabet_size
+        if num == 1:
+            if s0 >= alphabet_size:
+                raise ValueError("simple-code symbol out of range")
+            lengths[s0] = 1  # single-symbol: decode consumes 0 bits
+            p = _Prefix.__new__(_Prefix)
+            p.single = s0
+            return p
+        s1 = br.read(8)
+        if s0 >= alphabet_size or s1 >= alphabet_size or s0 == s1:
+            raise ValueError("simple-code symbols out of range")
+        lengths[s0] = lengths[s1] = 1
+        return _Prefix(lengths)
+    # full form: code-length code, then run-length-coded lengths
+    n_cl = 4 + br.read(4)
+    if n_cl > len(_CL_ORDER):
+        raise ValueError("bad code-length count")
+    cl_lengths = [0] * 19
+    for i in range(n_cl):
+        cl_lengths[_CL_ORDER[i]] = br.read(3)
+    cl_code = _Prefix(cl_lengths)
+    if br.read(1):  # limited number of coded symbols
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    prev = 8
+    sym = 0
+    while sym < alphabet_size:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        cl = cl_code.decode(br)
+        if cl < 16:
+            lengths[sym] = cl
+            sym += 1
+            if cl:
+                prev = cl
+        elif cl == 16:
+            for _ in range(3 + br.read(2)):
+                if sym >= alphabet_size:
+                    raise ValueError("prefix repeat overruns alphabet")
+                lengths[sym] = prev
+                sym += 1
+        elif cl == 17:
+            sym += 3 + br.read(3)
+        else:  # 18
+            sym += 11 + br.read(7)
+        if sym > alphabet_size:
+            raise ValueError("prefix repeat overruns alphabet")
+    return _Prefix(lengths)
+
+
+def _lz77_value(code: int, br: _Bits) -> int:
+    """Shared length/distance prefix decoding: code -> value with the
+    spec's (2 + (code & 1)) << extra  offset scheme."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+class _Group:
+    __slots__ = ("g", "r", "b", "a", "d")
+
+    def __init__(self, br: _Bits, cache_size: int):
+        self.g = _read_prefix_code(br, 256 + 24 + cache_size)
+        self.r = _read_prefix_code(br, 256)
+        self.b = _read_prefix_code(br, 256)
+        self.a = _read_prefix_code(br, 256)
+        self.d = _read_prefix_code(br, 40)
+
+
+def _decode_entropy_image(
+    br: _Bits, w: int, h: int, is_main: bool
+) -> np.ndarray:
+    """One entropy-coded ARGB image (the spec's 'spatially-coded image'
+    when is_main, else a transform/meta subimage): optional color cache,
+    optional per-tile meta prefix codes (main image only), prefix-coded
+    literals, LZ77 backrefs, cache hits.  Returns uint32 (h, w) ARGB."""
+    if w <= 0 or h <= 0 or w * h * 4 > _MAX_DECODED_BYTES:
+        raise ValueError("VP8L dimensions out of bounds")
+    meta = None
+    meta_bits = 0
+    n_groups = 1
+    if is_main and br.read(1):  # meta prefix codes
+        meta_bits = 2 + br.read(3)
+        mw = (w + (1 << meta_bits) - 1) >> meta_bits
+        mh = (h + (1 << meta_bits) - 1) >> meta_bits
+        meta_img = _decode_entropy_image(br, mw, mh, False)
+        meta = ((meta_img >> 8) & 0xFFFF).astype(np.int64)  # (red<<8)|green
+        n_groups = int(meta.max()) + 1
+    cache_bits = 0
+    if br.read(1):
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("bad color-cache size")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    cache = [0] * cache_size
+    groups = [_Group(br, cache_size) for _ in range(n_groups)]
+    out = np.zeros(w * h, dtype=np.uint32)
+    pos = 0
+    total = w * h
+
+    def insert(argb: int) -> None:
+        if cache_bits:
+            cache[(0x1E35A7BD * argb & 0xFFFFFFFF) >> (32 - cache_bits)] = argb
+
+    while pos < total:
+        if meta is not None:
+            x, y = pos % w, pos // w
+            grp = groups[int(meta[y >> meta_bits, (x >> meta_bits)])]
+        else:
+            grp = groups[0]
+        s = grp.g.decode(br)
+        if s < 256:  # literal: G, R, B, A
+            r = grp.r.decode(br)
+            b = grp.b.decode(br)
+            a = grp.a.decode(br)
+            argb = (a << 24) | (r << 16) | (s << 8) | b
+            out[pos] = argb
+            insert(argb)
+            pos += 1
+        elif s < 256 + 24:  # backward reference
+            length = _lz77_value(s - 256, br)
+            dist_code = _lz77_value(grp.d.decode(br), br)
+            if dist_code > 120:
+                dist = dist_code - 120
+            else:
+                dx, dy = _DIST_MAP[dist_code - 1]
+                dist = dy * w + dx
+                if dist < 1:
+                    dist = 1
+            if dist > pos or pos + length > total:
+                raise ValueError("backward reference out of range")
+            for _ in range(length):
+                argb = int(out[pos - dist])
+                out[pos] = argb
+                insert(argb)
+                pos += 1
+        else:  # color-cache hit
+            if not cache_bits:
+                raise ValueError("cache hit without color cache")
+            idx = s - 256 - 24
+            if idx >= cache_size:
+                raise ValueError("color-cache index out of range")
+            out[pos] = cache[idx]
+            pos += 1
+    return out.reshape(h, w)
+
+
+# ---- inverse transforms ---------------------------------------------
+
+def _avg2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return (a.astype(np.uint16) + b.astype(np.uint16)) >> 1
+
+
+def _channels(argb: int) -> np.ndarray:
+    return np.array(
+        [(argb >> 24) & 0xFF, (argb >> 16) & 0xFF, (argb >> 8) & 0xFF, argb & 0xFF],
+        dtype=np.int32,
+    )
+
+
+def _predict(mode: int, L, T, TL, TR) -> np.ndarray:
+    """One predicted pixel as a 4-vector (A, R, G, B) of uint8-range
+    ints; L/T/TL/TR are 4-vectors.  Modes per the spec's table."""
+    if mode == 0:
+        return np.array([0xFF, 0, 0, 0], dtype=np.int32)
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return _avg2(_avg2(L, TR), T).astype(np.int32)
+    if mode == 6:
+        return _avg2(L, TL).astype(np.int32)
+    if mode == 7:
+        return _avg2(L, T).astype(np.int32)
+    if mode == 8:
+        return _avg2(TL, T).astype(np.int32)
+    if mode == 9:
+        return _avg2(T, TR).astype(np.int32)
+    if mode == 10:
+        return _avg2(_avg2(L, TL), _avg2(T, TR)).astype(np.int32)
+    if mode == 11:  # Select
+        p = L + T - TL
+        pl = int(np.abs(p - L).sum())
+        pt = int(np.abs(p - T).sum())
+        return L if pl < pt else T
+    if mode == 12:  # ClampAddSubtractFull
+        return np.clip(L + T - TL, 0, 255)
+    if mode == 13:  # ClampAddSubtractHalf
+        ave = _avg2(L, T).astype(np.int32)
+        # C-style truncation toward zero for the signed half-delta
+        d = ave - TL
+        return np.clip(ave + np.trunc(d / 2).astype(np.int32), 0, 255)
+    raise ValueError(f"bad predictor mode {mode}")
+
+
+def _inverse_predictor(px: np.ndarray, modes: np.ndarray, bits: int) -> None:
+    """In-place: px is (h, w, 4) int32 residuals -> actual values.  Flat
+    array semantics per the spec: pixel 0 predicts black, rest of row 0
+    uses L, column 0 uses T; TR of the last column is the first pixel of
+    the current row (flat index i - w + 1)."""
+    h, w, _ = px.shape
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = np.array([0xFF, 0, 0, 0], dtype=np.int32)
+            elif y == 0:
+                pred = px[0, x - 1]
+            elif x == 0:
+                pred = px[y - 1, 0]
+            else:
+                mode = int(modes[y >> bits, x >> bits])
+                L = px[y, x - 1]
+                T = px[y - 1, x]
+                TL = px[y - 1, x - 1]
+                TR = px[y, 0] if x == w - 1 else px[y - 1, x + 1]
+                pred = _predict(mode, L, T, TL, TR)
+            px[y, x] = (px[y, x] + pred) & 0xFF
+
+
+def _inverse_color_transform(px: np.ndarray, cte: np.ndarray, bits: int) -> None:
+    """In-place cross-color inverse: the transform image pixel stores
+    red_to_blue in RED, green_to_blue in GREEN, green_to_red in BLUE;
+    each is a signed 3.5 fixed-point multiplier, delta = (t * c) >> 5
+    on sign-extended int8 values."""
+    h, w, _ = px.shape
+    ty = np.arange(h) >> bits
+    tx = np.arange(w) >> bits
+    tiles = cte[np.ix_(ty, tx)]  # (h, w) uint32
+    g2r = ((tiles & 0xFF).astype(np.int32) ^ 0x80) - 0x80
+    g2b = (((tiles >> 8) & 0xFF).astype(np.int32) ^ 0x80) - 0x80
+    r2b = (((tiles >> 16) & 0xFF).astype(np.int32) ^ 0x80) - 0x80
+    g = ((px[:, :, 2] ^ 0x80) - 0x80).astype(np.int32)
+    px[:, :, 1] = (px[:, :, 1] + ((g2r * g) >> 5)) & 0xFF
+    r = ((px[:, :, 1] ^ 0x80) - 0x80).astype(np.int32)
+    px[:, :, 3] = (px[:, :, 3] + ((g2b * g) >> 5) + ((r2b * r) >> 5)) & 0xFF
+
+
+def _decode_vp8l(payload: bytes) -> np.ndarray:
+    if not payload or payload[0] != 0x2F:
+        raise ValueError("bad VP8L signature")
+    br = _Bits(payload)
+    br.pos = 8
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)  # alpha-is-used hint
+    if br.read(3) != 0:
+        raise ValueError("unknown VP8L version")
+    if w * h * 4 > _MAX_DECODED_BYTES:
+        raise ValueError("VP8L dimensions out of bounds")
+    transforms = []  # (type, data) in bitstream order
+    seen = set()
+    dec_w = w  # width shrinks under color-indexing packing
+    while br.read(1):
+        ttype = br.read(2)
+        if ttype in seen:
+            raise ValueError("duplicate VP8L transform")
+        seen.add(ttype)
+        if ttype in (0, 1):  # predictor / cross-color
+            bits = 2 + br.read(3)
+            tw = (dec_w + (1 << bits) - 1) >> bits
+            th = (h + (1 << bits) - 1) >> bits
+            img = _decode_entropy_image(br, tw, th, False)
+            transforms.append((ttype, (bits, img)))
+        elif ttype == 2:  # subtract-green
+            transforms.append((2, None))
+        else:  # color indexing
+            n_colors = br.read(8) + 1
+            pal_img = _decode_entropy_image(br, n_colors, 1, False)
+            # palette entries are component-wise delta-coded
+            pal = pal_img[0].astype(np.uint32)
+            acc = np.zeros(4, dtype=np.uint32)
+            entries = []
+            for p in pal:
+                acc = (acc + _channels(int(p)).astype(np.uint32)) & 0xFF
+                entries.append(
+                    (int(acc[0]) << 24) | (int(acc[1]) << 16)
+                    | (int(acc[2]) << 8) | int(acc[3])
+                )
+            if n_colors <= 2:
+                wbits = 3
+            elif n_colors <= 4:
+                wbits = 2
+            elif n_colors <= 16:
+                wbits = 1
+            else:
+                wbits = 0
+            transforms.append((3, (np.array(entries, dtype=np.uint32), wbits)))
+            if wbits:
+                dec_w = (dec_w + (1 << wbits) - 1) >> wbits
+    argb = _decode_entropy_image(br, dec_w, h, True)
+    # inverse transforms, reverse bitstream order
+    for ttype, data in reversed(transforms):
+        if ttype == 3:
+            pal, wbits = data
+            if wbits:
+                per = 1 << wbits  # pixels packed per green byte
+                ibits = 8 >> wbits
+                g = ((argb >> 8) & 0xFF).astype(np.uint32)
+                idx = np.zeros((h, argb.shape[1] * per), dtype=np.uint32)
+                for k in range(per):
+                    idx[:, k::per] = (g >> (k * ibits)) & ((1 << ibits) - 1)
+                idx = idx[:, :w]
+            else:
+                idx = (argb >> 8) & 0xFF
+            oob = idx >= len(pal)
+            lut = np.concatenate([pal, np.zeros(1, dtype=np.uint32)])
+            argb = lut[np.where(oob, len(pal), idx)]
+        elif ttype == 2:
+            g = (argb >> 8) & 0xFF
+            r = (((argb >> 16) & 0xFF) + g) & 0xFF
+            b = ((argb & 0xFF) + g) & 0xFF
+            argb = (argb & 0xFF00FF00) | (r << 16) | b
+        else:
+            ch = np.empty((h, argb.shape[1], 4), dtype=np.int32)
+            ch[:, :, 0] = (argb >> 24) & 0xFF
+            ch[:, :, 1] = (argb >> 16) & 0xFF
+            ch[:, :, 2] = (argb >> 8) & 0xFF
+            ch[:, :, 3] = argb & 0xFF
+            bits, img = data
+            if ttype == 0:
+                _inverse_predictor(ch, (img >> 8) & 0xFF, bits)
+            else:
+                _inverse_color_transform(ch, img, bits)
+            argb = (
+                (ch[:, :, 0].astype(np.uint32) << 24)
+                | (ch[:, :, 1].astype(np.uint32) << 16)
+                | (ch[:, :, 2].astype(np.uint32) << 8)
+                | ch[:, :, 3].astype(np.uint32)
+            )
+    if argb.shape != (h, w):
+        raise ValueError("transform output dimensions mismatch")
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    out[:, :, 0] = (argb >> 16) & 0xFF
+    out[:, :, 1] = (argb >> 8) & 0xFF
+    out[:, :, 2] = argb & 0xFF
+    return out
+
+
+def decode_webp(b: bytes) -> np.ndarray:
+    """Decode a lossless WebP blob to (h, w, 3) uint8 RGB.  Lossy VP8
+    payloads refuse with NotImplementedError; malformed input raises
+    ValueError."""
+    b = bytes(b)
+    try:
+        if len(b) < 20 or b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+            raise ValueError("not a WEBP RIFF container")
+        i = 12
+        while i + 8 <= len(b):
+            tag = b[i : i + 4]
+            (n,) = struct.unpack("<I", b[i + 4 : i + 8])
+            body = b[i + 8 : i + 8 + n]
+            if len(body) < n:
+                raise ValueError("truncated WEBP chunk")
+            if tag == b"VP8L":
+                return _decode_vp8l(body)
+            if tag == b"VP8 ":
+                raise NotImplementedError(
+                    "lossy VP8 webp not supported (boolean-coder intra codec)"
+                )
+            i += 8 + n + (n & 1)  # chunks are 2-byte aligned
+        raise ValueError("no image chunk in WEBP container")
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"corrupt WEBP: {type(e).__name__}") from e
+
+
+# ---- fixture encoder -------------------------------------------------
+
+class _BitWriter:
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n):
+            self.bits.append((value >> i) & 1)
+
+    def write_code(self, code: int, length: int) -> None:
+        """Prefix codes pack MSB-first (DEFLATE convention)."""
+        for i in range(length - 1, -1, -1):
+            self.bits.append((code >> i) & 1)
+
+    def bytes(self) -> bytes:
+        out = bytearray((len(self.bits) + 7) // 8)
+        for i, bit in enumerate(self.bits):
+            out[i >> 3] |= bit << (i & 7)
+        return bytes(out)
+
+
+def _write_flat8_code(bw: _BitWriter) -> None:
+    """A complete 256-symbol code with every length 8 (canonical code ==
+    symbol value), written via a two-symbol {8, 16} code-length code:
+    '8' once, then repeat-previous (16) runs."""
+    bw.write(0, 1)  # not simple
+    bw.write(12 - 4, 4)  # 12 code-length slots: covers order idx of 16 and 8
+    for sym in _CL_ORDER[:12]:
+        bw.write(1 if sym in (8, 16) else 0, 3)
+    # '8' once, then repeat-previous (16) runs covering the other 255.
+    # max_symbol = the EXACT count of code-length symbols written: the
+    # reader's loop is bounded by the alphabet size (280 for green with
+    # 24 length codes), so without the early-out it would misread the
+    # next code's bits as further lengths.
+    runs = []
+    remaining = 255
+    while remaining >= 3:
+        take = min(6, remaining)
+        if remaining - take in (1, 2):  # leave a legal (>=3) last run
+            take = remaining - 3
+        runs.append(take)
+        remaining -= take
+    n_syms = 1 + len(runs) + remaining
+    bw.write(1, 1)  # use max_symbol
+    bw.write(3, 3)  # length_nbits = 2 + 2*3 = 8
+    bw.write(n_syms - 2, 8)
+    # cl-code canonical: symbol 8 -> 0, symbol 16 -> 1 (1 bit each)
+    bw.write_code(0, 1)  # '8'
+    for take in runs:
+        bw.write_code(1, 1)  # '16': repeat previous
+        bw.write(take - 3, 2)
+    for _ in range(remaining):
+        bw.write_code(0, 1)
+
+
+def _write_simple_single(bw: _BitWriter, symbol: int) -> None:
+    bw.write(1, 1)  # simple
+    bw.write(0, 1)  # one symbol
+    if symbol < 2:
+        bw.write(0, 1)
+        bw.write(symbol, 1)
+    else:
+        bw.write(1, 1)
+        bw.write(symbol, 8)
+
+
+def _write_literal_image(bw: _BitWriter, argb: np.ndarray, is_main: bool) -> None:
+    """Entropy-code an ARGB image as pure literals: flat 8-bit G/R/B
+    codes, single-symbol alpha (the image's constant alpha) and
+    distance codes, no cache, no meta codes."""
+    h, w = argb.shape
+    alphas = np.unique((argb >> 24) & 0xFF)
+    if is_main:
+        bw.write(0, 1)  # no meta prefix codes
+    bw.write(0, 1)  # no color cache
+    _write_flat8_code(bw)  # green
+    _write_flat8_code(bw)  # red
+    _write_flat8_code(bw)  # blue
+    if len(alphas) == 1:
+        _write_simple_single(bw, int(alphas[0]))  # alpha: 0 bits/pixel
+    else:
+        _write_flat8_code(bw)  # varying alpha (delta-coded palettes)
+    _write_simple_single(bw, 0)  # distance (never used)
+    flat = argb.reshape(-1)
+    for p in flat:
+        p = int(p)
+        bw.write_code((p >> 8) & 0xFF, 8)  # green first
+        bw.write_code((p >> 16) & 0xFF, 8)
+        bw.write_code(p & 0xFF, 8)
+        if len(alphas) != 1:
+            bw.write_code((p >> 24) & 0xFF, 8)
+
+
+def _apply_predictor_forward(px: np.ndarray, mode: int, bits: int) -> np.ndarray:
+    """Residuals for a uniform predictor mode — the encoder-side twin of
+    _inverse_predictor (same edge rules, so roundtrip is exact)."""
+    h, w, _ = px.shape
+    out = np.empty_like(px)
+    recon = px.astype(np.int32)
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = np.array([0xFF, 0, 0, 0], dtype=np.int32)
+            elif y == 0:
+                pred = recon[0, x - 1]
+            elif x == 0:
+                pred = recon[y - 1, 0]
+            else:
+                L = recon[y, x - 1]
+                T = recon[y - 1, x]
+                TL = recon[y - 1, x - 1]
+                TR = recon[y, 0] if x == w - 1 else recon[y - 1, x + 1]
+                pred = _predict(mode, L, T, TL, TR)
+            out[y, x] = (recon[y, x] - pred) & 0xFF
+    return out
+
+
+def encode_webp_lossless(
+    px: np.ndarray, transform: str | None = None, predictor_mode: int = 2
+) -> bytes:
+    """Encode (h, w, 3) uint8 RGB as a valid VP8L file — the test
+    fixture, small and obviously correct over compact (pure literals
+    with flat 8-bit codes; ~3.4 bytes/pixel).  ``transform`` exercises
+    one decoder inverse-transform path: None, 'subtract_green',
+    'predictor' (uniform ``predictor_mode`` over one whole-image block),
+    or 'palette' (image must have ≤ 256 distinct colors; ≤ 16 exercises
+    packed indices)."""
+    px = np.asarray(px, dtype=np.uint8)
+    h, w, _ = px.shape
+    argb = (
+        (np.uint32(0xFF) << 24)
+        | (px[:, :, 0].astype(np.uint32) << 16)
+        | (px[:, :, 1].astype(np.uint32) << 8)
+        | px[:, :, 2].astype(np.uint32)
+    )
+    bw = _BitWriter()
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)  # no alpha
+    bw.write(0, 3)  # version
+    if transform == "subtract_green":
+        bw.write(1, 1)
+        bw.write(2, 2)
+        g = (argb >> 8) & 0xFF
+        r = (((argb >> 16) & 0xFF) - g) & 0xFF
+        b = ((argb & 0xFF) - g) & 0xFF
+        argb = (argb & 0xFF00FF00) | (r << 16) | b
+    elif transform == "predictor":
+        bw.write(1, 1)
+        bw.write(0, 2)
+        # one block covering the whole image: bits chosen so the
+        # subimage is 1x1
+        bits = max(2, (max(w, h) - 1).bit_length())
+        bw.write(bits - 2, 3)
+        mode_img = np.full((1, 1), (0xFF << 24) | (predictor_mode << 8), np.uint32)
+        _write_literal_image(bw, mode_img, False)
+        ch = np.empty((h, w, 4), dtype=np.int32)
+        ch[:, :, 0] = (argb >> 24) & 0xFF
+        ch[:, :, 1] = (argb >> 16) & 0xFF
+        ch[:, :, 2] = (argb >> 8) & 0xFF
+        ch[:, :, 3] = argb & 0xFF
+        res = _apply_predictor_forward(ch, predictor_mode, bits)
+        argb = (
+            (res[:, :, 0].astype(np.uint32) << 24)
+            | (res[:, :, 1].astype(np.uint32) << 16)
+            | (res[:, :, 2].astype(np.uint32) << 8)
+            | res[:, :, 3].astype(np.uint32)
+        )
+    elif transform == "palette":
+        colors = np.unique(argb.reshape(-1))
+        n = len(colors)
+        if n > 256:
+            raise ValueError("palette transform needs <= 256 colors")
+        bw.write(1, 1)
+        bw.write(3, 2)
+        bw.write(n - 1, 8)
+        # delta-code the palette entries component-wise
+        deltas = np.empty(n, dtype=np.uint32)
+        prev = np.zeros(4, dtype=np.int64)
+        for i, c in enumerate(colors):
+            cur = _channels(int(c)).astype(np.int64)
+            d = (cur - prev) & 0xFF
+            deltas[i] = (
+                (int(d[0]) << 24) | (int(d[1]) << 16) | (int(d[2]) << 8) | int(d[3])
+            )
+            prev = cur
+        _write_literal_image(bw, deltas.reshape(1, n), False)
+        lut = {int(c): i for i, c in enumerate(colors)}
+        idx = np.vectorize(lambda v: lut[int(v)])(argb).astype(np.uint32)
+        if n <= 2:
+            wbits = 3
+        elif n <= 4:
+            wbits = 2
+        elif n <= 16:
+            wbits = 1
+        else:
+            wbits = 0
+        if wbits:
+            per = 1 << wbits
+            ibits = 8 >> wbits
+            pw = (w + per - 1) // per
+            packed = np.zeros((h, pw), dtype=np.uint32)
+            for k in range(per):
+                col = idx[:, k::per]
+                packed[:, : col.shape[1]] |= col << (k * ibits)
+            argb = (np.uint32(0xFF) << 24) | (packed << 8)
+        else:
+            argb = (np.uint32(0xFF) << 24) | (idx << 8)
+    elif transform is not None:
+        raise ValueError(f"unknown transform {transform}")
+    bw.write(0, 1)  # transform-list terminator
+    _write_literal_image(bw, argb, True)
+    payload = bw.bytes()
+    riff_size = 4 + 8 + len(payload) + (len(payload) & 1)
+    out = (
+        b"RIFF"
+        + struct.pack("<I", riff_size)
+        + b"WEBP"
+        + b"VP8L"
+        + struct.pack("<I", len(payload))
+        + payload
+    )
+    if len(payload) & 1:
+        out += b"\x00"
+    return out

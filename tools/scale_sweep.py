@@ -1,0 +1,215 @@
+#!/usr/bin/env python
+"""Scale-factor sweep: synthesize sf1.0 (10x sf0.1) and measure the
+headline queries at BOTH scales, recording per-query scaling slopes.
+
+Why (round-8 verdict item 2): the 2x perf envelope had only ever been
+measured at one scale — a query whose cost grows super-linearly in data
+size (e.g. a window whose key cardinality saturates, quadratic candidate
+growth in a bucketed join) is invisible at a single point and painful at
+a real scale-up.  One extra datapoint at 10x turns the envelope into a
+slope.
+
+Data synthesis: each fact table is replicated FACTOR times with all
+primary/foreign keys shifted by a per-table power-of-ten stride, so
+every copy is referentially intact (joins match within a copy, never
+across) and key cardinality grows 10x like a real corpus — NOT 10 rows
+per key.  Dimension tables (region, nation) stay fixed, as they do at
+any real scale.  documents/embeddings replicate with shifted ids and
+identical payloads (10 exact-duplicate families per doc — realistic for
+web text, and stresses dedup exactly where scale hurts).
+
+Usage:
+    python tools/scale_sweep.py [--factor 10] [--runs 2] \
+        [--src /root/testdata/sf0.1] [--out /tmp/streamsum_sf1.0]
+
+Writes BENCH_SF1_SWEEP.json at the repo root; bench.py embeds it in the
+per-round BENCH line (key "sf_sweep") so the sweep rides along in
+BENCH_r{N}.json.  Interpretation guide: at factor F, slope <= ~1.2*F is
+linear-with-overhead (healthy); slopes well below F mean fixed costs
+dominate at the small scale (also healthy); anything >> F is flagged
+"superlinear" and needs a plan note.  multimodal_decode generates a
+fixed 600-blob batch, so its slope is ~1.0 BY DESIGN (sf-independent).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# (table, [id columns to shift]) — shifted by k * stride(table) per copy
+_SHIFTS: dict[str, list[str]] = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+_DIMS = ("region", "nation")
+
+# FK columns share the referenced table's stride so references stay intact
+_STRIDE_OF = {
+    "c_custkey": "customer",
+    "o_orderkey": "orders",
+    "o_custkey": "customer",
+    "l_orderkey": "orders",
+    "l_partkey": "part",
+    "l_suppkey": "supplier",
+    "p_partkey": "part",
+    "s_suppkey": "supplier",
+    "event_id": "events",
+    "user_id": "events",
+    "doc_id": "documents",
+    "vec_id": "embeddings",
+}
+
+
+def _stride(spark, src: str, tbl: str, id_col: str) -> int:
+    from pyspark.sql import functions as F
+
+    mx = (
+        spark.read.parquet(os.path.join(src, f"{tbl}.parquet"))
+        .agg(F.max(id_col))
+        .collect()[0][0]
+    )
+    s = 10
+    while s <= int(mx):
+        s *= 10
+    return s
+
+
+def synthesize(spark, src: str, out: str, factor: int) -> None:
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from streamsum_spark.tables import table
+
+    os.makedirs(out, exist_ok=True)
+    strides: dict[str, int] = {}
+    for tbl, cols in _SHIFTS.items():
+        strides[tbl] = _stride(spark, src, tbl, cols[0])
+    for tbl in _DIMS:
+        spark.read.parquet(os.path.join(src, f"{tbl}.parquet")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, f"{tbl}.parquet"))
+    for tbl, cols in _SHIFTS.items():
+        # table() (not raw read) so events' nanos ts normalizes to a
+        # plain timestamp in the scaled copy
+        base = table(spark, src, tbl)
+        copies = []
+        for k in range(factor):
+            c = base
+            for col in cols:
+                c = c.withColumn(
+                    col, F.col(col) + F.lit(k * strides[_STRIDE_OF[col]])
+                )
+            copies.append(c)
+        scaled = reduce(lambda a, b: a.unionByName(b), copies)
+        n_files = max(4, min(32, 4 * factor))
+        scaled.repartition(n_files).write.mode("overwrite").parquet(
+            os.path.join(out, f"{tbl}.parquet")
+        )
+        print(f"  {tbl}: x{factor}", file=sys.stderr)
+
+
+def run_headline(spark, sf_dir: str, runs: int) -> dict[str, float]:
+    import bench
+
+    timings: dict[str, float] = {}
+    from streamsum_spark.entry_queries import QUERIES
+    from streamsum_spark.operators import relational as rel
+    from streamsum_spark.operators import similarity as sim
+    from streamsum_spark.operators import text as tx
+
+    extra = {
+        "agg_rollup_nation_region": rel.agg_rollup_nation_region,
+        "window_rownum_lastn": rel.window_rownum_lastn,
+        "text_token_counts": tx.text_token_counts,
+        "similarity_topk": sim.similarity_topk,
+        "bucketed_state_merge": bench.bucketed_state_merge,
+        "snapshot_state_merge": bench.snapshot_state_merge,
+        "multimodal_decode": bench.multimodal_decode,
+        "snapshot_read": bench.snapshot_read,
+    }
+    QUERIES["extract_events"](spark, sf_dir).limit(1).collect()
+    from streamsum_spark.operators import multimodal as mm
+
+    bench._materialize(mm.extract_features(mm.synthetic_media(spark, n=8)))
+    for name in bench.HEADLINE:
+        fn = QUERIES.get(name) or extra[name]
+        best = None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            bench._materialize(fn(spark, sf_dir))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+        print(f"  {name}: {timings[name]}s", file=sys.stderr)
+    return timings
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/tmp/streamsum_sf1.0")
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--skip-synth", action="store_true")
+    args = ap.parse_args()
+
+    from streamsum_spark.session import get_spark
+
+    spark = get_spark("streamsum_scale_sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    if not args.skip_synth:
+        print("synthesizing scaled tables...", file=sys.stderr)
+        synthesize(spark, args.src, args.out, args.factor)
+    print(f"headline @ base ({args.src})", file=sys.stderr)
+    base = run_headline(spark, args.src, args.runs)
+    print(f"headline @ {args.factor}x ({args.out})", file=sys.stderr)
+    target = run_headline(spark, args.out, args.runs)
+    slope = {
+        k: round(target[k] / max(base[k], 1e-9), 2) for k in base
+    }
+    flagged = sorted(
+        k
+        for k, s in slope.items()
+        if s > 1.2 * args.factor and k != "multimodal_decode"
+    )
+    sweep = {
+        "sf_base": 0.1,
+        "sf_target": round(0.1 * args.factor, 3),
+        "factor": args.factor,
+        "runs_per_query": args.runs,
+        "base_sec": base,
+        "target_sec": target,
+        "slope": slope,
+        "superlinear": flagged,
+        "note": (
+            "slope = t(target)/t(base) per query at factor "
+            f"{args.factor}; <= ~{1.2 * args.factor:.0f} is linear-with-"
+            "overhead, far below means fixed costs dominate the base "
+            "scale; multimodal_decode is sf-independent by design"
+        ),
+        "generated_unix": int(time.time()),
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
+    }
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_SF1_SWEEP.json",
+    )
+    with open(out_path, "w") as fh:
+        json.dump(sweep, fh, indent=1)
+    print(json.dumps({"superlinear": flagged, "slope": slope}))
+
+
+if __name__ == "__main__":
+    main()
