@@ -718,14 +718,17 @@ def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
 
 
 def synthetic_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic real-format media table for tests: BMP, PPM, PNG
-    (cycling all five row filters), and JPEG — alternating 4:4:4 and
-    4:2:0, alternating BASELINE and PROGRESSIVE encodings (most web
-    JPEGs over ~64 KB are progressive, so the default pipeline path
-    must exercise it) — images with gradient pixels, plus PCM WAV
-    tones; every blob decodes with the stdlib decoders above, no codec
-    libs needed."""
+    """Deterministic real-format media table for tests: BMP (every 6th
+    replaced by a lossless WebP since round 8 — VP8L cycling its
+    transforms, so the default pipeline exercises that decoder too),
+    PPM, PNG (cycling all five row filters), and JPEG — alternating
+    4:4:4 and 4:2:0, alternating BASELINE and PROGRESSIVE encodings
+    (most web JPEGs over ~64 KB are progressive, so the default
+    pipeline path must exercise it) — images with gradient pixels, plus
+    PCM WAV tones; every blob decodes with the stdlib decoders above,
+    no codec libs needed."""
     from streamsum_spark.operators.jpeg import encode_jpeg, encode_jpeg_progressive
+    from streamsum_spark.operators.webp import encode_webp_lossless
 
     rows = []
     for i in range(n):
@@ -738,7 +741,14 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
                 axis=2,
             ).astype(np.uint8)
             if kind == 0:
-                content, mime = encode_bmp(px), "image/bmp"
+                if (i // 3) % 2 == 1:
+                    tr = (None, "subtract_green", "predictor")[(i // 6) % 3]
+                    content, mime = (
+                        encode_webp_lossless(px, transform=tr),
+                        "image/webp",
+                    )
+                else:
+                    content, mime = encode_bmp(px), "image/bmp"
             elif (i // 3) % 2 == 0:
                 if (i // 3) % 4 == 0:
                     content, mime = encode_ppm(px), "image/x-portable-pixmap"

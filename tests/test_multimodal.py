@@ -77,8 +77,12 @@ def test_extract_features_codec_fallback_flagged(spark):
 
 def test_metadata_predicates_prune_without_touching_blobs(spark):
     media = mm.synthetic_media(spark, n=33)
-    imgs = media.where(mm.F.col("mime") == "image/bmp").select("media_id", "width")
+    # the kind-0 slot alternates BMP and (since round 8) lossless WebP
+    imgs = media.where(
+        mm.F.col("mime").isin("image/bmp", "image/webp")
+    ).select("media_id", "width")
     assert imgs.count() == 11
+    assert media.where(mm.F.col("mime") == "image/webp").count() >= 5
 
 
 def test_frame_sample_plan(spark):
