@@ -151,8 +151,9 @@ def snapshot_read(spark, sf_dir):
     """Headline for the MVCC READ path: read_snapshot (manifest resolve +
     generation-file scan) plus a 1000-key bucket-pruned
     lookup_snapshot_keys against a prebuilt 3-version snapshot table.
-    The build is memoized across the 3 timed runs, so the min-of-3
-    reflects the pure read cost (run 1 carries the build in its spread)."""
+    The build is memoized AND pre-run during warm-up (round 8), so all
+    three timed runs — and therefore the spread metric, not just the
+    min — measure the pure read cost."""
     import tempfile
     import uuid
 
@@ -237,6 +238,10 @@ def main() -> None:
     from streamsum_spark.operators import multimodal as _mm
 
     _materialize(_mm.extract_features(_mm.synthetic_media(spark, n=8)))
+    # pre-build snapshot_read's 3-version table: its first timed run
+    # otherwise carries the one-time build, inflating the spread metric
+    # (r7 spread 2.4x) without touching the min
+    snapshot_read(spark, SF_DIR).limit(1).collect()
 
     load_before = os.getloadavg()
     for name in HEADLINE:
