@@ -858,3 +858,68 @@ def test_salted_change_feed_emits_merged_post_images(spark, tmp_path):
     got = {(r.k, r.c) for r in snapshots.read_snapshot(spark, d1).select("k", "c").collect()}
     want = {(r.k, r.c) for r in snapshots.read_snapshot(spark, d2).select("k", "c").collect()}
     assert got == want
+
+
+def test_condput_partial_claim_orphan_recovers_via_vacuum(spark, tmp_path, monkeypatch):
+    """Emulation-only crash window of the conditional-PUT backend: a
+    writer that dies between the O_EXCL create and the body write leaves
+    a claimed-but-EMPTY manifest (a real store's conditional PUT is
+    atomic with its body, so this window exists only locally).  Every
+    subsequent writer — even the owner replaying its marker, since the
+    orphan is unparseable — must refuse with the claimed-but-unswapped
+    diagnosis, the table must stay readable at the old head, and the
+    documented recovery (stop writers -> vacuum -> retry) must work."""
+    from streamsum_spark import commitio
+
+    path = str(tmp_path / "t")
+    saved = commitio.get_backend()
+    commitio.set_backend(commitio.CondPutCommitBackend())
+    try:
+        snapshots.snapshot_upsert(
+            spark, path, _mk(spark, B1), ["k"], "o", n_buckets=8,
+            epoch_id=0, run_id="r",
+        )
+        real_open = os.open
+        state = {"arm": False}
+
+        def crashing_open(p, flags, *a):
+            # only the manifest claim, not unrelated O_EXCL opens
+            # (tempfile etc.) elsewhere in the commit
+            if (
+                state["arm"]
+                and (flags & os.O_EXCL)
+                and os.path.basename(str(p)).startswith("v0")
+                and str(p).endswith(".json")
+            ):
+                fd = real_open(p, flags, *a)
+                os.close(fd)  # claim landed, body never written
+                state["arm"] = False
+                raise OSError("injected crash after claim")
+            return real_open(p, flags, *a)
+
+        monkeypatch.setattr(os, "open", crashing_open)
+        state["arm"] = True
+        with pytest.raises(OSError, match="injected"):
+            snapshots.snapshot_upsert(
+                spark, path, _mk(spark, B2), ["k"], "o", n_buckets=8,
+                epoch_id=1, run_id="r",
+            )
+        monkeypatch.undo()
+        # empty orphan at v2: readers unaffected, all writers refuse
+        assert _rows(snapshots.read_snapshot(spark, path)) == AFTER_B1
+        with pytest.raises(
+            snapshots.SnapshotConflictError, match="claimed but not committed"
+        ):
+            snapshots.snapshot_upsert(
+                spark, path, _mk(spark, B2), ["k"], "o", n_buckets=8,
+                epoch_id=1, run_id="r", retries=2,
+            )
+        # documented recovery
+        snapshots.vacuum_snapshots(path, keep_last=2)
+        snapshots.snapshot_upsert(
+            spark, path, _mk(spark, B2), ["k"], "o", n_buckets=8,
+            epoch_id=1, run_id="r",
+        )
+        assert _rows(snapshots.read_snapshot(spark, path)) == AFTER_B2
+    finally:
+        commitio.set_backend(saved)
