@@ -76,21 +76,45 @@ _DIST_MAP = _distance_map()
 
 
 class _Bits:
-    """LSB-first bit reader over the VP8L payload."""
+    """LSB-first bit reader over the VP8L payload: an integer
+    accumulator refilled a byte at a time — O(1) per read, no per-bit
+    indexing (this is the decoder's hottest loop)."""
+
+    __slots__ = ("d", "i", "acc", "cnt")
 
     def __init__(self, data: bytes):
         self.d = data
-        self.pos = 0  # bit position
+        self.i = 0  # next byte
+        self.acc = 0
+        self.cnt = 0  # bits in acc
 
     def read(self, n: int) -> int:
-        v = 0
-        for i in range(n):
-            byte = self.pos >> 3
-            if byte >= len(self.d):
+        acc, cnt, i, d = self.acc, self.cnt, self.i, self.d
+        while cnt < n:
+            if i >= len(d):
                 raise ValueError("truncated VP8L stream")
-            v |= ((self.d[byte] >> (self.pos & 7)) & 1) << i
-            self.pos += 1
-        return v
+            acc |= d[i] << cnt
+            i += 1
+            cnt += 8
+        self.acc = acc >> n
+        self.cnt = cnt - n
+        self.i = i
+        return acc & ((1 << n) - 1)
+
+    def _peek(self, n: int) -> tuple[int, int]:
+        """(next n bits LSB-packed zero-padded past EOF, bits actually
+        available) — for the prefix-code LUT."""
+        acc, cnt, i, d = self.acc, self.cnt, self.i, self.d
+        while cnt < n and i < len(d):
+            acc |= d[i] << cnt
+            i += 1
+            cnt += 8
+        self.acc, self.cnt, self.i = acc, cnt, i
+        return acc & ((1 << n) - 1), cnt
+
+    def _consume(self, n: int) -> None:
+        self.acc >>= n
+        self.cnt -= n
 
 
 class _Prefix:
@@ -121,10 +145,32 @@ class _Prefix:
             next_code += 1
             prev_len = l
         self.max_len = max(l for l, _ in nz)
+        # one-level LUT over the next max_len bits in READ order (codes
+        # pack MSB-first, the reader is LSB-first, so a code's j-th read
+        # bit lands at key bit j) — one lookup per symbol instead of a
+        # dict probe per bit.  Skipped for deep codes to bound build
+        # cost under hostile many-group streams.
+        self.lut = None
+        if self.max_len <= 10:
+            lut = [(-1, 0)] * (1 << self.max_len)
+            for (l, code), s in self.table.items():
+                key = 0
+                for j in range(l):
+                    key |= ((code >> (l - 1 - j)) & 1) << j
+                for t in range(1 << (self.max_len - l)):
+                    lut[key | (t << l)] = (s, l)
+            self.lut = lut
 
     def decode(self, br: _Bits) -> int:
         if self.single is not None:
             return self.single
+        if self.lut is not None:
+            key, avail = br._peek(self.max_len)
+            s, l = self.lut[key]
+            if s < 0 or l > avail:
+                raise ValueError("invalid prefix code word")
+            br._consume(l)
+            return s
         code = 0
         for l in range(1, self.max_len + 1):
             code = (code << 1) | br.read(1)
@@ -294,10 +340,6 @@ def _decode_entropy_image(
 
 # ---- inverse transforms ---------------------------------------------
 
-def _avg2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    return (a.astype(np.uint16) + b.astype(np.uint16)) >> 1
-
-
 def _channels(argb: int) -> np.ndarray:
     return np.array(
         [(argb >> 24) & 0xFF, (argb >> 16) & 0xFF, (argb >> 8) & 0xFF, argb & 0xFF],
@@ -305,11 +347,13 @@ def _channels(argb: int) -> np.ndarray:
     )
 
 
-def _predict(mode: int, L, T, TL, TR) -> np.ndarray:
-    """One predicted pixel as a 4-vector (A, R, G, B) of uint8-range
-    ints; L/T/TL/TR are 4-vectors.  Modes per the spec's table."""
+def _predict(mode: int, L, T, TL, TR):
+    """One predicted pixel as a length-4 (A, R, G, B) sequence of
+    uint8-range ints; L/T/TL/TR are the same.  Plain-int arithmetic —
+    per-pixel numpy vectors cost ~20x more in this per-pixel loop.
+    Modes per the spec's table."""
     if mode == 0:
-        return np.array([0xFF, 0, 0, 0], dtype=np.int32)
+        return (0xFF, 0, 0, 0)
     if mode == 1:
         return L
     if mode == 2:
@@ -319,29 +363,35 @@ def _predict(mode: int, L, T, TL, TR) -> np.ndarray:
     if mode == 4:
         return TL
     if mode == 5:
-        return _avg2(_avg2(L, TR), T).astype(np.int32)
+        return [((((L[i] + TR[i]) >> 1) + T[i]) >> 1) for i in range(4)]
     if mode == 6:
-        return _avg2(L, TL).astype(np.int32)
+        return [(L[i] + TL[i]) >> 1 for i in range(4)]
     if mode == 7:
-        return _avg2(L, T).astype(np.int32)
+        return [(L[i] + T[i]) >> 1 for i in range(4)]
     if mode == 8:
-        return _avg2(TL, T).astype(np.int32)
+        return [(TL[i] + T[i]) >> 1 for i in range(4)]
     if mode == 9:
-        return _avg2(T, TR).astype(np.int32)
+        return [(T[i] + TR[i]) >> 1 for i in range(4)]
     if mode == 10:
-        return _avg2(_avg2(L, TL), _avg2(T, TR)).astype(np.int32)
+        return [
+            (((L[i] + TL[i]) >> 1) + ((T[i] + TR[i]) >> 1)) >> 1 for i in range(4)
+        ]
     if mode == 11:  # Select
-        p = L + T - TL
-        pl = int(np.abs(p - L).sum())
-        pt = int(np.abs(p - T).sum())
+        p = [L[i] + T[i] - TL[i] for i in range(4)]
+        pl = sum(abs(p[i] - L[i]) for i in range(4))
+        pt = sum(abs(p[i] - T[i]) for i in range(4))
         return L if pl < pt else T
     if mode == 12:  # ClampAddSubtractFull
-        return np.clip(L + T - TL, 0, 255)
+        return [min(255, max(0, L[i] + T[i] - TL[i])) for i in range(4)]
     if mode == 13:  # ClampAddSubtractHalf
-        ave = _avg2(L, T).astype(np.int32)
-        # C-style truncation toward zero for the signed half-delta
-        d = ave - TL
-        return np.clip(ave + np.trunc(d / 2).astype(np.int32), 0, 255)
+        out = []
+        for i in range(4):
+            a = (L[i] + T[i]) >> 1
+            d = a - TL[i]
+            # C-style truncation toward zero for the signed half-delta
+            half = d // 2 if d >= 0 else -((-d) // 2)
+            out.append(min(255, max(0, a + half)))
+        return out
     raise ValueError(f"bad predictor mode {mode}")
 
 
@@ -351,22 +401,33 @@ def _inverse_predictor(px: np.ndarray, modes: np.ndarray, bits: int) -> None:
     uses L, column 0 uses T; TR of the last column is the first pixel of
     the current row (flat index i - w + 1)."""
     h, w, _ = px.shape
+    rows = px.tolist()  # plain-int rows: the loop is per-pixel
+    mrows = modes.tolist()
     for y in range(h):
+        ry = rows[y]
+        ry1 = rows[y - 1] if y else None
+        my = mrows[y >> bits] if y else None
         for x in range(w):
             if x == 0 and y == 0:
-                pred = np.array([0xFF, 0, 0, 0], dtype=np.int32)
+                pred = (0xFF, 0, 0, 0)
             elif y == 0:
-                pred = px[0, x - 1]
+                pred = ry[x - 1]
             elif x == 0:
-                pred = px[y - 1, 0]
+                pred = ry1[0]
             else:
-                mode = int(modes[y >> bits, x >> bits])
-                L = px[y, x - 1]
-                T = px[y - 1, x]
-                TL = px[y - 1, x - 1]
-                TR = px[y, 0] if x == w - 1 else px[y - 1, x + 1]
-                pred = _predict(mode, L, T, TL, TR)
-            px[y, x] = (px[y, x] + pred) & 0xFF
+                L = ry[x - 1]
+                T = ry1[x]
+                TL = ry1[x - 1]
+                TR = ry[0] if x == w - 1 else ry1[x + 1]
+                pred = _predict(my[x >> bits], L, T, TL, TR)
+            cur = ry[x]
+            ry[x] = [
+                (cur[0] + pred[0]) & 0xFF,
+                (cur[1] + pred[1]) & 0xFF,
+                (cur[2] + pred[2]) & 0xFF,
+                (cur[3] + pred[3]) & 0xFF,
+            ]
+    px[:] = rows
 
 
 def _inverse_color_transform(px: np.ndarray, cte: np.ndarray, bits: int) -> None:
@@ -390,8 +451,7 @@ def _inverse_color_transform(px: np.ndarray, cte: np.ndarray, bits: int) -> None
 def _decode_vp8l(payload: bytes) -> np.ndarray:
     if not payload or payload[0] != 0x2F:
         raise ValueError("bad VP8L signature")
-    br = _Bits(payload)
-    br.pos = 8
+    br = _Bits(payload[1:])  # skip the byte-aligned signature
     w = br.read(14) + 1
     h = br.read(14) + 1
     br.read(1)  # alpha-is-used hint
@@ -614,22 +674,30 @@ def _apply_predictor_forward(px: np.ndarray, mode: int, bits: int) -> np.ndarray
     _inverse_predictor (same edge rules, so roundtrip is exact)."""
     h, w, _ = px.shape
     out = np.empty_like(px)
-    recon = px.astype(np.int32)
+    recon = px.astype(np.int32).tolist()
     for y in range(h):
+        ry = recon[y]
+        ry1 = recon[y - 1] if y else None
         for x in range(w):
             if x == 0 and y == 0:
-                pred = np.array([0xFF, 0, 0, 0], dtype=np.int32)
+                pred = (0xFF, 0, 0, 0)
             elif y == 0:
-                pred = recon[0, x - 1]
+                pred = ry[x - 1]
             elif x == 0:
-                pred = recon[y - 1, 0]
+                pred = ry1[0]
             else:
-                L = recon[y, x - 1]
-                T = recon[y - 1, x]
-                TL = recon[y - 1, x - 1]
-                TR = recon[y, 0] if x == w - 1 else recon[y - 1, x + 1]
+                L = ry[x - 1]
+                T = ry1[x]
+                TL = ry1[x - 1]
+                TR = ry[0] if x == w - 1 else ry1[x + 1]
                 pred = _predict(mode, L, T, TL, TR)
-            out[y, x] = (recon[y, x] - pred) & 0xFF
+            cur = ry[x]
+            out[y, x] = [
+                (cur[0] - pred[0]) & 0xFF,
+                (cur[1] - pred[1]) & 0xFF,
+                (cur[2] - pred[2]) & 0xFF,
+                (cur[3] - pred[3]) & 0xFF,
+            ]
     return out
 
 
