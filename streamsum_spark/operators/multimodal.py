@@ -336,9 +336,13 @@ def decode_image(content: bytes) -> np.ndarray:
     operators/jpeg.py, written from ITU-T T.81), GIF (87a/89a LZW
     incl. interlace, first frame — operators/gif.py), and lossless WebP
     (VP8L: prefix codes, color cache, LZ77 2D backrefs, all four
-    transforms — operators/webp.py, written from RFC 9649).  Remaining
-    codecs (arithmetic-coded JPEG, lossy VP8, ...) raise
-    NotImplementedError: a fake decode would misreport pixel stats."""
+    transforms — operators/webp.py, written from RFC 9649), and TIFF
+    (baseline strips: none/LZW/PackBits/Deflate compressions,
+    horizontal predictor, gray/palette/RGB(A), bit depths 1-16, both
+    byte orders, all eight orientations — operators/tiff.py, written
+    from the TIFF 6.0 spec).  Remaining codecs (arithmetic-coded JPEG,
+    lossy VP8, ...) raise NotImplementedError: a fake decode would
+    misreport pixel stats."""
     if content is None:
         raise ValueError("null content")
     b = bytes(content)
@@ -360,6 +364,10 @@ def decode_image(content: bytes) -> np.ndarray:
         from streamsum_spark.operators.webp import decode_webp
 
         return decode_webp(b)  # VP8L lossless; lossy VP8 refuses inside
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        from streamsum_spark.operators.tiff import decode_tiff
+
+        return decode_tiff(b)
     raise NotImplementedError("compressed image codecs not available in this environment")
 
 
@@ -721,7 +729,9 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic real-format media table for tests: BMP (every 6th
     replaced by a lossless WebP since round 8 — VP8L cycling its
     transforms, so the default pipeline exercises that decoder too),
-    PPM, PNG (cycling all five row filters), and JPEG — alternating
+    PPM (every other PPM slot a TIFF since round 8, cycling
+    LZW/PackBits/Deflate and the horizontal predictor), PNG (cycling
+    all five row filters), and JPEG — alternating
     4:4:4 and 4:2:0, alternating BASELINE and PROGRESSIVE encodings
     (most web JPEGs over ~64 KB are progressive, so the default
     pipeline path must exercise it) — images with gradient pixels, plus
@@ -751,7 +761,16 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
                     content, mime = encode_bmp(px), "image/bmp"
             elif (i // 3) % 2 == 0:
                 if (i // 3) % 4 == 0:
-                    content, mime = encode_ppm(px), "image/x-portable-pixmap"
+                    if (i // 12) % 2 == 1:
+                        from streamsum_spark.operators.tiff import encode_tiff
+
+                        comp = ("lzw", "packbits", "deflate")[(i // 24) % 3]
+                        content, mime = (
+                            encode_tiff(px, compression=comp, predictor=1 + (i // 24) % 2),
+                            "image/tiff",
+                        )
+                    else:
+                        content, mime = encode_ppm(px), "image/x-portable-pixmap"
                 else:
                     enc = encode_jpeg if (i // 12) % 2 == 0 else encode_jpeg_progressive
                     content, mime = (

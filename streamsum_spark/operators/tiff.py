@@ -1,0 +1,526 @@
+"""TIFF 6.0 baseline decoder (strip-organized) in pure stdlib + numpy.
+
+Written from the public TIFF 6.0 specification (Adobe, June 1992) the
+way gif.py was written from GIF89a and jpeg.py from T.81 — no codec
+libs.  Surface:
+
+- both byte orders (``II``/``MM``), first IFD (a multi-page TIFF
+  decodes its FIRST image — the right unit for pixel-stats features);
+- Compression 1 (none), 5 (LZW — MSB-first bit packing with TIFF's
+  *early* code-width change, spec §13), 8 / 32946 (Deflate, stdlib
+  zlib), 32773 (PackBits, spec §9);
+- Predictor 2 (horizontal differencing, spec §14) for 8- and 16-bit
+  samples;
+- PhotometricInterpretation 0/1 (bilevel + grayscale, WhiteIsZero
+  inverted), 2 (RGB with optional ExtraSamples alpha, dropped), 3
+  (palette — 16-bit ColorMap scaled to 8);
+- BitsPerSample 1/2/4/8/16 for single-channel images, uniform 8 or 16
+  per channel for RGB(A); 16-bit samples are scaled to 8 (``>> 8``);
+- chunky PlanarConfiguration (=1), strip organization via
+  StripOffsets / StripByteCounts / RowsPerStrip, and all eight
+  Orientation transforms (spec §4, tag 274).
+
+Honest refusals (NotImplementedError, same posture as the other
+decoders — a fake decode would misreport pixel stats): tiled images
+(TileWidth present), PlanarConfiguration 2, CCITT G3/G4 and
+JPEG-in-TIFF compressions, floating-point SampleFormat.
+
+Hostile-input posture matches gif.py/webp.py: dimensions and strip
+sizes are capped before allocation (≤ _MAX_DECODED_BYTES), LZW output
+stops at the strip's declared byte count so a looping code stream
+cannot balloon memory, and malformed structure raises ValueError.
+
+``encode_tiff`` (the test fixture) writes uncompressed, PackBits,
+Deflate, or real table-building LZW (exercising the decoder's
+code-width bumps and early change), either byte order, optional
+horizontal predictor, gray/palette/RGB(A) photometrics and sub-byte
+bit depths — over compact, like the other encode_* fixtures.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_MAX_DECODED_BYTES = 16 * 1024 * 1024
+
+# tag ids (TIFF 6.0 §8)
+_T_WIDTH = 256
+_T_HEIGHT = 257
+_T_BPS = 258
+_T_COMPRESSION = 259
+_T_PHOTOMETRIC = 262
+_T_STRIP_OFFSETS = 273
+_T_ORIENTATION = 274
+_T_SPP = 277
+_T_ROWS_PER_STRIP = 278
+_T_STRIP_COUNTS = 279
+_T_PLANAR = 284
+_T_PREDICTOR = 317
+_T_COLORMAP = 320
+_T_TILE_WIDTH = 322
+_T_TILE_LENGTH = 323
+_T_EXTRA_SAMPLES = 338
+_T_SAMPLE_FORMAT = 339
+
+# field-type byte sizes (type 0 is invalid; RATIONAL=2×LONG)
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
+_INT_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i"}
+
+
+def decode_tiff(b: bytes) -> np.ndarray:
+    """Decode the first IFD of a TIFF to an (h, w, 3) uint8 RGB array."""
+    try:
+        return _decode_tiff(bytes(b))
+    except (KeyError, IndexError, struct.error, zlib.error) as e:
+        raise ValueError(f"corrupt TIFF: {type(e).__name__}") from e
+
+
+def _read_ifd(b: bytes, bo: str, off: int) -> dict[int, list[int]]:
+    """Read one IFD into {tag: [int values]} (rationals/floats skipped —
+    none of the tags this decoder consumes use them)."""
+    if off + 2 > len(b) or off < 8:
+        raise ValueError("bad IFD offset")
+    n = struct.unpack_from(bo + "H", b, off)[0]
+    if n > 512:
+        raise ValueError("implausible IFD entry count")
+    tags: dict[int, list[int]] = {}
+    for i in range(n):
+        ent = off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", b, ent)
+        if typ not in _TYPE_SIZES or typ not in _INT_FMT:
+            continue  # rationals / floats / ascii: not consumed here
+        total = _TYPE_SIZES[typ] * cnt
+        if cnt > 1_000_000:
+            raise ValueError("implausible tag count")
+        if total <= 4:
+            src = ent + 8
+        else:
+            src = struct.unpack_from(bo + "I", b, ent + 8)[0]
+            if src + total > len(b):
+                raise ValueError("tag value out of range")
+        fmt = bo + _INT_FMT[typ] * cnt
+        tags[tag] = list(struct.unpack_from(fmt, b, src))
+    return tags
+
+
+def _lzw_decode(data: bytes, max_out: int) -> bytes:
+    """TIFF-variant LZW (spec §13): MSB-first bit packing, ClearCode=256,
+    EOI=257, 12-bit cap, and the early code-width change — the decoder
+    widens when the NEXT table slot is (1 << width) - 1, one entry
+    before the table actually reaches that size, mirroring the encoder
+    writing each code before adding the new string."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    acc = 0
+    nbits = 0
+    width = 9
+    prev: bytes | None = None
+    pos = 0
+    n = len(data)
+    while len(out) < max_out:
+        while nbits < width:
+            if pos >= n:
+                return bytes(out)  # truncated stream: emit what we have
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == 257:  # EOI
+            break
+        if code == 256:  # Clear
+            table = table[:258]
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            if code > 255:
+                raise ValueError("corrupt TIFF: LZW non-literal after clear")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4095:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4095:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt TIFF: LZW code out of range")
+        out += entry
+        prev = entry
+        # early change, decoder side: the decoder's table lags the
+        # encoder's by one entry, so it widens at (1<<width)-2 where the
+        # encoder widens at (1<<width)-1 (spec §13 / libtiff MAXCODE)
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, max_out: int) -> bytes:
+    """PackBits (spec §9): n in 0..127 copies n+1 literals, n in
+    -127..-1 repeats the next byte 1-n times, -128 is a no-op."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n and len(out) < max_out:
+        c = data[i]
+        i += 1
+        if c < 128:
+            out += data[i : i + c + 1]
+            i += c + 1
+        elif c > 128:
+            if i >= n:
+                break
+            out += data[i : i + 1] * (257 - c)
+            i += 1
+        # c == 128: no-op
+    return bytes(out)
+
+
+def _decode_tiff(b: bytes) -> np.ndarray:
+    if b[:4] == b"II*\x00":
+        bo = "<"
+    elif b[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF")
+    ifd_off = struct.unpack_from(bo + "I", b, 4)[0]
+    tags = _read_ifd(b, bo, ifd_off)
+
+    if _T_TILE_WIDTH in tags or _T_TILE_LENGTH in tags:
+        raise NotImplementedError("tiled TIFF not supported")
+    if tags.get(_T_PLANAR, [1])[0] != 1:
+        raise NotImplementedError("planar (non-chunky) TIFF not supported")
+    if any(f not in (1, 2) for f in tags.get(_T_SAMPLE_FORMAT, [1])):
+        raise NotImplementedError("floating-point TIFF samples not supported")
+    comp = tags.get(_T_COMPRESSION, [1])[0]
+    if comp in (2, 3, 4):
+        raise NotImplementedError("CCITT-compressed TIFF not supported")
+    if comp in (6, 7):
+        raise NotImplementedError("JPEG-in-TIFF not supported")
+    if comp not in (1, 5, 8, 32773, 32946):
+        raise ValueError(f"corrupt TIFF: unknown compression {comp}")
+
+    w = tags[_T_WIDTH][0]
+    h = tags[_T_HEIGHT][0]
+    spp = tags.get(_T_SPP, [1])[0]
+    bps_list = tags.get(_T_BPS, [1])
+    if len(bps_list) < spp:
+        bps_list = bps_list * spp
+    photo = tags[_T_PHOTOMETRIC][0]
+    if not (0 < w <= 65535 and 0 < h <= 65535) or w * h * spp * 2 > _MAX_DECODED_BYTES:
+        raise ValueError("implausible TIFF dimensions")
+    if spp not in (1, 2, 3, 4):
+        raise ValueError(f"corrupt TIFF: {spp} samples per pixel")
+    bps = bps_list[0]
+    if any(x != bps for x in bps_list[:spp]):
+        raise NotImplementedError("mixed per-channel bit depths not supported")
+    if spp == 1:
+        if bps not in (1, 2, 4, 8, 16):
+            raise ValueError(f"corrupt TIFF: {bps}-bit samples")
+    elif bps not in (8, 16):
+        raise NotImplementedError(f"{bps}-bit multi-channel TIFF not supported")
+    if photo not in (0, 1, 2, 3):
+        raise NotImplementedError(f"photometric {photo} not supported")
+    if photo == 3 and (_T_COLORMAP not in tags or spp != 1 or bps > 8):
+        raise ValueError("corrupt TIFF: bad palette image")
+
+    offsets = tags[_T_STRIP_OFFSETS]
+    rows_per_strip = tags.get(_T_ROWS_PER_STRIP, [h])[0] or h
+    rows_per_strip = min(rows_per_strip, h)
+    n_strips = (h + rows_per_strip - 1) // rows_per_strip
+    if len(offsets) < n_strips:
+        raise ValueError("corrupt TIFF: missing strip offsets")
+    stride = (w * spp * bps + 7) // 8  # rows are byte-aligned (spec §3)
+    counts = tags.get(_T_STRIP_COUNTS)
+    if counts is None:
+        if comp != 1:
+            raise ValueError("corrupt TIFF: compressed strips without byte counts")
+        counts = [stride * min(rows_per_strip, h - i * rows_per_strip) for i in range(n_strips)]
+
+    predictor = tags.get(_T_PREDICTOR, [1])[0]
+    if predictor not in (1, 2):
+        raise NotImplementedError(f"predictor {predictor} not supported")
+
+    raw = bytearray()
+    for s in range(n_strips):
+        rows = min(rows_per_strip, h - s * rows_per_strip)
+        want = stride * rows
+        off, cnt = offsets[s], counts[s]
+        if off + cnt > len(b) or cnt > _MAX_DECODED_BYTES:
+            raise ValueError("corrupt TIFF: strip out of range")
+        chunk = b[off : off + cnt]
+        if comp == 1:
+            data = chunk
+        elif comp == 5:
+            data = _lzw_decode(chunk, want)
+        elif comp == 32773:
+            data = _packbits_decode(chunk, want)
+        else:  # 8 / 32946 deflate
+            data = zlib.decompress(chunk, bufsize=min(want, _MAX_DECODED_BYTES))
+        if len(data) < want:
+            data = data + b"\x00" * (want - len(data))
+        raw += data[:want]
+
+    arr = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, stride)
+
+    if bps == 16:
+        dt = np.dtype(np.uint16).newbyteorder(bo)
+        px16 = arr.reshape(h, -1).view(np.uint8)[:, : w * spp * 2]
+        px = np.ascontiguousarray(px16).view(dt).reshape(h, w, spp).astype(np.uint16)
+        if predictor == 2:
+            px = np.cumsum(px, axis=1, dtype=np.uint32).astype(np.uint16)
+        px = (px >> 8).astype(np.uint8)
+    elif bps == 8:
+        px = arr[:, : w * spp].reshape(h, w, spp)
+        if predictor == 2:
+            px = np.cumsum(px, axis=1, dtype=np.uint32).astype(np.uint8)
+    else:
+        if predictor == 2:
+            raise NotImplementedError("predictor on sub-byte samples not supported")
+        bits = np.unpackbits(arr, axis=1)[:, : w * bps].reshape(h, w, bps)
+        weights = (1 << np.arange(bps - 1, -1, -1)).astype(np.uint16)
+        px = (bits * weights).sum(axis=2).astype(np.uint8).reshape(h, w, 1)
+
+    if photo == 3:
+        cmap = np.asarray(tags[_T_COLORMAP], dtype=np.uint32)
+        n_pal = 1 << bps
+        if len(cmap) < 3 * n_pal:
+            raise ValueError("corrupt TIFF: short color map")
+        pal = (cmap[: 3 * n_pal].reshape(3, n_pal).T >> 8).astype(np.uint8)
+        rgb = pal[px[:, :, 0]]
+    elif photo in (0, 1):
+        g = px[:, :, 0]
+        if bps < 8:  # scale e.g. 4-bit 0..15 to full range
+            g = (g.astype(np.uint16) * 255 // ((1 << bps) - 1)).astype(np.uint8)
+        if photo == 0:
+            g = 255 - g
+        rgb = np.repeat(g[:, :, None], 3, axis=2)
+    else:  # RGB(A): ExtraSamples alpha dropped, like PNG/BMP
+        if spp < 3:
+            raise ValueError("corrupt TIFF: RGB image with <3 samples")
+        rgb = px[:, :, :3]
+
+    return _apply_orientation(np.ascontiguousarray(rgb), tags.get(_T_ORIENTATION, [1])[0])
+
+
+def _apply_orientation(px: np.ndarray, o: int) -> np.ndarray:
+    """Tag 274: 1=as-is, 2=mirror-x, 3=rot180, 4=mirror-y, 5..8 add a
+    transpose (row/col swap) before the same four flips."""
+    if o in (5, 6, 7, 8):
+        px = px.transpose(1, 0, 2)
+    if o in (2, 3, 6, 7):
+        px = px[:, ::-1]
+    if o in (3, 4, 7, 8):
+        px = px[::-1]
+    if o < 1 or o > 8:
+        raise ValueError(f"corrupt TIFF: orientation {o}")
+    return np.ascontiguousarray(px)
+
+
+# ---------------------------------------------------------------------------
+# encoder (test fixture)
+# ---------------------------------------------------------------------------
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Real table-building TIFF LZW (spec §13) — exercises the decoder's
+    width bumps, early change, and clear-on-full paths."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    put(256, width)  # initial Clear
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        put(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        # early change: widen one entry before the table fills the width
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        elif next_code == 4094:
+            put(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([ch])
+    if w:
+        put(table[w], width)
+        # the code just written grows the decoder's table too — stay in sync
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+    put(257, width)  # EOI
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        j = i + 1
+        while j < n and j - i < 128 and not (j + 1 < n and data[j] == data[j + 1]):
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    return bytes(out)
+
+
+def encode_tiff(
+    px: np.ndarray,
+    compression: str = "none",
+    predictor: int = 1,
+    byte_order: str = "<",
+    rows_per_strip: int | None = None,
+    photometric: int | None = None,
+    colormap: np.ndarray | None = None,
+    bits_per_sample: int | None = None,
+    orientation: int = 1,
+) -> bytes:
+    """Encode a TIFF test fixture.
+
+    ``px``: (h, w) gray, (h, w) palette indices (with ``colormap`` of
+    shape (n, 3) uint8), or (h, w, 3|4) RGB(A) uint8; (h, w) uint16 for
+    16-bit gray.  ``compression`` in none/lzw/packbits/deflate.
+    """
+    px = np.asarray(px)
+    h, w = px.shape[:2]
+    bo = byte_order
+    if colormap is not None:
+        photometric = 3
+        spp, bps = 1, bits_per_sample or 8
+        flat = px.astype(np.uint8)
+    elif px.ndim == 2:
+        if photometric is None:
+            photometric = 1
+        spp = 1
+        bps = 16 if px.dtype == np.uint16 else (bits_per_sample or 8)
+        flat = px
+    else:
+        photometric = 2
+        spp = px.shape[2]
+        bps = 16 if px.dtype == np.uint16 else 8
+        flat = px
+    rows_per_strip = rows_per_strip or h
+
+    # serialize rows (byte-aligned, MSB-first for sub-byte depths)
+    if bps == 16:
+        vals = flat.reshape(h, w, spp).astype(np.uint16)
+        if predictor == 2:  # per-channel diff along the row, mod 2**16
+            vals = np.concatenate([vals[:, :1, :], np.diff(vals, axis=1)], axis=1)
+        rows = vals.reshape(h, -1).astype(np.dtype(np.uint16).newbyteorder(bo)).tobytes()
+        stride = w * spp * 2
+    elif bps == 8:
+        vals = flat.reshape(h, w, spp)
+        if predictor == 2:
+            vals = np.concatenate([vals[:, :1, :], np.diff(vals.astype(np.int16), axis=1).astype(np.uint8)], axis=1)
+        rows = vals.astype(np.uint8).tobytes()
+        stride = w * spp
+    else:
+        bits = ((flat.reshape(h, w, 1).astype(np.uint16) >> np.arange(bps - 1, -1, -1)) & 1).astype(np.uint8)
+        stride = (w * bps + 7) // 8
+        padded = np.zeros((h, stride * 8), dtype=np.uint8)
+        padded[:, : w * bps] = bits.reshape(h, w * bps)
+        rows = np.packbits(padded, axis=1).tobytes()
+
+    strips = []
+    for r0 in range(0, h, rows_per_strip):
+        r1 = min(r0 + rows_per_strip, h)
+        blob = rows[r0 * stride : r1 * stride]
+        if compression == "lzw":
+            strips.append(_lzw_encode(blob))
+        elif compression == "packbits":
+            strips.append(_packbits_encode(blob))
+        elif compression == "deflate":
+            strips.append(zlib.compress(blob))
+        else:
+            strips.append(blob)
+    comp_id = {"none": 1, "lzw": 5, "packbits": 32773, "deflate": 8}[compression]
+
+    # assemble: header, pixel strips, then the IFD and out-of-line values
+    entries: list[tuple[int, int, int, bytes | int]] = []
+
+    def tag(t: int, typ: int, values: list[int]) -> None:
+        entries.append((t, typ, len(values), values))
+
+    tag(_T_WIDTH, 3, [w])
+    tag(_T_HEIGHT, 3, [h])
+    tag(_T_BPS, 3, [bps] * spp)
+    tag(_T_COMPRESSION, 3, [comp_id])
+    tag(_T_PHOTOMETRIC, 3, [photometric])
+    if orientation != 1:
+        tag(_T_ORIENTATION, 3, [orientation])
+    tag(_T_SPP, 3, [spp])
+    tag(_T_ROWS_PER_STRIP, 3, [rows_per_strip])
+    tag(_T_PLANAR, 3, [1])
+    if predictor == 2:
+        tag(_T_PREDICTOR, 3, [predictor])
+    if colormap is not None:
+        n_pal = 1 << bps
+        cm = np.zeros((3, n_pal), dtype=np.uint32)
+        cm[:, : colormap.shape[0]] = colormap.T.astype(np.uint32) * 257
+        tag(_T_COLORMAP, 3, [int(v) for v in cm.reshape(-1)])
+    if spp == 4:
+        tag(_T_EXTRA_SAMPLES, 3, [2])
+
+    body = bytearray(b"II*\x00" if bo == "<" else b"MM\x00*")
+    body += b"\x00\x00\x00\x00"  # IFD offset patched below
+    strip_offsets = []
+    for sdata in strips:
+        strip_offsets.append(len(body))
+        body += sdata
+        if len(body) % 2:
+            body += b"\x00"
+    tag(_T_STRIP_OFFSETS, 4, strip_offsets)
+    tag(_T_STRIP_COUNTS, 4, [len(s) for s in strips])
+    entries.sort(key=lambda e: e[0])
+
+    ifd_off = len(body)
+    struct.pack_into(bo + "I", body, 4, ifd_off)
+    body += struct.pack(bo + "H", len(entries))
+    tail = bytearray()
+    tail_base = ifd_off + 2 + 12 * len(entries) + 4
+    tsz = {3: "H", 4: "I"}
+    for t, typ, cnt, values in entries:
+        raw = struct.pack(bo + tsz[typ] * cnt, *values)
+        if len(raw) <= 4:
+            val = raw + b"\x00" * (4 - len(raw))
+        else:
+            pos = tail_base + len(tail)
+            tail += raw
+            if len(tail) % 2:
+                tail += b"\x00"
+            val = struct.pack(bo + "I", pos)
+        body += struct.pack(bo + "HHI", t, typ, cnt) + val
+    body += b"\x00\x00\x00\x00"  # next-IFD pointer: none
+    body += tail
+    return bytes(body)

