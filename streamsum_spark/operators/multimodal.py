@@ -336,13 +336,16 @@ def decode_image(content: bytes) -> np.ndarray:
     operators/jpeg.py, written from ITU-T T.81), GIF (87a/89a LZW
     incl. interlace, first frame — operators/gif.py), and lossless WebP
     (VP8L: prefix codes, color cache, LZ77 2D backrefs, all four
-    transforms — operators/webp.py, written from RFC 9649), and TIFF
+    transforms — operators/webp.py, written from RFC 9649), lossy WebP
+    (VP8 key frame: boolean coder, token/coefficient decode, intra
+    prediction, WHT/DCT, loop filter — operators/vp8.py, written from
+    RFC 6386, byte-exact vs libwebp), and TIFF
     (baseline strips: none/LZW/PackBits/Deflate compressions,
     horizontal predictor, gray/palette/RGB(A), bit depths 1-16, both
     byte orders, all eight orientations — operators/tiff.py, written
     from the TIFF 6.0 spec).  Remaining codecs (arithmetic-coded JPEG,
-    lossy VP8, ...) raise NotImplementedError: a fake decode would
-    misreport pixel stats."""
+    ...) raise NotImplementedError: a fake decode would misreport
+    pixel stats."""
     if content is None:
         raise ValueError("null content")
     b = bytes(content)
@@ -363,7 +366,7 @@ def decode_image(content: bytes) -> np.ndarray:
     if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
         from streamsum_spark.operators.webp import decode_webp
 
-        return decode_webp(b)  # VP8L lossless; lossy VP8 refuses inside
+        return decode_webp(b)  # VP8L lossless or lossy VP8 key frame
     if b[:4] in (b"II*\x00", b"MM\x00*"):
         from streamsum_spark.operators.tiff import decode_tiff
 
@@ -576,7 +579,7 @@ def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
         b = bytes(content)
         try:
             # RIFF is a shared container: WAVE routes to audio, WEBP to
-            # the image path (VP8L decodes; lossy VP8 falls back below)
+            # the image path (both VP8L and lossy VP8 decode)
             if b[:4] == b"RIFF" and b[8:12] == b"WAVE" or b[:4] == b"fLaC":
                 samples, rate = decode_audio(b)
                 return True, None, None, int(samples.shape[1]), _audio_feature(samples, rate)

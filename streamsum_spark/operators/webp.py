@@ -5,10 +5,9 @@ Written from the public WebP Lossless Bitstream Specification (RFC 9649
 PNG decoder from RFC 2083.  Covered surface:
 
 - RIFF/WEBP container walk: bare ``VP8L`` files and extended ``VP8X``
-  containers whose image chunk is VP8L.  Lossy ``VP8 `` payloads raise
-  NotImplementedError (the VP8 intra codec — boolean coder + DCT + loop
-  filter — is a different spec; a fake decode would misreport pixel
-  stats, same refusal contract as multimodal.py's other codecs).
+  containers whose image chunk is VP8L.  Lossy ``VP8 `` payloads
+  dispatch to vp8.py (RFC 6386 key-frame decoder, byte-exact vs
+  libwebp), so both WebP flavors decode.
 - The VP8L entropy layer: canonical prefix codes (simple 1/2-symbol and
   full code-length-coded forms with 16/17/18 repeats and the optional
   max_symbol early-out), LSB-first bit reader with DEFLATE-style
@@ -566,9 +565,9 @@ def decode_webp(b: bytes) -> np.ndarray:
             if tag == b"VP8L":
                 return _decode_vp8l(body)
             if tag == b"VP8 ":
-                raise NotImplementedError(
-                    "lossy VP8 webp not supported (boolean-coder intra codec)"
-                )
+                from . import vp8 as _vp8
+
+                return _vp8.decode_vp8_to_rgb(body)
             i += 8 + n + (n & 1)  # chunks are 2-byte aligned
         raise ValueError("no image chunk in WEBP container")
     except (IndexError, struct.error) as e:

@@ -4,7 +4,7 @@ crafted bitstreams for the paths the fixture encoder doesn't emit
 against the spec's listed table, hostile-input bounds, and mutation
 fuzz.  Validation is encoder/decoder-symmetric plus crafted streams (no
 externally-encoded VP8L asset exists in this environment — the stdlib
-webp test file is lossy VP8, which must refuse)."""
+webp test file is lossy VP8, covered by vp8.py / test_vp8.py)."""
 
 from __future__ import annotations
 
@@ -246,13 +246,15 @@ def test_crafted_color_cache_hit():
 
 # ---- hostile inputs --------------------------------------------------
 
-def test_lossy_vp8_refuses_honestly():
+def test_garbage_lossy_vp8_chunk_raises_valueerror():
+    """A 'VP8 ' chunk now dispatches to the RFC 6386 decoder (vp8.py);
+    an all-zero payload fails its start-code check as ValueError."""
     payload = b"\x00" * 20
     blob = (
         b"RIFF" + struct.pack("<I", 4 + 8 + len(payload)) + b"WEBP"
         + b"VP8 " + struct.pack("<I", len(payload)) + payload
     )
-    with pytest.raises(NotImplementedError, match="VP8"):
+    with pytest.raises(ValueError, match="start code"):
         webp.decode_webp(blob)
 
 
