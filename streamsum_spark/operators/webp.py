@@ -28,12 +28,21 @@ PNG decoder from RFC 2083.  Covered surface:
 Validation posture: decode(encode(x)) == x roundtrips across all
 transforms (``encode_webp_lossless`` below quantizes nothing — VP8L is
 lossless, so roundtrips are byte-exact), crafted bitstreams pin the
-color-cache and backward-reference paths, and mutation fuzz pins the
-hostile-input bounds.  No externally-encoded VP8L file ships in this
-environment (the stdlib test asset is lossy VP8), so — unlike the JPEG
-path, which is pinned against Java ImageIO — cross-implementation
-validation for VP8L remains encoder/decoder-symmetric; the docstring
-says so rather than overclaiming.
+color-cache and backward-reference paths, mutation fuzz pins the
+hostile-input bounds, and — closing the gap earlier rounds documented —
+externally-encoded streams from libwebp's own lossless encoder
+(WebPEncodeLosslessRGB/RGBA through the test-only ctypes oracle) are
+decoded byte-equal to libwebp's output, exercising meta prefix codes,
+color cache + meta combinations, and degenerate code-length codes the
+in-repo encoder never emits.  That external pin is what caught the
+color-cache-info/meta-prefix field-order swap (the spec's ABNF puts
+cache info first) which symmetric roundtrips could never see.
+
+The ALPH chunk (lossy alpha plane) decodes both methods — raw and
+compressed (a headerless VP8L image stream whose green channel is
+alpha) — plus all four prediction filters; ``decode_webp_rgba``
+composes it with the vp8.py luma/chroma decode, byte-equal to
+WebPDecodeRGBA.
 
 Hostile-input posture matches gif.py: declared dimensions are capped
 before allocation (≤ _MAX_DECODED_BYTES), every prefix-code read is
@@ -268,6 +277,14 @@ def _decode_entropy_image(
     literals, LZ77 backrefs, cache hits.  Returns uint32 (h, w) ARGB."""
     if w <= 0 or h <= 0 or w * h * 4 > _MAX_DECODED_BYTES:
         raise ValueError("VP8L dimensions out of bounds")
+    # field order per the spec's ABNF: spatially-coded-image =
+    # color-cache-info meta-prefix data (cache info FIRST; pinned by
+    # externally-encoded streams in tests — libwebp emits both fields)
+    cache_bits = 0
+    if br.read(1):
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("bad color-cache size")
     meta = None
     meta_bits = 0
     n_groups = 1
@@ -278,11 +295,6 @@ def _decode_entropy_image(
         meta_img = _decode_entropy_image(br, mw, mh, False)
         meta = ((meta_img >> 8) & 0xFFFF).astype(np.int64)  # (red<<8)|green
         n_groups = int(meta.max()) + 1
-    cache_bits = 0
-    if br.read(1):
-        cache_bits = br.read(4)
-        if not 1 <= cache_bits <= 11:
-            raise ValueError("bad color-cache size")
     cache_size = (1 << cache_bits) if cache_bits else 0
     cache = [0] * cache_size
     groups = [_Group(br, cache_size) for _ in range(n_groups)]
@@ -448,6 +460,17 @@ def _inverse_color_transform(px: np.ndarray, cte: np.ndarray, bits: int) -> None
 
 
 def _decode_vp8l(payload: bytes) -> np.ndarray:
+    argb, h, w = _decode_vp8l_argb(payload)
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    out[:, :, 0] = (argb >> 16) & 0xFF
+    out[:, :, 1] = (argb >> 8) & 0xFF
+    out[:, :, 2] = argb & 0xFF
+    return out
+
+
+def _decode_vp8l_argb(payload: bytes):
+    """Full VP8L stream (signature + size header) -> ((h, w) uint32
+    ARGB, h, w)."""
     if not payload or payload[0] != 0x2F:
         raise ValueError("bad VP8L signature")
     br = _Bits(payload[1:])  # skip the byte-aligned signature
@@ -458,6 +481,14 @@ def _decode_vp8l(payload: bytes) -> np.ndarray:
         raise ValueError("unknown VP8L version")
     if w * h * 4 > _MAX_DECODED_BYTES:
         raise ValueError("VP8L dimensions out of bounds")
+    return _decode_image_stream(br, w, h), h, w
+
+
+def _decode_image_stream(br: _Bits, w: int, h: int) -> np.ndarray:
+    """Headerless VP8L image stream (transforms + entropy-coded pixels)
+    at known dimensions -> (h, w) uint32 ARGB.  Shared by the main
+    VP8L path and compressed ALPH chunks (container spec: alpha is a
+    lossless stream of implicit dimensions, no signature/size)."""
     transforms = []  # (type, data) in bitstream order
     seen = set()
     dec_w = w  # width shrinks under color-indexing packing
@@ -540,11 +571,103 @@ def _decode_vp8l(payload: bytes) -> np.ndarray:
             )
     if argb.shape != (h, w):
         raise ValueError("transform output dimensions mismatch")
-    out = np.empty((h, w, 3), dtype=np.uint8)
-    out[:, :, 0] = (argb >> 16) & 0xFF
-    out[:, :, 1] = (argb >> 8) & 0xFF
-    out[:, :, 2] = argb & 0xFF
-    return out
+    return argb
+
+
+def _unfilter_alpha(a: np.ndarray, method: int) -> np.ndarray:
+    """Invert the ALPH prediction filter (container spec 'Alpha
+    filtering method'; libwebp dsp/filters.c unfilter semantics).
+    ``a`` is (h, w) int32 residuals; returns uint8 plane.  Row 0 of
+    every method reduces to the horizontal filter."""
+    h, w = a.shape
+    if method == 1:  # horizontal: pred = left; col 0 preds from above
+        a[:, 0] = np.cumsum(a[:, 0]) & 0xFF
+        a = np.cumsum(a, axis=1) & 0xFF
+    elif method == 2:  # vertical: pred = above; row 0 preds from left
+        a[0, :] = np.cumsum(a[0, :]) & 0xFF
+        a = np.cumsum(a, axis=0) & 0xFF
+    else:  # gradient: clamp(left + above - above_left), serial
+        a[0, :] = np.cumsum(a[0, :]) & 0xFF
+        for r in range(1, h):
+            prev = a[r - 1]
+            row = a[r]
+            left = int(prev[0])
+            top_left = left
+            for c in range(w):
+                top = int(prev[c])
+                p = left + top - top_left
+                p = 0 if p < 0 else (255 if p > 255 else p)
+                left = (int(row[c]) + p) & 0xFF
+                row[c] = left
+                top_left = top
+    return a.astype(np.uint8)
+
+
+def _decode_alpha(body: bytes, w: int, h: int) -> np.ndarray:
+    """ALPH chunk -> (h, w) uint8 alpha plane.  1-byte header
+    (preprocessing / filter / compression), then either a raw plane or
+    a headerless VP8L image stream whose green channel is alpha."""
+    if not body:
+        raise ValueError("empty ALPH chunk")
+    head = body[0]
+    filt = (head >> 2) & 3
+    comp = head & 3
+    if comp == 0:
+        if len(body) - 1 < w * h:
+            raise ValueError("truncated ALPH plane")
+        a = np.frombuffer(body, np.uint8, count=w * h, offset=1)
+        a = a.reshape(h, w)
+    elif comp == 1:
+        argb = _decode_image_stream(_Bits(body[1:]), w, h)
+        a = ((argb >> 8) & 0xFF).astype(np.uint8)
+    else:
+        raise ValueError("bad ALPH compression method")
+    if filt:
+        a = _unfilter_alpha(a.astype(np.int32), filt)
+    return a
+
+
+def decode_webp_rgba(b: bytes) -> np.ndarray:
+    """Decode a WebP blob to (h, w, 4) non-premultiplied RGBA —
+    byte-comparable to WebPDecodeRGBA.  VP8L alpha comes from the ARGB
+    stream itself; lossy VP8 alpha from the ALPH chunk (opaque 255
+    when absent)."""
+    b = bytes(b)
+    try:
+        if len(b) < 20 or b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+            raise ValueError("not a WEBP RIFF container")
+        i = 12
+        alph = None
+        while i + 8 <= len(b):
+            tag = b[i : i + 4]
+            (n,) = struct.unpack("<I", b[i + 4 : i + 8])
+            body = b[i + 8 : i + 8 + n]
+            if len(body) < n:
+                raise ValueError("truncated WEBP chunk")
+            if tag == b"ALPH":
+                alph = body
+            elif tag == b"VP8L":
+                argb, h, w = _decode_vp8l_argb(body)
+                out = np.empty((h, w, 4), dtype=np.uint8)
+                out[:, :, 0] = (argb >> 16) & 0xFF
+                out[:, :, 1] = (argb >> 8) & 0xFF
+                out[:, :, 2] = argb & 0xFF
+                out[:, :, 3] = (argb >> 24) & 0xFF
+                return out
+            elif tag == b"VP8 ":
+                from . import vp8 as _vp8
+
+                y, u, v = _vp8.decode_vp8(body)
+                h, w = y.shape
+                out = np.empty((h, w, 4), dtype=np.uint8)
+                out[:, :, :3] = _vp8.yuv_to_rgb(y, u, v)
+                out[:, :, 3] = (
+                    _decode_alpha(alph, w, h) if alph is not None else 255)
+                return out
+            i += 8 + n + (n & 1)
+        raise ValueError("no image chunk in WEBP container")
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"corrupt WEBP: {type(e).__name__}") from e
 
 
 def decode_webp(b: bytes) -> np.ndarray:
@@ -647,9 +770,9 @@ def _write_literal_image(bw: _BitWriter, argb: np.ndarray, is_main: bool) -> Non
     distance codes, no cache, no meta codes."""
     h, w = argb.shape
     alphas = np.unique((argb >> 24) & 0xFF)
+    bw.write(0, 1)  # no color cache (cache info precedes meta-prefix)
     if is_main:
         bw.write(0, 1)  # no meta prefix codes
-    bw.write(0, 1)  # no color cache
     _write_flat8_code(bw)  # green
     _write_flat8_code(bw)  # red
     _write_flat8_code(bw)  # blue

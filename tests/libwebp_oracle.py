@@ -44,6 +44,55 @@ if HAVE_LIBWEBP:
     _lw.WebPFree.argtypes = [ctypes.c_void_p]
 
 
+if HAVE_LIBWEBP:
+    _lw.WebPEncodeRGBA.restype = ctypes.c_size_t
+    _lw.WebPEncodeRGBA.argtypes = _lw.WebPEncodeRGB.argtypes
+    for _fn in (_lw.WebPEncodeLosslessRGB, _lw.WebPEncodeLosslessRGBA):
+        _fn.restype = ctypes.c_size_t
+        _fn.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+        ]
+
+
+def decode_rgba(blob: bytes) -> np.ndarray:
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    p = _lw.WebPDecodeRGBA(blob, len(blob), ctypes.byref(w), ctypes.byref(h))
+    if not p:
+        raise ValueError("libwebp decode failed")
+    arr = np.ctypeslib.as_array(p, shape=(h.value, w.value, 4)).copy()
+    _lw.WebPFree(p)
+    return arr
+
+
+def _encode(fn, px: np.ndarray, *extra) -> bytes:
+    h, w, ch = px.shape
+    out = ctypes.POINTER(ctypes.c_ubyte)()
+    n = fn(np.ascontiguousarray(px, dtype=np.uint8).tobytes(),
+           w, h, w * ch, *extra, ctypes.byref(out))
+    if n == 0:
+        raise ValueError("libwebp encode failed")
+    blob = bytes(np.ctypeslib.as_array(out, shape=(n,)))
+    _lw.WebPFree(ctypes.cast(out, ctypes.c_void_p))
+    return blob
+
+
+def encode_rgba(px: np.ndarray, quality: float = 75.0) -> bytes:
+    """Lossy VP8 + (usually) an ALPH chunk."""
+    return _encode(_lw.WebPEncodeRGBA, px, ctypes.c_float(quality))
+
+
+def encode_lossless_rgb(px: np.ndarray) -> bytes:
+    """Externally-encoded VP8L — exercises meta prefix codes, color
+    cache, and transform combinations our fixture encoder never emits."""
+    return _encode(_lw.WebPEncodeLosslessRGB, px)
+
+
+def encode_lossless_rgba(px: np.ndarray) -> bytes:
+    return _encode(_lw.WebPEncodeLosslessRGBA, px)
+
+
 def decode_rgb(blob: bytes) -> np.ndarray:
     w = ctypes.c_int()
     h = ctypes.c_int()

@@ -1,10 +1,13 @@
-"""VP8L (lossless WebP) codec pins — roundtrips across every transform,
-crafted bitstreams for the paths the fixture encoder doesn't emit
-(color cache, 2D/raw backward references), the generated distance map
-against the spec's listed table, hostile-input bounds, and mutation
-fuzz.  Validation is encoder/decoder-symmetric plus crafted streams (no
-externally-encoded VP8L asset exists in this environment — the stdlib
-webp test file is lossy VP8, covered by vp8.py / test_vp8.py)."""
+"""VP8L (lossless WebP) and ALPH (alpha chunk) codec pins — roundtrips
+across every transform, crafted bitstreams for paths the fixture
+encoder doesn't emit (color cache, 2D/raw backward references, all four
+alpha filters), the generated distance map against the spec's listed
+table, hostile-input bounds, mutation fuzz, AND externally-encoded
+streams: libwebp's lossless encoder (via the ctypes oracle) produces
+VP8L with meta prefix codes / color cache / transform combinations, and
+its RGBA encoder produces lossy VP8 + ALPH — every decode is pinned
+byte-equal to libwebp's own output.  (Lossy VP8 itself is covered by
+vp8.py / test_vp8.py.)"""
 
 from __future__ import annotations
 
@@ -151,8 +154,8 @@ def test_crafted_backward_references_2d_and_literal():
     A, B = (10, 77, 200), (99, 1, 3)
     bw = _BitWriter()
     _header(bw, 4, 2)
+    bw.write(0, 1)  # no color cache (cache info precedes meta-prefix)
     bw.write(0, 1)  # no meta codes
-    bw.write(0, 1)  # no color cache
     # green: literals gA gB + length codes 257 (len 2) and 259 (len 4)
     g_len = [0] * 280
     for s in (A[1], B[1], 257, 259):
@@ -208,9 +211,9 @@ def test_crafted_color_cache_hit():
     idx_A = (0x1E35A7BD * argb_A & 0xFFFFFFFF) >> (32 - cache_bits)
     bw = _BitWriter()
     _header(bw, 3, 1)
-    bw.write(0, 1)  # no meta codes
-    bw.write(1, 1)  # color cache
+    bw.write(1, 1)  # color cache (cache info precedes meta-prefix)
     bw.write(cache_bits, 4)
+    bw.write(0, 1)  # no meta codes
     alpha_size = 280 + (1 << cache_bits)
     g_len = [0] * alpha_size
     g_len[A[1]] = g_len[B[1]] = g_len[280 + idx_A] = 2
@@ -314,3 +317,156 @@ def test_webp_through_extract_features(spark):
     assert feats[0].decoded and feats[1].decoded and not feats[2].decoded
     assert feats[0].feature[0] == pytest.approx(px0[:, :, 0].mean() / 255.0, abs=1e-6)
     assert feats[1].feature[0] == pytest.approx(px1[:, :, 0].mean() / 255.0, abs=1e-6)
+
+
+# ---- external cross-implementation pins (libwebp encoder) ------------
+# libwebp's lossless encoder emits stream features our fixture encoder
+# never does (meta prefix codes, color cache, transform combinations,
+# degenerate single-symbol code-length codes) — this section is what
+# caught the color-cache-info/meta-prefix field-order swap that
+# encoder/decoder-symmetric roundtrips can never see.
+
+from libwebp_oracle import HAVE_LIBWEBP  # noqa: E402
+
+_needs_libwebp = pytest.mark.skipif(
+    not HAVE_LIBWEBP, reason="system libwebp not available")
+
+
+def _grad(h, w):
+    gx, gy = np.meshgrid(np.arange(w), np.arange(h))
+    return np.dstack(
+        [(gx * 2 + gy) % 256, (gx + 2 * gy) % 256, (gx * 3) % 256]
+    ).astype(np.uint8)
+
+
+@_needs_libwebp
+@pytest.mark.parametrize("name", ["gradient", "palette", "noise",
+                                  "photo", "repeats"])
+def test_external_vp8l_streams_decode_exact(name):
+    import libwebp_oracle as lo
+
+    rng = _rng(17)
+    px = {
+        "gradient": _grad(80, 96),
+        "palette": np.take(
+            np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255],
+                      [10, 10, 10], [200, 200, 0]], np.uint8),
+            rng.integers(0, 5, (80, 96)), axis=0),
+        "noise": rng.integers(0, 256, (80, 96, 3), dtype=np.uint8),
+        "photo": (_grad(80, 96) // 2
+                  + rng.integers(0, 128, (80, 96, 3), dtype=np.uint8) // 2),
+        "repeats": np.tile(
+            rng.integers(0, 256, (8, 12, 3), dtype=np.uint8), (10, 8, 1)),
+    }[name]
+    blob = lo.encode_lossless_rgb(px)
+    assert np.array_equal(webp.decode_webp(blob), px)  # lossless == input
+
+
+@_needs_libwebp
+@pytest.mark.parametrize("q", [40, 85])
+def test_lossy_alpha_rgba_byte_exact(q):
+    """Lossy VP8 + ALPH chunks (compressed and raw alpha, horizontal
+    filter) decode byte-equal to WebPDecodeRGBA."""
+    import libwebp_oracle as lo
+
+    rng = _rng(23)
+    gx, gy = np.meshgrid(np.arange(96), np.arange(80))
+    base = _grad(80, 96)
+    for alpha in (
+        np.clip(np.tile(np.arange(96) * 3, (80, 1)), 0, 255),  # filt 1
+        np.clip(gx + gy, 0, 255),
+        rng.integers(0, 256, (80, 96)),                        # raw plane
+        np.full((80, 96), 128),
+    ):
+        px = np.dstack([base, alpha.astype(np.uint8)])
+        blob = lo.encode_rgba(px, q)
+        assert np.array_equal(webp.decode_webp_rgba(blob),
+                              lo.decode_rgba(blob))
+
+
+@_needs_libwebp
+def test_lossless_rgba_alpha_from_argb_stream(tmp_path):
+    """VP8L carries alpha natively in the ARGB stream — RGBA output
+    must match both libwebp and the original pixels."""
+    import libwebp_oracle as lo
+
+    rng = _rng(29)
+    px = rng.integers(0, 256, (33, 49, 4), dtype=np.uint8)
+    blob = lo.encode_lossless_rgba(px)
+    out = webp.decode_webp_rgba(blob)
+    assert np.array_equal(out, lo.decode_rgba(blob))
+    # the encoder defaults to exact=0 (RGB under low-alpha pixels may
+    # be rewritten), so input equality only holds on the alpha channel
+    assert np.array_equal(out[:, :, 3], px[:, :, 3])
+
+
+def _vp8x_container(alph_body: bytes, vp8_payload: bytes) -> bytes:
+    def chunk(tag, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    inner = (chunk(b"VP8X", b"\x10\x00\x00\x00\x0f\x00\x00\x0f\x00\x00")
+             + chunk(b"ALPH", alph_body) + chunk(b"VP8 ", vp8_payload))
+    return b"RIFF" + struct.pack("<I", 4 + len(inner)) + b"WEBP" + inner
+
+
+@pytest.mark.parametrize("filt", [0, 1, 2, 3])
+def test_alpha_filter_methods_raw_plane(filt):
+    """Crafted raw (compression=0) ALPH bodies forward-filtered in the
+    test pin all four unfilter methods, incl. gradient's clamp —
+    libwebp's encoder rarely emits methods 2 and 3."""
+    from test_vp8 import _EXTERNAL_WEBP, _payload
+
+    rng = _rng(100 + filt)
+    alpha = rng.integers(0, 256, (16, 16)).astype(np.int32)
+    h, w = alpha.shape
+    res = np.zeros_like(alpha)
+    for r in range(h):
+        for c in range(w):
+            if filt == 0:
+                pred = 0
+            elif filt == 1:  # horizontal
+                pred = alpha[r, c - 1] if c else (alpha[r - 1, 0] if r else 0)
+            elif filt == 2:  # vertical
+                pred = alpha[r - 1, c] if r else (alpha[0, c - 1] if c else 0)
+            else:  # gradient
+                if r == 0:
+                    pred = alpha[0, c - 1] if c else 0
+                elif c == 0:
+                    pred = alpha[r - 1, 0]
+                else:
+                    pred = int(np.clip(
+                        alpha[r, c - 1] + alpha[r - 1, c]
+                        - alpha[r - 1, c - 1], 0, 255))
+            res[r, c] = (alpha[r, c] - pred) & 0xFF
+    body = bytes([filt << 2]) + res.astype(np.uint8).tobytes()
+    blob = _vp8x_container(body, _payload(_EXTERNAL_WEBP))
+    out = webp.decode_webp_rgba(blob)
+    assert np.array_equal(out[:, :, 3], alpha.astype(np.uint8))
+
+
+def test_alpha_absent_is_opaque():
+    from test_vp8 import _EXTERNAL_WEBP, _payload
+
+    def chunk(tag, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    payload = _payload(_EXTERNAL_WEBP)
+    inner = chunk(b"VP8 ", payload)
+    blob = b"RIFF" + struct.pack("<I", 4 + len(inner)) + b"WEBP" + inner
+    out = webp.decode_webp_rgba(blob)
+    assert (out[:, :, 3] == 255).all()
+    assert np.array_equal(out[:, :, :3], webp.decode_webp(blob))
+
+
+def test_hostile_alph_bodies_refuse():
+    from test_vp8 import _EXTERNAL_WEBP, _payload
+
+    payload = _payload(_EXTERNAL_WEBP)
+    with pytest.raises(ValueError, match="empty ALPH"):
+        webp.decode_webp_rgba(_vp8x_container(b"", payload))
+    with pytest.raises(ValueError, match="truncated ALPH"):
+        webp.decode_webp_rgba(_vp8x_container(b"\x00" + b"\x01" * 10, payload))
+    with pytest.raises(ValueError, match="compression"):
+        webp.decode_webp_rgba(_vp8x_container(b"\x03" + b"\x00" * 256, payload))
