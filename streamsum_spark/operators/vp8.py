@@ -273,17 +273,53 @@ def _get_coeffs(bd: _Bool, probs, plane_off: int, ctx: int, first: int, out):
     """Decode one 4x4 block's tokens into out[16] (unquantized values,
     zigzag applied).  Returns the EOB position n; the neighbor context
     flag is (n > first), libwebp-equivalent.  After a ZERO token the EOB
-    branch is skipped (tree restarts at node 2) — §13.3."""
+    branch is skipped (tree restarts at node 2) — §13.3.
+
+    Hot path: the §7.2 boolean-decoder step is inlined on local
+    (value, range, count, pos) state — identical math to _Bool.bit,
+    written back once per block — because attribute loads and call
+    frames per decoded bit dominate an interpreter-run token loop."""
     bands = T.COEFF_BANDS
     tree = _TOKEN_TREE
     zz = _ZIGZAG
     n = first
     start = 0
+    value = bd.value
+    rng = bd.range
+    count = bd.count
+    pos = bd.pos
+    d = bd.d
+    nd = bd.n
     while n < 16:
         off = plane_off + bands[n] * 33 + ctx * 11
-        tok = bd.tree(tree, probs, start, off)
+        # tree walk with inline bit decode
+        i = start
+        while True:
+            prob = probs[off + (i >> 1)]
+            split = 1 + (((rng - 1) * prob) >> 8)
+            big = split << 8
+            if value >= big:
+                bit = 1
+                rng -= split
+                value -= big
+            else:
+                bit = 0
+                rng = split
+            while rng < 128:
+                value <<= 1
+                rng <<= 1
+                count += 1
+                if count == 8:
+                    count = 0
+                    if pos < nd:
+                        value |= d[pos]
+                    pos += 1
+            i = tree[i + bit]
+            if i <= 0:
+                break
+        tok = -i
         if tok == 11:  # EOB
-            return n
+            break
         if tok == 0:
             ctx = 0
             start = 2  # no EOB immediately after a zero run
@@ -293,18 +329,55 @@ def _get_coeffs(bd: _Bool, probs, plane_off: int, ctx: int, first: int, out):
             v = tok
             ctx = 1 if v == 1 else 2
         else:
-            cat = tok - 5
             v = 0
-            for p in _CAT_PROBS[cat]:
-                v = (v << 1) | bd.bit(p)
-            v += _CAT_BASE[cat]
+            for prob in _CAT_PROBS[tok - 5]:
+                split = 1 + (((rng - 1) * prob) >> 8)
+                big = split << 8
+                if value >= big:
+                    bit = 1
+                    rng -= split
+                    value -= big
+                else:
+                    bit = 0
+                    rng = split
+                while rng < 128:
+                    value <<= 1
+                    rng <<= 1
+                    count += 1
+                    if count == 8:
+                        count = 0
+                        if pos < nd:
+                            value |= d[pos]
+                        pos += 1
+                v = (v << 1) | bit
+            v += _CAT_BASE[tok - 5]
             ctx = 2
-        if bd.bit(128):
+        # sign bit (prob 128)
+        split = 1 + (((rng - 1) * 128) >> 8)
+        big = split << 8
+        if value >= big:
+            rng -= split
+            value -= big
             v = -v
+        else:
+            rng = split
+        while rng < 128:
+            value <<= 1
+            rng <<= 1
+            count += 1
+            if count == 8:
+                count = 0
+                if pos < nd:
+                    value |= d[pos]
+                pos += 1
         out[zz[n]] = v
         start = 0
         n += 1
-    return 16
+    bd.value = value
+    bd.range = rng
+    bd.count = count
+    bd.pos = pos
+    return n
 
 
 # ---- inverse transforms (RFC 6386 §14.3, §14.4) ----------------------
@@ -679,11 +752,10 @@ def _decode_vp8_frame(data: bytes, apply_filter: bool = True):
             y0, x0 = my * 16, mx * 16
             if not b_pred:
                 pred = _whole_mb_pred(Y, y0, x0, 16, ym, mx, my)
-                mb = pred.astype(np.int64)
-                for r in range(4):
-                    for c in range(4):
-                        mb[4 * r:4 * r + 4, 4 * c:4 * c + 4] += ry[r * 4 + c]
-                Y[y0:y0 + 16, x0:x0 + 16] = np.clip(mb, 0, 255)
+                # (16,4,4) subblock residuals -> one (16,16) tile
+                mb = pred + ry.reshape(4, 4, 4, 4).transpose(
+                    0, 2, 1, 3).reshape(16, 16)
+                Y[y0:y0 + 16, x0:x0 + 16] = _clip(mb, 0, 255)
             else:
                 # 4x4 workspace with the above-right macroblock quirk
                 L = np.empty((17, 21), np.int32)
@@ -727,11 +799,9 @@ def _decode_vp8_frame(data: bytes, apply_filter: bool = True):
             uvm = int(uvmodes[i])
             for plane, res in ((U, ru), (V, rv)):
                 pred = _whole_mb_pred(plane, cy0, cx0, 8, uvm, mx, my)
-                mbuv = pred.astype(np.int64)
-                for r in range(2):
-                    for c in range(2):
-                        mbuv[4 * r:4 * r + 4, 4 * c:4 * c + 4] += res[r * 2 + c]
-                plane[cy0:cy0 + 8, cx0:cx0 + 8] = np.clip(mbuv, 0, 255)
+                mbuv = pred + res.reshape(2, 2, 4, 4).transpose(
+                    0, 2, 1, 3).reshape(8, 8)
+                plane[cy0:cy0 + 8, cx0:cx0 + 8] = _clip(mbuv, 0, 255)
 
     # ---- pass 3: loop filter (§15) ------------------------------------
     # frame-level 0 disables filtering entirely, even with per-segment
@@ -744,8 +814,11 @@ def _decode_vp8_frame(data: bytes, apply_filter: bool = True):
 
 # ---- loop filter (RFC 6386 §15.2, §15.3) -----------------------------
 
+_clip = np.core.umath.clip  # raw ufunc: skips np.clip dispatch overhead
+
+
 def _s8(x):
-    return np.clip(x, -128, 127)
+    return _clip(x, -128, 127)
 
 
 def _common_adjust(P, rows, use_outer):
@@ -844,28 +917,42 @@ def _loop_filter(Y, U, V, hd, seg_ids, ymodes, skips, has_coeffs,
                 _filter_edge(P, lim, interior, hev_t, mb_edge, simple)
                 plane[r - 4:r + 4, c0:c0 + n] = P.T
 
+            def uv_vedge(c, lim, mb_edge):
+                # U and V share every filter parameter — one stacked
+                # 16-lane call instead of two 8-lane calls
+                P = np.concatenate((
+                    U[cy0:cy0 + 8, c - 4:c + 4],
+                    V[cy0:cy0 + 8, c - 4:c + 4])).astype(np.int32)
+                _filter_edge(P, lim, interior, hev_t, mb_edge, simple)
+                U[cy0:cy0 + 8, c - 4:c + 4] = P[:8]
+                V[cy0:cy0 + 8, c - 4:c + 4] = P[8:]
+
+            def uv_hedge(r, lim, mb_edge):
+                P = np.concatenate((
+                    U[r - 4:r + 4, cx0:cx0 + 8].T,
+                    V[r - 4:r + 4, cx0:cx0 + 8].T)).astype(np.int32)
+                _filter_edge(P, lim, interior, hev_t, mb_edge, simple)
+                U[r - 4:r + 4, cx0:cx0 + 8] = P[:8].T
+                V[r - 4:r + 4, cx0:cx0 + 8] = P[8:].T
+
             if mx > 0:
                 vedge(Y, y0, x0, 16, mb_lim, True)
                 if not simple:
-                    vedge(U, cy0, cx0, 8, mb_lim, True)
-                    vedge(V, cy0, cx0, 8, mb_lim, True)
+                    uv_vedge(cx0, mb_lim, True)
             if inner:
                 for dx in (4, 8, 12):
                     vedge(Y, y0, x0 + dx, 16, sub_lim, False)
                 if not simple:
-                    vedge(U, cy0, cx0 + 4, 8, sub_lim, False)
-                    vedge(V, cy0, cx0 + 4, 8, sub_lim, False)
+                    uv_vedge(cx0 + 4, sub_lim, False)
             if my > 0:
                 hedge(Y, y0, x0, 16, mb_lim, True)
                 if not simple:
-                    hedge(U, cy0, cx0, 8, mb_lim, True)
-                    hedge(V, cy0, cx0, 8, mb_lim, True)
+                    uv_hedge(cy0, mb_lim, True)
             if inner:
                 for dy in (4, 8, 12):
                     hedge(Y, y0 + dy, x0, 16, sub_lim, False)
                 if not simple:
-                    hedge(U, cy0 + 4, cx0, 8, sub_lim, False)
-                    hedge(V, cy0 + 4, cx0, 8, sub_lim, False)
+                    uv_hedge(cy0 + 4, sub_lim, False)
 
 
 # ---- public API ------------------------------------------------------
