@@ -238,6 +238,10 @@ def main() -> None:
     from streamsum_spark.operators import multimodal as _mm
 
     _materialize(_mm.extract_features(_mm.synthetic_media(spark, n=8)))
+    # pre-build the 600-row media table once: the row build runs the
+    # in-repo fixture ENCODERS (now incl. lossy VP8) driver-side and is
+    # memoized, so timed runs measure decode throughput, not encoding
+    _mm.synthetic_media(spark, n=600)
     # pre-build snapshot_read's 3-version table: its first timed run
     # otherwise carries the one-time build, inflating the spread metric
     # (r7 spread 2.4x) without touching the min

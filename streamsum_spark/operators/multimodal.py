@@ -730,8 +730,10 @@ def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
 
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic real-format media table for tests: BMP (every 6th
-    replaced by a lossless WebP since round 8 — VP8L cycling its
-    transforms, so the default pipeline exercises that decoder too),
+    replaced by a WebP since round 8 — alternating VP8L lossless
+    cycling its transforms and lossy VP8 key frames from the in-repo
+    encoder cycling token-partition counts and filter types, so the
+    default pipeline exercises both WebP decoders),
     PPM (every other PPM slot a TIFF since round 8, cycling
     LZW/PackBits/Deflate and the horizontal predictor), PNG (cycling
     all five row filters), and JPEG — alternating
@@ -743,6 +745,9 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
     from streamsum_spark.operators.jpeg import encode_jpeg, encode_jpeg_progressive
     from streamsum_spark.operators.webp import encode_webp_lossless
 
+    if n in _SYNTHETIC_ROWS_CACHE:  # deterministic per n — memoized so
+        # repeated bench/test calls don't re-run the fixture encoders
+        return spark.createDataFrame(_SYNTHETIC_ROWS_CACHE[n], MEDIA_SCHEMA)
     rows = []
     for i in range(n):
         kind = i % 3
@@ -755,11 +760,26 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
             ).astype(np.uint8)
             if kind == 0:
                 if (i // 3) % 2 == 1:
-                    tr = (None, "subtract_green", "predictor")[(i // 6) % 3]
-                    content, mime = (
-                        encode_webp_lossless(px, transform=tr),
-                        "image/webp",
-                    )
+                    if (i // 6) % 2 == 1:
+                        from streamsum_spark.operators.vp8_encode import (
+                            encode_webp_lossy,
+                        )
+
+                        content, mime = (
+                            encode_webp_lossy(
+                                px, quality=88,
+                                n_parts=(1, 2)[(i // 12) % 2],
+                                filter_simple=(i // 24) % 2,
+                            ),
+                            "image/webp",
+                        )
+                    else:
+                        tr = (None, "subtract_green", "predictor")[
+                            (i // 6) % 3]
+                        content, mime = (
+                            encode_webp_lossless(px, transform=tr),
+                            "image/webp",
+                        )
                 else:
                     content, mime = encode_bmp(px), "image/bmp"
             elif (i // 3) % 2 == 0:
@@ -788,4 +808,8 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
             t = np.arange(rate * dur_ms // 1000)
             tone = (3000 * np.sin(2 * np.pi * (110 + i) * t / rate)).astype(np.int16)
             rows.append((i, "audio/wav", None, None, dur_ms, encode_wav(tone, rate)))
+    _SYNTHETIC_ROWS_CACHE[n] = rows
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+_SYNTHETIC_ROWS_CACHE: dict[int, list] = {}
