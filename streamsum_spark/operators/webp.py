@@ -627,36 +627,53 @@ def _decode_alpha(body: bytes, w: int, h: int) -> np.ndarray:
     return a
 
 
-def decode_webp_rgba(b: bytes) -> np.ndarray:
-    """Decode a WebP blob to (h, w, 4) non-premultiplied RGBA —
-    byte-comparable to WebPDecodeRGBA.  VP8L alpha comes from the ARGB
-    stream itself; lossy VP8 alpha from the ALPH chunk (opaque 255
-    when absent)."""
+def _walk_chunks(buf: bytes, start: int):
+    i = start
+    while i + 8 <= len(buf):
+        tag = buf[i : i + 4]
+        (n,) = struct.unpack("<I", buf[i + 4 : i + 8])
+        body = buf[i + 8 : i + 8 + n]
+        if len(body) < n:
+            raise ValueError("truncated WEBP chunk")
+        yield tag, body
+        i += 8 + n + (n & 1)  # chunks are 2-byte aligned
+
+
+def _decode_container(b: bytes, rgba: bool) -> np.ndarray:
     b = bytes(b)
     try:
         if len(b) < 20 or b[:4] != b"RIFF" or b[8:12] != b"WEBP":
             raise ValueError("not a WEBP RIFF container")
-        i = 12
         alph = None
-        while i + 8 <= len(b):
-            tag = b[i : i + 4]
-            (n,) = struct.unpack("<I", b[i + 4 : i + 8])
-            body = b[i + 8 : i + 8 + n]
-            if len(body) < n:
-                raise ValueError("truncated WEBP chunk")
+        chunks = list(_walk_chunks(b, 12))
+        k = 0
+        while k < len(chunks):
+            tag, body = chunks[k]
+            k += 1
             if tag == b"ALPH":
                 alph = body
+            elif tag == b"ANMF":
+                # animated WebP: decode the FIRST frame (container
+                # spec: 16-byte frame params, then image subchunks) —
+                # same still-image contract as gif.py's first frame
+                if len(body) < 16:
+                    raise ValueError("truncated ANMF header")
+                chunks[k:k] = list(_walk_chunks(body, 16))
             elif tag == b"VP8L":
                 argb, h, w = _decode_vp8l_argb(body)
-                out = np.empty((h, w, 4), dtype=np.uint8)
+                ch = 4 if rgba else 3
+                out = np.empty((h, w, ch), dtype=np.uint8)
                 out[:, :, 0] = (argb >> 16) & 0xFF
                 out[:, :, 1] = (argb >> 8) & 0xFF
                 out[:, :, 2] = argb & 0xFF
-                out[:, :, 3] = (argb >> 24) & 0xFF
+                if rgba:
+                    out[:, :, 3] = (argb >> 24) & 0xFF
                 return out
             elif tag == b"VP8 ":
                 from . import vp8 as _vp8
 
+                if not rgba:
+                    return _vp8.decode_vp8_to_rgb(body)
                 y, u, v = _vp8.decode_vp8(body)
                 h, w = y.shape
                 out = np.empty((h, w, 4), dtype=np.uint8)
@@ -664,37 +681,24 @@ def decode_webp_rgba(b: bytes) -> np.ndarray:
                 out[:, :, 3] = (
                     _decode_alpha(alph, w, h) if alph is not None else 255)
                 return out
-            i += 8 + n + (n & 1)
         raise ValueError("no image chunk in WEBP container")
     except (IndexError, struct.error) as e:
         raise ValueError(f"corrupt WEBP: {type(e).__name__}") from e
+
+
+def decode_webp_rgba(b: bytes) -> np.ndarray:
+    """Decode a WebP blob to (h, w, 4) non-premultiplied RGBA —
+    byte-comparable to WebPDecodeRGBA.  VP8L alpha comes from the ARGB
+    stream itself; lossy VP8 alpha from the ALPH chunk (opaque 255
+    when absent).  Animated files decode their first frame."""
+    return _decode_container(b, rgba=True)
 
 
 def decode_webp(b: bytes) -> np.ndarray:
-    """Decode a lossless WebP blob to (h, w, 3) uint8 RGB.  Lossy VP8
-    payloads refuse with NotImplementedError; malformed input raises
-    ValueError."""
-    b = bytes(b)
-    try:
-        if len(b) < 20 or b[:4] != b"RIFF" or b[8:12] != b"WEBP":
-            raise ValueError("not a WEBP RIFF container")
-        i = 12
-        while i + 8 <= len(b):
-            tag = b[i : i + 4]
-            (n,) = struct.unpack("<I", b[i + 4 : i + 8])
-            body = b[i + 8 : i + 8 + n]
-            if len(body) < n:
-                raise ValueError("truncated WEBP chunk")
-            if tag == b"VP8L":
-                return _decode_vp8l(body)
-            if tag == b"VP8 ":
-                from . import vp8 as _vp8
-
-                return _vp8.decode_vp8_to_rgb(body)
-            i += 8 + n + (n & 1)  # chunks are 2-byte aligned
-        raise ValueError("no image chunk in WEBP container")
-    except (IndexError, struct.error) as e:
-        raise ValueError(f"corrupt WEBP: {type(e).__name__}") from e
+    """Decode a WebP blob (lossless VP8L or lossy VP8; still or the
+    first frame of an animation) to (h, w, 3) uint8 RGB.  Malformed
+    input raises ValueError."""
+    return _decode_container(b, rgba=False)
 
 
 # ---- fixture encoder -------------------------------------------------

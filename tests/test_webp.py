@@ -470,3 +470,47 @@ def test_hostile_alph_bodies_refuse():
         webp.decode_webp_rgba(_vp8x_container(b"\x00" + b"\x01" * 10, payload))
     with pytest.raises(ValueError, match="compression"):
         webp.decode_webp_rgba(_vp8x_container(b"\x03" + b"\x00" * 256, payload))
+
+
+def test_animated_webp_decodes_first_frame():
+    """ANIM/ANMF container: the first frame's pixels come back (same
+    still-image contract as GIF's first frame), for both VP8L and
+    lossy-VP8 frame payloads — incl. an in-frame ALPH subchunk."""
+    from streamsum_spark.operators.vp8_encode import encode_vp8
+
+    def chunk(tag, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def anmf(frame_chunks, w, h):
+        head = (struct.pack("<I", 0)[:3] * 2          # x, y
+                + struct.pack("<I", w - 1)[:3] + struct.pack("<I", h - 1)[:3]
+                + struct.pack("<I", 40)[:3] + b"\x00")  # duration, flags
+        return chunk(b"ANMF", head + frame_chunks)
+
+    def vp8l_chunk(px):
+        blob = webp.encode_webp_lossless(px)
+        (n,) = struct.unpack("<I", blob[16:20])
+        return chunk(b"VP8L", blob[20:20 + n])
+
+    px1 = _rng(61).integers(0, 256, (12, 16, 3), dtype=np.uint8)
+    px2 = _rng(62).integers(0, 256, (12, 16, 3), dtype=np.uint8)
+    f1 = vp8l_chunk(px1)
+    f2 = vp8l_chunk(px2)
+    inner = (chunk(b"VP8X", b"\x02\x00\x00\x00\x0f\x00\x00\x0b\x00\x00")
+             + chunk(b"ANIM", b"\x00\x00\x00\x00\x00\x00")
+             + anmf(f1, 16, 12) + anmf(f2, 16, 12))
+    blob = b"RIFF" + struct.pack("<I", 4 + len(inner)) + b"WEBP" + inner
+    assert np.array_equal(webp.decode_webp(blob), px1)
+
+    # lossy frame with its own ALPH subchunk
+    payload = encode_vp8(np.ascontiguousarray(px1), 85)
+    alpha = np.arange(12 * 16, dtype=np.uint8).reshape(12, 16)
+    alph = chunk(b"ALPH", b"\x00" + alpha.tobytes())
+    inner = (chunk(b"VP8X", b"\x12\x00\x00\x00\x0f\x00\x00\x0b\x00\x00")
+             + chunk(b"ANIM", b"\x00\x00\x00\x00\x00\x00")
+             + anmf(alph + chunk(b"VP8 ", payload), 16, 12))
+    blob = b"RIFF" + struct.pack("<I", 4 + len(inner)) + b"WEBP" + inner
+    out = webp.decode_webp_rgba(blob)
+    assert out.shape == (12, 16, 4)
+    assert np.array_equal(out[:, :, 3], alpha)
