@@ -343,9 +343,10 @@ def decode_image(content: bytes) -> np.ndarray:
     (baseline strips: none/LZW/PackBits/Deflate compressions,
     horizontal predictor, gray/palette/RGB(A), bit depths 1-16, both
     byte orders, all eight orientations — operators/tiff.py, written
-    from the TIFF 6.0 spec).  Remaining codecs (arithmetic-coded JPEG,
-    ...) raise NotImplementedError: a fake decode would misreport
-    pixel stats."""
+    from the TIFF 6.0 spec), and ICO/CUR (largest directory entry;
+    PNG-in-ICO or 1/4/8/24/32bpp DIB with the doubled-height AND
+    mask).  Remaining codecs (arithmetic-coded JPEG, ...) raise
+    NotImplementedError: a fake decode would misreport pixel stats."""
     if content is None:
         raise ValueError("null content")
     b = bytes(content)
@@ -371,7 +372,91 @@ def decode_image(content: bytes) -> np.ndarray:
         from streamsum_spark.operators.tiff import decode_tiff
 
         return decode_tiff(b)
+    if b[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
+        return _decode_ico(b)
     raise NotImplementedError("compressed image codecs not available in this environment")
+
+
+def _decode_ico(b: bytes) -> np.ndarray:
+    """ICO/CUR container: picks the largest/deepest directory entry and
+    decodes it — PNG-in-ICO (modern favicons) via the PNG decoder, else
+    a headerless DIB whose biHeight covers XOR+AND masks (height is
+    halved; the 1-bit AND mask is transparency, dropped for RGB output
+    like the BMP path drops alpha).  Palette (1/4/8 bpp) and direct
+    (24/32 bpp) XOR images, bottom-up, 4-byte-aligned rows."""
+    if len(b) < 6 + 16:
+        raise ValueError("truncated ICO directory")
+    _, _, count = struct.unpack_from("<HHH", b, 0)
+    if count == 0:
+        raise ValueError("empty ICO")
+    best = None
+    for k in range(min(count, 64)):
+        e = 6 + 16 * k
+        if e + 16 > len(b):
+            raise ValueError("truncated ICO directory entry")
+        ew = b[e] or 256
+        eh = b[e + 1] or 256
+        bpp = struct.unpack_from("<H", b, e + 6)[0]
+        size, off = struct.unpack_from("<II", b, e + 8)
+        key = (ew * eh, bpp)
+        if best is None or key > best[0]:
+            best = (key, off, size)
+    _, off, size = best
+    if off + size > len(b) or size < 8:
+        raise ValueError("ICO image data out of bounds")
+    d = b[off:off + size]
+    if d[:8] == _PNG_SIG:
+        return _decode_png(d)
+    return _decode_ico_dib(d)
+
+
+def _decode_ico_dib(d: bytes) -> np.ndarray:
+    if len(d) < 40 or struct.unpack_from("<I", d, 0)[0] != 40:
+        raise ValueError("ICO DIB must use BITMAPINFOHEADER")
+    w, h2 = struct.unpack_from("<ii", d, 4)
+    bpp = struct.unpack_from("<H", d, 14)[0]
+    comp = struct.unpack_from("<I", d, 16)[0]
+    clr_used = struct.unpack_from("<I", d, 32)[0]
+    if comp != 0:
+        raise NotImplementedError(f"ICO DIB compression={comp}")
+    h = abs(h2) // 2  # XOR + AND stacked
+    if w <= 0 or h <= 0 or w * h > 1 << 24:
+        raise ValueError("bad ICO dimensions")
+    pos = 40
+    if bpp in (1, 4, 8):
+        n_pal = clr_used or (1 << bpp)
+        pal = np.frombuffer(d, np.uint8, count=4 * n_pal, offset=pos)
+        pal = pal.reshape(n_pal, 4)[:, [2, 1, 0]]  # BGR0 -> RGB
+        pos += 4 * n_pal
+        stride = ((w * bpp + 31) // 32) * 4
+        if pos + stride * h > len(d):
+            raise ValueError("truncated ICO XOR image")
+        rows = np.frombuffer(
+            d, np.uint8, count=stride * h, offset=pos).reshape(h, stride)
+        if bpp == 8:
+            idx = rows[:, :w]
+        else:
+            bits = np.unpackbits(rows, axis=1)
+            if bpp == 1:
+                idx = bits[:, :w]
+            else:  # 4: high nibble first
+                nib = bits.reshape(h, -1, 4)
+                idx = (nib[:, :, 0] * 8 + nib[:, :, 1] * 4
+                       + nib[:, :, 2] * 2 + nib[:, :, 3])[:, :w]
+        if int(idx.max(initial=0)) >= n_pal:
+            raise ValueError("ICO palette index out of range")
+        px = pal[idx]
+    elif bpp in (24, 32):
+        nch = bpp // 8
+        stride = (w * nch + 3) & ~3
+        if pos + stride * h > len(d):
+            raise ValueError("truncated ICO XOR image")
+        rows = np.frombuffer(
+            d, np.uint8, count=stride * h, offset=pos).reshape(h, stride)
+        px = rows[:, : w * nch].reshape(h, w, nch)[:, :, [2, 1, 0]]
+    else:
+        raise NotImplementedError(f"ICO bpp={bpp}")
+    return np.ascontiguousarray(px[::-1])  # bottom-up
 
 
 def _decode_g711(data: bytes, law: str) -> np.ndarray:
@@ -463,19 +548,123 @@ def _decode_ima_adpcm(data: bytes, nch: int, block_align: int) -> np.ndarray:
     return np.stack([ch[:n] for ch in chans], axis=1).reshape(-1).astype(np.int16)
 
 
+def _parse_f80(raw: bytes) -> float:
+    """IEEE 754 80-bit extended float (AIFF COMM sampleRate): 1 sign +
+    15 exponent + 64 explicit-integer-bit mantissa."""
+    if len(raw) < 10:
+        raise ValueError("truncated extended float")
+    se = struct.unpack(">H", raw[:2])[0]
+    mant = struct.unpack(">Q", raw[2:10])[0]
+    if se & 0x7FFF == 0 and mant == 0:
+        return 0.0
+    exp = (se & 0x7FFF) - 16383 - 63
+    val = mant * (2.0 ** exp)
+    return -val if se & 0x8000 else val
+
+
+def _pcm_be_to_i16(data: bytes, bits: int, little: bool = False) -> np.ndarray:
+    nbytes = (bits + 7) // 8
+    n = len(data) // nbytes
+    if bits == 8:
+        return np.frombuffer(data, np.int8, count=n).astype(np.int16) << 8
+    if bits == 16:
+        dt = "<i2" if little else ">i2"
+        return np.frombuffer(data, dt, count=n).astype(np.int16)
+    raw = np.frombuffer(data, np.uint8, count=n * nbytes).reshape(n, nbytes)
+    if little:
+        raw = raw[:, ::-1]
+    acc = np.zeros(n, np.int64)
+    for k in range(nbytes):
+        acc = (acc << 8) | raw[:, k]
+    shift = nbytes * 8
+    acc = np.where(acc >= 1 << (shift - 1), acc - (1 << shift), acc)
+    return (acc >> (shift - 16)).astype(np.int16)
+
+
+def _decode_aiff(b: bytes) -> tuple[np.ndarray, int]:
+    """AIFF / AIFF-C ('FORM'): big-endian chunks, COMM with an 80-bit
+    extended-float sample rate, SSND sample data.  PCM 8/16/24/32,
+    AIFF-C 'NONE'/'sowt' (byte-swapped LE)/'ulaw'/'alaw' (G.711)."""
+    is_aifc = b[8:12] == b"AIFC"
+    comm = ssnd = None
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i:i + 4]
+        sz = struct.unpack_from(">I", b, i + 4)[0]
+        body = b[i + 8:i + 8 + sz]
+        if cid == b"COMM":
+            comm = body
+        elif cid == b"SSND":
+            ssnd = body
+        i += 8 + sz + (sz & 1)
+    if comm is None or ssnd is None or len(comm) < 18 or len(ssnd) < 8:
+        raise ValueError("AIFF missing/truncated COMM or SSND")
+    nch, _nframes, bits = struct.unpack_from(">hIh", comm, 0)
+    rate = int(round(_parse_f80(comm[8:18])))
+    if nch < 1 or rate <= 0 or not 1 <= bits <= 32:
+        raise ValueError("corrupt AIFF COMM")
+    comp = comm[18:22] if (is_aifc and len(comm) >= 22) else b"NONE"
+    off = struct.unpack_from(">I", ssnd, 0)[0]
+    data = ssnd[8 + off:]
+    if comp in (b"NONE",):
+        samples = _pcm_be_to_i16(data, bits)
+    elif comp == b"sowt":  # byte-swapped (little-endian) PCM
+        samples = _pcm_be_to_i16(data, bits, little=True)
+    elif comp.lower() in (b"ulaw", b"alaw"):
+        samples = _decode_g711(
+            data, "mu" if comp.lower() == b"ulaw" else "alaw")
+    else:
+        raise NotImplementedError(f"AIFF-C compression {comp!r}")
+    n = (len(samples) // nch) * nch
+    return samples[:n].reshape(-1, nch), rate
+
+
+def _decode_au(b: bytes) -> tuple[np.ndarray, int]:
+    """Sun AU ('.snd'): big-endian header (offset, size, encoding,
+    rate, channels).  mu-law/A-law (G.711), PCM 8/16/24/32, float
+    32/64 scaled to int16."""
+    if len(b) < 24:
+        raise ValueError("truncated AU header")
+    _, off, _size, enc, rate, nch = struct.unpack_from(">IIIIII", b, 0)
+    if off < 24 or off > len(b) or nch < 1 or nch > 64 or rate <= 0:
+        raise ValueError("corrupt AU header")
+    data = b[off:]
+    if enc == 1:
+        samples = _decode_g711(data, "mu")
+    elif enc == 27:
+        samples = _decode_g711(data, "alaw")
+    elif enc in (2, 3, 4, 5):
+        samples = _pcm_be_to_i16(data, {2: 8, 3: 16, 4: 24, 5: 32}[enc])
+    elif enc in (6, 7):
+        dt = ">f4" if enc == 6 else ">f8"
+        f = np.frombuffer(data, dt, count=len(data) // (4 if enc == 6 else 8))
+        samples = np.clip(np.rint(f * 32767.0), -32768, 32767).astype(np.int16)
+    else:
+        raise NotImplementedError(f"AU encoding {enc}")
+    n = (len(samples) // nch) * nch
+    return samples[:n].reshape(-1, nch), rate
+
+
 def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
-    """Decode a WAV (RIFF) blob to ((n_samples, n_channels) int16,
-    sample_rate).  Real for PCM16 (tag 1), G.711 A-law/mu-law telephony
-    (tags 6/7 — LUT expansion, vectorized), mono IMA ADPCM (tag 0x11),
-    and FLAC (operators/flac.py — full fixed-blocksize surface from
-    RFC 9639, CRC-verified, returned as int32).  Other codecs (MP3,
-    AAC, ...) raise NotImplementedError: a fake decode would misreport
-    the audio stats."""
+    """Decode an audio blob to ((n_samples, n_channels) int16,
+    sample_rate).  WAV (RIFF): PCM16 (tag 1), G.711 A-law/mu-law
+    telephony (tags 6/7 — LUT expansion, vectorized), mono IMA ADPCM
+    (tag 0x11).  FLAC (operators/flac.py — full fixed-blocksize
+    surface from RFC 9639, CRC-verified, returned as int32).  AIFF /
+    AIFF-C: big-endian PCM 8-32, 'sowt', G.711 (80-bit extended-float
+    rate; pinned vs the stdlib aifc module).  Sun AU: G.711, PCM,
+    float32/64 (pinned vs stdlib sunau).  Other codecs (MP3, AAC, ...)
+    raise NotImplementedError: a fake decode would misreport the audio
+    stats."""
     b = bytes(content)
     if b[:4] == b"fLaC":
         from streamsum_spark.operators.flac import decode_flac
 
         return decode_flac(b)
+    if b[:4] == b"FORM" and b[8:12] in (b"AIFF", b"AIFC"):
+        return _decode_aiff(b)
+    if b[:4] == b".snd":
+        return _decode_au(b)
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise NotImplementedError("only RIFF/WAVE audio supported")
     fmt = data = None
@@ -580,7 +769,9 @@ def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
         try:
             # RIFF is a shared container: WAVE routes to audio, WEBP to
             # the image path (both VP8L and lossy VP8 decode)
-            if b[:4] == b"RIFF" and b[8:12] == b"WAVE" or b[:4] == b"fLaC":
+            if (b[:4] == b"RIFF" and b[8:12] == b"WAVE" or b[:4] == b"fLaC"
+                    or (b[:4] == b"FORM" and b[8:12] in (b"AIFF", b"AIFC"))
+                    or b[:4] == b".snd"):
                 samples, rate = decode_audio(b)
                 return True, None, None, int(samples.shape[1]), _audio_feature(samples, rate)
             px = decode_image(b)
@@ -728,6 +919,62 @@ def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
     )
 
 
+def encode_aiff(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Encode mono/stereo int16 samples as big-endian PCM AIFF (COMM
+    with the 80-bit extended-float rate + SSND)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    nframes, nch = samples.shape
+    # 80-bit extended float for an integer rate: exponent so the
+    # 64-bit mantissa's top bit is the integer MSB
+    e = rate.bit_length() - 1
+    mant = rate << (63 - e)
+    f80 = struct.pack(">HQ", 16383 + e, mant)
+    comm = struct.pack(">hIh", nch, nframes, 16) + f80
+    data = samples.astype(">i2").tobytes()
+    ssnd = struct.pack(">II", 0, 0) + data
+    body = (b"AIFF" + b"COMM" + struct.pack(">I", len(comm)) + comm
+            + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def encode_au(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Encode mono/stereo int16 samples as big-endian PCM16 Sun AU."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    nch = samples.shape[1]
+    data = samples.astype(">i2").tobytes()
+    return struct.pack(">IIIIII", 0x2E736E64, 24, len(data), 3, rate,
+                       nch) + data
+
+
+def encode_ico(px: np.ndarray, inner: str = "bmp") -> bytes:
+    """Encode RGB pixels as a one-entry ICO: inner='bmp' writes a
+    32bpp DIB (doubled biHeight, XOR image + all-opaque AND mask),
+    inner='png' embeds a PNG (the modern favicon form)."""
+    h, w = px.shape[:2]
+    if not (0 < w <= 256 and 0 < h <= 256):
+        raise ValueError("ICO entries are at most 256x256")
+    if inner == "png":
+        img = encode_png(px)
+        bpp = 32
+    else:
+        bgra = np.zeros((h, w, 4), np.uint8)
+        bgra[:, :, 0] = px[:, :, 2]
+        bgra[:, :, 1] = px[:, :, 1]
+        bgra[:, :, 2] = px[:, :, 0]
+        bgra[:, :, 3] = 255
+        xor = bgra[::-1].tobytes()  # bottom-up, stride = 4w (aligned)
+        and_stride = ((w + 31) // 32) * 4
+        mask = b"\x00" * (and_stride * h)
+        img = struct.pack("<IiiHHIIiiII", 40, w, 2 * h, 1, 32, 0,
+                          len(xor) + len(mask), 0, 0, 0, 0) + xor + mask
+        bpp = 32
+    entry = struct.pack("<BBBBHHII", w & 0xFF, h & 0xFF, 0, 0, 1, bpp,
+                        len(img), 22)
+    return struct.pack("<HHH", 0, 1, 1) + entry + img
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic real-format media table for tests: BMP (every 6th
     replaced by a WebP since round 8 — alternating VP8L lossless
@@ -780,6 +1027,11 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
                             encode_webp_lossless(px, transform=tr),
                             "image/webp",
                         )
+                elif (i // 6) % 3 == 2:
+                    content, mime = (
+                        encode_ico(px, inner=("bmp", "png")[(i // 12) % 2]),
+                        "image/x-icon",
+                    )
                 else:
                     content, mime = encode_bmp(px), "image/bmp"
             elif (i // 3) % 2 == 0:
@@ -807,7 +1059,9 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
             rate, dur_ms = 8000, 1000 * (1 + i % 7)
             t = np.arange(rate * dur_ms // 1000)
             tone = (3000 * np.sin(2 * np.pi * (110 + i) * t / rate)).astype(np.int16)
-            rows.append((i, "audio/wav", None, None, dur_ms, encode_wav(tone, rate)))
+            enc, mime = ((encode_wav, "audio/wav"), (encode_aiff, "audio/aiff"),
+                         (encode_au, "audio/basic"))[(i // 3) % 3]
+            rows.append((i, mime, None, None, dur_ms, enc(tone, rate)))
     _SYNTHETIC_ROWS_CACHE[n] = rows
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
