@@ -419,6 +419,7 @@ def _decode_ico_dib(d: bytes) -> np.ndarray:
     clr_used = struct.unpack_from("<I", d, 32)[0]
     if comp != 0:
         raise NotImplementedError(f"ICO DIB compression={comp}")
+    bottom_up = h2 > 0  # negative biHeight = top-down, same as BMP
     h = abs(h2) // 2  # XOR + AND stacked
     if w <= 0 or h <= 0 or w * h > 1 << 24:
         raise ValueError("bad ICO dimensions")
@@ -456,7 +457,7 @@ def _decode_ico_dib(d: bytes) -> np.ndarray:
         px = rows[:, : w * nch].reshape(h, w, nch)[:, :, [2, 1, 0]]
     else:
         raise NotImplementedError(f"ICO bpp={bpp}")
-    return np.ascontiguousarray(px[::-1])  # bottom-up
+    return np.ascontiguousarray(px[::-1] if bottom_up else px)
 
 
 def _decode_g711(data: bytes, law: str) -> np.ndarray:
@@ -558,6 +559,9 @@ def _parse_f80(raw: bytes) -> float:
     if se & 0x7FFF == 0 and mant == 0:
         return 0.0
     exp = (se & 0x7FFF) - 16383 - 63
+    if not -126 <= exp <= 63:  # sane audio rates only; a hostile
+        # exponent would overflow the float multiply below
+        raise ValueError("AIFF sample rate out of range")
     val = mant * (2.0 ** exp)
     return -val if se & 0x8000 else val
 
@@ -638,6 +642,8 @@ def _decode_au(b: bytes) -> tuple[np.ndarray, int]:
     elif enc in (6, 7):
         dt = ">f4" if enc == 6 else ">f8"
         f = np.frombuffer(data, dt, count=len(data) // (4 if enc == 6 else 8))
+        if not np.isfinite(f).all():  # NaN->int16 is undefined; refuse
+            raise ValueError("non-finite AU float samples")
         samples = np.clip(np.rint(f * 32767.0), -32768, 32767).astype(np.int16)
     else:
         raise NotImplementedError(f"AU encoding {enc}")

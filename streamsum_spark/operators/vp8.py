@@ -571,6 +571,30 @@ def _bpred_block(mode, A, L, C, AR):
     return p
 
 
+def _bpred_workspace(Y, y0, x0, mx, my, mb_w):
+    """17x21 B_PRED border workspace (§12.2/§12.3): synthetic 127/129
+    edges, the above-right macroblock quirk, and the MB-level top-right
+    quartet reused for rows 4/8/12.  Shared by the decoder and the
+    fixture encoder so the prediction chain stays bit-identical."""
+    L = np.empty((17, 21), np.int32)
+    if my > 0:
+        L[0, 1:17] = Y[y0 - 1, x0:x0 + 16]
+        L[0, 0] = 129 if mx == 0 else Y[y0 - 1, x0 - 1]
+        if mx < mb_w - 1:
+            L[0, 17:21] = Y[y0 - 1, x0 + 16:x0 + 20]
+        else:
+            L[0, 17:21] = Y[y0 - 1, x0 + 15]
+    else:
+        L[0, :] = 127
+    if mx > 0:
+        L[1:17, 0] = Y[y0:y0 + 16, x0 - 1]
+    else:
+        L[1:17, 0] = 129
+    # rows below reuse the MB-level top-right quartet
+    L[4, 17:21] = L[8, 17:21] = L[12, 17:21] = L[0, 17:21]
+    return L
+
+
 def _decode_vp8_frame(data: bytes, apply_filter: bool = True):
     """Decode one key frame; returns (y, u, v, w, h) with full-MB-padded
     planes and the display dimensions."""
@@ -757,23 +781,7 @@ def _decode_vp8_frame(data: bytes, apply_filter: bool = True):
                     0, 2, 1, 3).reshape(16, 16)
                 Y[y0:y0 + 16, x0:x0 + 16] = _clip(mb, 0, 255)
             else:
-                # 4x4 workspace with the above-right macroblock quirk
-                L = np.empty((17, 21), np.int32)
-                if my > 0:
-                    L[0, 1:17] = Y[y0 - 1, x0:x0 + 16]
-                    L[0, 0] = 129 if mx == 0 else Y[y0 - 1, x0 - 1]
-                    if mx < mb_w - 1:
-                        L[0, 17:21] = Y[y0 - 1, x0 + 16:x0 + 20]
-                    else:
-                        L[0, 17:21] = Y[y0 - 1, x0 + 15]
-                else:
-                    L[0, :] = 127
-                if mx > 0:
-                    L[1:17, 0] = Y[y0:y0 + 16, x0 - 1]
-                else:
-                    L[1:17, 0] = 129
-                # rows below reuse the MB-level top-right quartet
-                L[4, 17:21] = L[8, 17:21] = L[12, 17:21] = L[0, 17:21]
+                L = _bpred_workspace(Y, y0, x0, mx, my, mb_w)
                 bm = bmodes[my, mx]
                 for r in range(4):
                     rr = 4 * r
@@ -814,7 +822,11 @@ def _decode_vp8_frame(data: bytes, apply_filter: bool = True):
 
 # ---- loop filter (RFC 6386 §15.2, §15.3) -----------------------------
 
-_clip = np.core.umath.clip  # raw ufunc: skips np.clip dispatch overhead
+try:  # raw clip ufunc skips np.clip dispatch overhead; the module
+    # path moved in numpy 2.x, so fall back to the public API there
+    _clip = np.core.umath.clip
+except AttributeError:
+    _clip = np.clip
 
 
 def _s8(x):

@@ -447,23 +447,9 @@ def encode_vp8(
                     0, 2, 1, 3).reshape(16, 16)
                 Y[y0:y0 + 16, x0:x0 + 16] = np.clip(mb, 0, 255)
             else:
-                # sequential subblock encode mirroring the decoder's
-                # B_PRED workspace (incl. the above-right quirk)
-                L = np.empty((17, 21), np.int32)
-                if my > 0:
-                    L[0, 1:17] = Y[y0 - 1, x0:x0 + 16]
-                    L[0, 0] = 129 if mx == 0 else Y[y0 - 1, x0 - 1]
-                    if mx < mb_w - 1:
-                        L[0, 17:21] = Y[y0 - 1, x0 + 16:x0 + 20]
-                    else:
-                        L[0, 17:21] = Y[y0 - 1, x0 + 15]
-                else:
-                    L[0, :] = 127
-                if mx > 0:
-                    L[1:17, 0] = Y[y0:y0 + 16, x0 - 1]
-                else:
-                    L[1:17, 0] = 129
-                L[4, 17:21] = L[8, 17:21] = L[12, 17:21] = L[0, 17:21]
+                # sequential subblock encode through the decoder's own
+                # B_PRED workspace builder (bit-identical border rules)
+                L = D._bpred_workspace(Y, y0, x0, mx, my, mb_w)
                 bm = bmodes[my, mx]
                 for r in range(4):
                     rr = 4 * r

@@ -459,15 +459,6 @@ def _inverse_color_transform(px: np.ndarray, cte: np.ndarray, bits: int) -> None
     px[:, :, 3] = (px[:, :, 3] + ((g2b * g) >> 5) + ((r2b * r) >> 5)) & 0xFF
 
 
-def _decode_vp8l(payload: bytes) -> np.ndarray:
-    argb, h, w = _decode_vp8l_argb(payload)
-    out = np.empty((h, w, 3), dtype=np.uint8)
-    out[:, :, 0] = (argb >> 16) & 0xFF
-    out[:, :, 1] = (argb >> 8) & 0xFF
-    out[:, :, 2] = argb & 0xFF
-    return out
-
-
 def _decode_vp8l_argb(payload: bytes):
     """Full VP8L stream (signature + size header) -> ((h, w) uint32
     ARGB, h, w)."""

@@ -276,3 +276,40 @@ def test_new_formats_through_extract_features(spark):
     assert all(out[k].decoded for k in (1, 2, 3, 4))
     assert out[3].width == 12 and out[3].height == 9
     assert out[1].channels == 1
+
+
+def test_hostile_f80_exponent_and_au_nan_refuse_as_valueerror():
+    """Corrupt blobs must fall back via ValueError, not crash the
+    Arrow task with OverflowError / undefined NaN casts."""
+    # AIFF with an astronomically large 80-bit sample-rate exponent
+    f80 = struct.pack(">HQ", 0x7FFE, 1 << 63)
+    comm = struct.pack(">hIh", 1, 0, 16) + f80
+    ssnd = struct.pack(">II", 0, 0) + b"\x00" * 4
+    body = (b"AIFF" + b"COMM" + struct.pack(">I", len(comm)) + comm
+            + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd)
+    with pytest.raises(ValueError, match="rate"):
+        mm.decode_audio(b"FORM" + struct.pack(">I", len(body)) + body)
+    # AU float32 payload full of NaNs
+    data = np.full(16, np.nan, ">f4").tobytes()
+    hdr = struct.pack(">IIIIII", 0x2E736E64, 24, len(data), 6, 8000, 1)
+    with pytest.raises(ValueError, match="finite"):
+        mm.decode_audio(hdr + data)
+
+
+def test_ico_top_down_dib_not_flipped():
+    """Negative biHeight = top-down rows; the decoder must not mirror
+    them (same rule as _decode_bmp)."""
+    rng = np.random.default_rng(8)
+    px = rng.integers(0, 256, (6, 8, 3), dtype=np.uint8)
+    bgra = np.zeros((6, 8, 4), np.uint8)
+    bgra[:, :, 0] = px[:, :, 2]
+    bgra[:, :, 1] = px[:, :, 1]
+    bgra[:, :, 2] = px[:, :, 0]
+    bgra[:, :, 3] = 255
+    xor = bgra.tobytes()  # TOP-DOWN rows
+    mask = b"\x00" * (((8 + 31) // 32) * 4 * 6)
+    dib = struct.pack("<IiiHHIIiiII", 40, 8, -2 * 6, 1, 32, 0, 0,
+                      0, 0, 0, 0) + xor + mask
+    entry = struct.pack("<BBBBHHII", 8, 6, 0, 0, 1, 32, len(dib), 22)
+    blob = struct.pack("<HHH", 0, 1, 1) + entry + dib
+    assert np.array_equal(mm.decode_image(blob), px)

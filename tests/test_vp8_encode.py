@@ -73,7 +73,10 @@ _MATRIX = [
 @pytest.mark.parametrize("knobs", _MATRIX,
                          ids=lambda k: "+".join(k) if k else "defaults")
 def test_encoded_streams_decode_exact_vs_libwebp(knobs):
-    img = _img(48, 64, sum(map(hash, knobs)) % 97)
+    import zlib
+
+    # deterministic per-config seed (str hash() is salted per process)
+    img = _img(48, 64, zlib.crc32("+".join(sorted(knobs)).encode()) % 97)
     blob = E.encode_webp_lossy(img, 75, **knobs)
     mine = webp.decode_webp(blob)
     err = np.abs(mine.astype(int) - img.astype(int)).mean()
