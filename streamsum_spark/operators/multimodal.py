@@ -63,9 +63,92 @@ _CODEC_MAGICS = (b"\x89PNG", b"\xff\xd8", b"GIF8", b"ID3", b"\x00\x00\x00\x1cfty
 # ---------------------------------------------------------------------------
 
 
+def _dib_indices(rows: np.ndarray, w: int, bpp: int) -> np.ndarray:
+    """Packed palette indices (1/4/8 bpp, MSB-first sub-byte order)
+    from padded DIB rows -> (h, w) index array."""
+    if bpp == 8:
+        return rows[:, :w]
+    bits = np.unpackbits(rows, axis=1)
+    if bpp == 1:
+        return bits[:, :w]
+    nib = bits.reshape(rows.shape[0], -1, 4)  # 4: high nibble first
+    return (nib[:, :, 0] * 8 + nib[:, :, 1] * 4
+            + nib[:, :, 2] * 2 + nib[:, :, 3])[:, :w]
+
+
+def _dib_palette(b: bytes, pos: int, bpp: int, clr_used: int) -> np.ndarray:
+    n_pal = clr_used or (1 << bpp)
+    if n_pal > 1 << bpp or pos + 4 * n_pal > len(b):
+        raise ValueError("bad DIB palette")
+    pal = np.frombuffer(b, np.uint8, count=4 * n_pal, offset=pos)
+    return pal.reshape(n_pal, 4)[:, [2, 1, 0]]  # BGR0 -> RGB
+
+
+def _decode_rle(data: bytes, w: int, h: int, bpp: int) -> np.ndarray:
+    """BI_RLE8 / BI_RLE4 -> (h, w) bottom-up-ordered palette indices
+    (row 0 of the result is the BOTTOM row, caller flips).  Escapes:
+    00 00 end-of-line, 00 01 end-of-bitmap, 00 02 dx dy delta,
+    00 nn absolute run (word-aligned)."""
+    idx = np.zeros((h, w), np.uint8)
+    x = y = i = 0
+    n = len(data)
+    while i + 1 < n and y < h:
+        cnt, val = data[i], data[i + 1]
+        i += 2
+        if cnt > 0:  # encoded run
+            if bpp == 8:
+                run = [val] * cnt
+            else:
+                run = [(val >> 4, val & 0x0F)[k & 1] for k in range(cnt)]
+            take = min(cnt, w - x)
+            idx[y, x:x + take] = run[:take]
+            x += take
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            break
+        elif val == 2:  # delta
+            if i + 1 >= n:
+                raise ValueError("truncated RLE delta")
+            x = min(w, x + data[i])
+            y = y + data[i + 1]
+            i += 2
+        else:  # absolute run of `val` pixels, word-aligned
+            if bpp == 8:
+                nbytes = val
+                if i + nbytes > n:
+                    raise ValueError("truncated RLE absolute run")
+                run = list(data[i:i + nbytes])
+            else:
+                nbytes = (val + 1) // 2
+                if i + nbytes > n:
+                    raise ValueError("truncated RLE absolute run")
+                run = []
+                for k in range(val):
+                    byte = data[i + k // 2]
+                    run.append(byte >> 4 if k % 2 == 0 else byte & 0x0F)
+            take = min(val, w - x)
+            idx[y, x:x + take] = run[:take]
+            x += take
+            i += (nbytes + 1) & ~1  # pad to word boundary
+    return idx
+
+
+def _mask_channel(vals: np.ndarray, mask: int) -> np.ndarray:
+    if mask == 0:
+        return np.zeros(vals.shape, np.uint8)
+    shift = (mask & -mask).bit_length() - 1
+    top = mask >> shift
+    ch = (vals >> shift) & top
+    return ((ch * 255) // top).astype(np.uint8)
+
+
 def _decode_bmp(b: bytes) -> np.ndarray:
-    """BITMAPINFOHEADER, uncompressed (BI_RGB) 24/32-bit.  Rows are 4-byte
-    padded and bottom-up when height > 0; pixels are BGR(A) on disk."""
+    """BITMAPINFOHEADER BMP: BI_RGB 1/4/8-bit palettized, 16-bit
+    (555), 24/32-bit direct, BI_RLE8/BI_RLE4 runs, and BI_BITFIELDS
+    16/32-bit with arbitrary channel masks.  Rows are 4-byte padded
+    and bottom-up when height > 0; pixels are BGR(A) on disk.  Pinned
+    against Java ImageIO's BMP reader in tests."""
     if len(b) < 54:
         raise ValueError("truncated BMP header")
     off = struct.unpack_from("<I", b, 10)[0]
@@ -75,22 +158,51 @@ def _decode_bmp(b: bytes) -> np.ndarray:
     w, h = struct.unpack_from("<ii", b, 18)
     bpp = struct.unpack_from("<H", b, 28)[0]
     comp = struct.unpack_from("<I", b, 30)[0]
-    if comp != 0 or bpp not in (24, 32):
-        raise NotImplementedError(f"BMP bpp={bpp} compression={comp} not supported")
+    clr_used = struct.unpack_from("<I", b, 46)[0]
     bottom_up, h = h > 0, abs(h)
-    if w <= 0 or h == 0:
+    if w <= 0 or h == 0 or w * h > 1 << 26:
         # w < 0 would make stride 0 and the reshape below would hit a
         # negative dim, which numpy treats as "infer" — garbage, not error
         raise ValueError(f"bad BMP dimensions {w}x{h}")
-    nch = bpp // 8
-    stride = (w * nch + 3) & ~3
+    if comp in (1, 2):  # BI_RLE8 / BI_RLE4 (always bottom-up)
+        if (comp == 1) != (bpp == 8) or (comp == 2) != (bpp == 4):
+            raise ValueError("RLE compression/bpp mismatch")
+        pal = _dib_palette(b, 14 + hdr_size, bpp, clr_used)
+        idx = _decode_rle(b[off:], w, h, bpp)
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("BMP palette index out of range")
+        return np.ascontiguousarray(pal[idx][::-1])
+    if comp not in (0, 3) or bpp not in (1, 4, 8, 16, 24, 32):
+        raise NotImplementedError(
+            f"BMP bpp={bpp} compression={comp} not supported")
+    stride = ((w * bpp + 31) // 32) * 4
     if off + stride * h > len(b):
         raise ValueError("truncated BMP pixel data")
-    rows = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=off).reshape(h, stride)
-    px = rows[:, : w * nch].reshape(h, w, nch)
+    rows = np.frombuffer(
+        b, dtype=np.uint8, count=stride * h, offset=off).reshape(h, stride)
+    if bpp in (1, 4, 8):
+        pal = _dib_palette(b, 14 + hdr_size, bpp, clr_used)
+        idx = _dib_indices(rows, w, bpp)
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("BMP palette index out of range")
+        px = pal[idx]
+    elif bpp == 16 or (bpp == 32 and comp == 3):
+        if comp == 3:  # masks follow the info header
+            if 14 + hdr_size < 66 and len(b) < 14 + 40 + 12:
+                raise ValueError("truncated BITFIELDS masks")
+            rm, gm, bm = struct.unpack_from("<III", b, 54)
+        else:
+            rm, gm, bm = 0x7C00, 0x03E0, 0x001F  # BI_RGB 16 = 555
+        dt = "<u2" if bpp == 16 else "<u4"
+        vals = rows[:, : w * (bpp // 8)].reshape(h, -1).view(dt)[:, :w]
+        vals = vals.astype(np.int64)
+        px = np.stack([_mask_channel(vals, m) for m in (rm, gm, bm)], -1)
+    else:
+        nch = bpp // 8
+        px = rows[:, : w * nch].reshape(h, w, nch)[:, :, [2, 1, 0]]
     if bottom_up:
         px = px[::-1]
-    return np.ascontiguousarray(px[:, :, [2, 1, 0]])  # BGR(A) -> RGB, alpha dropped
+    return np.ascontiguousarray(px)  # RGB, alpha dropped
 
 
 def _decode_pnm(b: bytes) -> np.ndarray:
@@ -425,26 +537,15 @@ def _decode_ico_dib(d: bytes) -> np.ndarray:
         raise ValueError("bad ICO dimensions")
     pos = 40
     if bpp in (1, 4, 8):
-        n_pal = clr_used or (1 << bpp)
-        pal = np.frombuffer(d, np.uint8, count=4 * n_pal, offset=pos)
-        pal = pal.reshape(n_pal, 4)[:, [2, 1, 0]]  # BGR0 -> RGB
-        pos += 4 * n_pal
+        pal = _dib_palette(d, pos, bpp, clr_used)
+        pos += 4 * (clr_used or (1 << bpp))
         stride = ((w * bpp + 31) // 32) * 4
         if pos + stride * h > len(d):
             raise ValueError("truncated ICO XOR image")
         rows = np.frombuffer(
             d, np.uint8, count=stride * h, offset=pos).reshape(h, stride)
-        if bpp == 8:
-            idx = rows[:, :w]
-        else:
-            bits = np.unpackbits(rows, axis=1)
-            if bpp == 1:
-                idx = bits[:, :w]
-            else:  # 4: high nibble first
-                nib = bits.reshape(h, -1, 4)
-                idx = (nib[:, :, 0] * 8 + nib[:, :, 1] * 4
-                       + nib[:, :, 2] * 2 + nib[:, :, 3])[:, :w]
-        if int(idx.max(initial=0)) >= n_pal:
+        idx = _dib_indices(rows, w, bpp)
+        if int(idx.max(initial=0)) >= len(pal):
             raise ValueError("ICO palette index out of range")
         px = pal[idx]
     elif bpp in (24, 32):
