@@ -67,6 +67,18 @@ HEADLINE = [
     # regressions there were previously pytest-visible only
     "multimodal_decode",
     "snapshot_read",
+    # round 9 additions (compare totals to r<=8 minus these five): the
+    # LLM-pipeline composites — LSH near-dup with verified Jaccard,
+    # full corpus dedup (pairs -> connected components -> anti-join),
+    # Misra-Gries heavy hitters, the materialized-IVF ANN probe, and the
+    # 3-micro-batch incremental near-dup stream.  Regressions in the
+    # operators the training-data north star names were previously
+    # pytest/prose-visible only (r8 verdict item 1).
+    "near_dup_verified_cap100",
+    "dedup_corpus",
+    "heavy_hitters_mg",
+    "ann_ivf_partitioned_topk",
+    "stream_near_dup_pairs_3batch",
 ]
 
 
@@ -186,6 +198,154 @@ def snapshot_read(spark, sf_dir):
     return full.unionByName(lk)
 
 
+def near_dup_verified_cap100(spark, sf_dir):
+    """Headline for the dedup family's production pipeline: LSH candidate
+    pairs (bucket size capped at 100 — the bound a 100 TB run sets so a
+    degenerate bucket can't go quadratic) -> exact n-gram Jaccard verify.
+    Each timed run re-tokenizes the corpus once (shared_persist replaces,
+    not reuses, the shingle relation per invocation), so the min measures
+    the full per-invocation cost."""
+    from streamsum_spark.operators.dedup import near_dup_verified
+
+    return near_dup_verified(spark, sf_dir, max_bucket=100)
+
+
+def dedup_corpus(spark, sf_dir):
+    """Headline for end-to-end corpus dedup: verified near-dup pairs ->
+    connected components -> anti-join survivors.  The sweep corpus's 10
+    exact-duplicate families stress exactly the regime where dedup cost
+    grows superlinearly if candidate generation degrades."""
+    from streamsum_spark.operators.clusters import dedup_corpus as _dc
+
+    return _dc(spark, sf_dir)
+
+
+def heavy_hitters_mg(spark, sf_dir):
+    """Headline for the sketch family: per-partition Misra-Gries candidate
+    pass + exact verification over only the candidates."""
+    from streamsum_spark.operators.sketches import heavy_hitters_mg as _hh
+
+    return _hh(spark, sf_dir)
+
+
+_IVF_LAYOUT_CACHE: dict[str, str] = {}
+
+
+def ann_ivf_partitioned_topk(spark, sf_dir):
+    """Headline for ANN over the materialized IVF layout: centroid route
+    + nprobe partition-pruned scan.  The layout build (k-means +
+    partitioned write) is memoized per sf_dir and pre-run during warm-up,
+    so timed runs measure the QUERY path — manifest-light centroid read,
+    partition-filtered list scan, top-k — which is what repeats at
+    serving time; the one-time build cost is an indexing job, not a
+    query cost."""
+    import tempfile
+    import uuid
+
+    from streamsum_spark.operators import similarity as sim
+
+    layout = _IVF_LAYOUT_CACHE.get(sf_dir)
+    if layout is None:
+        layout = os.path.join(
+            tempfile.gettempdir(), f"bench_ivf_{uuid.uuid4().hex[:10]}"
+        )
+        sim.write_embeddings_ivf(spark, sf_dir, layout)
+        _IVF_LAYOUT_CACHE[sf_dir] = layout
+    return sim.ann_ivf_partitioned_topk(spark, layout, sf_dir, k=10, nprobe=2)
+
+
+_SLICED_DOCS_CACHE: dict[str, str] = {}
+
+
+def _sliced_docs(spark, sf_dir) -> str:
+    """documents corpus split into 3 disjoint single-file slices
+    documents_{i}.parquet (memoized per sf_dir) so the streaming entry
+    runs a genuine 3-micro-batch ingest with maxFilesPerTrigger=1."""
+    import glob as g
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from streamsum_spark.tables import table
+
+    src = _SLICED_DOCS_CACHE.get(sf_dir)
+    if src is None:
+        src = os.path.join(
+            tempfile.gettempdir(), f"bench_docs3_{uuid.uuid4().hex[:10]}"
+        )
+        os.makedirs(src, exist_ok=True)
+        docs = table(spark, sf_dir, "documents")
+        for i in range(3):
+            part = docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == i)
+            tmp = os.path.join(src, f"_slice{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            shutil.copy(
+                g.glob(os.path.join(tmp, "part-*.parquet"))[0],
+                os.path.join(src, f"documents_{i}.parquet"),
+            )
+            shutil.rmtree(tmp)
+        _SLICED_DOCS_CACHE[sf_dir] = src
+    return src
+
+
+def stream_near_dup_pairs_3batch(spark, sf_dir):
+    """Headline for incremental (streaming) near-dup: 3 micro-batches of
+    new docs LSH-joined against the accumulated bucketed signature/shingle
+    stores, verified pairs upserted per batch.  Each timed run ingests
+    from scratch into a fresh state dir (the corpus slices are prebuilt
+    and memoized), so the min is the full 3-batch ingest cost."""
+    from streamsum_spark.streaming import pipeline as sp
+
+    src = _sliced_docs(spark, sf_dir)
+    return sp.stream_near_dup_pairs(
+        spark, src, glob="documents_*.parquet", max_files_per_trigger=1
+    )
+
+
+def extra_queries() -> dict:
+    """Headline entries NOT in the declared registry (demoted names plus
+    bench-only composites).  Shared with tools/scale_sweep.py so the
+    sweep and the per-round bench always resolve the same functions."""
+    from streamsum_spark.operators import relational as rel
+    from streamsum_spark.operators import similarity as sim
+    from streamsum_spark.operators import text as tx
+
+    return {
+        "agg_rollup_nation_region": rel.agg_rollup_nation_region,
+        "window_rownum_lastn": rel.window_rownum_lastn,
+        "text_token_counts": tx.text_token_counts,
+        "similarity_topk": sim.similarity_topk,
+        "bucketed_state_merge": bucketed_state_merge,
+        "snapshot_state_merge": snapshot_state_merge,
+        "multimodal_decode": multimodal_decode,
+        "snapshot_read": snapshot_read,
+        "near_dup_verified_cap100": near_dup_verified_cap100,
+        "dedup_corpus": dedup_corpus,
+        "heavy_hitters_mg": heavy_hitters_mg,
+        "ann_ivf_partitioned_topk": ann_ivf_partitioned_topk,
+        "stream_near_dup_pairs_3batch": stream_near_dup_pairs_3batch,
+    }
+
+
+def prewarm(spark, sf_dir) -> None:
+    """One-time per-(process, sf_dir) warm-up so first timed runs measure
+    steady-state cost, not JIT/build noise: JVM + parquet footers, the
+    Python-worker pool + Arrow path (r7: 4.5x spread was exactly this),
+    the memoized media table / snapshot table / IVF layout / sliced
+    corpus builds."""
+    from streamsum_spark.entry_queries import QUERIES
+    from streamsum_spark.operators import multimodal as mm
+
+    QUERIES["extract_events"](spark, sf_dir).limit(1).collect()
+    _materialize(mm.extract_features(mm.synthetic_media(spark, n=8)))
+    mm.synthetic_media(spark, n=600)
+    snapshot_read(spark, sf_dir).limit(1).collect()
+    ann_ivf_partitioned_topk(spark, sf_dir).limit(1).collect()
+    _sliced_docs(spark, sf_dir)
+
+
 def _materialize(df) -> int:
     """Full-plan checksum: hash every column of every row, XOR-fold.
     Forces evaluation of all projections (unlike count(), which lets
@@ -205,20 +365,8 @@ def _materialize(df) -> int:
 def main() -> None:
     from streamsum_spark.session import get_spark
     from streamsum_spark.entry_queries import QUERIES
-    from streamsum_spark.operators import relational as rel
-    from streamsum_spark.operators import similarity as sim
-    from streamsum_spark.operators import text as tx
 
-    extra = {
-        "agg_rollup_nation_region": rel.agg_rollup_nation_region,
-        "window_rownum_lastn": rel.window_rownum_lastn,
-        "text_token_counts": tx.text_token_counts,
-        "similarity_topk": sim.similarity_topk,
-        "bucketed_state_merge": bucketed_state_merge,
-        "snapshot_state_merge": snapshot_state_merge,
-        "multimodal_decode": multimodal_decode,
-        "snapshot_read": snapshot_read,
-    }
+    extra = extra_queries()
 
     spark = get_spark("streamsum_spark_bench")
     sf = None
@@ -229,23 +377,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
-    # warm the JVM + parquet footers with one tiny action
-    QUERIES["extract_events"](spark, SF_DIR).limit(1).collect()
-    # warm the Python-worker pool + Arrow batch path (mapInPandas):
-    # daemon fork, pandas import, and Arrow codegen otherwise land in
-    # multimodal_decode's first timed run (r7 spread 4.5x was exactly
-    # this — JIT noise, not codec cost)
-    from streamsum_spark.operators import multimodal as _mm
-
-    _materialize(_mm.extract_features(_mm.synthetic_media(spark, n=8)))
-    # pre-build the 600-row media table once: the row build runs the
-    # in-repo fixture ENCODERS (now incl. lossy VP8) driver-side and is
-    # memoized, so timed runs measure decode throughput, not encoding
-    _mm.synthetic_media(spark, n=600)
-    # pre-build snapshot_read's 3-version table: its first timed run
-    # otherwise carries the one-time build, inflating the spread metric
-    # (r7 spread 2.4x) without touching the min
-    snapshot_read(spark, SF_DIR).limit(1).collect()
+    prewarm(spark, SF_DIR)
 
     load_before = os.getloadavg()
     for name in HEADLINE:
@@ -275,13 +407,21 @@ def main() -> None:
     }
     # ride-along scale-factor sweep (tools/scale_sweep.py): one sf1.0
     # datapoint per query so the per-round artifact carries scaling
-    # SLOPES, not just one scale's absolute times
+    # SLOPES, not just one scale's absolute times.  The FULL sweep block
+    # prints on its OWN earlier line and only the compact slope summary
+    # rides in the headline line: the driver records a bounded tail of
+    # stdout, and r8's embedded full sweep pushed the "queries" dict out
+    # of that window (r8 verdict "what's wrong" #1).  The headline JSON
+    # must be the FINAL stdout line and small enough to always fit.
     sweep_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "BENCH_SF1_SWEEP.json")
     if os.path.exists(sweep_path):
         try:
             with open(sweep_path) as fh:
-                out["sf_sweep"] = json.load(fh)
+                sweep = json.load(fh)
+            print(json.dumps({"metric": "sf_sweep", **sweep}))
+            out["sf_sweep_slope"] = sweep.get("slope", {})
+            out["sf_sweep_superlinear"] = sweep.get("superlinear", [])
         except (OSError, json.JSONDecodeError):
             pass
     print(json.dumps(out))

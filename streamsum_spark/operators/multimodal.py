@@ -188,7 +188,13 @@ def _decode_bmp(b: bytes) -> np.ndarray:
         px = pal[idx]
     elif bpp == 16 or (bpp == 32 and comp == 3):
         if comp == 3:  # masks follow the info header
-            if 14 + hdr_size < 66 and len(b) < 14 + 40 + 12:
+            # the three masks occupy bytes 54..66 whether they are the
+            # 12 bytes after a BITMAPINFOHEADER or the leading fields of
+            # a V4/V5 header — either way a file shorter than 66 bytes
+            # cannot carry them, regardless of the hdr_size it DECLARES
+            # (a truncated file claiming hdr_size >= 52 used to slip
+            # past a declared-size guard into struct.error)
+            if len(b) < 66:
                 raise ValueError("truncated BITFIELDS masks")
             rm, gm, bm = struct.unpack_from("<III", b, 54)
         else:
@@ -498,7 +504,7 @@ def _decode_ico(b: bytes) -> np.ndarray:
     (24/32 bpp) XOR images, bottom-up, 4-byte-aligned rows."""
     if len(b) < 6 + 16:
         raise ValueError("truncated ICO directory")
-    _, _, count = struct.unpack_from("<HHH", b, 0)
+    _, rtype, count = struct.unpack_from("<HHH", b, 0)
     if count == 0:
         raise ValueError("empty ICO")
     best = None
@@ -508,7 +514,12 @@ def _decode_ico(b: bytes) -> np.ndarray:
             raise ValueError("truncated ICO directory entry")
         ew = b[e] or 256
         eh = b[e + 1] or 256
-        bpp = struct.unpack_from("<H", b, e + 6)[0]
+        # ICONDIRENTRY bytes 4-7 are (planes, bitcount) only for icons
+        # (type 1); for cursors (type 2) they hold the hotspot, so using
+        # them as a depth tiebreak would prefer whichever same-area entry
+        # has the larger hotspot-Y.  Actual bpp comes from the DIB header
+        # either way — for CUR, tiebreak on area alone.
+        bpp = struct.unpack_from("<H", b, e + 6)[0] if rtype != 2 else 0
         size, off = struct.unpack_from("<II", b, e + 8)
         key = (ew * eh, bpp)
         if best is None or key > best[0]:

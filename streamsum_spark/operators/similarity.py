@@ -1256,6 +1256,8 @@ def ann_ivfpq_partitioned_topk(
     import json
     import math
 
+    import numpy as np
+
     with open(corpus_path + "_books.json") as fh:
         books = json.load(fh)
     cents = spark.read.parquet(corpus_path + "_centroids")
@@ -1266,15 +1268,22 @@ def ann_ivfpq_partitioned_topk(
         .select("embedding")
         .collect()[0][0]
     ]
-    def _seq_d2(c):  # left-to-right double fold, bit-identical to the
-        acc = 0.0  # Spark aggregate() the in-memory router uses
-        for a, b in zip(q, c):
-            acc += (a - b) * (a - b)
-        return acc
-
-    routed = sorted(cents.collect(), key=lambda r: (_seq_d2(r.centroid), r.list_id))[
-        :nprobe
-    ]
+    # Routing distance: left-to-right double fold, bit-identical to the
+    # Spark aggregate() the in-memory router uses — np.add.accumulate is
+    # sequential BY DEFINITION (each prefix needs the previous, unlike
+    # np.sum's pairwise tree), so the fold order matches exactly while
+    # the per-centroid Python loop (O(n_lists x dim) driver float math,
+    # r8 ADVICE) vectorizes across all centroids at once.
+    cent_rows = cents.collect()
+    qv = np.asarray(q, dtype=np.float64)
+    cmat = np.asarray([r.centroid for r in cent_rows], dtype=np.float64)
+    d2 = np.add.accumulate((qv[None, :] - cmat) ** 2, axis=1)[:, -1]
+    routed = [
+        r
+        for _, _, r in sorted(
+            (float(d2[i]), r.list_id, r) for i, r in enumerate(cent_rows)
+        )
+    ][:nprobe]
     branches = " ".join(
         f"WHEN list_id = {r.list_id} THEN "
         + _adc_score_expr([a - b for a, b in zip(q, r.centroid)], books)

@@ -109,9 +109,14 @@ def _read_ifd(b: bytes, bo: str, off: int) -> dict[int, list[int]]:
 def _lzw_decode(data: bytes, max_out: int) -> bytes:
     """TIFF-variant LZW (spec §13): MSB-first bit packing, ClearCode=256,
     EOI=257, 12-bit cap, and the early code-width change — the decoder
-    widens when the NEXT table slot is (1 << width) - 1, one entry
-    before the table actually reaches that size, mirroring the encoder
-    writing each code before adding the new string."""
+    widens as soon as its table reaches (1 << width) - 1 entries, ONE
+    entry before the code space is actually exhausted (a GIF-style
+    decoder waits for (1 << width)).  This is libtiff's convention,
+    pinned byte-exact against real libtiff-encoded strips in
+    tests/data/ext_lzw_libtiff_*.tif — including mid-stream Clears that
+    libtiff emits BOTH at the 4094-entry table-full boundary and, on
+    poorly-compressing data, from its periodic compression-ratio check
+    (so a Clear can arrive at ANY table size, at the current width)."""
     out = bytearray()
     table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
     acc = 0
@@ -151,10 +156,11 @@ def _lzw_decode(data: bytes, max_out: int) -> bytes:
             raise ValueError("corrupt TIFF: LZW code out of range")
         out += entry
         prev = entry
-        # early change, decoder side: the decoder's table lags the
-        # encoder's by one entry, so it widens at (1<<width)-2 where the
-        # encoder widens at (1<<width)-1 (spec §13 / libtiff MAXCODE)
-        if len(table) == (1 << width) - 2 and width < 12:
+        # early change, decoder side: widen at (1<<width)-1 — one entry
+        # before 9-bit code space runs out at 512 (libtiff MAXCODE;
+        # r8's offset-2 variant desynced on real libtiff streams, caught
+        # by the vendored golden)
+        if len(table) == (1 << width) - 1 and width < 12:
             width += 1
     return bytes(out)
 
@@ -354,20 +360,23 @@ def _lzw_encode(data: bytes) -> bytes:
         put(table[w], width)
         table[wc] = next_code
         next_code += 1
-        # early change: widen one entry before the table fills the width
-        if next_code == (1 << width) - 1 and width < 12:
-            width += 1
-        elif next_code == 4094:
+        # early change, encoder side (libtiff convention, mirrored by
+        # the decoder widening at (1<<width)-1): once the table holds
+        # (1<<width) entries the NEXT code is written one bit wider —
+        # the receiving decoder's table lags by one, at (1<<width)-1
+        if next_code == 4094:  # libtiff CODE_MAX-1: table full, reset
             put(256, width)
             table = {bytes([i]): i for i in range(256)}
             next_code = 258
             width = 9
+        elif next_code == (1 << width) and width < 12:
+            width += 1
         w = bytes([ch])
     if w:
         put(table[w], width)
         # the code just written grows the decoder's table too — stay in sync
         next_code += 1
-        if next_code == (1 << width) - 1 and width < 12:
+        if next_code == (1 << width) and width < 12:
             width += 1
     put(257, width)  # EOI
     if nbits:

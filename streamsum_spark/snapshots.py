@@ -1151,15 +1151,33 @@ def _advance_cdc_offsets_once(
     carry forward (_commit merges cdc_offsets per-consumer with max, so
     a concurrent sync from another source never regresses), and the
     commit is marked ``no_data_change`` so this destination's own change
-    feed and downstream syncs skip the version."""
+    feed and downstream syncs skip the version.
+
+    The commit CARRIES A MARKER — deterministic in the offsets it
+    persists — even though it moves no data: this runs automatically on
+    every caught-up sync, and a markerless commit that crashes between
+    the manifest claim and the pointer swap leaves an orphan no retry
+    can overwrite, wedging EVERY writer on the destination until a
+    manual stop-writers/vacuum.  With the marker, the retry (and any
+    later sync re-deriving the same advance) recognizes its own orphan
+    and overwrites it — the same self-heal path every data-bearing
+    writer uses.  The marker encodes the TARGET offsets (not a version),
+    so a later advance to a higher offset is a NEW marker (the
+    already-applied skip must not swallow it), while a replay of the
+    same advance is skipped or safely overwritten.  The legacy
+    offset-seed scan only parses ``run:<digits>`` markers, so
+    ``:adv:``-markers never masquerade as applied source versions."""
     latest = _latest_version(dst_path)
     if latest is None:
         return
     head, buckets = _resolve_buckets(dst_path, latest)
+    marker = "adv:" + ",".join(
+        f"{rid}:adv:{off}" for rid, off in sorted(offsets.items())
+    )
     _commit(
         spark, dst_path, lambda tmp: os.makedirs(tmp, exist_ok=True), [],
         head, buckets, head["n_buckets"], head["bucket_cols"],
-        marker=None, checkpoint_interval=10,
+        marker=marker, checkpoint_interval=10,
         schema_json=head.get("schema"),
         extra_fields={"cdc_offsets": offsets, "no_data_change": True},
     )

@@ -313,3 +313,27 @@ def test_ico_top_down_dib_not_flipped():
     entry = struct.pack("<BBBBHHII", 8, 6, 0, 0, 1, 32, len(dib), 22)
     blob = struct.pack("<HHH", 0, 1, 1) + entry + dib
     assert np.array_equal(mm.decode_image(blob), px)
+
+
+def test_cur_hotspot_not_misread_as_bpp():
+    """CUR (type 2) directory entries carry the HOTSPOT in bytes 4-7,
+    not planes/bitcount — the best-entry tiebreak must not read
+    hotspot-Y as depth (r8 ADVICE: a same-area shallower image with a
+    big hotspot-Y used to win).  Two same-area 32bpp entries, the
+    second with hotspot (0, 9999): the FIRST must still be picked."""
+    rng = np.random.default_rng(8)
+    a = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    b = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    img_a = mm.encode_ico(a)[22:]
+    img_b = mm.encode_ico(b)[22:]
+    e1 = struct.pack("<BBBBHHII", 8, 8, 0, 0, 0, 0, len(img_a), 38)
+    e2 = struct.pack("<BBBBHHII", 8, 8, 0, 0, 0, 9999, len(img_b),
+                     38 + len(img_a))
+    blob = struct.pack("<HHH", 0, 2, 2) + e1 + e2 + img_a + img_b
+    assert np.array_equal(mm.decode_image(blob), a)
+    # the same layout as an ICO (type 1) legitimately tiebreaks on
+    # bitcount, so entry 2's (planes=0, bitcount=9999) wins there —
+    # pinning that the CUR branch, not a behavior change, is what fixed
+    # the cursor case
+    blob_ico = struct.pack("<HHH", 0, 1, 2) + e1 + e2 + img_a + img_b
+    assert np.array_equal(mm.decode_image(blob_ico), b)

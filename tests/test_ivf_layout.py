@@ -359,3 +359,25 @@ def test_ivfpq_min_cos_matches_unbanded(spark, clustered_ivfpq):
         ).collect()
     ]
     assert banded == expected and expected
+
+
+def test_vectorized_routing_fold_bit_identical_to_sequential():
+    """ann_ivfpq_partitioned_topk routes on np.add.accumulate(...)[:, -1]
+    — sequential by definition (each prefix needs the previous), so it
+    must reproduce the driver's former per-centroid Python fold BIT FOR
+    BIT on adversarial magnitudes (where np.sum's pairwise tree would
+    differ in the last ulp and could flip a routing tie)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    # mix tiny and huge magnitudes so accumulation order matters
+    q = (rng.standard_normal(64) * np.logspace(-8, 8, 64)).astype(np.float64)
+    cents = (rng.standard_normal((37, 64)) * np.logspace(8, -8, 64)).astype(
+        np.float64
+    )
+    vec = np.add.accumulate((q[None, :] - cents) ** 2, axis=1)[:, -1]
+    for i in range(cents.shape[0]):
+        acc = 0.0
+        for a, b in zip(q.tolist(), cents[i].tolist()):
+            acc += (a - b) * (a - b)
+        assert float(vec[i]) == acc, i

@@ -1211,3 +1211,21 @@ def test_external_jpeg_matches_imageio_golden(spark, name, max_diff, max_frac):
     assert d.max() <= max_diff, (name, d.max())
     assert (d > 2).mean() <= max_frac, (name, (d > 2).mean())
     assert d.mean() <= 1.0, (name, d.mean())
+
+
+def test_bmp_v4_header_truncated_bitfields_raises_valueerror():
+    """A BMP declaring a V4/V5-size info header (masks live inline at
+    bytes 54-65) but truncated below 66 bytes must raise the module's
+    ValueError contract, not leak struct.error (r8 ADVICE: the old
+    guard only fired for the BITMAPINFOHEADER+masks layout)."""
+    import struct as _s
+
+    from streamsum_spark.operators import multimodal as mmx
+
+    # file header + V4 header declaring comp=3 (BITFIELDS), 16bpp —
+    # then truncate the blob at 60 bytes, inside the mask words
+    hdr = b"BM" + _s.pack("<IHHI", 200, 0, 0, 14 + 108)
+    v4 = _s.pack("<IiiHHIIiiII", 108, 4, 4, 1, 16, 3, 32, 0, 0, 0, 0)
+    blob = (hdr + v4)[:60]
+    with pytest.raises(ValueError):
+        mmx.decode_image(blob)

@@ -923,3 +923,57 @@ def test_condput_partial_claim_orphan_recovers_via_vacuum(spark, tmp_path, monke
         assert _rows(snapshots.read_snapshot(spark, path)) == AFTER_B2
     finally:
         commitio.set_backend(saved)
+
+
+def test_advance_commit_crash_between_claim_and_swap_self_heals(
+    spark, tmp_path, monkeypatch
+):
+    """The automatic offset-advance commit runs on EVERY caught-up sync,
+    so it must carry a marker: a crash between its manifest claim and
+    the pointer swap leaves an orphan above the pointer, and a
+    markerless orphan wedges every subsequent writer on the destination
+    until a manual stop-writers/vacuum (r8 ADVICE).  With the
+    offsets-deterministic marker, the next sync re-derives the same
+    advance, recognizes its OWN orphan, overwrites it, and completes."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    for b in (B1, B2):
+        snapshots.snapshot_upsert(
+            spark, src, _mk(spark, b), ["k"], "o", n_buckets=4, change_feed=True
+        )
+    assert snapshots.sync_from_changes(spark, src, dst, ["k"]) == 2
+    run_id = f"cdc:{os.path.abspath(src)}"
+    snapshots.rebucket_snapshot_table(spark, src, 8)  # trailing skip on src
+
+    from streamsum_spark import commitio
+
+    real = commitio.get_backend()
+    dst_latest = os.path.join(dst, "_snap", "_latest")
+    state = {"armed": True}
+
+    class CrashOnDstSwap:
+        def put_if_absent(self, a, b):
+            return real.put_if_absent(a, b)
+
+        def replace(self, a, b):
+            if state["armed"] and os.path.abspath(b) == os.path.abspath(
+                dst_latest
+            ):
+                state["armed"] = False
+                raise OSError("injected crash before pointer swap")
+            return real.replace(a, b)
+
+    monkeypatch.setattr(snapshots.commitio, "get_backend", CrashOnDstSwap)
+    with pytest.raises(OSError, match="injected"):
+        snapshots.sync_from_changes(spark, src, dst, ["k"])
+    monkeypatch.undo()
+
+    # orphan manifest now sits ABOVE dst's pointer; pre-fix (markerless
+    # advance) this next sync raised SnapshotConflictError forever
+    assert snapshots.sync_from_changes(spark, src, dst, ["k"]) == 0
+    head = snapshots._load_manifest(dst, snapshots._latest_version(dst))
+    assert head["cdc_offsets"] == {run_id: 3}
+    assert head.get("no_data_change")
+    assert {
+        (r.k, r.v, r.o)
+        for r in snapshots.read_snapshot(spark, dst).select("k", "v", "o").collect()
+    } == AFTER_B2

@@ -5,9 +5,10 @@ roundtrips across every compression x predictor x byte order x
 photometric, crafted LZW bitstreams for MSB-first packing / KwKwK /
 the early code-width change, all eight orientations against
 numpy-derived transforms, hostile-input bounds, honest refusals, and
-mutation fuzz.  LZW/PackBits/Deflate validation is encoder/decoder-
-symmetric plus crafted streams (the only TIFF asset shipped in this
-environment is uncompressed)."""
+mutation fuzz.  LZW is additionally pinned BOTH directions against real
+libtiff: vendored libtiff-encoded goldens (width bumps + the 4094
+table-full Clear) decode byte-exact here, and live libtiff decodes the
+in-repo encoder's output byte-exact."""
 
 from __future__ import annotations
 
@@ -44,6 +45,69 @@ def test_external_tiff_matches_ppm_golden_byte_exact():
     golden = decode_image(_data("ext_golden.ppm"))
     assert ours.shape == (16, 16, 3)
     assert np.array_equal(ours, golden)
+
+
+def _xorshift_gray(low_entropy: bool, n: int = 128 * 160) -> np.ndarray:
+    """Same fixed xorshift32 stream tools/gen_libtiff_lzw_golden.py
+    encoded — the test re-derives the expected pixels instead of
+    trusting a second vendored artifact."""
+    x = 0x9E3779B9
+    out = bytearray()
+    for _ in range(n):
+        x ^= (x << 13) & 0xFFFFFFFF
+        x ^= x >> 17
+        x ^= (x << 5) & 0xFFFFFFFF
+        out.append((x & 0xF) * 17 if low_entropy else x & 0xFF)
+    return np.frombuffer(bytes(out), np.uint8).reshape(160, 128)
+
+
+@pytest.mark.parametrize("name,low", [("noise", False), ("lowent", True)])
+def test_external_libtiff_lzw_golden_byte_exact(name, low):
+    """Vendored REAL libtiff-encoded LZW strips (tools/
+    gen_libtiff_lzw_golden.py) pin early-change and table-full interop
+    against the reference implementation: both streams run the string
+    table through every width bump (9->10->11->12) to libtiff's forced
+    Clear at CODE_MAX-1 = 4094 entries (arriving when the decoder's
+    table holds 4093), multiple times.  This golden caught a real bug
+    on first contact: the in-repo early-change point was one entry
+    early vs libtiff (widened at (1<<w)-2, not (1<<w)-1), desyncing on
+    every real-world LZW TIFF past 253 table entries while the
+    symmetric in-repo encoder/decoder roundtrips stayed green."""
+    img = tiff.decode_tiff(_data(f"ext_lzw_libtiff_{name}.tif"))
+    exp = _xorshift_gray(low)
+    assert img.shape == (160, 128, 3)
+    assert all(np.array_equal(img[:, :, c], exp) for c in range(3))
+
+
+def test_libtiff_decodes_inrepo_lzw(tmp_path):
+    """Reverse-direction interop: REAL libtiff must decode this repo's
+    LZW output byte-exact, over a stream long enough to cross every
+    width bump and the in-repo encoder's 4094-entry Clear.  (The
+    forward direction — this repo decoding libtiff output — is the
+    vendored-golden test above; together they pin the convention from
+    both sides.)"""
+    import ctypes
+
+    try:
+        lib = ctypes.CDLL("libtiff.so.6")
+    except OSError:
+        pytest.skip("libtiff not available")
+    img = _xorshift_gray(True)
+    blob = tiff.encode_tiff(img, compression="lzw")
+    p = tmp_path / "inrepo.tif"
+    p.write_bytes(blob)
+    lib.TIFFOpen.restype = ctypes.c_void_p
+    lib.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    t = lib.TIFFOpen(str(p).encode(), b"r")
+    assert t, "libtiff refused the in-repo container"
+    buf = ctypes.create_string_buffer(img.size)
+    lib.TIFFReadEncodedStrip.restype = ctypes.c_ssize_t
+    n = lib.TIFFReadEncodedStrip(
+        ctypes.c_void_p(t), 0, buf, ctypes.c_ssize_t(img.size)
+    )
+    lib.TIFFClose(ctypes.c_void_p(t))
+    assert n == img.size
+    assert buf.raw[:n] == img.tobytes()
 
 
 # ---- roundtrips -------------------------------------------------------
@@ -179,16 +243,19 @@ def test_crafted_lzw_kwkwk_case():
 
 
 def test_crafted_lzw_early_width_change():
-    """253 distinct literals after Clear grow the decoder table to 510
-    entries — the EARLY change point: the 254th code must already be
-    read at 10 bits (a decoder that widens at 511 desyncs here)."""
-    lits = [(i % 251) + 1 for i in range(253)]  # byte values, no repeats adjacent
+    """254 literals after Clear grow the decoder table to 511 entries —
+    the EARLY change point (libtiff convention, pinned byte-exact by the
+    vendored ext_lzw_libtiff goldens): the 255th code must already be
+    read at 10 bits.  A decoder that widens at 510 (early by two — the
+    r8 bug this repo shipped) or at 512 (GIF-style, not early) desyncs
+    here."""
+    lits = [(i % 251) + 1 for i in range(254)]  # byte values, no adjacent repeats
     codes = [(256, 9)] + [(v, 9) for v in lits]
-    # decoder table after k-th literal append: 258 + (k-1); hits 510
-    # after literal 253 -> the next code is 10 bits wide
+    # decoder table after k-th literal: 258 + (k-1); hits 511 after
+    # literal 254 -> the next code is 10 bits wide
     codes += [(77, 10), (257, 10)]
     payload = _bits_to_bytes(codes)
-    out = tiff.decode_tiff(_wrap_lzw_strip(payload, 254, 1))
+    out = tiff.decode_tiff(_wrap_lzw_strip(payload, 255, 1))
     want = bytes(lits) + b"\x4d"
     assert out[:, :, 0].tobytes() == want
 

@@ -1,0 +1,79 @@
+#!/usr/bin/env python
+"""Generate the vendored libtiff-LZW interop goldens (r8 ADVICE: the
+table-full boundary and early-change interop against real libtiff
+output were unverified — and indeed the first golden exposed that the
+in-repo early-change point was off by one vs libtiff):
+
+- tests/data/ext_lzw_libtiff_noise.tif — incompressible xorshift bytes:
+  libtiff's periodic compression-ratio check fires, so the stream
+  carries MID-STREAM Clears at arbitrary table sizes/widths.
+- tests/data/ext_lzw_libtiff_lowent.tif — 16-value alphabet (xorshift
+  & 0xF scaled): compresses well, so the string table grows through
+  every code-width bump (9->10->11->12) to the 4094-entry table-full
+  forced Clear.
+
+Pixels are fixed xorshift32 streams (same recipe re-derived by
+tests/test_tiff.py).  Run once from the repo root (requires
+libtiff.so.6, present in the build container); the outputs are
+committed, the tests only READ them.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import sys
+
+W, H = 128, 160
+
+
+def xorshift_bytes(n: int, low_entropy: bool) -> bytes:
+    # xorshift32, seeded 0x9E3779B9 — duplicated in tests/test_tiff.py
+    x = 0x9E3779B9
+    out = bytearray()
+    for _ in range(n):
+        x ^= (x << 13) & 0xFFFFFFFF
+        x ^= x >> 17
+        x ^= (x << 5) & 0xFFFFFFFF
+        out.append((x & 0xF) * 17 if low_entropy else x & 0xFF)
+    return bytes(out)
+
+
+def write_lzw_gray(path: str, px: bytes, w: int, h: int) -> None:
+    lib = ctypes.CDLL("libtiff.so.6")
+    lib.TIFFOpen.restype = ctypes.c_void_p
+    lib.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    tif = lib.TIFFOpen(path.encode(), b"w")
+    assert tif, "TIFFOpen failed"
+    setf = lib.TIFFSetField
+    setf.restype = ctypes.c_int
+    t = ctypes.c_void_p(tif)
+    assert setf(t, 256, ctypes.c_uint32(w))       # ImageWidth
+    assert setf(t, 257, ctypes.c_uint32(h))       # ImageLength
+    assert setf(t, 258, ctypes.c_int(8))          # BitsPerSample
+    assert setf(t, 277, ctypes.c_int(1))          # SamplesPerPixel
+    assert setf(t, 278, ctypes.c_uint32(h))       # RowsPerStrip: one strip
+    assert setf(t, 259, ctypes.c_int(5))          # Compression: LZW
+    assert setf(t, 262, ctypes.c_int(1))          # Photometric: min-is-black
+    assert setf(t, 284, ctypes.c_int(1))          # PlanarConfig: contig
+    buf = ctypes.create_string_buffer(px, len(px))
+    lib.TIFFWriteEncodedStrip.restype = ctypes.c_ssize_t
+    n = lib.TIFFWriteEncodedStrip(t, 0, buf, ctypes.c_ssize_t(len(px)))
+    assert n == len(px), n
+    lib.TIFFClose(t)
+    print(f"wrote {path} ({os.path.getsize(path)} bytes)", file=sys.stderr)
+
+
+def main() -> None:
+    data = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", "data",
+    )
+    for name, low in (("noise", False), ("lowent", True)):
+        write_lzw_gray(
+            os.path.join(data, f"ext_lzw_libtiff_{name}.tif"),
+            xorshift_bytes(W * H, low), W, H,
+        )
+
+
+if __name__ == "__main__":
+    main()

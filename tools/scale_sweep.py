@@ -125,24 +125,13 @@ def run_headline(spark, sf_dir: str, runs: int) -> dict[str, float]:
 
     timings: dict[str, float] = {}
     from streamsum_spark.entry_queries import QUERIES
-    from streamsum_spark.operators import relational as rel
-    from streamsum_spark.operators import similarity as sim
-    from streamsum_spark.operators import text as tx
 
-    extra = {
-        "agg_rollup_nation_region": rel.agg_rollup_nation_region,
-        "window_rownum_lastn": rel.window_rownum_lastn,
-        "text_token_counts": tx.text_token_counts,
-        "similarity_topk": sim.similarity_topk,
-        "bucketed_state_merge": bench.bucketed_state_merge,
-        "snapshot_state_merge": bench.snapshot_state_merge,
-        "multimodal_decode": bench.multimodal_decode,
-        "snapshot_read": bench.snapshot_read,
-    }
-    QUERIES["extract_events"](spark, sf_dir).limit(1).collect()
-    from streamsum_spark.operators import multimodal as mm
-
-    bench._materialize(mm.extract_features(mm.synthetic_media(spark, n=8)))
+    # the extra-resolver and per-sf_dir warm-up (memoized snapshot / IVF
+    # layout / sliced-corpus builds) are SHARED with bench.py, so the
+    # sweep always measures exactly the functions the per-round bench
+    # measures, with the same one-time builds excluded from timed runs
+    extra = bench.extra_queries()
+    bench.prewarm(spark, sf_dir)
     for name in bench.HEADLINE:
         fn = QUERIES.get(name) or extra[name]
         best = None
