@@ -23,6 +23,7 @@ Scale notes:
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -30,6 +31,15 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# Native fast-path routing (see native_codecs.py for the full design
+# note): True routes formats with a bound system codec (currently WebP
+# via libwebp) through ctypes for throughput, cross-checking a
+# deterministic NATIVE_VERIFY_PCT% sample byte-exact against the spec
+# decoder.  Module-level so tests (and a cluster bootstrap) can force
+# the pure-spec path; absent libraries degrade to it automatically.
+NATIVE_DECODE = True
+NATIVE_VERIFY_PCT = 5
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -485,6 +495,28 @@ def decode_image(content: bytes) -> np.ndarray:
     if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
         from streamsum_spark.operators.webp import decode_webp
 
+        if NATIVE_DECODE:
+            from streamsum_spark.operators import native_codecs as nc
+
+            if nc.HAVE_LIBWEBP:
+                try:
+                    px = nc.decode_webp_rgb(b)
+                except ValueError:
+                    # native refusal: the spec decoder owns the
+                    # malformed-input contract — let it decide
+                    return decode_webp(b)
+                # deterministic sampled cross-check: WebP decode is
+                # bit-exact by spec, so ANY divergence is a bug, not
+                # noise — raise loud (RuntimeError is intentionally NOT
+                # in extract_features' fallback set) instead of flowing
+                # wrong pixels downstream
+                if zlib.crc32(b) % 100 < NATIVE_VERIFY_PCT:
+                    ours = decode_webp(b)
+                    if ours.shape != px.shape or not np.array_equal(ours, px):
+                        raise RuntimeError(
+                            "native/spec WebP decode mismatch — codec bug"
+                        )
+                return px
         return decode_webp(b)  # VP8L lossless or lossy VP8 key frame
     if b[:4] in (b"II*\x00", b"MM\x00*"):
         from streamsum_spark.operators.tiff import decode_tiff
@@ -870,14 +902,55 @@ def _fake_feature(content: bytes, dim: int = 8) -> list[float]:
     return out
 
 
-def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
+def _byte_budget_chunks(
+    batches: "Iterator[pd.DataFrame]", byte_budget: int, row_cap: int
+) -> "Iterator[pd.DataFrame]":
+    """Re-slice incoming Arrow batches so each processed chunk holds at
+    most ``byte_budget`` cumulative content bytes (and ``row_cap`` rows).
+
+    Spark slices mapInPandas input by ROW COUNT only
+    (spark.sql.execution.arrow.maxRecordsPerBatch; the byte-based
+    maxBytesPerBatch conf applies only to transformWithState), so a
+    default 10k-row batch of multi-MB blobs is an executor-memory cliff
+    the per-blob dimension caps don't bound.  Slicing here bounds what
+    the decode loop and each yielded output frame hold live at once —
+    iloc slices share the parent's buffers (no copy), and the parent
+    batch itself is released as soon as the iterator advances.  A chunk
+    always takes at least one row, so a single blob larger than the
+    budget still processes (its size is bounded upstream by the source's
+    per-blob cap, not here)."""
+    for pdf in batches:
+        n = len(pdf)
+        if n == 0:
+            continue
+        sizes = pdf["content"].map(lambda c: len(c) if c is not None else 0)
+        start = 0
+        cum = 0
+        for i in range(n):
+            cum += int(sizes.iat[i])
+            rows = i - start + 1
+            if cum >= byte_budget or rows >= row_cap or i == n - 1:
+                yield pdf.iloc[start : i + 1]
+                start = i + 1
+                cum = 0
+
+
+def extract_features(
+    media: DataFrame,
+    batch_hint: int = 256,
+    byte_budget: int = 64 << 20,
+) -> DataFrame:
     """mapInPandas feature extraction over binary content.
 
     Arrow streams batches of (media_id, content); Python touches each blob
     once.  BMP/PNM images and PCM WAV audio decode for real (header parse
     -> array -> channel statistics); codec formats fall back to the
     deterministic byte fingerprint with decoded=false so downstream can
-    filter or route them to a codec-equipped cluster."""
+    filter or route them to a codec-equipped cluster.
+
+    Each processed chunk is bounded by ``byte_budget`` cumulative blob
+    bytes AND ``batch_hint`` rows (_byte_budget_chunks), sized so chunk +
+    decode intermediates fit executor memory at 100 TB blob mixes."""
     import hashlib
 
     def one(content) -> tuple[bool, int | None, int | None, int | None, list[float]]:
@@ -900,7 +973,7 @@ def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
             return False, None, None, None, _fake_feature(b)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        for pdf in _byte_budget_chunks(batches, byte_budget, batch_hint):
             decoded = pdf["content"].map(one)
             yield pd.DataFrame(
                 {

@@ -1229,3 +1229,54 @@ def test_bmp_v4_header_truncated_bitfields_raises_valueerror():
     blob = (hdr + v4)[:60]
     with pytest.raises(ValueError):
         mmx.decode_image(blob)
+
+
+def test_byte_budget_chunks_bound_peak_batch():
+    """_byte_budget_chunks must cap each processed chunk at the byte
+    budget (large-blob regime), the row cap (small-blob regime), take at
+    least one row even when a single blob exceeds the budget, preserve
+    order/coverage, and share buffers (iloc views, no content copy)."""
+    import pandas as pd
+
+    from streamsum_spark.operators.multimodal import _byte_budget_chunks
+
+    blobs = [b"x" * (8 << 20)] * 5 + [b"y" * (40 << 20)] + [b"z" * 100] * 10
+    pdf = pd.DataFrame({"media_id": range(len(blobs)), "content": blobs})
+    chunks = list(_byte_budget_chunks(iter([pdf]), 16 << 20, 4))
+    # coverage + order
+    assert [int(m) for c in chunks for m in c["media_id"]] == list(
+        range(len(blobs))
+    )
+    for c in chunks:
+        total = sum(len(b) for b in c["content"])
+        # a chunk either fits the budget, or closed AT the blob that
+        # crossed it (cum >= budget), or is a single oversized blob
+        assert len(c) <= 4
+        assert total < (16 << 20) + (40 << 20) + 1
+        if total > 16 << 20:
+            assert sum(len(b) for b in c["content"][:-1]) < 16 << 20
+    # the 40 MiB blob rides alone or closes its chunk
+    big_chunk = [c for c in chunks if any(len(b) > 20 << 20 for b in c["content"])]
+    assert len(big_chunk) == 1
+    # small blobs re-batch by the row cap
+    tail = [c for c in chunks if all(len(b) == 100 for b in c["content"])]
+    assert tail and all(len(c) <= 4 for c in tail)
+
+
+def test_extract_features_results_unchanged_by_byte_budget(spark):
+    """Re-batching is a pure memory bound: features must be identical
+    under a tiny budget (every blob its own chunk) and the default."""
+    from streamsum_spark.operators import multimodal as mmx
+
+    media = mmx.synthetic_media(spark, n=48)
+    base = {
+        (r.media_id, r.content_sha, r.decoded, r.width, r.height,
+         tuple(round(f, 12) for f in r.feature))
+        for r in mmx.extract_features(media).collect()
+    }
+    tiny = {
+        (r.media_id, r.content_sha, r.decoded, r.width, r.height,
+         tuple(round(f, 12) for f in r.feature))
+        for r in mmx.extract_features(media, batch_hint=3, byte_budget=1).collect()
+    }
+    assert base == tiny and base
