@@ -994,9 +994,10 @@ def extract_features(
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame-sampling *plan*: one row per (media_id, frame_ts_ms)
-    without decoding — pure sequence/explode arithmetic, JVM-side.  A real
-    decoder would mapInPandas over this plan joined back to content."""
+    """Frame-sampling *plan*: one row per (media_id, frame_ts_ms) without
+    decoding — pure sequence/explode arithmetic, JVM-side.  The plan is
+    the cheap half of sampled decode: extract_sampled_frames consumes it
+    to decode ONLY the frames the timestamps select."""
     return (
         media.where(F.col("duration_ms").isNotNull())
         .select(
@@ -1006,6 +1007,116 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+def decode_frames(content: bytes) -> list[tuple[int, int, np.ndarray]]:
+    """All frames of an animated GIF/WebP as [(start_ms, duration_ms,
+    RGB canvas)], or a single zero-duration frame for any other
+    decodable image.  The animated decoders composite delta frames,
+    transparency, and disposal/blend modes onto the logical canvas
+    (gif.decode_gif_frames / webp.decode_webp_frames), so every entry is
+    a full presentation-ready frame."""
+    b = bytes(content)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        from streamsum_spark.operators.gif import decode_gif_frames
+
+        return decode_gif_frames(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        from streamsum_spark.operators.webp import decode_webp_frames
+
+        return decode_webp_frames(b)
+    return [(0, 0, decode_image(b))]
+
+
+FRAME_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_ts_ms", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("decoded", T.BooleanType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("feature", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def extract_sampled_frames(
+    media: DataFrame,
+    every_ms: int = 1000,
+    batch_hint: int = 64,
+    byte_budget: int = 64 << 20,
+) -> DataFrame:
+    """Sampled-frame feature extraction: frame_sample_plan's timestamps
+    DRIVE the decode (r8 verdict item 5) — each visual blob is decoded
+    ONCE per task and serves all of its sampled timestamps, emitting one
+    feature row per (media_id, frame_ts_ms).
+
+    Plan shape: the plan aggregates to a per-media sorted timestamp list
+    JVM-side (collect_list is bounded by duration/every_ms, not corpus
+    size), joins to the content relation on media_id (both sides hash on
+    the key; the list side is tiny so AQE broadcast-joins it when it
+    fits), and one mapInPandas pass decodes.  Timestamp→frame mapping:
+    the frame whose [start, start+duration) span covers the timestamp;
+    timestamps past the last frame hold it (player semantics).  Stills
+    have one zero-duration frame covering every timestamp.  Undecodable
+    blobs emit decoded=false fingerprint rows per timestamp, mirroring
+    extract_features' error isolation."""
+    import bisect
+    import builtins
+
+    plan = frame_sample_plan(media, every_ms)
+    visual = media.where(
+        F.col("mime").startswith("image/") | F.col("mime").startswith("video/")
+    )
+    ts_lists = (
+        plan.join(visual.select("media_id"), "media_id", "left_semi")
+        .groupBy("media_id")
+        .agg(F.sort_array(F.collect_list("frame_ts_ms")).alias("ts_list"))
+    )
+    src = visual.select("media_id", "content").join(ts_lists, "media_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in _byte_budget_chunks(batches, byte_budget, batch_hint):
+            out: dict[str, list] = {k.name: [] for k in FRAME_FEATURE_SCHEMA}
+            for media_id, content, ts_list in zip(
+                pdf["media_id"], pdf["content"], pdf["ts_list"]
+            ):
+                try:
+                    frames = decode_frames(content)
+                except (NotImplementedError, ValueError, struct.error):
+                    frames = None
+                starts = [s for s, _, _ in frames] if frames else []
+                for t in ts_list:
+                    out["media_id"].append(int(media_id))
+                    out["frame_ts_ms"].append(int(t))
+                    if frames is None:
+                        out["frame_idx"].append(None)
+                        out["decoded"].append(False)
+                        out["width"].append(None)
+                        out["height"].append(None)
+                        out["feature"].append(_fake_feature(bytes(content)))
+                        continue
+                    j = builtins.max(0, bisect.bisect_right(starts, int(t)) - 1)
+                    px = frames[j][2]
+                    out["frame_idx"].append(j)
+                    out["decoded"].append(True)
+                    out["width"].append(px.shape[1])
+                    out["height"].append(px.shape[0])
+                    out["feature"].append(_image_feature(px))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "frame_ts_ms": pd.Series(out["frame_ts_ms"], dtype="int64"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="Int32"),
+                    "decoded": pd.Series(out["decoded"], dtype="bool"),
+                    "width": pd.Series(out["width"], dtype="Int32"),
+                    "height": pd.Series(out["height"], dtype="Int32"),
+                    "feature": out["feature"],
+                }
+            )
+
+    return src.mapInPandas(run, FRAME_FEATURE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -1223,6 +1334,51 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
                         encode_ico(px, inner=("bmp", "png")[(i // 12) % 2]),
                         "image/x-icon",
                     )
+                elif (i // 6) % 3 == 1 and (i // 18) % 2 == 1:
+                    # animated: 3-frame GIF (delta frame + disposal) or
+                    # 3-frame lossless WebP (RGBA delta, alpha blend),
+                    # alternating — carries duration_ms so the
+                    # frame-sampling pipeline has real rows to drive
+                    from streamsum_spark.operators.gif import (
+                        encode_gif_animated,
+                    )
+                    from streamsum_spark.operators.webp import (
+                        encode_webp_animated,
+                    )
+
+                    q = (px // 64) * 64  # <= 64 colors for the GIF palette
+                    f2 = np.roll(q, 3, axis=1)
+                    f3 = np.roll(q, 2, axis=0)
+                    if (i // 36) % 2 == 0:
+                        content, mime = (
+                            encode_gif_animated(
+                                [q, f2[: h // 2], f3],
+                                [10, 20, 30],
+                                disposals=[1, 3, 0],
+                                offsets=[(0, 0), (1, 1), (0, 0)],
+                                canvas=(h, w),
+                            ),
+                            "image/gif",
+                        )
+                    else:
+                        d = np.dstack(
+                            [f2[: h // 2], np.full((h // 2, w), 255, np.uint8)]
+                        )
+                        d[::2, ::3, 3] = 0  # punch-through pixels
+                        content, mime = (
+                            encode_webp_animated(
+                                [q, d, f3],
+                                [100, 150, 200],
+                                offsets=[(0, 0), (0, 2), (0, 0)],
+                                blends=[True, True, False],
+                                disposals=[0, 1, 0],
+                                canvas=(h, w),
+                            ),
+                            "image/webp",
+                        )
+                    rows.append((i, mime, w, h, 60 * 10 if mime ==
+                                 "image/gif" else 450, content))
+                    continue
                 else:
                     content, mime = encode_bmp(px), "image/bmp"
             elif (i // 3) % 2 == 0:

@@ -630,51 +630,167 @@ def _walk_chunks(buf: bytes, start: int):
         i += 8 + n + (n & 1)  # chunks are 2-byte aligned
 
 
+def _decode_chunkset(chunks, rgba: bool) -> np.ndarray | None:
+    """Decode the first VP8L/VP8(+preceding ALPH) image in an iterable
+    of (tag, body) chunks — the shared payload decode for still files,
+    first-frame extraction, and per-ANMF-frame decode.  Returns None if
+    no image chunk appears (the caller owns that error)."""
+    alph = None
+    chunks = list(chunks)
+    k = 0
+    while k < len(chunks):
+        tag, body = chunks[k]
+        k += 1
+        if tag == b"ALPH":
+            alph = body
+        elif tag == b"ANMF":
+            # animated WebP: splice in the first frame's subchunks
+            # (container spec: 16-byte frame params, then image chunks)
+            if len(body) < 16:
+                raise ValueError("truncated ANMF header")
+            chunks[k:k] = list(_walk_chunks(body, 16))
+        elif tag == b"VP8L":
+            argb, h, w = _decode_vp8l_argb(body)
+            ch = 4 if rgba else 3
+            out = np.empty((h, w, ch), dtype=np.uint8)
+            out[:, :, 0] = (argb >> 16) & 0xFF
+            out[:, :, 1] = (argb >> 8) & 0xFF
+            out[:, :, 2] = argb & 0xFF
+            if rgba:
+                out[:, :, 3] = (argb >> 24) & 0xFF
+            return out
+        elif tag == b"VP8 ":
+            from . import vp8 as _vp8
+
+            if not rgba:
+                return _vp8.decode_vp8_to_rgb(body)
+            y, u, v = _vp8.decode_vp8(body)
+            h, w = y.shape
+            out = np.empty((h, w, 4), dtype=np.uint8)
+            out[:, :, :3] = _vp8.yuv_to_rgb(y, u, v)
+            out[:, :, 3] = (
+                _decode_alpha(alph, w, h) if alph is not None else 255)
+            return out
+    return None
+
+
 def _decode_container(b: bytes, rgba: bool) -> np.ndarray:
     b = bytes(b)
     try:
         if len(b) < 20 or b[:4] != b"RIFF" or b[8:12] != b"WEBP":
             raise ValueError("not a WEBP RIFF container")
-        alph = None
-        chunks = list(_walk_chunks(b, 12))
-        k = 0
-        while k < len(chunks):
-            tag, body = chunks[k]
-            k += 1
-            if tag == b"ALPH":
-                alph = body
-            elif tag == b"ANMF":
-                # animated WebP: decode the FIRST frame (container
-                # spec: 16-byte frame params, then image subchunks) —
-                # same still-image contract as gif.py's first frame
-                if len(body) < 16:
-                    raise ValueError("truncated ANMF header")
-                chunks[k:k] = list(_walk_chunks(body, 16))
-            elif tag == b"VP8L":
-                argb, h, w = _decode_vp8l_argb(body)
-                ch = 4 if rgba else 3
-                out = np.empty((h, w, ch), dtype=np.uint8)
-                out[:, :, 0] = (argb >> 16) & 0xFF
-                out[:, :, 1] = (argb >> 8) & 0xFF
-                out[:, :, 2] = argb & 0xFF
-                if rgba:
-                    out[:, :, 3] = (argb >> 24) & 0xFF
-                return out
-            elif tag == b"VP8 ":
-                from . import vp8 as _vp8
-
-                if not rgba:
-                    return _vp8.decode_vp8_to_rgb(body)
-                y, u, v = _vp8.decode_vp8(body)
-                h, w = y.shape
-                out = np.empty((h, w, 4), dtype=np.uint8)
-                out[:, :, :3] = _vp8.yuv_to_rgb(y, u, v)
-                out[:, :, 3] = (
-                    _decode_alpha(alph, w, h) if alph is not None else 255)
-                return out
-        raise ValueError("no image chunk in WEBP container")
+        out = _decode_chunkset(_walk_chunks(b, 12), rgba)
+        if out is None:
+            raise ValueError("no image chunk in WEBP container")
+        return out
     except (IndexError, struct.error) as e:
         raise ValueError(f"corrupt WEBP: {type(e).__name__}") from e
+
+
+_MAX_FRAMES_BYTES = 256 * 1024 * 1024  # total composited output cap
+
+
+def decode_webp_frames(b: bytes) -> list[tuple[int, int, np.ndarray]]:
+    """Decode EVERY frame of a (possibly animated) WebP, composited onto
+    the VP8X canvas: [(start_ms, duration_ms, (ch, cw, 3) uint8 RGB),
+    ...] in presentation order.  A still file returns one zero-duration
+    frame (its own size).
+
+    Container-spec animation semantics per ANMF frame: placement at
+    (2*frame_x, 2*frame_y), ALPHA BLENDING of the frame onto the canvas
+    (flags bit 1 = 0) or plain replacement (bit 1 = 1), and disposal
+    (flags bit 0): 1 fills the frame rect with the ANIM background
+    color after display.  The canvas starts as the ANIM background
+    color; compositing is straight-alpha OVER with round-half-up
+    integer arithmetic, and each emitted frame is the canvas flattened
+    over the background RGB (output is opaque RGB).
+
+    Hostile-input bound: per-frame decode caps as decode_webp, frames
+    must fit the declared canvas, and cumulative composited output is
+    capped (_MAX_FRAMES_BYTES)."""
+    b = bytes(b)
+    try:
+        return _decode_webp_frames(b)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"corrupt WEBP: {type(e).__name__}") from e
+
+
+def _decode_webp_frames(b: bytes) -> list[tuple[int, int, np.ndarray]]:
+    if len(b) < 20 or b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+        raise ValueError("not a WEBP RIFF container")
+    cw = ch = None
+    bg = np.zeros(4, np.int64)  # RGBA
+    anmf = []
+    for tag, body in _walk_chunks(b, 12):
+        if tag == b"VP8X":
+            if len(body) < 10:
+                raise ValueError("truncated VP8X")
+            cw = 1 + int.from_bytes(body[4:7], "little")
+            ch = 1 + int.from_bytes(body[7:10], "little")
+        elif tag == b"ANIM":
+            if len(body) < 6:
+                raise ValueError("truncated ANIM")
+            # spec byte order: B, G, R, A
+            bg = np.array([body[2], body[1], body[0], body[3]], np.int64)
+        elif tag == b"ANMF":
+            anmf.append(body)
+    if not anmf:
+        px = decode_webp(b)
+        return [(0, 0, px)]
+    if cw is None:
+        raise ValueError("animated WEBP without VP8X canvas size")
+    if cw * ch * 4 > _MAX_FRAMES_BYTES:
+        raise ValueError("WEBP canvas exceeds the decode cap")
+    canvas = np.broadcast_to(bg, (ch, cw, 4)).astype(np.int64).copy()
+    bg_rgb = bg[:3]
+
+    def flatten(c) -> np.ndarray:
+        a = c[:, :, 3:4]
+        return (
+            (c[:, :, :3] * a + bg_rgb * (255 - a) + 127) // 255
+        ).astype(np.uint8)
+
+    frames: list[tuple[int, int, np.ndarray]] = []
+    t = 0
+    out_bytes = 0
+    for body in anmf:
+        if len(body) < 16:
+            raise ValueError("truncated ANMF header")
+        fx = 2 * int.from_bytes(body[0:3], "little")
+        fy = 2 * int.from_bytes(body[3:6], "little")
+        fw = 1 + int.from_bytes(body[6:9], "little")
+        fh = 1 + int.from_bytes(body[9:12], "little")
+        dur = int.from_bytes(body[12:15], "little")
+        flags = body[15]
+        if fx + fw > cw or fy + fh > ch:
+            raise ValueError("ANMF frame exceeds the canvas")
+        fr = _decode_chunkset(_walk_chunks(body, 16), rgba=True)
+        if fr is None:
+            raise ValueError("ANMF frame without image chunk")
+        if fr.shape[:2] != (fh, fw):
+            raise ValueError("ANMF frame size mismatch")
+        fr = fr.astype(np.int64)
+        region = canvas[fy : fy + fh, fx : fx + fw]
+        if flags & 0x02:  # no blend: frame replaces rect, alpha included
+            region[:] = fr
+        else:  # straight-alpha OVER, round half up
+            a_f = fr[:, :, 3:4]
+            a_c = region[:, :, 3:4]
+            a_out = a_f + (a_c * (255 - a_f) + 127) // 255
+            num = fr[:, :, :3] * a_f * 255 + region[:, :, :3] * a_c * (255 - a_f)
+            den = a_out * 255
+            region[:, :, :3] = np.where(
+                a_out > 0, (num + den // 2) // np.maximum(den, 1), 0
+            )
+            region[:, :, 3:4] = a_out
+        out_bytes += canvas.nbytes
+        if out_bytes > _MAX_FRAMES_BYTES:
+            raise ValueError("animated WEBP exceeds the composited-output cap")
+        frames.append((t, dur, flatten(canvas)))
+        t += dur
+        if flags & 0x01:  # dispose to background color
+            region[:] = bg
+    return frames
 
 
 def decode_webp_rgba(b: bytes) -> np.ndarray:
@@ -821,17 +937,25 @@ def _apply_predictor_forward(px: np.ndarray, mode: int, bits: int) -> np.ndarray
 def encode_webp_lossless(
     px: np.ndarray, transform: str | None = None, predictor_mode: int = 2
 ) -> bytes:
-    """Encode (h, w, 3) uint8 RGB as a valid VP8L file — the test
-    fixture, small and obviously correct over compact (pure literals
-    with flat 8-bit codes; ~3.4 bytes/pixel).  ``transform`` exercises
-    one decoder inverse-transform path: None, 'subtract_green',
-    'predictor' (uniform ``predictor_mode`` over one whole-image block),
-    or 'palette' (image must have ≤ 256 distinct colors; ≤ 16 exercises
+    """Encode (h, w, 3) uint8 RGB — or (h, w, 4) RGBA when ``transform``
+    is None — as a valid VP8L file: the test fixture, small and
+    obviously correct over compact (pure literals with flat 8-bit
+    codes; ~3.4 bytes/pixel).  ``transform`` exercises one decoder
+    inverse-transform path: None, 'subtract_green', 'predictor'
+    (uniform ``predictor_mode`` over one whole-image block), or
+    'palette' (image must have ≤ 256 distinct colors; ≤ 16 exercises
     packed indices)."""
     px = np.asarray(px, dtype=np.uint8)
-    h, w, _ = px.shape
+    h, w, nch = px.shape
+    if nch == 4 and transform is not None:
+        raise ValueError("RGBA fixture encoding supports transform=None only")
+    alpha = (
+        px[:, :, 3].astype(np.uint32)
+        if nch == 4
+        else np.full((h, w), 0xFF, np.uint32)
+    )
     argb = (
-        (np.uint32(0xFF) << 24)
+        (alpha << 24)
         | (px[:, :, 0].astype(np.uint32) << 16)
         | (px[:, :, 1].astype(np.uint32) << 8)
         | px[:, :, 2].astype(np.uint32)
@@ -840,7 +964,7 @@ def encode_webp_lossless(
     bw.write(0x2F, 8)
     bw.write(w - 1, 14)
     bw.write(h - 1, 14)
-    bw.write(0, 1)  # no alpha
+    bw.write(1 if nch == 4 else 0, 1)  # alpha-used hint
     bw.write(0, 3)  # version
     if transform == "subtract_green":
         bw.write(1, 1)
@@ -927,3 +1051,60 @@ def encode_webp_lossless(
     if len(payload) & 1:
         out += b"\x00"
     return out
+
+
+def encode_webp_animated(
+    frames: list,
+    durations_ms: list[int],
+    offsets: list[tuple[int, int]] | None = None,
+    blends: list[bool] | None = None,
+    disposals: list[int] | None = None,
+    canvas: tuple[int, int] | None = None,
+    bg_rgba: tuple[int, int, int, int] = (0, 0, 0, 255),
+) -> bytes:
+    """Test-fixture animated WebP: VP8X (animation flag + canvas size) +
+    ANIM (background color, infinite loop) + one ANMF per frame wrapping
+    a lossless VP8L payload (RGB or RGBA arrays; RGBA exercises the
+    alpha-blend compositing path).  ``offsets`` are even (x, y) pixel
+    positions (the wire format stores x/2, y/2); ``blends[i]`` True
+    means alpha-blend onto the canvas (flags bit 1 = 0), False means
+    replace; ``disposals[i]`` 1 restores the frame rect to the ANIM
+    background after display."""
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    offsets = offsets or [(0, 0)] * len(frames)
+    blends = blends if blends is not None else [True] * len(frames)
+    disposals = disposals or [0] * len(frames)
+    ch, cw = canvas or frames[0].shape[:2]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    body = bytearray()
+    vp8x = bytes([0x02, 0, 0, 0]) + (cw - 1).to_bytes(3, "little") + (
+        ch - 1
+    ).to_bytes(3, "little")
+    body += chunk(b"VP8X", vp8x)
+    r, g, bl, a = bg_rgba
+    body += chunk(b"ANIM", bytes([bl, g, r, a]) + struct.pack("<H", 0))
+    for f, dur, (x, y), blend, disp in zip(
+        frames, durations_ms, offsets, blends, disposals
+    ):
+        if x % 2 or y % 2:
+            raise ValueError("ANMF offsets must be even")
+        h, w = f.shape[:2]
+        still = encode_webp_lossless(f)
+        vp8l = next(
+            bd for tg, bd in _walk_chunks(still, 12) if tg == b"VP8L"
+        )
+        head = (
+            (x // 2).to_bytes(3, "little")
+            + (y // 2).to_bytes(3, "little")
+            + (w - 1).to_bytes(3, "little")
+            + (h - 1).to_bytes(3, "little")
+            + int(dur).to_bytes(3, "little")
+            + bytes([(0 if blend else 0x02) | (0x01 if disp == 1 else 0)])
+        )
+        body += chunk(b"ANMF", head + chunk(b"VP8L", vp8l))
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + bytes(body)

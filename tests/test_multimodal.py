@@ -77,9 +77,12 @@ def test_extract_features_codec_fallback_flagged(spark):
 
 def test_metadata_predicates_prune_without_touching_blobs(spark):
     media = mm.synthetic_media(spark, n=33)
-    # the kind-0 slot cycles BMP / ICO / WebP (lossless + lossy)
+    # the kind-0 slot cycles BMP / ICO / WebP (lossless + lossy) plus,
+    # since round 9, animated GIF/WebP on some former-BMP slots
     imgs = media.where(
-        mm.F.col("mime").isin("image/bmp", "image/webp", "image/x-icon")
+        mm.F.col("mime").isin(
+            "image/bmp", "image/webp", "image/x-icon", "image/gif"
+        )
     ).select("media_id", "width")
     assert imgs.count() == 11
     assert media.where(mm.F.col("mime") == "image/webp").count() >= 5
