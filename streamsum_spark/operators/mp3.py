@@ -1,0 +1,193 @@
+"""MPEG audio (MP1/MP2/MP3) frame parser and stream-metadata extractor
+— headers, frame segmentation, CRC flags, bitrate/duration, Xing/Info
+VBR detection — written from the public ISO/IEC 11172-3 framing layout.
+
+Spectral DECODE of Layer III is deliberately NOT implemented, and the
+refusal is explicit (NotImplementedError through decode_audio's routing)
+rather than stubbed-wrong: the Huffman stage needs ISO 11172-3 Table
+B.7's explicit codeword lists — roughly 1,400 (length, codeword) pairs
+across 17 distinct tables that are normative DATA, not derivable from
+any rule (unlike VP8L's generated distance map or the JPEG default
+tables, which follow from compact published definitions).  This build
+environment has no spec text, no reference implementation, and no
+network, so those tables cannot be transcribed or verified here; a
+from-memory guess would produce a decoder whose Huffman desyncs read as
+silently wrong PCM — strictly worse than an honest refusal (the same
+posture as the unsupported-TIFF-variant refusals, multimodal.py).  The
+bitstream framing below IS fully verifiable — it self-checks by walking
+frame-length chains across a real-world stream (the vendored gsutil
+test asset) — and it is the half a 100 TB ingest pipeline needs from
+MP3 first: duration/bitrate metadata without decode, frame-accurate
+segmentation for splitting, and malformed-input quarantine routing.
+
+Layout facts used (ISO 11172-3 §2.4.1): 11-bit sync, 2-bit version
+(3=MPEG-1, 2=MPEG-2, 0=MPEG-2.5 via the extension bit), 2-bit layer
+(3=I, 2=II, 1=III), protection bit (0 means a 16-bit CRC follows the
+header), 4-bit bitrate index, 2-bit sample-rate index, padding bit,
+2-bit channel mode (3=mono); frame sizes: Layer I
+(12*bitrate/rate + pad)*4, Layer II and MPEG-1 Layer III
+144*bitrate/rate + pad, MPEG-2/2.5 Layer III 72*bitrate/rate + pad;
+samples per frame: 384 (L1), 1152 (L2, MPEG-1 L3), 576 (LSF L3).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+# kbps by [version-group][layer][bitrate_index]; index 0 = free format
+# (refused below), 15 = invalid
+_BITRATES = {
+    ("1", 1): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    ("1", 2): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    ("1", 3): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    ("2", 1): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    ("2", 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    ("2", 3): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_RATES = {"1": (44100, 48000, 32000), "2": (22050, 24000, 16000),
+          "2.5": (11025, 12000, 8000)}
+
+
+@dataclass
+class Mp3Frame:
+    offset: int
+    size: int
+    version: str         # "1", "2", "2.5"
+    layer: int           # 1, 2, 3
+    bitrate_kbps: int
+    sample_rate: int
+    channels: int
+    samples: int
+    has_crc: bool
+    padded: bool
+
+
+def _skip_id3v2(b: bytes, i: int) -> int:
+    if b[i : i + 3] != b"ID3" or len(b) < i + 10:
+        return i
+    if any(x & 0x80 for x in b[i + 6 : i + 10]):
+        raise ValueError("corrupt ID3v2 size (non-syncsafe)")
+    size = (b[i + 6] << 21) | (b[i + 7] << 14) | (b[i + 8] << 7) | b[i + 9]
+    footer = 10 if b[i + 5] & 0x10 else 0
+    return i + 10 + size + footer
+
+
+def _parse_header(b: bytes, i: int) -> Mp3Frame | None:
+    if i + 4 > len(b):
+        return None
+    h = int.from_bytes(b[i : i + 4], "big")
+    if (h >> 21) & 0x7FF != 0x7FF:
+        return None
+    vbits = (h >> 19) & 3
+    version = {3: "1", 2: "2", 0: "2.5"}.get(vbits)
+    layer = {3: 1, 2: 2, 1: 3}.get((h >> 17) & 3)
+    if version is None or layer is None:
+        return None
+    br_idx = (h >> 12) & 0xF
+    sr_idx = (h >> 10) & 3
+    if br_idx in (0, 15) or sr_idx == 3:
+        # free-format (0) is legal but needs decode-side sizing; refused
+        return None
+    vgroup = "1" if version == "1" else "2"
+    kbps = _BITRATES[(vgroup, layer)][br_idx]
+    rate = _RATES[version][sr_idx]
+    pad = (h >> 9) & 1
+    mode = (h >> 6) & 3
+    if layer == 1:
+        size = (12 * kbps * 1000 // rate + pad) * 4
+        samples = 384
+    elif layer == 2 or version == "1":
+        size = 144 * kbps * 1000 // rate + pad
+        samples = 1152
+    else:  # LSF Layer III
+        size = 72 * kbps * 1000 // rate + pad
+        samples = 576
+    return Mp3Frame(
+        offset=i, size=size, version=version, layer=layer,
+        bitrate_kbps=kbps, sample_rate=rate,
+        channels=1 if mode == 3 else 2, samples=samples,
+        has_crc=not (h >> 16) & 1, padded=bool(pad),
+    )
+
+
+def parse_mp3_frames(b: bytes, max_resync: int = 0) -> list[Mp3Frame]:
+    """Walk the frame chain: each header's computed size must land on
+    the next sync word (or clean EOF / an ID3v1 'TAG' tail) — the
+    self-check that makes the parser verifiable without a decoder.
+    ``max_resync`` > 0 tolerates that many junk gaps (scanning forward
+    to the next plausible sync), for real-world streams with broken
+    tags; the default is strict."""
+    b = bytes(b)
+    i = _skip_id3v2(b, 0)
+    frames: list[Mp3Frame] = []
+    resyncs = 0
+    n = len(b)
+    while i < n:
+        if b[i : i + 3] == b"TAG" and n - i == 128:
+            break  # ID3v1 tail
+        if b[i : i + 3] == b"ID3":
+            i = _skip_id3v2(b, i)
+            continue
+        fr = _parse_header(b, i)
+        if fr is None or i + fr.size > n:
+            if frames and i + 4 > n:
+                break  # trailing sub-header garbage after a valid chain
+            if resyncs < max_resync:
+                resyncs += 1
+                j = i + 1
+                while j + 4 <= n and _parse_header(b, j) is None:
+                    j += 1
+                if j + 4 > n:
+                    break
+                i = j
+                continue
+            raise ValueError(
+                f"corrupt MPEG audio stream at offset {i}"
+                + (": free-format/invalid header" if fr is None else ": truncated frame")
+            )
+        frames.append(fr)
+        i += fr.size
+    if not frames:
+        raise ValueError("no MPEG audio frames")
+    return frames
+
+
+def mp3_stream_info(b: bytes, max_resync: int = 0) -> dict:
+    """Stream-level metadata from the frame chain: the decode-free facts
+    an ingest pipeline partitions and filters on.  ``vbr`` reflects a
+    Xing/Info header in the first frame OR observed bitrate variation."""
+    frames = parse_mp3_frames(b, max_resync=max_resync)
+    f0 = frames[0]
+    kbps = sorted({f.bitrate_kbps for f in frames})
+    samples = sum(f.samples for f in frames)
+    body = bytes(b)[f0.offset + 4 : f0.offset + f0.size]
+    xing = b"Xing" in body or b"Info" in body
+    return {
+        "n_frames": len(frames),
+        "mpeg_version": f0.version,
+        "layer": f0.layer,
+        "sample_rate": f0.sample_rate,
+        "channels": f0.channels,
+        "bitrate_kbps": (
+            f0.bitrate_kbps if len(kbps) == 1
+            else round(sum(f.bitrate_kbps for f in frames) / len(frames))
+        ),
+        "vbr": xing or len(kbps) > 1,
+        "duration_ms": round(1000 * samples / f0.sample_rate),
+        "has_crc": f0.has_crc,
+    }
+
+
+def decode_mp3(b: bytes):
+    """Honest refusal — see the module docstring: Layer III spectral
+    decode needs normative Huffman table data (ISO 11172-3 B.7) that is
+    unavailable and unverifiable in this environment.  Refusing loudly
+    routes MP3 blobs to extract_features' decoded=false quarantine path
+    instead of emitting silently wrong PCM."""
+    parse_mp3_frames(bytes(b), max_resync=2)  # malformed input still ValueErrors
+    raise NotImplementedError(
+        "MP3 spectral decode requires ISO 11172-3 Table B.7 Huffman data "
+        "(normative, not derivable, unavailable offline); "
+        "parse_mp3_frames/mp3_stream_info provide the metadata half"
+    )

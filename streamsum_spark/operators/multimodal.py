@@ -815,6 +815,12 @@ def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
         return _decode_aiff(b)
     if b[:4] == b".snd":
         return _decode_au(b)
+    if b[:3] == b"ID3" or (len(b) > 1 and b[0] == 0xFF and b[1] & 0xE0 == 0xE0):
+        # MPEG audio: framing parses and validates (mp3.py), spectral
+        # decode honestly refuses — see mp3.decode_mp3's rationale
+        from streamsum_spark.operators.mp3 import decode_mp3
+
+        return decode_mp3(b)
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise NotImplementedError("only RIFF/WAVE audio supported")
     fmt = data = None
@@ -962,7 +968,8 @@ def extract_features(
             # the image path (both VP8L and lossy VP8 decode)
             if (b[:4] == b"RIFF" and b[8:12] == b"WAVE" or b[:4] == b"fLaC"
                     or (b[:4] == b"FORM" and b[8:12] in (b"AIFF", b"AIFC"))
-                    or b[:4] == b".snd"):
+                    or b[:4] == b".snd" or b[:3] == b"ID3"
+                    or (len(b) > 1 and b[0] == 0xFF and b[1] & 0xE0 == 0xE0)):
                 samples, rate = decode_audio(b)
                 return True, None, None, int(samples.shape[1]), _audio_feature(samples, rate)
             px = decode_image(b)

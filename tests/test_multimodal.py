@@ -109,7 +109,15 @@ def test_decode_is_honest_stub_for_codecs():
     )
     with pytest.raises(NotImplementedError, match="arithmetic"):
         mm.decode_image(arithmetic)
-    with pytest.raises(NotImplementedError):
+    # a VALID MPEG stream refuses spectral decode honestly (mp3.py's
+    # documented B.7 rationale); an ID3 tag with NO frames behind it is
+    # malformed input, so it ValueErrors instead (round 9: MP3 routing
+    # now parses framing before refusing)
+    with pytest.raises(NotImplementedError, match="B.7"):
+        hdr = (0x7FF << 21 | 3 << 19 | 1 << 17 | 1 << 16 | 10 << 12
+               | 2 << 10 | 3 << 6).to_bytes(4, "big")
+        mm.decode_audio(hdr + bytes(716))
+    with pytest.raises(ValueError):
         mm.decode_audio(b"ID3\x04" + bytes(32))
     # spec-ILLEGAL depth/color combos still refuse (16-bit and palette
     # are now real decodes — see the palette/16-bit/Adam7 tests)
