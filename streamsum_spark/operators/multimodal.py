@@ -1410,6 +1410,24 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
                 content, mime = encode_png(px, filter_type=(i // 6) % 5), "image/png"
             rows.append((i, mime, w, h, None, content))
         else:
+            if (i // 3) % 8 == 7:
+                # MPEG audio: structurally VALID Layer III framing with
+                # deterministic (non-audio) payload bytes — spectral
+                # decode honestly refuses (mp3.py), so these rows
+                # exercise the sniff -> refusal -> decoded=false
+                # quarantine path inside the DEFAULT pipeline mix, the
+                # posture a real crawl (overwhelmingly MP3) hits.
+                # MPEG-1 L3 128k/32kHz: exactly 576 bytes/frame, no pad.
+                n_frames = 2 + i % 5
+                hdr = (0x7FF << 21 | 3 << 19 | 1 << 17 | 1 << 16
+                       | 9 << 12 | 2 << 10 | 3 << 6).to_bytes(4, "big")
+                body = bytes((j * 37 + i) % 256 for j in range(572))
+                rows.append((
+                    i, "audio/mpeg", None, None,
+                    round(n_frames * 1152 * 1000 / 32000),
+                    (hdr + body) * n_frames,
+                ))
+                continue
             rate, dur_ms = 8000, 1000 * (1 + i % 7)
             t = np.arange(rate * dur_ms // 1000)
             tone = (3000 * np.sin(2 * np.pi * (110 + i) * t / rate)).astype(np.int16)

@@ -17,12 +17,15 @@ libs.  Surface:
 - BitsPerSample 1/2/4/8/16 for single-channel images, uniform 8 or 16
   per channel for RGB(A); 16-bit samples are scaled to 8 (``>> 8``);
 - chunky PlanarConfiguration (=1), strip organization via
-  StripOffsets / StripByteCounts / RowsPerStrip, and all eight
-  Orientation transforms (spec §4, tag 274).
+  StripOffsets / StripByteCounts / RowsPerStrip, TILED organization
+  (spec §15: full padded edge tiles, per-tile compression with the
+  predictor resetting at tile boundaries — round 9, pinned against a
+  real libtiff-written tiled file), and all eight Orientation
+  transforms (spec §4, tag 274).
 
 Honest refusals (NotImplementedError, same posture as the other
-decoders — a fake decode would misreport pixel stats): tiled images
-(TileWidth present), PlanarConfiguration 2, CCITT G3/G4 and
+decoders — a fake decode would misreport pixel stats):
+PlanarConfiguration 2, sub-byte tiled images, CCITT G3/G4 and
 JPEG-in-TIFF compressions, floating-point SampleFormat.
 
 Hostile-input posture matches gif.py/webp.py: dimensions and strip
@@ -62,8 +65,41 @@ _T_PREDICTOR = 317
 _T_COLORMAP = 320
 _T_TILE_WIDTH = 322
 _T_TILE_LENGTH = 323
+_T_TILE_OFFSETS = 324
+_T_TILE_COUNTS = 325
+
+
 _T_EXTRA_SAMPLES = 338
 _T_SAMPLE_FORMAT = 339
+
+
+def _rows_to_pixels(
+    arr: "np.ndarray", rows: int, wpix: int, spp: int, bps: int,
+    bo: str, predictor: int,
+) -> "np.ndarray":
+    """(rows, row_stride) raw bytes -> (rows, wpix, spp) uint8 pixels:
+    byte-order-aware 16-bit read (reduced to 8 after the predictor, which
+    must run at the stored precision), horizontal differencing inverse
+    per row, sub-byte unpack.  Shared by the strip path (one call over
+    the whole image) and the tile path (one call per tile — prediction
+    resets at tile boundaries)."""
+    if bps == 16:
+        dt = np.dtype(np.uint16).newbyteorder(bo)
+        px16 = arr.reshape(rows, -1).view(np.uint8)[:, : wpix * spp * 2]
+        px = np.ascontiguousarray(px16).view(dt).reshape(rows, wpix, spp).astype(np.uint16)
+        if predictor == 2:
+            px = np.cumsum(px, axis=1, dtype=np.uint32).astype(np.uint16)
+        return (px >> 8).astype(np.uint8)
+    if bps == 8:
+        px = arr[:, : wpix * spp].reshape(rows, wpix, spp)
+        if predictor == 2:
+            px = np.cumsum(px, axis=1, dtype=np.uint32).astype(np.uint8)
+        return px
+    if predictor == 2:
+        raise NotImplementedError("predictor on sub-byte samples not supported")
+    bits = np.unpackbits(arr, axis=1)[:, : wpix * bps].reshape(rows, wpix, bps)
+    weights = (1 << np.arange(bps - 1, -1, -1)).astype(np.uint16)
+    return (bits * weights).sum(axis=2).astype(np.uint8).reshape(rows, wpix, 1)
 
 # field-type byte sizes (type 0 is invalid; RATIONAL=2×LONG)
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
@@ -196,8 +232,6 @@ def _decode_tiff(b: bytes) -> np.ndarray:
     ifd_off = struct.unpack_from(bo + "I", b, 4)[0]
     tags = _read_ifd(b, bo, ifd_off)
 
-    if _T_TILE_WIDTH in tags or _T_TILE_LENGTH in tags:
-        raise NotImplementedError("tiled TIFF not supported")
     if tags.get(_T_PLANAR, [1])[0] != 1:
         raise NotImplementedError("planar (non-chunky) TIFF not supported")
     if any(f not in (1, 2) for f in tags.get(_T_SAMPLE_FORMAT, [1])):
@@ -234,31 +268,11 @@ def _decode_tiff(b: bytes) -> np.ndarray:
     if photo == 3 and (_T_COLORMAP not in tags or spp != 1 or bps > 8):
         raise ValueError("corrupt TIFF: bad palette image")
 
-    offsets = tags[_T_STRIP_OFFSETS]
-    rows_per_strip = tags.get(_T_ROWS_PER_STRIP, [h])[0] or h
-    rows_per_strip = min(rows_per_strip, h)
-    n_strips = (h + rows_per_strip - 1) // rows_per_strip
-    if len(offsets) < n_strips:
-        raise ValueError("corrupt TIFF: missing strip offsets")
-    stride = (w * spp * bps + 7) // 8  # rows are byte-aligned (spec §3)
-    counts = tags.get(_T_STRIP_COUNTS)
-    if counts is None:
-        if comp != 1:
-            raise ValueError("corrupt TIFF: compressed strips without byte counts")
-        counts = [stride * min(rows_per_strip, h - i * rows_per_strip) for i in range(n_strips)]
-
     predictor = tags.get(_T_PREDICTOR, [1])[0]
     if predictor not in (1, 2):
         raise NotImplementedError(f"predictor {predictor} not supported")
 
-    raw = bytearray()
-    for s in range(n_strips):
-        rows = min(rows_per_strip, h - s * rows_per_strip)
-        want = stride * rows
-        off, cnt = offsets[s], counts[s]
-        if off + cnt > len(b) or cnt > _MAX_DECODED_BYTES:
-            raise ValueError("corrupt TIFF: strip out of range")
-        chunk = b[off : off + cnt]
+    def decompress(chunk: bytes, want: int) -> bytes:
         if comp == 1:
             data = chunk
         elif comp == 5:
@@ -269,27 +283,73 @@ def _decode_tiff(b: bytes) -> np.ndarray:
             data = zlib.decompress(chunk, bufsize=min(want, _MAX_DECODED_BYTES))
         if len(data) < want:
             data = data + b"\x00" * (want - len(data))
-        raw += data[:want]
+        return data[:want]
 
-    arr = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, stride)
-
-    if bps == 16:
-        dt = np.dtype(np.uint16).newbyteorder(bo)
-        px16 = arr.reshape(h, -1).view(np.uint8)[:, : w * spp * 2]
-        px = np.ascontiguousarray(px16).view(dt).reshape(h, w, spp).astype(np.uint16)
-        if predictor == 2:
-            px = np.cumsum(px, axis=1, dtype=np.uint32).astype(np.uint16)
-        px = (px >> 8).astype(np.uint8)
-    elif bps == 8:
-        px = arr[:, : w * spp].reshape(h, w, spp)
-        if predictor == 2:
-            px = np.cumsum(px, axis=1, dtype=np.uint32).astype(np.uint8)
+    if _T_TILE_WIDTH in tags or _T_TILE_LENGTH in tags:
+        # tiled layout (spec §15): the image is a grid of tw x tl tiles,
+        # each compressed independently and ALWAYS full-size (edge tiles
+        # are padded by the encoder and clipped here).  The horizontal
+        # predictor resets per tile row, so differencing must be undone
+        # per tile BEFORE pasting — running it over assembled image rows
+        # would leak deltas across tile boundaries.
+        tw = tags.get(_T_TILE_WIDTH, [0])[0]
+        tl = tags.get(_T_TILE_LENGTH, [0])[0]
+        if tw <= 0 or tl <= 0:
+            raise ValueError("corrupt TIFF: bad tile dimensions")
+        if bps not in (8, 16):
+            raise NotImplementedError("sub-byte tiled TIFF not supported")
+        across = (w + tw - 1) // tw
+        down = (h + tl - 1) // tl
+        if across * tw * down * tl * spp * 2 > _MAX_DECODED_BYTES:
+            raise ValueError("implausible TIFF tile grid")
+        offsets = tags.get(_T_TILE_OFFSETS)
+        if offsets is None or len(offsets) < across * down:
+            raise ValueError("corrupt TIFF: missing tile offsets")
+        tile_stride = (tw * spp * bps + 7) // 8
+        counts = tags.get(_T_TILE_COUNTS)
+        if counts is None:
+            if comp != 1:
+                raise ValueError("corrupt TIFF: compressed tiles without byte counts")
+            counts = [tile_stride * tl] * (across * down)
+        px = np.zeros((h, w, spp), dtype=np.uint8)
+        for ty in range(down):
+            for tx in range(across):
+                k = ty * across + tx
+                want = tile_stride * tl
+                off, cnt = offsets[k], counts[k]
+                if off + cnt > len(b) or cnt > _MAX_DECODED_BYTES:
+                    raise ValueError("corrupt TIFF: tile out of range")
+                arr = np.frombuffer(
+                    decompress(b[off : off + cnt], want), dtype=np.uint8
+                ).reshape(tl, tile_stride)
+                tpx = _rows_to_pixels(arr, tl, tw, spp, bps, bo, predictor)
+                y0, x0 = ty * tl, tx * tw
+                ys, xs = min(tl, h - y0), min(tw, w - x0)
+                px[y0 : y0 + ys, x0 : x0 + xs] = tpx[:ys, :xs]
     else:
-        if predictor == 2:
-            raise NotImplementedError("predictor on sub-byte samples not supported")
-        bits = np.unpackbits(arr, axis=1)[:, : w * bps].reshape(h, w, bps)
-        weights = (1 << np.arange(bps - 1, -1, -1)).astype(np.uint16)
-        px = (bits * weights).sum(axis=2).astype(np.uint8).reshape(h, w, 1)
+        offsets = tags[_T_STRIP_OFFSETS]
+        rows_per_strip = tags.get(_T_ROWS_PER_STRIP, [h])[0] or h
+        rows_per_strip = min(rows_per_strip, h)
+        n_strips = (h + rows_per_strip - 1) // rows_per_strip
+        if len(offsets) < n_strips:
+            raise ValueError("corrupt TIFF: missing strip offsets")
+        stride = (w * spp * bps + 7) // 8  # rows are byte-aligned (spec §3)
+        counts = tags.get(_T_STRIP_COUNTS)
+        if counts is None:
+            if comp != 1:
+                raise ValueError("corrupt TIFF: compressed strips without byte counts")
+            counts = [stride * min(rows_per_strip, h - i * rows_per_strip) for i in range(n_strips)]
+
+        raw = bytearray()
+        for s in range(n_strips):
+            rows = min(rows_per_strip, h - s * rows_per_strip)
+            off, cnt = offsets[s], counts[s]
+            if off + cnt > len(b) or cnt > _MAX_DECODED_BYTES:
+                raise ValueError("corrupt TIFF: strip out of range")
+            raw += decompress(b[off : off + cnt], stride * rows)
+
+        arr = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, stride)
+        px = _rows_to_pixels(arr, h, w, spp, bps, bo, predictor)
 
     if photo == 3:
         cmap = np.asarray(tags[_T_COLORMAP], dtype=np.uint32)
@@ -414,12 +474,16 @@ def encode_tiff(
     colormap: np.ndarray | None = None,
     bits_per_sample: int | None = None,
     orientation: int = 1,
+    tile: tuple[int, int] | None = None,
 ) -> bytes:
     """Encode a TIFF test fixture.
 
     ``px``: (h, w) gray, (h, w) palette indices (with ``colormap`` of
     shape (n, 3) uint8), or (h, w, 3|4) RGB(A) uint8; (h, w) uint16 for
     16-bit gray.  ``compression`` in none/lzw/packbits/deflate.
+    ``tile``: (tile_width, tile_length) switches to the tiled layout
+    (full padded edge tiles, per-tile compression and prediction,
+    TileOffsets/TileByteCounts instead of strip tags).
     """
     px = np.asarray(px)
     h, w = px.shape[:2]
@@ -441,38 +505,54 @@ def encode_tiff(
         flat = px
     rows_per_strip = rows_per_strip or h
 
-    # serialize rows (byte-aligned, MSB-first for sub-byte depths)
-    if bps == 16:
-        vals = flat.reshape(h, w, spp).astype(np.uint16)
-        if predictor == 2:  # per-channel diff along the row, mod 2**16
-            vals = np.concatenate([vals[:, :1, :], np.diff(vals, axis=1)], axis=1)
-        rows = vals.reshape(h, -1).astype(np.dtype(np.uint16).newbyteorder(bo)).tobytes()
-        stride = w * spp * 2
-    elif bps == 8:
-        vals = flat.reshape(h, w, spp)
-        if predictor == 2:
-            vals = np.concatenate([vals[:, :1, :], np.diff(vals.astype(np.int16), axis=1).astype(np.uint8)], axis=1)
-        rows = vals.astype(np.uint8).tobytes()
-        stride = w * spp
-    else:
-        bits = ((flat.reshape(h, w, 1).astype(np.uint16) >> np.arange(bps - 1, -1, -1)) & 1).astype(np.uint8)
-        stride = (w * bps + 7) // 8
-        padded = np.zeros((h, stride * 8), dtype=np.uint8)
-        padded[:, : w * bps] = bits.reshape(h, w * bps)
-        rows = np.packbits(padded, axis=1).tobytes()
+    def serialize(block: np.ndarray, hh: int, ww: int) -> bytes:
+        # rows of one strip set / one tile (byte-aligned, MSB-first for
+        # sub-byte depths); horizontal differencing per row — so calling
+        # this per TILE makes prediction reset at tile boundaries, the
+        # spec's tiled semantics
+        if bps == 16:
+            vals = block.reshape(hh, ww, spp).astype(np.uint16)
+            if predictor == 2:  # per-channel diff along the row, mod 2**16
+                vals = np.concatenate([vals[:, :1, :], np.diff(vals, axis=1)], axis=1)
+            return vals.reshape(hh, -1).astype(np.dtype(np.uint16).newbyteorder(bo)).tobytes()
+        if bps == 8:
+            vals = block.reshape(hh, ww, spp)
+            if predictor == 2:
+                vals = np.concatenate([vals[:, :1, :], np.diff(vals.astype(np.int16), axis=1).astype(np.uint8)], axis=1)
+            return vals.astype(np.uint8).tobytes()
+        bits = ((block.reshape(hh, ww, 1).astype(np.uint16) >> np.arange(bps - 1, -1, -1)) & 1).astype(np.uint8)
+        st = (ww * bps + 7) // 8
+        padded = np.zeros((hh, st * 8), dtype=np.uint8)
+        padded[:, : ww * bps] = bits.reshape(hh, ww * bps)
+        return np.packbits(padded, axis=1).tobytes()
+
+    def compress(blob: bytes) -> bytes:
+        if compression == "lzw":
+            return _lzw_encode(blob)
+        if compression == "packbits":
+            return _packbits_encode(blob)
+        if compression == "deflate":
+            return zlib.compress(blob)
+        return blob
 
     strips = []
-    for r0 in range(0, h, rows_per_strip):
-        r1 = min(r0 + rows_per_strip, h)
-        blob = rows[r0 * stride : r1 * stride]
-        if compression == "lzw":
-            strips.append(_lzw_encode(blob))
-        elif compression == "packbits":
-            strips.append(_packbits_encode(blob))
-        elif compression == "deflate":
-            strips.append(zlib.compress(blob))
-        else:
-            strips.append(blob)
+    if tile is not None:
+        tw, tl = tile
+        if bps not in (8, 16):
+            raise ValueError("tiled fixture encoding needs bps 8 or 16")
+        grid = flat.reshape(h, w, spp)
+        for y0 in range(0, h, tl):
+            for x0 in range(0, w, tw):
+                block = np.zeros((tl, tw, spp), dtype=grid.dtype)
+                ys, xs = min(tl, h - y0), min(tw, w - x0)
+                block[:ys, :xs] = grid[y0 : y0 + ys, x0 : x0 + xs]
+                strips.append(compress(serialize(block, tl, tw)))
+    else:
+        rows = serialize(flat, h, w)
+        stride = len(rows) // h
+        for r0 in range(0, h, rows_per_strip):
+            r1 = min(r0 + rows_per_strip, h)
+            strips.append(compress(rows[r0 * stride : r1 * stride]))
     comp_id = {"none": 1, "lzw": 5, "packbits": 32773, "deflate": 8}[compression]
 
     # assemble: header, pixel strips, then the IFD and out-of-line values
@@ -489,7 +569,11 @@ def encode_tiff(
     if orientation != 1:
         tag(_T_ORIENTATION, 3, [orientation])
     tag(_T_SPP, 3, [spp])
-    tag(_T_ROWS_PER_STRIP, 3, [rows_per_strip])
+    if tile is None:
+        tag(_T_ROWS_PER_STRIP, 3, [rows_per_strip])
+    else:
+        tag(_T_TILE_WIDTH, 3, [tile[0]])
+        tag(_T_TILE_LENGTH, 3, [tile[1]])
     tag(_T_PLANAR, 3, [1])
     if predictor == 2:
         tag(_T_PREDICTOR, 3, [predictor])
@@ -509,8 +593,8 @@ def encode_tiff(
         body += sdata
         if len(body) % 2:
             body += b"\x00"
-    tag(_T_STRIP_OFFSETS, 4, strip_offsets)
-    tag(_T_STRIP_COUNTS, 4, [len(s) for s in strips])
+    tag(_T_TILE_OFFSETS if tile is not None else _T_STRIP_OFFSETS, 4, strip_offsets)
+    tag(_T_TILE_COUNTS if tile is not None else _T_STRIP_COUNTS, 4, [len(s) for s in strips])
     entries.sort(key=lambda e: e[0])
 
     ifd_off = len(body)

@@ -49,8 +49,14 @@ def test_extract_features_real_stats_default_path(spark):
     media = mm.synthetic_media(spark, n=33)
     rows = {r.media_id: r for r in mm.extract_features(media).collect()}
     assert len(rows) == 33
-    # everything on the default path really decodes
-    assert all(r.decoded for r in rows.values())
+    # everything on the default path really decodes EXCEPT the
+    # deliberately-present MPEG-audio rows (round 9): those exercise the
+    # honest-refusal quarantine inside the default mix — decoded=false
+    # fingerprint rows, exactly what a real crawl's MP3s produce
+    mpeg_ids = {r.media_id for r in media.collect() if r.mime == "audio/mpeg"}
+    assert mpeg_ids and all(
+        r.decoded != (i in mpeg_ids) for i, r in rows.items()
+    )
     assert all(len(r.feature) == 8 for r in rows.values())
     assert all(r.content_sha and len(r.content_sha) == 64 for r in rows.values())
     # image rows carry real dimensions; audio rows carry channel count

@@ -377,3 +377,92 @@ def test_tiff_through_extract_features(spark):
     assert len(feats) == n_tiff
     assert all(r.decoded for r in feats)
     assert all(r.width is not None and r.channels == 3 for r in feats)
+
+
+# ---- tiled organization (spec §15) ------------------------------------
+
+
+def test_external_libtiff_tiled_golden_byte_exact():
+    """REAL libtiff-written tiled LZW file (48x32 tiles over 128x160, so
+    edge tiles are encoder-padded): the tiled walk, per-tile LZW, and
+    edge clipping must reproduce the xorshift pixels byte-exact."""
+    img = tiff.decode_tiff(_data("ext_lzw_libtiff_tiled.tif"))
+    exp = _xorshift_gray(True)
+    assert img.shape == (160, 128, 3)
+    assert all(np.array_equal(img[:, :, c], exp) for c in range(3))
+
+
+@pytest.mark.parametrize("comp", ["none", "lzw", "packbits", "deflate"])
+@pytest.mark.parametrize("pred", [1, 2])
+def test_tiled_roundtrip_rgb_gray_gray16(comp, pred):
+    """Tiled encode/decode across compressions and the horizontal
+    predictor — which must RESET per tile (a decoder running the cumsum
+    over assembled image rows leaks deltas across tile seams; pinned by
+    non-tile-aligned image sizes)."""
+    rng = _rng(13)
+    rgb = rng.integers(0, 256, (21, 37, 3)).astype(np.uint8)
+    out = tiff.decode_tiff(tiff.encode_tiff(rgb, compression=comp,
+                                            predictor=pred, tile=(16, 16)))
+    assert np.array_equal(out, rgb)
+    g16 = rng.integers(0, 65536, (19, 22)).astype(np.uint16)
+    out16 = tiff.decode_tiff(tiff.encode_tiff(g16, compression=comp,
+                                              predictor=pred, tile=(16, 16)))
+    assert np.array_equal(out16, np.repeat((g16 >> 8).astype(np.uint8)[:, :, None], 3, 2))
+
+
+def test_tiled_predictor_would_leak_across_seams_without_reset():
+    """Constructive proof the per-tile predictor reset matters: a
+    constant-color image diff-encodes to zeros after each tile's first
+    column, so a decoder cumsumming across seams would double the value
+    at x=16.  The decoded image must be exactly constant."""
+    img = np.full((8, 32, 3), 200, np.uint8)
+    out = tiff.decode_tiff(tiff.encode_tiff(img, predictor=2, tile=(16, 8)))
+    assert np.array_equal(out, img)
+
+
+def test_tiled_hostile_refuses():
+    img = np.zeros((20, 20), np.uint8)
+    blob = bytearray(tiff.encode_tiff(img, tile=(16, 16)))
+    # truncate: tile data out of range
+    with pytest.raises(ValueError):
+        tiff.decode_tiff(tiff.encode_tiff(img, compression="lzw", tile=(16, 16))[:60])
+    # sub-byte tiled: honest refusal (patch a valid 8-bit tiled blob's
+    # BitsPerSample tag down to 4)
+    with pytest.raises(NotImplementedError):
+        patched = bytes(blob).replace(
+            struct.pack("<HHI", 258, 3, 1) + b"\x08\x00\x00\x00",
+            struct.pack("<HHI", 258, 3, 1) + b"\x04\x00\x00\x00",
+        )
+        assert patched != bytes(blob)
+        tiff.decode_tiff(patched)
+
+
+def test_libtiff_reads_inrepo_tiled(tmp_path):
+    """Reverse direction: real libtiff must read this repo's tiled LZW
+    output tile-for-tile."""
+    import ctypes
+
+    try:
+        lib = ctypes.CDLL("libtiff.so.6")
+    except OSError:
+        pytest.skip("libtiff not available")
+    img = _xorshift_gray(True)[:40, :37]  # non-tile-aligned on purpose
+    blob = tiff.encode_tiff(img, compression="lzw", tile=(16, 16))
+    p = tmp_path / "tiled.tif"
+    p.write_bytes(blob)
+    lib.TIFFOpen.restype = ctypes.c_void_p
+    lib.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    t = lib.TIFFOpen(str(p).encode(), b"r")
+    assert t, "libtiff refused the in-repo tiled container"
+    lib.TIFFReadTile.restype = ctypes.c_ssize_t
+    got = np.zeros((48, 48), np.uint8)  # padded tile grid
+    for y0 in range(0, 40, 16):
+        for x0 in range(0, 37, 16):
+            buf = ctypes.create_string_buffer(16 * 16)
+            n = lib.TIFFReadTile(ctypes.c_void_p(t), buf, ctypes.c_uint32(x0),
+                                 ctypes.c_uint32(y0), 0, 0)
+            assert n == 256, (x0, y0, n)
+            got[y0:y0 + 16, x0:x0 + 16] = np.frombuffer(
+                buf.raw, np.uint8).reshape(16, 16)
+    lib.TIFFClose(ctypes.c_void_p(t))
+    assert np.array_equal(got[:40, :37], img)

@@ -38,7 +38,8 @@ def xorshift_bytes(n: int, low_entropy: bool) -> bytes:
     return bytes(out)
 
 
-def write_lzw_gray(path: str, px: bytes, w: int, h: int) -> None:
+def write_lzw_gray(path: str, px: bytes, w: int, h: int,
+                   tile: tuple | None = None) -> None:
     lib = ctypes.CDLL("libtiff.so.6")
     lib.TIFFOpen.restype = ctypes.c_void_p
     lib.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
@@ -51,14 +52,32 @@ def write_lzw_gray(path: str, px: bytes, w: int, h: int) -> None:
     assert setf(t, 257, ctypes.c_uint32(h))       # ImageLength
     assert setf(t, 258, ctypes.c_int(8))          # BitsPerSample
     assert setf(t, 277, ctypes.c_int(1))          # SamplesPerPixel
-    assert setf(t, 278, ctypes.c_uint32(h))       # RowsPerStrip: one strip
+    if tile is None:
+        assert setf(t, 278, ctypes.c_uint32(h))   # RowsPerStrip: one strip
+    else:
+        assert setf(t, 322, ctypes.c_uint32(tile[0]))  # TileWidth
+        assert setf(t, 323, ctypes.c_uint32(tile[1]))  # TileLength
     assert setf(t, 259, ctypes.c_int(5))          # Compression: LZW
     assert setf(t, 262, ctypes.c_int(1))          # Photometric: min-is-black
     assert setf(t, 284, ctypes.c_int(1))          # PlanarConfig: contig
-    buf = ctypes.create_string_buffer(px, len(px))
-    lib.TIFFWriteEncodedStrip.restype = ctypes.c_ssize_t
-    n = lib.TIFFWriteEncodedStrip(t, 0, buf, ctypes.c_ssize_t(len(px)))
-    assert n == len(px), n
+    if tile is None:
+        buf = ctypes.create_string_buffer(px, len(px))
+        lib.TIFFWriteEncodedStrip.restype = ctypes.c_ssize_t
+        n = lib.TIFFWriteEncodedStrip(t, 0, buf, ctypes.c_ssize_t(len(px)))
+        assert n == len(px), n
+    else:
+        tw, tl = tile
+        lib.TIFFWriteTile.restype = ctypes.c_ssize_t
+        for y0 in range(0, h, tl):
+            for x0 in range(0, w, tw):
+                block = bytearray(tw * tl)
+                for r in range(min(tl, h - y0)):
+                    row = px[(y0 + r) * w + x0 : (y0 + r) * w + x0 + min(tw, w - x0)]
+                    block[r * tw : r * tw + len(row)] = row
+                buf = ctypes.create_string_buffer(bytes(block), len(block))
+                n = lib.TIFFWriteTile(t, buf, ctypes.c_uint32(x0),
+                                      ctypes.c_uint32(y0), 0, 0)
+                assert n > 0, (x0, y0, n)
     lib.TIFFClose(t)
     print(f"wrote {path} ({os.path.getsize(path)} bytes)", file=sys.stderr)
 
@@ -73,6 +92,13 @@ def main() -> None:
             os.path.join(data, f"ext_lzw_libtiff_{name}.tif"),
             xorshift_bytes(W * H, low), W, H,
         )
+    # tiled golden: low-entropy pixels, 48x32 tiles over a 128x160 image
+    # (edge tiles padded by libtiff) — pins the tiled walk, per-tile LZW,
+    # and edge clipping against the reference implementation
+    write_lzw_gray(
+        os.path.join(data, "ext_lzw_libtiff_tiled.tif"),
+        xorshift_bytes(W * H, True), W, H, tile=(48, 32),
+    )
 
 
 if __name__ == "__main__":
