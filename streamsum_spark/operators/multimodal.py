@@ -329,7 +329,7 @@ _ADAM7 = [
 _PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
 
 
-def _decode_png(b: bytes) -> np.ndarray:
+def _decode_png(b: bytes, rgba: bool = False) -> np.ndarray:
     """Stdlib PNG decode: chunk walk -> zlib inflate -> per-pass, per-row
     unfilter -> depth conversion.  Covers the full spec surface a
     pixel-stats pass can meet: all five color types (gray, RGB,
@@ -337,7 +337,13 @@ def _decode_png(b: bytes) -> np.ndarray:
     samples downconvert to their high byte; sub-byte gray rescales to
     0..255), and Adam7 interlacing (seven filtered sub-images written
     back on their stride grids).  Only genuinely compressed codecs
-    (JPEG/GIF/...) remain NotImplementedError."""
+    (JPEG/...) remain NotImplementedError.
+
+    ``rgba=True`` (the APNG compositor's path) returns (h, w, 4)
+    straight-alpha: color type 6 as stored, 4 as gray+alpha, 3 with
+    per-index tRNS alpha (255 past the table), 0/2 opaque (the color-key
+    form of tRNS is not applied — gray/RGB color-keyed animation frames
+    are vanishingly rare)."""
     import zlib
 
     if b[:8] != _PNG_SIG:
@@ -345,6 +351,7 @@ def _decode_png(b: bytes) -> np.ndarray:
     w = h = depth = ctype = interlace = None
     idat = bytearray()
     plte = None
+    trns = None
     i = 8
     while i + 8 <= len(b):
         ln = int.from_bytes(b[i : i + 4], "big")
@@ -356,6 +363,8 @@ def _decode_png(b: bytes) -> np.ndarray:
             w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
         elif typ == b"PLTE":
             plte = data
+        elif typ == b"tRNS":
+            trns = data
         elif typ == b"IDAT":
             idat += data
         elif typ == b"IEND":
@@ -442,14 +451,29 @@ def _decode_png(b: bytes) -> np.ndarray:
         idx = samples[:, :, 0]
         if int(idx.max(initial=0)) >= len(pal):
             raise ValueError("palette index out of range")
-        return np.ascontiguousarray(pal[idx])
+        rgb = pal[idx]
+        if not rgba:
+            return np.ascontiguousarray(rgb)
+        a = np.full(256, 255, np.uint8)
+        if trns is not None:
+            t = np.frombuffer(trns, dtype=np.uint8)[:256]
+            a[: len(t)] = t
+        return np.ascontiguousarray(np.dstack([rgb, a[idx]]))
     if ctype == 0:
-        return np.repeat(samples, 3, axis=2)
-    if ctype == 4:
-        return np.repeat(samples[:, :, :1], 3, axis=2)  # gray+alpha: drop alpha
-    if ctype == 6:
-        return np.ascontiguousarray(samples[:, :, :3])  # RGBA: drop alpha
-    return np.ascontiguousarray(samples)
+        rgb = np.repeat(samples, 3, axis=2)
+    elif ctype == 4:
+        rgb = np.repeat(samples[:, :, :1], 3, axis=2)
+    elif ctype == 6:
+        rgb = samples[:, :, :3]
+    else:
+        rgb = samples
+    if not rgba:
+        return np.ascontiguousarray(rgb)
+    if ctype in (4, 6):
+        a = samples[:, :, -1]
+    else:
+        a = np.full(rgb.shape[:2], 255, np.uint8)
+    return np.ascontiguousarray(np.dstack([rgb, a]))
 
 
 def decode_image(content: bytes) -> np.ndarray:
@@ -1016,13 +1040,206 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def decode_apng_frames(b: bytes) -> list[tuple[int, int, np.ndarray]]:
+    """Decode EVERY frame of a (possibly animated) PNG, composited onto
+    the IHDR canvas: [(start_ms, duration_ms, (h, w, 3) uint8 RGB), ...]
+    in presentation order.  A PNG without an acTL chunk returns one
+    zero-duration frame.
+
+    APNG semantics (PNG spec third edition): acTL declares the frame
+    count; each frame is an fcTL (region, delay as num/den seconds,
+    dispose_op, blend_op) followed by its data — the shared IDAT when an
+    fcTL precedes it (that frame must cover the full canvas at (0,0)),
+    else fdAT chunks (4-byte sequence number stripped, concatenated).
+    An IDAT with NO preceding fcTL is the non-animated default image and
+    takes no part in compositing.  Each frame's data decodes as a
+    standalone PNG reusing the stream's bit depth / color type /
+    PLTE+tRNS with the fcTL's dimensions.  blend_op 0 replaces the rect
+    (alpha included), 1 alpha-composites OVER (straight alpha, integer
+    round-half-up — same arithmetic as the WebP compositor); dispose_op
+    1 clears the rect to fully-transparent black, 2 restores the
+    pre-frame rect.  The canvas starts fully transparent; emitted frames
+    flatten over black (PNG has no background-color chunk in play).
+    Sequence numbers must be exactly 0..N-1 in order."""
+    b = bytes(b)
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    ihdr = None
+    plte = trns = None
+    actl = None
+    frames_raw: list[dict] = []
+    default_idat_seen = False
+    seqs: list[int] = []
+    i = 8
+    while i + 8 <= len(b):
+        ln = int.from_bytes(b[i : i + 4], "big")
+        typ = b[i + 4 : i + 8]
+        if i + 8 + ln > len(b):
+            raise ValueError("truncated PNG chunk")
+        data = b[i + 8 : i + 8 + ln]
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"tRNS":
+            trns = data
+        elif typ == b"acTL":
+            actl = struct.unpack(">II", data[:8])
+        elif typ == b"fcTL":
+            if len(data) < 26:
+                raise ValueError("truncated fcTL")
+            (seq, fw, fh, fx, fy, dnum, dden, dispose, blend) = struct.unpack(
+                ">IIIIIHHBB", data[:26]
+            )
+            seqs.append(seq)
+            frames_raw.append(
+                {"w": fw, "h": fh, "x": fx, "y": fy, "dnum": dnum,
+                 "dden": dden, "dispose": dispose, "blend": blend,
+                 "data": bytearray()}
+            )
+        elif typ == b"IDAT":
+            if frames_raw:
+                frames_raw[-1]["data"] += data
+            else:
+                default_idat_seen = True
+        elif typ == b"fdAT":
+            if len(data) < 4 or not frames_raw:
+                raise ValueError("fdAT without fcTL")
+            seqs.append(int.from_bytes(data[:4], "big"))
+            frames_raw[-1]["data"] += data[4:]
+        elif typ == b"IEND":
+            break
+        i += 12 + ln
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    if actl is None:
+        return [(0, 0, decode_image(b))]
+    w, h = struct.unpack(">II", ihdr[:8])
+    if seqs != list(range(len(seqs))):
+        raise ValueError("APNG sequence numbers out of order")
+    if actl[0] != len(frames_raw) or not frames_raw:
+        raise ValueError("acTL frame count mismatch")
+    if w * h * 4 * (len(frames_raw) + 1) > 256 * 1024 * 1024:
+        raise ValueError("APNG exceeds the composited-output cap")
+    if not default_idat_seen:
+        f0 = frames_raw[0]
+        if (f0["w"], f0["h"], f0["x"], f0["y"]) != (w, h, 0, 0):
+            raise ValueError("APNG first frame must cover the canvas")
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        import zlib as _z
+
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", _z.crc32(typ + data) & 0xFFFFFFFF))
+
+    canvas = np.zeros((h, w, 4), dtype=np.int64)
+    frames: list[tuple[int, int, np.ndarray]] = []
+    t = 0
+    for fr in frames_raw:
+        fw, fh, fx, fy = fr["w"], fr["h"], fr["x"], fr["y"]
+        if fx + fw > w or fy + fh > h or not fw or not fh:
+            raise ValueError("APNG frame exceeds the canvas")
+        sub_ihdr = struct.pack(">II", fw, fh) + ihdr[8:]
+        sub = _PNG_SIG + chunk(b"IHDR", sub_ihdr)
+        if plte is not None:
+            sub += chunk(b"PLTE", plte)
+        if trns is not None:
+            sub += chunk(b"tRNS", trns)
+        sub += chunk(b"IDAT", bytes(fr["data"])) + chunk(b"IEND", b"")
+        px = _decode_png(sub, rgba=True).astype(np.int64)
+        region = canvas[fy : fy + fh, fx : fx + fw]
+        saved = region.copy() if fr["dispose"] == 2 else None
+        if fr["blend"] == 0:  # source: replace, alpha included
+            region[:] = px
+        else:  # over: straight-alpha, round half up
+            a_f = px[:, :, 3:4]
+            a_c = region[:, :, 3:4]
+            a_out = a_f + (a_c * (255 - a_f) + 127) // 255
+            num = px[:, :, :3] * a_f * 255 + region[:, :, :3] * a_c * (255 - a_f)
+            den = a_out * 255
+            region[:, :, :3] = np.where(
+                a_out > 0, (num + den // 2) // np.maximum(den, 1), 0
+            )
+            region[:, :, 3:4] = a_out
+        a = canvas[:, :, 3:4]
+        flat = ((canvas[:, :, :3] * a + 127) // 255).astype(np.uint8)
+        dur = round(1000 * fr["dnum"] / (fr["dden"] or 100))
+        frames.append((t, dur, flat))
+        t += dur
+        if fr["dispose"] == 1:
+            region[:] = 0
+        elif fr["dispose"] == 2:
+            region[:] = saved
+    return frames
+
+
+def encode_apng(
+    frames: list,
+    delays_ms: list[int],
+    offsets: list[tuple[int, int]] | None = None,
+    blends: list[int] | None = None,
+    disposes: list[int] | None = None,
+    canvas: tuple[int, int] | None = None,
+) -> bytes:
+    """Test-fixture APNG: IHDR at canvas size, acTL, frame 0 as
+    fcTL+IDAT (spec requires it to cover the canvas), later frames as
+    fcTL+fdAT.  ``frames`` are (h, w, 3|4) uint8 (all the same channel
+    count); delays are exact-millisecond fcTL fractions (num/1000).
+    ``blends[i]``/``disposes[i]`` are the raw fcTL ops (blend: 0 source,
+    1 over; dispose: 0 none, 1 background, 2 previous)."""
+    import zlib as _z
+
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    offsets = offsets or [(0, 0)] * len(frames)
+    blends = blends if blends is not None else [0] * len(frames)
+    disposes = disposes or [0] * len(frames)
+    ch, cw = canvas or frames[0].shape[:2]
+    ctype = 6 if frames[0].shape[2] == 4 else 2
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", _z.crc32(typ + data) & 0xFFFFFFFF))
+
+    def idat_of(px: np.ndarray) -> bytes:
+        blob = encode_png(px, color_type=ctype)
+        i = 8
+        while True:
+            ln = int.from_bytes(blob[i : i + 4], "big")
+            typ = blob[i + 4 : i + 8]
+            if typ == b"IDAT":
+                return blob[i + 8 : i + 8 + ln]
+            i += 12 + ln
+
+    out = bytearray(_PNG_SIG)
+    out += chunk(b"IHDR", struct.pack(">IIBBBBB", cw, ch, 8, ctype, 0, 0, 0))
+    out += chunk(b"acTL", struct.pack(">II", len(frames), 0))
+    seq = 0
+    for k, (f, delay, (x, y), blend, disp) in enumerate(
+        zip(frames, delays_ms, offsets, blends, disposes)
+    ):
+        fh, fw = f.shape[:2]
+        out += chunk(b"fcTL", struct.pack(
+            ">IIIIIHHBB", seq, fw, fh, x, y, delay, 1000, disp, blend
+        ))
+        seq += 1
+        data = idat_of(f)
+        if k == 0:
+            out += chunk(b"IDAT", data)
+        else:
+            out += chunk(b"fdAT", struct.pack(">I", seq) + data)
+            seq += 1
+    out += chunk(b"IEND", b"")
+    return bytes(out)
+
+
 def decode_frames(content: bytes) -> list[tuple[int, int, np.ndarray]]:
-    """All frames of an animated GIF/WebP as [(start_ms, duration_ms,
-    RGB canvas)], or a single zero-duration frame for any other
-    decodable image.  The animated decoders composite delta frames,
-    transparency, and disposal/blend modes onto the logical canvas
-    (gif.decode_gif_frames / webp.decode_webp_frames), so every entry is
-    a full presentation-ready frame."""
+    """All frames of an animated GIF/WebP/APNG as [(start_ms,
+    duration_ms, RGB canvas)], or a single zero-duration frame for any
+    other decodable image.  The animated decoders composite delta
+    frames, transparency, and disposal/blend modes onto the logical
+    canvas (gif.decode_gif_frames / webp.decode_webp_frames /
+    decode_apng_frames), so every entry is a full presentation-ready
+    frame."""
     b = bytes(content)
     if b[:6] in (b"GIF87a", b"GIF89a"):
         from streamsum_spark.operators.gif import decode_gif_frames
@@ -1032,6 +1249,8 @@ def decode_frames(content: bytes) -> list[tuple[int, int, np.ndarray]]:
         from streamsum_spark.operators.webp import decode_webp_frames
 
         return decode_webp_frames(b)
+    if b[:8] == _PNG_SIG:
+        return decode_apng_frames(b)
     return [(0, 0, decode_image(b))]
 
 
@@ -1292,7 +1511,9 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
     default pipeline exercises both WebP decoders),
     PPM (every other PPM slot a TIFF since round 8, cycling
     LZW/PackBits/Deflate and the horizontal predictor), PNG (cycling
-    all five row filters), and JPEG — alternating
+    all five row filters), animated GIF/WebP/APNG rows with real
+    durations (round 9), structurally-valid MPEG-audio rows exercising
+    the quarantine path (round 9), and JPEG — alternating
     4:4:4 and 4:2:0, alternating BASELINE and PROGRESSIVE encodings
     (most web JPEGs over ~64 KB are progressive, so the default
     pipeline path must exercise it) — images with gradient pixels, plus
@@ -1356,7 +1577,26 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
                     q = (px // 64) * 64  # <= 64 colors for the GIF palette
                     f2 = np.roll(q, 3, axis=1)
                     f3 = np.roll(q, 2, axis=0)
-                    if (i // 36) % 2 == 0:
+                    if (i // 36) % 3 == 2:
+                        d = np.dstack(
+                            [f2[: h // 2], np.full((h // 2, w), 255, np.uint8)]
+                        )
+                        d[1::2, ::4, 3] = 0
+                        content, mime = (
+                            encode_apng(
+                                [np.dstack([q, np.full((h, w), 255, np.uint8)]),
+                                 d, np.dstack([f3, np.full((h, w), 255, np.uint8)])],
+                                [40, 60, 80],
+                                offsets=[(0, 0), (0, 2), (0, 0)],
+                                blends=[0, 1, 0],
+                                disposes=[0, 2, 0],
+                                canvas=(h, w),
+                            ),
+                            "image/apng",
+                        )
+                        rows.append((i, mime, w, h, 180, content))
+                        continue
+                    if (i // 36) % 3 == 0:
                         content, mime = (
                             encode_gif_animated(
                                 [q, f2[: h // 2], f3],

@@ -189,3 +189,125 @@ def test_frame_sample_plan_drives_decode(spark):
     # frame 0 is pure red, frame 1 pure green: mean-channel features flip
     assert feats[0][0] == 1.0 and feats[0][1] == 0.0
     assert feats[200][0] == 0.0 and feats[200][1] == 1.0
+
+
+# ---- APNG ------------------------------------------------------------
+
+
+def _apng_fixture():
+    base = np.zeros((4, 6, 4), np.uint8)
+    base[...] = (200, 10, 10, 255)
+    delta = np.zeros((2, 2, 4), np.uint8)
+    delta[...] = (10, 200, 10, 255)
+    delta[0, 0] = (0, 0, 0, 0)              # transparent: keeps canvas (over)
+    half = np.zeros((2, 2, 4), np.uint8)
+    half[...] = (100, 100, 200, 128)        # fractional alpha, blend=source
+    return mm.encode_apng(
+        [base, delta, half],
+        [100, 50, 25],
+        offsets=[(0, 0), (2, 0), (0, 2)],
+        blends=[0, 1, 0],
+        disposes=[0, 1, 0],
+        canvas=(4, 6),
+    )
+
+
+def test_apng_frames_blend_dispose_and_timestamps():
+    """fcTL blend_op over/source, dispose_op background, exact-ms
+    delays — every canvas hand-composited (flattened over black, the
+    APNG default since the canvas starts fully transparent)."""
+    frames = mm.decode_apng_frames(_apng_fixture())
+    assert [(t, d) for t, d, _ in frames] == [(0, 100), (100, 50), (150, 25)]
+    c1 = np.zeros((4, 6, 3), np.uint8)
+    c1[...] = (200, 10, 10)
+    c2 = c1.copy()
+    c2[0:2, 2:4] = (10, 200, 10)
+    c2[0, 2] = (200, 10, 10)                 # alpha-0 delta pixel: canvas shows
+    c3 = c1.copy()
+    c3[0:2, 2:4] = 0                          # disposed to transparent -> black
+    c3[2:4, 0:2] = (np.array([100, 100, 200]) * 128 + 127) // 255  # a=128 over black
+    for got, want in zip(frames, [c1, c2, c3]):
+        assert np.array_equal(got[2], want.astype(np.uint8))
+
+
+def test_apng_dispose_previous_and_palette_trns():
+    """dispose_op 2 restores the pre-frame rect; a palette APNG with
+    per-index tRNS alpha composites through the palette path."""
+    f1 = np.zeros((3, 3, 4), np.uint8); f1[...] = (9, 9, 9, 255)
+    f2 = np.zeros((1, 1, 4), np.uint8); f2[...] = (250, 0, 0, 255)
+    f3 = np.zeros((3, 3, 4), np.uint8); f3[...] = (0, 0, 250, 255)
+    blob = mm.encode_apng(
+        [f1, f2, f3], [10, 10, 10],
+        offsets=[(0, 0), (1, 1), (0, 0)],
+        blends=[0, 1, 0],
+        disposes=[0, 2, 0],
+    )
+    frames = mm.decode_apng_frames(blob)
+    assert np.array_equal(frames[1][2][1, 1], [250, 0, 0])
+    assert np.array_equal(frames[2][2], np.broadcast_to([0, 0, 250], (3, 3, 3)))
+    # palette + tRNS through the rgba path
+    import struct as _s
+    import zlib as _z
+
+    def chunk(t, d):
+        return _s.pack(">I", len(d)) + t + d + _s.pack(">I", _z.crc32(t + d) & 0xFFFFFFFF)
+
+    # 2-entry palette, index 1 transparent; 2x1 image [0, 1]
+    raw = b"\x00\x00\x01"  # filter 0, indices 0,1
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", _s.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", bytes([10, 20, 30, 40, 50, 60]))
+        + chunk(b"tRNS", bytes([255, 0]))
+        + chunk(b"IDAT", _z.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    px = mm._decode_png(blob, rgba=True)
+    assert px[0, 0].tolist() == [10, 20, 30, 255]
+    assert px[0, 1].tolist() == [40, 50, 60, 0]
+
+
+def test_apng_still_and_first_frame_contract():
+    still = mm.encode_png(np.full((3, 5, 3), 77, np.uint8))
+    frames = mm.decode_apng_frames(still)
+    assert len(frames) == 1 and frames[0][:2] == (0, 0)
+    # decode_image on an animated file keeps the first-frame contract
+    c1 = np.zeros((4, 6, 3), np.uint8)
+    c1[...] = (200, 10, 10)
+    assert np.array_equal(mm.decode_image(_apng_fixture()), c1)
+
+
+def test_apng_hostile_refuses():
+    blob = bytearray(_apng_fixture())
+    with pytest.raises(ValueError):  # frame count mismatch
+        i = blob.index(b"acTL")
+        bad = bytes(blob[: i + 4]) + b"\x00\x00\x00\x09" + bytes(blob[i + 8 :])
+        mm.decode_apng_frames(bad)
+    with pytest.raises(ValueError):  # out-of-order sequence numbers
+        i = blob.index(b"fdAT")
+        bad = bytearray(blob)
+        bad[i + 4 : i + 8] = b"\x00\x00\x00\x63"
+        mm.decode_apng_frames(bytes(bad))
+    f = np.zeros((2, 2, 4), np.uint8)
+    big = np.zeros((4, 6, 4), np.uint8)
+    with pytest.raises(ValueError):  # frame exceeds canvas
+        mm.decode_apng_frames(
+            mm.encode_apng([big, f], [10, 10],
+                           offsets=[(0, 0), (5, 3)], canvas=(4, 6))
+        )
+    with pytest.raises(ValueError):  # first frame must cover the canvas
+        mm.decode_apng_frames(
+            mm.encode_apng([f, f], [10, 10], canvas=(8, 8))
+        )
+
+
+def test_apng_through_sampled_frames(spark):
+    blob = _apng_fixture()
+    rows = [(1, "image/apng", 6, 4, 175, bytearray(blob))]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    got = {
+        r.frame_ts_ms: r.frame_idx
+        for r in mm.extract_sampled_frames(media, every_ms=50).collect()
+    }
+    # frame starts 0 (100ms), 100 (50ms), 150 (25ms)
+    assert got == {0: 0, 50: 0, 100: 1, 150: 2}
