@@ -492,7 +492,7 @@ def decode_image(content: bytes) -> np.ndarray:
     (VP8 key frame: boolean coder, token/coefficient decode, intra
     prediction, WHT/DCT, loop filter — operators/vp8.py, written from
     RFC 6386, byte-exact vs libwebp), and TIFF
-    (baseline strips: none/LZW/PackBits/Deflate compressions,
+    (strips AND tiles: none/LZW/PackBits/Deflate compressions,
     horizontal predictor, gray/palette/RGB(A), bit depths 1-16, both
     byte orders, all eight orientations — operators/tiff.py, written
     from the TIFF 6.0 spec), and ICO/CUR (largest directory entry;
