@@ -16,7 +16,9 @@ libs.  Surface:
   (palette — 16-bit ColorMap scaled to 8);
 - BitsPerSample 1/2/4/8/16 for single-channel images, uniform 8 or 16
   per channel for RGB(A); 16-bit samples are scaled to 8 (``>> 8``);
-- chunky PlanarConfiguration (=1), strip organization via
+- BOTH PlanarConfigurations (1 chunky; 2 planar — one strip run per
+  sample plane, prediction per plane, pinned against a real
+  libtiff-written planar file), strip organization via
   StripOffsets / StripByteCounts / RowsPerStrip, TILED organization
   (spec §15: full padded edge tiles, per-tile compression with the
   predictor resetting at tile boundaries — round 9, pinned against a
@@ -24,9 +26,9 @@ libs.  Surface:
   transforms (spec §4, tag 274).
 
 Honest refusals (NotImplementedError, same posture as the other
-decoders — a fake decode would misreport pixel stats):
-PlanarConfiguration 2, sub-byte tiled images, CCITT G3/G4 and
-JPEG-in-TIFF compressions, floating-point SampleFormat.
+decoders — a fake decode would misreport pixel stats): planar TILED
+images, sub-byte tiled images, CCITT G3/G4 and JPEG-in-TIFF
+compressions, floating-point SampleFormat.
 
 Hostile-input posture matches gif.py/webp.py: dimensions and strip
 sizes are capped before allocation (≤ _MAX_DECODED_BYTES), LZW output
@@ -232,8 +234,11 @@ def _decode_tiff(b: bytes) -> np.ndarray:
     ifd_off = struct.unpack_from(bo + "I", b, 4)[0]
     tags = _read_ifd(b, bo, ifd_off)
 
-    if tags.get(_T_PLANAR, [1])[0] != 1:
-        raise NotImplementedError("planar (non-chunky) TIFF not supported")
+    planar = tags.get(_T_PLANAR, [1])[0]
+    if planar not in (1, 2):
+        raise ValueError(f"corrupt TIFF: planar configuration {planar}")
+    if planar == 2 and (_T_TILE_WIDTH in tags or _T_TILE_LENGTH in tags):
+        raise NotImplementedError("planar tiled TIFF not supported")
     if any(f not in (1, 2) for f in tags.get(_T_SAMPLE_FORMAT, [1])):
         raise NotImplementedError("floating-point TIFF samples not supported")
     comp = tags.get(_T_COMPRESSION, [1])[0]
@@ -326,6 +331,41 @@ def _decode_tiff(b: bytes) -> np.ndarray:
                 y0, x0 = ty * tl, tx * tw
                 ys, xs = min(tl, h - y0), min(tw, w - x0)
                 px[y0 : y0 + ys, x0 : x0 + xs] = tpx[:ys, :xs]
+    elif planar == 2 and spp > 1:
+        # PlanarConfiguration 2 (spec: "Planar format"): each sample
+        # plane is stored as its OWN run of strips — all of plane 0's
+        # strips, then plane 1's, ... (StripsPerImage strips per plane).
+        # Each plane decodes exactly like a single-channel chunky image
+        # (the predictor differences within the plane's rows), then the
+        # planes stack into (h, w, spp).
+        offsets = tags[_T_STRIP_OFFSETS]
+        rows_per_strip = tags.get(_T_ROWS_PER_STRIP, [h])[0] or h
+        rows_per_strip = min(rows_per_strip, h)
+        n_strips = (h + rows_per_strip - 1) // rows_per_strip
+        if len(offsets) < spp * n_strips:
+            raise ValueError("corrupt TIFF: missing plane strip offsets")
+        pstride = (w * bps + 7) // 8
+        counts = tags.get(_T_STRIP_COUNTS)
+        if counts is None:
+            if comp != 1:
+                raise ValueError("corrupt TIFF: compressed strips without byte counts")
+            counts = [
+                pstride * min(rows_per_strip, h - (i % n_strips) * rows_per_strip)
+                for i in range(spp * n_strips)
+            ]
+        planes = []
+        for p in range(spp):
+            raw = bytearray()
+            for s in range(n_strips):
+                rows = min(rows_per_strip, h - s * rows_per_strip)
+                k = p * n_strips + s
+                off, cnt = offsets[k], counts[k]
+                if off + cnt > len(b) or cnt > _MAX_DECODED_BYTES:
+                    raise ValueError("corrupt TIFF: strip out of range")
+                raw += decompress(b[off : off + cnt], pstride * rows)
+            arr = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, pstride)
+            planes.append(_rows_to_pixels(arr, h, w, 1, bps, bo, predictor)[:, :, 0])
+        px = np.stack(planes, axis=2)
     else:
         offsets = tags[_T_STRIP_OFFSETS]
         rows_per_strip = tags.get(_T_ROWS_PER_STRIP, [h])[0] or h
@@ -475,6 +515,7 @@ def encode_tiff(
     bits_per_sample: int | None = None,
     orientation: int = 1,
     tile: tuple[int, int] | None = None,
+    planar: int = 1,
 ) -> bytes:
     """Encode a TIFF test fixture.
 
@@ -483,7 +524,9 @@ def encode_tiff(
     16-bit gray.  ``compression`` in none/lzw/packbits/deflate.
     ``tile``: (tile_width, tile_length) switches to the tiled layout
     (full padded edge tiles, per-tile compression and prediction,
-    TileOffsets/TileByteCounts instead of strip tags).
+    TileOffsets/TileByteCounts instead of strip tags).  ``planar=2``
+    stores each sample plane as its own strip run (PlanarConfiguration
+    2), prediction per plane.
     """
     px = np.asarray(px)
     h, w = px.shape[:2]
@@ -505,18 +548,19 @@ def encode_tiff(
         flat = px
     rows_per_strip = rows_per_strip or h
 
-    def serialize(block: np.ndarray, hh: int, ww: int) -> bytes:
+    def serialize(block: np.ndarray, hh: int, ww: int, nch: int | None = None) -> bytes:
         # rows of one strip set / one tile (byte-aligned, MSB-first for
         # sub-byte depths); horizontal differencing per row — so calling
         # this per TILE makes prediction reset at tile boundaries, the
         # spec's tiled semantics
+        nch = spp if nch is None else nch
         if bps == 16:
-            vals = block.reshape(hh, ww, spp).astype(np.uint16)
+            vals = block.reshape(hh, ww, nch).astype(np.uint16)
             if predictor == 2:  # per-channel diff along the row, mod 2**16
                 vals = np.concatenate([vals[:, :1, :], np.diff(vals, axis=1)], axis=1)
             return vals.reshape(hh, -1).astype(np.dtype(np.uint16).newbyteorder(bo)).tobytes()
         if bps == 8:
-            vals = block.reshape(hh, ww, spp)
+            vals = block.reshape(hh, ww, nch)
             if predictor == 2:
                 vals = np.concatenate([vals[:, :1, :], np.diff(vals.astype(np.int16), axis=1).astype(np.uint8)], axis=1)
             return vals.astype(np.uint8).tobytes()
@@ -536,7 +580,17 @@ def encode_tiff(
         return blob
 
     strips = []
-    if tile is not None:
+    if planar == 2 and spp > 1:
+        if tile is not None:
+            raise ValueError("planar tiled fixture encoding not supported")
+        grid = flat.reshape(h, w, spp)
+        for p in range(spp):
+            prows = serialize(grid[:, :, p : p + 1], h, w, nch=1)
+            pstride = len(prows) // h
+            for r0 in range(0, h, rows_per_strip):
+                r1 = min(r0 + rows_per_strip, h)
+                strips.append(compress(prows[r0 * pstride : r1 * pstride]))
+    elif tile is not None:
         tw, tl = tile
         if bps not in (8, 16):
             raise ValueError("tiled fixture encoding needs bps 8 or 16")
@@ -574,7 +628,7 @@ def encode_tiff(
     else:
         tag(_T_TILE_WIDTH, 3, [tile[0]])
         tag(_T_TILE_LENGTH, 3, [tile[1]])
-    tag(_T_PLANAR, 3, [1])
+    tag(_T_PLANAR, 3, [planar])
     if predictor == 2:
         tag(_T_PREDICTOR, 3, [predictor])
     if colormap is not None:

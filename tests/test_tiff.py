@@ -330,8 +330,11 @@ def test_honest_refusals_for_unsupported_variants():
             tiff.decode_tiff(patched(259, comp))
     with pytest.raises(ValueError, match="unknown compression"):
         tiff.decode_tiff(patched(259, 999))
-    with pytest.raises(NotImplementedError, match="planar"):
-        tiff.decode_tiff(patched(284, 2))
+    # planar is SUPPORTED since round 9; for spp=1 it is equivalent to
+    # chunky and must decode identically (refusals remain for
+    # planar+tiled — test_planar_hostile_refuses)
+    assert np.array_equal(tiff.decode_tiff(patched(284, 2)),
+                          tiff.decode_tiff(base))
     with pytest.raises(NotImplementedError, match="photometric"):
         tiff.decode_tiff(patched(262, 6))
 
@@ -466,3 +469,66 @@ def test_libtiff_reads_inrepo_tiled(tmp_path):
                 buf.raw, np.uint8).reshape(16, 16)
     lib.TIFFClose(ctypes.c_void_p(t))
     assert np.array_equal(got[:40, :37], img)
+
+
+# ---- planar configuration (spec: PlanarConfiguration = 2) --------------
+
+
+def test_external_libtiff_planar_golden_byte_exact():
+    """REAL libtiff-written PlanarConfiguration=2 RGB (one LZW strip per
+    plane): the plane-major strip walk must reassemble the xorshift
+    planes byte-exact."""
+    img = tiff.decode_tiff(_data("ext_lzw_libtiff_planar.tif"))
+    n = 128 * 160
+    x = 0x9E3779B9
+    raw = bytearray()
+    for _ in range(3 * n):
+        x ^= (x << 13) & 0xFFFFFFFF
+        x ^= x >> 17
+        x ^= (x << 5) & 0xFFFFFFFF
+        raw.append((x & 0xF) * 17)
+    raw = np.frombuffer(bytes(raw), np.uint8)
+    exp = np.stack([raw[p * n : (p + 1) * n].reshape(160, 128) for p in range(3)], 2)
+    assert np.array_equal(img, exp)
+
+
+@pytest.mark.parametrize("comp", ["none", "lzw", "packbits", "deflate"])
+@pytest.mark.parametrize("pred", [1, 2])
+def test_planar_roundtrip_rgb_and_gray16(comp, pred):
+    rng = _rng(23)
+    img = rng.integers(0, 256, (11, 17, 3)).astype(np.uint8)
+    blob = tiff.encode_tiff(img, compression=comp, predictor=pred,
+                            planar=2, rows_per_strip=4)
+    assert np.array_equal(tiff.decode_tiff(blob), img)
+    img16 = rng.integers(0, 65536, (7, 9, 3)).astype(np.uint16)
+    out16 = tiff.decode_tiff(tiff.encode_tiff(img16, compression=comp,
+                                              predictor=pred, planar=2))
+    assert np.array_equal(out16, (img16 >> 8).astype(np.uint8))
+
+
+def test_planar_hostile_refuses():
+    img = _rng(24).integers(0, 256, (8, 8, 3)).astype(np.uint8)
+    blob = tiff.encode_tiff(img, planar=2, rows_per_strip=4)
+    # missing plane strips: patch the strip-offsets COUNT down to 2
+    with pytest.raises(ValueError):
+        patched = blob.replace(
+            struct.pack("<HHI", 273, 4, 6), struct.pack("<HHI", 273, 4, 2)
+        )
+        assert patched != blob
+        tiff.decode_tiff(patched)
+    # planar value 3 is corrupt, not a refusal
+    with pytest.raises(ValueError):
+        patched = blob.replace(
+            struct.pack("<HHI", 284, 3, 1) + b"\x02\x00\x00\x00",
+            struct.pack("<HHI", 284, 3, 1) + b"\x03\x00\x00\x00",
+        )
+        tiff.decode_tiff(patched)
+    # planar + tiled: honest refusal
+    with pytest.raises(NotImplementedError):
+        tiled = tiff.encode_tiff(img, tile=(8, 8))
+        patched = tiled.replace(
+            struct.pack("<HHI", 284, 3, 1) + b"\x01\x00\x00\x00",
+            struct.pack("<HHI", 284, 3, 1) + b"\x02\x00\x00\x00",
+        )
+        assert patched != tiled
+        tiff.decode_tiff(patched)

@@ -82,6 +82,35 @@ def write_lzw_gray(path: str, px: bytes, w: int, h: int,
     print(f"wrote {path} ({os.path.getsize(path)} bytes)", file=sys.stderr)
 
 
+def write_lzw_rgb_planar(path: str, px: bytes, w: int, h: int) -> None:
+    """RGB with PlanarConfiguration=2: three single-plane strips, LZW.
+    ``px`` is plane-major (R plane, G plane, B plane)."""
+    lib = ctypes.CDLL("libtiff.so.6")
+    lib.TIFFOpen.restype = ctypes.c_void_p
+    lib.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    tif = lib.TIFFOpen(path.encode(), b"w")
+    assert tif, "TIFFOpen failed"
+    setf = lib.TIFFSetField
+    setf.restype = ctypes.c_int
+    t = ctypes.c_void_p(tif)
+    assert setf(t, 256, ctypes.c_uint32(w))
+    assert setf(t, 257, ctypes.c_uint32(h))
+    assert setf(t, 258, ctypes.c_int(8))
+    assert setf(t, 277, ctypes.c_int(3))          # SamplesPerPixel: RGB
+    assert setf(t, 278, ctypes.c_uint32(h))       # one strip per plane
+    assert setf(t, 259, ctypes.c_int(5))          # LZW
+    assert setf(t, 262, ctypes.c_int(2))          # Photometric: RGB
+    assert setf(t, 284, ctypes.c_int(2))          # PlanarConfig: SEPARATE
+    lib.TIFFWriteEncodedStrip.restype = ctypes.c_ssize_t
+    n = w * h
+    for p in range(3):
+        buf = ctypes.create_string_buffer(px[p * n : (p + 1) * n], n)
+        r = lib.TIFFWriteEncodedStrip(t, p, buf, ctypes.c_ssize_t(n))
+        assert r == n, (p, r)
+    lib.TIFFClose(t)
+    print(f"wrote {path} ({os.path.getsize(path)} bytes)", file=sys.stderr)
+
+
 def main() -> None:
     data = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -98,6 +127,11 @@ def main() -> None:
     write_lzw_gray(
         os.path.join(data, "ext_lzw_libtiff_tiled.tif"),
         xorshift_bytes(W * H, True), W, H, tile=(48, 32),
+    )
+    # planar golden: RGB PlanarConfiguration=2 (one LZW strip per plane)
+    write_lzw_rgb_planar(
+        os.path.join(data, "ext_lzw_libtiff_planar.tif"),
+        xorshift_bytes(3 * W * H, True), W, H,
     )
 
 
