@@ -32,7 +32,9 @@ import numpy as np
 _MAX_DECODED_BYTES = 16 * 1024 * 1024
 
 
-_MAX_FRAMES_BYTES = 256 * 1024 * 1024  # total composited output cap
+from streamsum_spark.operators._compositing import (  # noqa: E402
+    MAX_FRAMES_BYTES as _MAX_FRAMES_BYTES,
+)
 
 
 def decode_gif(b: bytes) -> np.ndarray:
@@ -75,6 +77,11 @@ def decode_gif_frames(b: bytes) -> list[tuple[int, int, np.ndarray]]:
 
 def _decode_gif_frames(b: bytes) -> list[tuple[int, int, np.ndarray]]:
     sw, sh, flags, bg, _ar = _screen_descriptor(b)
+    # a zero-dimension logical screen would pass the byte cap at 0 and
+    # emit (0, 0, 3) frames whose pixel stats are NaN — poisoned
+    # features, not an error (r9 review finding); corrupt input instead
+    if sw == 0 or sh == 0:
+        raise ValueError("corrupt GIF: zero-dimension logical screen")
     if sw * sh * 3 > _MAX_DECODED_BYTES:
         raise ValueError("GIF canvas exceeds the decode cap")
     gct = _global_table(b)

@@ -64,8 +64,13 @@ class Mp3Frame:
 
 
 def _skip_id3v2(b: bytes, i: int) -> int:
-    if b[i : i + 3] != b"ID3" or len(b) < i + 10:
+    if b[i : i + 3] != b"ID3":
         return i
+    if len(b) < i + 10:
+        # returning i unchanged would make parse_mp3_frames' mid-stream
+        # `continue` spin forever on a truncated tag (r9 review finding:
+        # a 5-byte hostile blob wedged the executor task)
+        raise ValueError("truncated ID3v2 header")
     if any(x & 0x80 for x in b[i + 6 : i + 10]):
         raise ValueError("corrupt ID3v2 size (non-syncsafe)")
     size = (b[i + 6] << 21) | (b[i + 7] << 14) | (b[i + 8] << 7) | b[i + 9]
@@ -161,8 +166,20 @@ def mp3_stream_info(b: bytes, max_resync: int = 0) -> dict:
     f0 = frames[0]
     kbps = sorted({f.bitrate_kbps for f in frames})
     samples = sum(f.samples for f in frames)
-    body = bytes(b)[f0.offset + 4 : f0.offset + f0.size]
-    xing = b"Xing" in body or b"Info" in body
+    # the Xing/Info header sits at the DETERMINISTIC offset right after
+    # the Layer III side info (MPEG-1: 17 mono / 32 stereo bytes;
+    # LSF: 9 / 17), behind the optional 2-byte CRC — scanning the whole
+    # payload would misflag CBR streams whose compressed audio happens
+    # to contain those 4 bytes (r9 review finding)
+    xing = False
+    if f0.layer == 3:
+        side = (
+            (17 if f0.channels == 1 else 32)
+            if f0.version == "1"
+            else (9 if f0.channels == 1 else 17)
+        )
+        at = f0.offset + 4 + (2 if f0.has_crc else 0) + side
+        xing = bytes(b)[at : at + 4] in (b"Xing", b"Info")
     return {
         "n_frames": len(frames),
         "mpeg_version": f0.version,

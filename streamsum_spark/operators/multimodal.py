@@ -1119,7 +1119,14 @@ def decode_apng_frames(b: bytes) -> list[tuple[int, int, np.ndarray]]:
         raise ValueError("APNG sequence numbers out of order")
     if actl[0] != len(frames_raw) or not frames_raw:
         raise ValueError("acTL frame count mismatch")
-    if w * h * 4 * (len(frames_raw) + 1) > 256 * 1024 * 1024:
+    from streamsum_spark.operators._compositing import (
+        MAX_FRAMES_BYTES, check_canvas,
+    )
+
+    # bound the canvas ALLOCATION (int32 RGBA + same-sized flatten/blend
+    # temporaries) and the cumulative emitted output separately
+    check_canvas(w, h, "APNG")
+    if w * h * 4 * (len(frames_raw) + 1) > MAX_FRAMES_BYTES:
         raise ValueError("APNG exceeds the composited-output cap")
     if not default_idat_seen:
         f0 = frames_raw[0]
@@ -1132,7 +1139,7 @@ def decode_apng_frames(b: bytes) -> list[tuple[int, int, np.ndarray]]:
         return (struct.pack(">I", len(data)) + typ + data
                 + struct.pack(">I", _z.crc32(typ + data) & 0xFFFFFFFF))
 
-    canvas = np.zeros((h, w, 4), dtype=np.int64)
+    canvas = np.zeros((h, w, 4), dtype=np.int32)
     frames: list[tuple[int, int, np.ndarray]] = []
     t = 0
     for fr in frames_raw:
@@ -1146,21 +1153,15 @@ def decode_apng_frames(b: bytes) -> list[tuple[int, int, np.ndarray]]:
         if trns is not None:
             sub += chunk(b"tRNS", trns)
         sub += chunk(b"IDAT", bytes(fr["data"])) + chunk(b"IEND", b"")
-        px = _decode_png(sub, rgba=True).astype(np.int64)
+        px = _decode_png(sub, rgba=True).astype(np.int32)
         region = canvas[fy : fy + fh, fx : fx + fw]
         saved = region.copy() if fr["dispose"] == 2 else None
         if fr["blend"] == 0:  # source: replace, alpha included
             region[:] = px
-        else:  # over: straight-alpha, round half up
-            a_f = px[:, :, 3:4]
-            a_c = region[:, :, 3:4]
-            a_out = a_f + (a_c * (255 - a_f) + 127) // 255
-            num = px[:, :, :3] * a_f * 255 + region[:, :, :3] * a_c * (255 - a_f)
-            den = a_out * 255
-            region[:, :, :3] = np.where(
-                a_out > 0, (num + den // 2) // np.maximum(den, 1), 0
-            )
-            region[:, :, 3:4] = a_out
+        else:  # over: straight-alpha, round half up (shared compositor)
+            from streamsum_spark.operators._compositing import over
+
+            over(region, px)
         a = canvas[:, :, 3:4]
         flat = ((canvas[:, :, :3] * a + 127) // 255).astype(np.uint8)
         dur = round(1000 * fr["dnum"] / (fr["dden"] or 100))

@@ -687,7 +687,11 @@ def _decode_container(b: bytes, rgba: bool) -> np.ndarray:
         raise ValueError(f"corrupt WEBP: {type(e).__name__}") from e
 
 
-_MAX_FRAMES_BYTES = 256 * 1024 * 1024  # total composited output cap
+from streamsum_spark.operators._compositing import (  # noqa: E402
+    MAX_FRAMES_BYTES as _MAX_FRAMES_BYTES,
+)
+from streamsum_spark.operators._compositing import check_canvas as _check_canvas  # noqa: E402
+from streamsum_spark.operators._compositing import over as _composite_over  # noqa: E402
 
 
 def decode_webp_frames(b: bytes) -> list[tuple[int, int, np.ndarray]]:
@@ -719,7 +723,7 @@ def _decode_webp_frames(b: bytes) -> list[tuple[int, int, np.ndarray]]:
     if len(b) < 20 or b[:4] != b"RIFF" or b[8:12] != b"WEBP":
         raise ValueError("not a WEBP RIFF container")
     cw = ch = None
-    bg = np.zeros(4, np.int64)  # RGBA
+    bg = np.zeros(4, np.int32)  # RGBA
     anmf = []
     for tag, body in _walk_chunks(b, 12):
         if tag == b"VP8X":
@@ -731,7 +735,7 @@ def _decode_webp_frames(b: bytes) -> list[tuple[int, int, np.ndarray]]:
             if len(body) < 6:
                 raise ValueError("truncated ANIM")
             # spec byte order: B, G, R, A
-            bg = np.array([body[2], body[1], body[0], body[3]], np.int64)
+            bg = np.array([body[2], body[1], body[0], body[3]], np.int32)
         elif tag == b"ANMF":
             anmf.append(body)
     if not anmf:
@@ -739,9 +743,11 @@ def _decode_webp_frames(b: bytes) -> list[tuple[int, int, np.ndarray]]:
         return [(0, 0, px)]
     if cw is None:
         raise ValueError("animated WEBP without VP8X canvas size")
-    if cw * ch * 4 > _MAX_FRAMES_BYTES:
-        raise ValueError("WEBP canvas exceeds the decode cap")
-    canvas = np.broadcast_to(bg, (ch, cw, 4)).astype(np.int64).copy()
+    # bound the CANVAS allocation itself, not just cumulative output:
+    # the working canvas is int32 RGBA and the blend makes same-sized
+    # temporaries, so a huge declared canvas must refuse pre-allocation
+    _check_canvas(cw, ch, "WEBP")
+    canvas = np.broadcast_to(bg, (ch, cw, 4)).astype(np.int32).copy()
     bg_rgb = bg[:3]
 
     def flatten(c) -> np.ndarray:
@@ -769,20 +775,12 @@ def _decode_webp_frames(b: bytes) -> list[tuple[int, int, np.ndarray]]:
             raise ValueError("ANMF frame without image chunk")
         if fr.shape[:2] != (fh, fw):
             raise ValueError("ANMF frame size mismatch")
-        fr = fr.astype(np.int64)
+        fr = fr.astype(np.int32)
         region = canvas[fy : fy + fh, fx : fx + fw]
         if flags & 0x02:  # no blend: frame replaces rect, alpha included
             region[:] = fr
-        else:  # straight-alpha OVER, round half up
-            a_f = fr[:, :, 3:4]
-            a_c = region[:, :, 3:4]
-            a_out = a_f + (a_c * (255 - a_f) + 127) // 255
-            num = fr[:, :, :3] * a_f * 255 + region[:, :, :3] * a_c * (255 - a_f)
-            den = a_out * 255
-            region[:, :, :3] = np.where(
-                a_out > 0, (num + den // 2) // np.maximum(den, 1), 0
-            )
-            region[:, :, 3:4] = a_out
+        else:  # straight-alpha OVER, round half up (shared compositor)
+            _composite_over(region, fr)
         out_bytes += canvas.nbytes
         if out_bytes > _MAX_FRAMES_BYTES:
             raise ValueError("animated WEBP exceeds the composited-output cap")

@@ -311,3 +311,68 @@ def test_apng_through_sampled_frames(spark):
     }
     # frame starts 0 (100ms), 100 (50ms), 150 (25ms)
     assert got == {0: 0, 50: 0, 100: 1, 150: 2}
+
+
+# ---- round-9 review findings pinned ------------------------------------
+
+
+def test_animated_canvas_bombs_refused_before_allocation():
+    """A tiny file declaring a canvas whose BYTE cap (4 B/px) passes but
+    whose int RGBA working canvas + blend temporaries would be
+    gigabytes must refuse at the canvas check, pre-allocation (r9
+    review: a 156-byte WebP drove 4 GB of int64 temporaries)."""
+    import struct
+
+    def chunk(tag, body):
+        return tag + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    vp8x = bytes([0x02, 0, 0, 0]) + (16384 - 1).to_bytes(3, "little") + (
+        4096 - 1
+    ).to_bytes(3, "little")
+    bomb = (b"RIFF" + struct.pack("<I", 200) + b"WEBP"
+            + chunk(b"VP8X", vp8x) + chunk(b"ANIM", bytes(6))
+            + chunk(b"ANMF", bytes(16) + chunk(b"VP8L", b"\x2f\x00\x00\x00\x00")))
+    with pytest.raises(ValueError, match="canvas exceeds"):
+        webp.decode_webp_frames(bomb)
+
+    import struct as _s
+    import zlib as _z
+
+    def pchunk(t, d):
+        return _s.pack(">I", len(d)) + t + d + _s.pack(
+            ">I", _z.crc32(t + d) & 0xFFFFFFFF
+        )
+
+    apng = (b"\x89PNG\r\n\x1a\n"
+            + pchunk(b"IHDR", _s.pack(">IIBBBBB", 8192, 4095, 8, 6, 0, 0, 0))
+            + pchunk(b"acTL", _s.pack(">II", 1, 0))
+            + pchunk(b"fcTL", _s.pack(">IIIIIHHBB", 0, 8192, 4095, 0, 0, 1, 100, 0, 0))
+            + pchunk(b"IDAT", b"x") + pchunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="canvas exceeds"):
+        mm.decode_apng_frames(apng)
+
+
+def test_gif_zero_dimension_canvas_refused():
+    """A 0x0 logical screen passed the byte cap at 0 and emitted
+    (0, 0, 3) frames whose pixel stats were NaN — poisoned features (r9
+    review).  Corrupt input instead."""
+    import struct
+
+    blob = gif.encode_gif_animated([np.full((2, 2, 3), 5, np.uint8)], [10])
+    zero = blob[:6] + struct.pack("<HH", 0, 0) + blob[10:]
+    with pytest.raises(ValueError, match="zero-dimension"):
+        gif.decode_gif_frames(zero)
+
+
+def test_compositors_share_one_blend_and_cap():
+    """The WebP and APNG compositors must route through the ONE shared
+    OVER implementation and cap constant (drift risk pinned)."""
+    import inspect
+
+    from streamsum_spark.operators import _compositing
+
+    assert "over" in dir(_compositing) and "MAX_FRAMES_BYTES" in dir(_compositing)
+    assert "_composite_over(region, fr)" in inspect.getsource(webp._decode_webp_frames)
+    assert "over(region, px)" in inspect.getsource(mm.decode_apng_frames)

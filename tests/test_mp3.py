@@ -136,3 +136,29 @@ def test_extract_features_quarantines_mp3(spark):
     media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
     out = mm.extract_features(media).collect()[0]
     assert out.decoded is False and len(out.feature) == 8
+
+
+def test_truncated_id3_cannot_hang(spark_noop=None):
+    """A truncated ID3 header — at stream start OR mid-stream — must
+    ValueError immediately: the old skip returned the cursor unchanged
+    and parse_mp3_frames' `continue` spun forever, wedging the executor
+    task on a 5-byte hostile blob (r9 review finding)."""
+    with pytest.raises(ValueError, match="ID3"):
+        mp3.parse_mp3_frames(b"ID3\x00\x00")
+    f = _hdr(3, 1, 10, 2) + b"\x00" * 716
+    with pytest.raises(ValueError, match="ID3"):
+        mp3.parse_mp3_frames(f + b"ID3\x04\x00", max_resync=5)
+
+
+def test_xing_detection_at_side_info_offset_only():
+    """'Info' bytes inside the compressed payload must NOT flag VBR; a
+    Xing/Info marker at the spec offset (4 + side-info size, here
+    MPEG-1 mono = 17) must (r9 review finding: whole-payload substring
+    scan misflagged CBR streams)."""
+    hdr = _hdr(3, 1, 10, 2)
+    body = bytearray(716)
+    body[300:304] = b"Info"
+    assert mp3.mp3_stream_info(hdr + bytes(body))["vbr"] is False
+    body2 = bytearray(716)
+    body2[17:21] = b"Xing"
+    assert mp3.mp3_stream_info(hdr + bytes(body2))["vbr"] is True
