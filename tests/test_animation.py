@@ -376,3 +376,35 @@ def test_compositors_share_one_blend_and_cap():
     assert "over" in dir(_compositing) and "MAX_FRAMES_BYTES" in dir(_compositing)
     assert "_composite_over(region, fr)" in inspect.getsource(webp._decode_webp_frames)
     assert "over(region, px)" in inspect.getsource(mm.decode_apng_frames)
+
+
+def test_animated_decoders_mutation_fuzz_value_error_only():
+    """Bit-flip fuzz across all three animated containers: every decode
+    must return frames or raise ValueError — never leak struct/Key/
+    IndexError, hang, or blow the output caps (same contract as the
+    still-image decoders' fuzz batteries)."""
+    import random
+
+    gif_blob = _gif_fixture()
+    f1 = np.full((4, 6, 3), R, np.uint8)
+    f2 = np.zeros((2, 2, 4), np.uint8)
+    f2[...] = (1, 2, 3, 200)
+    webp_blob = webp.encode_webp_animated(
+        [f1, f2], [20, 30], offsets=[(0, 0), (2, 2)], canvas=(4, 6)
+    )
+    apng_blob = _apng_fixture()
+    rnd = random.Random(17)
+    for base, dec in [
+        (gif_blob, gif.decode_gif_frames),
+        (webp_blob, webp.decode_webp_frames),
+        (apng_blob, mm.decode_apng_frames),
+    ]:
+        for _ in range(150):
+            b = bytearray(base)
+            for _ in range(rnd.randrange(1, 4)):
+                b[rnd.randrange(len(b))] ^= 1 << rnd.randrange(8)
+            try:
+                frames = dec(bytes(b))
+                assert frames and all(px.ndim == 3 for _, _, px in frames)
+            except (ValueError, NotImplementedError):
+                pass
