@@ -105,7 +105,10 @@ def _decode_gif_frames(b: bytes) -> list[tuple[int, int, np.ndarray]]:
             region[mask] = px[mask]
         else:
             region[:] = px
-        out_bytes += canvas.nbytes
+        # per-frame floor: a tiny canvas (1x1 = 3 bytes) still costs
+        # ~hundreds of bytes of tuple/ndarray overhead per emitted frame,
+        # so a million-frame 1x1 GIF must not slide under the byte cap
+        out_bytes += max(canvas.nbytes, 4096)
         if out_bytes > _MAX_FRAMES_BYTES:
             raise ValueError("animated GIF exceeds the composited-output cap")
         dur = fr["delay_cs"] * 10
@@ -366,6 +369,10 @@ def encode_gif_animated(
     allpx = [f.reshape(-1, 3) for f in frames]
     if bg_color is not None:
         allpx.append(np.array([bg_color], np.uint8))
+    if transparent_color is not None:
+        # reserve a palette slot even when no frame pixel carries the
+        # color, else the LUT lookup below raises a bare KeyError
+        allpx.append(np.array([transparent_color], np.uint8))
     palette = np.unique(np.concatenate(allpx), axis=0)
     if len(palette) > 256:
         raise ValueError("encode_gif_animated needs <= 256 unique colors")

@@ -839,7 +839,19 @@ def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
         return _decode_aiff(b)
     if b[:4] == b".snd":
         return _decode_au(b)
-    if b[:3] == b"ID3" or (len(b) > 1 and b[0] == 0xFF and b[1] & 0xE0 == 0xE0):
+    if b[:3] == b"ID3":
+        # ID3v2 tags prefix MP3 *and*, in the wild, FLAC — skip the tag
+        # and re-sniff before committing to the MPEG-audio path, else an
+        # ID3-tagged FLAC gets quarantined despite being decodable
+        from streamsum_spark.operators.mp3 import _skip_id3v2, decode_mp3
+
+        j = _skip_id3v2(b, 0)
+        if b[j : j + 4] == b"fLaC":
+            from streamsum_spark.operators.flac import decode_flac
+
+            return decode_flac(b[j:])
+        return decode_mp3(b)
+    if len(b) > 1 and b[0] == 0xFF and b[1] & 0xE0 == 0xE0:
         # MPEG audio: framing parses and validates (mp3.py), spectral
         # decode honestly refuses — see mp3.decode_mp3's rationale
         from streamsum_spark.operators.mp3 import decode_mp3

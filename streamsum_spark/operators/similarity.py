@@ -1275,9 +1275,20 @@ def ann_ivfpq_partitioned_topk(
     # the per-centroid Python loop (O(n_lists x dim) driver float math,
     # r8 ADVICE) vectorizes across all centroids at once.
     cent_rows = cents.collect()
+    if not cent_rows:
+        # an empty centroid table routes nowhere; np broadcasting on a
+        # (0,)-shaped matrix would raise instead of returning empty
+        return (
+            emb.select("vec_id", F.lit(0.0).alias("l2")).where(F.lit(False))
+        )
     qv = np.asarray(q, dtype=np.float64)
     cmat = np.asarray([r.centroid for r in cent_rows], dtype=np.float64)
-    d2 = np.add.accumulate((qv[None, :] - cmat) ** 2, axis=1)[:, -1]
+    # accumulate in place on the squared-diff buffer: same bit-identical
+    # sequential fold, without materializing a second (n_lists x dim)
+    # prefix matrix just to keep its last column
+    sq = (qv[None, :] - cmat) ** 2
+    np.add.accumulate(sq, axis=1, out=sq)
+    d2 = sq[:, -1]
     routed = [
         r
         for _, _, r in sorted(

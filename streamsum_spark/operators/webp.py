@@ -781,7 +781,9 @@ def _decode_webp_frames(b: bytes) -> list[tuple[int, int, np.ndarray]]:
             region[:] = fr
         else:  # straight-alpha OVER, round half up (shared compositor)
             _composite_over(region, fr)
-        out_bytes += canvas.nbytes
+        # per-frame floor: tiny canvases pay object overhead per emitted
+        # frame far beyond their pixel bytes (see gif.py's twin cap)
+        out_bytes += max(canvas.nbytes, 4096)
         if out_bytes > _MAX_FRAMES_BYTES:
             raise ValueError("animated WEBP exceeds the composited-output cap")
         frames.append((t, dur, flatten(canvas)))

@@ -408,3 +408,34 @@ def test_animated_decoders_mutation_fuzz_value_error_only():
                 assert frames and all(px.ndim == 3 for _, _, px in frames)
             except (ValueError, NotImplementedError):
                 pass
+
+
+def test_tiny_canvas_frame_bomb_hits_byte_floor(monkeypatch):
+    """A 1x1-canvas GIF pays only 3 bytes/frame toward the composited
+    cap while each emitted frame costs ~hundreds of bytes of object
+    overhead — the cap charges a 4096-byte floor per frame so a
+    million-frame tiny-canvas bomb still trips it (r9 ADVICE)."""
+    px = np.full((1, 1, 3), R, np.uint8)
+    blob = gif.encode_gif_animated([px] * 12, [1] * 12)
+    monkeypatch.setattr(gif, "_MAX_FRAMES_BYTES", 4096 * 10)
+    with pytest.raises(ValueError, match="composited-output cap"):
+        gif.decode_gif_frames(blob)
+    monkeypatch.setattr(webp, "_MAX_FRAMES_BYTES", 4096 * 10)
+    f = np.zeros((1, 1, 4), np.uint8)
+    wblob = webp.encode_webp_animated([f] * 12, [1] * 12, canvas=(1, 1))
+    with pytest.raises(ValueError, match="composited-output cap"):
+        webp.decode_webp_frames(wblob)
+
+
+def test_encode_gif_transparent_color_absent_from_frames():
+    """transparent_color gets a reserved palette slot even when no frame
+    pixel carries it — previously a bare KeyError from the LUT (r9
+    ADVICE).  The punched-through pixels must expose the background."""
+    f1 = np.full((2, 2, 3), R, np.uint8)
+    f2 = np.full((2, 2, 3), G, np.uint8)
+    blob = gif.encode_gif_animated(
+        [f1, f2], [10, 10], transparent_color=W, bg_color=B
+    )
+    frames = gif.decode_gif_frames(blob)
+    assert len(frames) == 2
+    assert (frames[0][2] == R).all() and (frames[1][2] == G).all()

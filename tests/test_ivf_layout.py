@@ -381,3 +381,19 @@ def test_vectorized_routing_fold_bit_identical_to_sequential():
         for a, b in zip(q.tolist(), cents[i].tolist()):
             acc += (a - b) * (a - b)
         assert float(vec[i]) == acc, i
+
+
+def test_ivfpq_empty_centroid_table_returns_empty(spark, tmp_path_factory):
+    """An empty centroid table routes nowhere: the query must return an
+    empty (vec_id, l2) frame, not raise a numpy broadcast error from a
+    (0, dim) routing matrix (r9 ADVICE)."""
+    import json
+
+    out = str(tmp_path_factory.mktemp("ivfpq_empty") / "layout")
+    spark.createDataFrame(
+        [], "list_id INT, centroid ARRAY<DOUBLE>"
+    ).write.parquet(out + "_centroids")
+    with open(out + "_books.json", "w") as fh:
+        json.dump({}, fh)
+    df = sim.ann_ivfpq_partitioned_topk(spark, out, SF_ORACLE, nprobe=2)
+    assert df.columns == ["vec_id", "l2"] and df.count() == 0

@@ -162,3 +162,26 @@ def test_xing_detection_at_side_info_offset_only():
     body2 = bytearray(716)
     body2[17:21] = b"Xing"
     assert mp3.mp3_stream_info(hdr + bytes(body2))["vbr"] is True
+
+
+def test_id3_tagged_flac_resniffed_and_decoded():
+    """An ID3v2 tag commonly prefixes FLAC files in the wild: the sniff
+    must skip the tag and re-detect fLaC instead of quarantining the
+    blob down the MPEG refusal path (r9 ADVICE)."""
+    import numpy as np
+
+    from streamsum_spark.operators.flac import encode_flac
+
+    tone = (np.sin(np.arange(512) / 7.0) * 12000).astype(np.int16)
+    flac = encode_flac(tone, rate=8000)
+    ref, ref_rate = mm.decode_audio(flac)
+    payload = b"\x00" * 64
+    tag = b"ID3\x04\x00\x00" + bytes(
+        [(len(payload) >> s) & 0x7F for s in (21, 14, 7, 0)]
+    )
+    got, rate = mm.decode_audio(tag + payload + flac)
+    assert rate == ref_rate and np.array_equal(got, ref)
+    # an ID3 tag followed by neither fLaC nor MPEG sync still refuses
+    # via the MPEG path (framing ValueError), not a silent success
+    with pytest.raises(ValueError):
+        mm.decode_audio(tag + payload + b"\x00" * 32)
