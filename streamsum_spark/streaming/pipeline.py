@@ -1256,6 +1256,8 @@ def stream_near_dup_pairs(
     max_files_per_trigger: int | None = None,
     n_buckets: int = 16,
     state_layer: str = "swap",
+    state_base: str | None = None,
+    checkpoint: str | None = None,
 ) -> DataFrame:
     """Incremental near-duplicate detection — the streaming twin of
     dedup.near_dup_verified, and the shape a continuously-ingesting
@@ -1315,7 +1317,14 @@ def stream_near_dup_pairs(
     every multi-bucket merge commits atomically in one pointer swap and
     concurrent readers (e.g. a dashboard tailing the pair table while
     ingest runs) are never torn.  Pinned to produce the identical pair
-    set in tests/test_streaming.py."""
+    set in tests/test_streaming.py.
+
+    ``state_base``/``checkpoint``: explicit state-table prefix and
+    checkpoint dir (default: fresh temp dirs).  Passing the SAME pair
+    across calls makes the ingest restartable — the file source's
+    checkpoint log skips already-seen files, so a second call processes
+    only files that appeared since, against the accumulated state: the
+    steady-state marginal-batch shape a production ingest runs."""
     from streamsum_spark.operators.dedup import _SHINGLES_T, _TOKS, _signatures_from
 
     if state_layer == "snapshot":
@@ -1356,7 +1365,7 @@ def stream_near_dup_pairs(
     else:
         raise ValueError(f"unknown state_layer {state_layer!r} (swap|snapshot)")
 
-    base = os.path.join(
+    base = state_base or os.path.join(
         tempfile.gettempdir(), f"streamsum_ndup_{uuid.uuid4().hex[:12]}"
     )
     sig_tbl, sh_tbl, pair_tbl = base + "_sig", base + "_sh", base + "_pairs"
@@ -1429,7 +1438,9 @@ def stream_near_dup_pairs(
         _upsert(sh_tbl, b_sh.select("doc_id", "sh"), ["doc_id"], "doc_id")
 
     docs = stream_documents(spark, sf_dir, glob, max_files_per_trigger)
-    ckpt = os.path.join(tempfile.gettempdir(), f"streamsum_ndup_ckpt_{uuid.uuid4().hex[:10]}")
+    ckpt = checkpoint or os.path.join(
+        tempfile.gettempdir(), f"streamsum_ndup_ckpt_{uuid.uuid4().hex[:10]}"
+    )
     q = (
         docs.select("doc_id", "text")
         .writeStream.foreachBatch(on_batch)

@@ -709,3 +709,36 @@ def test_stream_stream_join_state_evicts_with_watermark(spark, tmp_path):
     # eviction really happened, and final state is a fraction of history
     assert removed > 0
     assert state_rows[-1] < sides * 0.6
+
+
+def test_stream_near_dup_restart_marginal_batch_equals_full(spark, tmp_path):
+    """Restartable ingest (r9 verdict item 4): seed state + checkpoint
+    with the first two slices, restart over the widened glob — the file
+    source's log must skip the seen slices, ingest ONLY the third
+    against the accumulated stores, and land on exactly the from-scratch
+    3-batch pair set.  This is the steady-state marginal-batch shape the
+    bench's stream_near_dup_marginal entry times."""
+    import os
+
+    src = _sliced_docs_src(spark, tmp_path)
+    seed = str(tmp_path / "ndup_seed")
+    sp.stream_near_dup_pairs(
+        spark, src, glob="documents_[01].parquet", max_files_per_trigger=1,
+        state_base=os.path.join(seed, "state"),
+        checkpoint=os.path.join(seed, "ckpt"),
+    )
+    marginal = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in sp.stream_near_dup_pairs(
+            spark, src, glob="documents_*.parquet", max_files_per_trigger=1,
+            state_base=os.path.join(seed, "state"),
+            checkpoint=os.path.join(seed, "ckpt"),
+        ).collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in sp.stream_near_dup_pairs(
+            spark, src, glob="documents_*.parquet", max_files_per_trigger=1
+        ).collect()
+    }
+    assert full and marginal == full

@@ -120,10 +120,13 @@ def synthesize(spark, src: str, out: str, factor: int) -> None:
         print(f"  {tbl}: x{factor}", file=sys.stderr)
 
 
-def run_headline(spark, sf_dir: str, runs: int) -> dict[str, float]:
+def run_headline(
+    spark, sf_dir: str, runs: int
+) -> tuple[dict[str, float], dict[str, int]]:
     import bench
 
     timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
     from streamsum_spark.entry_queries import QUERIES
 
     # the extra-resolver and per-sf_dir warm-up (memoized snapshot / IVF
@@ -137,12 +140,12 @@ def run_headline(spark, sf_dir: str, runs: int) -> dict[str, float]:
         best = None
         for _ in range(runs):
             t0 = time.perf_counter()
-            bench._materialize(fn(spark, sf_dir))
+            rows[name] = bench._materialize(fn(spark, sf_dir))
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
-        print(f"  {name}: {timings[name]}s", file=sys.stderr)
-    return timings
+        print(f"  {name}: {timings[name]}s ({rows[name]} rows)", file=sys.stderr)
+    return timings, rows
 
 
 def main() -> None:
@@ -162,9 +165,9 @@ def main() -> None:
         print("synthesizing scaled tables...", file=sys.stderr)
         synthesize(spark, args.src, args.out, args.factor)
     print(f"headline @ base ({args.src})", file=sys.stderr)
-    base = run_headline(spark, args.src, args.runs)
+    base, base_rows = run_headline(spark, args.src, args.runs)
     print(f"headline @ {args.factor}x ({args.out})", file=sys.stderr)
-    target = run_headline(spark, args.out, args.runs)
+    target, target_rows = run_headline(spark, args.out, args.runs)
     slope = {
         k: round(target[k] / max(base[k], 1e-9), 2) for k in base
     }
@@ -180,6 +183,17 @@ def main() -> None:
         "runs_per_query": args.runs,
         "base_sec": base,
         "target_sec": target,
+        # output cardinality next to time (r9 verdict item 3): an
+        # output-driven slope (dedup_corpus's duplicate families grow
+        # the verified pair set superlinearly in corpus size) is
+        # distinguishable from a plan regression only if the artifact
+        # records how much RESULT each scale produced
+        "base_rows": base_rows,
+        "target_rows": target_rows,
+        "rows_slope": {
+            k: round(target_rows[k] / max(base_rows[k], 1), 2)
+            for k in base_rows
+        },
         "slope": slope,
         "superlinear": flagged,
         "note": (
