@@ -426,8 +426,10 @@ def codec_throughput() -> dict:
         # GIF is palettized: quantize the gradient to 216 websafe colors
         "gif": (encode_gif((big // 51) * 51), big.shape),
         "tiff_lzw": (tf.encode_tiff(big, compression="lzw", predictor=2), big.shape),
-        "jpeg_baseline": (encode_jpeg(mid), mid.shape),
-        "jpeg_progressive": (encode_jpeg_progressive(mid), mid.shape),
+        # JPEG at 512x384 (not mid): the sidecar's per-blob pipe
+        # roundtrip dominates tiny blobs; crawl JPEGs are Mpix-scale
+        "jpeg_baseline": (encode_jpeg(big), big.shape),
+        "jpeg_progressive": (encode_jpeg_progressive(big), big.shape),
         "webp_vp8l": (encode_webp_lossless(big), big.shape),
         "webp_vp8": (encode_webp_lossy(mid, quality=85), mid.shape),
         "wav_pcm": (mm.encode_wav(tone, 48000), None),
@@ -455,6 +457,16 @@ def codec_throughput() -> dict:
             for name in ("webp_vp8l", "webp_vp8"):
                 blob, shape = cases[name]
                 out[name + "_native"] = clock(nc.decode_webp_rgb, blob, shape)
+        from streamsum_spark.operators import jvm_codecs as jc
+
+        if jc.have_jvm_imageio():
+            # the JVM ImageIO sidecar path (r9 verdict item 1): JPEG —
+            # the dominant crawl format — plus PNG/GIF/TIFF
+            for name in ("jpeg_baseline", "jpeg_progressive", "png", "gif",
+                         "tiff_lzw"):
+                blob, shape = cases[name]
+                jc.decode_image_jvm(blob)  # exclude sidecar start from run 1
+                out[name + "_native"] = clock(jc.decode_image_jvm, blob, shape)
     finally:
         mm.NATIVE_DECODE = was
     return out

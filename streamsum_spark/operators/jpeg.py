@@ -217,6 +217,29 @@ def decode_jpeg(b: bytes) -> np.ndarray:
         raise ValueError(f"corrupt JPEG: {type(e).__name__}") from e
 
 
+def jpeg_native_ok(b: bytes) -> bool:
+    """True iff the stream's first SOF marker is SOF0/1/2 — exactly this
+    decoder's coverage — so the JVM ImageIO fast path (jvm_codecs.py)
+    can never decode a JPEG the spec decoder would refuse (lossless
+    SOF3, arithmetic SOF9-11, hierarchical...), i.e. fast-path
+    availability never widens decode behavior.  A cheap marker walk:
+    segment lengths only, no entropy data touched."""
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            return False
+        m = b[i + 1]
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        if m in (0xC0, 0xC1, 0xC2):
+            return True
+        if m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return False
+        i += 2 + int.from_bytes(b[i + 2 : i + 4], "big")
+    return False
+
+
 def _decode_jpeg(b: bytes) -> np.ndarray:
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")

@@ -32,12 +32,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Native fast-path routing (see native_codecs.py for the full design
-# note): True routes formats with a bound system codec (currently WebP
-# via libwebp) through ctypes for throughput, cross-checking a
-# deterministic NATIVE_VERIFY_PCT% sample byte-exact against the spec
-# decoder.  Module-level so tests (and a cluster bootstrap) can force
-# the pure-spec path; absent libraries degrade to it automatically.
+# Native fast-path routing (see native_codecs.py and jvm_codecs.py for
+# the full design notes): True routes formats with a bound system codec
+# (WebP via libwebp ctypes; JPEG/PNG/GIF/TIFF via the per-worker JVM
+# ImageIO sidecar) through it for throughput, cross-checking a
+# deterministic NATIVE_VERIFY_PCT% sample against the spec decoder —
+# byte-exact for the lossless formats, ISO-tolerance-banded for JPEG
+# (see _jvm_native_decode).  Module-level so tests (and a cluster
+# bootstrap) can force the pure-spec path; absent java/javac/libraries
+# degrade to it automatically.
 NATIVE_DECODE = True
 NATIVE_VERIFY_PCT = 5
 
@@ -360,7 +363,11 @@ def _decode_png(b: bytes, rgba: bool = False) -> np.ndarray:
             raise ValueError("truncated PNG chunk")
         data = b[i + 8 : i + 8 + ln]
         if typ == b"IHDR":
-            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
+            if len(data) < 13:
+                raise ValueError("truncated IHDR")
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data[:13]
+            )
         elif typ == b"PLTE":
             plte = data
         elif typ == b"tRNS":
@@ -476,6 +483,70 @@ def _decode_png(b: bytes, rgba: bool = False) -> np.ndarray:
     return np.ascontiguousarray(np.dstack([rgb, a]))
 
 
+def _jvm_native_decode(b: bytes, fmt: str, spec_decode, exact: bool) -> np.ndarray:
+    """Route a blob through the JVM ImageIO sidecar (jvm_codecs.py) with
+    the native-fast-path contract native_codecs.py established for WebP:
+    spec decoder on refusal or when the sidecar is unavailable (results
+    identical either way for ``exact`` formats, only throughput
+    changes), and a deterministic NATIVE_VERIFY_PCT% sample decoded BOTH
+    ways.  ``exact=True`` (PNG/GIF/TIFF — lossless formats whose outputs
+    were pinned byte-identical across every color type, depth, interlace
+    and compression variant in tests) demands byte equality; JPEG decode
+    is implementation-defined within ISO tolerance (IDCT rounding, fancy
+    vs box chroma upsampling), so ``exact=False`` asserts a tolerance
+    band instead: per-pixel mean |diff| <= 24 AND 8x8-block-mean max
+    |diff| <= 16 — chroma-upsampling divergence is high-frequency and
+    block means agree within ~6 empirically, while a BROKEN decode
+    (plane swap, stride bug, wrong quant table) blows both.  Any
+    violation raises RuntimeError (deliberately NOT in
+    extract_features' fallback set): loud, never wrong pixels
+    downstream."""
+    from streamsum_spark.operators import jvm_codecs as jc
+
+    if not jc.have_jvm_imageio():
+        return spec_decode(b)
+    try:
+        px = jc.decode_image_jvm(b)
+    except (ValueError, RuntimeError):
+        # refusal/crash/unavailable: the spec decoder owns the
+        # malformed-input contract — let it decide
+        return spec_decode(b)
+    if zlib.crc32(b) % 100 < NATIVE_VERIFY_PCT:
+        try:
+            ours = spec_decode(b)
+        except (ValueError, NotImplementedError):
+            # native leniency: ImageIO decoded a blob the spec decoder
+            # refuses (e.g. a mutated-but-salvageable stream).  Spec owns
+            # the acceptance contract, so the sampled blob follows the
+            # refusal (quarantine) path — re-raise, never RuntimeError: a
+            # hostile blob must not be able to kill the task by landing
+            # in the sample.  Known divergences are gated off instead
+            # (palette-index range: PNG ctype 3 below, jpeg_native_ok,
+            # tiff_native_ok).
+            raise
+        if ours.shape != px.shape:
+            raise RuntimeError(f"native/spec {fmt} shape mismatch — codec bug")
+        if exact:
+            if not np.array_equal(ours, px):
+                raise RuntimeError(f"native/spec {fmt} decode mismatch — codec bug")
+        else:
+            d = np.abs(ours.astype(np.int16) - px.astype(np.int16))
+            h, w = d.shape[:2]
+            h8, w8 = h // 8 * 8, w // 8 * 8
+            bmax = 0.0
+            if h8 and w8:
+                bm = lambda a: a[:h8, :w8].astype(np.float64).reshape(
+                    h8 // 8, 8, w8 // 8, 8, -1
+                ).mean(axis=(1, 3))
+                bmax = float(np.abs(bm(ours) - bm(px)).max())
+            if float(d.mean()) > 24.0 or bmax > 16.0:
+                raise RuntimeError(
+                    f"native/spec {fmt} decode outside the ISO tolerance band "
+                    f"(mean {d.mean():.1f}, blockmean {bmax:.1f}) — codec bug"
+                )
+    return px
+
+
 def decode_image(content: bytes) -> np.ndarray:
     """Decode an image to an (h, w, 3) uint8 RGB array.
 
@@ -507,14 +578,24 @@ def decode_image(content: bytes) -> np.ndarray:
     if b[:2] in (b"P2", b"P3", b"P5", b"P6"):
         return _decode_pnm(b)
     if b[:8] == _PNG_SIG:
+        # palette PNGs (IHDR color type 3, byte 25) stay on the spec
+        # path: ImageIO leniently renders out-of-range palette indices
+        # that the spec decoder (correctly) refuses, and the refusal
+        # contract must not depend on which path a blob took
+        if NATIVE_DECODE and len(b) > 25 and b[25] != 3:
+            return _jvm_native_decode(b, "PNG", _decode_png, exact=True)
         return _decode_png(b)
     if b[:2] == b"\xff\xd8":
-        from streamsum_spark.operators.jpeg import decode_jpeg
+        from streamsum_spark.operators.jpeg import decode_jpeg, jpeg_native_ok
 
+        if NATIVE_DECODE and jpeg_native_ok(b):
+            return _jvm_native_decode(b, "JPEG", decode_jpeg, exact=False)
         return decode_jpeg(b)
     if b[:6] in (b"GIF87a", b"GIF89a"):
         from streamsum_spark.operators.gif import decode_gif
 
+        if NATIVE_DECODE:
+            return _jvm_native_decode(b, "GIF", decode_gif, exact=True)
         return decode_gif(b)
     if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
         from streamsum_spark.operators.webp import decode_webp
@@ -543,8 +624,10 @@ def decode_image(content: bytes) -> np.ndarray:
                 return px
         return decode_webp(b)  # VP8L lossless or lossy VP8 key frame
     if b[:4] in (b"II*\x00", b"MM\x00*"):
-        from streamsum_spark.operators.tiff import decode_tiff
+        from streamsum_spark.operators.tiff import decode_tiff, tiff_native_ok
 
+        if NATIVE_DECODE and tiff_native_ok(b):
+            return _jvm_native_decode(b, "TIFF", decode_tiff, exact=True)
         return decode_tiff(b)
     if b[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
         return _decode_ico(b)

@@ -116,6 +116,48 @@ def decode_tiff(b: bytes) -> np.ndarray:
         raise ValueError(f"corrupt TIFF: {type(e).__name__}") from e
 
 
+def tiff_native_ok(b: bytes) -> bool:
+    """Cheap first-IFD probe: True iff this TIFF decodes BYTE-EXACTLY
+    the same through the JVM ImageIO fast path (jvm_codecs.py) as
+    through this spec decoder, so the sampled cross-check is meaningful.
+
+    The gate is a strict SUBSET of this decoder's coverage — anything
+    outside it stays on the spec path so fast-path availability never
+    widens (or changes) decode behavior:
+    - orientation 1 only: the JDK TIFF reader exposes tag 274 as
+      metadata but does NOT transform pixels; this decoder does.
+    - the four compressions this decoder implements (none/LZW/
+      PackBits/Deflate) — JPEG-in-TIFF etc. must keep refusing.
+    - unsigned integer samples <= 16 bits (the JVM side's high-byte
+      shift matches this decoder's 16->8 convention; signed/float
+      conversions would not).
+    - photometric gray/palette/RGB; no planar+tiled combination (this
+      decoder refuses it)."""
+    try:
+        if b[:4] == b"II*\x00":
+            bo = "<"
+        elif b[:4] == b"MM\x00*":
+            bo = ">"
+        else:
+            return False
+        tags = _read_ifd(b, bo, struct.unpack_from(bo + "I", b, 4)[0])
+        # a mutated zero-count tag yields an empty value list; [0] on it
+        # must mean "not routable", not an escaping IndexError
+        return (
+            tags.get(_T_ORIENTATION, [1])[0] == 1
+            and tags.get(_T_COMPRESSION, [1])[0] in (1, 5, 8, 32773, 32946)
+            and tags.get(_T_PHOTOMETRIC, [1])[0] in (0, 1, 2, 3)
+            and all(f == 1 for f in tags.get(_T_SAMPLE_FORMAT, [1]))
+            and all(1 <= v <= 16 for v in tags.get(_T_BPS, [1]))
+            and not (
+                tags.get(_T_PLANAR, [1])[0] == 2
+                and (_T_TILE_WIDTH in tags or _T_TILE_LENGTH in tags)
+            )
+        )
+    except (ValueError, IndexError, struct.error):
+        return False
+
+
 def _read_ifd(b: bytes, bo: str, off: int) -> dict[int, list[int]]:
     """Read one IFD into {tag: [int values]} (rationals/floats skipped —
     none of the tags this decoder consumes use them)."""

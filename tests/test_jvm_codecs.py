@@ -1,0 +1,311 @@
+"""JVM ImageIO sidecar fast path (operators/jvm_codecs.py): byte-exact
+parity with the spec decoders for the lossless formats across their
+variant surfaces, the ISO tolerance band for JPEG, the routing gates
+that keep fast-path coverage a strict subset of spec coverage, crash
+recovery, and the loud-mismatch contract.
+
+Every test skips when no JDK is present (cluster images may ship a bare
+JRE) — the routing itself degrades to the spec path in that case, which
+test_routing_falls_back_without_jvm pins without a JVM."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from streamsum_spark.operators import gif as gf
+from streamsum_spark.operators import jvm_codecs as jc
+from streamsum_spark.operators import multimodal as mm
+from streamsum_spark.operators import tiff as tf
+from streamsum_spark.operators.jpeg import (
+    encode_jpeg,
+    encode_jpeg_progressive,
+    jpeg_native_ok,
+)
+
+needs_jvm = pytest.mark.skipif(
+    not jc.have_jvm_imageio(), reason="no JDK on this host"
+)
+
+
+def _img(w, h):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([(xx * 7) % 256, (yy * 11) % 256, (xx + yy) % 256], 2).astype(
+        np.uint8
+    )
+
+
+def _png_chunk(t, d):
+    return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d))
+
+
+def _png(w, h, depth, ctype, raw, plte=None, trns=None, interlace=0):
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    )
+    if plte is not None:
+        out += _png_chunk(b"PLTE", plte)
+    if trns is not None:
+        out += _png_chunk(b"tRNS", trns)
+    return out + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
+
+
+def _rows(px):
+    return b"".join(b"\x00" + px[y].tobytes() for y in range(px.shape[0]))
+
+
+@needs_jvm
+def test_png_variants_byte_exact():
+    """Gray 8/16, RGB(A) 8/16, gray+alpha, sub-byte gray: the JVM path
+    must match _decode_png byte-for-byte (sub-byte rescale is exact in
+    both: 255/(2^d - 1) is integral for d in 1,2,4; >8-bit keeps the
+    high byte via the sidecar's sample-size shift)."""
+    rng = np.random.default_rng(3)
+    w, h = 40, 24
+    cases = [
+        _png(w, h, 8, 0, _rows(rng.integers(0, 256, (h, w, 1), dtype=np.uint8))),
+        _png(w, h, 16, 0, _rows(rng.integers(0, 65536, (h, w, 1), dtype=np.uint16).byteswap())),
+        _png(w, h, 8, 2, _rows(rng.integers(0, 256, (h, w, 3), dtype=np.uint8))),
+        _png(w, h, 16, 2, _rows(rng.integers(0, 65536, (h, w, 3), dtype=np.uint16).byteswap())),
+        _png(w, h, 8, 4, _rows(rng.integers(0, 256, (h, w, 2), dtype=np.uint8))),
+        _png(w, h, 8, 6, _rows(rng.integers(0, 256, (h, w, 4), dtype=np.uint8))),
+        mm.encode_png(_img(64, 48), filter_type=4),
+    ]
+    for blob in cases:
+        ours, jvm = mm._decode_png(blob), jc.decode_image_jvm(blob)
+        assert ours.shape == jvm.shape and np.array_equal(ours, jvm)
+
+
+@needs_jvm
+def test_gif_variants_byte_exact():
+    """Plain, interlaced, transparent-color, and subrect-first-frame
+    GIFs: both paths return the RAW first frame (frame-sized, not
+    canvas-composited) with identical bytes."""
+    base = (_img(64, 48) // 51) * 51
+    f1 = np.full((2, 2, 3), (255, 0, 0), np.uint8)
+    f2 = np.full((4, 4, 3), (0, 255, 0), np.uint8)
+    cases = [
+        gf.encode_gif(base),
+        gf.encode_gif(base, interlace=True),
+        gf.encode_gif_animated(
+            [np.full((8, 8, 3), (10, 200, 30), np.uint8)], [10],
+            transparent_color=(10, 200, 30), bg_color=(0, 0, 0),
+        ),
+        gf.encode_gif_animated(
+            [f1, f2], [10, 10], offsets=[(1, 1), (0, 0)], canvas=(4, 4),
+            bg_color=(0, 0, 255),
+        ),
+    ]
+    for blob in cases:
+        ours, jvm = gf.decode_gif(blob), jc.decode_image_jvm(blob)
+        assert ours.shape == jvm.shape and np.array_equal(ours, jvm)
+
+
+@needs_jvm
+def test_tiff_variants_byte_exact():
+    """All four spec compressions, 16-bit RGB and gray (high-byte
+    convention), 1-bit, predictor, both byte orders, and the vendored
+    libtiff goldens (tiled, planar, RGBA)."""
+    rng = np.random.default_rng(7)
+    big = _img(96, 64)
+    cases = [
+        tf.encode_tiff(big, compression=c, predictor=p)
+        for c, p in [("none", 1), ("lzw", 2), ("packbits", 1), ("deflate", 2)]
+    ]
+    cases += [
+        tf.encode_tiff(big, byte_order=">"),
+        tf.encode_tiff(rng.integers(0, 65536, (48, 64, 3), dtype=np.uint16)),
+        tf.encode_tiff(rng.integers(0, 65536, (48, 64), dtype=np.uint16)),
+        tf.encode_tiff((big[:, :, 0] > 128).astype(np.uint8), bits_per_sample=1),
+    ]
+    for f in (
+        "ext_lzw_libtiff_noise.tif",
+        "ext_lzw_libtiff_tiled.tif",
+        "ext_lzw_libtiff_planar.tif",
+        "ext_uncompressed_rgba.tiff",
+    ):
+        with open(f"tests/data/{f}", "rb") as fh:
+            cases.append(fh.read())
+    for blob in cases:
+        ours, jvm = tf.decode_tiff(blob), jc.decode_image_jvm(blob)
+        assert ours.shape == jvm.shape and np.array_equal(ours, jvm)
+
+
+@needs_jvm
+def test_jpeg_tolerance_band():
+    """JPEG decode is implementation-defined within ISO tolerance: 4:4:4
+    and grayscale agree within +/-2 per pixel; subsampled chroma (fancy
+    vs box upsampling) diverges at edges but 8x8 block means agree
+    within ~6 — both comfortably inside the routing check's band
+    (per-pixel mean <= 24, block-mean max <= 16)."""
+    rng = np.random.default_rng(7)
+    noisy = rng.integers(0, 256, (128, 160, 3), dtype=np.uint8)
+    mid = _img(256, 192)
+    flat = [encode_jpeg(mid), encode_jpeg_progressive(mid), encode_jpeg(mid[:, :, 0])]
+    for f in ("ext_baseline_color.jpg", "ext_progressive_color.jpg"):
+        with open(f"tests/data/{f}", "rb") as fh:
+            flat.append(fh.read())
+    for blob in flat:
+        from streamsum_spark.operators.jpeg import decode_jpeg
+
+        d = np.abs(
+            decode_jpeg(blob).astype(int) - jc.decode_image_jvm(blob).astype(int)
+        )
+        assert d.max() <= 10 and d.mean() < 2.0
+    for ss in [(2, 2), (2, 1), (1, 2)]:
+        from streamsum_spark.operators.jpeg import decode_jpeg
+
+        blob = encode_jpeg(noisy, subsampling=ss)
+        ours = decode_jpeg(blob).astype(np.float64)
+        jvm = jc.decode_image_jvm(blob).astype(np.float64)
+        assert np.abs(ours - jvm).mean() < 20
+        bm = lambda a: a.reshape(16, 8, 20, 8, 3).mean(axis=(1, 3))
+        assert np.abs(bm(ours) - bm(jvm)).max() < 12
+
+
+def test_native_gates():
+    """jpeg_native_ok: SOF0/1/2 only; tiff_native_ok: a strict subset of
+    the spec decoder's coverage (orientation 1, spec compressions,
+    unsigned <= 16-bit samples)."""
+    mid = _img(32, 24)
+    assert jpeg_native_ok(encode_jpeg(mid))
+    assert jpeg_native_ok(encode_jpeg_progressive(mid))
+    base = bytearray(encode_jpeg(mid))
+    i = base.find(b"\xff\xc0")
+    base[i + 1] = 0xC3  # lossless SOF3: spec refuses, so native must not run
+    assert not jpeg_native_ok(bytes(base))
+    assert not jpeg_native_ok(b"\xff\xd8\xff")  # truncated
+
+    assert tf.tiff_native_ok(tf.encode_tiff(mid, compression="lzw", predictor=2))
+    assert not tf.tiff_native_ok(tf.encode_tiff(mid, orientation=6))
+    assert not tf.tiff_native_ok(b"II*\x00\x08\x00\x00\x00")  # empty IFD region
+    # JPEG-in-TIFF (compression 7): flip the compression tag value
+    blob = bytearray(tf.encode_tiff(mid))
+    # find the compression tag (259) entry and overwrite its value with 7
+    n = struct.unpack_from("<H", blob, struct.unpack_from("<I", blob, 4)[0])[0]
+    off = struct.unpack_from("<I", blob, 4)[0]
+    for k in range(n):
+        ent = off + 2 + 12 * k
+        if struct.unpack_from("<H", blob, ent)[0] == 259:
+            struct.pack_into("<I", blob, ent + 8, 7)
+    assert not tf.tiff_native_ok(bytes(blob))
+
+
+def test_routing_falls_back_without_jvm(monkeypatch):
+    """With the sidecar reported unavailable, decode_image must return
+    the spec decoders' exact output for every routed format."""
+    monkeypatch.setattr(jc, "_AVAILABLE", False)
+    mid = _img(64, 48)
+    for blob, ref in [
+        (mm.encode_png(mid, filter_type=2), mm._decode_png(mm.encode_png(mid, filter_type=2))),
+        (gf.encode_gif((mid // 51) * 51), gf.decode_gif(gf.encode_gif((mid // 51) * 51))),
+        (tf.encode_tiff(mid, compression="lzw", predictor=2), tf.decode_tiff(tf.encode_tiff(mid, compression="lzw", predictor=2))),
+    ]:
+        assert np.array_equal(mm.decode_image(blob), ref)
+    from streamsum_spark.operators.jpeg import decode_jpeg
+
+    jblob = encode_jpeg(mid)
+    assert np.array_equal(mm.decode_image(jblob), decode_jpeg(jblob))
+
+
+@needs_jvm
+def test_sampled_mismatch_raises_runtime_error(monkeypatch):
+    """A divergent native decode on a sampled blob must raise loudly
+    (RuntimeError, not in extract_features' fallback set), never flow
+    wrong pixels — same contract as the WebP ctypes path."""
+    mid = _img(64, 48)
+    blob = mm.encode_png(mid)
+    monkeypatch.setattr(mm, "NATIVE_VERIFY_PCT", 100)
+    wrong = np.zeros((48, 64, 3), np.uint8)
+    monkeypatch.setattr(jc, "decode_image_jvm", lambda b: wrong)
+    with pytest.raises(RuntimeError, match="mismatch"):
+        mm.decode_image(blob)
+    monkeypatch.setattr(jc, "decode_image_jvm", lambda b: wrong[:10])
+    with pytest.raises(RuntimeError, match="shape"):
+        mm.decode_image(blob)
+
+
+@needs_jvm
+def test_sampled_spec_refusal_reraises_not_runtime(monkeypatch):
+    """If native leniently decodes a blob the spec decoder refuses, a
+    SAMPLED occurrence follows the refusal (quarantine) contract — a
+    hostile blob must never be able to kill the task via the
+    cross-check."""
+    monkeypatch.setattr(mm, "NATIVE_VERIFY_PCT", 100)
+    monkeypatch.setattr(
+        jc, "decode_image_jvm", lambda b: np.zeros((4, 4, 3), np.uint8)
+    )
+    # valid signature + IHDR, but truncated scanlines: spec raises ValueError
+    bad = _png(4, 4, 8, 0, b"\x00" + b"\x01" * 4)  # 1 row instead of 4
+    with pytest.raises(ValueError):
+        mm.decode_image(bad)
+
+
+@needs_jvm
+def test_sidecar_crash_recovery_and_hostile_blobs():
+    """Killing the sidecar surfaces a per-blob ValueError and the next
+    call restarts it transparently; refused blobs raise ValueError with
+    the ImageIO message."""
+    mid = _img(32, 24)
+    blob = mm.encode_png(mid)
+    assert jc.decode_image_jvm(blob).shape == (24, 32, 3)
+    jc._SIDECAR._proc.kill()
+    jc._SIDECAR._proc.wait()
+    # next call restarts the sidecar
+    assert jc.decode_image_jvm(blob).shape == (24, 32, 3)
+    with pytest.raises(ValueError, match="ImageIO"):
+        jc.decode_image_jvm(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+
+
+@needs_jvm
+def test_decode_image_mutation_fuzz_native_contract():
+    """Bit-flip fuzz through decode_image with native routing forced ON
+    and the cross-check sampling at 100%: every blob must return pixels
+    or raise ValueError/NotImplementedError.  RuntimeError here would
+    mean the two paths decode a mutated blob to DIFFERENT pixels — a
+    leniency divergence the gates should have excluded."""
+    import random
+
+    mid = _img(48, 32)
+    bases = [
+        mm.encode_png(mid, filter_type=4),
+        gf.encode_gif((mid // 51) * 51),
+        tf.encode_tiff(mid, compression="lzw", predictor=2),
+    ]
+    rnd = random.Random(23)
+    for base in bases:
+        for _ in range(120):
+            b = bytearray(base)
+            for _ in range(rnd.randrange(1, 4)):
+                b[rnd.randrange(len(b))] ^= 1 << rnd.randrange(8)
+            try:
+                px = mm.decode_image(bytes(b))
+                assert px.ndim == 3
+            except (ValueError, NotImplementedError):
+                pass
+
+
+@needs_jvm
+def test_extract_features_uses_native_path(spark):
+    """End-to-end: the Arrow-batched extract_features pass must produce
+    identical decoded-stats rows whether the sidecar is on or off for
+    the lossless formats (byte-exact), pinning that the executor-side
+    routing is live and harmless."""
+    media = mm.synthetic_media(spark, n=24)
+    mimes = {r.media_id: r.mime or "" for r in media.select("media_id", "mime").collect()}
+    on = [tuple(r) for r in mm.extract_features(media).orderBy("media_id").collect()]
+    was = mm.NATIVE_DECODE
+    try:
+        mm.NATIVE_DECODE = False
+        off_rows = mm.extract_features(media).orderBy("media_id").collect()
+    finally:
+        mm.NATIVE_DECODE = was
+    assert len(on) == len(off_rows) > 0
+    # JPEG rows may differ within ISO tolerance; compare the rest exactly
+    for a, b in zip(on, off_rows):
+        if "jpeg" in mimes.get(b.media_id, ""):
+            continue
+        assert a == tuple(b)
