@@ -154,11 +154,13 @@ def multimodal_decode(spark, sf_dir):
     """Headline for the codec family: 600 real-format blobs (BMP, PPM,
     PNG across all five row filters, baseline+progressive JPEG, WebP
     VP8L/VP8, TIFF, PCM WAV) through extract_features' mapInPandas
-    decode.  Since round 9 WebP routes through the libwebp fast path
-    with a 5% sampled spec cross-check (the production posture), so
-    compare r<=8 numbers with that in mind; the pure spec-decoder
-    ceiling is recorded separately in codec_throughput.  Blob
-    generation (driver-side encoders) is memoized and pre-warmed."""
+    decode.  Since round 9 WebP routes through the libwebp fast path,
+    and since round 10 JPEG/PNG/GIF/TIFF route through the JVM ImageIO
+    sidecar (jvm_codecs.py), each with a 5% sampled spec cross-check
+    (the production posture) — compare r<=9 numbers with that in mind;
+    the pure spec-decoder ceiling is recorded separately in
+    codec_throughput.  Blob generation (driver-side encoders) is
+    memoized and pre-warmed."""
     from streamsum_spark.operators import multimodal as mm
 
     return mm.extract_features(mm.synthetic_media(spark, n=600))
