@@ -1730,8 +1730,11 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
                         from streamsum_spark.operators.tiff import encode_tiff
 
                         comp = ("lzw", "packbits", "deflate")[(i // 24) % 3]
+                        # predictor only where the spec defines it
+                        # (encode_tiff refuses the out-of-spec combo)
+                        pred = 1 + (i // 24) % 2 if comp != "packbits" else 1
                         content, mime = (
-                            encode_tiff(px, compression=comp, predictor=1 + (i // 24) % 2),
+                            encode_tiff(px, compression=comp, predictor=pred),
                             "image/tiff",
                         )
                     else:

@@ -318,6 +318,14 @@ def _decode_tiff(b: bytes) -> np.ndarray:
     predictor = tags.get(_T_PREDICTOR, [1])[0]
     if predictor not in (1, 2):
         raise NotImplementedError(f"predictor {predictor} not supported")
+    if predictor == 2 and comp not in (5, 8, 32946):
+        # TIFF 6.0 defines the predictor for LZW (extended to Deflate);
+        # on uncompressed/PackBits files both libtiff ("Unknown field
+        # with tag 317" — predictor lives in the codec layer) and the
+        # JDK TIFF reader IGNORE the tag.  Honoring it here made this
+        # decoder the ecosystem outlier (caught by the JVM fast path's
+        # sampled byte-exact cross-check, round 10) — ignore for parity.
+        predictor = 1
 
     def decompress(chunk: bytes, want: int) -> bytes:
         if comp == 1:
@@ -570,6 +578,12 @@ def encode_tiff(
     stores each sample plane as its own strip run (PlanarConfiguration
     2), prediction per plane.
     """
+    if predictor == 2 and compression in ("none", "packbits"):
+        # out-of-spec combination (TIFF 6.0 defines the predictor for
+        # LZW/Deflate): libtiff and the JDK ignore tag 317 on these
+        # codecs, so a file we differenced would decode to garbage
+        # everywhere but here — refuse instead of emitting it
+        raise ValueError("predictor=2 requires lzw or deflate compression")
     px = np.asarray(px)
     h, w = px.shape[:2]
     bo = byte_order

@@ -26,6 +26,16 @@ def _rng(seed=7):
     return np.random.default_rng(seed)
 
 
+# predictor=2 only where TIFF 6.0 defines it (LZW, extended to Deflate);
+# encode_tiff refuses the out-of-spec none/packbits combination that
+# libtiff and the JDK ignore on read (round-10 ecosystem-parity fix)
+COMP_PRED = [
+    (c, p)
+    for c in ("none", "lzw", "packbits", "deflate")
+    for p in ((1, 2) if c in ("lzw", "deflate") else (1,))
+]
+
+
 def _data(name: str) -> bytes:
     with open(os.path.join(os.path.dirname(__file__), "data", name), "rb") as fh:
         return fh.read()
@@ -113,8 +123,7 @@ def test_libtiff_decodes_inrepo_lzw(tmp_path):
 # ---- roundtrips -------------------------------------------------------
 
 
-@pytest.mark.parametrize("comp", ["none", "lzw", "packbits", "deflate"])
-@pytest.mark.parametrize("pred", [1, 2])
+@pytest.mark.parametrize("comp,pred", COMP_PRED)
 @pytest.mark.parametrize("bo", ["<", ">"])
 def test_roundtrip_rgb_rgba_gray_gray16(comp, pred, bo):
     rng = _rng(hash((comp, pred, bo)) % 2**31)
@@ -343,9 +352,7 @@ def test_mutation_fuzz_never_escapes_valueerror():
     rng = _rng(99)
     img = rng.integers(0, 256, (9, 11, 3)).astype(np.uint8)
     blobs = [
-        tiff.encode_tiff(img, compression=c, predictor=p)
-        for c in ("none", "lzw", "packbits", "deflate")
-        for p in (1, 2)
+        tiff.encode_tiff(img, compression=c, predictor=p) for c, p in COMP_PRED
     ]
     for trial in range(800):
         blob = bytearray(blobs[trial % len(blobs)])
@@ -395,8 +402,7 @@ def test_external_libtiff_tiled_golden_byte_exact():
     assert all(np.array_equal(img[:, :, c], exp) for c in range(3))
 
 
-@pytest.mark.parametrize("comp", ["none", "lzw", "packbits", "deflate"])
-@pytest.mark.parametrize("pred", [1, 2])
+@pytest.mark.parametrize("comp,pred", COMP_PRED)
 def test_tiled_roundtrip_rgb_gray_gray16(comp, pred):
     """Tiled encode/decode across compressions and the horizontal
     predictor — which must RESET per tile (a decoder running the cumsum
@@ -419,7 +425,9 @@ def test_tiled_predictor_would_leak_across_seams_without_reset():
     column, so a decoder cumsumming across seams would double the value
     at x=16.  The decoded image must be exactly constant."""
     img = np.full((8, 32, 3), 200, np.uint8)
-    out = tiff.decode_tiff(tiff.encode_tiff(img, predictor=2, tile=(16, 8)))
+    out = tiff.decode_tiff(
+        tiff.encode_tiff(img, compression="lzw", predictor=2, tile=(16, 8))
+    )
     assert np.array_equal(out, img)
 
 
@@ -492,8 +500,7 @@ def test_external_libtiff_planar_golden_byte_exact():
     assert np.array_equal(img, exp)
 
 
-@pytest.mark.parametrize("comp", ["none", "lzw", "packbits", "deflate"])
-@pytest.mark.parametrize("pred", [1, 2])
+@pytest.mark.parametrize("comp,pred", COMP_PRED)
 def test_planar_roundtrip_rgb_and_gray16(comp, pred):
     rng = _rng(23)
     img = rng.integers(0, 256, (11, 17, 3)).astype(np.uint8)
@@ -532,3 +539,60 @@ def test_planar_hostile_refuses():
         )
         assert patched != tiled
         tiff.decode_tiff(patched)
+
+
+def test_packbits_predictor_tag_ignored_like_libtiff(tmp_path):
+    """A PackBits file carrying predictor=2 (tag 317) is out-of-spec;
+    libtiff reports 'Unknown field with tag 317' and decodes WITHOUT
+    undoing differencing, as does the JDK TIFF reader.  Round 10 made
+    this decoder match (it previously honored the tag — the ecosystem
+    outlier, caught by the JVM fast path's sampled byte-exact check on
+    a synthetic_media blob).  The blob is crafted by IFD surgery since
+    encode_tiff now refuses the combination."""
+    img = _rng(5).integers(0, 256, (10, 27, 3)).astype(np.uint8)
+    base = tiff.encode_tiff(img, compression="packbits")
+    # rebuild the IFD with an inserted (317, SHORT, 1, 2) entry at EOF
+    off = struct.unpack_from("<I", base, 4)[0]
+    n = struct.unpack_from("<H", base, off)[0]
+    entries = [base[off + 2 + 12 * k : off + 14 + 12 * k] for k in range(n)]
+    entries.append(struct.pack("<HHI", 317, 3, 1) + struct.pack("<HH", 2, 0))
+    entries.sort(key=lambda e: struct.unpack_from("<H", e)[0])
+    blob = bytearray(base)
+    new_off = len(blob)
+    struct.pack_into("<I", blob, 4, new_off)
+    blob += struct.pack("<H", n + 1) + b"".join(entries) + b"\x00\x00\x00\x00"
+    blob = bytes(blob)
+    # the pixels decode as if the tag were absent — NOT un-differenced
+    got = tiff.decode_tiff(blob)
+    assert np.array_equal(got, img)
+    # parity with real libtiff when present
+    import ctypes
+
+    try:
+        lib = ctypes.CDLL("libtiff.so.6")
+    except OSError:
+        lib = None
+    if lib is not None:
+        p = tmp_path / "pbpred.tif"
+        p.write_bytes(blob)
+        lib.TIFFOpen.restype = ctypes.c_void_p
+        lib.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+        t = lib.TIFFOpen(str(p).encode(), b"r")
+        assert t
+        buf = (ctypes.c_uint32 * (27 * 10))()
+        assert lib.TIFFReadRGBAImageOriented(ctypes.c_void_p(t), 27, 10, buf, 1, 0)
+        lib.TIFFClose(ctypes.c_void_p(t))
+        arr = np.frombuffer(buf, dtype=np.uint32).reshape(10, 27)
+        rgb = np.stack(
+            [arr & 0xFF, (arr >> 8) & 0xFF, (arr >> 16) & 0xFF], axis=2
+        ).astype(np.uint8)
+        assert np.array_equal(rgb, got)
+    # and with the JVM fast path when present
+    from streamsum_spark.operators import jvm_codecs as jc
+
+    if jc.have_jvm_imageio():
+        assert tiff.tiff_native_ok(blob)
+        assert np.array_equal(jc.decode_image_jvm(blob), got)
+    # the encoder refuses to produce the combination
+    with pytest.raises(ValueError, match="predictor"):
+        tiff.encode_tiff(img, compression="packbits", predictor=2)
