@@ -15,11 +15,33 @@ audio corpus needs:
   and the escape-to-raw encoding;
 - stereo decorrelation: independent, left/side, right/side, mid/side.
 
+The decode hot paths are numpy-vectorized (this is the production
+decode path — unlike JPEG/PNG/GIF/TIFF there is no JVM or system
+library fallback for FLAC in scope):
+
+- Rice partitions decode via a window-unpacked bit array: unary
+  terminators come from ``np.flatnonzero``; the only per-residual
+  Python work is the sequential ones-index chain
+  ``m += 1 + popcount(remainder window)``, which costs ~2 operations
+  per residual instead of ~1 per BIT; quotients and remainders then
+  assemble as single numpy expressions.
+- FIXED prediction is the inverse of an order-k difference, so
+  reconstruction is k successive ``np.cumsum`` calls seeded from the
+  warmup diffs — no per-sample loop.  (LPC stays a scalar recurrence:
+  the mid-stream ``>> shift`` truncation makes it genuinely
+  sequential and non-linear; FIXED dominates real encoders' output.)
+- CRC-16 exploits GF(2) linearity: per-byte states tree-combine with
+  precomputed advance-by-2^k-bytes tables, so frame verification is a
+  handful of numpy passes instead of 8 Python ops per byte.
+- Scalar header reads use O(1) ``int.from_bytes`` windows and a
+  byte-skipping unary scan.
+
 Hostile-input posture matches the other decoders: the sample budget is
 capped before allocation (``_MAX_DECODED_BYTES``), every bit-read is
-bounds-checked, and the Rice unary walk cannot spin past the frame's
-real bytes — work is linear in the stored blob.  Malformed structure
-surfaces as ValueError.
+bounds-checked, and the Rice window scan cannot spin past the frame's
+real bytes — work is linear in the stored blob (windows grow
+geometrically and are clipped to it).  Malformed structure surfaces as
+ValueError.
 
 ``encode_flac`` (the test fixture) writes valid fixed-blocksize streams
 through the same CRCs, choosing CONSTANT for constant blocks and FIXED
@@ -37,26 +59,85 @@ import numpy as np
 _MAX_DECODED_BYTES = 16 * 1024 * 1024
 
 
-def _crc8(data: bytes) -> int:
-    crc = 0
-    for byte in data:
-        crc ^= byte
+def _build_crc8_table() -> list[int]:
+    t = []
+    for b in range(256):
+        crc = b
         for _ in range(8):
             crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        t.append(crc)
+    return t
+
+
+_CRC8_T = _build_crc8_table()
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    t = _CRC8_T
+    for byte in data:
+        crc = t[crc ^ byte]
     return crc
+
+
+def _build_crc16_byte_table() -> np.ndarray:
+    t = np.zeros(256, np.uint16)
+    for b in range(256):
+        crc = b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+        t[b] = crc
+    return t
+
+
+_CRC16_T = _build_crc16_byte_table()
+# advance-by-2^k-zero-bytes linear maps, as (hi, lo) uint16 tables:
+# state s advances to hi[s >> 8] ^ lo[s & 0xFF]
+_CRC16_ADV: list[tuple[np.ndarray, np.ndarray]] = []
+
+
+def _crc16_adv(k: int) -> tuple[np.ndarray, np.ndarray]:
+    while len(_CRC16_ADV) <= k:
+        idx = np.arange(256, dtype=np.uint16)
+        if not _CRC16_ADV:
+            # one zero byte: s' = ((s << 8) & 0xFFFF) ^ T[s >> 8]
+            _CRC16_ADV.append((_CRC16_T[idx].copy(), (idx << 8).astype(np.uint16)))
+        else:
+            hi_p, lo_p = _CRC16_ADV[-1]
+
+            def f(s: np.ndarray) -> np.ndarray:
+                return hi_p[s >> 8] ^ lo_p[s & 0xFF]
+
+            _CRC16_ADV.append((f(f(idx << 8)), f(f(idx))))
+    return _CRC16_ADV[k]
 
 
 def _crc16(data: bytes) -> int:
-    crc = 0
-    for byte in data:
-        crc ^= byte << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
-    return crc
+    """CRC-16/BUYPASS via GF(2) tree combine: crc(A||B) =
+    advance(crc(A), |B|) ^ crc(B); leading zero bytes are identity, so
+    front-padding to a power of two is free."""
+    a = np.frombuffer(data, np.uint8)
+    if len(a) == 0:
+        return 0
+    s = _CRC16_T[a].copy()  # per-byte states (init 0)
+    n = 1 << (len(s) - 1).bit_length() if len(s) > 1 else 1
+    if n != len(s):
+        s = np.concatenate([np.zeros(n - len(s), np.uint16), s])
+    k = 0
+    while len(s) > 1:
+        hi, lo = _crc16_adv(k)
+        left = s[0::2]
+        s = (hi[left >> 8] ^ lo[left & 0xFF]) ^ s[1::2]
+        k += 1
+    return int(s[0])
 
 
 class _Bits:
-    """MSB-first bit reader with byte-position tracking (CRC windows)."""
+    """MSB-first bit reader with byte-position tracking (CRC windows).
+
+    Scalar reads are O(1) ``int.from_bytes`` windows; unary scans skip
+    whole zero bytes.  Bulk reads (residuals, VERBATIM) bypass this
+    class entirely via the vectorized helpers below."""
 
     __slots__ = ("data", "pos", "bit")
 
@@ -66,15 +147,16 @@ class _Bits:
         self.bit = 0
 
     def read(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            if self.pos >= len(self.data):
-                raise ValueError("corrupt FLAC: truncated bitstream")
-            v = (v << 1) | ((self.data[self.pos] >> (7 - self.bit)) & 1)
-            self.bit += 1
-            if self.bit == 8:
-                self.bit = 0
-                self.pos += 1
+        if n == 0:
+            return 0
+        end = self.bit + n
+        nbytes = (end + 7) >> 3
+        chunk = self.data[self.pos : self.pos + nbytes]
+        if len(chunk) < nbytes:
+            raise ValueError("corrupt FLAC: truncated bitstream")
+        v = (int.from_bytes(chunk, "big") >> ((nbytes << 3) - end)) & ((1 << n) - 1)
+        self.pos += end >> 3
+        self.bit = end & 7
         return v
 
     def read_signed(self, n: int) -> int:
@@ -82,21 +164,25 @@ class _Bits:
         return v - (1 << n) if v & (1 << (n - 1)) else v
 
     def unary(self) -> int:
+        data, pos, bit = self.data, self.pos, self.bit
+        size = len(data)
         n = 0
         while True:
-            if self.pos >= len(self.data):
+            if pos >= size:
                 raise ValueError("corrupt FLAC: truncated unary code")
-            if (self.data[self.pos] >> (7 - self.bit)) & 1:
-                self.bit += 1
-                if self.bit == 8:
-                    self.bit = 0
-                    self.pos += 1
+            cur = data[pos] & (0xFF >> bit)
+            if cur:
+                first = 8 - cur.bit_length()  # MSB-side index of the first 1
+                n += first - bit
+                bit = first + 1
+                if bit == 8:
+                    bit = 0
+                    pos += 1
+                self.pos, self.bit = pos, bit
                 return n
-            n += 1
-            self.bit += 1
-            if self.bit == 8:
-                self.bit = 0
-                self.pos += 1
+            n += 8 - bit
+            bit = 0
+            pos += 1
 
     def align(self) -> None:
         if self.bit:
@@ -133,7 +219,103 @@ _SAMPLE_RATE = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000,
 _FIXED_COEFS = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
 
 
-def _read_residual(br: _Bits, blocksize: int, order: int) -> list[int]:
+def _read_fixed_width(data: bytes, cursor: int, count: int,
+                      width: int) -> tuple[np.ndarray, int]:
+    """Vectorized read of `count` signed big-endian `width`-bit values
+    starting at absolute bit `cursor` (escape partitions, VERBATIM)."""
+    if count == 0 or width == 0:
+        return np.zeros(count, np.int64), cursor
+    total = count * width
+    end = cursor + total
+    if end > len(data) * 8:
+        raise ValueError("corrupt FLAC: truncated bitstream")
+    sb = cursor >> 3
+    eb = (end + 7) >> 3
+    bits = np.unpackbits(np.frombuffer(data, np.uint8, count=eb - sb, offset=sb))
+    w = bits[cursor - (sb << 3) :][:total].reshape(count, width).astype(np.int64)
+    vals = w @ (np.int64(1) << np.arange(width - 1, -1, -1, dtype=np.int64))
+    vals -= (vals >> (width - 1)) << width  # sign-extend
+    return vals, end
+
+
+def _read_rice_partition(data: bytes, cursor: int, count: int,
+                         p: int) -> tuple[np.ndarray, int]:
+    """Vectorized decode of `count` Rice(p) codes at absolute bit
+    `cursor`; returns zigzag-decoded residuals and the new cursor.
+
+    Unpacks a geometrically-grown bit window (clipped to the blob, so
+    hostile inputs stay linear in stored bytes); unary terminators are
+    the window's set bits, walked by index with
+    ``m += 1 + popcount(remainder bits after terminator m)`` — the one
+    Python loop, ~2 ops per residual; everything else is numpy."""
+    if count == 0:
+        return np.zeros(0, np.int64), cursor
+    sb = cursor >> 3
+    max_bits = (len(data) << 3) - cursor
+    guess = min(count * (p + 3) + 64, max_bits)
+    while True:
+        nbytes = min(len(data) - sb, ((guess + (cursor & 7)) >> 3) + 16)
+        bits = np.unpackbits(np.frombuffer(data, np.uint8, count=nbytes, offset=sb))
+        w = bits[cursor - (sb << 3) :]
+        ones = np.flatnonzero(w)
+        window_is_whole_blob = (sb + nbytes) == len(data)
+        if p:
+            limit = len(w) - p
+            usable = int(np.searchsorted(ones, limit))
+            if usable:
+                # R[m] = set bits in the remainder window (o_m, o_m+p]
+                o = ones[:usable]
+                if len(w) <= (1 << 22):
+                    # popcount prefix over the window: fastest, and the
+                    # int32 array is capped at 16 MiB by the branch
+                    cs = np.concatenate(
+                        ([0], np.cumsum(w[: limit + p], dtype=np.int32)))
+                    R = (cs[o + 1 + p] - cs[o + 1]).tolist()
+                else:
+                    # huge (hostile-grown) window: O(ones) memory —
+                    # ones are few exactly when the window had to grow,
+                    # so a sparse blob can't force a window-sized
+                    # allocation here
+                    R = (np.searchsorted(ones, o + p, side="right")
+                         - np.arange(1, usable + 1)).tolist()
+                # the sequential ones-index chain: R has exactly
+                # `usable` entries, so walking past the window surfaces
+                # as IndexError (never a wrong decode) and grows it
+                ms: list[int] = [0] * count
+                m = 0
+                ok = True
+                try:
+                    for k in range(count - 1):
+                        ms[k] = m
+                        m += 1 + R[m]
+                except IndexError:
+                    ok = False
+                if ok and m < usable:
+                    ms[count - 1] = m
+                    t = ones[np.asarray(ms, np.int64)]
+                    prev = np.empty_like(t)
+                    prev[0] = 0
+                    prev[1:] = t[:-1] + 1 + p
+                    q = t - prev
+                    idx = t[:, None] + 1 + np.arange(p, dtype=np.int64)
+                    r = w[idx].astype(np.int64) @ (
+                        np.int64(1) << np.arange(p - 1, -1, -1, dtype=np.int64))
+                    v = (q << p) | r
+                    return (v >> 1) ^ -(v & 1), cursor + int(t[-1]) + 1 + p
+        else:
+            if len(ones) >= count:
+                t = ones[:count]
+                prev = np.empty_like(t)
+                prev[0] = 0
+                prev[1:] = t[:-1] + 1
+                q = t - prev
+                return (q >> 1) ^ -(q & 1), cursor + int(t[-1]) + 1
+        if window_is_whole_blob:
+            raise ValueError("corrupt FLAC: truncated unary code")
+        guess = min(guess * 4, max_bits)
+
+
+def _read_residual(br: _Bits, blocksize: int, order: int) -> np.ndarray:
     method = br.read(2)
     if method > 1:
         raise ValueError("corrupt FLAC: reserved residual coding method")
@@ -145,26 +327,38 @@ def _read_residual(br: _Bits, blocksize: int, order: int) -> list[int]:
     # is short by ``order`` warmup samples) must not go negative
     if blocksize % n_parts or blocksize // n_parts < order:
         raise ValueError("corrupt FLAC: bad partition order")
-    out: list[int] = []
-    for p in range(n_parts):
-        count = blocksize // n_parts - (order if p == 0 else 0)
-        if count < 0:
-            raise ValueError("corrupt FLAC: bad partition order")
+    data = br.data
+    chunks: list[np.ndarray] = []
+    for pi in range(n_parts):
+        count = blocksize // n_parts - (order if pi == 0 else 0)
         param = br.read(plen)
         if param == escape:
             width = br.read(5)
-            for _ in range(count):
-                out.append(br.read_signed(width) if width else 0)
+            cursor = (br.pos << 3) + br.bit
+            vals, cursor = _read_fixed_width(data, cursor, count, width)
         else:
-            for _ in range(count):
-                q = br.unary()
-                r = br.read(param) if param else 0
-                v = (q << param) | r
-                out.append((v >> 1) ^ -(v & 1))
-    return out
+            cursor = (br.pos << 3) + br.bit
+            vals, cursor = _read_rice_partition(data, cursor, count, param)
+        br.pos, br.bit = cursor >> 3, cursor & 7
+        chunks.append(vals)
+    return chunks[0] if len(chunks) == 1 else np.concatenate(chunks)
 
 
-def _read_subframe(br: _Bits, blocksize: int, bps: int) -> list[int]:
+def _invert_fixed(warm: list[int], resid: np.ndarray, order: int) -> np.ndarray:
+    """Reconstruct from FIXED-predictor residuals: the order-k fixed
+    predictor is exactly the k-th binomial difference, so inversion is
+    k successive cumulative sums seeded from the warmup diffs."""
+    if order == 0:
+        return resid.astype(np.int64)
+    s = resid.astype(np.int64)
+    wa = np.asarray(warm, np.int64)
+    for j in range(order - 1, -1, -1):
+        d0 = int(np.diff(wa, n=j)[0])  # Δ^j x at position j
+        s = np.concatenate(([d0], d0 + np.cumsum(s)))
+    return s
+
+
+def _read_subframe(br: _Bits, blocksize: int, bps: int) -> np.ndarray:
     if br.read(1):
         raise ValueError("corrupt FLAC: subframe padding bit set")
     sf_type = br.read(6)
@@ -172,20 +366,19 @@ def _read_subframe(br: _Bits, blocksize: int, bps: int) -> list[int]:
     if br.read(1):
         wasted = br.unary() + 1
         bps -= wasted
+        if bps <= 0:
+            raise ValueError("corrupt FLAC: wasted bits exceed sample size")
     if sf_type == 0:  # CONSTANT
-        v = br.read_signed(bps)
-        out = [v] * blocksize
+        out = np.full(blocksize, br.read_signed(bps), np.int64)
     elif sf_type == 1:  # VERBATIM
-        out = [br.read_signed(bps) for _ in range(blocksize)]
+        cursor = (br.pos << 3) + br.bit
+        out, cursor = _read_fixed_width(br.data, cursor, blocksize, bps)
+        br.pos, br.bit = cursor >> 3, cursor & 7
     elif 8 <= sf_type <= 12:  # FIXED order 0-4
         order = sf_type & 0x07
         warm = [br.read_signed(bps) for _ in range(order)]
         resid = _read_residual(br, blocksize, order)
-        out = list(warm)
-        coefs = _FIXED_COEFS[order]
-        for i, e in enumerate(resid):
-            pred = sum(c * out[order + i - 1 - j] for j, c in enumerate(coefs))
-            out.append(pred + e)
+        out = _invert_fixed(warm, resid, order)
     elif sf_type >= 32:  # LPC, order 1..32
         order = (sf_type & 0x1F) + 1
         warm = [br.read_signed(bps) for _ in range(order)]
@@ -197,14 +390,18 @@ def _read_subframe(br: _Bits, blocksize: int, bps: int) -> list[int]:
             raise ValueError("corrupt FLAC: negative LPC shift")
         coefs = [br.read_signed(precision) for _ in range(order)]
         resid = _read_residual(br, blocksize, order)
-        out = list(warm)
-        for i, e in enumerate(resid):
-            acc = sum(c * out[order + i - 1 - j] for j, c in enumerate(coefs))
-            out.append((acc >> shift) + e)
+        # the per-step ``>> shift`` truncation feeds back into the
+        # recurrence, so exact LPC is genuinely sequential — scalar
+        # Python ints here (arbitrary precision, arithmetic shift)
+        out_l = list(warm)
+        for e in resid.tolist():
+            acc = sum(c * out_l[-1 - j] for j, c in enumerate(coefs))
+            out_l.append((acc >> shift) + e)
+        out = np.asarray(out_l, np.int64)
     else:
         raise ValueError(f"corrupt FLAC: reserved subframe type {sf_type}")
     if wasted:
-        out = [v << wasted for v in out]
+        out = out << wasted
     return out
 
 
@@ -255,7 +452,8 @@ def _decode_flac(b: bytes) -> tuple[np.ndarray, int]:
             f"beyond the {_MAX_DECODED_BYTES >> 20} MiB decode cap"
         )
 
-    channels: list[list[int]] = [[] for _ in range(info["nch"])]
+    frames: list[np.ndarray] = []  # (nch, blocksize) per frame
+    n_out = 0
     budget = _MAX_DECODED_BYTES // (4 * info["nch"])
     while i < len(b) - 1:
         frame_start = i
@@ -322,23 +520,23 @@ def _decode_flac(b: bytes) -> tuple[np.ndarray, int]:
         i = br.pos
 
         if mode == "left_side":
-            left = subs[0]
-            subs = [left, [l - s for l, s in zip(left, subs[1])]]
+            left, side = subs
+            subs = [left, left - side]
         elif mode == "right_side":
-            right = subs[1]
-            subs = [[r + s for s, r in zip(subs[0], right)], right]
+            side, right = subs
+            subs = [right + side, right]
         elif mode == "mid_side":
-            mids, sides = subs
-            lr = [
-                (((m << 1) | (s & 1)) + s >> 1, (((m << 1) | (s & 1)) - s) >> 1)
-                for m, s in zip(mids, sides)
-            ]
-            subs = [[x for x, _ in lr], [y for _, y in lr]]
-        for c in range(info["nch"]):
-            channels[c].extend(subs[c])
-        if len(channels[0]) > budget:
+            mid, side = subs
+            t = (mid << 1) | (side & 1)
+            subs = [(t + side) >> 1, (t - side) >> 1]
+        frames.append(np.stack(subs))
+        n_out += blocksize
+        if n_out > budget:
             raise ValueError("FLAC frames exceed the decode cap")
-    out = np.array(channels, dtype=np.int64).T.astype(np.int32)
+    if not frames:
+        out = np.zeros((0, info["nch"]), np.int32)
+    else:
+        out = np.concatenate(frames, axis=1).T.astype(np.int32)
     if info["total"]:
         out = out[: info["total"]]
     return out, info["rate"]

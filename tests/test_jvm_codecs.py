@@ -105,6 +105,23 @@ def test_gif_variants_byte_exact():
 
 
 @needs_jvm
+def test_apng_sidecar_first_frame_parity():
+    """APNG blobs carry the PNG signature, so the still-image
+    decode_image contract routes them through the sidecar too:
+    ImageIO's PNG reader returns the default image (the canvas-sized
+    frame 0 that encode_apng writes as plain IDAT, fdAT ignored),
+    which must byte-match _decode_png — and the routed decode_image
+    result must agree with both."""
+    rng = np.random.default_rng(9)
+    f0 = rng.integers(0, 256, (20, 30, 3), dtype=np.uint8)
+    f1 = rng.integers(0, 256, (8, 10, 3), dtype=np.uint8)
+    blob = mm.encode_apng([f0, f1], [40, 40], offsets=[(0, 0), (5, 4)])
+    ours, jvm = mm._decode_png(blob), jc.decode_image_jvm(blob)
+    assert ours.shape == jvm.shape and np.array_equal(ours, jvm)
+    assert np.array_equal(mm.decode_image(blob), ours)
+
+
+@needs_jvm
 def test_tiff_variants_byte_exact():
     """All four spec compressions, 16-bit RGB and gray (high-byte
     convention), 1-bit, predictor, both byte orders, and the vendored

@@ -966,6 +966,63 @@ def test_flac_other_bit_depths_roundtrip(bps):
     assert np.array_equal(out[:, 0], sig.astype(np.int64).astype(np.int32))
 
 
+def test_flac_crc16_tree_combine_matches_bitwise():
+    """The decoder's CRC-16 is a GF(2) tree combine over numpy byte
+    states; pin it against the direct bit-at-a-time definition
+    (poly 0x8005, init 0) across lengths straddling the power-of-two
+    padding boundaries."""
+    from streamsum_spark.operators import flac
+
+    def ref_crc16(data):
+        crc = 0
+        for byte in data:
+            crc ^= byte << 8
+            for _ in range(8):
+                crc = (
+                    ((crc << 1) ^ 0x8005) & 0xFFFF
+                    if crc & 0x8000
+                    else (crc << 1) & 0xFFFF
+                )
+        return crc
+
+    rng = np.random.default_rng(5)
+    for n in (0, 1, 2, 3, 7, 8, 9, 255, 256, 257, 5000):
+        d = bytes(rng.integers(0, 256, n, dtype=np.uint8).tobytes())
+        assert flac._crc16(d) == ref_crc16(d), n
+
+
+def test_flac_rice_window_growth_on_long_unary():
+    """Huge quotients overflow the Rice reader's initial bit-window
+    guess, forcing the geometric-growth path (and, clipped at the blob
+    edge, the truncation error) — both with and without remainder
+    bits."""
+    from streamsum_spark.operators import flac
+
+    vals = [40000, -3, 0, 12345, -40000]
+    for p in (0, 3):
+        bw = flac._BitWriter()
+        flac._write_rice(bw, vals, p)
+        bw.align()
+        out, _ = flac._read_rice_partition(bytes(bw.out), 0, len(vals), p)
+        assert out.tolist() == vals
+        with pytest.raises(ValueError, match="truncated unary"):
+            flac._read_rice_partition(bytes(bw.out), 0, len(vals) + 1, p)
+
+
+def test_flac_fixed_inversion_property():
+    """FIXED reconstruction is the cumsum inverse of the order-k
+    binomial difference: inverting _fixed_residual recovers the signal
+    exactly for every order."""
+    from streamsum_spark.operators import flac
+
+    rng = np.random.default_rng(6)
+    for order in range(5):
+        x = [int(v) for v in rng.integers(-30000, 30000, 300)]
+        resid = flac._fixed_residual(x, order)
+        got = flac._invert_fixed(x[:order], np.asarray(resid, np.int64), order)
+        assert got.tolist() == x, order
+
+
 def test_ima_adpcm_stereo_tracks_both_channels():
     """Stereo IMA ADPCM: per-channel block headers + 4-byte interleaved
     nibble groups; both channels decode independently and track their
