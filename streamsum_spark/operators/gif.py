@@ -226,52 +226,17 @@ def _iter_raw_frames(b: bytes):
         disposal, transparent, delay_cs = 0, None, 0
 
 
-def _lzw_decode(data: bytes, min_code: int, max_pixels: int) -> list[int]:
+def _lzw_decode(data: bytes, min_code: int, max_pixels: int) -> np.ndarray:
     """GIF-flavor LZW: LSB-first variable-width codes, dictionary grows
     to 12 bits then freezes until CLEAR.  Output stops at ``max_pixels``
     (the frame's declared size), bounding work and memory by the capped
-    header dims regardless of the code stream."""
-    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    header dims regardless of the code stream.  Decode is the shared
+    vectorized core (_lzw.py): schedule-driven numpy code extraction +
+    output-slice emission, pinned against the previous scalar decoder
+    by a differential fuzz."""
+    from streamsum_spark.operators._lzw import lzw_decode_gif
 
-    def reset():
-        d = {c: (c,) for c in range(1 << min_code)}
-        return d, min_code + 1, eoi + 1
-
-    table, width, next_code = reset()
-    out: list[int] = []
-    acc = nbits = 0
-    prev: tuple[int, ...] | None = None
-    for byte in data:
-        acc |= byte << nbits
-        nbits += 8
-        while nbits >= width:
-            code = acc & ((1 << width) - 1)
-            acc >>= width
-            nbits -= width
-            if code == clear:
-                table, width, next_code = reset()
-                prev = None
-                continue
-            if code == eoi:
-                return out
-            if prev is None:
-                entry = table[code]  # KeyError -> corrupt, caught above
-            elif code < next_code:
-                entry = table[code]
-            elif code == next_code:
-                entry = prev + (prev[0],)  # the KwKwK special case
-            else:
-                raise ValueError("corrupt GIF: LZW code out of sequence")
-            out.extend(entry)
-            if len(out) >= max_pixels:
-                return out
-            if prev is not None and next_code < 4096:
-                table[next_code] = prev + (entry[0],)
-                next_code += 1
-                if next_code == (1 << width) and width < 12:
-                    width += 1
-            prev = entry
-    return out
+    return lzw_decode_gif(data, min_code, max_pixels)
 
 
 def encode_gif(px: np.ndarray, palette: np.ndarray | None = None,

@@ -197,52 +197,14 @@ def _lzw_decode(data: bytes, max_out: int) -> bytes:
     libtiff emits BOTH at the 4094-entry table-full boundary and, on
     poorly-compressing data, from its periodic compression-ratio check
     (so a Clear can arrive at ANY table size, at the current width)."""
-    out = bytearray()
-    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
-    acc = 0
-    nbits = 0
-    width = 9
-    prev: bytes | None = None
-    pos = 0
-    n = len(data)
-    while len(out) < max_out:
-        while nbits < width:
-            if pos >= n:
-                return bytes(out)  # truncated stream: emit what we have
-            acc = (acc << 8) | data[pos]
-            pos += 1
-            nbits += 8
-        code = (acc >> (nbits - width)) & ((1 << width) - 1)
-        nbits -= width
-        if code == 257:  # EOI
-            break
-        if code == 256:  # Clear
-            table = table[:258]
-            width = 9
-            prev = None
-            continue
-        if prev is None:
-            if code > 255:
-                raise ValueError("corrupt TIFF: LZW non-literal after clear")
-            entry = table[code]
-        elif code < len(table):
-            entry = table[code]
-            if len(table) < 4095:
-                table.append(prev + entry[:1])
-        elif code == len(table) and len(table) < 4095:
-            entry = prev + prev[:1]
-            table.append(entry)
-        else:
-            raise ValueError("corrupt TIFF: LZW code out of range")
-        out += entry
-        prev = entry
-        # early change, decoder side: widen at (1<<width)-1 — one entry
-        # before 9-bit code space runs out at 512 (libtiff MAXCODE;
-        # r8's offset-2 variant desynced on real libtiff streams, caught
-        # by the vendored golden)
-        if len(table) == (1 << width) - 1 and width < 12:
-            width += 1
-    return bytes(out)
+    from streamsum_spark.operators._lzw import lzw_decode_tiff
+
+    # decode via the shared vectorized core (_lzw.py): schedule-driven
+    # numpy code extraction (the early change keeps widths a pure
+    # function of table size) + output-slice emission; pinned against
+    # the previous scalar decoder by a differential fuzz and the
+    # vendored libtiff goldens
+    return lzw_decode_tiff(data, max_out)
 
 
 def _packbits_decode(data: bytes, max_out: int) -> bytes:
