@@ -22,13 +22,15 @@ libs.  Surface:
   StripOffsets / StripByteCounts / RowsPerStrip, TILED organization
   (spec §15: full padded edge tiles, per-tile compression with the
   predictor resetting at tile boundaries — round 9, pinned against a
-  real libtiff-written tiled file), and all eight Orientation
-  transforms (spec §4, tag 274).
+  real libtiff-written tiled file; round 10 adds planar+tiled — a
+  plane-major tile grid — and sub-byte single-channel tiles, both
+  pinned against real libtiff-written files), and all eight
+  Orientation transforms (spec §4, tag 274).
 
 Honest refusals (NotImplementedError, same posture as the other
-decoders — a fake decode would misreport pixel stats): planar TILED
-images, sub-byte tiled images, CCITT G3/G4 and JPEG-in-TIFF
-compressions, floating-point SampleFormat.
+decoders — a fake decode would misreport pixel stats): sub-byte
+MULTI-SAMPLE tiled images, CCITT G3/G4 and JPEG-in-TIFF compressions,
+floating-point SampleFormat.
 
 Hostile-input posture matches gif.py/webp.py: dimensions and strip
 sizes are capped before allocation (≤ _MAX_DECODED_BYTES), LZW output
@@ -131,8 +133,11 @@ def tiff_native_ok(b: bytes) -> bool:
     - unsigned integer samples <= 16 bits (the JVM side's high-byte
       shift matches this decoder's 16->8 convention; signed/float
       conversions would not).
-    - photometric gray/palette/RGB; no planar+tiled combination (this
-      decoder refuses it)."""
+    - photometric gray/palette/RGB.  planar+tiled routes native as of
+      round 10 (the spec decoder now handles it; the JDK reader was
+      swept byte-exact across compressions/orders/depths, and its one
+      refusal — 16-bit + predictor — falls back to the spec decoder,
+      which is always safe)."""
     try:
         if b[:4] == b"II*\x00":
             bo = "<"
@@ -149,10 +154,6 @@ def tiff_native_ok(b: bytes) -> bool:
             and tags.get(_T_PHOTOMETRIC, [1])[0] in (0, 1, 2, 3)
             and all(f == 1 for f in tags.get(_T_SAMPLE_FORMAT, [1]))
             and all(1 <= v <= 16 for v in tags.get(_T_BPS, [1]))
-            and not (
-                tags.get(_T_PLANAR, [1])[0] == 2
-                and (_T_TILE_WIDTH in tags or _T_TILE_LENGTH in tags)
-            )
         )
     except (ValueError, IndexError, struct.error):
         return False
@@ -241,8 +242,6 @@ def _decode_tiff(b: bytes) -> np.ndarray:
     planar = tags.get(_T_PLANAR, [1])[0]
     if planar not in (1, 2):
         raise ValueError(f"corrupt TIFF: planar configuration {planar}")
-    if planar == 2 and (_T_TILE_WIDTH in tags or _T_TILE_LENGTH in tags):
-        raise NotImplementedError("planar tiled TIFF not supported")
     if any(f not in (1, 2) for f in tags.get(_T_SAMPLE_FORMAT, [1])):
         raise NotImplementedError("floating-point TIFF samples not supported")
     comp = tags.get(_T_COMPRESSION, [1])[0]
@@ -313,36 +312,48 @@ def _decode_tiff(b: bytes) -> np.ndarray:
         tl = tags.get(_T_TILE_LENGTH, [0])[0]
         if tw <= 0 or tl <= 0:
             raise ValueError("corrupt TIFF: bad tile dimensions")
-        if bps not in (8, 16):
-            raise NotImplementedError("sub-byte tiled TIFF not supported")
+        if bps < 8 and spp != 1:
+            raise NotImplementedError(
+                "sub-byte multi-sample tiled TIFF not supported")
         across = (w + tw - 1) // tw
         down = (h + tl - 1) // tl
         if across * tw * down * tl * spp * 2 > _MAX_DECODED_BYTES:
             raise ValueError("implausible TIFF tile grid")
+        # PlanarConfiguration 2 stores the tile grid once PER PLANE,
+        # plane-major (spec §15 with §"Planar format"): each plane's
+        # tile decodes as a single-channel tile
+        n_planes = spp if planar == 2 and spp > 1 else 1
+        nch_tile = 1 if n_planes > 1 else spp
+        n_tiles = across * down
         offsets = tags.get(_T_TILE_OFFSETS)
-        if offsets is None or len(offsets) < across * down:
+        if offsets is None or len(offsets) < n_planes * n_tiles:
             raise ValueError("corrupt TIFF: missing tile offsets")
-        tile_stride = (tw * spp * bps + 7) // 8
+        tile_stride = (tw * nch_tile * bps + 7) // 8
         counts = tags.get(_T_TILE_COUNTS)
         if counts is None:
             if comp != 1:
                 raise ValueError("corrupt TIFF: compressed tiles without byte counts")
-            counts = [tile_stride * tl] * (across * down)
+            counts = [tile_stride * tl] * (n_planes * n_tiles)
         px = np.zeros((h, w, spp), dtype=np.uint8)
-        for ty in range(down):
-            for tx in range(across):
-                k = ty * across + tx
-                want = tile_stride * tl
-                off, cnt = offsets[k], counts[k]
-                if off + cnt > len(b) or cnt > _MAX_DECODED_BYTES:
-                    raise ValueError("corrupt TIFF: tile out of range")
-                arr = np.frombuffer(
-                    decompress(b[off : off + cnt], want), dtype=np.uint8
-                ).reshape(tl, tile_stride)
-                tpx = _rows_to_pixels(arr, tl, tw, spp, bps, bo, predictor)
-                y0, x0 = ty * tl, tx * tw
-                ys, xs = min(tl, h - y0), min(tw, w - x0)
-                px[y0 : y0 + ys, x0 : x0 + xs] = tpx[:ys, :xs]
+        for p in range(n_planes):
+            for ty in range(down):
+                for tx in range(across):
+                    k = p * n_tiles + ty * across + tx
+                    want = tile_stride * tl
+                    off, cnt = offsets[k], counts[k]
+                    if off + cnt > len(b) or cnt > _MAX_DECODED_BYTES:
+                        raise ValueError("corrupt TIFF: tile out of range")
+                    arr = np.frombuffer(
+                        decompress(b[off : off + cnt], want), dtype=np.uint8
+                    ).reshape(tl, tile_stride)
+                    tpx = _rows_to_pixels(arr, tl, tw, nch_tile, bps, bo,
+                                          predictor)
+                    y0, x0 = ty * tl, tx * tw
+                    ys, xs = min(tl, h - y0), min(tw, w - x0)
+                    if n_planes > 1:
+                        px[y0 : y0 + ys, x0 : x0 + xs, p] = tpx[:ys, :xs, 0]
+                    else:
+                        px[y0 : y0 + ys, x0 : x0 + xs] = tpx[:ys, :xs]
     elif planar == 2 and spp > 1:
         # PlanarConfiguration 2 (spec: "Planar format"): each sample
         # plane is stored as its OWN run of strips — all of plane 0's
@@ -598,9 +609,19 @@ def encode_tiff(
         return blob
 
     strips = []
-    if planar == 2 and spp > 1:
-        if tile is not None:
-            raise ValueError("planar tiled fixture encoding not supported")
+    if planar == 2 and spp > 1 and tile is not None:
+        # plane-major tile grid (spec §15 + "Planar format"): each
+        # plane's tiles serialize as single-channel tiles
+        tw, tl = tile
+        grid = flat.reshape(h, w, spp)
+        for p in range(spp):
+            for y0 in range(0, h, tl):
+                for x0 in range(0, w, tw):
+                    block = np.zeros((tl, tw, 1), dtype=grid.dtype)
+                    ys, xs = min(tl, h - y0), min(tw, w - x0)
+                    block[:ys, :xs, 0] = grid[y0 : y0 + ys, x0 : x0 + xs, p]
+                    strips.append(compress(serialize(block, tl, tw, nch=1)))
+    elif planar == 2 and spp > 1:
         grid = flat.reshape(h, w, spp)
         for p in range(spp):
             prows = serialize(grid[:, :, p : p + 1], h, w, nch=1)
@@ -610,8 +631,9 @@ def encode_tiff(
                 strips.append(compress(prows[r0 * pstride : r1 * pstride]))
     elif tile is not None:
         tw, tl = tile
-        if bps not in (8, 16):
-            raise ValueError("tiled fixture encoding needs bps 8 or 16")
+        if bps not in (8, 16) and spp != 1:
+            raise ValueError(
+                "sub-byte tiled fixture encoding needs a single sample")
         grid = flat.reshape(h, w, spp)
         for y0 in range(0, h, tl):
             for x0 in range(0, w, tw):

@@ -137,11 +137,20 @@ def test_tiff_variants_byte_exact():
         tf.encode_tiff(rng.integers(0, 65536, (48, 64, 3), dtype=np.uint16)),
         tf.encode_tiff(rng.integers(0, 65536, (48, 64), dtype=np.uint16)),
         tf.encode_tiff((big[:, :, 0] > 128).astype(np.uint8), bits_per_sample=1),
+        # round-10 surfaces: planar+tiled and sub-byte tiled now decode
+        # spec-side AND route native, so the sampled cross-check demands
+        # byte equality for them too
+        tf.encode_tiff(big[:21, :37], compression="lzw", planar=2,
+                       tile=(16, 16)),
+        tf.encode_tiff(rng.integers(0, 4, (23, 29), dtype=np.uint8).astype(np.uint8),
+                       compression="lzw", bits_per_sample=2, tile=(16, 8)),
     ]
     for f in (
         "ext_lzw_libtiff_noise.tif",
         "ext_lzw_libtiff_tiled.tif",
         "ext_lzw_libtiff_planar.tif",
+        "ext_lzw_libtiff_planar_tiled.tif",
+        "ext_lzw_libtiff_bilevel_tiled.tif",
         "ext_uncompressed_rgba.tiff",
     ):
         with open(f"tests/data/{f}", "rb") as fh:
@@ -197,6 +206,10 @@ def test_native_gates():
     assert not jpeg_native_ok(b"\xff\xd8\xff")  # truncated
 
     assert tf.tiff_native_ok(tf.encode_tiff(mid, compression="lzw", predictor=2))
+    # planar+tiled routes native as of round 10 (swept byte-exact; the
+    # JDK's 16-bit+predictor refusal falls back to spec, which is safe)
+    assert tf.tiff_native_ok(
+        tf.encode_tiff(mid, compression="lzw", planar=2, tile=(16, 16)))
     assert not tf.tiff_native_ok(tf.encode_tiff(mid, orientation=6))
     assert not tf.tiff_native_ok(b"II*\x00\x08\x00\x00\x00")  # empty IFD region
     # JPEG-in-TIFF (compression 7): flip the compression tag value

@@ -57,9 +57,9 @@ def test_external_tiff_matches_ppm_golden_byte_exact():
     assert np.array_equal(ours, golden)
 
 
-def _xorshift_gray(low_entropy: bool, n: int = 128 * 160) -> np.ndarray:
+def _xorshift_stream(n: int, low_entropy: bool) -> bytes:
     """Same fixed xorshift32 stream tools/gen_libtiff_lzw_golden.py
-    encoded — the test re-derives the expected pixels instead of
+    encoded — the tests re-derive the expected pixels instead of
     trusting a second vendored artifact."""
     x = 0x9E3779B9
     out = bytearray()
@@ -68,7 +68,12 @@ def _xorshift_gray(low_entropy: bool, n: int = 128 * 160) -> np.ndarray:
         x ^= x >> 17
         x ^= (x << 5) & 0xFFFFFFFF
         out.append((x & 0xF) * 17 if low_entropy else x & 0xFF)
-    return np.frombuffer(bytes(out), np.uint8).reshape(160, 128)
+    return bytes(out)
+
+
+def _xorshift_gray(low_entropy: bool, n: int = 128 * 160) -> np.ndarray:
+    return np.frombuffer(_xorshift_stream(n, low_entropy),
+                         np.uint8).reshape(160, 128)
 
 
 @pytest.mark.parametrize("name,low", [("noise", False), ("lowent", True)])
@@ -437,14 +442,14 @@ def test_tiled_hostile_refuses():
     # truncate: tile data out of range
     with pytest.raises(ValueError):
         tiff.decode_tiff(tiff.encode_tiff(img, compression="lzw", tile=(16, 16))[:60])
-    # sub-byte tiled: honest refusal (patch a valid 8-bit tiled blob's
-    # BitsPerSample tag down to 4)
+    # sub-byte MULTI-SAMPLE tiled: the one tiled combination still
+    # refused (patch an RGB tiled blob's out-of-line BitsPerSample
+    # values 8,8,8 down to 4,4,4)
+    rgbblob = tiff.encode_tiff(np.zeros((20, 20, 3), np.uint8), tile=(16, 16))
     with pytest.raises(NotImplementedError):
-        patched = bytes(blob).replace(
-            struct.pack("<HHI", 258, 3, 1) + b"\x08\x00\x00\x00",
-            struct.pack("<HHI", 258, 3, 1) + b"\x04\x00\x00\x00",
-        )
-        assert patched != bytes(blob)
+        patched = rgbblob.replace(
+            b"\x08\x00\x08\x00\x08\x00", b"\x04\x00\x04\x00\x04\x00")
+        assert patched != rgbblob
         tiff.decode_tiff(patched)
 
 
@@ -477,6 +482,94 @@ def test_libtiff_reads_inrepo_tiled(tmp_path):
                 buf.raw, np.uint8).reshape(16, 16)
     lib.TIFFClose(ctypes.c_void_p(t))
     assert np.array_equal(got[:40, :37], img)
+
+
+def test_external_libtiff_planar_tiled_golden_byte_exact():
+    """REAL libtiff-written planar+TILED RGB (PlanarConfiguration=2,
+    48x32 tiles, plane-major via TIFFWriteTile's sample arg): the
+    combination refused before round 10 must now reassemble the
+    xorshift planes byte-exact."""
+    img = tiff.decode_tiff(_data("ext_lzw_libtiff_planar_tiled.tif"))
+    exp = np.frombuffer(
+        _xorshift_stream(3 * 128 * 160, True), np.uint8
+    ).reshape(3, 160, 128)
+    assert img.shape == (160, 128, 3)
+    assert all(np.array_equal(img[:, :, c], exp[c]) for c in range(3))
+
+
+def test_external_libtiff_bilevel_tiled_golden_byte_exact():
+    """REAL libtiff-written 1-bit tiled LZW (sub-byte tiled, refused
+    before round 10): per-tile MSB-first bit rows, byte-aligned at the
+    TILE width, thresholded xorshift pixels."""
+    img = tiff.decode_tiff(_data("ext_lzw_libtiff_bilevel_tiled.tif"))
+    bits = np.frombuffer(
+        _xorshift_stream(128 * 160, True), np.uint8
+    ).reshape(160, 128) >= 128
+    exp = bits.astype(np.uint8) * 255
+    assert img.shape == (160, 128, 3)
+    assert all(np.array_equal(img[:, :, c], exp) for c in range(3))
+
+
+@pytest.mark.parametrize("comp,pred", COMP_PRED)
+def test_planar_tiled_roundtrip_rgb_and_gray16(comp, pred):
+    """Planar + tiled encode/decode: plane-major tile grid, per-tile
+    prediction reset within each plane, non-tile-aligned dims."""
+    rng = _rng(31)
+    rgb = rng.integers(0, 256, (21, 37, 3)).astype(np.uint8)
+    out = tiff.decode_tiff(tiff.encode_tiff(
+        rgb, compression=comp, predictor=pred, planar=2, tile=(16, 16)))
+    assert np.array_equal(out, rgb)
+    g16 = rng.integers(0, 65536, (19, 22, 3)).astype(np.uint16)
+    out16 = tiff.decode_tiff(tiff.encode_tiff(
+        g16, compression=comp, predictor=pred, planar=2, tile=(16, 16)))
+    assert np.array_equal(out16, (g16 >> 8).astype(np.uint8))
+
+
+@pytest.mark.parametrize("bps", [1, 2, 4])
+def test_subbyte_tiled_roundtrip(bps):
+    """Sub-byte single-channel tiles: rows byte-aligned at the tile
+    width, gray rescale 255/(2^bps - 1) exact."""
+    rng = _rng(32 + bps)
+    gi = rng.integers(0, 1 << bps, (23, 29)).astype(np.uint8)
+    for comp in ("none", "lzw", "deflate"):
+        out = tiff.decode_tiff(tiff.encode_tiff(
+            gi, compression=comp, bits_per_sample=bps, tile=(16, 8)))
+        exp = (gi.astype(np.uint16) * 255 // ((1 << bps) - 1)).astype(np.uint8)
+        assert np.array_equal(out, np.repeat(exp[:, :, None], 3, 2)), comp
+
+
+def test_libtiff_reads_inrepo_planar_tiled(tmp_path):
+    """Reverse direction: real libtiff must read this repo's
+    planar+tiled LZW output tile-for-tile (TIFFReadTile sample arg)."""
+    import ctypes
+
+    try:
+        lib = ctypes.CDLL("libtiff.so.6")
+    except OSError:
+        pytest.skip("libtiff not available")
+    rng = _rng(33)
+    img = rng.integers(0, 256, (40, 37, 3)).astype(np.uint8)
+    blob = tiff.encode_tiff(img, compression="lzw", planar=2, tile=(16, 16))
+    p = tmp_path / "planar_tiled.tif"
+    p.write_bytes(blob)
+    lib.TIFFOpen.restype = ctypes.c_void_p
+    lib.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    t = lib.TIFFOpen(str(p).encode(), b"r")
+    assert t, "libtiff refused the in-repo planar+tiled container"
+    lib.TIFFReadTile.restype = ctypes.c_ssize_t
+    got = np.zeros((3, 48, 48), np.uint8)
+    for s in range(3):
+        for y0 in range(0, 40, 16):
+            for x0 in range(0, 37, 16):
+                buf = ctypes.create_string_buffer(16 * 16)
+                n = lib.TIFFReadTile(ctypes.c_void_p(t), buf,
+                                     ctypes.c_uint32(x0), ctypes.c_uint32(y0),
+                                     0, ctypes.c_uint16(s))
+                assert n == 256, (s, x0, y0, n)
+                got[s, y0:y0 + 16, x0:x0 + 16] = np.frombuffer(
+                    buf.raw, np.uint8).reshape(16, 16)
+    lib.TIFFClose(ctypes.c_void_p(t))
+    assert np.array_equal(np.moveaxis(got[:, :40, :37], 0, 2), img)
 
 
 # ---- planar configuration (spec: PlanarConfiguration = 2) --------------
@@ -530,8 +623,10 @@ def test_planar_hostile_refuses():
             struct.pack("<HHI", 284, 3, 1) + b"\x03\x00\x00\x00",
         )
         tiff.decode_tiff(patched)
-    # planar + tiled: honest refusal
-    with pytest.raises(NotImplementedError):
+    # planar + tiled is SUPPORTED since round 10, so patching a chunky
+    # tiled file to planar=2 is now a plain corruption: the plane-major
+    # grid needs spp x tiles offsets and only tiles are present
+    with pytest.raises(ValueError, match="missing tile offsets"):
         tiled = tiff.encode_tiff(img, tile=(8, 8))
         patched = tiled.replace(
             struct.pack("<HHI", 284, 3, 1) + b"\x01\x00\x00\x00",

@@ -82,8 +82,10 @@ def write_lzw_gray(path: str, px: bytes, w: int, h: int,
     print(f"wrote {path} ({os.path.getsize(path)} bytes)", file=sys.stderr)
 
 
-def write_lzw_rgb_planar(path: str, px: bytes, w: int, h: int) -> None:
-    """RGB with PlanarConfiguration=2: three single-plane strips, LZW.
+def write_lzw_rgb_planar(path: str, px: bytes, w: int, h: int,
+                         tile: tuple | None = None) -> None:
+    """RGB with PlanarConfiguration=2: LZW, one strip per plane — or,
+    with ``tile``, plane-major tiles via TIFFWriteTile's sample arg.
     ``px`` is plane-major (R plane, G plane, B plane)."""
     lib = ctypes.CDLL("libtiff.so.6")
     lib.TIFFOpen.restype = ctypes.c_void_p
@@ -97,16 +99,77 @@ def write_lzw_rgb_planar(path: str, px: bytes, w: int, h: int) -> None:
     assert setf(t, 257, ctypes.c_uint32(h))
     assert setf(t, 258, ctypes.c_int(8))
     assert setf(t, 277, ctypes.c_int(3))          # SamplesPerPixel: RGB
-    assert setf(t, 278, ctypes.c_uint32(h))       # one strip per plane
+    if tile is None:
+        assert setf(t, 278, ctypes.c_uint32(h))   # one strip per plane
+    else:
+        assert setf(t, 322, ctypes.c_uint32(tile[0]))  # TileWidth
+        assert setf(t, 323, ctypes.c_uint32(tile[1]))  # TileLength
     assert setf(t, 259, ctypes.c_int(5))          # LZW
     assert setf(t, 262, ctypes.c_int(2))          # Photometric: RGB
     assert setf(t, 284, ctypes.c_int(2))          # PlanarConfig: SEPARATE
-    lib.TIFFWriteEncodedStrip.restype = ctypes.c_ssize_t
     n = w * h
-    for p in range(3):
-        buf = ctypes.create_string_buffer(px[p * n : (p + 1) * n], n)
-        r = lib.TIFFWriteEncodedStrip(t, p, buf, ctypes.c_ssize_t(n))
-        assert r == n, (p, r)
+    if tile is None:
+        lib.TIFFWriteEncodedStrip.restype = ctypes.c_ssize_t
+        for p in range(3):
+            buf = ctypes.create_string_buffer(px[p * n : (p + 1) * n], n)
+            r = lib.TIFFWriteEncodedStrip(t, p, buf, ctypes.c_ssize_t(n))
+            assert r == n, (p, r)
+    else:
+        tw, tl = tile
+        lib.TIFFWriteTile.restype = ctypes.c_ssize_t
+        for p in range(3):
+            plane = px[p * n : (p + 1) * n]
+            for y0 in range(0, h, tl):
+                for x0 in range(0, w, tw):
+                    block = bytearray(tw * tl)
+                    for r in range(min(tl, h - y0)):
+                        row = plane[(y0 + r) * w + x0
+                                    : (y0 + r) * w + x0 + min(tw, w - x0)]
+                        block[r * tw : r * tw + len(row)] = row
+                    buf = ctypes.create_string_buffer(bytes(block), len(block))
+                    got = lib.TIFFWriteTile(t, buf, ctypes.c_uint32(x0),
+                                            ctypes.c_uint32(y0), 0,
+                                            ctypes.c_uint16(p))
+                    assert got > 0, (p, x0, y0, got)
+    lib.TIFFClose(t)
+    print(f"wrote {path} ({os.path.getsize(path)} bytes)", file=sys.stderr)
+
+
+def write_lzw_bilevel_tiled(path: str, bits: bytes, w: int, h: int,
+                            tile: tuple) -> None:
+    """1-bit min-is-black tiled LZW: ``bits`` is one byte per pixel in
+    {0, 1}; rows pack MSB-first to the TILE width per spec §15."""
+    lib = ctypes.CDLL("libtiff.so.6")
+    lib.TIFFOpen.restype = ctypes.c_void_p
+    lib.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    tif = lib.TIFFOpen(path.encode(), b"w")
+    assert tif, "TIFFOpen failed"
+    setf = lib.TIFFSetField
+    setf.restype = ctypes.c_int
+    t = ctypes.c_void_p(tif)
+    tw, tl = tile
+    assert setf(t, 256, ctypes.c_uint32(w))
+    assert setf(t, 257, ctypes.c_uint32(h))
+    assert setf(t, 258, ctypes.c_int(1))          # BitsPerSample: 1
+    assert setf(t, 277, ctypes.c_int(1))
+    assert setf(t, 322, ctypes.c_uint32(tw))
+    assert setf(t, 323, ctypes.c_uint32(tl))
+    assert setf(t, 259, ctypes.c_int(5))          # LZW
+    assert setf(t, 262, ctypes.c_int(1))          # min-is-black
+    assert setf(t, 284, ctypes.c_int(1))
+    lib.TIFFWriteTile.restype = ctypes.c_ssize_t
+    stride = (tw + 7) // 8
+    for y0 in range(0, h, tl):
+        for x0 in range(0, w, tw):
+            block = bytearray(stride * tl)
+            for r in range(min(tl, h - y0)):
+                for c in range(min(tw, w - x0)):
+                    if bits[(y0 + r) * w + x0 + c]:
+                        block[r * stride + (c >> 3)] |= 0x80 >> (c & 7)
+            buf = ctypes.create_string_buffer(bytes(block), len(block))
+            got = lib.TIFFWriteTile(t, buf, ctypes.c_uint32(x0),
+                                    ctypes.c_uint32(y0), 0, 0)
+            assert got > 0, (x0, y0, got)
     lib.TIFFClose(t)
     print(f"wrote {path} ({os.path.getsize(path)} bytes)", file=sys.stderr)
 
@@ -132,6 +195,19 @@ def main() -> None:
     write_lzw_rgb_planar(
         os.path.join(data, "ext_lzw_libtiff_planar.tif"),
         xorshift_bytes(3 * W * H, True), W, H,
+    )
+    # planar + TILED golden (round 10): plane-major 48x32 tiles —
+    # the combination previously refused
+    write_lzw_rgb_planar(
+        os.path.join(data, "ext_lzw_libtiff_planar_tiled.tif"),
+        xorshift_bytes(3 * W * H, True), W, H, tile=(48, 32),
+    )
+    # sub-byte (1-bit) TILED golden (round 10): derived from the same
+    # xorshift stream, thresholded at 128
+    write_lzw_bilevel_tiled(
+        os.path.join(data, "ext_lzw_libtiff_bilevel_tiled.tif"),
+        bytes(1 if v >= 128 else 0 for v in xorshift_bytes(W * H, True)),
+        W, H, tile=(48, 32),
     )
 
 
