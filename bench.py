@@ -616,11 +616,17 @@ def main() -> None:
         except (OSError, json.JSONDecodeError):
             pass
     line = json.dumps(out)
-    assert len(line) < 1800, (
-        f"headline line {len(line)} chars — would overflow the driver's "
-        "recorded stdout tail; move whatever grew to its own earlier line"
-    )
+    # guard the driver's ~2000-char recorded stdout tail.  NOT an
+    # assert (vanishes under -O) and NEVER instead of printing: if a
+    # future field grows the line, the headline still prints (partial
+    # data beats none after minutes of timed work) and the breach is
+    # loud on stderr + exit code for the next round to fix.
     print(line)
+    if len(line) >= 1800:
+        print(f"headline line {len(line)} chars >= 1800 — would overflow "
+              "the driver's recorded stdout tail; move whatever grew to "
+              "its own earlier line", file=sys.stderr)
+        sys.exit(3)
 
 
 if __name__ == "__main__":

@@ -95,7 +95,32 @@ def _bitlen(k0: int, m: int, widths_a: np.ndarray, last: int) -> int:
     return s
 
 
-def _extract(bits: np.ndarray, pos: int, k0: int, n: int,
+class _LazyBits:
+    """Bit array over the compressed input, unpacked in geometrically
+    doubled prefixes: a decode that stops early (small max_out, EOI
+    near the front) never pays the 8x-input unpack for bytes it does
+    not read (round-10 review fix — a strip near the decode cap cost a
+    ~128 MiB transient per call otherwise).  Doubling keeps total
+    unpack work O(consumed bytes)."""
+
+    __slots__ = ("data", "order", "bits", "total")
+
+    def __init__(self, data: bytes, msb: bool):
+        self.data = np.frombuffer(data, np.uint8)
+        self.order = "big" if msb else "little"
+        self.total = len(data) * 8
+        n0 = min(len(data), 1 << 16)
+        self.bits = np.unpackbits(self.data[:n0], bitorder=self.order)
+
+    def ensure(self, nbits: int) -> None:
+        if nbits <= self.bits.shape[0]:
+            return
+        nbytes = min(len(self.data),
+                     max((nbits + 7) >> 3, (self.bits.shape[0] >> 3) * 2))
+        self.bits = np.unpackbits(self.data[:nbytes], bitorder=self.order)
+
+
+def _extract(lb: _LazyBits, pos: int, k0: int, n: int,
              widths_a: np.ndarray, chg: list[int], last: int,
              msb: bool) -> tuple[np.ndarray, int]:
     """Extract up to n codes at bit `pos`, emitting-index k0; returns
@@ -103,7 +128,7 @@ def _extract(bits: np.ndarray, pos: int, k0: int, n: int,
     decoders drop unfinished codes at end of data)."""
     parts: list[np.ndarray] = []
     p, k, got = pos, k0, 0
-    total = bits.shape[0]
+    total = lb.total
     while got < n:
         w = int(widths_a[k]) if k < last else int(widths_a[last])
         if k < last:
@@ -115,7 +140,8 @@ def _extract(bits: np.ndarray, pos: int, k0: int, n: int,
         run = min(run, (total - p) // w)
         if run <= 0:
             break
-        seg = bits[p : p + run * w].reshape(run, w).astype(np.int32)
+        lb.ensure(p + run * w)
+        seg = lb.bits[p : p + run * w].reshape(run, w).astype(np.int32)
         parts.append(seg @ _weights(w, msb))
         p += run * w
         k += run
@@ -147,8 +173,7 @@ def lzw_decode(
     store_cap = cap - first_entry + 2  # entries never reference later codes
     if max_out <= 0:
         return np.empty(0, out_dtype)
-    bits = np.unpackbits(np.frombuffer(data, np.uint8),
-                         bitorder="big" if msb else "little")
+    lb = _LazyBits(data, msb)
     # headroom: the final code may overshoot max_out by one entry whose
     # length is bounded by the per-segment entry count (< cap)
     out = np.empty(max_out + cap + 2, out_dtype)
@@ -165,7 +190,7 @@ def lzw_decode(
         L_l: list[int] = []  # emitted length of code k
         chunk = seg_hint
         while True:  # chunks within the segment
-            codes, p_new = _extract(bits, pos, k, chunk, widths_a, chg,
+            codes, p_new = _extract(lb, pos, k, chunk, widths_a, chg,
                                     last, msb)
             ncodes = codes.shape[0]
             if ncodes == 0:

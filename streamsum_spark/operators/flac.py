@@ -347,9 +347,28 @@ def _read_residual(br: _Bits, blocksize: int, order: int) -> np.ndarray:
 def _invert_fixed(warm: list[int], resid: np.ndarray, order: int) -> np.ndarray:
     """Reconstruct from FIXED-predictor residuals: the order-k fixed
     predictor is exactly the k-th binomial difference, so inversion is
-    k successive cumulative sums seeded from the warmup diffs."""
+    k successive cumulative sums seeded from the warmup diffs.
+
+    Hostile frames can carry escape-coded residuals near 2^31 whose
+    nested cumsums exceed int64 (real streams never do: intermediate
+    Δ^j values reconstruct genuine samples); the magnitude bound below
+    routes those to an exact arbitrary-precision scalar fold so the
+    wraparound can't silently change decoded values."""
     if order == 0:
         return resid.astype(np.int64)
+    m = int(np.abs(resid).max()) if resid.size else 0
+    mw = max((abs(v) for v in warm), default=0)
+    n = resid.size + order
+    # loose bound: |j-th cumsum| <= max|input| * n^j
+    if (max(m, mw, 1).bit_length() + order * max(n, 2).bit_length()) >= 62:
+        out = list(warm)
+        coefs = _FIXED_COEFS[order]
+        for e in resid.tolist():
+            pred = sum(c * out[-1 - j] for j, c in enumerate(coefs))
+            out.append(pred + e)
+        if any(not -(1 << 62) <= v < (1 << 62) for v in out):
+            raise ValueError("corrupt FLAC: reconstructed sample overflow")
+        return np.asarray(out, np.int64)
     s = resid.astype(np.int64)
     wa = np.asarray(warm, np.int64)
     for j in range(order - 1, -1, -1):

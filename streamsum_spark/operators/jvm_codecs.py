@@ -230,15 +230,27 @@ class _Sidecar:
                 p.stdin.write(struct.pack(">i", len(blob)))
                 p.stdin.write(blob)
                 p.stdin.flush()
-                hdr = p.stdout.read(4)
-                if len(hdr) < 4:
-                    raise BrokenPipeError("sidecar died")
-                (status,) = struct.unpack(">i", hdr)
+                def read_exact(n: int) -> bytes:
+                    # a short read at ANY protocol point means the
+                    # sidecar died mid-reply; letting struct.unpack
+                    # raise struct.error instead would escape both the
+                    # crash recovery below and callers' ValueError
+                    # contract (round-10 review fix)
+                    out = p.stdout.read(n)
+                    if len(out) < n:
+                        raise BrokenPipeError("sidecar died mid-reply")
+                    return out
+
+                (status,) = struct.unpack(">i", read_exact(4))
                 if status != 0:
-                    (m,) = struct.unpack(">i", p.stdout.read(4))
-                    msg = p.stdout.read(m).decode("utf-8", "replace")
+                    (m,) = struct.unpack(">i", read_exact(4))
+                    if not 0 <= m <= (1 << 20):
+                        raise BrokenPipeError("sidecar wrote a bad message length")
+                    msg = read_exact(m).decode("utf-8", "replace")
                     raise ValueError(f"ImageIO refused the blob: {msg}")
-                h, w = struct.unpack(">ii", p.stdout.read(8))
+                h, w = struct.unpack(">ii", read_exact(8))
+                if not (0 < h <= 65536 and 0 < w <= 65536):
+                    raise BrokenPipeError("sidecar wrote bad frame dims")
                 need = h * w * 3
                 buf = bytearray()
                 while len(buf) < need:

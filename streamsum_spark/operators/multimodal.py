@@ -505,8 +505,17 @@ def _jvm_native_decode(b: bytes, fmt: str, spec_decode, exact: bool) -> np.ndarr
 
     if not jc.have_jvm_imageio():
         return spec_decode(b)
+    return _native_decode(b, fmt, jc.decode_image_jvm, spec_decode, exact)
+
+
+def _native_decode(b: bytes, fmt: str, native_fn, spec_decode,
+                   exact: bool) -> np.ndarray:
+    """The ONE native-fast-path contract, shared by the JVM sidecar
+    formats and libwebp (round-10 review fix: the WebP branch carried
+    its own copy of this policy, inviting drift — the unguarded GIF
+    route was exactly that kind of drift)."""
     try:
-        px = jc.decode_image_jvm(b)
+        px = native_fn(b)
     except (ValueError, RuntimeError):
         # refusal/crash/unavailable: the spec decoder owns the
         # malformed-input contract — let it decide
@@ -594,8 +603,16 @@ def decode_image(content: bytes) -> np.ndarray:
     if b[:6] in (b"GIF87a", b"GIF89a"):
         from streamsum_spark.operators.gif import decode_gif
 
-        if NATIVE_DECODE:
-            return _jvm_native_decode(b, "GIF", decode_gif, exact=True)
+        # GIF deliberately does NOT route through the JVM sidecar
+        # (round-10 review fix): ImageIO leniently decodes GIFs the
+        # spec decoder refuses — e.g. an LZW stream ending before w*h
+        # pixels zero-fills the remainder — and unlike palette PNG or
+        # the TIFF gates there is no cheap structural probe for that
+        # class (acceptance depends on the decoded LZW output length),
+        # so routing would make acceptance depend on JVM availability
+        # and the crc sample.  The vectorized LZW core (_lzw.py) puts
+        # the spec decoder within ~2x of the sidecar, so the honest
+        # path is also a fast one.
         return decode_gif(b)
     if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
         from streamsum_spark.operators.webp import decode_webp
@@ -604,24 +621,11 @@ def decode_image(content: bytes) -> np.ndarray:
             from streamsum_spark.operators import native_codecs as nc
 
             if nc.HAVE_LIBWEBP:
-                try:
-                    px = nc.decode_webp_rgb(b)
-                except ValueError:
-                    # native refusal: the spec decoder owns the
-                    # malformed-input contract — let it decide
-                    return decode_webp(b)
-                # deterministic sampled cross-check: WebP decode is
-                # bit-exact by spec, so ANY divergence is a bug, not
-                # noise — raise loud (RuntimeError is intentionally NOT
-                # in extract_features' fallback set) instead of flowing
-                # wrong pixels downstream
-                if zlib.crc32(b) % 100 < NATIVE_VERIFY_PCT:
-                    ours = decode_webp(b)
-                    if ours.shape != px.shape or not np.array_equal(ours, px):
-                        raise RuntimeError(
-                            "native/spec WebP decode mismatch — codec bug"
-                        )
-                return px
+                # WebP decode is bit-exact by spec, so exact=True: ANY
+                # sampled divergence raises loud (RuntimeError is
+                # intentionally NOT in extract_features' fallback set)
+                return _native_decode(b, "WebP", nc.decode_webp_rgb,
+                                      decode_webp, exact=True)
         return decode_webp(b)  # VP8L lossless or lossy VP8 key frame
     if b[:4] in (b"II*\x00", b"MM\x00*"):
         from streamsum_spark.operators.tiff import decode_tiff, tiff_native_ok

@@ -130,14 +130,22 @@ def tiff_native_ok(b: bytes) -> bool:
       metadata but does NOT transform pixels; this decoder does.
     - the four compressions this decoder implements (none/LZW/
       PackBits/Deflate) — JPEG-in-TIFF etc. must keep refusing.
-    - unsigned integer samples <= 16 bits (the JVM side's high-byte
-      shift matches this decoder's 16->8 convention; signed/float
-      conversions would not).
-    - photometric gray/palette/RGB.  planar+tiled routes native as of
-      round 10 (the spec decoder now handles it; the JDK reader was
-      swept byte-exact across compressions/orders/depths, and its one
-      refusal — 16-bit + predictor — falls back to the spec decoder,
-      which is always safe)."""
+    - unsigned integer samples at EXACTLY the depths this decoder
+      accepts — 1/2/4/8/16 single-channel, uniform 8/16 multi-channel
+      (round-10 review fix: "anything 1..16" let the JDK decode e.g.
+      12-bit files the spec decoder refuses, so acceptance depended on
+      JVM availability and the crc sample).
+    - photometric gray/RGB only.  Palette (photometric 3) stays
+      spec-side like palette PNG: the JDK scales 16-bit ColorMap
+      entries as v*255/65535 while this decoder uses v>>8, so any
+      colormap not of the v*257 form decodes off-by-one through the
+      JVM (round-10 review fix — the byte-exact sweep missed it
+      because encode_tiff writes v*257 colormaps).
+    - planar+tiled routes native as of round 10 (the spec decoder now
+      handles it; the JDK reader was swept byte-exact across
+      compressions/orders/depths, and its one refusal — 16-bit +
+      predictor — falls back to the spec decoder, which is always
+      safe)."""
     try:
         if b[:4] == b"II*\x00":
             bo = "<"
@@ -148,12 +156,15 @@ def tiff_native_ok(b: bytes) -> bool:
         tags = _read_ifd(b, bo, struct.unpack_from(bo + "I", b, 4)[0])
         # a mutated zero-count tag yields an empty value list; [0] on it
         # must mean "not routable", not an escaping IndexError
+        bps_vals = tags.get(_T_BPS, [1])
+        spp = tags.get(_T_SPP, [1])[0]
         return (
             tags.get(_T_ORIENTATION, [1])[0] == 1
             and tags.get(_T_COMPRESSION, [1])[0] in (1, 5, 8, 32773, 32946)
-            and tags.get(_T_PHOTOMETRIC, [1])[0] in (0, 1, 2, 3)
+            and tags.get(_T_PHOTOMETRIC, [1])[0] in (0, 1, 2)
             and all(f == 1 for f in tags.get(_T_SAMPLE_FORMAT, [1]))
-            and all(1 <= v <= 16 for v in tags.get(_T_BPS, [1]))
+            and len(set(bps_vals)) == 1
+            and bps_vals[0] in ((1, 2, 4, 8, 16) if spp == 1 else (8, 16))
         )
     except (ValueError, IndexError, struct.error):
         return False

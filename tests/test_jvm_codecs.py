@@ -224,6 +224,46 @@ def test_native_gates():
     assert not tf.tiff_native_ok(bytes(blob))
 
 
+def test_acceptance_never_depends_on_jvm_availability():
+    """Round-10 review regressions: blobs where the JDK is MORE lenient
+    or decodes DIFFERENTLY than the spec decoders must not route
+    native, so identical bytes decode identically (or refuse
+    identically) with and without a JVM.
+
+    - palette TIFF: the JDK scales 16-bit ColorMap entries v*255/65535
+      vs the spec decoder's v>>8 — off-by-one pixels for any colormap
+      not of the v*257 form -> photometric 3 is gated off;
+    - 12-bit TIFF: the spec decoder refuses, the JDK decodes ->
+      non-{1,2,4,8,16} depths are gated off;
+    - truncated-LZW GIF: ImageIO zero-fills the missing pixels, the
+      spec decoder refuses -> GIF does not route native at all."""
+    mid = _img(32, 24)
+    # palette stays spec-side
+    pal = np.arange(48, dtype=np.uint8).reshape(16, 3) * 5
+    idx = (mid[:, :, 0] % 16).astype(np.uint8)
+    pblob = tf.encode_tiff(idx, colormap=pal, bits_per_sample=4)
+    assert not tf.tiff_native_ok(pblob)
+    # 12-bit: spec refuses, so native must not run
+    blob12 = bytearray(tf.encode_tiff(mid[:, :, 0]))
+    patched = bytes(blob12).replace(
+        struct.pack("<HHI", 258, 3, 1) + b"\x08\x00\x00\x00",
+        struct.pack("<HHI", 258, 3, 1) + b"\x0c\x00\x00\x00",
+    )
+    assert patched != bytes(blob12)
+    with pytest.raises((ValueError, NotImplementedError)):
+        tf.decode_tiff(patched)
+    assert not tf.tiff_native_ok(patched)
+    # truncated-LZW GIF: refusal must hold through decode_image
+    full = gf.encode_gif((mid // 51) * 51)
+    # drop the last few LZW sub-blocks but keep the trailer
+    cut = full.rfind(b"\x00;")
+    trunc = full[: cut - 200] + b"\x00;"
+    with pytest.raises(ValueError):
+        gf.decode_gif(trunc)
+    with pytest.raises(ValueError):
+        mm.decode_image(trunc)
+
+
 def test_routing_falls_back_without_jvm(monkeypatch):
     """With the sidecar reported unavailable, decode_image must return
     the spec decoders' exact output for every routed format."""

@@ -1023,6 +1023,27 @@ def test_flac_fixed_inversion_property():
         assert got.tolist() == x, order
 
 
+def test_flac_fixed_inversion_pathological_magnitudes():
+    """Hostile escape-coded residuals near int64's edge (round-10
+    review): the magnitude bound routes them to the exact scalar fold —
+    same values as a bigint reference when they fit, a loud ValueError
+    (never silent wraparound) when reconstruction exceeds int64."""
+    from streamsum_spark.operators import flac
+
+    # trips the bound but fits: scalar fold must equal a bigint fold
+    resid = np.asarray([1 << 50, -(1 << 50), 3, -7] * 4, np.int64)
+    warm = [5, -2]
+    got = flac._invert_fixed(warm, resid, 2)
+    ref = list(warm)
+    for e in [int(v) for v in resid]:
+        ref.append(2 * ref[-1] - ref[-2] + e)
+    assert got.tolist() == ref
+    # genuinely overflows int64: refuse, never wrap
+    with pytest.raises(ValueError, match="sample overflow"):
+        flac._invert_fixed([0, 0, 0, 0],
+                           np.full(3000, 1 << 30, np.int64), 4)
+
+
 def test_ima_adpcm_stereo_tracks_both_channels():
     """Stereo IMA ADPCM: per-channel block headers + 4-byte interleaved
     nibble groups; both channels decode independently and track their
