@@ -35,12 +35,19 @@ def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """orders ⋈ customer (equi).  Customer is the dimension side: explicit
-    broadcast hint — at 100 TB the fact side never shuffles for this join."""
+    """orders ⋈ customer (equi).  NO broadcast hint (round-11 fix):
+    customer is O(SF) — 15M rows at sf100, billions at the 100 TB design
+    point — not a fixed dimension like nation/region, so a forced
+    ``F.broadcast`` here is the same scale-growing-broadcast class the
+    r7/r8 rounds purged from the dedup keep-lists and tfidf/bloom.  AQE
+    broadcasts while customer measures under the threshold and degrades
+    to a shuffle join when it doesn't (pinned in
+    tests/test_plan_shapes.py: values unchanged at
+    autoBroadcastJoinThreshold=-1 with zero BroadcastHashJoin)."""
     orders = table(spark, sf_dir, "orders")
     customer = table(spark, sf_dir, "customer")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner")
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "inner")
         .select("o_orderkey", "o_custkey", "c_name", "c_mktsegment", "o_totalprice")
     )
 

@@ -29,8 +29,36 @@ def test_extract_prunes_to_used_columns(spark):
     assert "value" not in plans.read_schema_columns(df)
 
 
-def test_join_inner_broadcasts_dimension(spark):
+def test_join_inner_broadcasts_while_small(spark):
+    """No hint (round-11: customer is O(SF), not a fixed dimension) — AQE
+    still broadcasts while customer measures under the threshold."""
     assert plans.has_broadcast_join(QUERIES["join_inner"](spark, SF_ORACLE))
+
+
+def test_join_inner_degrades_to_shuffle_at_scale(spark):
+    """The 100 TB regime (autoBroadcastJoinThreshold=-1, the r7/r8
+    recipe): the customer side must plan as a shuffle join — a forced
+    broadcast of a linearly-growing relation would OOM the driver — with
+    values identical to the default plan."""
+    from tests.conftest import canon_rows
+
+    base = canon_rows(QUERIES["join_inner"](spark, SF_ORACLE).toPandas())
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = QUERIES["join_inner"](spark, SF_ORACLE)
+        plan = plans.explain_str(df)
+        assert "BroadcastHashJoin" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert canon_rows(df.toPandas()) == base
+    finally:
+        for k, v in saved.items():
+            spark.conf.unset(k) if v is None else spark.conf.set(k, v)
 
 
 def test_rollup_joins_broadcast(spark):
