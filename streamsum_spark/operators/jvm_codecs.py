@@ -1,4 +1,5 @@
-"""JVM ImageIO fast path — executor-side sidecar decode for JPEG/PNG.
+"""JVM ImageIO fast path — executor-side sidecar decode for
+JPEG/PNG/TIFF (GIF is deliberately NOT routed: multimodal.decode_image).
 
 The decode posture (native_codecs.py) extended to the formats whose C
 libraries bind poorly via ctypes (libjpeg's setjmp error ABI, libpng's
@@ -30,11 +31,19 @@ Pixel-exactness contract (what routes here and what must not):
   rounding, fancy vs box chroma upsampling differ between the JDK's IJG
   build and operators/jpeg.py), so the sampled cross-check asserts a
   TOLERANCE BAND, not byte equality — see multimodal.decode_image.
-- PNG: lossless; byte-exact vs _decode_png REQUIRED — but only at bit
-  depth 8.  16-bit samples: the spec decoder keeps the high byte while
-  Java's ColorModel scales v*255/65535 with rounding (0xFF00 -> 254,
-  not 255); sub-byte gray: floor-rescale vs Java rounding.  The caller
-  gates on the IHDR depth byte; this module never sees those.
+- PNG/TIFF: lossless; byte-exact vs the spec decoders REQUIRED at EVERY
+  bit depth.  The raw-raster path below handles depth itself: 16-bit
+  samples keep the high byte (>>8 on the raster value, matching the
+  spec decoders' downconvert — NOT Java's ColorModel v*255/65535
+  rounding, which a getRGB() path would apply), and sub-byte gray
+  rescales by the same floor formula.  Pinned byte-exact for 16-bit
+  gray/RGB(A) and sub-byte gray in tests/test_jvm_codecs.py
+  (test_png_variants_byte_exact, test_tiff_variants_byte_exact) — do
+  NOT add a caller-side depth
+  gate "for safety"; it would silently demote those depths to the spec
+  path and cost throughput for nothing.  The ONLY caller gates are
+  acceptance-leniency classes, not depth: palette PNG (IHDR color type
+  3), jpeg_native_ok, tiff_native_ok (see multimodal.decode_image).
 - The Java side reads RAW RASTER BANDS (no ColorSpace conversion): a
   TYPE_BYTE_GRAY getRGB() would run the linear-gray -> sRGB transfer
   function and corrupt gray JPEG values; IndexColorModel (palette) is

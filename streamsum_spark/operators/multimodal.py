@@ -34,15 +34,55 @@ from pyspark.sql import types as T
 
 # Native fast-path routing (see native_codecs.py and jvm_codecs.py for
 # the full design notes): True routes formats with a bound system codec
-# (WebP via libwebp ctypes; JPEG/PNG/GIF/TIFF via the per-worker JVM
+# (WebP via libwebp ctypes; JPEG/PNG/TIFF via the per-worker JVM
 # ImageIO sidecar) through it for throughput, cross-checking a
-# deterministic NATIVE_VERIFY_PCT% sample against the spec decoder —
-# byte-exact for the lossless formats, ISO-tolerance-banded for JPEG
-# (see _jvm_native_decode).  Module-level so tests (and a cluster
-# bootstrap) can force the pure-spec path; absent java/javac/libraries
-# degrade to it automatically.
+# deterministic per-format sample against the spec decoder — byte-exact
+# for the lossless formats, ISO-tolerance-banded for JPEG (see
+# _jvm_native_decode).  Module-level so tests (and a cluster bootstrap)
+# can force the pure-spec path; absent java/javac/libraries degrade to
+# it automatically.
 NATIVE_DECODE = True
-NATIVE_VERIFY_PCT = 5
+
+# Cost-proportional verification budget (r10 verdict order #1).  A flat
+# sample rate lets slow spec decoders dominate the ROUTED throughput —
+# at 5% the expected verify time was ~100% of native decode time for
+# PNG and ~1700% for VP8 (routed 0.95 vs 17.4 native MB/s).  Each
+# format's percent is sized so the EXPECTED verification time is a
+# bounded fraction (~25-50%) of its native decode time, using the
+# spec/native throughput ratios measured in BENCH_r10 codec_throughput,
+# floored at NATIVE_VERIFY_FLOOR_PCT = 0.2% — still millions of
+# verified blobs at 100 TB corpus scale.  The integrity posture is
+# unchanged: the sample is a pure function of blob bytes
+# (crc32 % 10000, 0.01% granularity), any sampled divergence raises
+# RuntimeError, and the known ImageIO-leniency classes remain
+# structurally gated OFF the native path (palette PNG, jpeg_native_ok,
+# tiff_native_ok, GIF not routed) rather than left to sampling.
+# bench.py records the pct next to each routed_mb_s row so the budget
+# stays auditable per round.
+NATIVE_VERIFY_PCT = {
+    # spec 1.3 vs sidecar 26.2 Mpix/s (~20x): 2% -> ~40% of native time
+    "PNG": 2.0,
+    # baseline spec 0.30 vs sidecar 13.4 MB/s (~45x): 0.5% -> ~22%;
+    # progressive (~18x) -> ~9%
+    "JPEG": 0.5,
+    # spec LZW (53 Mpix/s) now BEATS the sidecar (30): a sampled verify
+    # costs less than the native decode it checks, so the full 5% stays
+    "TIFF": 5.0,
+    # VP8 spec is ~350x slower than libwebp: even the 0.2% floor puts
+    # expected verify at ~70% of native time — above the band, but the
+    # floor is the sanctioned lower bound on verification coverage
+    "WebP": 0.2,
+}
+NATIVE_VERIFY_FLOOR_PCT = 0.2  # design floor for production values above
+_VERIFY_DEFAULT_PCT = 5.0  # unlisted formats: conservative flat sample
+
+
+def _verify_hit(b: bytes, fmt: str) -> bool:
+    """Deterministic per-blob sample membership: pure function of blob
+    bytes at 0.01% granularity, so re-decodes of the same corpus check
+    the same blobs and a mismatch cannot hide behind sampling luck."""
+    pct = NATIVE_VERIFY_PCT.get(fmt, _VERIFY_DEFAULT_PCT)
+    return zlib.crc32(b) % 10000 < round(pct * 100)
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -488,7 +528,7 @@ def _jvm_native_decode(b: bytes, fmt: str, spec_decode, exact: bool) -> np.ndarr
     the native-fast-path contract native_codecs.py established for WebP:
     spec decoder on refusal or when the sidecar is unavailable (results
     identical either way for ``exact`` formats, only throughput
-    changes), and a deterministic NATIVE_VERIFY_PCT% sample decoded BOTH
+    changes), and a deterministic NATIVE_VERIFY_PCT[fmt]% sample decoded BOTH
     ways.  ``exact=True`` (PNG/GIF/TIFF — lossless formats whose outputs
     were pinned byte-identical across every color type, depth, interlace
     and compression variant in tests) demands byte equality; JPEG decode
@@ -520,7 +560,7 @@ def _native_decode(b: bytes, fmt: str, native_fn, spec_decode,
         # refusal/crash/unavailable: the spec decoder owns the
         # malformed-input contract — let it decide
         return spec_decode(b)
-    if zlib.crc32(b) % 100 < NATIVE_VERIFY_PCT:
+    if _verify_hit(b, fmt):
         try:
             ours = spec_decode(b)
         except (ValueError, NotImplementedError):

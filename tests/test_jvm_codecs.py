@@ -288,7 +288,7 @@ def test_sampled_mismatch_raises_runtime_error(monkeypatch):
     wrong pixels — same contract as the WebP ctypes path."""
     mid = _img(64, 48)
     blob = mm.encode_png(mid)
-    monkeypatch.setattr(mm, "NATIVE_VERIFY_PCT", 100)
+    monkeypatch.setitem(mm.NATIVE_VERIFY_PCT, "PNG", 100)
     wrong = np.zeros((48, 64, 3), np.uint8)
     monkeypatch.setattr(jc, "decode_image_jvm", lambda b: wrong)
     with pytest.raises(RuntimeError, match="mismatch"):
@@ -304,7 +304,7 @@ def test_sampled_spec_refusal_reraises_not_runtime(monkeypatch):
     SAMPLED occurrence follows the refusal (quarantine) contract — a
     hostile blob must never be able to kill the task via the
     cross-check."""
-    monkeypatch.setattr(mm, "NATIVE_VERIFY_PCT", 100)
+    monkeypatch.setitem(mm.NATIVE_VERIFY_PCT, "PNG", 100)
     monkeypatch.setattr(
         jc, "decode_image_jvm", lambda b: np.zeros((4, 4, 3), np.uint8)
     )

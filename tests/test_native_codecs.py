@@ -35,7 +35,7 @@ def test_native_webp_equals_spec_on_all_blobs(monkeypatch):
     decode byte-identically through libwebp and the spec decoder (WebP
     decode is bit-exact by construction)."""
     monkeypatch.setattr(mm, "NATIVE_DECODE", True)
-    monkeypatch.setattr(mm, "NATIVE_VERIFY_PCT", 0)
+    monkeypatch.setitem(mm.NATIVE_VERIFY_PCT, "WebP", 0)
     for b in _webp_blobs():
         assert np.array_equal(mm.decode_image(b), decode_webp(b))
 
@@ -72,20 +72,20 @@ def test_cross_check_mismatch_raises_runtime_error(monkeypatch):
     wrong = decode_webp(b).copy()
     wrong[0, 0, 0] ^= 0xFF
     monkeypatch.setattr(nc, "decode_webp_rgb", lambda _: wrong)
-    monkeypatch.setattr(mm, "NATIVE_VERIFY_PCT", 100)
+    monkeypatch.setitem(mm.NATIVE_VERIFY_PCT, "WebP", 100)
     with pytest.raises(RuntimeError, match="mismatch"):
         mm.decode_image(b)
 
 
 @pytest.mark.skipif(not nc.HAVE_LIBWEBP, reason="libwebp not available")
 def test_sampling_is_deterministic_by_content(monkeypatch):
-    """The verify sample is a pure function of blob bytes (crc32 % 100),
+    """The verify sample is a pure function of blob bytes (crc32 % 10000),
     so re-decodes of the same corpus check the same blobs — reruns are
     reproducible and a mismatch cannot hide behind sampling luck."""
     import zlib
 
     blobs = _webp_blobs()
-    picked = [b for b in blobs if zlib.crc32(b) % 100 < 50]
+    picked = [b for b in blobs if zlib.crc32(b) % 10000 < 5000]
     assert picked and len(picked) < len(blobs)
     calls = []
     real = decode_webp
@@ -94,7 +94,7 @@ def test_sampling_is_deterministic_by_content(monkeypatch):
         calls.append(b)
         return real(b)
 
-    monkeypatch.setattr(mm, "NATIVE_VERIFY_PCT", 50)
+    monkeypatch.setitem(mm.NATIVE_VERIFY_PCT, "WebP", 50)
     import streamsum_spark.operators.multimodal as mmod
 
     monkeypatch.setattr(
@@ -103,3 +103,45 @@ def test_sampling_is_deterministic_by_content(monkeypatch):
     for b in blobs:
         mmod.decode_image(b)
     assert calls == picked
+
+
+def test_verify_budget_floor_and_determinism():
+    """r10 verdict order #1 pins: every production sample pct respects
+    the 0.2% floor (still millions of verified blobs at corpus scale),
+    every natively-routed format has an explicit budget, and the sample
+    predicate is a pure function of blob bytes at 0.01% granularity —
+    the SAME blobs verify on every re-decode of a corpus."""
+    import zlib
+
+    assert set(mm.NATIVE_VERIFY_PCT) >= {"PNG", "JPEG", "TIFF", "WebP"}
+    for fmt, pct in mm.NATIVE_VERIFY_PCT.items():
+        assert pct >= mm.NATIVE_VERIFY_FLOOR_PCT, (fmt, pct)
+    # determinism + granularity: membership is exactly crc32 % 10000
+    # against pct * 100, for every format including sub-1% budgets
+    for i in range(200):
+        b = b"blob-%d" % i
+        for fmt, pct in mm.NATIVE_VERIFY_PCT.items():
+            expect = zlib.crc32(b) % 10000 < round(pct * 100)
+            assert mm._verify_hit(b, fmt) == expect
+            assert mm._verify_hit(b, fmt) == mm._verify_hit(bytes(b), fmt)
+    # unlisted formats fall back to the conservative flat default
+    assert mm._verify_hit(b"x" * 3, "NOPE") == (
+        zlib.crc32(b"x" * 3) % 10000 < 500
+    )
+
+
+def test_verify_budget_bounds_expected_cost():
+    """The budget's design property, pinned against the r10 measured
+    spec/native throughput ratios: expected verification time
+    (pct * native_rate / spec_rate) stays within ~70% of native decode
+    time for every routed format — the flat 5% it replaced paid ~100%
+    for PNG and ~1700% for VP8."""
+    r10 = {  # native_mb_s / spec_mb_s per BENCH_r10 codec_throughput
+        "PNG": 26.2 / 1.3,
+        "JPEG": 13.4 / 0.30,
+        "TIFF": 30.0 / 53.0,  # spec LZW beats the sidecar
+        "WebP": 17.4 / 0.0502,
+    }
+    for fmt, ratio in r10.items():
+        frac = mm.NATIVE_VERIFY_PCT[fmt] / 100.0 * ratio
+        assert frac <= 0.72, (fmt, frac)
