@@ -369,7 +369,13 @@ def stream_near_dup_marginal(spark, sf_dir):
     accumulated stores.  This is the marginal-batch cost that repeats
     forever at scale; the 3-batch entry is ~90% fixed from-scratch
     setup at sf0.1.  The per-run copy of the seeded dirs (a production
-    ingest mutates in place instead) rides inside the timed number."""
+    ingest mutates in place instead) rides inside the timed number.
+
+    Composition (one instrumented run at sf0.1 — see SURVEY §2.F):
+    ~58% verify + pair-table upsert (the action computing the pruned
+    shingle fetch, Jaccard, and pair merge), ~18% the two state-store
+    merges, ~6% candidate join, ~5% batch prep, ~2% stream startup —
+    regressions here are first a verify/pair-upsert question."""
     import shutil
     import tempfile
     import uuid
