@@ -477,6 +477,24 @@ def codec_throughput() -> dict:
                 out[name + "_native"] = clock(jc.decode_image_jvm, blob, shape)
     finally:
         mm.NATIVE_DECODE = was
+    # resize is the post-decode half of the multimodal prep path: record
+    # the kernel's single-core rate (input Mpix/s) next to the decoders
+    # it follows — model-input normalization (to 224x224) at the bench
+    # image size and at a camera-sized downscale
+    from streamsum_spark.operators.resize import resize_image
+
+    for name, (src_h, src_w) in (
+        ("resize_512x384_to_224", (384, 512)),
+        ("resize_2000x1500_to_224", (1500, 2000)),
+    ):
+        src = img(src_w, src_h)
+        dt = min(
+            (lambda t0: (resize_image(src, 224, 224), time.perf_counter() - t0))(
+                time.perf_counter()
+            )[1]
+            for _ in range(2)
+        )
+        out[name] = {"mpix_s": round(src_h * src_w / dt / 1e6, 3)}
     # what the ROUTED path actually pays: native decode plus the
     # deterministic per-format sampled spec cross-check (r10 verdict
     # order #1: the sample pct is sized per format so expected verify
