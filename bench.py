@@ -495,6 +495,19 @@ def codec_throughput() -> dict:
             for _ in range(2)
         )
         out[name] = {"mpix_s": round(src_h * src_w / dt / 1e6, 3)}
+    # audio twin: polyphase 48k-stereo -> 16k-mono (the ASR front-end
+    # contract), reported as realtime multiple per core
+    from streamsum_spark.operators.audio_prep import downmix_mono, resample_audio
+
+    sec10 = np.tile(tone[:240_000], (2, 2))[:480_000]
+    dt = min(
+        (lambda t0: (resample_audio(downmix_mono(sec10), 48000, 16000),
+                     time.perf_counter() - t0))(time.perf_counter())[1]
+        for _ in range(2)
+    )
+    out["audio_resample_48k_to_16k_mono"] = {
+        "x_realtime": round(len(sec10) / 48000 / dt, 1)
+    }
     # what the ROUTED path actually pays: native decode plus the
     # deterministic per-format sampled spec cross-check (r10 verdict
     # order #1: the sample pct is sized per format so expected verify

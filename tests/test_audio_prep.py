@@ -1,0 +1,161 @@
+"""Pins for polyphase windowed-sinc resampling and the resample_media
+operator: byte-exact vs a per-output-sample reference over a rate-pair
+grid, spectral invariants by FFT (tone preservation, alias rejection,
+DC exactness), determinism, and the Spark plumbing contract."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from streamsum_spark.operators import multimodal as mm
+from streamsum_spark.operators.audio_prep import (
+    downmix_mono,
+    resample_audio,
+    resample_media,
+)
+
+
+def _ref_resample(samples, in_rate, out_rate, n_zeros=16):
+    """Per-output-sample definition (no polyphase sharing): the spec the
+    polyphase implementation must match byte-for-byte."""
+    a = samples.astype(np.float64)
+    in_len = a.shape[0]
+    ratio = in_rate / out_rate
+    s = max(1.0, ratio)
+    support = n_zeros * s
+    ksize = 2 * int(np.ceil(support)) + 1
+    out_len = int(np.floor((in_len - 1) / ratio)) + 1
+    centers = np.arange(out_len, dtype=np.float64) * ratio
+    left = np.ceil(centers - support).astype(np.int64)
+    idx = left[:, None] + np.arange(ksize)[None, :]
+    x = (idx - centers[:, None]) / s
+    w = np.sinc(x) * (0.5 + 0.5 * np.cos(np.pi * np.clip(x / n_zeros, -1, 1)))
+    w = np.where((idx >= 0) & (idx < in_len), w, 0.0)
+    idx = np.clip(idx, 0, in_len - 1)
+    w = w / w.sum(axis=1, keepdims=True)
+    out = np.zeros((out_len,) + a.shape[1:], dtype=np.float64)
+    wshape = (-1,) + (1,) * (a.ndim - 1)
+    for k in range(ksize):
+        out += w[:, k].reshape(wshape) * a[idx[:, k]]
+    return np.clip(np.rint(out), -32768, 32767).astype(np.int16)
+
+
+def _tone(freq, rate, sec=0.5, amp=12000.0):
+    t = np.arange(int(rate * sec)) / rate
+    return (amp * np.sin(2 * np.pi * freq * t)).astype(np.int16).reshape(-1, 1)
+
+
+def _peak_freq(x, rate):
+    sp = np.abs(np.fft.rfft(x[:, 0].astype(np.float64) * np.hanning(len(x))))
+    return float(np.fft.rfftfreq(len(x), 1 / rate)[np.argmax(sp)])
+
+
+def _band_db(x, rate, f, bw=60.0):
+    n = len(x)
+    sp = np.abs(np.fft.rfft(x[:, 0].astype(np.float64) * np.hanning(n))) / n
+    fr = np.fft.rfftfreq(n, 1 / rate)
+    m = (fr > f - bw) & (fr < f + bw)
+    return float(20 * np.log10(sp[m].max() + 1e-12))
+
+
+RATE_PAIRS = [
+    (48000, 16000),   # integer downsample
+    (44100, 16000),   # 441:160 polyphase
+    (8000, 44100),    # deep upsample
+    (22050, 16000),   # 441:320
+    (11025, 48000),   # odd up
+    (16000, 8000),
+]
+
+
+def test_polyphase_matches_per_output_reference_byte_exact():
+    rng = np.random.default_rng(3)
+    for ir, orr in RATE_PAIRS:
+        x = rng.integers(-20000, 20000, (4801, 2)).astype(np.int16)
+        got = resample_audio(x, ir, orr)
+        want = _ref_resample(x, ir, orr)
+        assert got.shape == want.shape and np.array_equal(got, want), (ir, orr)
+
+
+def test_identity_rate_and_dc_exact():
+    rng = np.random.default_rng(5)
+    x = rng.integers(-32768, 32767, (1000, 2)).astype(np.int16)
+    same = resample_audio(x, 16000, 16000)
+    assert np.array_equal(same, x) and same is not x
+    dc = np.full((48000, 2), 1234, np.int16)
+    out = resample_audio(dc, 48000, 16000)
+    assert np.array_equal(out, np.full((len(out), 2), 1234, np.int16))
+
+
+def test_tone_frequency_and_amplitude_preserved():
+    t = _tone(440.0, 48000)
+    down = resample_audio(t, 48000, 16000)
+    assert len(down) == (len(t) - 1) // 3 + 1
+    assert abs(_peak_freq(down, 16000) - 440.0) < 2.0
+    assert abs(int(np.abs(down).max()) - 12000) <= 60  # <0.5% passband droop
+    up = resample_audio(_tone(440.0, 8000), 8000, 44100)
+    assert abs(_peak_freq(up, 44100) - 440.0) < 2.0
+
+
+def test_out_of_band_energy_filtered_not_folded():
+    """A 13 kHz tone downsampled 48k->16k would alias to 3 kHz with a
+    naive decimator; the sinc's dilated cutoff must suppress it ~80 dB
+    below a passband tone instead."""
+    passband = resample_audio(_tone(1000.0, 48000), 48000, 16000)
+    folded = resample_audio(_tone(13000.0, 48000), 48000, 16000)
+    assert _band_db(passband, 16000, 1000.0) - _band_db(folded, 16000, 3000.0) > 75.0
+
+
+def test_determinism_and_empty_and_errors():
+    t = _tone(440.0, 44100)
+    assert np.array_equal(resample_audio(t, 44100, 16000), resample_audio(t, 44100, 16000))
+    empty = np.zeros((0, 2), np.int16)
+    assert resample_audio(empty, 48000, 16000).shape == (0, 2)
+    with pytest.raises(ValueError):
+        resample_audio(t, 0, 16000)
+    with pytest.raises(ValueError):
+        resample_audio(t, 16000, -1)
+
+
+def test_downmix_mono():
+    x = np.array([[100, 200], [-5, -6], [32767, 32767]], np.int16)
+    got = downmix_mono(x)
+    assert np.array_equal(got, np.array([[150], [-6], [32767]], np.int16))
+    m = np.array([[7], [8]], np.int16)
+    assert np.array_equal(downmix_mono(m), m)
+    with pytest.raises(ValueError):
+        downmix_mono(np.zeros(4, np.int16))
+
+
+def test_resample_media_plumbing(spark):
+    """Spark contract: schema, per-row isolation, and the output WAV
+    decoding byte-exactly to downmix+resample of the decoded source."""
+    rng = np.random.default_rng(11)
+    stereo = rng.integers(-15000, 15000, (4800, 2)).astype(np.int16)
+    monob = rng.integers(-15000, 15000, (2205, 1)).astype(np.int16)
+    rows = [
+        (1, bytearray(mm.encode_wav(stereo, 48000))),
+        (2, bytearray(mm.encode_aiff(monob, 22050))),
+        (3, bytearray(b"RIFFxxxxWAVEgarbage")),
+        (4, None),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, content binary").repartition(3)
+    out = {r.media_id: r for r in resample_media(media, out_rate=16000).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    r1 = out[1]
+    assert r1.decoded and r1.src_rate == 48000 and r1.src_channels == 2
+    assert r1.rate == 16000 and r1.channels == 1
+    got, rate = mm.decode_audio(bytes(r1.content))
+    assert rate == 16000
+    want = resample_audio(downmix_mono(stereo), 48000, 16000)
+    assert np.array_equal(got, want)
+    assert r1.duration_ms == len(want) * 1000 // 16000
+    r2 = out[2]
+    assert r2.decoded and r2.src_rate == 22050 and r2.src_channels == 1
+    got2, _ = mm.decode_audio(bytes(r2.content))
+    assert np.array_equal(got2, resample_audio(monob, 22050, 16000))
+    for mid in (3, 4):
+        assert not out[mid].decoded and out[mid].content is None
+    with pytest.raises(ValueError):
+        resample_media(media, out_rate=0)
