@@ -102,6 +102,67 @@ def downmix_mono(samples: np.ndarray) -> np.ndarray:
     )
 
 
+def mel_filterbank(
+    n_mels: int, n_fft: int, rate: int, fmin: float = 0.0, fmax: float | None = None
+) -> np.ndarray:
+    """HTK-convention triangular mel filterbank, (n_mels, n_fft//2+1):
+    filter centers equally spaced on the mel scale
+    (mel = 2595*log10(1 + f/700)) between ``fmin`` and ``fmax``
+    (default Nyquist), each filter a triangle from its left neighbor's
+    center to its right neighbor's, sampled at the rfft bin
+    frequencies.  Filters are unit-PEAK triangles (narrow low-frequency
+    filters whose center falls between FFT bins peak below 1 — they are
+    sampled, not integrated)."""
+    if fmax is None:
+        fmax = rate / 2.0
+
+    def hz_to_mel(f):
+        return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
+
+    def mel_to_hz(m):
+        return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64) / 2595.0) - 1.0)
+
+    edges = mel_to_hz(np.linspace(hz_to_mel(fmin), hz_to_mel(fmax), n_mels + 2))
+    freqs = np.fft.rfftfreq(n_fft, 1.0 / rate)
+    lo, ctr, hi = edges[:-2, None], edges[1:-1, None], edges[2:, None]
+    up = (freqs[None, :] - lo) / np.maximum(ctr - lo, 1e-12)
+    down = (hi - freqs[None, :]) / np.maximum(hi - ctr, 1e-12)
+    return np.clip(np.minimum(up, down), 0.0, None)
+
+
+def log_mel_spectrogram(
+    samples: np.ndarray,
+    rate: int,
+    n_fft: int = 400,
+    hop: int = 160,
+    n_mels: int = 80,
+    fmin: float = 0.0,
+    fmax: float | None = None,
+) -> np.ndarray:
+    """(n, ch) int16 -> (n_frames, n_mels) float64 log10-mel power — the
+    standard ASR/speech-model front end (25 ms Hann window, 10 ms hop at
+    16 kHz with the defaults).  Mono mix first (equal-weight, scaled to
+    [-1, 1)); frames start at sample 0 and step ``hop``; only complete
+    frames are emitted (n_frames = 1 + (n - n_fft) // hop, zero frames
+    for input shorter than one window); power spectra via rfft; floor
+    at 1e-10 before the log.  Pinned against a naive O(n^2) DFT
+    reference and analytic tone/filterbank properties in
+    tests/test_audio_prep.py."""
+    if samples.ndim != 2:
+        raise ValueError("expected (n, ch) samples")
+    if n_fft <= 0 or hop <= 0 or n_mels <= 0:
+        raise ValueError("n_fft, hop, n_mels must be positive")
+    x = samples.astype(np.float64).mean(axis=1) / 32768.0
+    if len(x) < n_fft:
+        return np.zeros((0, n_mels))
+    n_frames = 1 + (len(x) - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = x[idx] * np.hanning(n_fft)[None, :]
+    power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    mel = power @ mel_filterbank(n_mels, n_fft, rate, fmin, fmax).T
+    return np.log10(np.maximum(mel, 1e-10))
+
+
 RESAMPLED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -179,3 +240,74 @@ def resample_media(
             )
 
     return media.select("media_id", "content").mapInPandas(run, RESAMPLED_SCHEMA)
+
+
+MEL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("decoded", T.BooleanType(), False),
+        T.StructField("src_rate", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("n_mels", T.IntegerType(), True),
+        T.StructField("mel", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def mel_features_media(
+    media: DataFrame,
+    model_rate: int = 16000,
+    n_fft: int = 400,
+    hop: int = 160,
+    n_mels: int = 80,
+    batch_hint: int = 256,
+    byte_budget: int = 64 << 20,
+) -> DataFrame:
+    """End-to-end speech front end over a (media_id, content) binary
+    column: decode_audio -> mono downmix -> polyphase resample to
+    ``model_rate`` -> log-mel spectrogram, one row per media with the
+    (n_frames x n_mels) matrix flattened row-major into ``mel`` (dims
+    carried alongside, so a consumer reshapes without re-deriving).
+
+    float32 in the output column (Arrow array<float>): the log-mel
+    dynamic range is ~[-10, 6] where float32 carries ~7 significant
+    digits — far beyond what any training consumer of a spectrogram
+    uses — at half the shuffle/storage bytes of double.  Error
+    isolation and chunk bounding follow extract_features exactly."""
+    import pandas as pd
+
+    from streamsum_spark.operators.multimodal import _byte_budget_chunks, decode_audio
+
+    def one(content):
+        if content is None:
+            return False, None, None, None, None
+        try:
+            samples, rate = decode_audio(bytes(content))
+        except (NotImplementedError, ValueError, struct.error):
+            return False, None, None, None, None
+        mono = downmix_mono(samples)
+        res = resample_audio(mono, rate, model_rate)
+        mel = log_mel_spectrogram(res, model_rate, n_fft=n_fft, hop=hop, n_mels=n_mels)
+        return (
+            True,
+            int(rate),
+            int(mel.shape[0]),
+            int(mel.shape[1]),
+            mel.astype(np.float32).ravel().tolist(),
+        )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in _byte_budget_chunks(batches, byte_budget, batch_hint):
+            res = pdf["content"].map(one)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "decoded": res.map(lambda t: t[0]),
+                    "src_rate": res.map(lambda t: t[1]).astype("Int32"),
+                    "n_frames": res.map(lambda t: t[2]).astype("Int32"),
+                    "n_mels": res.map(lambda t: t[3]).astype("Int32"),
+                    "mel": res.map(lambda t: t[4]),
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(run, MEL_SCHEMA)

@@ -159,3 +159,86 @@ def test_resample_media_plumbing(spark):
         assert not out[mid].decoded and out[mid].content is None
     with pytest.raises(ValueError):
         resample_media(media, out_rate=0)
+
+
+def test_log_mel_matches_naive_dft_reference():
+    """The whole front end (framing, Hann window, rfft power, filterbank
+    projection, log floor) against an O(n^2) DFT computed from the
+    definitions — agreement to float64 roundoff."""
+    from streamsum_spark.operators.audio_prep import (
+        log_mel_spectrogram,
+        mel_filterbank,
+    )
+
+    rng = np.random.default_rng(2)
+    s = rng.integers(-8000, 8000, (64, 1)).astype(np.int16)
+    got = log_mel_spectrogram(s, 8000, n_fft=32, hop=16, n_mels=8)
+    x = s.astype(np.float64)[:, 0] / 32768.0
+    win = np.hanning(32)
+    fb = mel_filterbank(8, 32, 8000)
+    ref = []
+    for f0 in range(0, 64 - 32 + 1, 16):
+        fr = x[f0 : f0 + 32] * win
+        spec = np.array(
+            [
+                sum(fr[t] * np.exp(-2j * np.pi * k * t / 32) for t in range(32))
+                for k in range(17)
+            ]
+        )
+        ref.append(np.log10(np.maximum(np.abs(spec) ** 2 @ fb.T, 1e-10)))
+    assert np.abs(got - np.array(ref)).max() < 1e-9
+
+
+def test_mel_tone_lands_in_expected_bin_and_frame_count():
+    from streamsum_spark.operators.audio_prep import (
+        log_mel_spectrogram,
+        mel_filterbank,
+    )
+
+    rate = 16000
+    t = np.arange(rate) / rate
+    tone = (12000 * np.sin(2 * np.pi * 1000 * t)).astype(np.int16).reshape(-1, 1)
+    m = log_mel_spectrogram(tone, rate)
+    assert m.shape == (1 + (rate - 400) // 160, 80)
+    fb = mel_filterbank(80, 400, rate)
+    freqs = np.fft.rfftfreq(400, 1 / rate)
+    expect = int(np.argmax(fb[:, np.argmin(np.abs(freqs - 1000))]))
+    assert int(np.argmax(m.mean(axis=0))) == expect
+    # short input -> zero complete frames, not an error
+    assert log_mel_spectrogram(tone[:399], rate).shape == (0, 80)
+
+
+def test_mel_filterbank_shape_and_coverage():
+    from streamsum_spark.operators.audio_prep import mel_filterbank
+
+    fb = mel_filterbank(40, 512, 16000)
+    assert fb.shape == (40, 257) and (fb >= 0).all()
+    assert (fb.max(axis=1) > 0).all()  # every filter hears something
+    # mid-spectrum bins are covered by at least one filter
+    covered = fb.sum(axis=0) > 0
+    assert covered[5:250].all()
+
+
+def test_mel_features_media_plumbing(spark):
+    from streamsum_spark.operators.audio_prep import (
+        log_mel_spectrogram,
+        mel_features_media,
+    )
+
+    rng = np.random.default_rng(13)
+    stereo = rng.integers(-15000, 15000, (48000, 2)).astype(np.int16)
+    rows = [
+        (1, bytearray(mm.encode_wav(stereo, 48000))),
+        (2, bytearray(b"junk")),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r.media_id: r for r in mel_features_media(media).collect()}
+    r1 = out[1]
+    assert r1.decoded and r1.src_rate == 48000 and r1.n_mels == 80
+    want = log_mel_spectrogram(
+        resample_audio(downmix_mono(stereo), 48000, 16000), 16000
+    ).astype(np.float32)
+    assert r1.n_frames == want.shape[0]
+    got = np.array(r1.mel, dtype=np.float32).reshape(r1.n_frames, r1.n_mels)
+    assert np.allclose(got, want, atol=1e-5)
+    assert not out[2].decoded and out[2].mel is None
