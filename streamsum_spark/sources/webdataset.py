@@ -1,0 +1,165 @@
+"""WebDataset-style tar-shard source — the standard packaging for
+multimodal training corpora: a corpus is a set of .tar shards, each
+member named ``<key>.<ext>`` (e.g. ``000123.jpg`` + ``000123.txt`` +
+``000123.json``), and one SAMPLE is the group of members sharing a key
+within a shard.
+
+Reference parity: the reference system (streamsum) reads queues of
+clojure maps; this source extends the ingest surface for the 100 TB
+multimodal goal (SURVEY §2 sources row) the way production image-text
+pipelines actually ship data.
+
+Scale shape: one shard = one ``binaryFile`` row = one task's unit of
+work — shards are sized by the PACKER (the convention is 100 MB-1 GB)
+so a task holds one shard plus its members, never the corpus.  Member
+extraction is a mapInPandas pass over stdlib ``tarfile`` on an
+in-memory buffer: sequential scan, no seeks, no temp files; gzip
+shards (.tar.gz) stream-decompress through the same call.  Sample
+assembly is one groupBy(shard, key) with ``map_from_entries`` — a
+single shuffle keyed well below corpus cardinality, and because
+members of a key are adjacent in a well-packed shard, AQE-coalesced
+partition-local grouping does most of it map-side.
+
+Hostile-input posture: a malformed tar raises inside ``tarfile`` —
+caught per SHARD (one bad shard emits an error row, the scan
+continues), mirroring the per-blob isolation of the decode operators;
+member counts and name lengths are bounded."""
+
+from __future__ import annotations
+
+import io
+import os
+import posixpath
+import tarfile
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+if TYPE_CHECKING:
+    import pandas as pd
+
+_MAX_MEMBERS = 100_000  # per shard
+_MAX_NAME = 512
+
+MEMBER_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.StringType(), False),
+        T.StructField("key", T.StringType(), True),
+        T.StructField("ext", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
+def iter_tar_members(blob: bytes) -> Iterator[tuple[str, bytes]]:
+    """(member_name, content) for every regular file in a (possibly
+    gzip/bzip2-compressed) tar blob, in archive order."""
+    with tarfile.open(fileobj=io.BytesIO(blob), mode="r:*") as tf:
+        n = 0
+        for m in tf:
+            if not m.isfile():
+                continue
+            n += 1
+            if n > _MAX_MEMBERS:
+                raise ValueError("tar member budget exceeded")
+            if len(m.name) > _MAX_NAME:
+                raise ValueError("tar member name too long")
+            f = tf.extractfile(m)
+            if f is None:
+                continue
+            yield m.name, f.read()
+
+
+def split_key_ext(name: str) -> tuple[str, str]:
+    """WebDataset naming: the key is everything up to the FIRST dot of
+    the basename (so ``x.seg.png`` groups with ``x.jpg`` under key
+    ``x`` with ext ``seg.png``) — directories inside the shard join the
+    key path."""
+    d, base = posixpath.split(name)
+    stem, _, ext = base.partition(".")
+    return posixpath.join(d, stem) if d else stem, ext
+
+
+def read_webdataset_members(
+    spark: SparkSession, path: str, glob: str = "*.tar"
+) -> DataFrame:
+    """One row per tar member across all shards matching ``glob`` under
+    ``path``: (shard, key, ext, n_bytes, content, error).  A shard that
+    fails to parse contributes a single error row (key/ext/content
+    null) instead of failing the scan."""
+    import pandas as pd
+
+    shards = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            for path_, blob in zip(pdf["path"], pdf["content"]):
+                shard = os.path.basename(path_)
+                rows: dict[str, list] = {k.name: [] for k in MEMBER_SCHEMA}
+                try:
+                    for name, content in iter_tar_members(bytes(blob)):
+                        key, ext = split_key_ext(name)
+                        rows["shard"].append(shard)
+                        rows["key"].append(key)
+                        rows["ext"].append(ext)
+                        rows["n_bytes"].append(len(content))
+                        rows["content"].append(content)
+                        rows["error"].append(None)
+                except (tarfile.TarError, ValueError, EOFError, OSError) as exc:
+                    rows = {k.name: [] for k in MEMBER_SCHEMA}
+                    rows["shard"].append(shard)
+                    for c in ("key", "ext", "content"):
+                        rows[c].append(None)
+                    rows["n_bytes"].append(None)
+                    rows["error"].append(f"{type(exc).__name__}: {exc}"[:200])
+                yield pd.DataFrame(
+                    {
+                        "shard": rows["shard"],
+                        "key": rows["key"],
+                        "ext": rows["ext"],
+                        "n_bytes": pd.Series(rows["n_bytes"], dtype="Int64"),
+                        "content": rows["content"],
+                        "error": rows["error"],
+                    }
+                )
+
+    return shards.mapInPandas(run, MEMBER_SCHEMA)
+
+
+def webdataset_samples(members: DataFrame) -> DataFrame:
+    """Assemble member rows into one row per SAMPLE: (shard, key,
+    n_members, parts map<ext, binary>).  One shuffle on (shard, key);
+    error rows and malformed members (null key) are excluded — filter
+    ``error IS NOT NULL`` on the member relation to audit them."""
+    return (
+        members.where(F.col("key").isNotNull())
+        .groupBy("shard", "key")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_members"),
+            F.map_from_entries(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("ext"), F.col("content")))
+                )
+            ).alias("parts"),
+        )
+    )
+
+
+def read_webdataset(
+    spark: SparkSession, path: str, glob: str = "*.tar"
+) -> DataFrame:
+    """The composed source: tar shards under ``path`` -> one row per
+    sample with its members as a map<ext, binary>.  Feed ``parts['jpg']``
+    to decode_image / resize_media, ``parts['txt']`` to the text
+    operators."""
+    return webdataset_samples(read_webdataset_members(spark, path, glob))

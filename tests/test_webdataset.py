@@ -1,0 +1,103 @@
+"""Pins for the WebDataset tar-shard source: member extraction order
+and naming, gzip shards, per-shard error isolation, sample assembly,
+and the end-to-end compose with the decode operators."""
+
+from __future__ import annotations
+
+import io
+import tarfile
+
+import numpy as np
+import pytest
+
+from streamsum_spark.operators import multimodal as mm
+from streamsum_spark.sources.webdataset import (
+    iter_tar_members,
+    read_webdataset,
+    read_webdataset_members,
+    split_key_ext,
+    webdataset_samples,
+)
+
+
+def make_tar(members: list[tuple[str, bytes]], gz: bool = False) -> bytes:
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:gz" if gz else "w") as tf:
+        for name, content in members:
+            info = tarfile.TarInfo(name)
+            info.size = len(content)
+            tf.addfile(info, io.BytesIO(content))
+    return buf.getvalue()
+
+
+def test_split_key_ext():
+    assert split_key_ext("000123.jpg") == ("000123", "jpg")
+    assert split_key_ext("000123.seg.png") == ("000123", "seg.png")
+    assert split_key_ext("a/b/x.txt") == ("a/b/x", "txt")
+    assert split_key_ext("noext") == ("noext", "")
+
+
+def test_iter_tar_members_order_and_kinds():
+    blob = make_tar([("b.txt", b"beta"), ("a.txt", b"alpha")])
+    assert list(iter_tar_members(blob)) == [(b"b.txt".decode(), b"beta"), ("a.txt", b"alpha")]
+    # directories are skipped
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        d = tarfile.TarInfo("dir/")
+        d.type = tarfile.DIRTYPE
+        tf.addfile(d)
+        i = tarfile.TarInfo("dir/f.bin")
+        i.size = 2
+        tf.addfile(i, io.BytesIO(b"zz"))
+    assert list(iter_tar_members(buf.getvalue())) == [("dir/f.bin", b"zz")]
+    with pytest.raises(tarfile.TarError):
+        list(iter_tar_members(b"definitely not a tar" * 40))
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_members_and_samples_end_to_end(spark, tmp_path, gz):
+    rng = np.random.default_rng(3)
+    img1 = rng.integers(0, 256, (8, 10, 3), dtype=np.uint8)
+    img2 = rng.integers(0, 256, (6, 6, 3), dtype=np.uint8)
+    shard1 = make_tar(
+        [
+            ("s1k1.png", mm.encode_png(img1)),
+            ("s1k1.txt", b"a caption"),
+            ("s1k1.json", b'{"w": 10}'),
+            ("s1k2.png", mm.encode_png(img2)),
+            ("s1k2.txt", b"second"),
+        ],
+        gz=gz,
+    )
+    shard2 = make_tar([("s2k1.txt", b"text only")], gz=gz)
+    ext = "tar.gz" if gz else "tar"
+    (tmp_path / f"sh1.{ext}").write_bytes(shard1)
+    (tmp_path / f"sh2.{ext}").write_bytes(shard2)
+    (tmp_path / "bad.tar").write_bytes(b"corrupt" * 100)
+
+    members = read_webdataset_members(spark, str(tmp_path), glob="*.tar*")
+    rows = members.collect()
+    errs = [r for r in rows if r.error is not None]
+    assert len(errs) == 1 and errs[0].shard == "bad.tar" and errs[0].key is None
+    good = [r for r in rows if r.error is None]
+    assert len(good) == 6
+    png = next(r for r in good if r.key == "s1k1" and r.ext == "png")
+    assert bytes(png.content) == mm.encode_png(img1) and png.n_bytes == len(png.content)
+
+    samples = {r.key: r for r in webdataset_samples(members).collect()}
+    assert set(samples) == {"s1k1", "s1k2", "s2k1"}
+    s = samples["s1k1"]
+    assert s.n_members == 3 and set(s.parts) == {"png", "txt", "json"}
+    assert bytes(s.parts["txt"]) == b"a caption"
+    # decode composes: the sample's image decodes to the original pixels
+    assert np.array_equal(mm.decode_image(bytes(s.parts["png"])), img1)
+    assert samples["s2k1"].n_members == 1
+
+
+def test_read_webdataset_composed(spark, tmp_path):
+    img = np.zeros((4, 4, 3), np.uint8)
+    (tmp_path / "one.tar").write_bytes(
+        make_tar([("k.png", mm.encode_png(img)), ("k.txt", b"t")])
+    )
+    out = read_webdataset(spark, str(tmp_path)).collect()
+    assert len(out) == 1 and out[0].key == "k" and set(out[0].parts) == {"png", "txt"}
