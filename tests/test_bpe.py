@@ -1,0 +1,134 @@
+"""Pins for the distributed BPE trainer: merge sequence identical to a
+pure-Python reference (classic Sennrich training with the same
+deterministic tie-break) on the real sf0.001 corpus, segmentation
+identical to replaying the merges in training order, and the
+token-count operator's join contract."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from streamsum_spark.operators.bpe import (
+    END,
+    _segment,
+    bpe_segment_words,
+    bpe_token_counts,
+    train_bpe,
+    word_freqs,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# --- pure-Python reference (classic algorithm, driver-sized) ---------------
+
+def ref_merge_word(syms: tuple[str, ...], a: str, b: str) -> tuple[str, ...]:
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def ref_train_simple(freqs: dict[str, int], n_merges: int, min_freq: int = 2):
+    """Classic Sennrich training with the trainer's deterministic
+    tie-break (max count, then lexicographically smallest pair)."""
+    vocab: dict[tuple[str, ...], int] = {}
+    for w, f in freqs.items():
+        k = tuple(list(w) + [END])
+        vocab[k] = vocab.get(k, 0) + f
+    merges = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = pairs.get((syms[i], syms[i + 1]), 0) + f
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_freq:
+            break
+        a, b = best[0]
+        merges.append((a, b))
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, f in vocab.items():
+            k = ref_merge_word(syms, a, b)
+            new_vocab[k] = new_vocab.get(k, 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def ref_apply_in_order(word: str, merges) -> list[str]:
+    syms = tuple(list(word) + [END])
+    for a, b in merges:
+        syms = ref_merge_word(syms, a, b)
+    return list(syms)
+
+
+@pytest.fixture(scope="module")
+def corpus_freqs() -> dict[str, int]:
+    import duckdb
+
+    rows = duckdb.sql(
+        rf"""
+        SELECT word, CAST(count(*) AS BIGINT) FROM (
+          SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+          FROM '{SF_DIR}/documents.parquet'
+        ) WHERE word != '' GROUP BY word
+        """
+    ).fetchall()
+    return dict(rows)
+
+
+def test_trainer_matches_reference_on_real_corpus(spark, corpus_freqs):
+    want = ref_train_simple(corpus_freqs, n_merges=40)
+    got = train_bpe(spark, SF_DIR, n_merges=40)
+    assert got == want
+    assert len(got) == 40  # sf0.001 has plenty of mass for 40 merges
+
+
+def test_word_freqs_matches_duckdb(spark, corpus_freqs):
+    got = {r.word: r.freq for r in word_freqs(spark, SF_DIR).collect()}
+    assert got == corpus_freqs
+
+
+def test_segment_equals_replay_in_order(spark, corpus_freqs):
+    merges = ref_train_simple(corpus_freqs, n_merges=40)
+    ranks = {p: i for i, p in enumerate(merges)}
+    words = sorted(corpus_freqs)[:300] + ["zzz-unseen-word", "a", ""]
+    for w in words:
+        assert _segment(w, ranks) == ref_apply_in_order(w, merges), w
+
+
+def test_segment_words_and_token_counts(spark, corpus_freqs):
+    merges = ref_train_simple(corpus_freqs, n_merges=25)
+    wdf = spark.createDataFrame(
+        [(w,) for w in sorted(corpus_freqs)[:50]], "word string"
+    )
+    seg = {r.word: list(r.pieces) for r in bpe_segment_words(wdf, merges).collect()}
+    for w, pieces in seg.items():
+        assert pieces == ref_apply_in_order(w, merges)
+        assert "".join(pieces) == w + END  # lossless segmentation
+    counts = bpe_token_counts(spark, SF_DIR, merges)
+    rows = counts.collect()
+    assert rows and all(r.n_bpe_tokens >= r.n_words for r in rows)
+    # spot-check one document end-to-end via pandas
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")[["doc_id", "text"]]
+    doc = docs.iloc[0]
+    words = [w for w in doc.text.strip().split() if w]
+    want = sum(len(ref_apply_in_order(w, merges)) for w in words)
+    got = next(r for r in rows if r.doc_id == doc.doc_id)
+    assert got.n_words == len(words) and got.n_bpe_tokens == want
+
+
+def test_empty_corpus_and_min_freq_stop(spark):
+    empty = spark.createDataFrame([("x", " ")], "doc_id string, text string")
+    assert train_bpe(spark, SF_DIR, n_merges=5, docs=empty.where("doc_id = 'nope'")) == []
+    # a corpus where every pair is unique stops at min_freq
+    uniq = spark.createDataFrame([(1, "ab cd ef")], "doc_id long, text string")
+    assert train_bpe(spark, SF_DIR, n_merges=5, docs=uniq) == []
