@@ -95,6 +95,10 @@ def resize_image(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     the axes are independent)."""
     if out_w < 1 or out_h < 1:
         raise ValueError("resize target must be >= 1x1")
+    if px.ndim not in (2, 3) or px.shape[0] < 1 or px.shape[1] < 1:
+        # an empty source would divide by a zero weight sum and emit
+        # NaN garbage — refuse loudly instead
+        raise ValueError("resize source must be a non-empty (h, w[, c]) array")
     a = px.astype(np.float64)
     if px.shape[0] != out_h:
         a = _resample_axis0(a, out_h)

@@ -83,7 +83,14 @@ def _fullbox(b: bytes, s: int) -> tuple[int, int]:
     return b[s], s + 4
 
 
-def _parse_mvhd(b: bytes, s: int, e: int) -> tuple[int, int]:
+def _known_dur(duration: int, version: int) -> int | None:
+    """All-ones duration means 'unknown' (ISO/IEC 14496-12 §8.2.2.3)."""
+    if duration == (0xFFFFFFFFFFFFFFFF if version == 1 else 0xFFFFFFFF):
+        return None
+    return duration
+
+
+def _parse_mvhd(b: bytes, s: int, e: int) -> tuple[int, int | None]:
     v, p = _fullbox(b, s)
     if v == 1:
         if p + 28 > e:
@@ -95,7 +102,7 @@ def _parse_mvhd(b: bytes, s: int, e: int) -> tuple[int, int]:
         timescale, duration = struct.unpack_from(">II", b, p + 8)
     if timescale == 0:
         raise ValueError("mvhd timescale 0")
-    return timescale, duration
+    return timescale, _known_dur(duration, v)
 
 
 def _parse_tkhd(b: bytes, s: int, e: int) -> tuple[int, int, int]:
@@ -110,7 +117,7 @@ def _parse_tkhd(b: bytes, s: int, e: int) -> tuple[int, int, int]:
     return track_id, w16 >> 16, h16 >> 16
 
 
-def _parse_mdhd(b: bytes, s: int, e: int) -> tuple[int, int, str]:
+def _parse_mdhd(b: bytes, s: int, e: int) -> tuple[int, int | None, str]:
     v, p = _fullbox(b, s)
     if v == 1:
         if p + 30 > e:
@@ -126,7 +133,7 @@ def _parse_mdhd(b: bytes, s: int, e: int) -> tuple[int, int, str]:
     lang = "".join(chr(((packed >> sh) & 0x1F) + 0x60) for sh in (10, 5, 0))
     if timescale == 0:
         raise ValueError("mdhd timescale 0")
-    return timescale, duration, lang
+    return timescale, _known_dur(duration, v), lang
 
 
 def _parse_stsd_codecs(b: bytes, s: int, e: int) -> list[str]:
@@ -168,7 +175,7 @@ def probe_mp4(b: bytes) -> dict:
     mvhd = _find(b, moov[0], moov[1], b"mvhd", budget)
     if mvhd:
         ts, dur = _parse_mvhd(b, *mvhd)
-        out["duration_ms"] = dur * 1000 // ts
+        out["duration_ms"] = None if dur is None else dur * 1000 // ts
     for t, s, e in _mp4_boxes(b, moov[0], moov[1], budget):
         if t != b"trak" or len(out["tracks"]) >= _MAX_TRACKS:
             continue
@@ -184,7 +191,10 @@ def probe_mp4(b: bytes) -> dict:
             mdhd = _find(b, mdia[0], mdia[1], b"mdhd", budget)
             if mdhd:
                 ts, dur, lang = _parse_mdhd(b, *mdhd)
-                tr.update(duration_ms=dur * 1000 // ts, lang=lang)
+                tr.update(
+                    duration_ms=None if dur is None else dur * 1000 // ts,
+                    lang=lang,
+                )
             hdlr = _find(b, mdia[0], mdia[1], b"hdlr", budget)
             if hdlr and hdlr[1] - hdlr[0] >= 12:
                 tr["handler"] = b[hdlr[0] + 8 : hdlr[0] + 12].decode("latin-1")
@@ -304,7 +314,15 @@ def probe_ebml(b: bytes) -> dict:
                                         tr["height"] = _ebml_uint(b, vs, ve)
                         out["tracks"].append(tr)
             if dur_scaled is not None:
-                out["duration_ms"] = int(dur_scaled * scale_ns / 1e6)
+                import math
+
+                ms = dur_scaled * scale_ns / 1e6
+                # a hostile inf/NaN Duration float must refuse like any
+                # other malformation, not escape as OverflowError past
+                # the callers' (ValueError, struct.error) isolation
+                if not math.isfinite(ms) or not (0 <= ms < 2**62):
+                    raise ValueError("EBML duration out of range")
+                out["duration_ms"] = int(ms)
     if out["brand"] is None and not out["tracks"] and out["duration_ms"] is None:
         raise ValueError("no recognizable EBML structure")
     return out

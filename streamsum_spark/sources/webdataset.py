@@ -47,6 +47,7 @@ _MAX_NAME = 512
 MEMBER_SCHEMA = T.StructType(
     [
         T.StructField("shard", T.StringType(), False),
+        T.StructField("ordinal", T.IntegerType(), True),
         T.StructField("key", T.StringType(), True),
         T.StructField("ext", T.StringType(), True),
         T.StructField("n_bytes", T.LongType(), True),
@@ -107,9 +108,10 @@ def read_webdataset_members(
                 shard = os.path.basename(path_)
                 rows: dict[str, list] = {k.name: [] for k in MEMBER_SCHEMA}
                 try:
-                    for name, content in iter_tar_members(bytes(blob)):
+                    for i, (name, content) in enumerate(iter_tar_members(bytes(blob))):
                         key, ext = split_key_ext(name)
                         rows["shard"].append(shard)
+                        rows["ordinal"].append(i)
                         rows["key"].append(key)
                         rows["ext"].append(ext)
                         rows["n_bytes"].append(len(content))
@@ -120,11 +122,13 @@ def read_webdataset_members(
                     rows["shard"].append(shard)
                     for c in ("key", "ext", "content"):
                         rows[c].append(None)
+                    rows["ordinal"].append(None)
                     rows["n_bytes"].append(None)
                     rows["error"].append(f"{type(exc).__name__}: {exc}"[:200])
                 yield pd.DataFrame(
                     {
                         "shard": rows["shard"],
+                        "ordinal": pd.Series(rows["ordinal"], dtype="Int32"),
                         "key": rows["key"],
                         "ext": rows["ext"],
                         "n_bytes": pd.Series(rows["n_bytes"], dtype="Int64"),
@@ -140,16 +144,33 @@ def webdataset_samples(members: DataFrame) -> DataFrame:
     """Assemble member rows into one row per SAMPLE: (shard, key,
     n_members, parts map<ext, binary>).  One shuffle on (shard, key);
     error rows and malformed members (null key) are excluded — filter
-    ``error IS NOT NULL`` on the member relation to audit them."""
+    ``error IS NOT NULL`` on the member relation to audit them.
+
+    Duplicate member names are legal in tar (an appended archive
+    overrides earlier entries) and the LAST occurrence wins — resolved
+    expression-side after a SINGLE shuffle (content is the heavy
+    column; a groupBy-per-ext pre-pass would shuffle the blobs twice),
+    because map_from_entries throws on duplicate keys under Spark's
+    default EXCEPTION dedup policy: one sloppy shard must not fail the
+    job.  Entries sort by (ext, ordinal); the index-aware filter keeps
+    each ext's last occurrence."""
+    entries = (
+        "filter(es, (x, i) -> i = size(es) - 1 OR es[i + 1].ext != x.ext)"
+    )
     return (
         members.where(F.col("key").isNotNull())
         .groupBy("shard", "key")
         .agg(
-            F.count(F.lit(1)).cast("int").alias("n_members"),
-            F.map_from_entries(
-                F.sort_array(
-                    F.collect_list(F.struct(F.col("ext"), F.col("content")))
-                )
+            F.sort_array(
+                F.collect_list(F.struct(F.col("ext"), F.col("ordinal"), F.col("content")))
+            ).alias("es")
+        )
+        .select(
+            "shard",
+            "key",
+            F.expr(f"CAST(size({entries}) AS INT)").alias("n_members"),
+            F.expr(
+                f"map_from_entries(transform({entries}, x -> struct(x.ext, x.content)))"
             ).alias("parts"),
         )
     )

@@ -162,3 +162,12 @@ def test_resize_media_plumbing(spark):  # noqa: F811
         assert not r.decoded and r.content is None and r.width is None
     with pytest.raises(ValueError):
         resize_media(media, out_w=0)
+
+
+def test_empty_source_raises():
+    with pytest.raises(ValueError):
+        resize_image(np.zeros((0, 4, 3), np.uint8), 2, 2)
+    with pytest.raises(ValueError):
+        resize_image(np.zeros((4, 0, 3), np.uint8), 2, 2)
+    with pytest.raises(ValueError):
+        resize_image(np.zeros(5, np.uint8), 2, 2)

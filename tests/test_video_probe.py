@@ -229,3 +229,21 @@ def test_probe_media_plumbing(spark):
     assert out[2].tracks[0].codec == "V_VP9" and out[2].tracks[1].handler == "soun"
     for mid in (3, 4):
         assert not out[mid].probed and out[mid].tracks is None
+
+
+def test_unknown_durations_are_null_not_garbage():
+    """All-ones mvhd/mdhd durations mean 'unknown' (ISO 14496-12) and a
+    hostile inf EBML Duration must refuse as ValueError, not escape as
+    OverflowError past probe_media's isolation."""
+    unk = box(
+        b"moov",
+        box(b"mvhd", full(0, struct.pack(">IIII", 0, 0, 1000, 0xFFFFFFFF) + b"\x00" * 80)),
+    )
+    d = probe_mp4(box(b"ftyp", b"isom" + b"\x00" * 4) + unk)
+    assert d["duration_ms"] is None
+    inf_webm = ebml_elem(
+        0x18538067,
+        ebml_elem(0x1549A966, ebml_elem(0x4489, struct.pack(">d", float("inf")))),
+    )
+    with pytest.raises(ValueError):
+        probe_ebml(inf_webm)

@@ -101,3 +101,19 @@ def test_read_webdataset_composed(spark, tmp_path):
     )
     out = read_webdataset(spark, str(tmp_path)).collect()
     assert len(out) == 1 and out[0].key == "k" and set(out[0].parts) == {"png", "txt"}
+
+
+def test_duplicate_member_last_wins(spark, tmp_path):
+    """Duplicate member names are legal in tar (append overrides); the
+    LAST occurrence must win instead of map_from_entries throwing on
+    the duplicate key and failing the job."""
+    (tmp_path / "dup.tar").write_bytes(
+        make_tar(
+            [("k.txt", b"first"), ("k.png", b"p"), ("k.txt", b"second")]
+        )
+    )
+    out = read_webdataset(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    s = out[0]
+    assert s.n_members == 2 and set(s.parts) == {"png", "txt"}
+    assert bytes(s.parts["txt"]) == b"second"
