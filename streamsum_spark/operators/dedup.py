@@ -866,3 +866,107 @@ def decontaminate_oracle_sql(n: int = DECON_N) -> str:
     from streamsum_spark.functions.expressions import TOKENS_SQL, shingles_sql
 
     return DECONTAMINATE_SQL.format(toks=TOKENS_SQL, grams=shingles_sql(n))
+
+
+# --- exact substring dedup (duplicated n-gram spans) ------------------------
+
+SPAN_N = 15  # window width in whitespace tokens
+
+
+def duplicate_ngram_spans(
+    spark: SparkSession, sf_dir: str, n: int = SPAN_N, docs: DataFrame | None = None
+) -> DataFrame:
+    """Every occurrence of an exact n-token window whose text appears
+    more than once in the corpus, EXCEPT the globally-first occurrence
+    (smallest (doc_id, start)): (doc_id, start 1-based, gram_md5) — the
+    removal list of exact-substring deduplication (the within/across-
+    document repeated-passage complement of the doc-level near-dup
+    family; the remove-all-but-one posture of Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    realized at n-gram-window granularity instead of suffix arrays,
+    which don't distribute as one relation).
+
+    Plan shape: one corpus scan (tokens projected once, windows via the
+    guarded shingle transform), one shuffle on the window fingerprint
+    (md5 text — exact-match semantics with constant-width shuffle
+    keys), a window rank inside each fingerprint group.  No driver
+    structures; output cardinality = duplicated occurrences only."""
+    from pyspark.sql import Window
+
+    if docs is None:
+        docs = rebalance_for_cpu(table(spark, sf_dir, "documents"))
+    grams = shingles_expr(n, "_toks")
+    wins = (
+        docs.select("doc_id", F.expr(_TOKS).alias("_toks"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"explode(transform({grams}, (g, i) -> struct(i + 1 AS start, md5(g) AS g)))"
+            ).alias("w"),
+        )
+        .select("doc_id", F.col("w.start").alias("start"), F.col("w.g").alias("g"))
+    )
+    byg = Window.partitionBy("g").orderBy("doc_id", "start")
+    return (
+        wins.withColumn("rn", F.row_number().over(byg))
+        .withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("g")))
+        .where((F.col("cnt") > 1) & (F.col("rn") > 1))
+        .select("doc_id", F.col("start").cast("long").alias("start"),
+                F.col("g").alias("gram_md5"))
+    )
+
+
+def duplicate_ngram_spans_sql(n: int = SPAN_N) -> str:
+    return rf"""
+WITH toked AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+), wins AS (
+  SELECT doc_id, i AS start, md5(array_to_string(toks[i:i+{n - 1}], ' ')) AS g
+  FROM toked, UNNEST(range(1, len(toks) - {n - 2})) AS t(i)
+  WHERE len(toks) >= {n}
+)
+SELECT doc_id, CAST(start AS BIGINT) AS start, g AS gram_md5
+FROM (
+  SELECT doc_id, start, g,
+         row_number() OVER (PARTITION BY g ORDER BY doc_id, start) AS rn,
+         count(*) OVER (PARTITION BY g) AS cnt
+  FROM wins
+) WHERE cnt > 1 AND rn > 1
+"""
+
+
+def strip_duplicate_spans(
+    spark: SparkSession, sf_dir: str, n: int = SPAN_N
+) -> DataFrame:
+    """The corpus with duplicated spans REMOVED: every token covered by
+    a flagged window (any start s with s <= pos < s + n) is dropped;
+    the first occurrence of each window survives untouched.  Returns
+    (doc_id, n_tokens, n_kept, text_clean).
+
+    One extra shuffle beyond the span relation (starts collect per
+    doc_id) + an expression-level positional filter.  The starts
+    relation is one row per FLAGGED doc — O(corpus) on a duplicate-
+    heavy crawl — so it carries NO broadcast hint: AQE broadcasts it
+    while it measures small (the corpus token arrays then never
+    shuffle) and degrades to a doc_id shuffle join otherwise, the same
+    posture as dedup_corpus's drop-list."""
+    docs = rebalance_for_cpu(table(spark, sf_dir, "documents"))
+    starts = (
+        duplicate_ngram_spans(spark, sf_dir, n)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("start")).alias("starts"))
+    )
+    kept = (
+        f"filter(_toks, (x, i) -> NOT exists(starts, s -> i + 1 >= s AND i + 1 < s + {n}))"
+    )
+    return (
+        docs.select("doc_id", F.expr(_TOKS).alias("_toks"))
+        .join(starts, "doc_id", "left")
+        .withColumn("starts", F.coalesce("starts", F.expr("array()")))
+        .select(
+            "doc_id",
+            F.expr("CAST(size(_toks) AS BIGINT)").alias("n_tokens"),
+            F.expr(f"CAST(size({kept}) AS BIGINT)").alias("n_kept"),
+            F.expr(f"array_join({kept}, ' ')").alias("text_clean"),
+        )
+    )
