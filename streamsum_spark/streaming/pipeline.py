@@ -1499,3 +1499,132 @@ def stream_dedup_corpus(
     # duplicate-heavy stream (the 10x stress corpus is 90% dups, so the
     # drop-list IS 90% of doc_ids) — let AQE choose the join strategy.
     return corpus.join(drops, "doc_id", "left_anti")
+
+
+def stream_duplicate_spans(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int | None = None,
+    glob: str = "documents.parquet",
+    max_files_per_trigger: int | None = None,
+    n_buckets: int = 16,
+    state_base: str | None = None,
+    checkpoint: str | None = None,
+) -> DataFrame:
+    """Incremental exact-substring dedup — the streaming twin of
+    dedup.duplicate_ngram_spans, on the stream_near_dup_pairs state
+    recipe: a continuously-ingesting corpus flags repeated n-token
+    passages against everything already seen without rescanning it.
+
+    Per micro-batch: the batch's (doc_id, start, md5(window)) relation
+    ranks within itself (intra-batch duplicates flag immediately), then
+    the batch-first occurrence of each fingerprint probes the
+    accumulated FIRST-OCCURRENCE store — a hash-bucketed table keyed by
+    fingerprint, so the probe reads only the buckets the batch's
+    fingerprints hash into (read_touched_buckets), never the
+    accumulated corpus.  A collision with a DIFFERENT document's stored
+    occurrence flags the batch occurrence; a collision with the SAME
+    (doc_id, start) is a file-source redelivery and is ignored
+    (idempotence pinned in tests/test_stream_spans.py).  Flagged spans
+    upsert (idempotent key (doc_id, start)); the store min-merges via
+    the negated (doc_id, start) order key, so it converges to the
+    globally-smallest occurrence even under out-of-order arrival.
+
+    Semantics vs the batch op: identical flag set when slices arrive in
+    doc_id order (pinned over a 3-slice ordered split); under
+    out-of-order arrival the stream keeps the FIRST-ARRIVED copy where
+    batch keeps the smallest (doc_id, start) — exactly what "keep the
+    copy we already ingested" means for a production corpus.
+
+    ``state_base``/``checkpoint`` make the ingest restartable, same
+    contract as stream_near_dup_pairs."""
+    from streamsum_spark.operators.dedup import SPAN_N, _TOKS
+    from streamsum_spark.functions.expressions import shingles_expr
+    from streamsum_spark.sinks import read_touched_buckets, upsert_batch
+
+    if n is None:
+        n = SPAN_N
+    base = state_base or os.path.join(
+        tempfile.gettempdir(), f"streamsum_spans_{uuid.uuid4().hex[:12]}"
+    )
+    fp_tbl, span_tbl = base + "_fp", base + "_spans"
+    grams = shingles_expr(n, "_toks")
+
+    def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import Window
+
+        wins = (
+            batch_df.select("doc_id", F.expr(_TOKS).alias("_toks"))
+            .select(
+                "doc_id",
+                F.expr(
+                    f"explode(transform({grams}, (g, i) -> "
+                    "struct(i + 1 AS start, md5(g) AS g)))"
+                ).alias("w"),
+            )
+            .select(
+                "doc_id",
+                F.col("w.start").cast("long").alias("start"),
+                F.col("w.g").alias("g"),
+            )
+            .localCheckpoint()
+        )
+        byg = Window.partitionBy("g").orderBy("doc_id", "start")
+        ranked = wins.withColumn("rn", F.row_number().over(byg))
+        flagged = ranked.where(F.col("rn") > 1).select("doc_id", "start", "g")
+        firsts = ranked.where(F.col("rn") == 1).select("doc_id", "start", "g")
+        if os.path.exists(fp_tbl):
+            stored = read_touched_buckets(spark, fp_tbl, firsts.select("g"))
+            extra = (
+                firsts.alias("b")
+                .join(stored.alias("s"), "g")
+                # same (doc_id, start) = redelivery of the stored first:
+                # not a duplicate of itself
+                .where(
+                    (F.col("b.doc_id") != F.col("s.doc_id"))
+                    | (F.col("b.start") != F.col("s.start"))
+                )
+                .select(F.col("b.doc_id"), F.col("b.start"), "g")
+            )
+            flagged = flagged.unionByName(extra)
+        flagged = flagged.localCheckpoint()
+        upsert_batch(
+            spark,
+            span_tbl,
+            flagged.select("doc_id", "start", F.col("g").alias("gram_md5")),
+            ["doc_id", "start"],
+            "gram_md5",
+            n_buckets=n_buckets,
+        )
+        # store the batch's first occurrences; the negated order key
+        # makes newest-wins keep the SMALLEST (doc_id, start) per g
+        upsert_batch(
+            spark,
+            fp_tbl,
+            firsts.select(
+                "g", "doc_id", "start",
+                (-F.col("doc_id")).alias("_nd"), (-F.col("start")).alias("_ns"),
+            ),
+            ["g"],
+            ["_nd", "_ns"],
+            n_buckets=n_buckets,
+        )
+
+    docs = stream_documents(spark, sf_dir, glob, max_files_per_trigger)
+    ckpt = checkpoint or os.path.join(
+        tempfile.gettempdir(), f"streamsum_spans_ckpt_{uuid.uuid4().hex[:10]}"
+    )
+    q = (
+        docs.select("doc_id", "text")
+        .writeStream.foreachBatch(on_batch)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.exists(span_tbl):
+        return spark.createDataFrame(
+            [], "doc_id long, start long, gram_md5 string"
+        )
+    return read_state_table(spark, span_tbl).select("doc_id", "start", "gram_md5")
