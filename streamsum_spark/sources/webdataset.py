@@ -184,3 +184,88 @@ def read_webdataset(
     to decode_image / resize_media, ``parts['txt']`` to the text
     operators."""
     return webdataset_samples(read_webdataset_members(spark, path, glob))
+
+
+MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.StringType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+    ]
+)
+
+
+def write_webdataset(
+    samples: DataFrame,
+    out_dir: str,
+    shard_max_bytes: int = 256 << 20,
+) -> DataFrame:
+    """The reverse direction: pack a sample relation (key, parts
+    map<ext, binary>) into .tar shards under ``out_dir`` — the delivery
+    format a training job consumes.  Returns the shard MANIFEST
+    (shard, n_samples, n_bytes); the write executes when the manifest
+    is materialized (collect/count/save — the mapInPandas pattern for
+    executor-side IO with a result relation, same as the state sinks).
+
+    Scale/determinism shape: each task packs ITS partition's samples —
+    sorted by key within the partition, so a given (partitioning, data)
+    always produces byte-identical shards — rolling to a new shard
+    when the accumulated member payload would exceed
+    ``shard_max_bytes`` (one oversized sample still gets a shard: the
+    bound is a roll trigger, not a hard cap).  Shard names are
+    ``shard-{partition:05d}-{seq:04d}.tar``: partition-disjoint, so
+    concurrent tasks never collide and a re-run overwrites its own
+    files idempotently.  ``out_dir`` must be visible to executors (a
+    shared mount or object-store path at cluster scale; a local dir on
+    local[*])."""
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def pack(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        rows = []
+        for pdf in batches:
+            for key, parts in zip(pdf["key"], pdf["parts"]):
+                rows.append((key, parts))
+        rows.sort(key=lambda kv: kv[0])
+        manifest = []
+        seq = 0
+        cur: list[tuple[str, bytes]] = []
+        cur_bytes = 0
+
+        def flush():
+            nonlocal seq, cur, cur_bytes
+            if not cur:
+                return
+            name = f"shard-{pid:05d}-{seq:04d}.tar"
+            path = os.path.join(out_dir, name)
+            with tarfile.open(path, "w") as tf:
+                for key, parts in cur:
+                    for ext in sorted(parts):
+                        content = bytes(parts[ext])
+                        info = tarfile.TarInfo(f"{key}.{ext}" if ext else key)
+                        info.size = len(content)
+                        tf.addfile(info, io.BytesIO(content))
+            manifest.append((name, len(cur), os.path.getsize(path)))
+            seq += 1
+            cur, cur_bytes = [], 0
+
+        for key, parts in rows:
+            size = sum(len(bytes(v)) for v in parts.values())
+            if cur and cur_bytes + size > shard_max_bytes:
+                flush()
+            cur.append((key, parts))
+            cur_bytes += size
+        flush()
+        yield pd.DataFrame(
+            {
+                "shard": [m[0] for m in manifest],
+                "n_samples": pd.Series([m[1] for m in manifest], dtype="int32"),
+                "n_bytes": pd.Series([m[2] for m in manifest], dtype="int64"),
+            }
+        )
+
+    return samples.select("key", "parts").mapInPandas(pack, MANIFEST_SCHEMA)
