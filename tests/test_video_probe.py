@@ -247,3 +247,22 @@ def test_unknown_durations_are_null_not_garbage():
     )
     with pytest.raises(ValueError):
         probe_ebml(inf_webm)
+
+
+def test_probe_mutation_fuzz_bounded():
+    """300 random single/multi-byte mutations of valid fixtures: the
+    probe either returns metadata or raises ValueError — never hangs,
+    never escapes another exception type (the isolation contract
+    probe_media relies on)."""
+    import random
+
+    rng = random.Random(42)
+    goods = [make_mp4(), make_mp4(1, True), make_webm(), make_webm(True)]
+    for _ in range(300):
+        b = bytearray(rng.choice(goods))
+        for _ in range(rng.randint(1, 4)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        try:
+            probe_video(bytes(b))
+        except ValueError:
+            pass
