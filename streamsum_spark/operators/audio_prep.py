@@ -311,3 +311,22 @@ def mel_features_media(
             )
 
     return media.select("media_id", "content").mapInPandas(run, MEL_SCHEMA)
+
+
+def mfcc(mel: np.ndarray, n_coef: int = 13) -> np.ndarray:
+    """MFCCs from a log-mel matrix: orthonormal DCT-II over the mel
+    axis, first ``n_coef`` coefficients — the classical compact speech
+    feature (kept separate from log_mel_spectrogram because modern
+    neural front ends consume the mel matrix directly; MFCC serves
+    clustering/dedup-style similarity over audio).  Deterministic: the
+    DCT basis is an explicit float64 matrix product."""
+    if mel.ndim != 2:
+        raise ValueError("expected (n_frames, n_mels)")
+    n_mels = mel.shape[1]
+    if not 1 <= n_coef <= n_mels:
+        raise ValueError("n_coef must be in [1, n_mels]")
+    k = np.arange(n_coef, dtype=np.float64)[:, None]
+    m = np.arange(n_mels, dtype=np.float64)[None, :]
+    basis = np.cos(np.pi * k * (2.0 * m + 1.0) / (2.0 * n_mels)) * np.sqrt(2.0 / n_mels)
+    basis[0] *= np.sqrt(0.5)
+    return mel @ basis.T

@@ -179,3 +179,33 @@ def resize_media(
             )
 
     return media.select("media_id", "content").mapInPandas(run, RESIZED_SCHEMA)
+
+
+def center_crop(px: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Central out_h x out_w crop; refuses if the source is smaller
+    (compose with resize_image for the resize-then-crop recipe).
+    Offsets floor the excess halves — the torchvision/Pillow
+    convention, so crops match common training pipelines."""
+    if out_w < 1 or out_h < 1:
+        raise ValueError("crop target must be >= 1x1")
+    h, w = px.shape[:2]
+    if out_h > h or out_w > w:
+        raise ValueError("crop larger than source; resize first")
+    top, left = (h - out_h) // 2, (w - out_w) // 2
+    return px[top : top + out_h, left : left + out_w].copy()
+
+
+def patchify(px: np.ndarray, patch: int) -> np.ndarray:
+    """Non-overlapping patch grid (the ViT tokenization): (h, w, c) ->
+    (n_patches, patch, patch, c) in row-major patch order.  Requires
+    h and w divisible by ``patch`` (the standard pipeline resizes or
+    center-crops first; silent edge-dropping would corrupt position
+    embeddings downstream)."""
+    if patch < 1:
+        raise ValueError("patch must be >= 1")
+    h, w = px.shape[:2]
+    if h % patch or w % patch:
+        raise ValueError("dims must be divisible by patch; resize/crop first")
+    c = px.shape[2] if px.ndim == 3 else 1
+    a = px.reshape(h // patch, patch, w // patch, patch, c)
+    return a.transpose(0, 2, 1, 3, 4).reshape(-1, patch, patch, c)

@@ -411,3 +411,23 @@ def probe_media(
             )
 
     return media.select("media_id", "content").mapInPandas(run, PROBE_SCHEMA)
+
+
+def with_probed_duration(media: DataFrame) -> DataFrame:
+    """Fill null ``duration_ms`` from the container probe — the bridge
+    between opaque video blobs and frame_sample_plan /
+    extract_sampled_frames (multimodal.py), which drive off that
+    column.  Rows whose metadata already carries a duration keep it
+    (the probe never overrides); unprobeable rows stay null.  One
+    left join on media_id; the probe relation carries no broadcast
+    hint (it is one row per media — O(corpus))."""
+    from pyspark.sql import functions as F
+
+    probed = probe_media(media).select(
+        "media_id", F.col("duration_ms").alias("_probed_ms")
+    )
+    return (
+        media.join(probed, "media_id", "left")
+        .withColumn("duration_ms", F.coalesce("duration_ms", "_probed_ms"))
+        .drop("_probed_ms")
+    )

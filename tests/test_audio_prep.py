@@ -242,3 +242,30 @@ def test_mel_features_media_plumbing(spark):
     got = np.array(r1.mel, dtype=np.float32).reshape(r1.n_frames, r1.n_mels)
     assert np.allclose(got, want, atol=1e-5)
     assert not out[2].decoded and out[2].mel is None
+
+
+def test_mfcc_matches_definition_and_orthonormality():
+    from streamsum_spark.operators.audio_prep import log_mel_spectrogram, mfcc
+
+    rng = np.random.default_rng(3)
+    mel = rng.normal(size=(7, 12))
+    got = mfcc(mel, n_coef=5)
+    # explicit DCT-II definition, per coefficient
+    for f in range(7):
+        for k in range(5):
+            scale = np.sqrt(1.0 / 12) if k == 0 else np.sqrt(2.0 / 12)
+            want = scale * sum(
+                mel[f, m] * np.cos(np.pi * k * (2 * m + 1) / 24) for m in range(12)
+            )
+            assert abs(got[f, k] - want) < 1e-12
+    # full-size basis is orthonormal: transform then inverse recovers mel
+    full = mfcc(mel, n_coef=12)
+    k = np.arange(12)[:, None]
+    m = np.arange(12)[None, :]
+    basis = np.cos(np.pi * k * (2 * m + 1) / 24) * np.sqrt(2.0 / 12)
+    basis[0] *= np.sqrt(0.5)
+    assert np.allclose(full @ basis, mel, atol=1e-12)
+    with pytest.raises(ValueError):
+        mfcc(mel, n_coef=0)
+    with pytest.raises(ValueError):
+        mfcc(mel[0], n_coef=3)

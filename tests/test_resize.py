@@ -171,3 +171,40 @@ def test_empty_source_raises():
         resize_image(np.zeros((4, 0, 3), np.uint8), 2, 2)
     with pytest.raises(ValueError):
         resize_image(np.zeros(5, np.uint8), 2, 2)
+
+
+def test_center_crop():
+    from streamsum_spark.operators.resize import center_crop
+
+    rng = np.random.default_rng(29)
+    px = rng.integers(0, 256, (10, 8, 3), dtype=np.uint8)
+    got = center_crop(px, 4, 6)
+    assert np.array_equal(got, px[2:8, 2:6])
+    # odd excess floors (torchvision convention)
+    assert np.array_equal(center_crop(px, 7, 9), px[0:9, 0:7])
+    with pytest.raises(ValueError):
+        center_crop(px, 9, 4)
+    with pytest.raises(ValueError):
+        center_crop(px, 0, 4)
+
+
+def test_patchify_roundtrip():
+    from streamsum_spark.operators.resize import patchify
+
+    rng = np.random.default_rng(31)
+    px = rng.integers(0, 256, (8, 12, 3), dtype=np.uint8)
+    p = patchify(px, 4)
+    assert p.shape == (6, 4, 4, 3)
+    # patch (r, c) is the original block, row-major
+    assert np.array_equal(p[0], px[0:4, 0:4])
+    assert np.array_equal(p[2], px[0:4, 8:12])
+    assert np.array_equal(p[3], px[4:8, 0:4])
+    # reassembly is lossless
+    back = (
+        p.reshape(2, 3, 4, 4, 3).transpose(0, 2, 1, 3, 4).reshape(8, 12, 3)
+    )
+    assert np.array_equal(back, px)
+    with pytest.raises(ValueError):
+        patchify(px, 5)
+    with pytest.raises(ValueError):
+        patchify(px, 0)

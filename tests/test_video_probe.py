@@ -266,3 +266,25 @@ def test_probe_mutation_fuzz_bounded():
             probe_video(bytes(b))
         except ValueError:
             pass
+
+
+def test_with_probed_duration(spark):
+    from streamsum_spark.operators.video_probe import with_probed_duration
+    from streamsum_spark.operators.multimodal import frame_sample_plan
+
+    rows = [
+        (1, "video/mp4", None, bytearray(make_mp4())),     # filled by probe
+        (2, "video/mp4", 777, bytearray(make_mp4())),      # metadata wins
+        (3, "image/png", None, bytearray(b"not video")),   # stays null
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, mime string, duration_ms long, content binary"
+    )
+    out = {r.media_id: r for r in with_probed_duration(media).collect()}
+    assert out[1].duration_ms == 5000
+    assert out[2].duration_ms == 777
+    assert out[3].duration_ms is None
+    # the filled column drives the sample plan
+    plan = frame_sample_plan(with_probed_duration(media), every_ms=1000)
+    n = plan.groupBy("media_id").count().collect()
+    assert {r.media_id: r["count"] for r in n} == {1: 5, 2: 1}
