@@ -330,3 +330,54 @@ def mfcc(mel: np.ndarray, n_coef: int = 13) -> np.ndarray:
     basis = np.cos(np.pi * k * (2.0 * m + 1.0) / (2.0 * n_mels)) * np.sqrt(2.0 / n_mels)
     basis[0] *= np.sqrt(0.5)
     return mel @ basis.T
+
+
+def energy_vad(
+    samples: np.ndarray,
+    rate: int,
+    frame_ms: int = 25,
+    hop_ms: int = 10,
+    threshold_db: float = -35.0,
+    floor: float = 1e-8,
+) -> np.ndarray:
+    """Energy-based voice-activity mask: one bool per analysis frame,
+    True where the frame's RMS energy (mono mix, [-1, 1) scale) exceeds
+    ``threshold_db`` dBFS — the standard cheap silence detector a
+    speech-prep pipeline runs before feature extraction (a learned VAD
+    is a model, not a data-engine primitive; this is the deterministic
+    baseline every pipeline starts from).  Frame layout matches
+    log_mel_spectrogram (start 0, step hop, complete frames only), so
+    the mask indexes mel/MFCC rows directly."""
+    if samples.ndim != 2:
+        raise ValueError("expected (n, ch) samples")
+    n_fft = int(rate * frame_ms / 1000)
+    hop = int(rate * hop_ms / 1000)
+    if n_fft <= 0 or hop <= 0:
+        raise ValueError("frame_ms/hop_ms too small for the rate")
+    x = samples.astype(np.float64).mean(axis=1) / 32768.0
+    if len(x) < n_fft:
+        return np.zeros(0, dtype=bool)
+    n_frames = 1 + (len(x) - n_fft) // hop
+    idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+    rms = np.sqrt(np.maximum((x[idx] ** 2).mean(axis=1), floor**2))
+    return 20.0 * np.log10(rms) > threshold_db
+
+
+def trim_silence(
+    samples: np.ndarray,
+    rate: int,
+    frame_ms: int = 25,
+    hop_ms: int = 10,
+    threshold_db: float = -35.0,
+) -> np.ndarray:
+    """Strip leading and trailing silence (by the energy_vad mask),
+    keeping everything between the first and last active frame — the
+    conservative trim that never cuts speech-internal pauses.  All-
+    silent input returns an empty (0, ch) array."""
+    mask = energy_vad(samples, rate, frame_ms, hop_ms, threshold_db)
+    if not mask.any():
+        return samples[:0].copy()
+    hop = int(rate * hop_ms / 1000)
+    n_fft = int(rate * frame_ms / 1000)
+    first, last = int(np.argmax(mask)), int(len(mask) - 1 - np.argmax(mask[::-1]))
+    return samples[first * hop : last * hop + n_fft].copy()

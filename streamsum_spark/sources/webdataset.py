@@ -220,11 +220,12 @@ def write_webdataset(
     local[*])."""
     import pandas as pd
 
-    os.makedirs(out_dir, exist_ok=True)
-
     def pack(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         from pyspark import TaskContext
 
+        # created task-side, not driver-side: at cluster scale the
+        # executor host is the one that needs the directory to exist
+        os.makedirs(out_dir, exist_ok=True)
         pid = TaskContext.get().partitionId()
         rows = []
         for pdf in batches:

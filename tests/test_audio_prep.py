@@ -269,3 +269,32 @@ def test_mfcc_matches_definition_and_orthonormality():
         mfcc(mel, n_coef=0)
     with pytest.raises(ValueError):
         mfcc(mel[0], n_coef=3)
+
+
+def test_energy_vad_and_trim_silence():
+    from streamsum_spark.operators.audio_prep import energy_vad, trim_silence
+
+    rate = 16000
+    sil = np.zeros((rate // 2, 1), np.int16)
+    t = np.arange(rate) / rate
+    speech = (9000 * np.sin(2 * np.pi * 300 * t)).astype(np.int16).reshape(-1, 1)
+    x = np.vstack([sil, speech, sil])
+    mask = energy_vad(x, rate)
+    n_fft, hop = 400, 160
+    assert mask.shape == (1 + (len(x) - n_fft) // hop,)
+    # frames fully inside the silence are inactive; fully inside speech active
+    assert not mask[: (len(sil) - n_fft) // hop - 1].any()
+    mid = (len(sil) + n_fft) // hop + 1
+    assert mask[mid : mid + 20].all()
+    trimmed = trim_silence(x, rate)
+    # the trim keeps the speech span within one hop+frame of its bounds
+    assert abs(len(trimmed) - len(speech)) <= n_fft + 2 * hop
+    assert np.abs(trimmed.astype(int)).max() == 9000
+    # all-silence -> empty; all-speech -> identity-length
+    assert trim_silence(sil, rate).shape == (0, 1)
+    full = trim_silence(speech, rate)
+    assert len(speech) - len(full) <= n_fft
+    # mask indexes mel rows directly (same frame layout)
+    from streamsum_spark.operators.audio_prep import log_mel_spectrogram
+
+    assert len(log_mel_spectrogram(x, rate)) == len(mask)
