@@ -1,0 +1,451 @@
+"""AVI (RIFF) container probe + frame decode — the first video class
+with REAL sample-data decode.
+
+Reference parity note: the reference (streamsum) has no multimodal
+surface at all; this module extends SURVEY §2's LLM-pipeline posture
+("video sample data stays opaque unless honestly decodable") the same
+way video_probe.py did for MP4/WebM metadata.  The difference: an
+MJPEG AVI's frames are plain baseline JPEGs, and a BI_RGB ('DIB') AVI's
+frames are raw bottom-up BGR rows — both decodable with machinery this
+repo already trusts (operators/jpeg.py incl. the JVM sidecar fast path
++ sampled verification, and the BMP row logic).  Every other AVI codec
+(xvid, h264-in-avi, ...) stays an honest NotImplementedError.
+
+Container layout (public: Microsoft "AVI RIFF File Reference" / the
+OpenDML AVI spec): RIFF('AVI ') > LIST('hdrl') holding 'avih'
+(MainAVIHeader: µs/frame, total frames, dims) and one LIST('strl') per
+stream ('strh' AVIStreamHeader: fccType/fccHandler/scale/rate/length;
+'strf' BITMAPINFOHEADER for video), then LIST('movi') holding '##dc'
+(compressed) / '##db' (uncompressed DIB) frame chunks — '##' is the
+zero-based stream number — optionally nested in LIST('rec ') groups.
+All sizes little-endian; chunks pad to even offsets.
+
+MJPEG quirk handled here: frames conventionally OMIT their Huffman
+tables (the "AVI1" convention — players supply ITU-T T.81 Annex K.3
+defaults).  _with_default_dht splices exactly those tables in front of
+SOS when no DHT is present, so table-less frames decode identically to
+self-contained ones (pinned in tests/test_avi.py against encode_jpeg,
+which emits the same Annex K tables).
+
+Hostile-input bounds mirror video_probe/gif: chunk budget, strict
+forward progress, bounded rec-list depth, canvas + cumulative output
+caps from _compositing (checked BEFORE decoding any frame).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from streamsum_spark.operators._compositing import (
+    MAX_FRAMES_BYTES as _MAX_FRAMES_BYTES,
+    check_canvas as _check_canvas,
+)
+
+_MAX_CHUNKS = 65536
+_MAX_REC_DEPTH = 4
+_MAX_STREAMS = 64
+
+_AVIH_FMT = "<IIIIIIIIII"   # through dwHeight (reserved tail ignored)
+_STRH_FMT = "<4s4sIHHIIIII"  # through dwLength
+
+
+def _riff_chunks(b: bytes, pos: int, end: int, budget: list[int]):
+    """Yield (fourcc, payload_start, payload_end) with strict forward
+    progress; chunk payloads pad to even file offsets (RIFF rule)."""
+    while pos + 8 <= end:
+        if budget[0] <= 0:
+            raise ValueError("AVI chunk budget exceeded")
+        budget[0] -= 1
+        fourcc = b[pos : pos + 4]
+        size = struct.unpack_from("<I", b, pos + 4)[0]
+        s = pos + 8
+        if s + size > end:
+            raise ValueError("AVI chunk size out of bounds")
+        yield fourcc, s, s + size
+        pos = s + size + (size & 1)
+
+
+def _list_payload(b: bytes, s: int, e: int, want: bytes) -> tuple[int, int] | None:
+    """(payload_start, payload_end) past the 4-byte list type, if the
+    LIST chunk at [s, e) is of type ``want``."""
+    if e - s >= 4 and b[s : s + 4] == want:
+        return s + 4, e
+    return None
+
+
+def _parse_hdrl(b: bytes, s: int, e: int, budget: list[int]) -> dict:
+    """MainAVIHeader fields + one dict per stream (strh/strf)."""
+    out: dict = {"us_per_frame": None, "total_frames": None,
+                 "width": None, "height": None, "streams": []}
+    for cc, cs, ce in _riff_chunks(b, s, e, budget):
+        if cc == b"avih":
+            if ce - cs < struct.calcsize(_AVIH_FMT):
+                raise ValueError("truncated avih")
+            (uspf, _rate, _pad, _flags, total, _init, _nstr, _buf,
+             w, h) = struct.unpack_from(_AVIH_FMT, b, cs)
+            out.update(us_per_frame=uspf or None, total_frames=total,
+                       width=w or None, height=h or None)
+        elif cc == b"LIST":
+            strl = _list_payload(b, cs, ce, b"strl")
+            if strl is None or len(out["streams"]) >= _MAX_STREAMS:
+                continue
+            st: dict = {"fcc_type": None, "handler": None, "scale": None,
+                        "rate": None, "length": None, "width": None,
+                        "height": None, "bit_count": None,
+                        "compression": None}
+            for sc, ss, se in _riff_chunks(b, strl[0], strl[1], budget):
+                if sc == b"strh":
+                    if se - ss < struct.calcsize(_STRH_FMT):
+                        raise ValueError("truncated strh")
+                    (ftype, fhand, _fl, _pri, _lang, _init, scale, rate,
+                     _start, length) = struct.unpack_from(_STRH_FMT, b, ss)
+                    st.update(
+                        fcc_type=ftype.decode("latin-1"),
+                        handler=fhand.decode("latin-1").strip("\x00 ") or None,
+                        scale=scale, rate=rate, length=length,
+                    )
+                elif sc == b"strf" and st["fcc_type"] == "vids":
+                    if se - ss < 20:
+                        raise ValueError("truncated video strf")
+                    _bisz, bw, bh = struct.unpack_from("<Iii", b, ss)
+                    planes, bits = struct.unpack_from("<HH", b, ss + 12)
+                    comp = b[ss + 16 : ss + 20]
+                    st.update(width=abs(bw) or None, height=abs(bh) or None,
+                              bit_count=bits, compression=comp,
+                              top_down=bh < 0)
+            out["streams"].append(st)
+    if out["us_per_frame"] is None and not out["streams"]:
+        raise ValueError("AVI without avih or streams")
+    return out
+
+
+def _walk_avi(b: bytes) -> tuple[dict, tuple[int, int] | None, list[int]]:
+    """(hdrl dict, movi payload span, shared budget) for a RIFF-AVI
+    blob; ValueError on malformation."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not an AVI (RIFF) file")
+    riff_size = struct.unpack_from("<I", b, 4)[0]
+    end = min(len(b), 8 + riff_size)
+    budget = [_MAX_CHUNKS]
+    hdrl = None
+    movi = None
+    for cc, cs, ce in _riff_chunks(b, 12, end, budget):
+        if cc != b"LIST":
+            continue
+        if hdrl is None:
+            p = _list_payload(b, cs, ce, b"hdrl")
+            if p:
+                hdrl = _parse_hdrl(b, p[0], p[1], budget)
+                continue
+        if movi is None:
+            p = _list_payload(b, cs, ce, b"movi")
+            if p:
+                movi = p
+    if hdrl is None:
+        raise ValueError("AVI without hdrl header list")
+    return hdrl, movi, budget
+
+
+def probe_avi(b: bytes) -> dict:
+    """Container metadata in video_probe's PROBE_SCHEMA dict shape —
+    container 'avi', movie duration from avih (frames x µs/frame),
+    per-stream tracks with mp4's handler vocabulary ('vide'/'soun') so
+    downstream filters need one predicate."""
+    hdrl, _movi, _budget = _walk_avi(bytes(b))
+    dur = None
+    if hdrl["us_per_frame"] and hdrl["total_frames"]:
+        dur = hdrl["total_frames"] * hdrl["us_per_frame"] // 1000
+    handler_map = {"vids": "vide", "auds": "soun", "txts": "text"}
+    tracks = []
+    for i, st in enumerate(hdrl["streams"]):
+        tdur = None
+        if st["rate"] and st["length"] is not None and st["scale"]:
+            tdur = st["length"] * st["scale"] * 1000 // st["rate"]
+        codec = st["handler"]
+        if codec is None and st.get("compression"):
+            comp = st["compression"].decode("latin-1").strip("\x00 ")
+            codec = comp or ("DIB" if st.get("bit_count") else None)
+        tracks.append(
+            {"track_id": i,
+             "handler": handler_map.get(st["fcc_type"], st["fcc_type"]),
+             "codec": codec,
+             "width": st["width"], "height": st["height"],
+             "duration_ms": tdur, "lang": None}
+        )
+        if dur is None and tdur is not None and st["fcc_type"] == "vids":
+            dur = tdur
+    return {"container": "avi", "brand": None, "duration_ms": dur,
+            "tracks": tracks}
+
+
+# --- MJPEG default-table splice ---------------------------------------------
+
+
+def _annex_k_dht() -> bytes:
+    """The four ITU-T T.81 Annex K.3 'typical' Huffman tables as one
+    DHT-segment byte run — exactly the tables encode_jpeg emits."""
+    from streamsum_spark.operators.jpeg import (
+        _AC_CHROM, _AC_LUM, _DC_CHROM, _DC_LUM,
+    )
+
+    out = bytearray()
+    for tc, th, (bits, vals) in (
+        (0, 0, _DC_LUM), (1, 0, _AC_LUM), (0, 1, _DC_CHROM), (1, 1, _AC_CHROM)
+    ):
+        payload = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    return bytes(out)
+
+
+def _with_default_dht(frame: bytes) -> bytes:
+    """A self-contained JPEG for an MJPEG frame: if the frame carries no
+    DHT segment before SOS (the AVI1 convention), splice the Annex K.3
+    defaults immediately before SOS; frames with their own tables pass
+    through untouched."""
+    if frame[:2] != b"\xff\xd8":
+        raise ValueError("MJPEG frame without JPEG SOI")
+    pos = 2
+    n = len(frame)
+    while pos + 4 <= n:
+        if frame[pos] != 0xFF:
+            raise ValueError("corrupt MJPEG frame marker stream")
+        marker = frame[pos + 1]
+        if marker == 0xFF:            # fill byte (T.81 §B.1.1.2)
+            pos += 1
+            continue
+        if marker == 0xC4:            # DHT present — self-contained
+            return frame
+        if marker == 0xDA:            # SOS with no DHT seen
+            return frame[:pos] + _annex_k_dht() + frame[pos:]
+        if marker in (0x01, *range(0xD0, 0xD8)):  # standalone markers
+            pos += 2
+            continue
+        seg = struct.unpack_from(">H", frame, pos + 2)[0]
+        if seg < 2:
+            raise ValueError("corrupt MJPEG segment length")
+        pos += 2 + seg
+    raise ValueError("MJPEG frame without SOS")
+
+
+# --- frame decode ------------------------------------------------------------
+
+
+def _decode_dib_frame(payload: bytes, st: dict) -> np.ndarray:
+    """One '##db' BI_RGB frame: raw DIB rows (no file header) at the
+    strf geometry — 24bpp BGR, 4-byte row padding, bottom-up unless
+    biHeight was negative."""
+    if st.get("bit_count") != 24:
+        raise NotImplementedError(
+            f"AVI DIB frames with biBitCount={st.get('bit_count')} "
+            "not supported (only 24-bit BI_RGB)"
+        )
+    w, h = st["width"], st["height"]
+    stride = (w * 3 + 3) & ~3
+    if len(payload) < stride * h:
+        raise ValueError("truncated AVI DIB frame")
+    rows = np.frombuffer(payload[: stride * h], np.uint8).reshape(h, stride)
+    px = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+    if not st.get("top_down"):
+        px = px[::-1]
+    return np.ascontiguousarray(px)
+
+
+def decode_avi_frames(content: bytes) -> list[tuple[int, int, np.ndarray]]:
+    """All frames of the FIRST video stream as [(start_ms, duration_ms,
+    (h, w, 3) uint8 RGB)] — the decode_frames contract.
+
+    '##dc' chunks must be MJPEG (fccHandler MJPG/dmb1 or JPEG SOI
+    bytes); each frame routes through multimodal.decode_image, so it
+    gets the JVM-sidecar fast path AND the sampled spec cross-check for
+    free.  '##db' chunks decode as 24-bit BI_RGB DIB rows.  Zero-length
+    chunks repeat the previous frame (the dropped-frame convention).
+    Any other codec raises NotImplementedError — a fake decode would
+    misreport content.
+
+    Frame timing: start(i) = i*scale*1000/rate from strh (the exact
+    rational, floored per frame — no drift), avih µs/frame fallback.
+    """
+    from streamsum_spark.operators.multimodal import decode_image
+
+    b = bytes(content)
+    hdrl, movi, budget = _walk_avi(b)
+    if movi is None:
+        raise ValueError("AVI without movi data list")
+    vid_idx, vid = next(
+        ((i, s) for i, s in enumerate(hdrl["streams"])
+         if s["fcc_type"] == "vids"),
+        (None, None),
+    )
+    if vid is None:
+        raise ValueError("AVI without a video stream")
+    handler = (vid["handler"] or "").upper()
+    comp = (vid.get("compression") or b"").decode("latin-1").strip("\x00 ").upper()
+    is_mjpeg = handler in ("MJPG", "DMB1") or comp in ("MJPG", "DMB1")
+    is_dib = (not is_mjpeg) and (comp == "" and (vid.get("bit_count") or 0) > 0
+                                 or handler == "DIB")
+    if not (is_mjpeg or is_dib):
+        raise NotImplementedError(
+            f"AVI video codec {handler or comp or '?'} not supported "
+            "(MJPEG and 24-bit DIB only)"
+        )
+    if vid["width"] and vid["height"]:
+        _check_canvas(vid["width"], vid["height"], "AVI")
+
+    if vid_idx >= 100:
+        raise ValueError("AVI video stream index out of range")
+    prefix = b"%02d" % vid_idx
+    want = {prefix + b"dc", prefix + b"db"}
+
+    payloads: list[bytes] = []
+
+    def collect(s: int, e: int, depth: int) -> None:
+        if depth > _MAX_REC_DEPTH:
+            raise ValueError("AVI rec-list nesting too deep")
+        for cc, cs, ce in _riff_chunks(b, s, e, budget):
+            if cc == b"LIST":
+                p = _list_payload(b, cs, ce, b"rec ")
+                if p:
+                    collect(p[0], p[1], depth + 1)
+            elif cc in want:
+                payloads.append(b[cs:ce])
+
+    collect(movi[0], movi[1], 0)
+    if not payloads:
+        raise ValueError("AVI with no frame chunks for the video stream")
+    if vid["width"] and vid["height"]:
+        if vid["width"] * vid["height"] * 3 * len(payloads) > _MAX_FRAMES_BYTES:
+            raise ValueError("AVI decoded output exceeds the frame cap")
+
+    def start_ms(i: int) -> int:
+        if vid["rate"] and vid["scale"]:
+            return i * vid["scale"] * 1000 // vid["rate"]
+        if hdrl["us_per_frame"]:
+            return i * hdrl["us_per_frame"] // 1000
+        return i * 1000  # no timing info: 1 fps convention
+
+    frames: list[tuple[int, int, np.ndarray]] = []
+    prev: np.ndarray | None = None
+    budget_bytes = 0
+    for i, payload in enumerate(payloads):
+        if len(payload) == 0:
+            if prev is None:
+                raise ValueError("AVI starts with a dropped frame")
+            px = prev
+        elif payload[:2] == b"\xff\xd8":
+            px = decode_image(_with_default_dht(payload))
+        elif is_dib:
+            px = _decode_dib_frame(payload, vid)
+        else:
+            raise ValueError("AVI dc chunk without JPEG SOI")
+        budget_bytes += px.nbytes
+        if budget_bytes > _MAX_FRAMES_BYTES:
+            raise ValueError("AVI decoded output exceeds the frame cap")
+        frames.append((start_ms(i), start_ms(i + 1) - start_ms(i), px))
+        prev = px
+    return frames
+
+
+# ---------------------------------------------------------------------------
+# encoders (test fixtures; also the proof the walkers parse real layouts)
+# ---------------------------------------------------------------------------
+
+
+def _chunk(fourcc: bytes, payload: bytes) -> bytes:
+    return fourcc + struct.pack("<I", len(payload)) + payload + (
+        b"\x00" if len(payload) & 1 else b""
+    )
+
+
+def _list(ltype: bytes, payload: bytes) -> bytes:
+    return _chunk(b"LIST", ltype + payload)
+
+
+def _avi_container(
+    frame_payloads: list[bytes],
+    w: int,
+    h: int,
+    rate: int,
+    scale: int,
+    handler: bytes,
+    compression: bytes,
+    bit_count: int,
+    chunk_cc: bytes,
+    strip_dht: bool = False,
+) -> bytes:
+    n = len(frame_payloads)
+    uspf = scale * 1_000_000 // rate if rate else 0
+    avih = struct.pack(
+        _AVIH_FMT, uspf, 0, 0, 0, n, 0, 1, 0, w, h
+    ) + b"\x00" * 16
+    strh = struct.pack(
+        _STRH_FMT, b"vids", handler, 0, 0, 0, 0, scale, rate, 0, n
+    ) + struct.pack("<IIII", 0, 0, 0, 0) + struct.pack("<4H", 0, 0, w, h)
+    strf = struct.pack(
+        "<Iii", 40, w, h
+    ) + struct.pack("<HH", 1, bit_count) + compression + struct.pack(
+        "<IiiII", 0, 0, 0, 0, 0
+    )
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+    movi_payload = b"".join(_chunk(chunk_cc, p) for p in frame_payloads)
+    movi = _list(b"movi", movi_payload)
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _strip_dht(jpeg: bytes) -> bytes:
+    """Remove every DHT segment (the AVI1 table-less convention)."""
+    out = bytearray(jpeg[:2])
+    pos = 2
+    while pos + 4 <= len(jpeg):
+        marker = jpeg[pos + 1]
+        if marker == 0xDA:
+            out += jpeg[pos:]
+            return bytes(out)
+        seg = struct.unpack_from(">H", jpeg, pos + 2)[0]
+        if marker != 0xC4:
+            out += jpeg[pos : pos + 2 + seg]
+        pos += 2 + seg
+    raise ValueError("no SOS")
+
+
+def encode_avi_mjpeg(
+    frames: list[np.ndarray],
+    rate: int = 25,
+    scale: int = 1,
+    quality: int = 90,
+    table_less: bool = False,
+) -> bytes:
+    """MJPEG AVI of (h, w, 3) uint8 frames; ``table_less=True`` strips
+    the DHT segments (the AVI1 convention _with_default_dht restores)."""
+    from streamsum_spark.operators.jpeg import encode_jpeg
+
+    h, w = frames[0].shape[:2]
+    payloads = []
+    for f in frames:
+        j = encode_jpeg(f, quality=quality)
+        payloads.append(_strip_dht(j) if table_less else j)
+    return _avi_container(
+        payloads, w, h, rate, scale, b"MJPG", b"MJPG", 24, b"00dc"
+    )
+
+
+def encode_avi_dib(
+    frames: list[np.ndarray], rate: int = 25, scale: int = 1
+) -> bytes:
+    """Uncompressed 24-bit BI_RGB AVI (bottom-up BGR DIB rows)."""
+    h, w = frames[0].shape[:2]
+    stride = (w * 3 + 3) & ~3
+    payloads = []
+    for f in frames:
+        rows = np.zeros((h, stride), np.uint8)
+        rows[:, : w * 3] = f[:, :, ::-1].reshape(h, w * 3)
+        payloads.append(rows[::-1].tobytes())
+    return _avi_container(
+        payloads, w, h, rate, scale, b"DIB ", b"\x00\x00\x00\x00", 24, b"00db"
+    )

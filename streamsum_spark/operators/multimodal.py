@@ -1373,7 +1373,8 @@ def encode_apng(
 
 
 def decode_frames(content: bytes) -> list[tuple[int, int, np.ndarray]]:
-    """All frames of an animated GIF/WebP/APNG as [(start_ms,
+    """All frames of an animated GIF/WebP/APNG — or of an MJPEG /
+    24-bit-DIB AVI video (operators/avi.py) — as [(start_ms,
     duration_ms, RGB canvas)], or a single zero-duration frame for any
     other decodable image.  The animated decoders composite delta
     frames, transparency, and disposal/blend modes onto the logical
@@ -1389,6 +1390,10 @@ def decode_frames(content: bytes) -> list[tuple[int, int, np.ndarray]]:
         from streamsum_spark.operators.webp import decode_webp_frames
 
         return decode_webp_frames(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        from streamsum_spark.operators.avi import decode_avi_frames
+
+        return decode_avi_frames(b)
     if b[:8] == _PNG_SIG:
         return decode_apng_frames(b)
     return [(0, 0, decode_image(b))]

@@ -330,13 +330,19 @@ def probe_ebml(b: bytes) -> dict:
 
 def probe_video(content: bytes) -> dict:
     """Route a blob to its container parser by magic: MP4-family (ftyp
-    within the first boxes) or EBML.  ValueError for anything else —
-    the caller's isolation contract handles it."""
+    within the first boxes), EBML, or RIFF-AVI (operators/avi.py —
+    whose MJPEG/DIB streams also DECODE, via decode_frames).
+    ValueError for anything else — the caller's isolation contract
+    handles it."""
     b = bytes(content)
     if len(b) >= 12 and b[4:8] == b"ftyp":
         return probe_mp4(b)
     if b[:4] == _EBML_MAGIC:
         return probe_ebml(b)
+    if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        from streamsum_spark.operators.avi import probe_avi
+
+        return probe_avi(b)
     raise ValueError("not a recognized video container")
 
 

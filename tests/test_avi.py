@@ -1,0 +1,270 @@
+"""AVI (RIFF) container: probe metadata, MJPEG/DIB frame decode, the
+Annex-K default-Huffman splice, hostile-input bounds, and the Spark
+integration (probe_media, with_probed_duration, extract_sampled_frames
+over a real decodable video)."""
+
+import random
+import struct
+
+import numpy as np
+import pytest
+
+from streamsum_spark.operators.avi import (
+    _strip_dht,
+    _with_default_dht,
+    decode_avi_frames,
+    encode_avi_dib,
+    encode_avi_mjpeg,
+    probe_avi,
+)
+from streamsum_spark.operators.multimodal import decode_frames
+from streamsum_spark.operators.video_probe import probe_video
+
+
+def _frames(n=4, h=48, w=64):
+    yy, xx = np.mgrid[0:h, 0:w]
+    out = []
+    for k in range(n):
+        f = np.stack(
+            [(xx * 3 + k * 20) % 256, (yy * 5) % 256, ((xx + yy) * 2 + k * 10) % 256],
+            -1,
+        ).astype(np.uint8)
+        out.append(f)
+    return out
+
+
+# --- probe -------------------------------------------------------------------
+
+
+def test_probe_mjpeg_metadata():
+    blob = encode_avi_mjpeg(_frames(), rate=10, scale=1)
+    p = probe_avi(blob)
+    assert p["container"] == "avi"
+    assert p["brand"] is None
+    assert p["duration_ms"] == 400  # 4 frames @ 10 fps
+    (t,) = p["tracks"]
+    assert t["handler"] == "vide"
+    assert t["codec"] == "MJPG"
+    assert (t["width"], t["height"]) == (64, 48)
+    assert t["duration_ms"] == 400
+    # probe_video routes RIFF-AVI here
+    assert probe_video(blob) == p
+
+
+def test_probe_dib_metadata():
+    p = probe_avi(encode_avi_dib(_frames(), rate=25))
+    assert p["tracks"][0]["codec"] == "DIB"
+    assert p["duration_ms"] == 160  # 4 frames @ 25 fps
+
+
+def test_probe_fractional_rate():
+    # 30000/1001 NTSC: track duration from the exact rational
+    blob = encode_avi_mjpeg(_frames(2), rate=30000, scale=1001)
+    t = probe_avi(blob)["tracks"][0]
+    assert t["duration_ms"] == 2 * 1001 * 1000 // 30000
+
+
+# --- decode ------------------------------------------------------------------
+
+
+def test_mjpeg_decode_tolerance_and_timing():
+    src = _frames()
+    out = decode_avi_frames(encode_avi_mjpeg(src, rate=10, scale=1))
+    assert [(s, d) for s, d, _ in out] == [(0, 100), (100, 100), (200, 100), (300, 100)]
+    for (_, _, px), f in zip(out, src):
+        assert px.shape == f.shape
+        assert np.abs(px.astype(int) - f.astype(int)).max() <= 8
+
+
+def test_tableless_frames_decode_identically():
+    src = _frames()
+    tabled = decode_avi_frames(encode_avi_mjpeg(src, rate=10))
+    bare = decode_avi_frames(encode_avi_mjpeg(src, rate=10, table_less=True))
+    for (_, _, a), (_, _, b) in zip(tabled, bare):
+        assert (a == b).all()
+
+
+def test_dib_decode_byte_exact():
+    src = _frames(3, h=17, w=21)  # odd width exercises row padding
+    out = decode_avi_frames(encode_avi_dib(src, rate=25))
+    for (_, _, px), f in zip(out, src):
+        assert (px == f).all()
+
+
+def test_decode_frames_dispatch():
+    src = _frames(2)
+    out = decode_frames(encode_avi_dib(src, rate=25))
+    assert len(out) == 2 and (out[1][2] == src[1]).all()
+
+
+def test_dropped_frame_repeats_previous():
+    src = _frames(3)
+    blob = bytearray(encode_avi_dib(src, rate=25))
+    # rebuild with the middle frame chunk emptied
+    from streamsum_spark.operators.avi import _avi_container
+
+    stride = (64 * 3 + 3) & ~3
+    payloads = []
+    for i, f in enumerate(src):
+        rows = np.zeros((48, stride), np.uint8)
+        rows[:, : 64 * 3] = f[:, :, ::-1].reshape(48, 64 * 3)
+        payloads.append(b"" if i == 1 else rows[::-1].tobytes())
+    blob = _avi_container(
+        payloads, 64, 48, 25, 1, b"DIB ", b"\x00\x00\x00\x00", 24, b"00db"
+    )
+    out = decode_avi_frames(blob)
+    assert (out[1][2] == out[0][2]).all()
+    assert (out[2][2] == src[2]).all()
+
+
+def test_rec_list_nesting():
+    from streamsum_spark.operators.avi import _chunk, _list
+
+    src = _frames(2, h=8, w=8)
+    # rebuild with the frame chunks wrapped in a LIST('rec ') group
+    stride = (8 * 3 + 3) & ~3
+    payloads = []
+    for f in src:
+        rows = np.zeros((8, stride), np.uint8)
+        rows[:, : 8 * 3] = f[:, :, ::-1].reshape(8, 8 * 3)
+        payloads.append(rows[::-1].tobytes())
+    movi_inner = b"".join(_chunk(b"00db", p) for p in payloads)
+    rec = _list(b"rec ", movi_inner)
+    # take hdrl from the original encode, swap the movi list
+    orig = bytes(encode_avi_dib(src, rate=25))
+    movi_at = orig.index(b"movi") - 8
+    body = orig[8:movi_at] + _list(b"movi", rec)
+    blob2 = b"RIFF" + struct.pack("<I", len(body)) + body
+    out = decode_avi_frames(blob2)
+    assert len(out) == 2 and (out[0][2] == src[0]).all()
+
+
+def test_unsupported_codec_refuses():
+    from streamsum_spark.operators.avi import _avi_container
+
+    blob = _avi_container([b"\x00" * 64], 64, 48, 25, 1, b"xvid", b"XVID", 24, b"00dc")
+    with pytest.raises(NotImplementedError, match="XVID"):
+        decode_avi_frames(blob)
+
+
+def test_dib_16bit_refuses():
+    from streamsum_spark.operators.avi import _avi_container
+
+    blob = _avi_container(
+        [b"\x00" * (64 * 48 * 2)], 64, 48, 25, 1, b"DIB ", b"\x00" * 4, 16, b"00db"
+    )
+    with pytest.raises(NotImplementedError, match="biBitCount=16"):
+        decode_avi_frames(blob)
+
+
+def test_non_avi_refuses():
+    with pytest.raises(ValueError):
+        probe_avi(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(ValueError):
+        decode_avi_frames(b"not a riff at all....")
+
+
+# --- the DHT splice ----------------------------------------------------------
+
+
+def test_with_default_dht_noop_when_tabled():
+    from streamsum_spark.operators.jpeg import encode_jpeg
+
+    j = encode_jpeg(_frames(1)[0])
+    assert _with_default_dht(j) is j or _with_default_dht(j) == j
+
+
+def test_strip_then_splice_restores_exact_bytes():
+    from streamsum_spark.operators.jpeg import encode_jpeg
+
+    j = encode_jpeg(_frames(1)[0], quality=75)
+    bare = _strip_dht(j)
+    assert b"\xff\xc4" not in bare.split(b"\xff\xda")[0]
+    restored = _with_default_dht(bare)
+    # the encoder emits DHT right before (optional DRI and) SOS, and
+    # the splice inserts before SOS, so the restored file decodes to
+    # the identical pixels (encoder tables == Annex K.3 defaults)
+    from streamsum_spark.operators.jpeg import decode_jpeg
+
+    assert (decode_jpeg(restored) == decode_jpeg(j)).all()
+
+
+# --- hostile input -----------------------------------------------------------
+
+
+def test_truncation_fuzz():
+    blob = encode_avi_mjpeg(_frames(2, h=16, w=16), rate=10)
+    for cut in range(0, len(blob), 7):
+        try:
+            decode_avi_frames(blob[:cut])
+        except (ValueError, NotImplementedError, struct.error):
+            pass
+    blob = encode_avi_dib(_frames(2, h=16, w=16), rate=10)
+    for cut in range(0, len(blob), 7):
+        try:
+            decode_avi_frames(blob[:cut])
+        except (ValueError, NotImplementedError, struct.error):
+            pass
+
+
+def test_mutation_fuzz():
+    rng = random.Random(11)
+    goods = [
+        encode_avi_mjpeg(_frames(2, h=16, w=16), rate=10),
+        encode_avi_dib(_frames(2, h=16, w=16), rate=10),
+    ]
+    for _ in range(300):
+        b = bytearray(rng.choice(goods))
+        for _ in range(rng.randint(1, 4)):
+            b[rng.randrange(len(b))] = rng.randrange(256)
+        try:
+            decode_avi_frames(bytes(b))
+            probe_avi(bytes(b))
+        except (ValueError, NotImplementedError, struct.error):
+            pass
+
+
+def test_frame_cap_bounds_allocation():
+    # huge declared canvas must refuse before decoding
+    from streamsum_spark.operators.avi import _avi_container
+
+    blob = _avi_container(
+        [b"\x00"] * 8, 60000, 60000, 25, 1, b"MJPG", b"MJPG", 24, b"00dc"
+    )
+    with pytest.raises(ValueError):
+        decode_avi_frames(blob)
+
+
+# --- Spark integration -------------------------------------------------------
+
+
+def test_probe_media_and_sampled_frames(spark):
+    from streamsum_spark.operators.multimodal import extract_sampled_frames
+    from streamsum_spark.operators.video_probe import (
+        probe_media,
+        with_probed_duration,
+    )
+
+    src = _frames(5, h=16, w=16)
+    avi = encode_avi_mjpeg(src, rate=2, scale=1)  # 2 fps → 2500 ms
+    rows = [(1, "video/x-msvideo", None, bytearray(avi))]
+    media = spark.createDataFrame(
+        rows, "media_id long, mime string, duration_ms long, content binary"
+    )
+    probed = {r.media_id: r for r in probe_media(media).collect()}
+    assert probed[1].container == "avi"
+    assert probed[1].duration_ms == 2500
+    assert probed[1].tracks[0].codec == "MJPG"
+
+    # duration flows from the probe into the sample plan, and the
+    # sampled decode emits REAL decoded frames (decoded=true)
+    out = extract_sampled_frames(with_probed_duration(media), every_ms=1000).collect()
+    got = {r.frame_ts_ms: r for r in out}
+    assert set(got) == {0, 1000, 2000}
+    for ts, r in got.items():
+        assert r.decoded
+        assert (r.width, r.height) == (16, 16)
+    # ts→frame mapping: frame i covers [i*500, (i+1)*500)
+    assert got[0].frame_idx == 0
+    assert got[1000].frame_idx == 2
+    assert got[2000].frame_idx == 4
