@@ -475,6 +475,34 @@ def codec_throughput() -> dict:
                 blob, shape = cases[name]
                 jc.decode_image_jvm(blob)  # exclude sidecar start from run 1
                 out[name + "_native"] = clock(jc.decode_image_jvm, blob, shape)
+        # AVI/MJPEG — the decodable video class (round 11): whole-file
+        # frame decode, pixels = w*h*frames.  The spec row is the
+        # pure-Python ceiling; the routed row re-enables NATIVE_DECODE
+        # so each frame pays the sidecar fast path PLUS the actual
+        # per-blob sampled verification (measured, not computed).
+        from streamsum_spark.operators.avi import encode_avi_mjpeg
+
+        avi_frames = [img(512, 384) for _ in range(6)]
+        avi_blob = encode_avi_mjpeg(avi_frames, rate=25, table_less=True)
+        avi_pix = 512 * 384 * len(avi_frames)
+
+        def clock_frames(blob):
+            dt = min(
+                (lambda t0: (mm.decode_frames(blob),
+                             time.perf_counter() - t0))(time.perf_counter())[1]
+                for _ in range(2)
+            )
+            return {"mb_s": round(len(blob) / dt / 1e6, 2),
+                    "mpix_s": round(avi_pix / dt / 1e6, 3)}
+
+        out["avi_mjpeg"] = clock_frames(avi_blob)
+        if jc.have_jvm_imageio():
+            mm.NATIVE_DECODE = True
+            out["avi_mjpeg_routed"] = clock_frames(avi_blob)
+            out["avi_mjpeg_routed"]["verify_pct"] = mm.NATIVE_VERIFY_PCT.get(
+                "JPEG", 5.0
+            )
+            mm.NATIVE_DECODE = False
     finally:
         mm.NATIVE_DECODE = was
     # resize is the post-decode half of the multimodal prep path: record
