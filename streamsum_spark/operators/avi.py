@@ -252,24 +252,12 @@ def _decode_dib_frame(payload: bytes, st: dict) -> np.ndarray:
     return np.ascontiguousarray(px)
 
 
-def decode_avi_frames(content: bytes) -> list[tuple[int, int, np.ndarray]]:
-    """All frames of the FIRST video stream as [(start_ms, duration_ms,
-    (h, w, 3) uint8 RGB)] — the decode_frames contract.
-
-    '##dc' chunks must be MJPEG (fccHandler MJPG/dmb1 or JPEG SOI
-    bytes); each frame routes through multimodal.decode_image, so it
-    gets the JVM-sidecar fast path AND the sampled spec cross-check for
-    free.  '##db' chunks decode as 24-bit BI_RGB DIB rows.  Zero-length
-    chunks repeat the previous frame (the dropped-frame convention).
-    Any other codec raises NotImplementedError — a fake decode would
-    misreport content.
-
-    Frame timing: start(i) = i*scale*1000/rate from strh (the exact
-    rational, floored per frame — no drift), avih µs/frame fallback.
-    """
-    from streamsum_spark.operators.multimodal import decode_image
-
-    b = bytes(content)
+def _video_stream_payloads(b: bytes):
+    """Shared front half of full and selective decode: validate the
+    first video stream's codec, collect its frame-chunk payloads (in
+    movi order, rec-lists flattened), and build the analytic frame
+    clock.  Returns (vid stream dict + ``is_mjpeg``/``is_dib`` flags,
+    payloads, start_ms callable)."""
     hdrl, movi, budget = _walk_avi(b)
     if movi is None:
         raise ValueError("AVI without movi data list")
@@ -314,9 +302,6 @@ def decode_avi_frames(content: bytes) -> list[tuple[int, int, np.ndarray]]:
     collect(movi[0], movi[1], 0)
     if not payloads:
         raise ValueError("AVI with no frame chunks for the video stream")
-    if vid["width"] and vid["height"]:
-        if vid["width"] * vid["height"] * 3 * len(payloads) > _MAX_FRAMES_BYTES:
-            raise ValueError("AVI decoded output exceeds the frame cap")
 
     def start_ms(i: int) -> int:
         if vid["rate"] and vid["scale"]:
@@ -325,6 +310,41 @@ def decode_avi_frames(content: bytes) -> list[tuple[int, int, np.ndarray]]:
             return i * hdrl["us_per_frame"] // 1000
         return i * 1000  # no timing info: 1 fps convention
 
+    vid = dict(vid, is_dib=is_dib)
+    return vid, payloads, start_ms
+
+
+def _decode_payload(payload: bytes, vid: dict) -> np.ndarray:
+    """One non-empty frame chunk → (h, w, 3) uint8 RGB."""
+    from streamsum_spark.operators.multimodal import decode_image
+
+    if payload[:2] == b"\xff\xd8":
+        return decode_image(_with_default_dht(payload))
+    if vid["is_dib"]:
+        return _decode_dib_frame(payload, vid)
+    raise ValueError("AVI dc chunk without JPEG SOI")
+
+
+def decode_avi_frames(content: bytes) -> list[tuple[int, int, np.ndarray]]:
+    """All frames of the FIRST video stream as [(start_ms, duration_ms,
+    (h, w, 3) uint8 RGB)] — the decode_frames contract.
+
+    '##dc' chunks must be MJPEG (fccHandler MJPG/dmb1 or JPEG SOI
+    bytes); each frame routes through multimodal.decode_image, so it
+    gets the JVM-sidecar fast path AND the sampled spec cross-check for
+    free.  '##db' chunks decode as 24-bit BI_RGB DIB rows.  Zero-length
+    chunks repeat the previous frame (the dropped-frame convention).
+    Any other codec raises NotImplementedError — a fake decode would
+    misreport content.
+
+    Frame timing: start(i) = i*scale*1000/rate from strh (the exact
+    rational, floored per frame — no drift), avih µs/frame fallback.
+    """
+    b = bytes(content)
+    vid, payloads, start_ms = _video_stream_payloads(b)
+    if vid["width"] and vid["height"]:
+        if vid["width"] * vid["height"] * 3 * len(payloads) > _MAX_FRAMES_BYTES:
+            raise ValueError("AVI decoded output exceeds the frame cap")
     frames: list[tuple[int, int, np.ndarray]] = []
     prev: np.ndarray | None = None
     budget_bytes = 0
@@ -333,18 +353,54 @@ def decode_avi_frames(content: bytes) -> list[tuple[int, int, np.ndarray]]:
             if prev is None:
                 raise ValueError("AVI starts with a dropped frame")
             px = prev
-        elif payload[:2] == b"\xff\xd8":
-            px = decode_image(_with_default_dht(payload))
-        elif is_dib:
-            px = _decode_dib_frame(payload, vid)
         else:
-            raise ValueError("AVI dc chunk without JPEG SOI")
+            px = _decode_payload(payload, vid)
         budget_bytes += px.nbytes
         if budget_bytes > _MAX_FRAMES_BYTES:
             raise ValueError("AVI decoded output exceeds the frame cap")
         frames.append((start_ms(i), start_ms(i + 1) - start_ms(i), px))
         prev = px
     return frames
+
+
+def decode_avi_frames_at(
+    content: bytes, ts_list: list[int]
+) -> list[tuple[int, np.ndarray]]:
+    """(frame_idx, pixels) per requested timestamp, decoding ONLY the
+    selected frames — the scale path for sampled video decode.
+
+    MJPEG/DIB frames are independent (no inter-frame prediction) and
+    the frame clock is analytic from strh rate/scale, so mapping a
+    timestamp to its covering frame needs no decoding at all: a 1-hour
+    25 fps clip sampled every second decodes 3.6k of its 90k frames.
+    Dropped (zero-length) frames resolve backward to the nearest real
+    chunk; each resolved chunk decodes at most once.  Same timestamp →
+    frame mapping as extract_sampled_frames over decode_frames: the
+    frame whose [start, next_start) span covers the timestamp,
+    timestamps past the end hold the last frame."""
+    import bisect
+
+    b = bytes(content)
+    vid, payloads, start_ms = _video_stream_payloads(b)
+    starts = [start_ms(i) for i in range(len(payloads))]
+    cache: dict[int, np.ndarray] = {}
+    budget_bytes = 0
+    out: list[tuple[int, np.ndarray]] = []
+    for t in ts_list:
+        j = max(0, bisect.bisect_right(starts, int(t)) - 1)
+        k = j
+        while k >= 0 and len(payloads[k]) == 0:
+            k -= 1
+        if k < 0:
+            raise ValueError("AVI starts with a dropped frame")
+        if k not in cache:
+            px = _decode_payload(payloads[k], vid)
+            budget_bytes += px.nbytes
+            if budget_bytes > _MAX_FRAMES_BYTES:
+                raise ValueError("AVI decoded output exceeds the frame cap")
+            cache[k] = px
+        out.append((j, cache[k]))
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -1399,6 +1399,32 @@ def decode_frames(content: bytes) -> list[tuple[int, int, np.ndarray]]:
     return [(0, 0, decode_image(b))]
 
 
+def frames_at(content: bytes, ts_list: list[int]) -> list[tuple[int, np.ndarray]]:
+    """(frame_idx, pixels) per requested timestamp — the decode half of
+    sampled frame extraction.  Containers whose frames are independent
+    and whose frame clock is analytic decode ONLY the selected frames
+    (AVI MJPEG/DIB: decode_avi_frames_at — a 1-hour clip sampled every
+    second pays ~4% of a full decode); animated GIF/APNG/WebP frames
+    delta-composite onto a canvas, so they need the full decode_frames
+    pass regardless of how few timestamps are asked for.  Mapping in
+    both paths: the frame whose [start, next_start) span covers the
+    timestamp; timestamps past the last frame hold it."""
+    import bisect
+
+    b = bytes(content)
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        from streamsum_spark.operators.avi import decode_avi_frames_at
+
+        return decode_avi_frames_at(b, ts_list)
+    frames = decode_frames(b)
+    starts = [s for s, _, _ in frames]
+    out = []
+    for t in ts_list:
+        j = max(0, bisect.bisect_right(starts, int(t)) - 1)
+        out.append((j, frames[j][2]))
+    return out
+
+
 FRAME_FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -1427,15 +1453,14 @@ def extract_sampled_frames(
     JVM-side (collect_list is bounded by duration/every_ms, not corpus
     size), joins to the content relation on media_id (both sides hash on
     the key; the list side is tiny so AQE broadcast-joins it when it
-    fits), and one mapInPandas pass decodes.  Timestamp→frame mapping:
-    the frame whose [start, start+duration) span covers the timestamp;
-    timestamps past the last frame hold it (player semantics).  Stills
-    have one zero-duration frame covering every timestamp.  Undecodable
-    blobs emit decoded=false fingerprint rows per timestamp, mirroring
+    fits), and one mapInPandas pass decodes via frames_at — which pays
+    only for the SELECTED frames where the container allows (AVI), and
+    one full decode otherwise.  Timestamp→frame mapping: the frame
+    whose [start, start+duration) span covers the timestamp; timestamps
+    past the last frame hold it (player semantics).  Stills have one
+    zero-duration frame covering every timestamp.  Undecodable blobs
+    emit decoded=false fingerprint rows per timestamp, mirroring
     extract_features' error isolation."""
-    import bisect
-    import builtins
-
     plan = frame_sample_plan(media, every_ms)
     visual = media.where(
         F.col("mime").startswith("image/") | F.col("mime").startswith("video/")
@@ -1454,22 +1479,20 @@ def extract_sampled_frames(
                 pdf["media_id"], pdf["content"], pdf["ts_list"]
             ):
                 try:
-                    frames = decode_frames(content)
+                    picked = frames_at(content, [int(t) for t in ts_list])
                 except (NotImplementedError, ValueError, struct.error):
-                    frames = None
-                starts = [s for s, _, _ in frames] if frames else []
-                for t in ts_list:
+                    picked = None
+                for i, t in enumerate(ts_list):
                     out["media_id"].append(int(media_id))
                     out["frame_ts_ms"].append(int(t))
-                    if frames is None:
+                    if picked is None:
                         out["frame_idx"].append(None)
                         out["decoded"].append(False)
                         out["width"].append(None)
                         out["height"].append(None)
                         out["feature"].append(_fake_feature(bytes(content)))
                         continue
-                    j = builtins.max(0, bisect.bisect_right(starts, int(t)) - 1)
-                    px = frames[j][2]
+                    j, px = picked[i]
                     out["frame_idx"].append(j)
                     out["decoded"].append(True)
                     out["width"].append(px.shape[1])

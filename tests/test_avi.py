@@ -235,6 +235,77 @@ def test_frame_cap_bounds_allocation():
         decode_avi_frames(blob)
 
 
+# --- selective decode --------------------------------------------------------
+
+
+def test_frames_at_matches_full_decode():
+    from streamsum_spark.operators.avi import decode_avi_frames_at
+    from streamsum_spark.operators.multimodal import frames_at
+
+    src = _frames(6, h=16, w=16)
+    blob = encode_avi_mjpeg(src, rate=4, scale=1)  # 250 ms/frame
+    full = decode_avi_frames(blob)
+    starts = [s for s, _, _ in full]
+    ts = [0, 100, 250, 700, 1300, 99999]
+    picked = decode_avi_frames_at(blob, ts)
+    import bisect
+
+    for t, (j, px) in zip(ts, picked):
+        expect_j = max(0, bisect.bisect_right(starts, t) - 1)
+        assert j == expect_j
+        assert (px == full[j][2]).all()
+    # the multimodal dispatcher routes AVI to the selective path and
+    # everything else through a full decode with the same mapping
+    assert all(
+        a[0] == b[0] and (a[1] == b[1]).all()
+        for a, b in zip(frames_at(blob, ts), picked)
+    )
+
+
+def test_frames_at_decodes_only_selected(monkeypatch):
+    from streamsum_spark.operators import multimodal as mm
+    from streamsum_spark.operators.avi import decode_avi_frames_at
+
+    src = _frames(30, h=16, w=16)
+    blob = encode_avi_mjpeg(src, rate=10, scale=1)  # 3000 ms total
+    calls = []
+    real = mm.decode_image
+    monkeypatch.setattr(mm, "decode_image", lambda b: calls.append(1) or real(b))
+    out = decode_avi_frames_at(blob, [0, 1000, 2500])
+    assert len(out) == 3
+    assert len(calls) == 3  # 3 of 30 frames decoded
+    # repeated timestamps hit the cache, not the decoder
+    calls.clear()
+    decode_avi_frames_at(blob, [500, 505, 509])
+    assert len(calls) == 1
+
+
+def test_frames_at_resolves_dropped_frames():
+    from streamsum_spark.operators.avi import _avi_container, decode_avi_frames_at
+
+    src = _frames(3, h=8, w=8)
+    stride = (8 * 3 + 3) & ~3
+    payloads = []
+    for i, f in enumerate(src):
+        rows = np.zeros((8, stride), np.uint8)
+        rows[:, : 8 * 3] = f[:, :, ::-1].reshape(8, 8 * 3)
+        payloads.append(b"" if i == 1 else rows[::-1].tobytes())
+    blob = _avi_container(
+        payloads, 8, 8, 10, 1, b"DIB ", b"\x00\x00\x00\x00", 24, b"00db"
+    )
+    (j, px), = decode_avi_frames_at(blob, [100])  # the dropped frame
+    assert j == 1 and (px == src[0]).all()
+
+
+def test_frames_at_still_image_fallback():
+    from streamsum_spark.operators.multimodal import encode_bmp, frames_at
+
+    f = _frames(1, h=8, w=8)[0]
+    out = frames_at(encode_bmp(f), [0, 1000])
+    assert [j for j, _ in out] == [0, 0]
+    assert (out[0][1] == f).all()
+
+
 # --- Spark integration -------------------------------------------------------
 
 
