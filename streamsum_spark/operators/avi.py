@@ -115,6 +115,12 @@ def _parse_hdrl(b: bytes, s: int, e: int, budget: list[int]) -> dict:
                     st.update(width=abs(bw) or None, height=abs(bh) or None,
                               bit_count=bits, compression=comp,
                               top_down=bh < 0)
+                elif sc == b"strf" and st["fcc_type"] == "auds":
+                    # WAVEFORMATEX — kept raw; decode_avi_audio reuses
+                    # it verbatim as a WAV fmt chunk
+                    if se - ss < 16:
+                        raise ValueError("truncated audio strf")
+                    st["wave_fmt"] = b[ss : ss + 16]
             out["streams"].append(st)
     if out["us_per_frame"] is None and not out["streams"]:
         raise ValueError("AVI without avih or streams")
@@ -167,6 +173,11 @@ def probe_avi(b: bytes) -> dict:
         if codec is None and st.get("compression"):
             comp = st["compression"].decode("latin-1").strip("\x00 ")
             codec = comp or ("DIB" if st.get("bit_count") else None)
+        if codec is None and st.get("wave_fmt"):
+            tag = struct.unpack_from("<H", st["wave_fmt"], 0)[0]
+            codec = {1: "pcm", 6: "alaw", 7: "mulaw", 0x11: "adpcm_ima"}.get(
+                tag, f"wave_0x{tag:04x}"
+            )
         tracks.append(
             {"track_id": i,
              "handler": handler_map.get(st["fcc_type"], st["fcc_type"]),
@@ -403,6 +414,60 @@ def decode_avi_frames_at(
     return out
 
 
+def decode_avi_audio(content: bytes) -> tuple["np.ndarray", int]:
+    """The FIRST audio stream's samples as ((n, ch) int16, rate) — the
+    decode_audio contract, so a video's soundtrack feeds the same prep
+    chain (downmix → resample → log-mel) as a standalone audio blob.
+
+    Zero format duplication: the stream's strf IS a WAVEFORMATEX, and
+    its '##wb' chunks ARE the WAV data stream, so extraction rebuilds a
+    RIFF/WAVE blob and hands it to multimodal.decode_audio — PCM16,
+    G.711 A-law/µ-law, and IMA ADPCM all work, and unsupported tags
+    raise the same honest NotImplementedError a bare WAV would."""
+    from streamsum_spark.operators.multimodal import decode_audio
+
+    b = bytes(content)
+    hdrl, movi, budget = _walk_avi(b)
+    if movi is None:
+        raise ValueError("AVI without movi data list")
+    aud_idx, aud = next(
+        ((i, s) for i, s in enumerate(hdrl["streams"])
+         if s["fcc_type"] == "auds"),
+        (None, None),
+    )
+    if aud is None:
+        raise ValueError("AVI without an audio stream")
+    if aud.get("wave_fmt") is None:
+        raise ValueError("AVI audio stream without a WAVEFORMATEX strf")
+    if aud_idx >= 100:
+        raise ValueError("AVI audio stream index out of range")
+    want = (b"%02d" % aud_idx) + b"wb"
+
+    parts: list[bytes] = []
+
+    def collect(s: int, e: int, depth: int) -> None:
+        if depth > _MAX_REC_DEPTH:
+            raise ValueError("AVI rec-list nesting too deep")
+        for cc, cs, ce in _riff_chunks(b, s, e, budget):
+            if cc == b"LIST":
+                p = _list_payload(b, cs, ce, b"rec ")
+                if p:
+                    collect(p[0], p[1], depth + 1)
+            elif cc == want:
+                parts.append(b[cs:ce])
+
+    collect(movi[0], movi[1], 0)
+    if not parts:
+        raise ValueError("AVI with no audio chunks for the audio stream")
+    data = b"".join(parts)
+    wav = (
+        b"WAVE"
+        + _chunk(b"fmt ", aud["wave_fmt"])
+        + _chunk(b"data", data)
+    )
+    return decode_audio(b"RIFF" + struct.pack("<I", len(wav)) + wav)
+
+
 # ---------------------------------------------------------------------------
 # encoders (test fixtures; also the proof the walkers parse real layouts)
 # ---------------------------------------------------------------------------
@@ -489,6 +554,52 @@ def encode_avi_mjpeg(
     return _avi_container(
         payloads, w, h, rate, scale, b"MJPG", b"MJPG", 24, b"00dc"
     )
+
+
+def encode_avi_av(
+    frames: list[np.ndarray],
+    samples: np.ndarray,
+    sample_rate: int,
+    rate: int = 25,
+    scale: int = 1,
+    quality: int = 90,
+) -> bytes:
+    """Two-stream AVI: MJPEG video (stream 0) + PCM16 audio (stream 1,
+    ``samples`` is (n, ch) int16), movi interleaved per frame like a
+    real muxer writes it."""
+    from streamsum_spark.operators.jpeg import encode_jpeg
+
+    h, w = frames[0].shape[:2]
+    n = len(frames)
+    ch = samples.shape[1]
+    uspf = scale * 1_000_000 // rate if rate else 0
+    avih = struct.pack(_AVIH_FMT, uspf, 0, 0, 0, n, 0, 2, 0, w, h) + b"\x00" * 16
+    strh_v = struct.pack(
+        _STRH_FMT, b"vids", b"MJPG", 0, 0, 0, 0, scale, rate, 0, n
+    ) + struct.pack("<IIII", 0, 0, 0, 0) + struct.pack("<4H", 0, 0, w, h)
+    strf_v = struct.pack("<Iii", 40, w, h) + struct.pack("<HH", 1, 24) + \
+        b"MJPG" + struct.pack("<IiiII", 0, 0, 0, 0, 0)
+    strh_a = struct.pack(
+        _STRH_FMT, b"auds", b"\x00" * 4, 0, 0, 0, 0, 1, sample_rate, 0,
+        len(samples),
+    ) + struct.pack("<IIII", 0, 0, 0, 0) + struct.pack("<4H", 0, 0, 0, 0)
+    strf_a = struct.pack(
+        "<HHIIHH", 1, ch, sample_rate, sample_rate * 2 * ch, 2 * ch, 16
+    )
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", _chunk(b"strh", strh_v) + _chunk(b"strf", strf_v))
+        + _list(b"strl", _chunk(b"strh", strh_a) + _chunk(b"strf", strf_a)),
+    )
+    pcm = np.ascontiguousarray(samples.astype("<i2")).tobytes()
+    step = (len(pcm) // (2 * ch * n) + 1) * 2 * ch  # sample-aligned slices
+    movi_payload = b""
+    for i, f in enumerate(frames):
+        movi_payload += _chunk(b"00dc", encode_jpeg(f, quality=quality))
+        movi_payload += _chunk(b"01wb", pcm[i * step : (i + 1) * step])
+    body = b"AVI " + hdrl + _list(b"movi", movi_payload)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def encode_avi_dib(

@@ -984,6 +984,13 @@ def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
         from streamsum_spark.operators.mp3 import decode_mp3
 
         return decode_mp3(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        # a video container's soundtrack: the first auds stream's
+        # WAVEFORMATEX + '##wb' chunks rebuild as a WAV and re-enter
+        # here (operators/avi.py) — same formats, same refusals
+        from streamsum_spark.operators.avi import decode_avi_audio
+
+        return decode_avi_audio(b)
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise NotImplementedError("only RIFF/WAVE audio supported")
     fmt = data = None

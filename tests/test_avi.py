@@ -235,6 +235,61 @@ def test_frame_cap_bounds_allocation():
         decode_avi_frames(blob)
 
 
+# --- audio track -------------------------------------------------------------
+
+
+def _tone(n=8000, ch=2):
+    return (np.sin(np.arange(n * ch) * 0.05) * 12000).astype(np.int16).reshape(-1, ch)
+
+
+def test_av_audio_extraction_byte_exact():
+    from streamsum_spark.operators.avi import decode_avi_audio, encode_avi_av
+    from streamsum_spark.operators.multimodal import decode_audio
+
+    tone = _tone()
+    blob = encode_avi_av(_frames(4, h=32, w=32), tone, 16000, rate=8)
+    s, r = decode_avi_audio(blob)
+    assert r == 16000 and (s == tone).all()
+    # decode_audio dispatches RIFF-AVI here
+    s2, r2 = decode_audio(blob)
+    assert r2 == 16000 and (s2 == tone).all()
+
+
+def test_av_probe_and_interleaved_video():
+    from streamsum_spark.operators.avi import encode_avi_av
+
+    tone = _tone(4000)
+    blob = encode_avi_av(_frames(4, h=32, w=32), tone, 16000, rate=8)
+    p = probe_avi(blob)
+    assert [(t["handler"], t["codec"]) for t in p["tracks"]] == [
+        ("vide", "MJPG"),
+        ("soun", "pcm"),
+    ]
+    assert p["tracks"][1]["duration_ms"] == 250  # 4000 samples @ 16 kHz
+    # the interleaved 01wb chunks don't confuse the video collector
+    v = decode_avi_frames(blob)
+    assert len(v) == 4 and [f[0] for f in v] == [0, 125, 250, 375]
+
+
+def test_av_audio_feeds_prep_chain():
+    from streamsum_spark.operators.audio_prep import downmix_mono, log_mel_spectrogram
+    from streamsum_spark.operators.avi import decode_avi_audio, encode_avi_av
+
+    tone = _tone(16000)
+    blob = encode_avi_av(_frames(2, h=16, w=16), tone, 16000, rate=2)
+    s, r = decode_avi_audio(blob)
+    mel = log_mel_spectrogram(downmix_mono(s), r)
+    assert mel.shape[1] == 80 and mel.shape[0] > 0
+
+
+def test_audio_missing_stream_refuses():
+    from streamsum_spark.operators.avi import decode_avi_audio
+
+    blob = encode_avi_mjpeg(_frames(2, h=8, w=8), rate=10)
+    with pytest.raises(ValueError, match="without an audio stream"):
+        decode_avi_audio(blob)
+
+
 # --- selective decode --------------------------------------------------------
 
 
