@@ -282,6 +282,20 @@ def test_av_audio_feeds_prep_chain():
     assert mel.shape[1] == 80 and mel.shape[0] > 0
 
 
+def test_av_soundtrack_flows_through_resample_media(spark):
+    # no new plumbing needed: resample_media calls decode_audio, which
+    # dispatches RIFF-AVI to the soundtrack extractor
+    from streamsum_spark.operators.audio_prep import resample_media
+    from streamsum_spark.operators.avi import encode_avi_av
+
+    blob = encode_avi_av(_frames(2, h=16, w=16), _tone(16000), 16000, rate=2)
+    media = spark.createDataFrame(
+        [(1, bytearray(blob))], "media_id long, content binary"
+    )
+    (row,) = resample_media(media, out_rate=8000).collect()
+    assert row.decoded and row.src_rate == 16000 and row.src_channels == 2
+
+
 def test_audio_missing_stream_refuses():
     from streamsum_spark.operators.avi import decode_avi_audio
 
