@@ -385,6 +385,60 @@ def _probe_au(b: bytes) -> dict:
     }
 
 
+def _probe_ogg(b: bytes) -> dict:
+    """Ogg container (RFC 3533 page layout) with Vorbis-I or Opus
+    (RFC 7845 OpusHead) identification headers.  Decode of either
+    codec honestly refuses elsewhere — this is the mp3.py posture:
+    the metadata half is parseable, the spectral half is not.
+    Duration comes from the stream's last granule position (PCM
+    samples at the codec rate; Opus granules are at 48 kHz minus
+    pre-skip).  Page CRCs are not verified: this extracts routing
+    metadata, it does not certify stream integrity."""
+    codec = rate = ch = serial = last_gran = None
+    preskip = 0
+    pos, walked = 0, 0
+    while pos + 27 <= len(b) and b[pos : pos + 4] == b"OggS" and walked < _MAX_WALK:
+        walked += 1
+        nseg = b[pos + 26]
+        segs = b[pos + 27 : pos + 27 + nseg]
+        if len(segs) < nseg:
+            break
+        body = pos + 27 + nseg
+        size = sum(segs)
+        if body + size > len(b):
+            break  # truncated final page: keep what we have
+        gran = int.from_bytes(b[pos + 6 : pos + 14], "little", signed=True)
+        ser = int.from_bytes(b[pos + 14 : pos + 18], "little")
+        if codec is None:
+            pkt = b[body : body + size]
+            if pkt[:7] == b"\x01vorbis" and size >= 16:
+                codec, serial = "vorbis", ser
+                ch = pkt[11]
+                rate = int.from_bytes(pkt[12:16], "little")
+            elif pkt[:8] == b"OpusHead" and size >= 12:
+                codec, serial = "opus", ser
+                ch = pkt[9]
+                preskip = int.from_bytes(pkt[10:12], "little")
+                rate = 48000
+        if ser == serial and gran >= 0:
+            last_gran = gran
+        pos = body + size
+    if walked == 0:
+        raise ValueError("not an Ogg stream")
+    if codec is None:
+        # structurally valid Ogg of a codec we don't identify
+        return {"format": "ogg", "sample_rate": None, "channels": None,
+                "bits": None, "duration_ms": None, "codec": None}
+    if not rate:
+        raise ValueError("corrupt Ogg identification header")
+    dur = None
+    if last_gran is not None:
+        samples = max(last_gran - (preskip if codec == "opus" else 0), 0)
+        dur = samples * 1000 // rate
+    return {"format": "ogg", "sample_rate": rate, "channels": ch,
+            "bits": None, "duration_ms": dur, "codec": codec}
+
+
 def probe_audio_header(content: bytes) -> dict:
     """format/sample_rate/channels/bits/duration_ms/codec without
     decoding any samples (MP3 walks frame headers: mp3_stream_info)."""
@@ -397,6 +451,8 @@ def probe_audio_header(content: bytes) -> dict:
         return _probe_au(b)
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return _probe_wav(b)
+    if b[:4] == b"OggS":
+        return _probe_ogg(b)
     if b[:3] == b"ID3" or (len(b) > 1 and b[0] == 0xFF and b[1] & 0xE0 == 0xE0):
         from streamsum_spark.operators.mp3 import mp3_stream_info
 
@@ -443,8 +499,12 @@ def probe_header(content: bytes) -> dict:
 
         p = probe_video(b)
         vt = next((t for t in p["tracks"] if t["handler"] == "vide"), None)
+        st = next((t for t in p["tracks"] if t["handler"] == "soun"), None)
+        # an .m4a / audio-only WebM is an audio blob in a movie
+        # container — report the kind a curation filter expects
+        kind = "video" if vt or st is None else "audio"
         return {
-            "kind": "video", "format": p["container"],
+            "kind": kind, "format": p["container"],
             "width": vt["width"] if vt else None,
             "height": vt["height"] if vt else None,
             "duration_ms": p["duration_ms"],

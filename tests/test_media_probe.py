@@ -150,6 +150,63 @@ def test_mp3_header_real_stream():
     assert p["format"] == "mp3" and p["sample_rate"] > 0 and p["duration_ms"] > 0
 
 
+def _ogg_page(serial, seq, granule, payload, htype=0):
+    segs = []
+    n = len(payload)
+    while n >= 255:
+        segs.append(255)
+        n -= 255
+    segs.append(n)
+    return (
+        b"OggS\x00" + bytes([htype])
+        + granule.to_bytes(8, "little", signed=True)
+        + serial.to_bytes(4, "little") + seq.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00" + bytes([len(segs)]) + bytes(segs) + payload
+    )
+
+
+def test_ogg_vorbis_header():
+    ident = (b"\x01vorbis" + b"\x00" * 4 + bytes([2])
+             + (44100).to_bytes(4, "little") + b"\x00" * 14)
+    blob = (_ogg_page(7, 0, -1, ident, htype=2)
+            + _ogg_page(7, 1, 44100, b"\x05" * 64, htype=4))
+    p = probe_audio_header(blob)
+    assert (p["format"], p["codec"], p["sample_rate"], p["channels"],
+            p["duration_ms"]) == ("ogg", "vorbis", 44100, 2, 1000)
+
+
+def test_ogg_opus_header():
+    ident = (b"OpusHead\x01" + bytes([1]) + (312).to_bytes(2, "little")
+             + (48000).to_bytes(4, "little") + b"\x00" * 3)
+    blob = (_ogg_page(9, 0, -1, ident, htype=2)
+            + _ogg_page(9, 1, 48000 + 312, b"\x05" * 64, htype=4))
+    p = probe_audio_header(blob)
+    assert (p["codec"], p["sample_rate"], p["channels"]) == ("opus", 48000, 1)
+    assert p["duration_ms"] == 1000  # granule minus pre-skip
+
+
+def test_ogg_unknown_codec_still_probes():
+    blob = _ogg_page(3, 0, -1, b"\x7fFLAC..some..header", htype=2)
+    p = probe_audio_header(blob)
+    assert p["format"] == "ogg" and p["codec"] is None
+
+
+def test_m4a_reports_audio_kind():
+    # an MP4 whose only track is sound — the .m4a case
+    from tests.test_video_probe import box, make_mp4, mvhd, trak
+
+    m4a = (
+        box(b"ftyp", b"M4A " + struct.pack(">I", 0) + b"M4A mp42")
+        + box(b"moov", mvhd(1000, 5000, 0)
+              + trak(1, 0, 0, b"soun", b"mp4a", 48000, 240000, "eng", 0))
+    )
+    p = probe_header(m4a)
+    assert p["kind"] == "audio" and p["format"] == "mp4"
+    assert p["duration_ms"] == 5000
+    # the A/V fixture keeps kind video
+    assert probe_header(make_mp4())["kind"] == "video"
+
+
 # --- dispatch / video ---------------------------------------------------------
 
 
