@@ -112,9 +112,30 @@ def _probe_png(b: bytes) -> dict:
     return out
 
 
+def _exif_orientation(app1: bytes) -> int | None:
+    """Tag 274 from the Exif APP1 payload's embedded TIFF structure
+    (reusing the TIFF IFD reader); None when absent or malformed —
+    orientation is advisory, a bad EXIF must not fail the probe."""
+    if app1[:6] != b"Exif\x00\x00":
+        return None
+    t = app1[6:]
+    bo = {b"II": "<", b"MM": ">"}.get(t[:2])
+    if bo is None:
+        return None
+    try:
+        from streamsum_spark.operators.tiff import _read_ifd
+
+        off = struct.unpack_from(bo + "I", t, 4)[0]
+        val = _read_ifd(t, bo, off).get(274, [None])[0]
+    except (ValueError, struct.error, IndexError):
+        return None
+    return val if val in range(1, 9) else None
+
+
 def _probe_jpeg(b: bytes) -> dict:
     pos = 2
     n = len(b)
+    orient = None
     while pos + 4 <= n:
         if b[pos] != 0xFF:
             raise ValueError("corrupt JPEG marker stream")
@@ -127,6 +148,7 @@ def _probe_jpeg(b: bytes) -> dict:
             return {
                 "format": "jpeg", "width": w, "height": h, "bit_depth": prec,
                 "color_mode": "gray" if ncomp == 1 else "ycbcr",
+                "orientation": orient,
             }
         if marker in (0x01, 0xD8, *range(0xD0, 0xD8)):
             pos += 2
@@ -136,6 +158,8 @@ def _probe_jpeg(b: bytes) -> dict:
         seg = struct.unpack_from(">H", b, pos + 2)[0]
         if seg < 2:
             raise ValueError("corrupt JPEG segment length")
+        if marker == 0xE1 and orient is None:
+            orient = _exif_orientation(b[pos + 4 : pos + 2 + seg])
         pos += 2 + seg
     raise ValueError("JPEG without a frame header")
 
@@ -228,6 +252,7 @@ def _probe_tiff(b: bytes) -> dict:
         raise ValueError("TIFF IFD without dimensions")
     photo = tags.get(262, [None])[0]
     mode = {0: "gray", 1: "gray", 2: "rgb", 3: "palette"}.get(photo, "other")
+    orient = tags.get(274, [None])[0]
     # page count: follow the next-IFD chain (offsets only, bounded)
     pages = 1
     seen = {off}
@@ -246,6 +271,7 @@ def _probe_tiff(b: bytes) -> dict:
         "format": "tiff", "width": tags[256][0], "height": tags[257][0],
         "bit_depth": max(tags.get(258, [1])), "color_mode": mode,
         "n_frames": pages,
+        "orientation": orient if orient in range(1, 9) else None,
     }
 
 
@@ -477,6 +503,7 @@ HEADER_SCHEMA = T.StructType(
         T.StructField("height", T.IntegerType(), True),
         T.StructField("bit_depth", T.IntegerType(), True),
         T.StructField("color_mode", T.StringType(), True),
+        T.StructField("orientation", T.IntegerType(), True),
         T.StructField("n_frames", T.LongType(), True),
         T.StructField("sample_rate", T.IntegerType(), True),
         T.StructField("channels", T.IntegerType(), True),
@@ -545,9 +572,9 @@ def probe_media_headers(
             out.insert(0, "media_id", pdf["media_id"].values)
             for c, dt in (
                 ("width", "Int32"), ("height", "Int32"), ("bit_depth", "Int32"),
-                ("n_frames", "Int64"), ("sample_rate", "Int32"),
-                ("channels", "Int32"), ("bits", "Int32"),
-                ("duration_ms", "Int64"),
+                ("orientation", "Int32"), ("n_frames", "Int64"),
+                ("sample_rate", "Int32"), ("channels", "Int32"),
+                ("bits", "Int32"), ("duration_ms", "Int64"),
             ):
                 out[c] = out[c].astype(dt)
             yield out

@@ -104,6 +104,29 @@ def test_tiff_headers_and_page_count():
     assert p["format"] == "tiff" and p["width"] > 0
 
 
+def test_exif_orientation():
+    from streamsum_spark.operators.jpeg import encode_jpeg
+    from streamsum_spark.operators.tiff import encode_tiff
+
+    # splice an APP1 Exif segment (orientation=6) right after SOI
+    tiff = (
+        b"II*\x00" + (8).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + struct.pack("<HHI", 274, 3, 1) + struct.pack("<HH", 6, 0)
+        + (0).to_bytes(4, "little")
+    )
+    app1 = b"Exif\x00\x00" + tiff
+    j = encode_jpeg(_img())
+    blob = j[:2] + b"\xff\xe1" + struct.pack(">H", 2 + len(app1)) + app1 + j[2:]
+    p = probe_image_header(blob)
+    assert p["orientation"] == 6 and (p["width"], p["height"]) == (40, 24)
+    # no EXIF → null, not a default
+    assert probe_image_header(j)["orientation"] is None
+    # TIFF carries tag 274 directly
+    p = probe_image_header(encode_tiff(_img(), orientation=5))
+    assert p["orientation"] == 5
+
+
 def test_ico_headers():
     from streamsum_spark.operators.multimodal import encode_ico
 
