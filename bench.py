@@ -505,6 +505,20 @@ def codec_throughput() -> dict:
             mm.NATIVE_DECODE = False
     finally:
         mm.NATIVE_DECODE = was
+    # the decode-free header probe: one number that shows why curation
+    # filters should consult headers, not decodes — MB/s over the same
+    # blob set the decoders above are measured on
+    from streamsum_spark.operators.media_probe import probe_header
+
+    probe_blobs = [blob for blob, _ in cases.values()]
+    total = sum(len(x) for x in probe_blobs)
+    dt = min(
+        (lambda t0: ([probe_header(x) for x in probe_blobs],
+                     time.perf_counter() - t0))(time.perf_counter())[1]
+        for _ in range(2)
+    )
+    out["header_probe"] = {"mb_s": round(total / dt / 1e6, 2),
+                           "blobs_s": round(len(probe_blobs) / dt)}
     # resize is the post-decode half of the multimodal prep path: record
     # the kernel's single-core rate (input Mpix/s) next to the decoders
     # it follows — model-input normalization (to 224x224) at the bench

@@ -31,6 +31,7 @@ import io
 import os
 import posixpath
 import tarfile
+import zipfile
 from collections.abc import Iterator
 from typing import TYPE_CHECKING
 
@@ -43,6 +44,10 @@ if TYPE_CHECKING:
 
 _MAX_MEMBERS = 100_000  # per shard
 _MAX_NAME = 512
+# decompressed-output bound per shard: a .zip or .tar.gz shard is
+# stream-decompressed in one task, and a crafted bomb (tiny shard
+# declaring/expanding to TBs) must fail the SHARD, not the executor
+_MAX_EXTRACT_BYTES = 4 << 30
 
 MEMBER_SCHEMA = T.StructType(
     [
@@ -61,7 +66,7 @@ def iter_tar_members(blob: bytes) -> Iterator[tuple[str, bytes]]:
     """(member_name, content) for every regular file in a (possibly
     gzip/bzip2-compressed) tar blob, in archive order."""
     with tarfile.open(fileobj=io.BytesIO(blob), mode="r:*") as tf:
-        n = 0
+        n = out_bytes = 0
         for m in tf:
             if not m.isfile():
                 continue
@@ -73,7 +78,42 @@ def iter_tar_members(blob: bytes) -> Iterator[tuple[str, bytes]]:
             f = tf.extractfile(m)
             if f is None:
                 continue
-            yield m.name, f.read()
+            content = f.read()
+            out_bytes += len(content)
+            if out_bytes > _MAX_EXTRACT_BYTES:
+                raise ValueError("tar shard exceeds the extraction budget")
+            yield m.name, content
+
+
+def iter_zip_members(blob: bytes) -> Iterator[tuple[str, bytes]]:
+    """(member_name, content) for every file entry in a zip shard, in
+    central-directory order — datasets ship as .zip about as often as
+    .tar, and the sample-naming convention is the same."""
+    with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+        n = out_bytes = 0
+        for info in zf.infolist():
+            if info.is_dir():
+                continue
+            n += 1
+            if n > _MAX_MEMBERS:
+                raise ValueError("zip member budget exceeded")
+            if len(info.filename) > _MAX_NAME:
+                raise ValueError("zip member name too long")
+            # file_size is the DECLARED size; check before AND meter
+            # after — a lying header must not expand past the budget
+            out_bytes += info.file_size
+            if out_bytes > _MAX_EXTRACT_BYTES:
+                raise ValueError("zip shard exceeds the extraction budget")
+            yield info.filename, zf.read(info)
+
+
+def iter_shard_members(blob: bytes) -> Iterator[tuple[str, bytes]]:
+    """Magic-dispatched member walk: zip shards by the PK signature,
+    everything else through tarfile's own sniffing."""
+    if blob[:2] == b"PK":
+        yield from iter_zip_members(blob)
+    else:
+        yield from iter_tar_members(blob)
 
 
 def split_key_ext(name: str) -> tuple[str, str]:
@@ -89,10 +129,12 @@ def split_key_ext(name: str) -> tuple[str, str]:
 def read_webdataset_members(
     spark: SparkSession, path: str, glob: str = "*.tar"
 ) -> DataFrame:
-    """One row per tar member across all shards matching ``glob`` under
-    ``path``: (shard, key, ext, n_bytes, content, error).  A shard that
-    fails to parse contributes a single error row (key/ext/content
-    null) instead of failing the scan."""
+    """One row per shard member across all shards matching ``glob``
+    under ``path``: (shard, key, ext, n_bytes, content, error).  Shards
+    may be tar (incl. .tar.gz) or zip — dispatched per blob by magic,
+    so pass ``glob="*.zip"`` (or a mixed ``"*"``) for zip-packed
+    corpora.  A shard that fails to parse contributes a single error
+    row (key/ext/content null) instead of failing the scan."""
     import pandas as pd
 
     shards = (
@@ -108,7 +150,7 @@ def read_webdataset_members(
                 shard = os.path.basename(path_)
                 rows: dict[str, list] = {k.name: [] for k in MEMBER_SCHEMA}
                 try:
-                    for i, (name, content) in enumerate(iter_tar_members(bytes(blob))):
+                    for i, (name, content) in enumerate(iter_shard_members(bytes(blob))):
                         key, ext = split_key_ext(name)
                         rows["shard"].append(shard)
                         rows["ordinal"].append(i)
@@ -117,7 +159,10 @@ def read_webdataset_members(
                         rows["n_bytes"].append(len(content))
                         rows["content"].append(content)
                         rows["error"].append(None)
-                except (tarfile.TarError, ValueError, EOFError, OSError) as exc:
+                except (tarfile.TarError, zipfile.BadZipFile, ValueError,
+                        EOFError, OSError, NotImplementedError) as exc:
+                    # NotImplementedError: zipfile raises it for
+                    # unsupported compression methods (e.g. type 9)
                     rows = {k.name: [] for k in MEMBER_SCHEMA}
                     rows["shard"].append(shard)
                     for c in ("key", "ext", "content"):

@@ -158,3 +158,66 @@ def test_write_webdataset_roundtrip_and_rolling(spark, tmp_path):
         for f in sorted(os.listdir(d))
     }
     assert h(out1) == h(out2)
+
+
+def make_zip(members: list[tuple[str, bytes]], compress: bool = True) -> bytes:
+    import zipfile
+
+    buf = io.BytesIO()
+    kind = zipfile.ZIP_DEFLATED if compress else zipfile.ZIP_STORED
+    with zipfile.ZipFile(buf, "w", kind) as zf:
+        for name, content in members:
+            zf.writestr(name, content)
+    return buf.getvalue()
+
+
+def test_iter_zip_members():
+    from streamsum_spark.sources.webdataset import iter_zip_members
+
+    blob = make_zip([("b.txt", b"beta"), ("a.txt", b"alpha"), ("d/", b"")])
+    assert list(iter_zip_members(blob)) == [("b.txt", b"beta"), ("a.txt", b"alpha")]
+
+
+def test_zip_shards_end_to_end(spark, tmp_path):
+    from streamsum_spark.sources.webdataset import read_webdataset
+
+    (tmp_path / "s0.zip").write_bytes(
+        make_zip([("k0.txt", b"t0"), ("k0.jpg", b"j0"), ("k1.txt", b"t1")])
+    )
+    (tmp_path / "s1.zip").write_bytes(make_zip([("k2.txt", b"t2")], compress=False))
+    (tmp_path / "bad.zip").write_bytes(b"PK\x03\x04 utterly broken")
+    samples = read_webdataset(spark, str(tmp_path), glob="*.zip")
+    got = {(r.shard, r.key): dict(r.parts) for r in samples.collect()}
+    assert got[("s0.zip", "k0")] == {"txt": bytearray(b"t0"), "jpg": bytearray(b"j0")}
+    assert got[("s1.zip", "k2")] == {"txt": bytearray(b"t2")}
+    assert ("bad.zip", None) not in got  # error row excluded from samples
+    from streamsum_spark.sources.webdataset import read_webdataset_members
+
+    errs = read_webdataset_members(spark, str(tmp_path), glob="*.zip").where(
+        "error IS NOT NULL"
+    )
+    assert [r.shard for r in errs.collect()] == ["bad.zip"]
+
+
+def test_mixed_tar_and_zip_one_scan(spark, tmp_path):
+    from streamsum_spark.sources.webdataset import read_webdataset
+
+    (tmp_path / "a.tar").write_bytes(make_tar([("k.txt", b"from tar")]))
+    (tmp_path / "b.zip").write_bytes(make_zip([("k.txt", b"from zip")]))
+    got = {
+        (r.shard, r.key): dict(r.parts)
+        for r in read_webdataset(spark, str(tmp_path), glob="*").collect()
+    }
+    assert got[("a.tar", "k")]["txt"] == bytearray(b"from tar")
+    assert got[("b.zip", "k")]["txt"] == bytearray(b"from zip")
+
+
+def test_zip_extraction_budget(monkeypatch):
+    import streamsum_spark.sources.webdataset as wd
+
+    blob = make_zip([("big.bin", b"\x00" * 10_000)])  # compresses tiny
+    monkeypatch.setattr(wd, "_MAX_EXTRACT_BYTES", 5_000)
+    with pytest.raises(ValueError, match="extraction budget"):
+        list(wd.iter_zip_members(blob))
+    monkeypatch.setattr(wd, "_MAX_EXTRACT_BYTES", 50_000)
+    assert len(list(wd.iter_zip_members(blob))) == 1
