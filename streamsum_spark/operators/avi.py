@@ -374,29 +374,32 @@ def decode_avi_frames(content: bytes) -> list[tuple[int, int, np.ndarray]]:
     return frames
 
 
-def decode_avi_frames_at(
+def iter_avi_frames_at(
     content: bytes, ts_list: list[int]
-) -> list[tuple[int, np.ndarray]]:
-    """(frame_idx, pixels) per requested timestamp, decoding ONLY the
-    selected frames — the scale path for sampled video decode.
+) -> "Iterator[tuple[int, np.ndarray]]":
+    """Lazily yield (frame_idx, pixels) per requested timestamp,
+    decoding ONLY the selected frames — the scale path for sampled
+    video decode.
 
     MJPEG/DIB frames are independent (no inter-frame prediction) and
     the frame clock is analytic from strh rate/scale, so mapping a
     timestamp to its covering frame needs no decoding at all: a 1-hour
-    25 fps clip sampled every second decodes 3.6k of its 90k frames.
-    Dropped (zero-length) frames resolve backward to the nearest real
-    chunk; each resolved chunk decodes at most once.  Same timestamp →
-    frame mapping as extract_sampled_frames over decode_frames: the
-    frame whose [start, next_start) span covers the timestamp,
-    timestamps past the end hold the last frame."""
+    25 fps clip sampled every second decodes 3.6k of its 90k frames —
+    and because this is a GENERATOR holding a one-frame cache, the
+    consumer that folds each frame into a feature row keeps exactly one
+    decoded frame in memory, not duration/every_ms of them.  Sorted
+    timestamps (what extract_sampled_frames sends) hit the cache for
+    repeats; dropped (zero-length) frames resolve backward to the
+    nearest real chunk.  Same timestamp → frame mapping as
+    decode_frames + bisect: the frame whose [start, next_start) span
+    covers the timestamp, timestamps past the end hold the last
+    frame."""
     import bisect
 
     b = bytes(content)
     vid, payloads, start_ms = _video_stream_payloads(b)
     starts = [start_ms(i) for i in range(len(payloads))]
-    cache: dict[int, np.ndarray] = {}
-    budget_bytes = 0
-    out: list[tuple[int, np.ndarray]] = []
+    cached: tuple[int, np.ndarray] | None = None
     for t in ts_list:
         j = max(0, bisect.bisect_right(starts, int(t)) - 1)
         k = j
@@ -404,13 +407,27 @@ def decode_avi_frames_at(
             k -= 1
         if k < 0:
             raise ValueError("AVI starts with a dropped frame")
-        if k not in cache:
-            px = _decode_payload(payloads[k], vid)
+        if cached is None or cached[0] != k:
+            cached = (k, _decode_payload(payloads[k], vid))
+        yield j, cached[1]
+
+
+def decode_avi_frames_at(
+    content: bytes, ts_list: list[int]
+) -> list[tuple[int, np.ndarray]]:
+    """Materialized form of iter_avi_frames_at, with the cumulative
+    output cap the full decoder applies (a long sampled clip should be
+    CONSUMED lazily — this list form is for point lookups and tests)."""
+    out: list[tuple[int, np.ndarray]] = []
+    budget_bytes = 0
+    seen: set[int] = set()
+    for j, px in iter_avi_frames_at(content, ts_list):
+        if j not in seen:
+            seen.add(j)
             budget_bytes += px.nbytes
             if budget_bytes > _MAX_FRAMES_BYTES:
                 raise ValueError("AVI decoded output exceeds the frame cap")
-            cache[k] = px
-        out.append((j, cache[k]))
+        out.append((j, px))
     return out
 
 

@@ -24,6 +24,12 @@ Numeric entities outside printable ASCII are left verbatim (a regexp
 cannot synthesize arbitrary Unicode); documented, and the cases a
 crawl actually contains (&#39;, &#8217; etc.) are covered by the
 explicit table below.
+
+Known tradeoff, shared with the WET convention: an UNCLOSED <script>
+(no closing tag anywhere) cannot be dropped with its contents by a
+close-matched pattern, so its tag is stripped and its body leaks into
+the text.  Real crawls close their scripts; the quality filters
+downstream (symbol ratio, stopword density) are the net for the rest.
 """
 
 from __future__ import annotations

@@ -538,7 +538,9 @@ def probe_header(content: bytes) -> dict:
         }
     try:
         return {"kind": "image", **probe_image_header(b)}
-    except ValueError:
+    except (ValueError, struct.error):
+        # struct.error: a truncated blob of a matched image magic
+        # (e.g. a 5-byte ICO) — fall through to the audio attempt
         pass
     return {"kind": "audio", **probe_audio_header(b)}
 

@@ -1406,30 +1406,40 @@ def decode_frames(content: bytes) -> list[tuple[int, int, np.ndarray]]:
     return [(0, 0, decode_image(b))]
 
 
-def frames_at(content: bytes, ts_list: list[int]) -> list[tuple[int, np.ndarray]]:
-    """(frame_idx, pixels) per requested timestamp — the decode half of
-    sampled frame extraction.  Containers whose frames are independent
-    and whose frame clock is analytic decode ONLY the selected frames
-    (AVI MJPEG/DIB: decode_avi_frames_at — a 1-hour clip sampled every
-    second pays ~4% of a full decode); animated GIF/APNG/WebP frames
-    delta-composite onto a canvas, so they need the full decode_frames
-    pass regardless of how few timestamps are asked for.  Mapping in
-    both paths: the frame whose [start, next_start) span covers the
-    timestamp; timestamps past the last frame hold it."""
+def frames_at_iter(
+    content: bytes, ts_list: list[int]
+) -> Iterator[tuple[int, np.ndarray]]:
+    """Lazily yield (frame_idx, pixels) per requested timestamp — the
+    decode half of sampled frame extraction.  Containers whose frames
+    are independent and whose frame clock is analytic decode ONLY the
+    selected frames, one live at a time (AVI MJPEG/DIB:
+    iter_avi_frames_at — a 1-hour clip sampled every second pays ~4% of
+    a full decode and holds ONE decoded frame, not 3.6k of them);
+    animated GIF/APNG/WebP frames delta-composite onto a canvas, so
+    they need the full decode_frames pass regardless of how few
+    timestamps are asked for.  Mapping in both paths: the frame whose
+    [start, next_start) span covers the timestamp; timestamps past the
+    last frame hold it."""
     import bisect
 
     b = bytes(content)
     if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
-        from streamsum_spark.operators.avi import decode_avi_frames_at
+        from streamsum_spark.operators.avi import iter_avi_frames_at
 
-        return decode_avi_frames_at(b, ts_list)
+        yield from iter_avi_frames_at(b, ts_list)
+        return
     frames = decode_frames(b)
     starts = [s for s, _, _ in frames]
-    out = []
     for t in ts_list:
         j = max(0, bisect.bisect_right(starts, int(t)) - 1)
-        out.append((j, frames[j][2]))
-    return out
+        yield j, frames[j][2]
+
+
+def frames_at(content: bytes, ts_list: list[int]) -> list[tuple[int, np.ndarray]]:
+    """Materialized frames_at_iter (point lookups and tests; a long
+    sampled clip should be consumed lazily — extract_sampled_frames
+    does)."""
+    return list(frames_at_iter(content, ts_list))
 
 
 FRAME_FEATURE_SCHEMA = T.StructType(
@@ -1485,26 +1495,32 @@ def extract_sampled_frames(
             for media_id, content, ts_list in zip(
                 pdf["media_id"], pdf["content"], pdf["ts_list"]
             ):
+                ts = [int(t) for t in ts_list]
+                # consume lazily: each frame folds into its (small)
+                # feature row immediately, so the selective AVI path
+                # holds ONE decoded frame regardless of sample count.
+                # Buffer this media's rows and commit only on success:
+                # a frame that fails mid-stream (corrupt chunk 7 of 10)
+                # must yield all-decoded=false rows, not a partial mix.
+                rows: list[tuple] = []
                 try:
-                    picked = frames_at(content, [int(t) for t in ts_list])
+                    for j, px in frames_at_iter(content, ts):
+                        rows.append(
+                            (j, True, px.shape[1], px.shape[0],
+                             _image_feature(px))
+                        )
                 except (NotImplementedError, ValueError, struct.error):
-                    picked = None
-                for i, t in enumerate(ts_list):
+                    rows = [
+                        (None, False, None, None, _fake_feature(bytes(content)))
+                    ] * len(ts)
+                for t, (j, ok, w, h, feat) in zip(ts, rows):
                     out["media_id"].append(int(media_id))
-                    out["frame_ts_ms"].append(int(t))
-                    if picked is None:
-                        out["frame_idx"].append(None)
-                        out["decoded"].append(False)
-                        out["width"].append(None)
-                        out["height"].append(None)
-                        out["feature"].append(_fake_feature(bytes(content)))
-                        continue
-                    j, px = picked[i]
+                    out["frame_ts_ms"].append(t)
                     out["frame_idx"].append(j)
-                    out["decoded"].append(True)
-                    out["width"].append(px.shape[1])
-                    out["height"].append(px.shape[0])
-                    out["feature"].append(_image_feature(px))
+                    out["decoded"].append(ok)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["feature"].append(feat)
             yield pd.DataFrame(
                 {
                     "media_id": pd.Series(out["media_id"], dtype="int64"),

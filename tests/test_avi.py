@@ -366,6 +366,49 @@ def test_frames_at_resolves_dropped_frames():
     assert j == 1 and (px == src[0]).all()
 
 
+def test_iter_frames_holds_one_frame(monkeypatch):
+    # the generator's cache is ONE frame: sorted timestamps over a long
+    # clip never accumulate decoded frames (the scale contract)
+    from streamsum_spark.operators import multimodal as mm
+    from streamsum_spark.operators.avi import iter_avi_frames_at
+
+    src = _frames(20, h=16, w=16)
+    blob = encode_avi_mjpeg(src, rate=10, scale=1)
+    live = []
+    real = mm.decode_image
+
+    def counting(b):
+        px = real(b)
+        live.append(px)
+        return px
+
+    monkeypatch.setattr(mm, "decode_image", counting)
+    seen = 0
+    for j, px in iter_avi_frames_at(blob, [0, 500, 1000, 1500, 1900]):
+        seen += 1
+    assert seen == 5 and len(live) == 5  # decoded exactly the 5 selected
+
+
+def test_sampled_frames_midstream_corruption_isolates(spark):
+    # frame 2's chunk is garbage: ALL rows for that media must come
+    # back decoded=false (no partial good/bad mix from lazy decode)
+    from streamsum_spark.operators.avi import _avi_container
+    from streamsum_spark.operators.jpeg import encode_jpeg
+    from streamsum_spark.operators.multimodal import extract_sampled_frames
+
+    good = encode_jpeg(_frames(1, h=16, w=16)[0])
+    blob = _avi_container(
+        [good, b"\xff\xd8 utterly broken"], 16, 16, 1, 1, b"MJPG", b"MJPG",
+        24, b"00dc",
+    )
+    media = spark.createDataFrame(
+        [(1, "video/x-msvideo", 2000, bytearray(blob))],
+        "media_id long, mime string, duration_ms long, content binary",
+    )
+    out = extract_sampled_frames(media, every_ms=1000).collect()
+    assert len(out) == 2 and all(not r.decoded for r in out)
+
+
 def test_frames_at_still_image_fallback():
     from streamsum_spark.operators.multimodal import encode_bmp, frames_at
 
