@@ -1,0 +1,146 @@
+"""Auditable corpus-curation funnel — per-rule drop accounting over the
+full filter battery.
+
+corpus_prep (operators/sampling.py path) already composes quality →
+near-dup → rebalance → packing; what a production run additionally
+needs is the AUDIT: "how many documents did each rule remove, in
+order" — the funnel every dataset paper publishes and every pipeline
+regression watches (a rule whose drop count doubles between crawls is
+a bug or a drift alarm).  This module computes it in one pass:
+
+1. every rule contributes a per-doc boolean DROP flag into a single
+   relation — the Gopher quality rules are expression columns from one
+   projection (text.gopher_quality_flags thresholds, same literals);
+   exact-dup (md5 non-first, the dedup_exact rank), near-dup
+   (dedup_corpus's cluster non-survivors), and decontamination
+   (benchmark n-gram hits) are keep/drop-set joins with NO broadcast
+   hints (drop-sets are O(corpus) by construction — AQE downgrades);
+2. stage attribution is first-rule-wins: a doc dropped by rule k
+   counts there only if it survived rules 1..k-1 (conditional sums,
+   map-side combined);
+3. the funnel aggregates to ONE row of k counters — the only collect
+   is that bounded row.
+
+curate_documents returns the survivors (the relation the next pipeline
+stage consumes); curation_funnel returns (stage, rule, n_in,
+n_dropped, n_out) as a relation for dashboards/regression pins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamsum_spark.tables import table
+
+
+def _rule_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per document with an ordered boolean DROP column per
+    rule.  Quality rules are one projection over the scan; the
+    relational rules join doc_id drop-sets."""
+    from streamsum_spark.operators.clusters import dedup_corpus
+    from streamsum_spark.operators.dedup import decontaminate
+    from streamsum_spark.operators.text import gopher_quality_flags
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    g = gopher_quality_flags(spark, sf_dir).select(
+        "doc_id",
+        (~F.col("n_words").between(50, 100000)).alias("drop_word_count"),
+        (~F.col("mean_word_len").between(3, 10)).alias("drop_word_len"),
+        (F.col("symbol_ratio") > 0.1).alias("drop_symbol_ratio"),
+        (
+            (F.col("bullet_line_frac") >= 0.9)
+            | (F.col("ellipsis_line_frac") >= 0.3)
+        ).alias("drop_line_style"),
+        (F.col("alpha_word_frac") < 0.8).alias("drop_non_alpha"),
+        (F.col("n_distinct_stopwords") < 2).alias("drop_stopwords"),
+    )
+
+    # exact duplicates: every doc whose md5(text) already appeared at a
+    # smaller doc_id (rank > 1 over the fingerprint — dedup_exact's
+    # keep-first discipline)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    exact_drop = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") > 1)
+        .select("doc_id", F.lit(True).alias("drop_exact_dup"))
+    )
+
+    # near-duplicates: the cluster members dedup_corpus removes
+    survivors = dedup_corpus(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("near_keep")
+    )
+
+    contaminated = (
+        decontaminate(spark, sf_dir)
+        .where(F.col("contaminated"))
+        .select("doc_id", F.lit(True).alias("drop_contaminated"))
+    )
+
+    out = (
+        docs.select("doc_id")
+        .join(g, "doc_id", "left")
+        .join(exact_drop, "doc_id", "left")
+        .join(survivors, "doc_id", "left")
+        .join(contaminated, "doc_id", "left")
+        .select(
+            "doc_id",
+            *[F.coalesce(F.col(c), F.lit(False)).alias(c) for c in (
+                "drop_word_count", "drop_word_len", "drop_symbol_ratio",
+                "drop_line_style", "drop_non_alpha", "drop_stopwords",
+                "drop_exact_dup",
+            )],
+            (~F.coalesce(F.col("near_keep"), F.lit(False))).alias("drop_near_dup"),
+            F.coalesce(F.col("drop_contaminated"), F.lit(False)).alias(
+                "drop_contaminated"
+            ),
+        )
+    )
+    return out
+
+
+RULES = [
+    "drop_word_count", "drop_word_len", "drop_symbol_ratio",
+    "drop_line_style", "drop_non_alpha", "drop_stopwords",
+    "drop_exact_dup", "drop_near_dup", "drop_contaminated",
+]
+
+
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(stage, rule, n_in, n_dropped, n_out) per rule, first-rule-wins
+    attribution.  One aggregation row crosses to the driver."""
+    flags = _rule_flags(spark, sf_dir)
+    aggs = [F.count(F.lit(1)).alias("n_total")]
+    prior = F.lit(False)
+    for r in RULES:
+        aggs.append(
+            F.sum((F.col(r) & ~prior).cast("long")).alias(f"d_{r}")
+        )
+        prior = prior | F.col(r)
+    row = flags.agg(*aggs).collect()[0]  # ONE bounded row
+    out_rows = []
+    n = row["n_total"]
+    for i, r in enumerate(RULES):
+        d = row[f"d_{r}"]
+        out_rows.append((i + 1, r.removeprefix("drop_"), n, d, n - d))
+        n -= d
+    return spark.createDataFrame(
+        out_rows, "stage int, rule string, n_in long, n_dropped long, n_out long"
+    )
+
+
+def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The survivors of the full battery — the relation the packing /
+    tokenization stage consumes."""
+    flags = _rule_flags(spark, sf_dir)
+    cond = None
+    for r in RULES:
+        cond = F.col(r) if cond is None else (cond | F.col(r))
+    keep = flags.where(~cond).select("doc_id")
+    docs = table(spark, sf_dir, "documents")
+    return docs.join(keep, "doc_id", "left_semi").select(
+        "doc_id", "lang", "source", "n_chars"
+    )

@@ -132,10 +132,38 @@ def _exif_orientation(app1: bytes) -> int | None:
     return val if val in range(1, 9) else None
 
 
+_QUALITY_TABLES = None
+
+
+def _jpeg_quality_estimate(dqt_luma: bytes) -> int | None:
+    """The libjpeg-convention quality behind a luminance DQT — the
+    standard recompression-detection signal.  Rather than inverting the
+    rounded q = clip((base*s+50)/100) scaling per coefficient (noisy:
+    rounding loss compounds), compare against all 100 candidate tables:
+    EXACT for Annex-K encoders (ours round-trips every quality 1-100,
+    pinned), nearest-L1 for custom tables — "how aggressively was this
+    quantized" is the signal that matters."""
+    import numpy as np
+
+    from streamsum_spark.operators.jpeg import _Q_LUM, _ZIGZAG, _scale_q
+
+    q = np.frombuffer(dqt_luma[:64], np.uint8).astype(np.int64)
+    if len(q) < 64 or (q == 0).any():
+        return None
+    global _QUALITY_TABLES
+    if _QUALITY_TABLES is None:
+        _QUALITY_TABLES = np.stack(
+            [_scale_q(_Q_LUM, k)[_ZIGZAG] for k in range(1, 101)]
+        )
+    dist = np.abs(_QUALITY_TABLES - q).sum(axis=1)
+    return int(dist.argmin()) + 1
+
+
 def _probe_jpeg(b: bytes) -> dict:
     pos = 2
     n = len(b)
     orient = None
+    quality = None
     while pos + 4 <= n:
         if b[pos] != 0xFF:
             raise ValueError("corrupt JPEG marker stream")
@@ -148,7 +176,7 @@ def _probe_jpeg(b: bytes) -> dict:
             return {
                 "format": "jpeg", "width": w, "height": h, "bit_depth": prec,
                 "color_mode": "gray" if ncomp == 1 else "ycbcr",
-                "orientation": orient,
+                "orientation": orient, "quality": quality,
             }
         if marker in (0x01, 0xD8, *range(0xD0, 0xD8)):
             pos += 2
@@ -160,6 +188,14 @@ def _probe_jpeg(b: bytes) -> dict:
             raise ValueError("corrupt JPEG segment length")
         if marker == 0xE1 and orient is None:
             orient = _exif_orientation(b[pos + 4 : pos + 2 + seg])
+        elif marker == 0xDB and quality is None:
+            # first DQT with table id 0 (luma), 8-bit precision
+            p, end = pos + 4, pos + 2 + seg
+            while p < end and p + 65 <= n:
+                if b[p] == 0x00:
+                    quality = _jpeg_quality_estimate(b[p + 1 : p + 65])
+                    break
+                p += 65 if (b[p] >> 4) == 0 else 129
         pos += 2 + seg
     raise ValueError("JPEG without a frame header")
 
@@ -504,6 +540,7 @@ HEADER_SCHEMA = T.StructType(
         T.StructField("bit_depth", T.IntegerType(), True),
         T.StructField("color_mode", T.StringType(), True),
         T.StructField("orientation", T.IntegerType(), True),
+        T.StructField("quality", T.IntegerType(), True),
         T.StructField("n_frames", T.LongType(), True),
         T.StructField("sample_rate", T.IntegerType(), True),
         T.StructField("channels", T.IntegerType(), True),
@@ -574,7 +611,8 @@ def probe_media_headers(
             out.insert(0, "media_id", pdf["media_id"].values)
             for c, dt in (
                 ("width", "Int32"), ("height", "Int32"), ("bit_depth", "Int32"),
-                ("orientation", "Int32"), ("n_frames", "Int64"),
+                ("orientation", "Int32"), ("quality", "Int32"),
+                ("n_frames", "Int64"),
                 ("sample_rate", "Int32"), ("channels", "Int32"),
                 ("bits", "Int32"), ("duration_ms", "Int64"),
             ):

@@ -127,6 +127,18 @@ def test_exif_orientation():
     assert p["orientation"] == 5
 
 
+def test_jpeg_quality_estimate():
+    from streamsum_spark.operators.jpeg import encode_jpeg
+
+    # exact round-trip for the Annex-K encoder across the useful range
+    for q in (10, 25, 50, 75, 90, 95):
+        p = probe_image_header(encode_jpeg(_img(), quality=q))
+        assert p["quality"] == q, (q, p["quality"])
+    # real-world JPEG: plausible estimate, not a crash
+    est = probe_image_header((DATA / "ext_baseline_color.jpg").read_bytes())["quality"]
+    assert est is None or 1 <= est <= 100
+
+
 def test_ico_headers():
     from streamsum_spark.operators.multimodal import encode_ico
 
