@@ -381,3 +381,132 @@ def trim_silence(
     n_fft = int(rate * frame_ms / 1000)
     first, last = int(np.argmax(mask)), int(len(mask) - 1 - np.argmax(mask[::-1]))
     return samples[first * hop : last * hop + n_fft].copy()
+
+
+# --- windowing (the frame_sample_plan sibling for audio) ---------------------
+
+AUDIO_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("win_idx", T.IntegerType(), False),
+        T.StructField("decoded", T.BooleanType(), False),
+        T.StructField("start_ms", T.LongType(), True),
+        T.StructField("end_ms", T.LongType(), True),
+        T.StructField("rate", T.IntegerType(), True),
+        T.StructField("content", T.BinaryType(), True),
+    ]
+)
+
+
+def audio_window_plan(
+    media: DataFrame, window_ms: int = 30000, hop_ms: int = 25000
+) -> DataFrame:
+    """Decode-free window *plan* over a duration_ms column (fill it
+    with video_probe.with_probed_duration / probe_media_headers for
+    opaque blobs): one row per (media_id, win_idx, start_ms, end_ms)
+    — pure sequence/explode arithmetic, JVM-side, exactly the
+    frame_sample_plan recipe.  ``hop_ms < window_ms`` gives the
+    overlapping windows ASR models are fed; the tail window clamps to
+    the duration."""
+    from pyspark.sql import functions as F
+
+    if window_ms <= 0 or hop_ms <= 0:
+        raise ValueError("window_ms and hop_ms must be positive")
+    return (
+        media.where(F.col("duration_ms").isNotNull())
+        .select(
+            "media_id",
+            F.posexplode(
+                F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(hop_ms))
+            ).alias("win_idx", "start_ms"),
+            F.col("duration_ms"),
+        )
+        .select(
+            "media_id",
+            "win_idx",
+            "start_ms",
+            F.least(
+                F.col("start_ms") + window_ms, F.col("duration_ms")
+            ).alias("end_ms"),
+        )
+    )
+
+
+def extract_audio_windows(
+    media: DataFrame,
+    window_ms: int = 30000,
+    hop_ms: int = 25000,
+    out_rate: int = 16000,
+    batch_hint: int = 64,
+    byte_budget: int = 64 << 20,
+) -> DataFrame:
+    """Segment long audio into model-sized windows: each blob DECODES
+    ONCE per task (downmix + polyphase resample to ``out_rate``), then
+    every window slices the normalized samples and re-encodes PCM16
+    WAV — one row per (media_id, win_idx), extract_features' per-row
+    error isolation (an undecodable blob emits ONE decoded=false row).
+
+    Windows are sliced from the actual decoded length (no duration_ms
+    column needed — unlike the plan, the decode knows the truth):
+    starts at 0, hop, 2·hop, ... until a window reaches the end, so the
+    final window may be shorter than window_ms but every sample is
+    covered exactly by the standard overlap convention."""
+    import pandas as pd
+
+    from streamsum_spark.operators.multimodal import (
+        _byte_budget_chunks,
+        decode_audio,
+        encode_wav,
+    )
+
+    if window_ms <= 0 or hop_ms <= 0 or out_rate <= 0:
+        raise ValueError("window_ms, hop_ms, out_rate must be positive")
+
+    def rows_for(media_id, content):
+        try:
+            samples, rate = decode_audio(bytes(content))
+        except (NotImplementedError, ValueError, struct.error):
+            return [(int(media_id), 0, False, None, None, None, None)]
+        mono = downmix_mono(samples)
+        res = resample_audio(mono, rate, out_rate)
+        n = res.shape[0]
+        win = window_ms * out_rate // 1000
+        hop = hop_ms * out_rate // 1000
+        out = []
+        start = i = 0
+        while True:
+            end = min(start + win, n)
+            out.append(
+                (
+                    int(media_id), i, True,
+                    start * 1000 // out_rate, end * 1000 // out_rate,
+                    out_rate, encode_wav(res[start:end], out_rate),
+                )
+            )
+            if end >= n:
+                break
+            start += hop
+            i += 1
+        return out
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in _byte_budget_chunks(batches, byte_budget, batch_hint):
+            rows: list[tuple] = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                rows.extend(rows_for(media_id, content))
+            cols = list(zip(*rows)) if rows else [[] for _ in AUDIO_WINDOW_SCHEMA]
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(cols[0], dtype="int64"),
+                    "win_idx": pd.Series(cols[1], dtype="int32"),
+                    "decoded": pd.Series(cols[2], dtype="bool"),
+                    "start_ms": pd.Series(cols[3], dtype="Int64"),
+                    "end_ms": pd.Series(cols[4], dtype="Int64"),
+                    "rate": pd.Series(cols[5], dtype="Int32"),
+                    "content": cols[6],
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        run, AUDIO_WINDOW_SCHEMA
+    )

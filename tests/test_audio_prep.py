@@ -298,3 +298,65 @@ def test_energy_vad_and_trim_silence():
     from streamsum_spark.operators.audio_prep import log_mel_spectrogram
 
     assert len(log_mel_spectrogram(x, rate)) == len(mask)
+
+
+# --- windowing ----------------------------------------------------------------
+
+
+def test_audio_window_plan(spark):
+    from streamsum_spark.operators.audio_prep import audio_window_plan
+
+    media = spark.createDataFrame(
+        [(1, 67_000), (2, 10_000), (3, None)],
+        "media_id long, duration_ms long",
+    )
+    plan = audio_window_plan(media, window_ms=30_000, hop_ms=25_000)
+    got = {(r.media_id, r.win_idx): (r.start_ms, r.end_ms) for r in plan.collect()}
+    # 67 s: starts 0/25/50 -> ends 30/55/67 (tail clamps)
+    assert got[(1, 0)] == (0, 30_000)
+    assert got[(1, 1)] == (25_000, 55_000)
+    assert got[(1, 2)] == (50_000, 67_000)
+    assert got[(2, 0)] == (0, 10_000)
+    assert (2, 1) not in got
+    assert not any(m == 3 for m, _ in got)  # null duration excluded
+
+
+def test_extract_audio_windows_roundtrip(spark):
+    import numpy as np
+
+    from streamsum_spark.operators.audio_prep import (
+        downmix_mono,
+        extract_audio_windows,
+        resample_audio,
+    )
+    from streamsum_spark.operators.multimodal import decode_audio, encode_wav
+
+    rate = 16000
+    t = np.arange(rate * 4)  # 4 s
+    tone = (np.sin(t * 0.07) * 9000).astype(np.int16).reshape(-1, 1)
+    blob = encode_wav(tone, rate)
+    media = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(b"not audio"))],
+        "media_id long, content binary",
+    )
+    out = extract_audio_windows(
+        media, window_ms=2000, hop_ms=1500, out_rate=8000
+    ).collect()
+    rows = {(r.media_id, r.win_idx): r for r in out}
+    # 4 s @ win 2 s hop 1.5 s -> starts 0 / 1.5 / 3.0 (last reaches end)
+    assert {k for k in rows if k[0] == 1} == {(1, 0), (1, 1), (1, 2)}
+    assert (rows[(1, 0)].start_ms, rows[(1, 0)].end_ms) == (0, 2000)
+    assert (rows[(1, 2)].start_ms, rows[(1, 2)].end_ms) == (3000, 4000)
+    # windows concatenated at hop boundaries == the resampled original
+    ref = resample_audio(downmix_mono(tone), rate, 8000)
+    w0, r0 = decode_audio(rows[(1, 0)].content)
+    assert r0 == 8000
+    hop = 1500 * 8000 // 1000
+    pieces = [decode_audio(rows[(1, i)].content)[0][: hop if i < 2 else None]
+              for i in range(3)]
+    # window i covers [i*hop, i*hop + win): the first hop samples of
+    # each window plus the full final window reassemble the stream
+    recon = np.concatenate([pieces[0], pieces[1], decode_audio(rows[(1, 2)].content)[0]])
+    assert (recon == ref).all()
+    # error isolation: one decoded=false row for the bad blob
+    assert not rows[(2, 0)].decoded and rows[(2, 0)].content is None
