@@ -144,3 +144,94 @@ def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(keep, "doc_id", "left_semi").select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+# --- the media twin -----------------------------------------------------------
+
+MEDIA_RULES = [
+    "drop_unprobed", "drop_kind", "drop_small", "drop_low_quality",
+    "drop_exact_dup",
+]
+
+
+def _media_rule_flags(
+    media: DataFrame,
+    kinds: tuple[str, ...] = ("image",),
+    min_w: int = 32,
+    min_h: int = 32,
+    min_jpeg_quality: int = 30,
+) -> DataFrame:
+    """One row per blob with ordered boolean DROP columns, built from
+    the DECODE-FREE header probe plus a content-hash dedup — no rule
+    here pays a pixel decode, which is the entire point at 100 TB:
+    the expensive decode runs only on curate_media's survivors.
+
+    Rules: unprobed (unrecognized/corrupt header), wrong kind, below
+    minimum dimensions (images and videos; audio passes), JPEG quality
+    below threshold (the recompression signal; null quality passes),
+    exact byte-duplicate (md5 keep-first — crawls re-fetch the same
+    asset under many URLs)."""
+    from pyspark.sql import Window
+
+    from streamsum_spark.operators.media_probe import probe_media_headers
+
+    p = probe_media_headers(media)
+    w = Window.partitionBy(F.md5(F.col("content"))).orderBy("media_id")
+    dup = (
+        media.select("media_id", "content")
+        .withColumn("rn", F.row_number().over(w))
+        .select("media_id", (F.col("rn") > 1).alias("drop_exact_dup"))
+    )
+    kind_ok = F.col("kind").isin(*kinds)
+    size_ok = (
+        (F.col("kind") == "audio")
+        | ((F.coalesce(F.col("width"), F.lit(0)) >= min_w)
+           & (F.coalesce(F.col("height"), F.lit(0)) >= min_h))
+    )
+    q_ok = F.col("quality").isNull() | (F.col("quality") >= min_jpeg_quality)
+    return (
+        p.select(
+            "media_id",
+            (~F.col("probed")).alias("drop_unprobed"),
+            (F.col("probed") & ~kind_ok).alias("drop_kind"),
+            (F.col("probed") & kind_ok & ~size_ok).alias("drop_small"),
+            (F.col("probed") & kind_ok & size_ok & ~q_ok).alias(
+                "drop_low_quality"
+            ),
+        )
+        .join(dup, "media_id")
+    )
+
+
+def media_curation_funnel(media: DataFrame, **rule_kw) -> DataFrame:
+    """(stage, rule, n_in, n_dropped, n_out) over the media rule
+    battery — same first-rule-wins accounting as the document funnel,
+    same single bounded aggregate row."""
+    flags = _media_rule_flags(media, **rule_kw)
+    spark = media.sparkSession
+    aggs = [F.count(F.lit(1)).alias("n_total")]
+    prior = F.lit(False)
+    for r in MEDIA_RULES:
+        aggs.append(F.sum((F.col(r) & ~prior).cast("long")).alias(f"d_{r}"))
+        prior = prior | F.col(r)
+    row = flags.agg(*aggs).collect()[0]
+    out_rows = []
+    n = row["n_total"]
+    for i, r in enumerate(MEDIA_RULES):
+        d = row[f"d_{r}"]
+        out_rows.append((i + 1, r.removeprefix("drop_"), n, d, n - d))
+        n -= d
+    return spark.createDataFrame(
+        out_rows, "stage int, rule string, n_in long, n_dropped long, n_out long"
+    )
+
+
+def curate_media(media: DataFrame, **rule_kw) -> DataFrame:
+    """The surviving blobs — what the (expensive) decode/resize/feature
+    stages should run on."""
+    flags = _media_rule_flags(media, **rule_kw)
+    cond = None
+    for r in MEDIA_RULES:
+        cond = F.col(r) if cond is None else (cond | F.col(r))
+    keep = flags.where(~cond).select("media_id")
+    return media.join(keep, "media_id", "left_semi")

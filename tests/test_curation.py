@@ -76,3 +76,77 @@ def test_survivors_pass_every_rule(spark):
     kept = curate_documents(spark, SF).select("doc_id")
     bad = flags.join(kept, "doc_id", "left_semi").where(" OR ".join(RULES))
     assert bad.count() == 0
+
+
+# --- media twin ----------------------------------------------------------------
+
+
+def _media_df(spark):
+    import numpy as np
+
+    from streamsum_spark.operators.jpeg import encode_jpeg
+    from streamsum_spark.operators.multimodal import encode_png, encode_wav
+
+    def img(w, h):
+        yy, xx = np.mgrid[0:h, 0:w]
+        return np.stack([(xx * 7) % 256, (yy * 11) % 256, (xx + yy) % 256], 2).astype(
+            np.uint8
+        )
+
+    tone = (np.sin(np.arange(4000) * 0.05) * 9000).astype(np.int16).reshape(-1, 1)
+    big = encode_png(img(64, 64))
+    rows = [
+        (1, bytearray(big)),                              # keeper
+        (2, bytearray(encode_png(img(16, 16)))),          # too small
+        (3, bytearray(encode_jpeg(img(64, 64), quality=15))),  # low quality
+        (4, bytearray(encode_wav(tone, 8000))),           # wrong kind
+        (5, bytearray(b"corrupt nonsense " * 8)),         # unprobed
+        (6, bytearray(big)),                              # exact dup of 1
+        (7, bytearray(encode_jpeg(img(48, 40), quality=85))),  # keeper
+    ]
+    return spark.createDataFrame(rows, "media_id long, content binary")
+
+
+def test_media_funnel_accounting(spark):
+    from streamsum_spark.operators.curation import (
+        MEDIA_RULES,
+        curate_media,
+        media_curation_funnel,
+    )
+
+    media = _media_df(spark)
+    funnel = media_curation_funnel(media).orderBy("stage").collect()
+    by_rule = {r.rule: r.n_dropped for r in funnel}
+    assert by_rule == {
+        "unprobed": 1, "kind": 1, "small": 1, "low_quality": 1, "exact_dup": 1,
+    }
+    assert funnel[0].n_in == 7 and funnel[-1].n_out == 2
+    for a, b in zip(funnel, funnel[1:]):
+        assert a.n_out == b.n_in
+    assert [r.rule for r in funnel] == [r.removeprefix("drop_") for r in MEDIA_RULES]
+    kept = {r.media_id for r in curate_media(media).collect()}
+    assert kept == {1, 7}
+
+
+def test_media_funnel_rule_knobs(spark):
+    from streamsum_spark.operators.curation import curate_media
+
+    media = _media_df(spark)
+    # loosen everything: only the unprobed blob and the dup fall
+    kept = {
+        r.media_id
+        for r in curate_media(
+            media, kinds=("image", "audio"), min_w=1, min_h=1, min_jpeg_quality=1
+        ).collect()
+    }
+    assert kept == {1, 2, 3, 4, 7}
+
+
+def test_curated_media_survivors_decode(spark):
+    from streamsum_spark.operators.curation import curate_media
+    from streamsum_spark.operators.multimodal import decode_image
+
+    media = _media_df(spark)
+    for r in curate_media(media).collect():
+        px = decode_image(bytes(r.content))  # the decode stage never sees junk
+        assert px.shape[0] >= 32 and px.shape[1] >= 32
