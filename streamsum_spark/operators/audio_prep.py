@@ -412,8 +412,10 @@ def audio_window_plan(
 
     if window_ms <= 0 or hop_ms <= 0:
         raise ValueError("window_ms and hop_ms must be positive")
+    # strictly positive: sequence(0, -1, hop) THROWS in Spark, so one
+    # zero-duration row must not be able to fail the whole job
     return (
-        media.where(F.col("duration_ms").isNotNull())
+        media.where(F.col("duration_ms") > 0)
         .select(
             "media_id",
             F.posexplode(

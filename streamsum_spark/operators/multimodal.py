@@ -1175,8 +1175,12 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     decoding — pure sequence/explode arithmetic, JVM-side.  The plan is
     the cheap half of sampled decode: extract_sampled_frames consumes it
     to decode ONLY the frames the timestamps select."""
+    # strictly positive, not just non-null: sequence(0, -1, step)
+    # THROWS in Spark, so a single zero-duration row (a truncated or
+    # still-uploading clip is exactly how these appear in a crawl)
+    # must not be able to fail the whole job
     return (
-        media.where(F.col("duration_ms").isNotNull())
+        media.where(F.col("duration_ms") > 0)
         .select(
             "media_id",
             F.explode(

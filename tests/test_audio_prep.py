@@ -360,3 +360,16 @@ def test_extract_audio_windows_roundtrip(spark):
     assert (recon == ref).all()
     # error isolation: one decoded=false row for the bad blob
     assert not rows[(2, 0)].decoded and rows[(2, 0)].content is None
+
+
+def test_zero_duration_rows_cannot_fail_the_plan(spark):
+    # sequence(0, -1, step) throws in Spark: one truncated clip must
+    # not kill the job (same guard in frame_sample_plan)
+    from streamsum_spark.operators.audio_prep import audio_window_plan
+    from streamsum_spark.operators.multimodal import frame_sample_plan
+
+    media = spark.createDataFrame(
+        [(1, 0), (2, 3000), (3, None)], "media_id long, duration_ms long"
+    )
+    assert {r.media_id for r in audio_window_plan(media).collect()} == {2}
+    assert {r.media_id for r in frame_sample_plan(media).collect()} == {2}
