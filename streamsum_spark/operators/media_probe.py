@@ -8,10 +8,14 @@ curation filters on dimensions/format/duration BEFORE paying any
 decode — "keep images ≥ 256x256", "drop clips > 10 min", "partition by
 format" are header questions, and a probe that decodes pixels to
 answer them wastes the cluster.  This probe reads headers only: no
-entropy-coded data is touched for any format (the one partial
-exception is GIF/animated-WebP/APNG/multi-page-TIFF frame COUNTS,
-which walk the container's block/chunk/IFD structure — still skipping
-all compressed payloads by their declared lengths).
+entropy-coded data is DECODED for any format.  Two honesty notes on
+"first KBs": frame/page COUNTS (GIF, animated WebP/APNG, multi-page
+TIFF) walk the container's block/chunk/IFD structure skipping every
+compressed payload by its declared length, and DURATIONS of unindexed
+stream formats walk the whole blob's frame/page chain without decoding
+(MP3 frame headers, Ogg's last granule position) — those two fields
+genuinely cost O(blob bytes) of structure walking, everything else
+lives in the head.
 
 Parsers are written from the same public specs as the decoders and
 share their hostile-input posture: bounded walks, strict forward
@@ -588,7 +592,9 @@ def probe_media_headers(
     """Arrow-batched header probe over a (media_id, content) relation —
     one typed row per blob, per-row error isolation (probed=false for
     unrecognized/corrupt blobs).  At 100 TB the right feed is a
-    head-range read: every field this emits lives in the first KBs."""
+    head-range read: every field this emits lives in the first KBs
+    except MP3/Ogg durations, which walk the blob's frame/page chain
+    (structure only, no decode — see the module docstring)."""
     import pandas as pd
 
     from streamsum_spark.operators.multimodal import _byte_budget_chunks
