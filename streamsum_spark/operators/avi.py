@@ -78,7 +78,8 @@ def _list_payload(b: bytes, s: int, e: int, want: bytes) -> tuple[int, int] | No
 def _parse_hdrl(b: bytes, s: int, e: int, budget: list[int]) -> dict:
     """MainAVIHeader fields + one dict per stream (strh/strf)."""
     out: dict = {"us_per_frame": None, "total_frames": None,
-                 "width": None, "height": None, "streams": []}
+                 "total_frames_dml": None, "width": None, "height": None,
+                 "streams": []}
     for cc, cs, ce in _riff_chunks(b, s, e, budget):
         if cc == b"avih":
             if ce - cs < struct.calcsize(_AVIH_FMT):
@@ -88,6 +89,17 @@ def _parse_hdrl(b: bytes, s: int, e: int, budget: list[int]) -> dict:
             out.update(us_per_frame=uspf or None, total_frames=total,
                        width=w or None, height=h or None)
         elif cc == b"LIST":
+            odml = _list_payload(b, cs, ce, b"odml")
+            if odml is not None:
+                # OpenDML extended header: dmlh's first u32 is the
+                # GRAND total frame count across all AVIX segments
+                # (avih's dwTotalFrames covers only the first segment)
+                for oc, os_, oe in _riff_chunks(b, odml[0], odml[1], budget):
+                    if oc == b"dmlh" and oe - os_ >= 4:
+                        out["total_frames_dml"] = struct.unpack_from(
+                            "<I", b, os_
+                        )[0]
+                continue
             strl = _list_payload(b, cs, ce, b"strl")
             if strl is None or len(out["streams"]) >= _MAX_STREAMS:
                 continue
@@ -127,31 +139,47 @@ def _parse_hdrl(b: bytes, s: int, e: int, budget: list[int]) -> dict:
     return out
 
 
-def _walk_avi(b: bytes) -> tuple[dict, tuple[int, int] | None, list[int]]:
-    """(hdrl dict, movi payload span, shared budget) for a RIFF-AVI
-    blob; ValueError on malformation."""
+_MAX_RIFF_SEGMENTS = 1024  # OpenDML AVIX continuation segments
+
+
+def _walk_avi(b: bytes) -> tuple[dict, list[tuple[int, int]], list[int]]:
+    """(hdrl dict, movi payload spans, shared budget) for a RIFF-AVI
+    blob — including OpenDML AVIX continuation segments (standard AVI
+    caps at ~1-2 GB, so every long recording is 'RIFF AVI ' followed by
+    'RIFF AVIX' segments, each holding another movi list; the header
+    lives only in the first).  ValueError on malformation."""
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         raise ValueError("not an AVI (RIFF) file")
-    riff_size = struct.unpack_from("<I", b, 4)[0]
-    end = min(len(b), 8 + riff_size)
     budget = [_MAX_CHUNKS]
     hdrl = None
-    movi = None
-    for cc, cs, ce in _riff_chunks(b, 12, end, budget):
-        if cc != b"LIST":
-            continue
-        if hdrl is None:
-            p = _list_payload(b, cs, ce, b"hdrl")
-            if p:
-                hdrl = _parse_hdrl(b, p[0], p[1], budget)
+    movi_spans: list[tuple[int, int]] = []
+    seg_start, segs = 0, 0
+    while seg_start + 12 <= len(b) and segs < _MAX_RIFF_SEGMENTS:
+        if b[seg_start : seg_start + 4] != b"RIFF":
+            break
+        form = b[seg_start + 8 : seg_start + 12]
+        if form != (b"AVI " if segs == 0 else b"AVIX"):
+            break
+        riff_size = struct.unpack_from("<I", b, seg_start + 4)[0]
+        end = min(len(b), seg_start + 8 + riff_size)
+        if end <= seg_start + 12:
+            raise ValueError("empty RIFF segment")
+        for cc, cs, ce in _riff_chunks(b, seg_start + 12, end, budget):
+            if cc != b"LIST":
                 continue
-        if movi is None:
+            if hdrl is None:
+                p = _list_payload(b, cs, ce, b"hdrl")
+                if p:
+                    hdrl = _parse_hdrl(b, p[0], p[1], budget)
+                    continue
             p = _list_payload(b, cs, ce, b"movi")
             if p:
-                movi = p
+                movi_spans.append(p)
+        segs += 1
+        seg_start = end + (riff_size & 1)
     if hdrl is None:
         raise ValueError("AVI without hdrl header list")
-    return hdrl, movi, budget
+    return hdrl, movi_spans, budget
 
 
 def probe_avi(b: bytes) -> dict:
@@ -161,8 +189,9 @@ def probe_avi(b: bytes) -> dict:
     downstream filters need one predicate."""
     hdrl, _movi, _budget = _walk_avi(bytes(b))
     dur = None
-    if hdrl["us_per_frame"] and hdrl["total_frames"]:
-        dur = hdrl["total_frames"] * hdrl["us_per_frame"] // 1000
+    total = hdrl["total_frames_dml"] or hdrl["total_frames"]
+    if hdrl["us_per_frame"] and total:
+        dur = total * hdrl["us_per_frame"] // 1000
     handler_map = {"vids": "vide", "auds": "soun", "txts": "text"}
     tracks = []
     for i, st in enumerate(hdrl["streams"]):
@@ -269,8 +298,8 @@ def _video_stream_payloads(b: bytes):
     movi order, rec-lists flattened), and build the analytic frame
     clock.  Returns (vid stream dict + ``is_mjpeg``/``is_dib`` flags,
     payloads, start_ms callable)."""
-    hdrl, movi, budget = _walk_avi(b)
-    if movi is None:
+    hdrl, movi_spans, budget = _walk_avi(b)
+    if not movi_spans:
         raise ValueError("AVI without movi data list")
     vid_idx, vid = next(
         ((i, s) for i, s in enumerate(hdrl["streams"])
@@ -310,7 +339,8 @@ def _video_stream_payloads(b: bytes):
             elif cc in want:
                 payloads.append(b[cs:ce])
 
-    collect(movi[0], movi[1], 0)
+    for span in movi_spans:
+        collect(span[0], span[1], 0)
     if not payloads:
         raise ValueError("AVI with no frame chunks for the video stream")
 
@@ -444,8 +474,8 @@ def decode_avi_audio(content: bytes) -> tuple["np.ndarray", int]:
     from streamsum_spark.operators.multimodal import decode_audio
 
     b = bytes(content)
-    hdrl, movi, budget = _walk_avi(b)
-    if movi is None:
+    hdrl, movi_spans, budget = _walk_avi(b)
+    if not movi_spans:
         raise ValueError("AVI without movi data list")
     aud_idx, aud = next(
         ((i, s) for i, s in enumerate(hdrl["streams"])
@@ -473,7 +503,8 @@ def decode_avi_audio(content: bytes) -> tuple["np.ndarray", int]:
             elif cc == want:
                 parts.append(b[cs:ce])
 
-    collect(movi[0], movi[1], 0)
+    for span in movi_spans:
+        collect(span[0], span[1], 0)
     if not parts:
         raise ValueError("AVI with no audio chunks for the audio stream")
     data = b"".join(parts)
@@ -617,6 +648,52 @@ def encode_avi_av(
         movi_payload += _chunk(b"01wb", pcm[i * step : (i + 1) * step])
     body = b"AVI " + hdrl + _list(b"movi", movi_payload)
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_avix_mjpeg(
+    segments: list[list[np.ndarray]],
+    rate: int = 25,
+    scale: int = 1,
+    quality: int = 90,
+) -> bytes:
+    """OpenDML multi-segment MJPEG AVI: segment 0 is a standard
+    'RIFF AVI ' (hdrl carries avih with the FIRST segment's frame count
+    plus an odml/dmlh grand total, then that segment's movi); each
+    further segment is a 'RIFF AVIX' holding only a movi list — the
+    layout every >1 GB recording uses."""
+    from streamsum_spark.operators.jpeg import encode_jpeg
+
+    h, w = segments[0][0].shape[:2]
+    n0 = len(segments[0])
+    total = sum(len(s) for s in segments)
+    uspf = scale * 1_000_000 // rate if rate else 0
+    avih = struct.pack(_AVIH_FMT, uspf, 0, 0, 0, n0, 0, 1, 0, w, h) + b"\x00" * 16
+    strh = struct.pack(
+        _STRH_FMT, b"vids", b"MJPG", 0, 0, 0, 0, scale, rate, 0, total
+    ) + struct.pack("<IIII", 0, 0, 0, 0) + struct.pack("<4H", 0, 0, w, h)
+    strf = struct.pack("<Iii", 40, w, h) + struct.pack("<HH", 1, 24) + \
+        b"MJPG" + struct.pack("<IiiII", 0, 0, 0, 0, 0)
+    dmlh = _chunk(b"dmlh", struct.pack("<I", total) + b"\x00" * 244)
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf))
+        + _list(b"odml", dmlh),
+    )
+
+    def movi_of(frames):
+        return _list(
+            b"movi",
+            b"".join(_chunk(b"00dc", encode_jpeg(f, quality=quality))
+                     for f in frames),
+        )
+
+    body0 = b"AVI " + hdrl + movi_of(segments[0])
+    out = b"RIFF" + struct.pack("<I", len(body0)) + body0
+    for seg in segments[1:]:
+        bodyx = b"AVIX" + movi_of(seg)
+        out += b"RIFF" + struct.pack("<I", len(bodyx)) + bodyx
+    return out
 
 
 def encode_avi_dib(

@@ -451,3 +451,61 @@ def test_probe_media_and_sampled_frames(spark):
     assert got[0].frame_idx == 0
     assert got[1000].frame_idx == 2
     assert got[2000].frame_idx == 4
+
+
+# --- OpenDML AVIX multi-segment -------------------------------------------------
+
+
+def test_avix_segments_decode_in_order():
+    from streamsum_spark.operators.avi import decode_avi_frames, encode_avix_mjpeg
+
+    segs = [_frames(3, h=16, w=16), _frames(2, h=16, w=16), _frames(2, h=16, w=16)]
+    # brand each segment with a whole-frame red offset (DCT quantization
+    # crushes single-pixel markers; a DC shift survives exactly)
+    for si, seg in enumerate(segs):
+        for k, f in enumerate(seg):
+            seg[k] = np.where(
+                np.arange(3) == 0, np.minimum(f.astype(int) // 2 + si * 60, 255), f
+            ).astype(np.uint8)
+    blob = encode_avix_mjpeg(segs, rate=10)
+    out = decode_avi_frames(blob)
+    assert len(out) == 7
+    assert [s for s, _, _ in out] == [0, 100, 200, 300, 400, 500, 600]
+    # the frame clock spans segments continuously, and frames arrive in
+    # segment order
+    flat = [f for seg in segs for f in seg]
+    for (_, _, px), src in zip(out, flat):
+        assert abs(px[:, :, 0].mean() - src[:, :, 0].mean()) < 10
+
+
+def test_avix_probe_uses_dml_grand_total():
+    from streamsum_spark.operators.avi import encode_avix_mjpeg
+
+    segs = [_frames(3, h=16, w=16), _frames(4, h=16, w=16)]
+    p = probe_avi(encode_avix_mjpeg(segs, rate=10))
+    assert p["duration_ms"] == 700  # 7 frames @ 10 fps, not segment 0's 3
+
+
+def test_avix_selective_decode_across_segments(monkeypatch):
+    from streamsum_spark.operators import multimodal as mm
+    from streamsum_spark.operators.avi import encode_avix_mjpeg, iter_avi_frames_at
+
+    segs = [_frames(5, h=16, w=16), _frames(5, h=16, w=16)]
+    blob = encode_avix_mjpeg(segs, rate=10)
+    calls = []
+    real = mm.decode_image
+    monkeypatch.setattr(mm, "decode_image", lambda b: calls.append(1) or real(b))
+    picked = list(iter_avi_frames_at(blob, [0, 700, 900]))
+    assert [j for j, _ in picked] == [0, 7, 9]  # indices cross the seam
+    assert len(calls) == 3
+
+
+def test_avix_truncation_fuzz():
+    from streamsum_spark.operators.avi import encode_avix_mjpeg
+
+    blob = encode_avix_mjpeg([_frames(2, h=8, w=8), _frames(2, h=8, w=8)], rate=10)
+    for cut in range(0, len(blob), 11):
+        try:
+            decode_avi_frames(blob[:cut])
+        except (ValueError, NotImplementedError, struct.error):
+            pass
