@@ -1405,6 +1405,10 @@ def decode_frames(content: bytes) -> list[tuple[int, int, np.ndarray]]:
         from streamsum_spark.operators.avi import decode_avi_frames
 
         return decode_avi_frames(b)
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        from streamsum_spark.operators.mp4_frames import decode_mp4_frames
+
+        return decode_mp4_frames(b)
     if b[:8] == _PNG_SIG:
         return decode_apng_frames(b)
     return [(0, 0, decode_image(b))]
@@ -1431,6 +1435,11 @@ def frames_at_iter(
         from streamsum_spark.operators.avi import iter_avi_frames_at
 
         yield from iter_avi_frames_at(b, ts_list)
+        return
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        from streamsum_spark.operators.mp4_frames import iter_mp4_frames_at
+
+        yield from iter_mp4_frames_at(b, ts_list)
         return
     frames = decode_frames(b)
     starts = [s for s, _, _ in frames]
