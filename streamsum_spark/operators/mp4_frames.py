@@ -253,6 +253,89 @@ def iter_mp4_frames_at(
         yield j, cached[1]
 
 
+def decode_mp4_audio(content: bytes) -> tuple[np.ndarray, int]:
+    """The first PCM audio track as ((n, ch) int16, rate) — the
+    decode_audio contract, mirroring avi.decode_avi_audio.
+
+    QuickTime/MOV PCM sample entries decode for real: 'sowt'
+    (little-endian 16-bit), 'twos' (big-endian 16-bit).  Compressed
+    audio ('mp4a' AAC, ...) refuses by codec name — no decoder exists
+    in this container.  Sample data is located by the same
+    stsc/stsz/stco walk as video; for PCM, one "sample" is one FRAME
+    (stsz is typically uniform at the frame size), so the chunks'
+    byte runs concatenate into the stream."""
+    b = bytes(content)
+    budget = [4096]
+    moov = None
+    for t, s, e in _mp4_boxes(b, 0, len(b), budget):
+        if t == b"moov":
+            moov = (s, e)
+            break
+    if moov is None:
+        raise ValueError("MP4 without moov")
+    seen: list[str] = []
+    for t, s, e in _mp4_boxes(b, moov[0], moov[1], budget):
+        if t != b"trak":
+            continue
+        mdia = _find(b, s, e, b"mdia", budget)
+        if not mdia:
+            continue
+        hdlr = _find(b, mdia[0], mdia[1], b"hdlr", budget)
+        if not hdlr or b[hdlr[0] + 8 : hdlr[0] + 12] != b"soun":
+            continue
+        minf = _find(b, mdia[0], mdia[1], b"minf", budget)
+        stbl = minf and _find(b, minf[0], minf[1], b"stbl", budget)
+        if not stbl:
+            raise ValueError("audio trak without stbl")
+        stsd = _find(b, stbl[0], stbl[1], b"stsd", budget)
+        if not stsd:
+            raise ValueError("stbl without stsd")
+        _, sp = _fullbox(b, stsd[0])
+        codec = b[sp + 8 : sp + 12]
+        seen.append(codec.decode("latin-1").strip())
+        if codec not in (b"sowt", b"twos"):
+            continue
+        # SoundSampleDescription v0: after the 8-byte entry header,
+        # 6 reserved + 2 dref + 2 version + 2 revision + 4 vendor,
+        # then channels(2) samplesize(2) at entry+24..27 and the
+        # 16.16 samplerate at entry+32
+        ch, bits = struct.unpack_from(">HH", b, sp + 4 + 24)
+        rate = struct.unpack_from(">I", b, sp + 4 + 32)[0] >> 16
+        if ch < 1 or rate == 0:
+            raise ValueError("corrupt audio sample entry")
+        if bits != 16:
+            raise NotImplementedError(
+                f"MP4 PCM with {bits}-bit samples not supported"
+            )
+        stsz = _find(b, stbl[0], stbl[1], b"stsz", budget)
+        stsc = _find(b, stbl[0], stbl[1], b"stsc", budget)
+        stco = _find(b, stbl[0], stbl[1], b"stco", budget)
+        co64 = _find(b, stbl[0], stbl[1], b"co64", budget)
+        if not (stsz and stsc and (stco or co64)):
+            raise ValueError("PCM trak with incomplete sample tables")
+        sizes = _parse_stsz(b, *stsz)
+        chunks = _parse_stco(b, *(stco or co64), large=stco is None)
+        offsets = _sample_offsets(sizes, _parse_stsc(b, *stsc), chunks)
+        for off, sz in zip(offsets, sizes):
+            if off + sz > len(b):
+                raise ValueError("MP4 sample outside the blob")
+        data = b"".join(b[off : off + sz] for off, sz in zip(offsets, sizes))
+        dt = "<i2" if codec == b"sowt" else ">i2"
+        n = len(data) // (2 * ch)
+        samples = (
+            np.frombuffer(data[: n * 2 * ch], dtype=dt)
+            .reshape(n, ch)
+            .astype(np.int16)
+        )
+        return samples, rate
+    if seen:
+        raise NotImplementedError(
+            f"MP4 audio codec {'/'.join(seen)} not supported "
+            "(PCM 'sowt'/'twos' only)"
+        )
+    raise ValueError("MP4 without an audio trak")
+
+
 # ---------------------------------------------------------------------------
 # fixture encoder (also the proof the table parsers read real layouts)
 # ---------------------------------------------------------------------------
@@ -325,3 +408,55 @@ def encode_mp4_mjpeg(
     trak = box(b"trak", tkhd + mdia)
     moov = box(b"moov", mvhd + trak)
     return ftyp + mdat + moov
+
+
+def encode_mov_pcm(
+    samples: np.ndarray, rate: int, codec: bytes = b"sowt"
+) -> bytes:
+    """Minimal audio-only MOV: PCM16 ('sowt' LE / 'twos' BE) in two
+    chunks, uniform frame-sized stsz."""
+
+    def box(t: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + t + payload
+
+    def full(t: bytes, payload: bytes) -> bytes:
+        return box(t, b"\x00\x00\x00\x00" + payload)
+
+    n, ch = samples.shape
+    dt = "<i2" if codec == b"sowt" else ">i2"
+    pcm = np.ascontiguousarray(samples.astype(dt)).tobytes()
+    ftyp = box(b"ftyp", b"qt  " + struct.pack(">I", 0) + b"qt  ")
+    k = (n + 1) // 2  # frames in chunk 1
+    c1 = pcm[: k * 2 * ch]
+    c2 = pcm[k * 2 * ch :]
+    c1_off = len(ftyp) + 8
+    c2_off = c1_off + len(c1)
+    mdat = box(b"mdat", c1 + c2)
+    mvhd = full(b"mvhd", struct.pack(">II", 0, 0)
+                + struct.pack(">II", rate, n) + b"\x00" * 80)
+    mdhd = full(b"mdhd", struct.pack(">II", 0, 0)
+                + struct.pack(">II", rate, n) + struct.pack(">HH", 0x55C4, 0))
+    hdlr = full(b"hdlr", b"\x00" * 4 + b"soun" + b"\x00" * 12 + b"\x00")
+    entry = (
+        struct.pack(">I", 36) + codec + b"\x00" * 6 + struct.pack(">H", 1)
+        + struct.pack(">HH", 0, 0) + b"\x00" * 4
+        + struct.pack(">HHHH", ch, 16, 0, 0) + struct.pack(">I", rate << 16)
+    )
+    stsd = full(b"stsd", struct.pack(">I", 1) + entry)
+    stts = full(b"stts", struct.pack(">III", 1, n, 1))
+    stsc = full(
+        b"stsc",
+        struct.pack(">I", 2 if c2 else 1) + struct.pack(">III", 1, k, 1)
+        + (struct.pack(">III", 2, n - k, 1) if c2 else b""),
+    )
+    stsz = full(b"stsz", struct.pack(">II", 2 * ch, n))
+    stco = full(
+        b"stco",
+        struct.pack(">I", 2 if c2 else 1) + struct.pack(">I", c1_off)
+        + (struct.pack(">I", c2_off) if c2 else b""),
+    )
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    minf = box(b"minf", box(b"smhd", b"\x00" * 8) + stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", full(b"tkhd", b"\x00" * 80) + mdia)
+    return ftyp + mdat + box(b"moov", mvhd + trak)

@@ -991,6 +991,12 @@ def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
         from streamsum_spark.operators.avi import decode_avi_audio
 
         return decode_avi_audio(b)
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+        # MOV/MP4 PCM audio tracks ('sowt'/'twos') via the sample
+        # tables; compressed codecs (mp4a AAC) refuse by name
+        from streamsum_spark.operators.mp4_frames import decode_mp4_audio
+
+        return decode_mp4_audio(b)
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise NotImplementedError("only RIFF/WAVE audio supported")
     fmt = data = None

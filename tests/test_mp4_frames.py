@@ -124,3 +124,42 @@ def test_truncation_and_mutation_fuzz():
             decode_mp4_frames(bytes(b))
         except (ValueError, NotImplementedError, struct.error):
             pass
+
+
+# --- PCM audio tracks ----------------------------------------------------------
+
+
+def test_mov_pcm_audio_byte_exact():
+    from streamsum_spark.operators.mp4_frames import decode_mp4_audio, encode_mov_pcm
+    from streamsum_spark.operators.multimodal import decode_audio
+
+    tone = (np.sin(np.arange(8001 * 2) * 0.05) * 12000).astype(np.int16).reshape(-1, 2)
+    for codec in (b"sowt", b"twos"):
+        blob = encode_mov_pcm(tone, 16000, codec)
+        s, r = decode_mp4_audio(blob)
+        assert r == 16000 and (s == tone).all()
+        # decode_audio dispatches ftyp blobs here, so the audio prep
+        # chain (downmix/resample/mel) works off MOV captures directly
+        s2, r2 = decode_audio(blob)
+        assert r2 == 16000 and (s2 == tone).all()
+
+
+def test_mp4_aac_refuses_by_name():
+    from streamsum_spark.operators.mp4_frames import decode_mp4_audio
+    from tests.test_video_probe import make_mp4
+
+    with pytest.raises(NotImplementedError, match="mp4a"):
+        decode_mp4_audio(make_mp4())
+
+
+def test_mov_pcm_feeds_resample_media(spark):
+    from streamsum_spark.operators.audio_prep import resample_media
+    from streamsum_spark.operators.mp4_frames import encode_mov_pcm
+
+    tone = (np.sin(np.arange(16000) * 0.05) * 9000).astype(np.int16).reshape(-1, 1)
+    blob = encode_mov_pcm(tone, 16000)
+    media = spark.createDataFrame(
+        [(1, bytearray(blob))], "media_id long, content binary"
+    )
+    (row,) = resample_media(media, out_rate=8000).collect()
+    assert row.decoded and row.src_rate == 16000
