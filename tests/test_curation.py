@@ -150,3 +150,27 @@ def test_curated_media_survivors_decode(spark):
     for r in curate_media(media).collect():
         px = decode_image(bytes(r.content))  # the decode stage never sees junk
         assert px.shape[0] >= 32 and px.shape[1] >= 32
+
+
+def test_media_funnel_video_kind(spark):
+    import numpy as np
+
+    from streamsum_spark.operators.avi import encode_avi_mjpeg
+    from streamsum_spark.operators.curation import curate_media
+    from streamsum_spark.operators.mp4_frames import encode_mp4_mjpeg
+    from streamsum_spark.operators.multimodal import encode_png
+
+    def img(k):
+        yy, xx = np.mgrid[0:48, 0:64]
+        return np.stack([(xx + k) % 256, yy % 256, (xx + yy) % 256], 2).astype(
+            np.uint8
+        )
+
+    rows = [
+        (1, bytearray(encode_avi_mjpeg([img(0), img(1)], rate=10))),
+        (2, bytearray(encode_mp4_mjpeg([img(0), img(1)]))),
+        (3, bytearray(encode_png(img(0)))),  # image: wrong kind now
+    ]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    kept = {r.media_id for r in curate_media(media, kinds=("video",)).collect()}
+    assert kept == {1, 2}
