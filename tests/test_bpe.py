@@ -126,6 +126,70 @@ def test_segment_words_and_token_counts(spark, corpus_freqs):
     assert got.n_words == len(words) and got.n_bpe_tokens == want
 
 
+def test_distributed_fallback_matches_inmemory(spark, corpus_freqs):
+    """max_vocab_rows=0 forces the distributed per-round loop; both
+    strategies must learn the identical merge sequence."""
+    want = ref_train_simple(corpus_freqs, n_merges=25)
+    assert train_bpe(spark, SF_DIR, n_merges=25) == want
+    assert train_bpe(spark, SF_DIR, n_merges=25, max_vocab_rows=0) == want
+
+
+def _synthetic_vocab(n_words: int = 4000) -> dict[str, int]:
+    """Deterministic synthetic vocabulary large enough to sustain
+    thousands of merges (the real testdata corpus has only 31 distinct
+    words, which saturates after a few dozen)."""
+    import random
+
+    rng = random.Random(12)
+    alphabet = "abcdefghijklmnop"
+    freqs: dict[str, int] = {}
+    while len(freqs) < n_words:
+        w = "".join(rng.choice(alphabet) for _ in range(rng.randint(3, 12)))
+        freqs[w] = freqs.get(w, 0) + rng.randint(1, 100)
+    return freqs
+
+
+def test_inmemory_2k_merges_fast_and_prefix_pinned():
+    """The round-12 order: 2,000 merges in seconds, not ~60 s per 100
+    rounds.  Correctness via prefix-stability: greedy BPE's first k
+    merges are identical regardless of n_merges, so the 2k run's first
+    300 merges must equal the reference's 300-merge run."""
+    import time
+
+    from streamsum_spark.operators.bpe import _train_bpe_inmemory
+
+    freqs = _synthetic_vocab()
+    t0 = time.monotonic()
+    got = _train_bpe_inmemory(freqs, n_merges=2000, min_freq=1)
+    elapsed = time.monotonic() - t0
+    assert len(got) == 2000
+    # generous CI bound; measured ~1 s on 32-core local (was ~20 min
+    # at the distributed loop's ~0.6 s/round)
+    assert elapsed < 30.0, f"2k merges took {elapsed:.1f}s"
+    want = ref_train_simple(freqs, n_merges=300, min_freq=1)
+    assert got[:300] == want
+    # segmentation with the full model stays lossless
+    ranks = {p: i for i, p in enumerate(got)}
+    for w in sorted(freqs)[:50]:
+        assert "".join(_segment(w, ranks)) == w + END
+
+
+def test_inmemory_matches_reference_exhaustive_small():
+    """Train to exhaustion (min_freq=1) on a small vocabulary with
+    heavy pair sharing and repeated symbols — exercises the
+    incremental-delta bookkeeping (overlapping pairs like 'aaaa',
+    pairs whose count drops to zero, words touched repeatedly)."""
+    from streamsum_spark.operators.bpe import _train_bpe_inmemory
+
+    freqs = {
+        "aaaa": 5, "aab": 7, "abab": 3, "banana": 4, "bandana": 2,
+        "aa": 9, "a": 1, "baaa": 6, "nana": 8, "ban": 2,
+    }
+    want = ref_train_simple(freqs, n_merges=500, min_freq=1)
+    got = _train_bpe_inmemory(freqs, n_merges=500, min_freq=1)
+    assert got == want
+
+
 def test_empty_corpus_and_min_freq_stop(spark):
     empty = spark.createDataFrame([("x", " ")], "doc_id string, text string")
     assert train_bpe(spark, SF_DIR, n_merges=5, docs=empty.where("doc_id = 'nope'")) == []
