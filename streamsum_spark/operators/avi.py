@@ -150,7 +150,12 @@ def _walk_avi(b: bytes) -> tuple[dict, list[tuple[int, int]], list[int]]:
     lives only in the first).  ValueError on malformation."""
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         raise ValueError("not an AVI (RIFF) file")
-    budget = [_MAX_CHUNKS]
+    # scale the chunk budget with blob size: forward progress already
+    # bounds the walk to O(len(b)) (every chunk consumes >= 8 header
+    # bytes), so len//8 is the true ceiling — a fixed 65k budget would
+    # reject exactly the long OpenDML recordings AVIX support targets
+    # (1 h @ 25 fps = 90k frame chunks, ~180k with interleaved audio)
+    budget = [max(_MAX_CHUNKS, len(b) // 8 + 16)]
     hdrl = None
     movi_spans: list[tuple[int, int]] = []
     seg_start, segs = 0, 0
@@ -337,7 +342,7 @@ def _video_stream_payloads(b: bytes):
                 if p:
                     collect(p[0], p[1], depth + 1)
             elif cc in want:
-                payloads.append(b[cs:ce])
+                payloads.append((cc[2:4], b[cs:ce]))
 
     for span in movi_spans:
         collect(span[0], span[1], 0)
@@ -351,31 +356,39 @@ def _video_stream_payloads(b: bytes):
             return i * hdrl["us_per_frame"] // 1000
         return i * 1000  # no timing info: 1 fps convention
 
-    vid = dict(vid, is_dib=is_dib)
+    vid = dict(vid, is_dib=is_dib, is_mjpeg=is_mjpeg)
     return vid, payloads, start_ms
 
 
-def _decode_payload(payload: bytes, vid: dict) -> np.ndarray:
-    """One non-empty frame chunk → (h, w, 3) uint8 RGB."""
+def _decode_payload(kind: bytes, payload: bytes, vid: dict) -> np.ndarray:
+    """One non-empty frame chunk → (h, w, 3) uint8 RGB.  Dispatch on
+    the stream codec + chunk fourcc suffix, NOT byte sniffing: an
+    MJPEG stream's frames are JPEG whichever suffix the muxer used,
+    while a DIB stream's '##db' frames are raw rows even when the
+    bottom-left pixel happens to spell the JPEG SOI bytes
+    (B=0xFF, G=0xD8)."""
     from streamsum_spark.operators.multimodal import decode_image
 
-    if payload[:2] == b"\xff\xd8":
+    if vid["is_mjpeg"]:
+        if payload[:2] != b"\xff\xd8":
+            raise ValueError("AVI MJPEG frame without JPEG SOI")
         return decode_image(_with_default_dht(payload))
-    if vid["is_dib"]:
+    if kind == b"db":
         return _decode_dib_frame(payload, vid)
-    raise ValueError("AVI dc chunk without JPEG SOI")
+    raise ValueError("AVI 'dc' (compressed) chunk in an uncompressed DIB stream")
 
 
 def decode_avi_frames(content: bytes) -> list[tuple[int, int, np.ndarray]]:
     """All frames of the FIRST video stream as [(start_ms, duration_ms,
     (h, w, 3) uint8 RGB)] — the decode_frames contract.
 
-    '##dc' chunks must be MJPEG (fccHandler MJPG/dmb1 or JPEG SOI
-    bytes); each frame routes through multimodal.decode_image, so it
-    gets the JVM-sidecar fast path AND the sampled spec cross-check for
-    free.  '##db' chunks decode as 24-bit BI_RGB DIB rows.  Zero-length
-    chunks repeat the previous frame (the dropped-frame convention).
-    Any other codec raises NotImplementedError — a fake decode would
+    MJPEG streams (fccHandler MJPG/dmb1) decode every frame chunk as
+    JPEG through multimodal.decode_image, so they get the JVM-sidecar
+    fast path AND the sampled spec cross-check for free.  DIB streams
+    decode '##db' chunks as 24-bit BI_RGB rows (dispatch is by stream
+    codec + chunk fourcc, never payload sniffing).  Zero-length chunks
+    repeat the previous frame (the dropped-frame convention).  Any
+    other codec raises NotImplementedError — a fake decode would
     misreport content.
 
     Frame timing: start(i) = i*scale*1000/rate from strh (the exact
@@ -389,13 +402,13 @@ def decode_avi_frames(content: bytes) -> list[tuple[int, int, np.ndarray]]:
     frames: list[tuple[int, int, np.ndarray]] = []
     prev: np.ndarray | None = None
     budget_bytes = 0
-    for i, payload in enumerate(payloads):
+    for i, (kind, payload) in enumerate(payloads):
         if len(payload) == 0:
             if prev is None:
                 raise ValueError("AVI starts with a dropped frame")
             px = prev
         else:
-            px = _decode_payload(payload, vid)
+            px = _decode_payload(kind, payload, vid)
         budget_bytes += px.nbytes
         if budget_bytes > _MAX_FRAMES_BYTES:
             raise ValueError("AVI decoded output exceeds the frame cap")
@@ -433,12 +446,12 @@ def iter_avi_frames_at(
     for t in ts_list:
         j = max(0, bisect.bisect_right(starts, int(t)) - 1)
         k = j
-        while k >= 0 and len(payloads[k]) == 0:
+        while k >= 0 and len(payloads[k][1]) == 0:
             k -= 1
         if k < 0:
             raise ValueError("AVI starts with a dropped frame")
         if cached is None or cached[0] != k:
-            cached = (k, _decode_payload(payloads[k], vid))
+            cached = (k, _decode_payload(payloads[k][0], payloads[k][1], vid))
         yield j, cached[1]
 
 

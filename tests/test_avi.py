@@ -509,3 +509,58 @@ def test_avix_truncation_fuzz():
             decode_avi_frames(blob[:cut])
         except (ValueError, NotImplementedError, struct.error):
             pass
+
+
+# --- round-12 regressions ----------------------------------------------------
+
+
+def test_chunk_budget_scales_with_blob_size():
+    """A long recording's chunk count (>65k — the OpenDML case the AVIX
+    support targets) must not trip the hostile-input budget: one real
+    DIB frame followed by 70,000 dropped (zero-length) frame chunks."""
+    from streamsum_spark.operators.avi import (
+        _avi_container,
+        decode_avi_frames_at,
+        _decode_dib_frame,
+    )
+
+    f = _frames(1, h=4, w=4)[0]
+    stride = (4 * 3 + 3) & ~3
+    dib = np.zeros((4, stride), np.uint8)
+    dib[:, : 4 * 3] = f[::-1, :, ::-1].reshape(4, -1)
+    payloads = [dib.tobytes()] + [b""] * 70_000
+    blob = _avi_container(
+        payloads, 4, 4, 25, 1, b"DIB ", b"\x00\x00\x00\x00", 24, b"00db"
+    )
+    p = probe_avi(blob)
+    assert p["container"] == "avi" and p["tracks"][0]["handler"] == "vide"
+    # selective decode touches only the covering frame
+    out = decode_avi_frames_at(blob, [0])
+    assert len(out) == 1 and (out[0][1] == f).all()
+
+
+def test_dib_frame_with_jpeg_soi_bytes_not_misrouted():
+    """A DIB '##db' frame whose bottom-left pixel stores B=0xFF, G=0xD8
+    (the JPEG SOI bytes) must decode as DIB rows, not be sniffed into
+    the MJPEG path."""
+    src = _frames(2, h=8, w=8)
+    for f in src:
+        f[7, 0] = (10, 0xD8, 0xFF)  # RGB -> stored bottom-up BGR = FF D8 0A...
+    blob = encode_avi_dib(src, rate=25)
+    out = decode_avi_frames(blob)
+    assert len(out) == 2
+    for (_, _, px), f in zip(out, src):
+        assert (px == f).all()
+
+
+def test_dc_chunk_in_dib_stream_refuses():
+    """Compressed ('dc') chunks in an uncompressed DIB stream are a
+    malformation, not a sniffing opportunity."""
+    from streamsum_spark.operators.avi import _avi_container
+
+    blob = _avi_container(
+        [b"\xff\xd8" + b"\x00" * 46], 4, 4, 25, 1,
+        b"DIB ", b"\x00\x00\x00\x00", 24, b"00dc",
+    )
+    with pytest.raises(ValueError, match="dc"):
+        decode_avi_frames(blob)
