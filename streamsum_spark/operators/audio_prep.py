@@ -407,7 +407,14 @@ def audio_window_plan(
     — pure sequence/explode arithmetic, JVM-side, exactly the
     frame_sample_plan recipe.  ``hop_ms < window_ms`` gives the
     overlapping windows ASR models are fed; the tail window clamps to
-    the duration."""
+    the duration.
+
+    The plan's stop rule matches extract_audio_windows exactly: no
+    window starts after a prior window already reached the end (a
+    start survives iff win_idx == 0 or the PREVIOUS window's end,
+    start - hop + window, is still short of the duration), so joining
+    the plan to extracted windows on (media_id, win_idx) leaves no
+    dangling plan rows."""
     from pyspark.sql import functions as F
 
     if window_ms <= 0 or hop_ms <= 0:
@@ -422,6 +429,10 @@ def audio_window_plan(
                 F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(hop_ms))
             ).alias("win_idx", "start_ms"),
             F.col("duration_ms"),
+        )
+        .where(
+            (F.col("win_idx") == 0)
+            | (F.col("start_ms") - hop_ms + window_ms < F.col("duration_ms"))
         )
         .select(
             "media_id",
@@ -465,6 +476,11 @@ def extract_audio_windows(
         raise ValueError("window_ms, hop_ms, out_rate must be positive")
 
     def rows_for(media_id, content):
+        # null content is a decode failure row, not a task failure
+        # (bytes(None) raises TypeError, which the except below does
+        # not — and must not — swallow for real decode bugs)
+        if content is None:
+            return [(int(media_id), 0, False, None, None, None, None)]
         try:
             samples, rate = decode_audio(bytes(content))
         except (NotImplementedError, ValueError, struct.error):

@@ -116,8 +116,12 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggs = [F.count(F.lit(1)).alias("n_total")]
     prior = F.lit(False)
     for r in RULES:
+        # coalesce: sum over ZERO rows is null, and the funnel math
+        # below must see 0, not None, on an empty input relation
         aggs.append(
-            F.sum((F.col(r) & ~prior).cast("long")).alias(f"d_{r}")
+            F.coalesce(
+                F.sum((F.col(r) & ~prior).cast("long")), F.lit(0)
+            ).alias(f"d_{r}")
         )
         prior = prior | F.col(r)
     row = flags.agg(*aggs).collect()[0]  # ONE bounded row
@@ -212,7 +216,13 @@ def media_curation_funnel(media: DataFrame, **rule_kw) -> DataFrame:
     aggs = [F.count(F.lit(1)).alias("n_total")]
     prior = F.lit(False)
     for r in MEDIA_RULES:
-        aggs.append(F.sum((F.col(r) & ~prior).cast("long")).alias(f"d_{r}"))
+        # coalesce: null sums over an empty relation would TypeError
+        # in the n - d funnel arithmetic below
+        aggs.append(
+            F.coalesce(
+                F.sum((F.col(r) & ~prior).cast("long")), F.lit(0)
+            ).alias(f"d_{r}")
+        )
         prior = prior | F.col(r)
     row = flags.agg(*aggs).collect()[0]
     out_rows = []

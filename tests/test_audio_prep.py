@@ -373,3 +373,58 @@ def test_zero_duration_rows_cannot_fail_the_plan(spark):
     )
     assert {r.media_id for r in audio_window_plan(media).collect()} == {2}
     assert {r.media_id for r in frame_sample_plan(media).collect()} == {2}
+
+
+def test_plan_matches_extractor_stop_rule(spark):
+    """ADVICE r11: duration 80 s, window 30 s, hop 25 s — the extractor
+    emits starts {0, 25, 50} (window at 50 reaches 80); the plan must
+    not emit a dangling start at 75.  Joined on (media_id, win_idx),
+    plan and extraction cover the same keys."""
+    import numpy as np
+
+    from streamsum_spark.operators.audio_prep import (
+        audio_window_plan,
+        extract_audio_windows,
+    )
+    from streamsum_spark.operators.multimodal import encode_wav
+
+    rate = 8000
+    media_p = spark.createDataFrame(
+        [(1, 80_000)], "media_id long, duration_ms long"
+    )
+    plan = audio_window_plan(media_p, window_ms=30_000, hop_ms=25_000)
+    plan_keys = {(r.media_id, r.win_idx) for r in plan.collect()}
+    assert plan_keys == {(1, 0), (1, 1), (1, 2)}
+
+    tone = (np.sin(np.arange(rate * 80) * 0.05) * 8000).astype(
+        np.int16
+    ).reshape(-1, 1)
+    media_b = spark.createDataFrame(
+        [(1, bytearray(encode_wav(tone, rate)))],
+        "media_id long, content binary",
+    )
+    got = extract_audio_windows(
+        media_b, window_ms=30_000, hop_ms=25_000, out_rate=8000
+    )
+    got_keys = {(r.media_id, r.win_idx) for r in got.collect()}
+    assert got_keys == plan_keys
+    # exact-cover case too: duration a multiple of hop with window==hop
+    media_e = spark.createDataFrame(
+        [(7, 60_000)], "media_id long, duration_ms long"
+    )
+    p2 = audio_window_plan(media_e, window_ms=30_000, hop_ms=30_000)
+    assert {(r.win_idx, r.start_ms, r.end_ms) for r in p2.collect()} == {
+        (0, 0, 30_000), (1, 30_000, 60_000)
+    }
+
+
+def test_null_content_emits_decode_failure_row(spark):
+    from streamsum_spark.operators.audio_prep import extract_audio_windows
+
+    media = spark.createDataFrame(
+        [(1, None)], "media_id long, content binary"
+    )
+    rows = extract_audio_windows(media).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.media_id == 1 and not r.decoded and r.content is None

@@ -174,3 +174,31 @@ def test_media_funnel_video_kind(spark):
     media = spark.createDataFrame(rows, "media_id long, content binary")
     kept = {r.media_id for r in curate_media(media, kinds=("video",)).collect()}
     assert kept == {1, 2}
+
+
+def test_empty_input_funnels_are_all_zero(spark, tmp_path):
+    """ADVICE r11: F.sum over zero rows is null — an empty relation
+    must produce a well-formed all-zero funnel, not a TypeError."""
+    import pyarrow.parquet as pq
+
+    from streamsum_spark.operators.curation import (
+        MEDIA_RULES,
+        RULES,
+        curate_media,
+        curation_funnel,
+        media_curation_funnel,
+    )
+
+    empty_media = spark.createDataFrame([], "media_id long, content binary")
+    rows = media_curation_funnel(empty_media).orderBy("stage").collect()
+    assert [r.rule for r in rows] == [r.removeprefix("drop_") for r in MEDIA_RULES]
+    assert all(r.n_in == 0 and r.n_dropped == 0 and r.n_out == 0 for r in rows)
+    assert curate_media(empty_media).count() == 0
+
+    # document funnel over an EMPTY documents table (pyarrow slice
+    # keeps the real schema; an empty pandas frame would degrade types)
+    src = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    pq.write_table(src.slice(0, 0), tmp_path / "documents.parquet")
+    rows = curation_funnel(spark, str(tmp_path)).orderBy("stage").collect()
+    assert [r.rule for r in rows] == [r.removeprefix("drop_") for r in RULES]
+    assert all(r.n_in == 0 and r.n_dropped == 0 and r.n_out == 0 for r in rows)
