@@ -240,6 +240,48 @@ MANIFEST_SCHEMA = T.StructType(
 )
 
 
+def _pack_stream(
+    rows: Iterator[tuple], out_dir: str, pid: int, shard_max_bytes: int
+) -> list[tuple[str, int, int]]:
+    """Streaming shard packer: consume (key, parts) rows one at a
+    time, rolling to a new tar when the accumulated member payload
+    would exceed ``shard_max_bytes``.  Peak memory is the CURRENT
+    shard's members (~shard_max_bytes plus one sample) — never the
+    whole input (pinned by a test that watches shards land while rows
+    are still being produced).  Rows must arrive already ordered if
+    reproducible shards are wanted; write_webdataset sorts Spark-side."""
+    manifest: list[tuple[str, int, int]] = []
+    seq = 0
+    cur: list[tuple[str, dict]] = []
+    cur_bytes = 0
+
+    def flush():
+        nonlocal seq, cur, cur_bytes
+        if not cur:
+            return
+        name = f"shard-{pid:05d}-{seq:04d}.tar"
+        path = os.path.join(out_dir, name)
+        with tarfile.open(path, "w") as tf:
+            for key, parts in cur:
+                for ext in sorted(parts):
+                    content = bytes(parts[ext])
+                    info = tarfile.TarInfo(f"{key}.{ext}" if ext else key)
+                    info.size = len(content)
+                    tf.addfile(info, io.BytesIO(content))
+        manifest.append((name, len(cur), os.path.getsize(path)))
+        seq += 1
+        cur, cur_bytes = [], 0
+
+    for key, parts in rows:
+        size = sum(len(bytes(v)) for v in parts.values())
+        if cur and cur_bytes + size > shard_max_bytes:
+            flush()
+        cur.append((key, parts))
+        cur_bytes += size
+    flush()
+    return manifest
+
+
 def write_webdataset(
     samples: DataFrame,
     out_dir: str,
@@ -252,12 +294,18 @@ def write_webdataset(
     is materialized (collect/count/save — the mapInPandas pattern for
     executor-side IO with a result relation, same as the state sinks).
 
-    Scale/determinism shape: each task packs ITS partition's samples —
-    sorted by key within the partition, so a given (partitioning, data)
-    always produces byte-identical shards — rolling to a new shard
-    when the accumulated member payload would exceed
-    ``shard_max_bytes`` (one oversized sample still gets a shard: the
-    bound is a roll trigger, not a hard cap).  Shard names are
+    Memory contract: a task holds at most the CURRENT shard
+    (~``shard_max_bytes`` plus one sample plus one Arrow batch) — a
+    partition may be arbitrarily larger than a shard.  The by-key
+    ordering that makes shards reproducible runs SPARK-side
+    (sortWithinPartitions — Tungsten external sort, spills to disk),
+    and the Python packer streams batches through, rolling shards as
+    the payload budget fills (one oversized sample still gets a shard:
+    the bound is a roll trigger, not a hard cap).
+
+    Determinism: a given (partitioning, data) produces byte-identical
+    shards — keys are expected unique per sample (duplicate keys sort
+    together but their relative order is not pinned).  Shard names are
     ``shard-{partition:05d}-{seq:04d}.tar``: partition-disjoint, so
     concurrent tasks never collide and a re-run overwrites its own
     files idempotently.  ``out_dir`` must be visible to executors (a
@@ -272,40 +320,12 @@ def write_webdataset(
         # executor host is the one that needs the directory to exist
         os.makedirs(out_dir, exist_ok=True)
         pid = TaskContext.get().partitionId()
-        rows = []
-        for pdf in batches:
-            for key, parts in zip(pdf["key"], pdf["parts"]):
-                rows.append((key, parts))
-        rows.sort(key=lambda kv: kv[0])
-        manifest = []
-        seq = 0
-        cur: list[tuple[str, bytes]] = []
-        cur_bytes = 0
 
-        def flush():
-            nonlocal seq, cur, cur_bytes
-            if not cur:
-                return
-            name = f"shard-{pid:05d}-{seq:04d}.tar"
-            path = os.path.join(out_dir, name)
-            with tarfile.open(path, "w") as tf:
-                for key, parts in cur:
-                    for ext in sorted(parts):
-                        content = bytes(parts[ext])
-                        info = tarfile.TarInfo(f"{key}.{ext}" if ext else key)
-                        info.size = len(content)
-                        tf.addfile(info, io.BytesIO(content))
-            manifest.append((name, len(cur), os.path.getsize(path)))
-            seq += 1
-            cur, cur_bytes = [], 0
+        def rows() -> Iterator[tuple]:
+            for pdf in batches:
+                yield from zip(pdf["key"], pdf["parts"])
 
-        for key, parts in rows:
-            size = sum(len(bytes(v)) for v in parts.values())
-            if cur and cur_bytes + size > shard_max_bytes:
-                flush()
-            cur.append((key, parts))
-            cur_bytes += size
-        flush()
+        manifest = _pack_stream(rows(), out_dir, pid, shard_max_bytes)
         yield pd.DataFrame(
             {
                 "shard": [m[0] for m in manifest],
@@ -314,4 +334,8 @@ def write_webdataset(
             }
         )
 
-    return samples.select("key", "parts").mapInPandas(pack, MANIFEST_SCHEMA)
+    return (
+        samples.select("key", "parts")
+        .sortWithinPartitions("key")
+        .mapInPandas(pack, MANIFEST_SCHEMA)
+    )

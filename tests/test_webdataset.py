@@ -221,3 +221,61 @@ def test_zip_extraction_budget(monkeypatch):
         list(wd.iter_zip_members(blob))
     monkeypatch.setattr(wd, "_MAX_EXTRACT_BYTES", 50_000)
     assert len(list(wd.iter_zip_members(blob))) == 1
+
+
+def test_pack_stream_never_holds_the_partition(tmp_path):
+    """Round-12 order: a partition 8x larger than shard_max_bytes
+    packs WITHOUT whole-partition buffering — shards must land on disk
+    while rows are still being produced, proving the packer streams."""
+    import os
+
+    from streamsum_spark.sources.webdataset import _pack_stream
+
+    out = str(tmp_path / "stream")
+    os.makedirs(out)
+    shard_max = 64 << 10
+    n, sample = 64, (8 << 10)  # 512 KiB total = 8 x shard_max
+    shards_seen_mid_stream = []
+
+    def rows():
+        for i in range(n):
+            if i == n // 2:
+                shards_seen_mid_stream.append(len(os.listdir(out)))
+            yield f"k{i:04d}", {"bin": bytes([i % 251]) * sample}
+
+    manifest = _pack_stream(rows(), out, 0, shard_max)
+    assert sum(m[1] for m in manifest) == n
+    assert len(manifest) >= 8
+    # half the shards were already written when half the rows had
+    # streamed through — the packer held a shard, not the partition
+    assert shards_seen_mid_stream[0] >= 3
+
+
+def test_write_webdataset_partition_larger_than_shards(spark, tmp_path):
+    """Spark-level twin: one partition 4x+ the shard budget, small
+    Arrow batches, roundtrip byte-exact."""
+    from streamsum_spark.sources.webdataset import write_webdataset
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (f"s{i:04d}", {"bin": bytes(rng.integers(0, 256, 4096, dtype=np.uint8))})
+        for i in range(40)  # ~160 KiB in ONE partition
+    ]
+    samples = spark.createDataFrame(
+        rows, "key string, parts map<string, binary>"
+    ).coalesce(1)
+    out = str(tmp_path / "big")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5")
+    try:
+        man = write_webdataset(samples, out, shard_max_bytes=32 << 10).collect()
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert sum(m.n_samples for m in man) == 40
+    assert len(man) >= 5  # 160 KiB / 32 KiB budget
+    back = read_webdataset(spark, out).collect()
+    got = {r.key: bytes(r.parts["bin"]) for r in back}
+    assert got == {k: p["bin"] for k, p in rows}
