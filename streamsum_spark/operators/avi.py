@@ -51,9 +51,17 @@ _AVIH_FMT = "<IIIIIIIIII"   # through dwHeight (reserved tail ignored)
 _STRH_FMT = "<4s4sIHHIIIII"  # through dwLength
 
 
-def _riff_chunks(b: bytes, pos: int, end: int, budget: list[int]):
+def _riff_chunks(
+    b: bytes, pos: int, end: int, budget: list[int],
+    tolerate_tail: bool = False,
+):
     """Yield (fourcc, payload_start, payload_end) with strict forward
-    progress; chunk payloads pad to even file offsets (RIFF rule)."""
+    progress; chunk payloads pad to even file offsets (RIFF rule).
+
+    ``tolerate_tail`` (probe walks over HEAD-BOUNDED reads — the
+    sources/blobs.py feed): a chunk extending past ``end`` stops the
+    walk instead of raising — a head read legitimately cuts inside
+    movi, and hdrl precedes it.  Decode paths stay strict."""
     while pos + 8 <= end:
         if budget[0] <= 0:
             raise ValueError("AVI chunk budget exceeded")
@@ -62,6 +70,8 @@ def _riff_chunks(b: bytes, pos: int, end: int, budget: list[int]):
         size = struct.unpack_from("<I", b, pos + 4)[0]
         s = pos + 8
         if s + size > end:
+            if tolerate_tail:
+                return
             raise ValueError("AVI chunk size out of bounds")
         yield fourcc, s, s + size
         pos = s + size + (size & 1)
@@ -142,7 +152,9 @@ def _parse_hdrl(b: bytes, s: int, e: int, budget: list[int]) -> dict:
 _MAX_RIFF_SEGMENTS = 1024  # OpenDML AVIX continuation segments
 
 
-def _walk_avi(b: bytes) -> tuple[dict, list[tuple[int, int]], list[int]]:
+def _walk_avi(
+    b: bytes, tolerate_tail: bool = False
+) -> tuple[dict, list[tuple[int, int]], list[int]]:
     """(hdrl dict, movi payload spans, shared budget) for a RIFF-AVI
     blob — including OpenDML AVIX continuation segments (standard AVI
     caps at ~1-2 GB, so every long recording is 'RIFF AVI ' followed by
@@ -169,7 +181,9 @@ def _walk_avi(b: bytes) -> tuple[dict, list[tuple[int, int]], list[int]]:
         end = min(len(b), seg_start + 8 + riff_size)
         if end <= seg_start + 12:
             raise ValueError("empty RIFF segment")
-        for cc, cs, ce in _riff_chunks(b, seg_start + 12, end, budget):
+        for cc, cs, ce in _riff_chunks(
+            b, seg_start + 12, end, budget, tolerate_tail=tolerate_tail
+        ):
             if cc != b"LIST":
                 continue
             if hdrl is None:
@@ -192,7 +206,9 @@ def probe_avi(b: bytes) -> dict:
     container 'avi', movie duration from avih (frames x µs/frame),
     per-stream tracks with mp4's handler vocabulary ('vide'/'soun') so
     downstream filters need one predicate."""
-    hdrl, _movi, _budget = _walk_avi(bytes(b))
+    # tolerate_tail: the probe accepts head-bounded reads — hdrl
+    # precedes movi, so the walk stops where the head cut the file
+    hdrl, _movi, _budget = _walk_avi(bytes(b), tolerate_tail=True)
     dur = None
     total = hdrl["total_frames_dml"] or hdrl["total_frames"]
     if hdrl["us_per_frame"] and total:

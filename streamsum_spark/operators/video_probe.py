@@ -48,9 +48,17 @@ _MAX_EBML_ELEMS = 8192
 _MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts", b"mvex"}
 
 
-def _mp4_boxes(b: bytes, start: int, end: int, budget: list[int]):
+def _mp4_boxes(
+    b: bytes, start: int, end: int, budget: list[int],
+    tolerate_tail: bool = False,
+):
     """Yield (type, payload_start, payload_end) for the boxes in
-    b[start:end); strict forward progress and bounds."""
+    b[start:end); strict forward progress and bounds.
+
+    ``tolerate_tail`` (probe walks over HEAD-BOUNDED reads — the
+    sources/blobs.py feed): a box extending past ``end`` stops the
+    walk instead of raising, because a head read legitimately cuts the
+    file inside mdat/moov.  Decode paths stay strict."""
     pos = start
     while pos + 8 <= end:
         if budget[0] <= 0:
@@ -60,12 +68,16 @@ def _mp4_boxes(b: bytes, start: int, end: int, budget: list[int]):
         hdr = 8
         if size == 1:
             if pos + 16 > end:
+                if tolerate_tail:
+                    return
                 raise ValueError("truncated MP4 largesize")
             size = struct.unpack_from(">Q", b, pos + 8)[0]
             hdr = 16
         elif size == 0:
             size = end - pos
         if size < hdr or pos + size > end:
+            if tolerate_tail and size >= hdr:
+                return
             raise ValueError("MP4 box size out of bounds")
         yield btype, pos + hdr, pos + size
         pos += size
@@ -159,7 +171,10 @@ def probe_mp4(b: bytes) -> dict:
     budget = [_MAX_BOXES]
     brand = None
     moov = None
-    for t, s, e in _mp4_boxes(b, 0, len(b), budget):
+    # tolerate_tail: the probe accepts head-bounded reads — the walk
+    # stops at a box the head cut off (moov-first files keep their
+    # whole header; moov-after-mdat needs the full blob for tracks)
+    for t, s, e in _mp4_boxes(b, 0, len(b), budget, tolerate_tail=True):
         if t == b"ftyp" and brand is None:
             if e - s < 8:
                 raise ValueError("truncated ftyp")
@@ -232,21 +247,40 @@ def _ebml_vint(b: bytes, pos: int, end: int, keep_marker: bool) -> tuple[int, in
     return val, pos + n
 
 
-def _ebml_elems(b: bytes, pos: int, end: int, budget: list[int]):
+def _ebml_elems(
+    b: bytes, pos: int, end: int, budget: list[int],
+    tolerate_tail: bool = False,
+):
+    """``tolerate_tail`` (probe walks over HEAD-BOUNDED reads): an
+    element extending past ``end`` is CLAMPED to it — the Segment
+    spans the whole file, so a head probe must descend into its
+    leading children (Info/Tracks) and stop where the cut lands; a
+    vint the cut bisected ends the walk.  Mid-stream malformations
+    (zero vints with plenty of bytes left) still raise."""
     while pos < end:
         if budget[0] <= 0:
             raise ValueError("EBML element budget exceeded")
         budget[0] -= 1
-        eid, p = _ebml_vint(b, pos, end, keep_marker=True)
-        size_start = p
-        size, p = _ebml_vint(b, p, end, keep_marker=False)
+        try:
+            eid, p = _ebml_vint(b, pos, end, keep_marker=True)
+            size_start = p
+            size, p = _ebml_vint(b, p, end, keep_marker=False)
+        except ValueError:
+            # a cut can bisect a vint only within one max-width id+size
+            # pair of the end; anything further in is a malformation
+            if tolerate_tail and end - pos < 12:
+                return
+            raise
         # all-ones size payload = "unknown size" (RFC 8794 §6.2, common
         # for live-muxed Segments): the element extends to the parent's
         # end
         if size == (1 << (7 * (p - size_start))) - 1:
             size = end - p
         if p + size > end:
-            raise ValueError("EBML size out of bounds")
+            if tolerate_tail:
+                size = end - p  # clamp: walk what the head holds
+            else:
+                raise ValueError("EBML size out of bounds")
         yield eid, p, p + size
         pos = p + size
 
@@ -273,7 +307,11 @@ def probe_ebml(b: bytes) -> dict:
     budget = [_MAX_EBML_ELEMS]
     out: dict = {"container": "ebml", "brand": None, "duration_ms": None,
                  "tracks": []}
-    for eid, s, e in _ebml_elems(b, 0, len(b), budget):
+    # tolerate_tail on the file-level and Segment-child walks: a
+    # head-bounded read cuts inside the Segment (it spans the file);
+    # the leading Info/Tracks still probe.  Inner element walks stay
+    # strict — they are header-sized and must fit the head whole.
+    for eid, s, e in _ebml_elems(b, 0, len(b), budget, tolerate_tail=True):
         if eid == 0x1A45DFA3:  # EBML header
             for hid, hs, he in _ebml_elems(b, s, e, budget):
                 if hid == 0x4282:  # DocType
@@ -281,7 +319,7 @@ def probe_ebml(b: bytes) -> dict:
                     out["container"] = out["brand"] or "ebml"
         elif eid == 0x18538067:  # Segment
             scale_ns, dur_scaled = 1_000_000, None
-            for sid, ss, se in _ebml_elems(b, s, e, budget):
+            for sid, ss, se in _ebml_elems(b, s, e, budget, tolerate_tail=True):
                 if sid == 0x1549A966:  # Info
                     for iid, is_, ie in _ebml_elems(b, ss, se, budget):
                         if iid == 0x2AD7B1:

@@ -288,3 +288,36 @@ def test_with_probed_duration(spark):
     plan = frame_sample_plan(with_probed_duration(media), every_ms=1000)
     n = plan.groupBy("media_id").count().collect()
     assert {r.media_id: r["count"] for r in n} == {1: 5, 2: 1}
+
+
+def test_head_bounded_probe_equals_full():
+    """Round-12 head feed (sources/blobs.py): a head that covers the
+    header but cuts the payload probes identically to the full blob —
+    moov-first MP4 with a truncated mdat, WebM with a truncated
+    Cluster, and AVI cut inside movi."""
+    from streamsum_spark.operators.avi import encode_avi_mjpeg, probe_avi
+
+    full_mp4 = make_mp4() + box(b"mdat", b"\x00" * 4096)
+    head_mp4 = full_mp4[: len(make_mp4()) + 64]  # cuts inside mdat
+    assert probe_mp4(head_mp4) == probe_mp4(full_mp4)
+
+    cluster = ebml_elem(0x1F43B675, b"\x00" * 2048)
+    base = make_webm()
+    # graft the cluster INSIDE the Segment: rebuild with payload + cluster
+    hdr = ebml_elem(
+        0x1A45DFA3,
+        euint(0x4286, 1) + ebml_elem(0x4282, b"webm") + euint(0x4287, 4),
+    )
+    seg_payload = base[len(hdr) :]
+    # strip the outer Segment wrapper, re-wrap with the cluster added
+    sid = (0x18538067).to_bytes(4, "big")
+    assert seg_payload.startswith(sid)
+    inner = seg_payload[6:]  # 4 id + 2 size bytes (ebml_elem layout)
+    full_webm = hdr + ebml_elem(0x18538067, inner + cluster)
+    head_webm = full_webm[: len(full_webm) - 1024]  # cuts inside cluster
+    assert probe_ebml(head_webm) == probe_ebml(full_webm)
+
+    frames = [np.zeros((16, 16, 3), np.uint8) for _ in range(4)]
+    full_avi = encode_avi_mjpeg(frames, rate=10)
+    head_avi = full_avi[: len(full_avi) // 2]  # cuts inside movi
+    assert probe_avi(head_avi) == probe_avi(full_avi)
