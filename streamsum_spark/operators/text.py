@@ -447,6 +447,104 @@ GROUP BY doc_id
 """
 
 
+def kn_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document self-perplexity under an interpolated Kneser-Ney
+    bigram LM (absolute discount D=0.75) — the LM-perplexity quality
+    signal of CCNet-style pipelines, where documents are kept or
+    bucketed by how unlike the reference corpus they read.  KN is the
+    smoothing those deployments actually use (add-one, bigram_perplexity
+    above, systematically over-penalizes frequent-history grams).
+
+        P(w2|w1) = (c12 − D)/c1 + (D·N1+(w1,·)/c1) · N1+(·,w2)/N
+
+    with N1+ the distinct-continuation counts and N the number of
+    distinct bigram types — every ingredient an aggregate of the
+    bigram-TYPE relation, so beyond the one gram-building shuffle the
+    whole LM costs type-sized (≪ token-sized) work.  Scoring joins
+    grams→LM with NO broadcast hint (type relation grows with the
+    corpus — same posture as bigram_perplexity).  Arithmetic is
+    association-order-pinned to match the DuckDB oracle bit-for-bit;
+    round(6) for the cross-engine hash."""
+    from pyspark import StorageLevel
+
+    docs = rebalance_for_cpu(table(spark, sf_dir, "documents"))
+    grams = (
+        docs.withColumn("_toks", F.expr(_TOKS))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(_toks) >= 2 THEN "
+                    "transform(sequence(1, size(_toks) - 1), "
+                    "i -> struct(_toks[i - 1] AS w1, _toks[i] AS w2)) "
+                    "ELSE array() END"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "g.w1", "g.w2")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    big_c = (
+        grams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    uni = big_c.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1p_fwd")
+    )
+    cont = big_c.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_bwd"))
+    tot = big_c.agg(F.count(F.lit(1)).cast("double").alias("n_types"))
+    lm = (
+        big_c.join(uni, "w1")
+        .join(cont, "w2")
+        .join(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            (
+                -F.log(
+                    (F.col("c12").cast("double") - F.lit(0.75))
+                    / F.col("c1").cast("double")
+                    + (
+                        (F.lit(0.75) * F.col("n1p_fwd").cast("double"))
+                        / F.col("c1").cast("double")
+                    )
+                    * (F.col("n1p_bwd").cast("double") / F.col("n_types"))
+                )
+            ).alias("nll"),
+        )
+    )
+    return (
+        grams.join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(F.round(F.avg("nll"), 6).alias("avg_nll"))
+    )
+
+
+KN_PERPLEXITY_SQL = r"""
+WITH toked AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+), grams AS (
+    SELECT doc_id, unnest([{'w1': toks[i], 'w2': toks[i + 1]} FOR i IN range(1, len(toks))]) AS g
+    FROM toked
+), flat AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2 FROM grams),
+big_c AS (SELECT w1, w2, count(*) AS c12 FROM flat GROUP BY 1, 2),
+uni AS (SELECT w1, sum(c12) AS c1, count(*) AS n1p_fwd FROM big_c GROUP BY 1),
+cont AS (SELECT w2, count(*) AS n1p_bwd FROM big_c GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_types FROM big_c),
+lm AS (
+    SELECT b.w1, b.w2,
+           -ln((CAST(c12 AS DOUBLE) - 0.75) / CAST(c1 AS DOUBLE)
+               + ((0.75 * CAST(n1p_fwd AS DOUBLE)) / CAST(c1 AS DOUBLE))
+                 * (CAST(n1p_bwd AS DOUBLE) / (SELECT n_types FROM tot))) AS nll
+    FROM big_c b JOIN uni USING (w1) JOIN cont USING (w2)
+)
+SELECT doc_id, round(avg(nll), 6) AS avg_nll
+FROM flat JOIN lm USING (w1, w2)
+GROUP BY doc_id
+"""
+
+
 # PII redaction patterns — RE2-safe (no lookaround), so Spark's Java regex
 # and DuckDB's RE2 produce byte-identical replacements (verified); order
 # matters (emails before phones, or the phone digits inside an address

@@ -34,6 +34,7 @@ DEMOTED = {
     "tfidf_top_terms": (tx.tfidf_top_terms, tx.TFIDF_TOP_TERMS_SQL),
     "redact_pii": (tx.redact_pii, tx.REDACT_PII_SQL),
     "bigram_perplexity": (tx.bigram_perplexity, tx.BIGRAM_PERPLEXITY_SQL),
+    "kn_bigram_perplexity": (tx.kn_bigram_perplexity, tx.KN_PERPLEXITY_SQL),
     "winnow_shared_fingerprints": (dd.winnow_shared_fingerprints, dd.WINNOW_SHARED_SQL),
     "decontaminate": (dd.decontaminate, dd.decontaminate_oracle_sql()),
     "profile_events": (rel.profile_events, rel.PROFILE_EVENTS_SQL),
