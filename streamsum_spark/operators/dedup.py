@@ -970,3 +970,168 @@ def strip_duplicate_spans(
             F.expr(f"array_join({kept}, ' ')").alias("text_clean"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Threshold-tuned LSH banding: generalized (b bands x r rows) over the
+# minhash signature, with (b, r) chosen from the target Jaccard
+# threshold by minimizing the S-curve error integral (the standard
+# Mining-of-Massive-Datasets construction).  The r=1 banding above is
+# the high-recall special case; production dedup at tight thresholds
+# (0.7-0.9) wants r > 1 so that candidate volume — the term that
+# explodes at 100 TB — collapses for sub-threshold pairs.
+
+
+def lsh_collision_prob(s: float, b: int, r: int) -> float:
+    """P(some band collides) for a pair with Jaccard similarity s under
+    b bands of r minhashes: 1 - (1 - s^r)^b."""
+    return 1.0 - (1.0 - s**r) ** b
+
+
+def lsh_error(b: int, r: int, threshold: float, steps: int = 2000) -> float:
+    """S-curve error mass for (b, r) at ``threshold``: the false-positive
+    area below it plus the false-negative area above it, midpoint-
+    integrated over a uniform similarity prior.  Deterministic pure
+    arithmetic — safe to call at plan time on any driver."""
+    fp = fn = 0.0
+    for i in range(steps):
+        s = (i + 0.5) / steps
+        p = lsh_collision_prob(s, b, r)
+        if s < threshold:
+            fp += p
+        else:
+            fn += 1.0 - p
+    return (fp + fn) / steps
+
+
+def choose_lsh_params(threshold: float, n_hashes: int = NUM_HASHES) -> tuple[int, int]:
+    """(b, r) with b*r <= n_hashes minimizing the S-curve error at the
+    target threshold.  Ties break toward more bands (recall) — at dedup
+    scale a false positive costs one verification join row, a false
+    negative is a duplicate shipped to training."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    best = None
+    for r in range(1, n_hashes + 1):
+        for b in range(1, n_hashes // r + 1):
+            cand = (lsh_error(b, r, threshold), -b, r)
+            if best is None or cand < best:
+                best = cand
+    return (-best[1], best[2])
+
+
+def banded_keys(sig: DataFrame, b: int, r: int, n_hashes: int = NUM_HASHES) -> DataFrame:
+    """(doc_id, band_id, bkey) from signature ROWS (doc_id, band, mh):
+    band_id i in [0, b) covers minhashes i*r+1 .. i*r+r and bkey is the
+    md5 of their comma-joined decimal forms — one constant-width string
+    key per band regardless of r, so the candidate self-join shuffles
+    |docs| x b small rows for ANY r (same scale shape as the r=1 path).
+    Pure expressions: one groupBy to re-widen the signature, then a
+    transform/explode; md5 keeps the key cross-engine hashable for the
+    DuckDB oracle."""
+    if b < 1 or r < 1 or b * r > n_hashes:
+        raise ValueError(f"need 1 <= b*r <= {n_hashes}, got b={b} r={r}")
+    wide = sig.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("band", "mh"))).alias("a")
+    )
+    return wide.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {b - 1}), i -> struct(i AS band_id, "
+                f"md5(array_join(transform(slice(a, i * {r} + 1, {r}), "
+                f"x -> CAST(x.mh AS STRING)), ',')) AS bkey))"
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band_id", "bb.bkey")
+
+
+def near_dup_tuned(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """near_dup_verified with threshold-TUNED banding: (b, r) from
+    choose_lsh_params, banded candidate join, exact Jaccard verify at
+    the same threshold.  Identical 100 TB posture to near_dup_verified
+    (bucketed band join, optional hot-bucket cap, persisted shared
+    shingle relation) — but at tight thresholds the r>1 band key
+    suppresses sub-threshold candidates BEFORE the verification join
+    instead of after it, which is where the cost lives at scale."""
+    from pyspark.sql import Window
+
+    from streamsum_spark.cached import shared_persist
+
+    b, r = choose_lsh_params(threshold)
+    sh = shared_persist(("shingle_sets", sf_dir), shingle_sets(spark, sf_dir))
+    bands = shared_persist(
+        ("minhash_banded", sf_dir, b, r), banded_keys(_signatures_from(sh), b, r)
+    )
+    if max_bucket is not None:
+        w = Window.partitionBy("band_id", "bkey")
+        bands = (
+            bands.withColumn("_f", F.count(F.lit(1)).over(w))
+            .where(F.col("_f") <= max_bucket)
+            .drop("_f")
+        )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    scored = (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("size(array_intersect(sa.sh, sb.sh))").alias("_i"),
+            F.expr("size(sa.sh) + size(sb.sh)").alias("_n"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("_i").cast("double") / (F.col("_n") - F.col("_i"))).alias("jaccard"),
+        )
+    )
+    return scored.where(F.col("jaccard") >= threshold)
+
+
+def near_dup_tuned_oracle_sql(threshold: float = 0.5) -> str:
+    """DuckDB twin of near_dup_tuned — same (b, r) selection, same md5
+    band keys, same verification — for the value-hash oracle."""
+    b, r = choose_lsh_params(threshold)
+    return f"""
+WITH sig AS ({MINHASH_SIG_SQL}),
+wide AS (SELECT doc_id, list(mh ORDER BY band) AS mhs FROM sig GROUP BY doc_id),
+bands AS (
+    SELECT doc_id, i AS band_id,
+           md5(array_to_string(mhs[i * {r} + 1 : i * {r} + {r}], ',')) AS bkey
+    FROM wide, (SELECT unnest(range({b})) AS i)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+sh AS (
+    SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh
+    FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+)
+SELECT doc_a, doc_b, jaccard FROM (
+    SELECT doc_a, doc_b,
+           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+               / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+    FROM cand
+    JOIN sh sa ON doc_a = sa.doc_id
+    JOIN sh sb ON doc_b = sb.doc_id
+)
+WHERE jaccard >= {threshold}
+"""
