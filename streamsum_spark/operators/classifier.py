@@ -103,6 +103,77 @@ class NBModel:
         return math.log(self.total[label] + self.alpha * self.n_buckets)
 
 
+def batch_count_rows(
+    docs: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    n_buckets: int = N_BUCKETS,
+    bigrams: bool = True,
+) -> DataFrame:
+    """The sufficient statistics of NB training as ONE sum-mergeable
+    relation (label, bucket, cnt): feature-occurrence counts per
+    (label, bucket ≥ 0) plus per-label DOCUMENT counts under the
+    sentinel bucket −1 (pmod never yields it).  Additivity is the point
+    — counts from disjoint corpus slices sum to the full-corpus counts,
+    which is what makes the streaming twin a keyed sum-merge."""
+    feats = hashed_token_features(
+        docs.select(F.col(label_col).alias("label"), text_col),
+        text_col,
+        id_cols=("label",),
+        n_buckets=n_buckets,
+        bigrams=bigrams,
+    ).where(F.col("bucket").isNotNull())
+    counts = feats.groupBy("label", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    doc_counts = docs.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).select("label", F.lit(-1).cast("long").alias("bucket"), "cnt")
+    return counts.unionByName(doc_counts)
+
+
+def model_from_count_rows(
+    count_rows: DataFrame,
+    n_buckets: int = N_BUCKETS,
+    alpha: float = 1.0,
+    bigrams: bool = True,
+) -> NBModel:
+    """NBModel from a (label, bucket, cnt) sufficient-statistics
+    relation (batch_count_rows' shape, or the same rows sum-merged from
+    a stream's state table).  Bounded work only: the relation is at
+    most labels × (n_buckets + 1) rows."""
+    count_rows = count_rows.localCheckpoint(eager=True)
+    per_label = {
+        r["label"]: (int(r["n_docs"]), int(r["n_feats"]))
+        for r in count_rows.groupBy("label")
+        .agg(
+            F.sum(F.when(F.col("bucket") == -1, F.col("cnt"))).alias("n_docs"),
+            F.sum(F.when(F.col("bucket") >= 0, F.col("cnt"))).alias("n_feats"),
+        )
+        .collect()
+    }
+    labels = sorted(per_label)
+    n_total = sum(n for n, _ in per_label.values())
+    wide = (
+        count_rows.where(F.col("bucket") >= 0)
+        .groupBy("bucket")
+        .pivot("label", labels)
+        .sum("cnt")
+    )
+    wide = wide.select(
+        "bucket", *[F.col(f"`{l}`").alias(f"cnt_{l}") for l in labels]
+    )
+    return NBModel(
+        labels=labels,
+        log_prior={l: math.log(per_label[l][0] / n_total) for l in labels},
+        total={l: per_label[l][1] for l in labels},
+        counts=wide,
+        alpha=alpha,
+        n_buckets=n_buckets,
+        bigrams=bigrams,
+    )
+
+
 def train_nb(
     docs: DataFrame,
     label_col: str = "label",
@@ -116,44 +187,10 @@ def train_nb(
     driver holds one row per label (priors/totals) and the label list
     — label cardinality is assumed filter-sized (quality tiers,
     languages), never corpus-sized."""
-    feats = hashed_token_features(
-        docs.select(F.col(label_col).alias("label"), text_col),
-        text_col,
-        id_cols=("label",),
+    return model_from_count_rows(
+        batch_count_rows(docs, label_col, text_col, n_buckets, bigrams),
         n_buckets=n_buckets,
-        bigrams=bigrams,
-    ).where(F.col("bucket").isNotNull())
-    counts = feats.groupBy("label", "bucket").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    # bounded relation (≤ labels × n_buckets): persist so the pivot and
-    # the totals don't re-run the corpus scan
-    counts = counts.localCheckpoint(eager=True)
-    per_label = {
-        r["label"]: (int(r["n_docs"]), int(r["n_feats"]))
-        for r in counts.groupBy("label")
-        .agg(F.sum("cnt").alias("n_feats"))
-        .join(
-            docs.groupBy(F.col(label_col).alias("label")).agg(
-                F.count(F.lit(1)).alias("n_docs")
-            ),
-            "label",
-        )
-        .collect()
-    }
-    labels = sorted(per_label)
-    n_total = sum(n for n, _ in per_label.values())
-    wide = counts.groupBy("bucket").pivot("label", labels).sum("cnt")
-    wide = wide.select(
-        "bucket", *[F.col(f"`{l}`").alias(f"cnt_{l}") for l in labels]
-    )
-    return NBModel(
-        labels=labels,
-        log_prior={l: math.log(per_label[l][0] / n_total) for l in labels},
-        total={l: per_label[l][1] for l in labels},
-        counts=wide,
         alpha=alpha,
-        n_buckets=n_buckets,
         bigrams=bigrams,
     )
 

@@ -1100,6 +1100,57 @@ def stream_bigram_perplexity(
     )
 
 
+def stream_train_nb(
+    spark: SparkSession,
+    sf_dir: str,
+    label_col: str = "lang",
+    glob: str = "documents.parquet",
+    max_files_per_trigger: int | None = None,
+    n_buckets: int = 1 << 18,
+    alpha: float = 1.0,
+    bigrams: bool = True,
+):
+    """Incremental classifier training (streaming twin of
+    classifier.train_nb) — the online form a production quality filter
+    runs as labeled data arrives.
+
+    NB's sufficient statistics are additive counts (feature occurrences
+    per (label, bucket), documents per label under the −1 sentinel
+    bucket — classifier.batch_count_rows), so training streams through
+    the SAME keyed sum-merge path as the tf/gram/minhash twins: per-
+    batch work is one hashed-feature explode over the batch, state is
+    the ≤ labels × (n_buckets + 1)-row count table, and the model
+    materializes on demand from the accumulated relation.  Additivity
+    makes the result slicing-invariant — pinned equal (priors, totals,
+    pivoted counts, scores) to the batch trainer across a 3-micro-batch
+    split in tests/test_classifier.py.  Returns the NBModel."""
+    from streamsum_spark.operators.classifier import (
+        batch_count_rows,
+        model_from_count_rows,
+    )
+    from streamsum_spark.sinks import stream_accumulate_counts
+
+    docs = stream_documents(spark, sf_dir, glob, max_files_per_trigger)
+    target = os.path.join(
+        tempfile.gettempdir(), f"streamsum_nb_tbl_{uuid.uuid4().hex[:12]}"
+    )
+
+    def per_batch(batch_df: DataFrame) -> DataFrame:
+        return batch_count_rows(
+            batch_df, label_col=label_col, n_buckets=n_buckets, bigrams=bigrams
+        )
+
+    stream_accumulate_counts(
+        docs.select(label_col, "text"), target, ["label", "bucket"], ["cnt"], per_batch
+    )
+    return model_from_count_rows(
+        read_state_table(spark, target).select("label", "bucket", "cnt"),
+        n_buckets=n_buckets,
+        alpha=alpha,
+        bigrams=bigrams,
+    )
+
+
 def stream_minhash_signatures(
     spark: SparkSession,
     sf_dir: str,

@@ -212,3 +212,56 @@ def test_scores_plan_broadcasts_and_stays_jvm(corpus, model):
     assert "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan
     assert "BroadcastNestedLoopJoin" not in plan  # equi-join on bucket
+
+
+def test_stream_train_nb_equals_batch(spark, tmp_path):
+    """The streaming trainer over a 3-slice split produces the SAME
+    model as batch training on the whole corpus: priors, totals,
+    pivoted counts, and probe scores — additive sufficient statistics
+    make the result slicing-invariant."""
+    from streamsum_spark.streaming.pipeline import stream_train_nb
+
+    rows = [
+        (i, text, label, "src", len(text))
+        for i, label, text in synth_corpus(90, seed=5)
+    ]
+    full = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    src = tmp_path / "nbdocs"
+    src.mkdir()
+    import glob as g
+    import shutil
+
+    for i in range(3):
+        part = full.where(F.col("doc_id") % 3 == i)
+        tmp = str(src / f"_s{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.copy(
+            g.glob(f"{tmp}/part-*.parquet")[0], str(src / f"nbdocs_{i}.parquet")
+        )
+        shutil.rmtree(tmp)
+
+    streamed = stream_train_nb(
+        spark, str(src), glob="nbdocs_*.parquet",
+        max_files_per_trigger=1, n_buckets=1 << 12,
+    )
+    batch = C.train_nb(
+        full.select("doc_id", F.col("lang").alias("label"), "text"),
+        n_buckets=1 << 12,
+    )
+    assert streamed.labels == batch.labels
+    assert streamed.total == batch.total
+    assert streamed.log_prior == batch.log_prior
+    sc = sorted(map(tuple, streamed.counts.collect()))
+    bc = sorted(map(tuple, batch.counts.collect()))
+    assert sc == bc
+    probe = full.limit(10).select("doc_id", "text")
+    got_s = {r.doc_id: r for r in C.nb_scores(probe, streamed).collect()}
+    got_b = {r.doc_id: r for r in C.nb_scores(probe, batch).collect()}
+    for d in got_b:
+        assert got_s[d].predicted == got_b[d].predicted
+        for l in batch.labels:
+            assert got_s[d][f"score_{l}"] == pytest.approx(
+                got_b[d][f"score_{l}"], abs=1e-9
+            )
