@@ -1462,3 +1462,98 @@ def ivfpq_knn_batch(
         .withColumn("rn", F.row_number().over(wk).cast("long"))
         .where(F.col("rn") <= k)
     )
+
+
+def semantic_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.95,
+    n_lists: int | None = None,
+    max_list: int | None = None,
+    index: tuple[DataFrame, DataFrame] | None = None,
+    seed: int = 7,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means
+    the embedding space, call vectors semantic duplicates when their
+    cosine inside a shared cluster reaches ``threshold``, and keep ONE
+    exemplar per duplicate group — the member FARTHEST from its cluster
+    centroid (lowest centroid cosine; the paper's choice, keeping the
+    least-prototypical example), ties to the smallest vec_id.
+
+    Output: one row per corpus vector — (vec_id, list_id, cent_cos,
+    component, kept).  ``component`` is the duplicate-group id (null for
+    vectors with no semantic duplicate); exactly one row per component
+    has kept=true, and every unpaired vector is kept.
+
+    Scale shape: the pair join is an EQUI-join on list_id (per-cluster
+    quadratic, never corpus-wide — the same candidates-then-verify
+    architecture as every dedup operator here), with cluster count
+    sized ~sqrt(N) by default so expected per-cluster work stays
+    bounded; ``max_list`` caps degenerate clusters exactly like the LSH
+    hot-bucket caps.  Group resolution is the O(log^2 n) star CC, and
+    exemplar selection is one window over the (small) duplicate set.
+    Pass ``index=(assignments, centroids)`` to reuse a prebuilt
+    kmeans_ivf_index (composite pipelines build the quantizer once);
+    the cosine fold and round(6) match the cross-engine FP policy, and
+    the keep-set is pinned against a pure-Python reference over the
+    same assignments in tests/test_semantic_dedup.py."""
+    from streamsum_spark.operators.clusters import connected_components
+
+    if index is None:
+        index = kmeans_ivf_index(spark, sf_dir, n_lists=n_lists, seed=seed)
+    assignments, centroids = index
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    with_l = (
+        emb.join(assignments, "vec_id")
+        .join(F.broadcast(centroids), "list_id")
+        .select(
+            "vec_id",
+            "list_id",
+            "embedding",
+            F.expr(_cos_expr("embedding", "centroid")).alias("cent_cos"),
+        )
+    )
+    if max_list is not None:
+        w = Window.partitionBy("list_id")
+        with_l = (
+            with_l.withColumn("_f", F.count(F.lit(1)).over(w))
+            .where(F.col("_f") <= max_list)
+            .drop("_f")
+        )
+    from streamsum_spark.cached import shared_persist
+
+    with_l = shared_persist(("semdedup_lists", sf_dir), with_l)
+    a, b = with_l.alias("a"), with_l.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.list_id") == F.col("b.list_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.expr(_cos_expr("a.embedding", "b.embedding")).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+    comp = connected_components(pairs, "vec_a", "vec_b")
+    wr = Window.partitionBy("component").orderBy(
+        F.col("cent_cos").asc(), F.col("vec_id").asc()
+    )
+    ranked = (
+        with_l.select("vec_id", "list_id", "cent_cos")
+        .join(comp.withColumnRenamed("id", "vec_id"), "vec_id")
+        .withColumn("kept", F.row_number().over(wr) == 1)
+    )
+    return (
+        with_l.select("vec_id", "list_id", "cent_cos")
+        .join(ranked.select("vec_id", "component", "kept"), "vec_id", "left")
+        .select(
+            "vec_id",
+            "list_id",
+            "cent_cos",
+            "component",
+            F.coalesce("kept", F.lit(True)).alias("kept"),
+        )
+    )
