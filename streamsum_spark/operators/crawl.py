@@ -1,0 +1,125 @@
+"""Domain-level crawl curation (north-star extension): the per-domain
+stage every web-corpus pipeline runs between ingest (sources/warc.py)
+and document-level filtering — domain frequency statistics and
+deterministic per-domain caps (C4 capped pages per host; RefinedWeb
+dedups and rebalances by registered domain).
+
+Everything is expression-level: ``parse_url`` for the host (JVM-side,
+same java.net.URI semantics a crawler used to emit the URLs), a
+label-array suffix match for the registered domain, window row_number
+for the cap.  One shuffle per operator, keyed by domain — cardinality
+≪ documents, and the cap's window needs no global sort.
+
+Registered-domain honesty: the real rule is the public-suffix list
+(a ~10k-entry published dataset this offline container does not
+carry).  ``registered_domain_col`` therefore takes a SUFFIX SET —
+defaulting to the common two-label public suffixes — and applies the
+standard longest-match heuristic (match a 2-label suffix → keep 3
+labels, else keep 2).  A deployment passes the full PSL's 2-label
+entries; the operator shape (and the cap/stats built on it) does not
+change.  Pinned against a pure-Python reference implementing the same
+rule in tests/test_crawl.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# common 2-label public suffixes — a stand-in slice of the PSL; pass
+# the full list's 2-label entries for production
+DEFAULT_2LABEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "com.cn", "com.mx", "com.tr", "com.ar",
+    "co.in", "co.kr", "co.za", "co.nz",
+)
+
+
+def url_host_col(url: Column) -> Column:
+    """Lower-cased host of a URL — ``try_parse_url``, because a crawl's
+    URL column always contains garbage and an unparseable URL must be a
+    null host (groupable, cappable, auditable), never a failed task."""
+    return F.lower(F.try_parse_url(url, F.lit("HOST")))
+
+
+def registered_domain_col(
+    host: Column, suffixes: tuple[str, ...] = DEFAULT_2LABEL_SUFFIXES
+) -> Column:
+    """Registered domain from a host by the longest-suffix-match rule
+    over ``suffixes`` (2-label public suffixes): 'a.b.co.uk' → 'b.co.uk',
+    'a.b.example.com' → 'example.com', bare or 1-label hosts pass
+    through.  Pure array expressions over the split host."""
+    suffix_arr = F.array(*[F.lit(s) for s in suffixes])
+    ls = F.split(host, r"\.")
+    n = F.size(ls)
+    last2 = F.concat_ws(".", F.element_at(ls, -2), F.element_at(ls, -1))
+    last3 = F.concat_ws(
+        ".", F.element_at(ls, -3), F.element_at(ls, -2), F.element_at(ls, -1)
+    )
+    return (
+        F.when(host.isNull() | (n <= 1), host)
+        .when((n >= 3) & F.array_contains(suffix_arr, last2), last3)
+        .otherwise(last2)
+    )
+
+
+def with_domain(
+    df: DataFrame,
+    url_col: str = "target_uri",
+    suffixes: tuple[str, ...] = DEFAULT_2LABEL_SUFFIXES,
+) -> DataFrame:
+    """The input relation plus ``host`` and ``domain`` columns — the
+    shared projection of the stats and cap operators."""
+    host = url_host_col(F.col(url_col))
+    return df.withColumn("host", host).withColumn(
+        "domain", registered_domain_col(F.col("host"), suffixes)
+    )
+
+
+def domain_stats(
+    df: DataFrame,
+    url_col: str = "target_uri",
+    text_col: str | None = "text",
+) -> DataFrame:
+    """Per-registered-domain corpus statistics: pages, distinct hosts,
+    total/mean text chars — the relation domain-balance decisions read.
+    One shuffle on domain."""
+    d = with_domain(df, url_col)
+    aggs = [
+        F.count(F.lit(1)).alias("n_pages"),
+        F.countDistinct("host").alias("n_hosts"),
+    ]
+    if text_col is not None:
+        aggs += [
+            F.sum(F.length(text_col)).cast("long").alias("total_chars"),
+            F.avg(F.length(text_col)).alias("mean_chars"),
+        ]
+    return d.groupBy("domain").agg(*aggs)
+
+
+def cap_per_domain(
+    df: DataFrame,
+    cap: int,
+    url_col: str = "target_uri",
+    priority: Column | None = None,
+) -> DataFrame:
+    """Keep at most ``cap`` pages per registered domain — the C4-style
+    anti-monoculture gate.  Selection is DETERMINISTIC: rows rank by
+    ``priority`` ascending (default xxhash64 of the URL — an unbiased,
+    reproducible lottery; pass e.g. a quality score's negation to keep
+    best-first) with the URL as tiebreak, via one window over the
+    domain — no global sort, no driver state.  Output = the input rows
+    that survive, with their rank."""
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    from pyspark.sql import Window
+
+    d = with_domain(df, url_col)
+    pr = priority if priority is not None else F.xxhash64(F.col(url_col))
+    w = Window.partitionBy("domain").orderBy(pr.asc(), F.col(url_col).asc())
+    return (
+        d.withColumn("domain_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("domain_rank") <= cap)
+        .drop("host")
+    )

@@ -1,0 +1,166 @@
+"""Domain-level crawl curation (operators/crawl.py): host extraction
+pinned against python urllib, registered-domain suffix rule against a
+pure-Python reference, per-domain cap invariants (determinism, cap,
+priority ordering), domain stats, and composition with the WARC
+source's output shape."""
+
+from __future__ import annotations
+
+from urllib.parse import urlsplit
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamsum_spark.operators import crawl as CR
+
+URLS = [
+    "http://example.com/a",
+    "https://Sub.Example.COM/path?q=1",
+    "https://news.bbc.co.uk/story",
+    "http://deep.sub.site.co.uk/x",
+    "https://single",
+    "http://user:pw@Host.ORG:8080/p",
+    "not a url at all",
+    "https://www.example.com.br/q",
+    "ftp://files.example.org/f",
+]
+
+
+def py_host(u: str) -> str | None:
+    try:
+        h = urlsplit(u).hostname
+        return h.lower() if h else None
+    except ValueError:
+        return None
+
+
+def py_registered(host: str | None, suffixes=CR.DEFAULT_2LABEL_SUFFIXES):
+    if host is None:
+        return None
+    ls = host.split(".")
+    if len(ls) <= 1:
+        return host
+    if len(ls) >= 3 and ".".join(ls[-2:]) in suffixes:
+        return ".".join(ls[-3:])
+    return ".".join(ls[-2:])
+
+
+def test_host_and_registered_domain_vs_python(spark):
+    df = spark.createDataFrame([(u,) for u in URLS], "target_uri string")
+    got = {r.target_uri: (r.host, r.domain) for r in CR.with_domain(df).collect()}
+    for u in URLS:
+        h = py_host(u)
+        assert got[u][0] == h, (u, got[u][0], h)
+        assert got[u][1] == py_registered(h), (u, got[u][1])
+    # spot-check the suffix rule's two branches explicitly
+    assert got["https://news.bbc.co.uk/story"][1] == "bbc.co.uk"
+    assert got["https://Sub.Example.COM/path?q=1"][1] == "example.com"
+    assert got["https://www.example.com.br/q"][1] == "example.com.br"
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    rows = [
+        (f"http://h{i % 7}.dom{i % 3}.com/p{i}", f"text {'x' * (i % 50)}")
+        for i in range(300)
+    ]
+    return spark.createDataFrame(rows, "target_uri string, text string")
+
+
+def test_cap_per_domain_invariants(pages):
+    out = CR.cap_per_domain(pages, cap=20)
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.domain, []).append(r)
+    assert set(per) == {"dom0.com", "dom1.com", "dom2.com"}
+    for d, rs in per.items():
+        assert len(rs) == 20  # 100 candidates each, capped
+        assert sorted(r.domain_rank for r in rs) == list(range(1, 21))
+    # deterministic: second run keeps the identical URL set
+    again = {r.target_uri for r in CR.cap_per_domain(pages, cap=20).collect()}
+    assert again == {r.target_uri for r in rows}
+    # matches the python reference of the same lottery
+    kept = {r.target_uri for r in rows}
+    by_dom: dict[str, list] = {}
+    hashes = {
+        r.target_uri: r.h
+        for r in pages.select(
+            "target_uri", F.xxhash64("target_uri").alias("h")
+        ).collect()
+    }
+    for u in hashes:
+        by_dom.setdefault(py_registered(py_host(u)), []).append(u)
+    expect = set()
+    for d, us in by_dom.items():
+        us.sort(key=lambda u: (hashes[u], u))
+        expect |= set(us[:20])
+    assert kept == expect
+    with pytest.raises(ValueError):
+        CR.cap_per_domain(pages, cap=0)
+
+
+def test_cap_per_domain_priority_keeps_best_first(pages):
+    # priority = negative text length -> longest pages survive
+    out = CR.cap_per_domain(
+        pages, cap=5, priority=-F.length("text").cast("double")
+    ).collect()
+    kept_len = min(len(r.text) for r in out)
+    dropped = 300 - len(out)
+    assert len(out) == 15 and dropped > 0
+    # every kept page is at least as long as the longest dropped page
+    # within its domain — verify via full per-domain ordering
+    all_rows = [(r.target_uri, r.text) for r in pages.collect()]
+    by_dom: dict[str, list] = {}
+    for u, t in all_rows:
+        by_dom.setdefault(py_registered(py_host(u)), []).append((u, t))
+    kept = {r.target_uri for r in out}
+    for d, us in by_dom.items():
+        us.sort(key=lambda ut: (-len(ut[1]), ut[0]))
+        assert {u for u, _ in us[:5]} <= kept
+
+
+def test_domain_stats(pages):
+    stats = {r.domain: r for r in CR.domain_stats(pages).collect()}
+    assert set(stats) == {"dom0.com", "dom1.com", "dom2.com"}
+    for d, r in stats.items():
+        assert r.n_pages == 100
+        assert r.n_hosts == 7 or r.n_hosts == 3 or r.n_hosts > 0
+    assert sum(r.n_pages for r in stats.values()) == 300
+    # chars agree with a direct aggregate
+    total = sum(r.total_chars for r in stats.values())
+    assert total == sum(len(t) for _, t in [(r.target_uri, r.text) for r in pages.collect()])
+
+
+def test_composes_with_warc_text(spark, tmp_path):
+    """The cap consumes read_warc_text's output shape directly."""
+    import gzip
+
+    from streamsum_spark.sources import warc as W
+
+    recs = []
+    for i in range(6):
+        body = f"<p>page {i}</p>".encode()
+        http = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n".encode() + body
+        )
+        recs.append(
+            W.build_warc_record(
+                {
+                    "WARC-Type": "response",
+                    "WARC-Record-ID": f"<urn:test:{i}>",
+                    "WARC-Date": "2024-01-01T00:00:00Z",
+                    "WARC-Target-URI": f"http://h{i % 2}.example.com/p{i}",
+                    "Content-Type": "application/http; msgtype=response",
+                },
+                http,
+            )
+        )
+    d = tmp_path / "w"
+    d.mkdir()
+    (d / "a.warc.gz").write_bytes(b"".join(gzip.compress(r, mtime=0) for r in recs))
+    text = W.read_warc_text(spark, str(d), glob="*")
+    out = CR.cap_per_domain(text, cap=4, url_col="target_uri").collect()
+    assert len(out) == 4
+    assert all(r.domain == "example.com" for r in out)
