@@ -84,6 +84,13 @@ HEADLINE = [
     # steady-state marginal-batch cost of the near-dup stream — batch 3
     # ingested against pre-seeded state (r9 verdict item 4)
     "stream_near_dup_marginal",
+    # round 12 additions (compare totals to r<=11 minus these three):
+    # the crawl-ingest front door (WARC records -> HTML responses ->
+    # text), the threshold-tuned r>1 LSH banding next to the r=1
+    # cap100 entry, and the one-pass NB quality-classifier train+score
+    "warc_read_text",
+    "near_dup_tuned05",
+    "classifier_train_score",
 ]
 
 
@@ -395,6 +402,91 @@ def stream_near_dup_marginal(spark, sf_dir):
     )
 
 
+_WARC_CACHE: dict[str, str] = {}
+
+
+def _warc_corpus(spark, sf_dir) -> str:
+    """documents corpus wrapped as HTML response records and packed into
+    .warc.gz files (per-record gzip members), memoized per sf_dir and
+    built during warm-up — the timed entry measures the READ path."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from streamsum_spark.sources.warc import write_warc
+    from streamsum_spark.tables import table
+
+    out = _WARC_CACHE.get(sf_dir)
+    if out is None:
+        out = os.path.join(
+            tempfile.gettempdir(), f"bench_warc_{uuid.uuid4().hex[:10]}"
+        )
+        docs = table(spark, sf_dir, "documents").select(
+            F.lit("response").alias("rec_type"),
+            F.concat(F.lit("http://doc.example/"), F.col("doc_id")).alias(
+                "target_uri"
+            ),
+            F.lit("2024-01-01T00:00:00Z").alias("warc_date"),
+            F.lit("application/http; msgtype=response").alias("content_type"),
+            F.encode(
+                F.concat(
+                    F.lit(
+                        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                        "<html><body><h1>Doc</h1><p>"
+                    ),
+                    F.col("text"),
+                    F.lit("</p></body></html>"),
+                ),
+                "UTF-8",
+            ).alias("body"),
+        )
+        write_warc(docs.repartition(8), out, warc_max_bytes=4 << 20).collect()
+        _WARC_CACHE[sf_dir] = out
+    return out
+
+
+def warc_read_text(spark, sf_dir):
+    """Headline for the crawl-ingest front door: WARC files (per-record
+    gzip members) -> streamed record parse + HTTP decomposition -> the
+    pure-expression HTML strip.  The corpus build is memoized and
+    pre-warmed; timed runs measure the read+extract path a crawl
+    pipeline repeats per shard."""
+    from streamsum_spark.sources.warc import read_warc_text
+
+    return read_warc_text(spark, _warc_corpus(spark, sf_dir))
+
+
+def near_dup_tuned05(spark, sf_dir):
+    """Headline for the threshold-tuned LSH path: (b, r) chosen for
+    Jaccard 0.5 (r>1 band keys suppress sub-threshold candidates before
+    the verify join), next to the r=1 cap100 entry so the cost delta
+    between the two banding regimes stays driver-visible."""
+    from streamsum_spark.operators.dedup import near_dup_tuned
+
+    return near_dup_tuned(spark, sf_dir, threshold=0.5)
+
+
+def classifier_train_score(spark, sf_dir):
+    """Headline for the quality-classifier family: one-pass NB training
+    on half the corpus (lang labels), broadcast-apply scoring on the
+    other half.  Train AND apply ride in the timed number — the train
+    is a single sufficient-statistics shuffle, which is the operator's
+    scale claim."""
+    from pyspark.sql import functions as F
+
+    from streamsum_spark.operators.classifier import nb_scores, train_nb
+    from streamsum_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("label"), "text"
+    )
+    model = train_nb(docs.where(F.col("doc_id") % 2 == 0))
+    return nb_scores(
+        docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "text"), model
+    )
+
+
 def codec_throughput() -> dict:
     """Per-format decode throughput — the pure-Python/numpy spec-decoder
     ceiling as a NUMBER (r8 verdict item 2), plus the native fast path
@@ -597,6 +689,9 @@ def extra_queries() -> dict:
         "ann_ivfpq_adc_topk": ann_ivfpq_adc_topk,
         "stream_near_dup_pairs_3batch": stream_near_dup_pairs_3batch,
         "stream_near_dup_marginal": stream_near_dup_marginal,
+        "warc_read_text": warc_read_text,
+        "near_dup_tuned05": near_dup_tuned05,
+        "classifier_train_score": classifier_train_score,
     }
 
 
@@ -617,6 +712,7 @@ def prewarm(spark, sf_dir) -> None:
     ann_ivfpq_adc_topk(spark, sf_dir).limit(1).collect()
     _sliced_docs(spark, sf_dir)
     _ndup_seed(spark, sf_dir)  # 2-batch state seed for the marginal entry
+    _warc_corpus(spark, sf_dir)  # memoized crawl corpus for warc_read_text
     # one full multimodal_decode pass: formats absent from the 8-blob
     # Arrow warm (TIFF LZW, progressive JPEG, lossy VP8) otherwise pay
     # their first-call numpy compile inside timed run 1 (r9 spread 2.1x)
@@ -695,7 +791,6 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "runs_per_query": 3,
-        "spread": spreads,
     }
     # ride-along scale-factor sweep (tools/scale_sweep.py): one sf1.0
     # datapoint per query so the per-round artifact carries scaling
@@ -714,6 +809,12 @@ def main() -> None:
             out["sf_sweep_superlinear"] = sweep.get("superlinear", [])
         except (OSError, json.JSONDecodeError):
             pass
+    # per-query max/min spread on its OWN penultimate line (round 12):
+    # with 29 headline entries the spread dict pushed the headline line
+    # against the 1800-char guard; printed here — after the sweep lines,
+    # directly before the headline — it still lands inside the driver's
+    # recorded stdout tail next to the headline
+    print(json.dumps({"metric": "bench_spread", "spread": spreads}))
     line = json.dumps(out)
     # guard the driver's ~2000-char recorded stdout tail.  NOT an
     # assert (vanishes under -O) and NEVER instead of printing: if a

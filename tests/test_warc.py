@@ -268,3 +268,81 @@ def test_write_warc_plain_uncompressed(spark, tmp_path):
     assert f.endswith(".warc")
     raw = open(os.path.join(out, f), "rb").read()
     assert raw.startswith(b"WARC/1.1\r\n")
+
+
+# ------------------------------------------------------- hypothesis fuzz
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _hdr_val = st.text(
+        alphabet=st.characters(
+            blacklist_characters="\r\n", blacklist_categories=("Cs",)
+        ),
+        max_size=60,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        recs=st.lists(
+            st.tuples(
+                st.sampled_from(["response", "request", "resource", "metadata"]),
+                _hdr_val,  # target-uri (any junk — headers are opaque values)
+                st.binary(max_size=400),  # block
+            ),
+            max_size=8,
+        ),
+        gz=st.booleans(),
+    )
+    def test_warc_roundtrip_hypothesis(recs, gz):
+        """For ANY record list (junk URIs, arbitrary binary blocks incl.
+        embedded CRLFs and fake version lines) the serialize→parse
+        roundtrip preserves order, types, uris, and blocks exactly —
+        Content-Length framing means block bytes can never be
+        misparsed as structure."""
+        import io
+
+        raw = b"".join(
+            make_record(t, u, b) for t, u, b in recs
+        )
+        if gz:
+            raw = gzip.compress(raw, mtime=0)
+            stream = io.BufferedReader(gzip.GzipFile(fileobj=io.BytesIO(raw)))
+        else:
+            stream = io.BytesIO(raw)
+        got = list(W.iter_warc_records(stream))
+        assert len(got) == len(recs)
+        for (t, u, b), (h, block) in zip(recs, got):
+            assert h["warc-type"] == t
+            # the parser strips BYTES-side (ASCII whitespace only) then
+            # decodes — mirror that exactly (str.strip also eats \x1c-\x1f)
+            expect_uri = u.encode().strip().decode("utf-8", "replace")
+            assert h["warc-target-uri"] == expect_uri
+            assert block == b
+
+    @settings(max_examples=150, deadline=None)
+    @given(payload=st.binary(max_size=600))
+    def test_parse_http_response_never_raises(payload):
+        """Captured HTTP is hostile by definition: the decomposer must
+        total-function any byte string (status/ctype/None, body bytes)."""
+        status, ctype, body = W.parse_http_response(payload)
+        assert status is None or isinstance(status, int)
+        assert ctype is None or isinstance(ctype, str)
+        assert isinstance(body, bytes)
+
+    @settings(max_examples=100, deadline=None)
+    @given(blob=st.binary(max_size=400))
+    def test_iter_warc_records_raises_cleanly_on_garbage(blob):
+        """Arbitrary garbage either parses (if it happens to be framed)
+        or raises ValueError — never an unbounded loop or a foreign
+        exception the per-file isolation wouldn't catch."""
+        import io
+
+        try:
+            list(W.iter_warc_records(io.BytesIO(blob)))
+        except ValueError:
+            pass
+
+except ImportError:  # pragma: no cover - hypothesis is in the container
+    pass
