@@ -1135,3 +1135,81 @@ SELECT doc_a, doc_b, jaccard FROM (
 )
 WHERE jaccard >= {threshold}
 """
+
+
+def dedup_paragraphs(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """Paragraph-level exact dedup (the RefinedWeb/Dolma stage between
+    document near-dup and n-gram span dedup): split each document on
+    newlines, drop every paragraph whose exact text already occurred
+    earlier in the corpus (globally-first occurrence by (doc_id, idx)
+    survives — the remove-all-but-one posture of duplicate_ngram_spans
+    at paragraph granularity, where boilerplate like cookie banners and
+    nav footers actually repeats), and rebuild the documents.
+
+    Output: (doc_id, text_clean, n_paras, n_dropped) for every doc.
+
+    Plan shape: one corpus scan (posexplode of the newline split), one
+    shuffle on the paragraph md5 (constant-width keys — paragraph TEXT
+    never shuffles twice), one doc-keyed rebuild aggregation.  Blank /
+    whitespace-only paragraphs are structure, not content: they pass
+    through unexamined and unstripped, so surviving text keeps its
+    paragraph boundaries."""
+    from pyspark.sql import Window
+
+    if docs is None:
+        docs = rebalance_for_cpu(table(spark, sf_dir, "documents"))
+    paras = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), "\n")).alias("idx", "para"),
+    )
+    content = F.trim(F.col("para")) != ""
+    byp = Window.partitionBy("p_md5").orderBy("doc_id", "idx")
+    # blanks get UNIQUE window keys: a shared null/blank key would put
+    # every blank line in the corpus into ONE window partition — a skew
+    # key that grows with the corpus (they are exempt from dedup anyway)
+    flagged = paras.withColumn(
+        "p_md5",
+        F.when(content, F.md5(F.col("para"))).otherwise(
+            F.concat_ws("-", F.lit("blank"), F.col("doc_id"), F.col("idx"))
+        ),
+    ).withColumn(
+        "dup",
+        F.when(content, F.row_number().over(byp) > 1).otherwise(F.lit(False)),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.expr(
+                    "transform(filter(sort_array(collect_list(struct(idx, para, dup))),"
+                    " x -> NOT x.dup), x -> x.para)"
+                ),
+            ).alias("text_clean"),
+            F.count(F.lit(1)).cast("long").alias("n_paras"),
+            F.sum(F.when(F.col("dup"), 1).otherwise(0)).cast("long").alias("n_dropped"),
+        )
+    )
+
+
+DEDUP_PARAGRAPHS_SQL = r"""
+WITH paras AS (
+  SELECT doc_id, i - 1 AS idx, parts[i] AS para
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM documents),
+       UNNEST(range(1, len(parts) + 1)) AS t(i)
+), flagged AS (
+  SELECT doc_id, idx, para,
+         CASE WHEN trim(para) != '' THEN
+           row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, idx) > 1
+         ELSE FALSE END AS dup
+  FROM paras
+)
+SELECT doc_id,
+       array_to_string(list(para ORDER BY idx) FILTER (WHERE NOT dup), chr(10)) AS text_clean,
+       CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM flagged
+GROUP BY doc_id
+"""

@@ -162,3 +162,45 @@ def test_ngram_jaccard_refuses_large_corpus(spark, tmp_path):
         dd.ngram_jaccard_dupes(spark, SF_ORACLE, max_rows=100)
     # default cap admits the test corpora
     assert dd.ngram_jaccard_dupes(spark, SF_ORACLE).limit(1).count() >= 0
+
+
+def test_dedup_paragraphs_synthetic_pin(spark):
+    """Non-vacuous paragraph-dedup pin (the oracle corpus has no
+    newlines, so its demoted check only covers the split/rebuild
+    contract): duplicated boilerplate paragraphs across documents are
+    stripped everywhere but their first (doc_id, idx) occurrence,
+    blank lines survive as structure, and the rebuild matches a
+    pure-Python reference exactly."""
+    from streamsum_spark.operators.dedup import dedup_paragraphs
+
+    docs = [
+        (0, "unique one\nCOOKIE BANNER\n\nbody zero"),
+        (1, "COOKIE BANNER\nunique two\nNAV FOOTER"),
+        (2, "unique three\nNAV FOOTER\nCOOKIE BANNER\nunique four"),
+        (3, "   \nonly blanks and unique five\n"),
+        (4, "COOKIE BANNER"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.text_clean, r.n_paras, r.n_dropped)
+        for r in dedup_paragraphs(spark, "", docs=df).collect()
+    }
+    # python reference: first occurrence by (doc_id, idx) survives
+    seen: set[str] = set()
+    expect = {}
+    for doc_id, text in docs:
+        kept, dropped, paras = [], 0, text.split("\n")
+        for p in paras:
+            if p.strip() == "":
+                kept.append(p)
+            elif p in seen:
+                dropped += 1
+            else:
+                seen.add(p)
+                kept.append(p)
+        expect[doc_id] = ("\n".join(kept), len(paras), dropped)
+    assert got == expect
+    # and concretely: the banner survives only in doc 0, the footer in doc 1
+    assert "COOKIE BANNER" in got[0][0] and "COOKIE BANNER" not in got[1][0]
+    assert "NAV FOOTER" in got[1][0] and "NAV FOOTER" not in got[2][0]
+    assert got[4][0] == "" and got[4][2] == 1

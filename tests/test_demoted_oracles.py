@@ -137,6 +137,7 @@ FROM events
     "simhash_signatures": (dd.simhash_signatures, dd.SIMHASH_SQL),
     "winnow_fingerprints": (dd.winnow_fingerprints, dd.WINNOW_SQL),
     "ngram_jaccard_dupes": (dd.ngram_jaccard_dupes, dd.NGRAM_JACCARD_SQL),
+    "dedup_paragraphs": (dd.dedup_paragraphs, dd.DEDUP_PARAGRAPHS_SQL),
     "similarity_topk": (sim.similarity_topk, sim.SIMILARITY_TOPK_SQL),
     "embedding_centroids": (sim.embedding_centroids, sim.EMBEDDING_CENTROIDS_SQL),
 }
