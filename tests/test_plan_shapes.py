@@ -298,3 +298,74 @@ def test_split_token_windows_has_no_exchange(spark):
 
     plan = plans.explain_str(sp.split_token_windows(spark, SF_ORACLE))
     assert "Exchange" not in plan, plan
+
+
+def test_near_dup_tuned_candidate_join_is_equi(spark):
+    """Round 12: the tuned (b x r) banding must keep the candidate join
+    an equi-join on (band_id, bkey) — never nested-loop/cartesian — and
+    its only Python is absent entirely (pure expressions)."""
+    from streamsum_spark.operators.dedup import near_dup_tuned
+
+    plan = plans.explain_str(near_dup_tuned(spark, SF_ORACLE, threshold=0.5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_dedup_paragraphs_stays_jvm_and_shuffles_hashes(spark):
+    """Round 12: paragraph dedup's window key is the 32-char md5 (plus
+    unique blank keys), so the dedup exchange never carries paragraph
+    text twice; no Python anywhere."""
+    from streamsum_spark.operators.dedup import dedup_paragraphs
+
+    plan = plans.explain_str(dedup_paragraphs(spark, SF_ORACLE))
+    assert "EvalPython" not in plan
+    assert "p_md5" in plan  # the exchange key is the constant-width hash
+
+
+def test_crawl_cap_windows_per_domain_without_global_sort(spark):
+    """Round 12: cap_per_domain is one window over the domain — a global
+    orderBy (Exchange rangepartitioning over all rows) must never appear."""
+    from pyspark.sql import functions as F
+
+    from streamsum_spark.operators.crawl import cap_per_domain
+
+    df = spark.createDataFrame(
+        [(f"http://h.d{i % 5}.com/{i}", "t") for i in range(100)],
+        "target_uri string, text string",
+    )
+    plan = plans.explain_str(cap_per_domain(df, cap=3))
+    assert "rangepartitioning" not in plan.lower()
+    assert "EvalPython" not in plan
+
+
+def test_warc_text_html_strip_fuses_with_record_scan(spark, tmp_path):
+    """Round 12: read_warc_text's HTML strip is pure expressions over the
+    record relation — exactly ONE Python node (the record parser's
+    mapInPandas), no second EvalPython for the text chain."""
+    import gzip
+
+    from streamsum_spark.sources.warc import build_warc_record, read_warc_text
+
+    body = b"<p>x</p>"
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    )
+    rec = build_warc_record(
+        {
+            "WARC-Type": "response",
+            "WARC-Record-ID": "<urn:t:1>",
+            "WARC-Date": "2024-01-01T00:00:00Z",
+            "WARC-Target-URI": "http://x/",
+            "Content-Type": "application/http; msgtype=response",
+        },
+        http,
+    )
+    d = tmp_path / "w"
+    d.mkdir()
+    (d / "a.warc.gz").write_bytes(gzip.compress(rec, mtime=0))
+    plan = plans.explain_str(read_warc_text(spark, str(d), glob="*"))
+    # one PHYSICAL node: "MapInPandas (n)" in the tree (formatted mode
+    # repeats the name in the details section — don't count that)
+    assert plan.count("MapInPandas (") == 1
+    assert "BatchEvalPython" not in plan
