@@ -1213,3 +1213,39 @@ SELECT doc_id,
 FROM flagged
 GROUP BY doc_id
 """
+
+
+def strip_flagged_paragraphs(docs: DataFrame, flags: DataFrame) -> DataFrame:
+    """Rebuild documents with a (doc_id, idx) paragraph drop-set removed
+    — the read side shared by dedup_paragraphs' streaming twin and any
+    persisted drop-list workflow.  One left join on doc_id (the flag
+    relation is dropped-paragraphs-sized) + the same ordered rebuild as
+    dedup_paragraphs."""
+    drops = flags.groupBy("doc_id").agg(
+        F.collect_set("idx").alias("_drop_idx")
+    )
+    paras = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), "\n")).alias("idx", "para"),
+    )
+    return (
+        paras.join(drops, "doc_id", "left")
+        .withColumn(
+            "dup",
+            F.coalesce(
+                F.array_contains(F.col("_drop_idx"), F.col("idx")), F.lit(False)
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.expr(
+                    "transform(filter(sort_array(collect_list(struct(idx, para, dup))),"
+                    " x -> NOT x.dup), x -> x.para)"
+                ),
+            ).alias("text_clean"),
+            F.count(F.lit(1)).cast("long").alias("n_paras"),
+            F.sum(F.when(F.col("dup"), 1).otherwise(0)).cast("long").alias("n_dropped"),
+        )
+    )

@@ -1679,3 +1679,108 @@ def stream_duplicate_spans(
             [], "doc_id long, start long, gram_md5 string"
         )
     return read_state_table(spark, span_tbl).select("doc_id", "start", "gram_md5")
+
+
+def stream_dedup_paragraphs(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "documents.parquet",
+    max_files_per_trigger: int | None = None,
+    n_buckets: int = 16,
+    state_base: str | None = None,
+    checkpoint: str | None = None,
+) -> DataFrame:
+    """Incremental paragraph dedup — the streaming twin of
+    dedup.dedup_paragraphs, on the stream_duplicate_spans state recipe
+    at paragraph granularity: a continuously-ingesting corpus drops
+    boilerplate paragraphs already seen in everything ingested so far
+    without rescanning it.
+
+    Per micro-batch: the batch's (doc_id, idx, md5(para)) relation
+    (blank paragraphs excluded — they are structure, exempt from
+    dedup) ranks within itself, the batch-first occurrence of each
+    fingerprint probes the accumulated FIRST-OCCURRENCE store with
+    bucket-pruned reads, collisions with a different stored occurrence
+    flag the batch copy (same (doc_id, idx) = file-source redelivery,
+    ignored), flags upsert idempotently, and the store min-merges via
+    negated order keys.  Returns the accumulated FLAG relation
+    (doc_id, idx, p_md5); compose with
+    dedup.strip_flagged_paragraphs(docs, flags) for rebuilt text —
+    pinned equal to the batch operator's text_clean across an ordered
+    3-slice split in tests/test_dedup_families.py."""
+    from streamsum_spark.sinks import read_touched_buckets, upsert_batch
+
+    base = state_base or os.path.join(
+        tempfile.gettempdir(), f"streamsum_paras_{uuid.uuid4().hex[:12]}"
+    )
+    fp_tbl, flag_tbl = base + "_fp", base + "_flags"
+
+    def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import Window
+
+        paras = (
+            batch_df.select(
+                "doc_id",
+                F.posexplode(F.split(F.col("text"), "\n")).alias("idx", "para"),
+            )
+            .where(F.trim(F.col("para")) != "")
+            .select(
+                "doc_id",
+                F.col("idx").cast("long").alias("idx"),
+                F.md5(F.col("para")).alias("g"),
+            )
+            .localCheckpoint()
+        )
+        byg = Window.partitionBy("g").orderBy("doc_id", "idx")
+        ranked = paras.withColumn("rn", F.row_number().over(byg))
+        flagged = ranked.where(F.col("rn") > 1).select("doc_id", "idx", "g")
+        firsts = ranked.where(F.col("rn") == 1).select("doc_id", "idx", "g")
+        if os.path.exists(fp_tbl):
+            stored = read_touched_buckets(spark, fp_tbl, firsts.select("g"))
+            extra = (
+                firsts.alias("b")
+                .join(stored.alias("s"), "g")
+                .where(
+                    (F.col("b.doc_id") != F.col("s.doc_id"))
+                    | (F.col("b.idx") != F.col("s.idx"))
+                )
+                .select(F.col("b.doc_id"), F.col("b.idx"), "g")
+            )
+            flagged = flagged.unionByName(extra)
+        flagged = flagged.localCheckpoint()
+        upsert_batch(
+            spark,
+            flag_tbl,
+            flagged.select("doc_id", "idx", F.col("g").alias("p_md5")),
+            ["doc_id", "idx"],
+            "p_md5",
+            n_buckets=n_buckets,
+        )
+        upsert_batch(
+            spark,
+            fp_tbl,
+            firsts.select(
+                "g", "doc_id", "idx",
+                (-F.col("doc_id")).alias("_nd"), (-F.col("idx")).alias("_ni"),
+            ),
+            ["g"],
+            ["_nd", "_ni"],
+            n_buckets=n_buckets,
+        )
+
+    docs = stream_documents(spark, sf_dir, glob, max_files_per_trigger)
+    ckpt = checkpoint or os.path.join(
+        tempfile.gettempdir(), f"streamsum_paras_ckpt_{uuid.uuid4().hex[:10]}"
+    )
+    q = (
+        docs.select("doc_id", "text")
+        .writeStream.foreachBatch(on_batch)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.exists(flag_tbl):
+        return spark.createDataFrame([], "doc_id long, idx long, p_md5 string")
+    return read_state_table(spark, flag_tbl).select("doc_id", "idx", "p_md5")
