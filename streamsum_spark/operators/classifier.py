@@ -265,3 +265,29 @@ def quality_filter_nb(
         id_col, margin.alias("margin")
     )
     return docs.join(keep_ids, id_col)
+
+
+def classifier_drop_flags(
+    docs: DataFrame,
+    model: NBModel,
+    keep_label: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_margin: float = 0.0,
+    rule_name: str = "drop_classifier",
+) -> DataFrame:
+    """The margin gate as a curation-funnel rule: (doc_id, <rule_name>)
+    with True where the classifier does NOT assign ``keep_label`` with
+    at least ``min_margin`` log-odds — plug into
+    curation.curation_funnel / curate_documents via their ``extra``
+    parameter so classifier drops get audited stages like every other
+    rule."""
+    scored = nb_scores(docs, model, text_col=text_col, id_col=id_col)
+    others = [F.col(f"score_{l}") for l in model.labels if l != keep_label]
+    if not others:
+        raise ValueError("keep_label must leave at least one other label")
+    best_other = F.greatest(*others) if len(others) > 1 else others[0]
+    margin = F.col(f"score_{keep_label}") - best_other
+    return scored.select(
+        id_col, (margin < F.lit(min_margin)).alias(rule_name)
+    )

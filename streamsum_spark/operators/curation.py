@@ -34,10 +34,17 @@ from pyspark.sql import functions as F
 from streamsum_spark.tables import table
 
 
-def _rule_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _rule_flags(
+    spark: SparkSession, sf_dir: str, extra: DataFrame | None = None
+) -> DataFrame:
     """One row per document with an ordered boolean DROP column per
     rule.  Quality rules are one projection over the scan; the
-    relational rules join doc_id drop-sets."""
+    relational rules join doc_id drop-sets.
+
+    ``extra`` appends caller-supplied rules: a (doc_id, drop_* ...)
+    relation — e.g. classifier.classifier_drop_flags' margin gate —
+    left-joined and coalesced false, attributed AFTER the built-in
+    battery (funnels stay comparable across runs that add rules)."""
     from streamsum_spark.operators.clusters import dedup_corpus
     from streamsum_spark.operators.dedup import decontaminate
     from streamsum_spark.operators.text import gopher_quality_flags
@@ -99,6 +106,15 @@ def _rule_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    if extra is not None:
+        extra_cols = [c for c in extra.columns if c != "doc_id"]
+        out = out.join(extra, "doc_id", "left").select(
+            *[out[c] for c in out.columns if c not in extra_cols],
+            *[
+                F.coalesce(F.col(c), F.lit(False)).alias(c)
+                for c in extra_cols
+            ],
+        )
     return out
 
 
@@ -109,13 +125,19 @@ RULES = [
 ]
 
 
-def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def curation_funnel(
+    spark: SparkSession, sf_dir: str, extra: DataFrame | None = None
+) -> DataFrame:
     """(stage, rule, n_in, n_dropped, n_out) per rule, first-rule-wins
-    attribution.  One aggregation row crosses to the driver."""
-    flags = _rule_flags(spark, sf_dir)
+    attribution.  One aggregation row crosses to the driver.  ``extra``
+    rules (see _rule_flags) audit as additional trailing stages."""
+    flags = _rule_flags(spark, sf_dir, extra)
+    rules = RULES + (
+        [c for c in extra.columns if c != "doc_id"] if extra is not None else []
+    )
     aggs = [F.count(F.lit(1)).alias("n_total")]
     prior = F.lit(False)
-    for r in RULES:
+    for r in rules:
         # coalesce: sum over ZERO rows is null, and the funnel math
         # below must see 0, not None, on an empty input relation
         aggs.append(
@@ -127,7 +149,7 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     row = flags.agg(*aggs).collect()[0]  # ONE bounded row
     out_rows = []
     n = row["n_total"]
-    for i, r in enumerate(RULES):
+    for i, r in enumerate(rules):
         d = row[f"d_{r}"]
         out_rows.append((i + 1, r.removeprefix("drop_"), n, d, n - d))
         n -= d
@@ -136,12 +158,17 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The survivors of the full battery — the relation the packing /
-    tokenization stage consumes."""
-    flags = _rule_flags(spark, sf_dir)
+def curate_documents(
+    spark: SparkSession, sf_dir: str, extra: DataFrame | None = None
+) -> DataFrame:
+    """The survivors of the full battery (plus any ``extra`` rules) —
+    the relation the packing / tokenization stage consumes."""
+    flags = _rule_flags(spark, sf_dir, extra)
+    rules = RULES + (
+        [c for c in extra.columns if c != "doc_id"] if extra is not None else []
+    )
     cond = None
-    for r in RULES:
+    for r in rules:
         cond = F.col(r) if cond is None else (cond | F.col(r))
     keep = flags.where(~cond).select("doc_id")
     docs = table(spark, sf_dir, "documents")

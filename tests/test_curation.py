@@ -202,3 +202,46 @@ def test_empty_input_funnels_are_all_zero(spark, tmp_path):
     rows = curation_funnel(spark, str(tmp_path)).orderBy("stage").collect()
     assert [r.rule for r in rows] == [r.removeprefix("drop_") for r in RULES]
     assert all(r.n_in == 0 and r.n_dropped == 0 and r.n_out == 0 for r in rows)
+
+
+def test_funnel_accepts_classifier_extra_rule(spark):
+    """Round 12: a classifier margin gate plugs into the funnel as a
+    trailing audited stage — built-in stage counts unchanged, the new
+    stage's accounting consistent, survivors pass the gate."""
+    from pyspark.sql import functions as F
+
+    from streamsum_spark.operators.classifier import (
+        classifier_drop_flags,
+        train_nb,
+    )
+    from streamsum_spark.operators.curation import (
+        curate_documents,
+        curation_funnel,
+    )
+    from streamsum_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    docs = table(spark, sf, "documents").select(
+        "doc_id", F.col("lang").alias("label"), "text"
+    )
+    model = train_nb(docs.where(F.col("doc_id") % 2 == 0), n_buckets=1 << 12)
+    extra = classifier_drop_flags(
+        docs.select("doc_id", "text"), model, keep_label="en"
+    )
+    base = {r.rule: r for r in curation_funnel(spark, sf).collect()}
+    with_c = {r.rule: r for r in curation_funnel(spark, sf, extra=extra).collect()}
+    assert set(with_c) == set(base) | {"classifier"}
+    for rule, row in base.items():
+        got = with_c[rule]
+        assert (got.n_in, got.n_dropped, got.n_out) == (
+            row.n_in, row.n_dropped, row.n_out,
+        ), rule
+    c = with_c["classifier"]
+    assert c.stage == len(with_c)
+    assert c.n_in == base["contaminated"].n_out
+    assert c.n_out == c.n_in - c.n_dropped
+    assert c.n_dropped > 0  # non-'en' docs that survived the battery
+    survivors = {r.doc_id for r in curate_documents(spark, sf, extra=extra).collect()}
+    assert len(survivors) == c.n_out
+    gate = {r.doc_id: r.drop_classifier for r in extra.collect()}
+    assert all(not gate[d] for d in survivors)
