@@ -1784,3 +1784,85 @@ def stream_dedup_paragraphs(
     if not os.path.exists(flag_tbl):
         return spark.createDataFrame([], "doc_id long, idx long, p_md5 string")
     return read_state_table(spark, flag_tbl).select("doc_id", "idx", "p_md5")
+
+
+def stream_kn_bigram_perplexity(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "documents.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Incremental Kneser-Ney self-perplexity (streaming twin of
+    text.kn_bigram_perplexity) — the same additive (doc, w1, w2, c)
+    gram table stream_bigram_perplexity maintains, with the KN LM
+    (discounted bigram + continuation interpolation) derived from the
+    accumulated relation at read time.  Every KN ingredient is an
+    aggregate of the gram-TYPE projection of that table, so the stream
+    stays stateless and per-batch work is O(batch); scoring weights
+    each distinct gram by its in-doc count (algebraically identical to
+    batch's per-instance avg; round(6) absorbs summation order —
+    pinned equal to batch across a 3-micro-batch split in
+    tests/test_streaming.py).  Arithmetic association order matches
+    the batch operator exactly."""
+    from streamsum_spark.functions.expressions import TOKENS_EXPR
+    from streamsum_spark.sinks import stream_accumulate_counts
+
+    docs = stream_documents(spark, sf_dir, glob, max_files_per_trigger)
+    target = os.path.join(
+        tempfile.gettempdir(), f"streamsum_kngram_tbl_{uuid.uuid4().hex[:12]}"
+    )
+
+    def per_batch_grams(batch_df: DataFrame) -> DataFrame:
+        return (
+            batch_df.withColumn("_toks", F.expr(TOKENS_EXPR))
+            .select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(_toks) >= 2 THEN "
+                        "transform(sequence(1, size(_toks) - 1), "
+                        "i -> struct(_toks[i - 1] AS w1, _toks[i] AS w2)) "
+                        "ELSE array() END"
+                    )
+                ).alias("g"),
+            )
+            .select("doc_id", "g.w1", "g.w2")
+            .groupBy("doc_id", "w1", "w2")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    stream_accumulate_counts(
+        docs.select("doc_id", "text"), target, ["doc_id", "w1", "w2"], ["c"], per_batch_grams
+    )
+    grams = read_state_table(spark, target)
+    big_c = grams.groupBy("w1", "w2").agg(F.sum("c").alias("c12"))
+    uni = big_c.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1p_fwd")
+    )
+    cont = big_c.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_bwd"))
+    tot = big_c.agg(F.count(F.lit(1)).cast("double").alias("n_types"))
+    lm = (
+        big_c.join(uni, "w1")
+        .join(cont, "w2")
+        .join(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            (
+                -F.log(
+                    (F.col("c12").cast("double") - F.lit(0.75))
+                    / F.col("c1").cast("double")
+                    + (
+                        (F.lit(0.75) * F.col("n1p_fwd").cast("double"))
+                        / F.col("c1").cast("double")
+                    )
+                    * (F.col("n1p_bwd").cast("double") / F.col("n_types"))
+                )
+            ).alias("nll"),
+        )
+    )
+    return (
+        grams.join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("c") * F.col("nll")) / F.sum("c"), 6).alias("avg_nll"))
+    )

@@ -742,3 +742,20 @@ def test_stream_near_dup_restart_marginal_batch_equals_full(spark, tmp_path):
         ).collect()
     }
     assert full and marginal == full
+
+
+def test_stream_kn_perplexity_multibatch_equals_batch(spark, tmp_path):
+    """The KN LM derived from the merge-accumulated gram table must
+    score every document identically to the batch KN operator
+    (round(6) absorbs weighted-vs-instance summation order)."""
+    from streamsum_spark.operators.text import kn_bigram_perplexity
+
+    src = _sliced_docs_src(spark, tmp_path)
+    batch = {(r.doc_id, r.avg_nll) for r in kn_bigram_perplexity(spark, src).collect()}
+    stream = {
+        (r.doc_id, r.avg_nll)
+        for r in sp.stream_kn_bigram_perplexity(
+            spark, src, glob="documents_*.parquet", max_files_per_trigger=1
+        ).collect()
+    }
+    assert batch and stream == batch
