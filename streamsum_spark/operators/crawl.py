@@ -110,14 +110,25 @@ def cap_per_domain(
     reproducible lottery; pass e.g. a quality score's negation to keep
     best-first) with the URL as tiebreak, via one window over the
     domain — no global sort, no driver state.  Output = the input rows
-    that survive, with their rank."""
+    that survive, with their rank.
+
+    Rows whose URL yields NO domain (unparseable/hostless) pass through
+    with rank 1 rather than competing in one shared bucket: a real
+    crawl holds millions of garbage URLs, and a common null window key
+    would be a corpus-growing skew partition (the same hazard the
+    paragraph-dedup blank keys avoid).  Filter ``domain IS NULL``
+    before or after if those rows should drop instead."""
     if cap < 1:
         raise ValueError("cap must be >= 1")
     from pyspark.sql import Window
 
     d = with_domain(df, url_col)
     pr = priority if priority is not None else F.xxhash64(F.col(url_col))
-    w = Window.partitionBy("domain").orderBy(pr.asc(), F.col(url_col).asc())
+    key = F.coalesce(
+        F.col("domain"),
+        F.concat_ws("-", F.lit("nodomain"), F.xxhash64(F.col(url_col))),
+    )
+    w = Window.partitionBy(key).orderBy(pr.asc(), F.col(url_col).asc())
     return (
         d.withColumn("domain_rank", F.row_number().over(w).cast("long"))
         .where(F.col("domain_rank") <= cap)

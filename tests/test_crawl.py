@@ -164,3 +164,84 @@ def test_composes_with_warc_text(spark, tmp_path):
     out = CR.cap_per_domain(text, cap=4, url_col="target_uri").collect()
     assert len(out) == 4
     assert all(r.domain == "example.com" for r in out)
+
+
+def test_cap_per_domain_null_domains_pass_without_shared_bucket(spark):
+    """Garbage URLs (null domain) each rank 1 in their own key — never
+    one corpus-wide null partition competing under a single cap."""
+    rows = [(f"::junk {i}", "t") for i in range(40)] + [
+        ("http://real.example.com/a", "t"),
+        ("http://real.example.com/b", "t"),
+    ]
+    df = spark.createDataFrame(rows, "target_uri string, text string")
+    out = CR.cap_per_domain(df, cap=1).collect()
+    junk = [r for r in out if r.domain is None]
+    assert len(junk) == 40 and all(r.domain_rank == 1 for r in junk)
+    assert sum(1 for r in out if r.domain == "example.com") == 1
+
+
+def test_crawl_chain_end_to_end(spark, tmp_path):
+    """The full crawl curation chain composes: WARC shards -> text ->
+    paragraph dedup -> quality/classifier scoring -> per-domain cap —
+    every stage consuming the previous stage's relation directly, with
+    the boilerplate paragraph stripped corpus-wide and the cap binding
+    per registered domain."""
+    import gzip
+
+    from pyspark.sql import functions as F
+
+    from streamsum_spark.operators.classifier import nb_scores, train_nb
+    from streamsum_spark.operators.dedup import dedup_paragraphs
+    from streamsum_spark.sources import warc as W
+
+    recs = []
+    for i in range(12):
+        html = (
+            f"<html><body><p>COOKIE NOTICE</p>"
+            f"<p>real article text number {i} with words</p></body></html>"
+        ).encode()
+        http = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            f"Content-Length: {len(html)}\r\n\r\n".encode() + html
+        )
+        recs.append(
+            W.build_warc_record(
+                {
+                    "WARC-Type": "response",
+                    "WARC-Record-ID": f"<urn:t:{i}>",
+                    "WARC-Date": "2024-01-01T00:00:00Z",
+                    "WARC-Target-URI": f"http://h{i % 4}.site{i % 2}.com/p{i}",
+                    "Content-Type": "application/http; msgtype=response",
+                },
+                http,
+            )
+        )
+    d = tmp_path / "crawlchain"
+    d.mkdir()
+    (d / "a.warc.gz").write_bytes(b"".join(gzip.compress(r, mtime=0) for r in recs))
+
+    text = W.read_warc_text(spark, str(d), glob="*").withColumn(
+        "doc_id", F.xxhash64("target_uri")
+    )
+    # paragraph dedup strips the repeated cookie notice everywhere but once
+    deduped = dedup_paragraphs(spark, "", docs=text.select("doc_id", "text"))
+    cleaned = text.drop("text", "text_chars").join(deduped, "doc_id")
+    survivors = cleaned.collect()
+    assert len(survivors) == 12
+    assert sum(r.text_clean.count("COOKIE NOTICE") for r in survivors) == 1
+    assert all("real article" in r.text_clean for r in survivors)
+    # classifier scores flow from the cleaned text (self-trained demo)
+    labeled = cleaned.select(
+        "doc_id", F.col("text_clean").alias("text"),
+        F.when(F.col("doc_id") % 2 == 0, "a").otherwise("b").alias("label"),
+    )
+    model = train_nb(labeled, n_buckets=1 << 10)
+    scored = nb_scores(labeled.select("doc_id", "text"), model)
+    assert scored.count() == 12
+    # per-domain cap binds on the registered domain of the SAME relation
+    capped = CR.cap_per_domain(cleaned, cap=3)
+    per = {}
+    for r in capped.collect():
+        per.setdefault(r.domain, []).append(r)
+    assert set(per) == {"site0.com", "site1.com"}
+    assert all(len(v) == 3 for v in per.values())
