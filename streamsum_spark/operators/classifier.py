@@ -147,12 +147,26 @@ def model_from_count_rows(
         r["label"]: (int(r["n_docs"]), int(r["n_feats"]))
         for r in count_rows.groupBy("label")
         .agg(
-            F.sum(F.when(F.col("bucket") == -1, F.col("cnt"))).alias("n_docs"),
-            F.sum(F.when(F.col("bucket") >= 0, F.col("cnt"))).alias("n_feats"),
+            F.coalesce(
+                F.sum(F.when(F.col("bucket") == -1, F.col("cnt"))), F.lit(0)
+            ).alias("n_docs"),
+            # a label whose every document is blank contributes doc
+            # counts but zero feature rows — its likelihood is pure
+            # smoothing, not a crash
+            F.coalesce(
+                F.sum(F.when(F.col("bucket") >= 0, F.col("cnt"))), F.lit(0)
+            ).alias("n_feats"),
         )
         .collect()
     }
     labels = sorted(per_label)
+    # label values become cnt_<label> column references in the apply
+    # plan — reject separators the unquoted column parser would eat
+    bad = [l for l in labels if any(ch in l for ch in ".`\n")]
+    if bad:
+        raise ValueError(
+            f"labels must not contain '.', backticks or newlines: {bad}"
+        )
     n_total = sum(n for n, _ in per_label.values())
     wide = (
         count_rows.where(F.col("bucket") >= 0)

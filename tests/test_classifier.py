@@ -265,3 +265,28 @@ def test_stream_train_nb_equals_batch(spark, tmp_path):
             assert got_s[d][f"score_{l}"] == pytest.approx(
                 got_b[d][f"score_{l}"], abs=1e-9
             )
+
+
+def test_blank_only_label_trains_on_smoothing(spark):
+    """A label whose every document is blank has zero feature rows —
+    the model must train (pure-smoothing likelihood), not crash on a
+    null feature total."""
+    rows = [(0, "good", "solid prose here"), (1, "empty", "   "), (2, "empty", "")]
+    df = spark.createDataFrame(rows, "doc_id long, label string, text string")
+    m = C.train_nb(df, n_buckets=1 << 8)
+    assert m.total["empty"] == 0
+    assert m.log_prior["empty"] == pytest.approx(math.log(2 / 3), abs=1e-12)
+    (row,) = C.nb_scores(
+        spark.createDataFrame([(9, "anything at all")], "doc_id long, text string"), m
+    ).collect()
+    # finite scores for both labels; 'empty' scores on uniform smoothing
+    assert all(math.isfinite(row[f"score_{l}"]) for l in m.labels)
+
+
+def test_label_with_dot_is_rejected(spark):
+    df = spark.createDataFrame(
+        [(0, "en.US", "text one"), (1, "de", "text two")],
+        "doc_id long, label string, text string",
+    )
+    with pytest.raises(ValueError, match="labels must not contain"):
+        C.train_nb(df, n_buckets=1 << 8)
