@@ -128,3 +128,14 @@ def test_max_list_cap_excludes_fat_clusters(spark):
     ).collect()
     kept_lists = {r.list_id for r in out}
     assert kept_lists == {l for l, n in sizes.items() if n <= cap}
+
+
+def test_no_pairs_keeps_everything(spark):
+    """A threshold above the corpus max cosine produces an empty pair
+    relation — CC over zero edges, every vector kept, null components."""
+    index = sim.kmeans_ivf_index(spark, SF_SMOKE, n_lists=8)
+    out = sim.semantic_dedup(
+        spark, SF_SMOKE, threshold=0.99, index=index
+    ).collect()
+    assert len(out) == 500
+    assert all(r.kept and r.component is None for r in out)
