@@ -214,6 +214,66 @@ def parse_http_response(payload: bytes) -> tuple[int | None, str | None, bytes]:
     return status, ctype, body
 
 
+def _records_map(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    """The per-file record parse as a mapInPandas body — shared by the
+    batch and streaming readers (a streaming micro-batch is just a
+    smaller set of (path, content) rows)."""
+    import pandas as pd
+
+    for pdf in batches:
+        for path_, blob in zip(pdf["path"], pdf["content"]):
+            fname = os.path.basename(path_)
+            blob = bytes(blob)
+            rows: dict[str, list] = {f.name: [] for f in RECORD_SCHEMA}
+            try:
+                raw = io.BytesIO(blob)
+                stream = (
+                    io.BufferedReader(gzip.GzipFile(fileobj=raw))
+                    if blob[:2] == b"\x1f\x8b"
+                    else raw
+                )
+                for i, (hdrs, block) in enumerate(iter_warc_records(stream)):
+                    rtype = hdrs.get("warc-type")
+                    status = hct = None
+                    body = block
+                    if rtype == "response":
+                        status, hct, body = parse_http_response(block)
+                    rows["warc_file"].append(fname)
+                    rows["ordinal"].append(i)
+                    rows["rec_type"].append(rtype)
+                    rows["target_uri"].append(hdrs.get("warc-target-uri"))
+                    rows["warc_date"].append(hdrs.get("warc-date"))
+                    rows["content_type"].append(hdrs.get("content-type"))
+                    rows["content_length"].append(len(block))
+                    rows["http_status"].append(status)
+                    rows["http_content_type"].append(hct)
+                    rows["body"].append(body)
+                    rows["error"].append(None)
+            except (ValueError, EOFError, OSError, zlib.error) as exc:
+                rows = {f.name: [] for f in RECORD_SCHEMA}
+                rows["warc_file"].append(fname)
+                for c in RECORD_SCHEMA.names[1:]:
+                    rows[c].append(None)
+                rows["error"][:] = [f"{type(exc).__name__}: {exc}"[:200]]
+            yield pd.DataFrame(
+                {
+                    "warc_file": rows["warc_file"],
+                    "ordinal": pd.Series(rows["ordinal"], dtype="Int32"),
+                    "rec_type": rows["rec_type"],
+                    "target_uri": rows["target_uri"],
+                    "warc_date": rows["warc_date"],
+                    "content_type": rows["content_type"],
+                    "content_length": pd.Series(
+                        rows["content_length"], dtype="Int64"
+                    ),
+                    "http_status": pd.Series(rows["http_status"], dtype="Int32"),
+                    "http_content_type": rows["http_content_type"],
+                    "body": rows["body"],
+                    "error": rows["error"],
+                }
+            )
+
+
 def read_warc_records(
     spark: SparkSession, path: str, glob: str = "*.warc.gz"
 ) -> DataFrame:
@@ -228,85 +288,49 @@ def read_warc_records(
     other type ``body`` is the raw block.  A file that fails to parse
     contributes a single error row (everything else null) instead of
     failing the scan, exactly like a bad WebDataset shard."""
-    import pandas as pd
-
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
         .load(path)
         .select("path", "content")
     )
-
-    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in batches:
-            for path_, blob in zip(pdf["path"], pdf["content"]):
-                fname = os.path.basename(path_)
-                blob = bytes(blob)
-                rows: dict[str, list] = {f.name: [] for f in RECORD_SCHEMA}
-                try:
-                    raw = io.BytesIO(blob)
-                    stream = (
-                        io.BufferedReader(gzip.GzipFile(fileobj=raw))
-                        if blob[:2] == b"\x1f\x8b"
-                        else raw
-                    )
-                    for i, (hdrs, block) in enumerate(iter_warc_records(stream)):
-                        rtype = hdrs.get("warc-type")
-                        status = hct = None
-                        body = block
-                        if rtype == "response":
-                            status, hct, body = parse_http_response(block)
-                        rows["warc_file"].append(fname)
-                        rows["ordinal"].append(i)
-                        rows["rec_type"].append(rtype)
-                        rows["target_uri"].append(hdrs.get("warc-target-uri"))
-                        rows["warc_date"].append(hdrs.get("warc-date"))
-                        rows["content_type"].append(hdrs.get("content-type"))
-                        rows["content_length"].append(len(block))
-                        rows["http_status"].append(status)
-                        rows["http_content_type"].append(hct)
-                        rows["body"].append(body)
-                        rows["error"].append(None)
-                except (ValueError, EOFError, OSError, zlib.error) as exc:
-                    rows = {f.name: [] for f in RECORD_SCHEMA}
-                    rows["warc_file"].append(fname)
-                    for c in RECORD_SCHEMA.names[1:]:
-                        rows[c].append(None)
-                    rows["error"][:] = [f"{type(exc).__name__}: {exc}"[:200]]
-                yield pd.DataFrame(
-                    {
-                        "warc_file": rows["warc_file"],
-                        "ordinal": pd.Series(rows["ordinal"], dtype="Int32"),
-                        "rec_type": rows["rec_type"],
-                        "target_uri": rows["target_uri"],
-                        "warc_date": rows["warc_date"],
-                        "content_type": rows["content_type"],
-                        "content_length": pd.Series(
-                            rows["content_length"], dtype="Int64"
-                        ),
-                        "http_status": pd.Series(rows["http_status"], dtype="Int32"),
-                        "http_content_type": rows["http_content_type"],
-                        "body": rows["body"],
-                        "error": rows["error"],
-                    }
-                )
-
-    return files.mapInPandas(run, RECORD_SCHEMA)
+    return files.mapInPandas(_records_map, RECORD_SCHEMA)
 
 
-def read_warc_text(
-    spark: SparkSession, path: str, glob: str = "*.warc.gz"
+def stream_warc_records(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.warc.gz",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """The composed front door: WARC files → successful HTML responses
-    → extracted text, ready for the quality / langid / dedup operators.
-    Output: (warc_file, target_uri, warc_date, text, text_chars).  The
-    byte→string step is ``CAST(body AS STRING)`` (lenient UTF-8 — a
-    crawl's stray invalid sequences must not fail the scan), and the
-    markup strip is html_text's pure-expression chain, fused into the
-    same stage as the record scan."""
+    """The continuous-ingest form: a file-source STREAM of WARC shards
+    through the same per-file parse — new crawl files appearing under
+    ``path`` become record micro-batches.  Same schema and per-file
+    error isolation as read_warc_records (the parse is the identical
+    shared mapInPandas body); compose downstream with foreachBatch into
+    the incremental dedup/classifier state sinks, exactly like the
+    documents stream twins."""
+    # binaryFile's schema is FIXED by the format, but the streaming
+    # source still demands it spelled out
+    schema = (
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(schema)
+        .option("pathGlobFilter", glob)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    files = reader.load(path).select("path", "content")
+    return files.mapInPandas(_records_map, RECORD_SCHEMA)
+
+
+def _html_pages(recs: DataFrame) -> DataFrame:
+    """Successful HTML responses -> extracted text (the shared
+    projection of the batch and streaming text readers)."""
     from streamsum_spark.operators.html_text import clean_html
 
-    recs = read_warc_records(spark, path, glob)
     pages = recs.where(
         (F.col("rec_type") == "response")
         & (F.col("http_status") == 200)
@@ -319,6 +343,34 @@ def read_warc_text(
         F.col("body").cast("string").alias("html"),
     )
     return clean_html(pages).drop("html")
+
+
+def read_warc_text(
+    spark: SparkSession, path: str, glob: str = "*.warc.gz"
+) -> DataFrame:
+    """The composed front door: WARC files → successful HTML responses
+    → extracted text, ready for the quality / langid / dedup operators.
+    Output: (warc_file, target_uri, warc_date, text, text_chars).  The
+    byte→string step is ``CAST(body AS STRING)`` (lenient UTF-8 — a
+    crawl's stray invalid sequences must not fail the scan), and the
+    markup strip is html_text's pure-expression chain, fused into the
+    same stage as the record scan."""
+    return _html_pages(read_warc_records(spark, path, glob))
+
+
+def stream_warc_text(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.warc.gz",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of read_warc_text: a continuously-growing crawl
+    directory becomes a text STREAM (same projection, same expression
+    chain) — pinned equal to the batch reader over a 2-shard split in
+    tests/test_warc.py."""
+    return _html_pages(
+        stream_warc_records(spark, path, glob, max_files_per_trigger)
+    )
 
 
 MANIFEST_SCHEMA = T.StructType(

@@ -346,3 +346,41 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is in the container
     pass
+
+
+def test_stream_warc_text_equals_batch(spark, tmp_path):
+    """The streaming WARC reader over a 2-shard directory (one file per
+    micro-batch) yields exactly the batch reader's text rows."""
+    d = tmp_path / "streamcrawl"
+    d.mkdir()
+    for shard in range(2):
+        recs = [
+            make_record(
+                "response",
+                f"http://s{shard}.example/p{i}",
+                http_response(f"<p>doc {shard}-{i}</p>".encode()),
+            )
+            for i in range(3)
+        ]
+        (d / f"s{shard}.warc.gz").write_bytes(per_record_gz(recs))
+
+    from streamsum_spark.sources.warc import read_warc_text, stream_warc_text
+
+    batch = {
+        (r.target_uri, r.text) for r in read_warc_text(spark, str(d), glob="*").collect()
+    }
+    stream_df = stream_warc_text(spark, str(d), glob="*", max_files_per_trigger=1)
+    assert stream_df.isStreaming
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("warc_stream_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.target_uri, r.text)
+        for r in spark.sql("SELECT * FROM warc_stream_sink").collect()
+    }
+    assert got == batch and len(got) == 6
