@@ -44,29 +44,8 @@ def _as_double(col: str, dtype: T.DataType) -> Column:
     return F.col(col).cast("double")
 
 
-def morton_code(
-    df: DataFrame,
-    cols: list[str],
-    bits: int | None = None,
-    rank: str = "quantile",
-) -> Column:
-    """The interleaved rank code as a Column (BIGINT).
 
-    ``rank="quantile"`` (default): each column ranks by its
-    approxQuantile bucket — 2^bits boundaries (bits defaults to 8: 256
-    buckets per column, plenty of resolution for file/row-group
-    skipping), collected once driver-side (bounded: 2^bits doubles per
-    column) and evaluated as a pure counting expression.  Quantile
-    ranks spend Morton resolution where the DATA is, so skewed columns
-    (a long-tailed value, a hot key range) still interleave evenly —
-    with affine ranks a column whose mass sits in 10% of its min/max
-    span wastes ~3 of its bits on empty space.
-
-    ``rank="affine"``: (col − min)/(max − min) scaled to ``bits``-bit
-    integers (bits defaults to the largest fitting 63) — one 2-value
-    aggregate per column, the cheaper choice for uniform columns.
-
-    Nulls rank 0 in both modes (they sort first, like a plain sort)."""
+def _validate(df: DataFrame, cols: list[str]) -> dict:
     if not cols:
         raise ValueError("need at least one column")
     dtypes = dict(df.dtypes)
@@ -78,6 +57,15 @@ def morton_code(
             raise ValueError(
                 f"z-order needs numeric/timestamp columns; {c} is {dtypes[c]}"
             )
+    return schema
+
+
+def _rank_sqls(
+    df: DataFrame, cols: list[str], bits: int | None, rank: str
+) -> tuple[dict[str, str], int]:
+    """Per-column rank expressions (SQL text) + the resolved bit width —
+    shared by the Morton and Hilbert codes."""
+    schema = _validate(df, cols)
     if rank not in ("quantile", "affine"):
         raise ValueError("rank must be 'quantile' or 'affine'")
     if bits is None:
@@ -88,7 +76,7 @@ def morton_code(
         raise ValueError("quantile ranks cap at 12 bits (4096 boundaries)")
     dbl = df.select(*[_as_double(c, schema[c]).alias(c) for c in cols])
     top = (1 << bits) - 1
-    rank_sqls = {}
+    rank_sqls: dict[str, str] = {}
     if rank == "quantile":
         probs = [i / (top + 1) for i in range(1, top + 1)]
         qs = dbl.approxQuantile(cols, probs, 0.001)  # bounded: 2^bits/col
@@ -123,6 +111,33 @@ def morton_code(
                     f"CAST(floor((({col_sql} - {mn!r}D) / {(mx - mn)!r}D) * {float(top + 1)!r}D) "
                     f"AS BIGINT))), CAST(0 AS BIGINT))"
                 )
+    return rank_sqls, bits
+
+
+def morton_code(
+    df: DataFrame,
+    cols: list[str],
+    bits: int | None = None,
+    rank: str = "quantile",
+) -> Column:
+    """The interleaved rank code as a Column (BIGINT).
+
+    ``rank="quantile"`` (default): each column ranks by its
+    approxQuantile bucket — 2^bits boundaries (bits defaults to 8: 256
+    buckets per column, plenty of resolution for file/row-group
+    skipping), collected once driver-side (bounded: 2^bits doubles per
+    column) and evaluated as a pure counting expression.  Quantile
+    ranks spend Morton resolution where the DATA is, so skewed columns
+    (a long-tailed value, a hot key range) still interleave evenly —
+    with affine ranks a column whose mass sits in 10% of its min/max
+    span wastes ~3 of its bits on empty space.
+
+    ``rank="affine"``: (col − min)/(max − min) scaled to ``bits``-bit
+    integers (bits defaults to the largest fitting 63) — one 2-value
+    aggregate per column, the cheaper choice for uniform columns.
+
+    Nulls rank 0 in both modes (they sort first, like a plain sort)."""
+    rank_sqls, bits = _rank_sqls(df, cols, bits, rank)
     parts = []
     for j, c in enumerate(cols):
         # spread rank's bits to positions j, j+k, j+2k, ... (k columns)
@@ -158,6 +173,72 @@ def write_zordered(
         .repartitionByRange(n_files, F.col("_z"))
         .sortWithinPartitions("_z")
         .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def hilbert_code(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 8,
+    rank: str = "quantile",
+) -> Column:
+    """Hilbert-curve code for exactly TWO columns — Morton's
+    better-locality sibling: consecutive codes are always
+    grid-ADJACENT (|dx| + |dy| = 1, pinned exhaustively against a
+    pure-Python reference), so a code range never takes Morton's
+    quadrant-boundary jumps and per-file spans tighten — especially
+    the worst file, the one the Morton test has to tolerate.
+
+    The classic bitwise walk (quadrant index + rotate/flip per level)
+    runs as ONE aggregate fold over bit positions with a (d, x, y)
+    struct accumulator — still a pure expression, no UDF.  Ranks come
+    from the same machinery as morton_code (quantile default /
+    affine).  2-D only: the rotation step is the 2-D Hilbert
+    construction; for 3+ columns use morton_code."""
+    if len(cols) != 2:
+        raise ValueError("hilbert_code is 2-D; use morton_code for other arities")
+    rank_sqls, bits = _rank_sqls(df, cols, bits, rank)
+    n = 1 << bits
+    S = "shiftleft(1, i)"  # the level size s, inlined (lambdas have no LET)
+    rx = f"(CASE WHEN (acc.x & {S}) > 0 THEN 1 ELSE 0 END)"
+    ry = f"(CASE WHEN (acc.y & {S}) > 0 THEN 1 ELSE 0 END)"
+    # rotation: ry=0 -> (flip both around n-1 if rx=1, then swap x/y)
+    fx = f"(CASE WHEN {rx} = 1 THEN {n - 1} - acc.x ELSE acc.x END)"
+    fy = f"(CASE WHEN {rx} = 1 THEN {n - 1} - acc.y ELSE acc.y END)"
+    step = (
+        "named_struct("
+        f"'d', acc.d + CAST({S} AS BIGINT) * CAST({S} AS BIGINT) * "
+        f"CAST(((3 * {rx}) ^ {ry}) AS BIGINT), "
+        f"'x', CAST(CASE WHEN {ry} = 0 THEN {fy} ELSE acc.x END AS BIGINT), "
+        f"'y', CAST(CASE WHEN {ry} = 0 THEN {fx} ELSE acc.y END AS BIGINT))"
+    )
+    expr = (
+        f"aggregate(sequence({bits - 1}, 0, -1), "
+        f"named_struct('d', CAST(0 AS BIGINT), "
+        f"'x', {rank_sqls[cols[0]]}, 'y', {rank_sqls[cols[1]]}), "
+        f"(acc, i) -> {step}, "
+        "acc -> acc.d)"
+    )
+    return F.expr(expr).alias("hcode")
+
+
+def write_hilbert(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 16,
+    bits: int = 8,
+) -> None:
+    """write_zordered's Hilbert twin: cluster two columns along the
+    Hilbert curve (same single range exchange + within-file sort)."""
+    code = hilbert_code(df, cols, bits)
+    (
+        df.withColumn("_h", code)
+        .repartitionByRange(n_files, F.col("_h"))
+        .sortWithinPartitions("_h")
+        .drop("_h")
         .write.mode("overwrite")
         .parquet(path)
     )

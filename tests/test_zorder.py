@@ -165,3 +165,73 @@ def test_zorder_layout_prunes_on_both_columns(spark, tmp_path):
     zrows = {r.event_id for r in spark.read.parquet(zpath).where(pred).collect()}
     srows = {r.event_id for r in spark.read.parquet(spath).where(pred).collect()}
     assert zrows == srows and zrows
+
+
+# ------------------------------------------------------------- hilbert
+
+
+def _py_hilbert(x: int, y: int, bits: int) -> int:
+    n = 1 << bits
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_code_matches_python_reference_exhaustively(spark):
+    bits = 5  # the full 32x32 grid
+    n = 1 << bits
+    df = spark.createDataFrame(
+        [(a, b) for a in range(n) for b in range(n)], "a long, b long"
+    )
+    got = {
+        (r.a, r.b): r.hcode
+        for r in df.select(
+            "a", "b", Z.hilbert_code(df, ["a", "b"], bits=bits, rank="affine")
+        ).collect()
+    }
+    for (a, b), code in got.items():
+        assert code == _py_hilbert(a, b, bits), (a, b)
+    # the defining locality property: consecutive codes are grid-adjacent
+    # (Morton violates this at every quadrant boundary)
+    by_code = {code: xy for xy, code in got.items()}
+    assert len(by_code) == n * n  # bijection
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = by_code[d], by_code[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, d
+
+
+def test_hilbert_rejects_non_2d(spark):
+    df = spark.createDataFrame([(1, 2, 3)], "a long, b long, c long")
+    with pytest.raises(ValueError, match="2-D"):
+        Z.hilbert_code(df, ["a", "b", "c"])
+
+
+def test_hilbert_layout_tightens_worst_file_vs_morton(spark, tmp_path):
+    """On uniform 2-D data, the Hilbert layout's WORST per-file span is
+    no worse than Morton's (adjacency removes the quadrant jumps that
+    give Morton its occasional near-domain-wide file)."""
+    rows = [((i * 2654435761) % 4096, (i * 40503) % 4096) for i in range(20000)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    zp, hp = str(tmp_path / "z"), str(tmp_path / "h")
+    Z.write_zordered(df, zp, ["a", "b"], n_files=16)
+    Z.write_hilbert(df, hp, ["a", "b"], n_files=16)
+    zs = _file_spans(zp, "a", "b")
+    hs = _file_spans(hp, "a", "b")
+    worst = lambda spans: max(
+        max(s[0][1] - s[0][0], s[1][1] - s[1][0]) for s in spans
+    )
+    mean = lambda spans: sum(
+        (s[0][1] - s[0][0]) + (s[1][1] - s[1][0]) for s in spans
+    ) / len(spans)
+    assert worst(hs) <= worst(zs)
+    assert mean(hs) <= 1.1 * mean(zs)
+    assert spark.read.parquet(hp).count() == 20000
