@@ -22,9 +22,12 @@ Everything is expression-level:
 Column contract: numeric/timestamp-castable (Z-ordering a string's
 hash has no range locality — honest ValueError).  Effectiveness is
 pinned in tests/test_zorder.py by reading the written files' parquet
-statistics: every z-ordered column's per-file [min, max] span shrinks
-to a fraction of the domain, and a two-sided range predicate prunes
-several times more files than the single-column-sorted layout."""
+statistics: per-file [min, max] spans shrink to a fraction of the
+domain on EVERY z-ordered column, and range predicates on the column
+a 1-D sort does NOT cover prune files the sorted layout must read —
+that second-column skipping is Z-order's claim (on its own column a
+1-D sort at the same file count has finer resolution; Z-order trades
+a little of that for skippability on all clustered columns)."""
 
 from __future__ import annotations
 
