@@ -31,12 +31,15 @@ Hostile-input posture mirrors webdataset.py: per-FILE isolation (a
 malformed file contributes one error row and the scan continues — the
 records before the malformation are dropped with it, since plain
 concatenated WARC has no trustworthy resync point), with bounded
-header sizes, record counts, per-record and cumulative block budgets,
+header sizes, record counts, per-record and cumulative block budgets —
+metered over both the raw blocks AND the post-Content-Encoding
+inflated bodies —
 so a crafted tiny-file-inflating-to-TBs bomb fails its file, not the
 executor."""
 
 from __future__ import annotations
 
+import functools
 import gzip
 import io
 import os
@@ -86,7 +89,9 @@ def _read_header_line(stream, budget: list) -> bytes:
     return line.rstrip(b"\r\n")
 
 
-def iter_warc_records(stream) -> Iterator[tuple[dict, bytes]]:
+def iter_warc_records(
+    stream, max_extract_bytes: int = _MAX_EXTRACT_BYTES
+) -> Iterator[tuple[dict, bytes]]:
     """(headers, block) per record from a binary file-like positioned
     at a record boundary — headers as a {lower-name: value} dict with
     the version kept under ``'__version__'``.  Streams: one record in
@@ -129,7 +134,7 @@ def iter_warc_records(stream) -> Iterator[tuple[dict, bytes]]:
         if length < 0 or length > _MAX_BLOCK:
             raise ValueError(f"Content-Length {length} outside [0, {_MAX_BLOCK}]")
         out_bytes += length
-        if out_bytes > _MAX_EXTRACT_BYTES:
+        if out_bytes > max_extract_bytes:
             raise ValueError("WARC file exceeds the extraction budget")
         block = stream.read(length)
         if len(block) != length:
@@ -214,10 +219,21 @@ def parse_http_response(payload: bytes) -> tuple[int | None, str | None, bytes]:
     return status, ctype, body
 
 
-def _records_map(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+def _records_map(
+    batches: Iterator["pd.DataFrame"],
+    max_extract_bytes: int = _MAX_EXTRACT_BYTES,
+) -> Iterator["pd.DataFrame"]:
     """The per-file record parse as a mapInPandas body — shared by the
     batch and streaming readers (a streaming micro-batch is just a
-    smaller set of (path, content) rows)."""
+    smaller set of (path, content) rows).
+
+    Buffered-bytes budget: iter_warc_records meters the raw (possibly
+    compressed) block lengths, but a Content-Encoding gzip/deflate body
+    inflates AFTER that check — so the INFLATED sizes are charged here
+    against the same cumulative per-file budget before the body is
+    buffered.  A file of small blocks whose bodies each inflate ~1000x
+    (deflate's max ratio) therefore fails ITS file with an error row
+    instead of accumulating multi-TB in one task's frame."""
     import pandas as pd
 
     for pdf in batches:
@@ -225,6 +241,7 @@ def _records_map(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
             fname = os.path.basename(path_)
             blob = bytes(blob)
             rows: dict[str, list] = {f.name: [] for f in RECORD_SCHEMA}
+            buffered = 0
             try:
                 raw = io.BytesIO(blob)
                 stream = (
@@ -232,12 +249,19 @@ def _records_map(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
                     if blob[:2] == b"\x1f\x8b"
                     else raw
                 )
-                for i, (hdrs, block) in enumerate(iter_warc_records(stream)):
+                for i, (hdrs, block) in enumerate(
+                    iter_warc_records(stream, max_extract_bytes)
+                ):
                     rtype = hdrs.get("warc-type")
                     status = hct = None
                     body = block
                     if rtype == "response":
                         status, hct, body = parse_http_response(block)
+                    buffered += len(body)
+                    if buffered > max_extract_bytes:
+                        raise ValueError(
+                            "WARC file exceeds the inflated-body budget"
+                        )
                     rows["warc_file"].append(fname)
                     rows["ordinal"].append(i)
                     rows["rec_type"].append(rtype)
@@ -275,7 +299,10 @@ def _records_map(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
 
 
 def read_warc_records(
-    spark: SparkSession, path: str, glob: str = "*.warc.gz"
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.warc.gz",
+    max_extract_bytes: int = _MAX_EXTRACT_BYTES,
 ) -> DataFrame:
     """One row per WARC record across all files matching ``glob`` under
     ``path`` (gzip — incl. Common Crawl per-record members — or plain,
@@ -294,7 +321,10 @@ def read_warc_records(
         .load(path)
         .select("path", "content")
     )
-    return files.mapInPandas(_records_map, RECORD_SCHEMA)
+    return files.mapInPandas(
+        functools.partial(_records_map, max_extract_bytes=max_extract_bytes),
+        RECORD_SCHEMA,
+    )
 
 
 def stream_warc_records(
@@ -302,6 +332,7 @@ def stream_warc_records(
     path: str,
     glob: str = "*.warc.gz",
     max_files_per_trigger: int | None = None,
+    max_extract_bytes: int = _MAX_EXTRACT_BYTES,
 ) -> DataFrame:
     """The continuous-ingest form: a file-source STREAM of WARC shards
     through the same per-file parse — new crawl files appearing under
@@ -323,7 +354,10 @@ def stream_warc_records(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     files = reader.load(path).select("path", "content")
-    return files.mapInPandas(_records_map, RECORD_SCHEMA)
+    return files.mapInPandas(
+        functools.partial(_records_map, max_extract_bytes=max_extract_bytes),
+        RECORD_SCHEMA,
+    )
 
 
 def _html_pages(recs: DataFrame) -> DataFrame:
@@ -414,8 +448,9 @@ def write_warc(
     file — ordering runs Spark-side (sortWithinPartitions on
     target_uri) so a given (partitioning, data) produces byte-identical
     files (gzip members are written with mtime=0).  WARC-Record-ID is
-    derived deterministically (md5 of partition/sequence/uri) — pass a
-    real registry's IDs through ``target_uri``-keyed joins if needed.
+    derived deterministically (md5 of partition/sequence/record-ordinal
+    /uri — the ordinal keeps repeated URIs unique) — pass a real
+    registry's IDs through ``target_uri``-keyed joins if needed.
     File names ``warc-{partition:05d}-{seq:04d}.warc.gz`` are
     partition-disjoint so concurrent tasks never collide."""
     import hashlib
@@ -449,8 +484,11 @@ def write_warc(
             for i in range(len(pdf)):
                 row = pdf.iloc[i]
                 block = bytes(row["body"]) if row["body"] is not None else b""
+                # the per-file ordinal keeps IDs unique even when the
+                # same target_uri recurs within one output file (ISO
+                # 28500: WARC-Record-ID is globally unique PER RECORD)
                 rid = hashlib.md5(
-                    f"{pid}/{seq}/{row['target_uri']}".encode()
+                    f"{pid}/{seq}/{n_rec}/{row['target_uri']}".encode()
                 ).hexdigest()
                 rec = build_warc_record(
                     {

@@ -384,3 +384,80 @@ def test_stream_warc_text_equals_batch(spark, tmp_path):
         for r in spark.sql("SELECT * FROM warc_stream_sink").collect()
     }
     assert got == batch and len(got) == 6
+
+
+# ------------------------------------------- content-encoding bomb budget
+
+
+def gz_response(inflated: bytes) -> bytes:
+    """A 200 text/html response whose BODY travels Content-Encoding:
+    gzip — small on the wire, large after inflation."""
+    return http_response(
+        gzip.compress(inflated, mtime=0),
+        extra=b"Content-Encoding: gzip\r\n",
+    )
+
+
+def test_inflated_body_budget_fails_the_file(spark, tmp_path):
+    """iter_warc_records meters raw block bytes, but gzip/deflate
+    bodies inflate AFTER that check — the reader must charge the
+    INFLATED sizes against the same per-file budget so an amplification
+    bomb (tiny blocks, ~1000x-inflating bodies) errors its file instead
+    of buffering the blow-up in one task's frame."""
+    d = tmp_path / "enc"
+    d.mkdir()
+    inflated = b"A" * 100_000  # compresses to ~150 bytes per record
+    bomb = b"".join(
+        make_record("response", f"http://z{i}.example/", gz_response(inflated))
+        for i in range(5)
+    )
+    (d / "bomb.warc").write_bytes(bomb)
+    (d / "ok.warc").write_bytes(sample_warc())
+
+    # raw blocks total ~1 KB — far inside the budget; inflated ~500 KB is not
+    df = W.read_warc_records(
+        spark, str(d), glob="*.warc", max_extract_bytes=300_000
+    )
+    by_file = {}
+    for r in df.collect():
+        by_file.setdefault(r.warc_file, []).append(r)
+    (err,) = by_file["bomb.warc"]
+    assert err.error is not None and "inflated" in err.error
+    assert len(by_file["ok.warc"]) == 5 and all(
+        r.error is None for r in by_file["ok.warc"]
+    )
+
+    # under the default budget the same file parses fully, bodies inflated
+    df2 = W.read_warc_records(spark, str(d), glob="bomb.warc")
+    rows = df2.collect()
+    assert len(rows) == 5 and all(bytes(r.body) == inflated for r in rows)
+
+
+def test_write_warc_record_ids_unique_for_repeated_uri(spark, tmp_path):
+    """ISO 28500: WARC-Record-ID is globally unique PER RECORD — two
+    records sharing a target_uri in one output file must not share an
+    ID (the ID hash includes the per-file record ordinal)."""
+    out = str(tmp_path / "dup")
+    rows = [
+        (
+            "response",
+            "http://same.example/",
+            "2024-01-01T00:00:00Z",
+            "application/http; msgtype=response",
+            http_response(f"<p>copy {i}</p>".encode()),
+        )
+        for i in range(3)
+    ]
+    src = spark.createDataFrame(
+        rows,
+        "rec_type string, target_uri string, warc_date string, "
+        "content_type string, body binary",
+    ).coalesce(1)
+    (m,) = W.write_warc(src, out).collect()
+    import io
+
+    with open(os.path.join(out, m.warc_file), "rb") as fh:
+        blob = fh.read()
+    stream = io.BufferedReader(gzip.GzipFile(fileobj=io.BytesIO(blob)))
+    ids = [h["warc-record-id"] for h, _ in W.iter_warc_records(stream)]
+    assert len(ids) == 3 and len(set(ids)) == 3
