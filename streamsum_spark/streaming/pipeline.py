@@ -1626,7 +1626,7 @@ def stream_duplicate_spans(
         firsts = ranked.where(F.col("rn") == 1).select("doc_id", "start", "g")
         if os.path.exists(fp_tbl):
             stored = read_touched_buckets(spark, fp_tbl, firsts.select("g"))
-            extra = (
+            joined = (
                 firsts.alias("b")
                 .join(stored.alias("s"), "g")
                 # same (doc_id, start) = redelivery of the stored first:
@@ -1635,7 +1635,25 @@ def stream_duplicate_spans(
                     (F.col("b.doc_id") != F.col("s.doc_id"))
                     | (F.col("b.start") != F.col("s.start"))
                 )
-                .select(F.col("b.doc_id"), F.col("b.start"), "g")
+            )
+            # flag the LOSER of the (doc_id, start) order: with
+            # out-of-order arrival the stored occurrence may sort AFTER
+            # the batch copy — then the batch copy is the new global
+            # first (the store min-merges toward it below) and the
+            # STORED occurrence gets the flag, matching the batch
+            # operator's keep-globally-first semantics
+            b_first = (F.col("b.doc_id") < F.col("s.doc_id")) | (
+                (F.col("b.doc_id") == F.col("s.doc_id"))
+                & (F.col("b.start") < F.col("s.start"))
+            )
+            extra = joined.select(
+                F.when(b_first, F.col("s.doc_id"))
+                .otherwise(F.col("b.doc_id"))
+                .alias("doc_id"),
+                F.when(b_first, F.col("s.start"))
+                .otherwise(F.col("b.start"))
+                .alias("start"),
+                "g",
             )
             flagged = flagged.unionByName(extra)
         flagged = flagged.localCheckpoint()
@@ -1662,9 +1680,10 @@ def stream_duplicate_spans(
         )
 
     docs = stream_documents(spark, sf_dir, glob, max_files_per_trigger)
-    ckpt = checkpoint or os.path.join(
-        tempfile.gettempdir(), f"streamsum_spans_ckpt_{uuid.uuid4().hex[:10]}"
-    )
+    # derived from the state base so a re-invocation against the same
+    # state resumes the file-source position instead of replaying (a
+    # replay would re-collide every stored first and double-flag)
+    ckpt = checkpoint or base + "_ckpt"
     q = (
         docs.select("doc_id", "text")
         .writeStream.foreachBatch(on_batch)
@@ -1737,14 +1756,31 @@ def stream_dedup_paragraphs(
         firsts = ranked.where(F.col("rn") == 1).select("doc_id", "idx", "g")
         if os.path.exists(fp_tbl):
             stored = read_touched_buckets(spark, fp_tbl, firsts.select("g"))
-            extra = (
+            joined = (
                 firsts.alias("b")
                 .join(stored.alias("s"), "g")
                 .where(
                     (F.col("b.doc_id") != F.col("s.doc_id"))
                     | (F.col("b.idx") != F.col("s.idx"))
                 )
-                .select(F.col("b.doc_id"), F.col("b.idx"), "g")
+            )
+            # flag the LOSER of the (doc_id, idx) order (see
+            # stream_duplicate_spans): a late-arriving globally-first
+            # copy flags the STORED occurrence and is kept, so the flag
+            # set converges to the batch operator's keep-globally-first
+            # under any arrival order
+            b_first = (F.col("b.doc_id") < F.col("s.doc_id")) | (
+                (F.col("b.doc_id") == F.col("s.doc_id"))
+                & (F.col("b.idx") < F.col("s.idx"))
+            )
+            extra = joined.select(
+                F.when(b_first, F.col("s.doc_id"))
+                .otherwise(F.col("b.doc_id"))
+                .alias("doc_id"),
+                F.when(b_first, F.col("s.idx"))
+                .otherwise(F.col("b.idx"))
+                .alias("idx"),
+                "g",
             )
             flagged = flagged.unionByName(extra)
         flagged = flagged.localCheckpoint()
@@ -1769,9 +1805,9 @@ def stream_dedup_paragraphs(
         )
 
     docs = stream_documents(spark, sf_dir, glob, max_files_per_trigger)
-    ckpt = checkpoint or os.path.join(
-        tempfile.gettempdir(), f"streamsum_paras_ckpt_{uuid.uuid4().hex[:10]}"
-    )
+    # same checkpoint derivation as stream_duplicate_spans: resume,
+    # don't replay, when re-invoked with the same state_base
+    ckpt = checkpoint or base + "_ckpt"
     q = (
         docs.select("doc_id", "text")
         .writeStream.foreachBatch(on_batch)

@@ -259,14 +259,11 @@ def test_stream_dedup_paragraphs_equals_batch(spark, tmp_path):
             spark, "", docs=full.select("doc_id", "text")
         ).collect()
     }
-    # NOTE: slices arrive in doc_id-interleaved order (0,3 | 1,4 | 2,5),
-    # so first-arrived != smallest (doc_id, idx) for cross-slice dups —
-    # the documented stream semantics.  Flag COUNT per doc still matches
-    # batch when every duplicate group's members span slices the way
-    # this corpus does only for groups whose first member arrives first;
-    # pin instead the invariant that holds by construction: rebuilt text
-    # with the stream's flags drops exactly one member per duplicate
-    # group and keeps blanks.
+    # Slices arrive in doc_id-interleaved order (0,3 | 1,4 | 2,5); the
+    # stream flags the LOSER of each (doc_id, idx) collision, so the
+    # flag set converges to batch's keep-globally-first under any
+    # arrival order.  Pin the rebuilt-text invariant (drops exactly one
+    # member per duplicate group, keeps blanks).
     stream_clean = {
         r.doc_id: r
         for r in strip_flagged_paragraphs(
@@ -291,3 +288,58 @@ def test_stream_dedup_paragraphs_equals_batch(spark, tmp_path):
         checkpoint=str(tmp_path / "ckpt2"),
     )
     assert {(r.doc_id, r.idx) for r in flags2.collect()} == flag_rows
+
+
+def test_stream_dedup_paragraphs_out_of_order_keeps_global_first(
+    spark, tmp_path
+):
+    """The globally-first copy arriving LATE must flag the stored
+    occurrence (the loser of the (doc_id, idx) order), not itself —
+    and a re-invocation with the same state_base must RESUME the
+    derived checkpoint, not replay already-ingested slices (a replay
+    of the old flag-the-batch-copy logic dropped every copy)."""
+    import glob as g
+    import os
+    import shutil
+    import time
+
+    from streamsum_spark.operators.dedup import strip_flagged_paragraphs
+    from streamsum_spark.streaming.pipeline import stream_dedup_paragraphs
+
+    full = spark.createDataFrame(
+        [(0, "dup para\nzero body"), (5, "dup para\nfive body")],
+        "doc_id long, text string",
+    )
+    src = tmp_path / "ooo"
+    src.mkdir()
+    # slice 0 carries doc 5; the globally-first doc 0 arrives in slice 1
+    for i, doc in enumerate([5, 0]):
+        tmp = str(src / f"_s{i}")
+        full.where(f"doc_id = {doc}").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        dst = str(src / f"ooo_{i}.parquet")
+        shutil.copy(g.glob(f"{tmp}/part-*.parquet")[0], dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (time.time() + i * 10, time.time() + i * 10))
+
+    base = str(tmp_path / "ooo_state")
+    flags = stream_dedup_paragraphs(
+        spark, str(src), glob="ooo_*.parquet",
+        max_files_per_trigger=1, state_base=base,
+    )
+    assert {(r.doc_id, r.idx) for r in flags.collect()} == {(5, 0)}
+
+    # resume (derived checkpoint): nothing new to ingest, flags stable
+    flags2 = stream_dedup_paragraphs(
+        spark, str(src), glob="ooo_*.parquet",
+        max_files_per_trigger=1, state_base=base,
+    )
+    assert {(r.doc_id, r.idx) for r in flags2.collect()} == {(5, 0)}
+
+    clean = {
+        r.doc_id: r.text_clean
+        for r in strip_flagged_paragraphs(full, flags2).collect()
+    }
+    assert clean[0] == "dup para\nzero body"  # global first kept intact
+    assert clean[5] == "five body"
