@@ -122,15 +122,23 @@ def cap_per_domain(
         raise ValueError("cap must be >= 1")
     from pyspark.sql import Window
 
-    d = with_domain(df, url_col)
+    # the fallback key must be ROW-unique, not URL-unique: repeated
+    # copies of the same unparseable URL would otherwise share a window
+    # key and compete under the cap, contradicting the pass-through
+    # contract above
+    d = with_domain(df, url_col).withColumn(
+        "_row_uid", F.monotonically_increasing_id()
+    )
     pr = priority if priority is not None else F.xxhash64(F.col(url_col))
     key = F.coalesce(
         F.col("domain"),
-        F.concat_ws("-", F.lit("nodomain"), F.xxhash64(F.col(url_col))),
+        F.concat_ws(
+            "-", F.lit("nodomain"), F.col("_row_uid").cast("string")
+        ),
     )
     w = Window.partitionBy(key).orderBy(pr.asc(), F.col(url_col).asc())
     return (
         d.withColumn("domain_rank", F.row_number().over(w).cast("long"))
         .where(F.col("domain_rank") <= cap)
-        .drop("host")
+        .drop("host", "_row_uid")
     )

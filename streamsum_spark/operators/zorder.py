@@ -31,6 +31,8 @@ a little of that for skippability on all clustered columns)."""
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -84,6 +86,12 @@ def _rank_sqls(
         probs = [i / (top + 1) for i in range(1, top + 1)]
         qs = dbl.approxQuantile(cols, probs, 0.001)  # bounded: 2^bits/col
         for c, bounds in zip(cols, qs):
+            # NaN/inf boundaries (a double column with NaNs sorts them
+            # last, so they surface as TOP quantiles) would render as
+            # unparseable 'nanD' literals — drop them; values at/above
+            # the highest finite boundary share the top bucket, which
+            # is exactly where NaN rows belong in a sort layout
+            bounds = [b for b in bounds if b is not None and math.isfinite(b)]
             if not bounds:
                 rank_sqls[c] = "CAST(0 AS BIGINT)"
                 continue
@@ -96,17 +104,28 @@ def _rank_sqls(
                 f"q -> q <= {col_sql})) AS BIGINT), CAST(0 AS BIGINT))"
             )
     else:
+        # NaN compares greater than everything in Spark, so a bare max()
+        # over a NaN-bearing column returns NaN — an unparseable 'nanD'
+        # literal downstream; aggregate over the finite values only
         stats = dbl.agg(
             *[
                 f
                 for c in cols
-                for f in (F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}"))
+                for f in (
+                    F.min(F.when(~F.isnan(c), F.col(c))).alias(f"_mn_{c}"),
+                    F.max(F.when(~F.isnan(c), F.col(c))).alias(f"_mx_{c}"),
+                )
             ]
         ).collect()[0]
         for c in cols:
             mn, mx = stats[f"_mn_{c}"], stats[f"_mx_{c}"]
             col_sql = _COL_SQL(c, schema[c])
-            if mn is None or mx is None or mx <= mn:
+            if (
+                mn is None
+                or mx is None
+                or not (math.isfinite(mn) and math.isfinite(mx))
+                or mx <= mn
+            ):
                 rank_sqls[c] = "CAST(0 AS BIGINT)"  # constant/empty/all-null
             else:
                 rank_sqls[c] = (

@@ -169,14 +169,22 @@ def test_composes_with_warc_text(spark, tmp_path):
 def test_cap_per_domain_null_domains_pass_without_shared_bucket(spark):
     """Garbage URLs (null domain) each rank 1 in their own key — never
     one corpus-wide null partition competing under a single cap."""
-    rows = [(f"::junk {i}", "t") for i in range(40)] + [
-        ("http://real.example.com/a", "t"),
-        ("http://real.example.com/b", "t"),
-    ]
+    rows = (
+        [(f"::junk {i}", "t") for i in range(40)]
+        # REPEATED copies of one unparseable URL: the fallback key is
+        # row-unique, so identical garbage URLs must not compete
+        # under the cap either
+        + [("::same junk", "t")] * 5
+        + [
+            ("http://real.example.com/a", "t"),
+            ("http://real.example.com/b", "t"),
+        ]
+    )
     df = spark.createDataFrame(rows, "target_uri string, text string")
     out = CR.cap_per_domain(df, cap=1).collect()
     junk = [r for r in out if r.domain is None]
-    assert len(junk) == 40 and all(r.domain_rank == 1 for r in junk)
+    assert len(junk) == 45 and all(r.domain_rank == 1 for r in junk)
+    assert sum(1 for r in junk if r.target_uri == "::same junk") == 5
     assert sum(1 for r in out if r.domain == "example.com") == 1
 
 

@@ -244,3 +244,25 @@ def test_hilbert_layout_tightens_worst_file_vs_morton(spark, tmp_path):
     assert worst(hs) <= worst(zs)
     assert mean(hs) <= 1.1 * mean(zs)
     assert spark.read.parquet(hp).count() == 20000
+
+
+def test_nan_columns_rank_without_unparseable_literals(spark):
+    """A double column carrying NaNs must not poison the rank
+    expressions: NaN sorts last, so approxQuantile can emit NaN TOP
+    boundaries and min/max aggregates return NaN — either would render
+    as an unparseable 'nanD' SQL literal and fail the whole plan at
+    analysis time.  NaN rows rank into the top (quantile) or zero
+    (affine) bucket; finite rows rank normally."""
+    rows = [(float(i), float(i)) for i in range(20)] + [
+        (float("nan"), 5.0),
+        (float("nan"), float("nan")),
+    ]
+    df = spark.createDataFrame(rows, "a double, b double")
+    for mode in ("quantile", "affine"):
+        got = df.select(
+            "a", Z.morton_code(df, ["a", "b"], bits=3, rank=mode).alias("z")
+        ).collect()
+        assert len(got) == 22 and all(r.z is not None for r in got)
+        # finite rows still discriminate: distinct codes across the range
+        finite = {r.z for r in got if not math.isnan(r.a)}
+        assert len(finite) > 1
