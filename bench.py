@@ -22,6 +22,13 @@ after the run) and per-query max-over-min spread, so the per-round BENCH
 artifact distinguishes co-tenant noise from real regressions: rounds 3-4
 showed ±20-35%% total swing on byte-identical code, which this metadata
 makes attributable at a glance.
+
+Contention contract (round 13): a query whose post-compile runs spread
+beyond 1.5x earns up to 2 extra runs (min over all), and the headline
+line carries load_start (1-min loadavg sampled BEFORE the Spark session
+exists — pure co-tenant signal), load_after, and a `contended` boolean
+(high start load, or >=25%% of entries still unstable after re-runs) so
+a recorded artifact can't silently overstate the way BENCH_r12 did.
 """
 
 from __future__ import annotations
@@ -34,6 +41,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# post-compile max/min ratio beyond which a query's 3 runs are deemed
+# contention-suspect and earn up to 2 extra runs (r12 verdict order #1:
+# the recorded r12 artifact overstated ~15% purely from co-tenant load)
+_SPREAD_BOUND = 1.5
 
 # Headline set: one per operator family (pipeline, caches, read-API, joins,
 # aggs, windows, dedup, text, similarity) — kept name-stable across rounds
@@ -741,6 +753,11 @@ def main() -> None:
 
     extra = extra_queries()
 
+    # sampled BEFORE the Spark session exists: at this point the 1-min
+    # loadavg is co-tenant work, not our own executors — the one load
+    # number that cleanly separates "busy host" from "busy bench"
+    load_start = os.getloadavg()
+
     spark = get_spark("streamsum_spark_bench")
     sf = None
     try:
@@ -750,23 +767,58 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    reruns: dict[str, int] = {}
+    n_unstable = 0
     prewarm(spark, SF_DIR)
 
     load_before = os.getloadavg()
     for name in HEADLINE:
         fn = QUERIES.get(name) or extra[name]
-        runs = []
-        for _ in range(3):
+
+        def one_run() -> float:
             t0 = time.perf_counter()
             n = _materialize(fn(spark, SF_DIR))
-            runs.append(time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
             assert n >= 0
+            return dt
+
+        runs = [one_run() for _ in range(3)]
+        # contention guard (r12 verdict order #1): when the post-compile
+        # runs still disagree by >1.5x — run 1 is excluded from the
+        # trigger because its codegen/JIT tail is expected — the min is
+        # probably a co-tenant-inflated estimate; buy up to 2 extra
+        # runs and keep the min over all of them.  One-sided noise
+        # means extra runs can only IMPROVE the estimator.
+        while (
+            len(runs) < 5
+            and min(runs) > 0.2  # sub-0.2 s entries: spread is all jitter
+            and max(runs[1:]) / max(min(runs), 1e-9) > _SPREAD_BOUND
+        ):
+            runs.append(one_run())
+        if len(runs) > 3:
+            reruns[name] = len(runs) - 3
+        if (
+            min(runs) > 0.2
+            and max(runs[1:]) / max(min(runs), 1e-9) > _SPREAD_BOUND
+        ):
+            # still unstable after the extra budget: count toward the
+            # run-level contended verdict
+            n_unstable += 1
         timings[name] = round(min(runs), 3)
         # max/min over the runs: ~1 means a stable host; co-tenant load
         # spikes show up here without touching the min estimator
         spreads[name] = round(max(runs) / max(min(runs), 1e-9), 2)
     load_after = os.getloadavg()
     total = round(sum(timings.values()), 3)
+    # the recorded artifact says so itself when its numbers are suspect:
+    # high 1-min load at process start (before OUR Spark session did any
+    # work — that load is co-tenants) or a quarter of the headline
+    # entries still spread-unstable after re-runs
+    ncpu = os.cpu_count() or 1
+    contended = (
+        load_start[0] > 0.25 * ncpu
+        or n_unstable * 4 > len(HEADLINE)
+    )
     # side metrics each print as their OWN earlier stdout line: the
     # driver records a bounded (~2000-char) TAIL of stdout, and r8/r9
     # both lost the front of the headline JSON to ride-along dicts
@@ -781,8 +833,10 @@ def main() -> None:
     }))
     print(json.dumps({
         "metric": "bench_loadavg",
+        "start": [round(x, 2) for x in load_start],
         "before": [round(x, 2) for x in load_before],
         "after": [round(x, 2) for x in load_after],
+        "reruns": reruns,
     }))
     out = {
         "metric": "headline_queries_total_runtime",
@@ -791,6 +845,13 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "runs_per_query": 3,
+        # contention contract (r12): 1-min loadavg at process start
+        # (pre-Spark = co-tenants only) and post-run, plus the verdict —
+        # IN the headline line so the recorded artifact carries its own
+        # trust label
+        "load_start": round(load_start[0], 1),
+        "load_after": round(load_after[0], 1),
+        "contended": contended,
     }
     # ride-along scale-factor sweep (tools/scale_sweep.py): one sf1.0
     # datapoint per query so the per-round artifact carries scaling

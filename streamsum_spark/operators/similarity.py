@@ -412,6 +412,7 @@ def kmeans_ivf_index(
     n_lists: int | None = None,
     seed: int = 7,
     fit_sample_cap: int | None = FIT_SAMPLE_CAP,
+    emb: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Learned IVF coarse quantizer: k-means over the embedding space via
     pyspark.ml (the idiomatic Spark path — Lloyd's iterations are
@@ -431,12 +432,18 @@ def kmeans_ivf_index(
     construction — and assignments are computed for the FULL corpus as a
     map-side projection; the corpus is then written partitioned by
     list_id so an nprobe-list query prunes to nprobe partitions.
+    Pass ``emb`` (vec_id, embedding) to index a relation other than
+    the sf_dir embeddings table — composite pipelines hand in derived
+    embeddings directly.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    n_lists = _resolve_n_lists(spark, sf_dir, n_lists)
-    emb = table(spark, sf_dir, "embeddings")
+    if emb is None:
+        n_lists = _resolve_n_lists(spark, sf_dir, n_lists)
+        emb = table(spark, sf_dir, "embeddings")
+    elif n_lists is None:
+        n_lists = auto_n_lists(emb.count())
     feats = emb.select(
         "vec_id",
         array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
@@ -1472,6 +1479,8 @@ def semantic_dedup(
     max_list: int | None = None,
     index: tuple[DataFrame, DataFrame] | None = None,
     seed: int = 7,
+    emb: DataFrame | None = None,
+    cache_token: str | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means
     the embedding space, call vectors semantic duplicates when their
@@ -1489,21 +1498,42 @@ def semantic_dedup(
     quadratic, never corpus-wide — the same candidates-then-verify
     architecture as every dedup operator here), with cluster count
     sized ~sqrt(N) by default so expected per-cluster work stays
-    bounded; ``max_list`` caps degenerate clusters exactly like the LSH
-    hot-bucket caps.  Group resolution is the O(log^2 n) star CC, and
-    exemplar selection is one window over the (small) duplicate set.
-    Pass ``index=(assignments, centroids)`` to reuse a prebuilt
-    kmeans_ivf_index (composite pipelines build the quantizer once);
-    the cosine fold and round(6) match the cross-engine FP policy, and
-    the keep-set is pinned against a pure-Python reference over the
-    same assignments in tests/test_semantic_dedup.py."""
+    bounded.  ``max_list`` caps degenerate clusters exactly like the
+    LSH hot-bucket caps, and it is ON BY DEFAULT (r12 verdict item 2):
+    ``None`` derives 8x the mean list size (floored at 64), so a
+    degenerate k-means fit (one giant cluster) cannot turn the
+    within-cluster join quadratic in that cluster.  Unlike the LSH
+    caps — which only narrow a PAIR relation — capped clusters'
+    vectors stay in the output (one row per corpus vector is the
+    contract): they bypass the pair join and come back kept=true,
+    component=null, ``capped``=true, so a caller can count/log exactly
+    which rows skipped semantic comparison.  Group resolution is the
+    O(log^2 n) star CC, and exemplar selection is one window over the
+    (small) duplicate set.  Pass ``index=(assignments, centroids)`` to
+    reuse a prebuilt kmeans_ivf_index (composite pipelines build the
+    quantizer once) and ``emb`` to dedup a relation other than the
+    sf_dir embeddings table (with ``cache_token`` keying the persisted
+    intermediate); the cosine fold and round(6) match the cross-engine
+    FP policy, and the keep-set is pinned against a pure-Python
+    reference over the same assignments in
+    tests/test_semantic_dedup.py."""
     from streamsum_spark.operators.clusters import connected_components
 
     if index is None:
-        index = kmeans_ivf_index(spark, sf_dir, n_lists=n_lists, seed=seed)
+        index = kmeans_ivf_index(
+            spark, sf_dir, n_lists=n_lists, seed=seed, emb=emb
+        )
     assignments, centroids = index
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    with_l = (
+    if emb is None:
+        emb = table(spark, sf_dir, "embeddings")
+    emb = emb.select("vec_id", "embedding")
+    if max_list is None:
+        # 8x the mean list size: generous headroom for a healthy fit,
+        # hard bound for a degenerate one
+        n_vec = assignments.count()
+        n_cl = max(centroids.count(), 1)
+        max_list = max(64, -(-8 * n_vec // n_cl))
+    full = (
         emb.join(assignments, "vec_id")
         .join(F.broadcast(centroids), "list_id")
         .select(
@@ -1512,17 +1542,16 @@ def semantic_dedup(
             "embedding",
             F.expr(_cos_expr("embedding", "centroid")).alias("cent_cos"),
         )
-    )
-    if max_list is not None:
-        w = Window.partitionBy("list_id")
-        with_l = (
-            with_l.withColumn("_f", F.count(F.lit(1)).over(w))
-            .where(F.col("_f") <= max_list)
-            .drop("_f")
+        .withColumn(
+            "capped",
+            F.count(F.lit(1)).over(Window.partitionBy("list_id"))
+            > F.lit(max_list),
         )
+    )
     from streamsum_spark.cached import shared_persist
 
-    with_l = shared_persist(("semdedup_lists", sf_dir), with_l)
+    full = shared_persist(("semdedup_lists", cache_token or sf_dir), full)
+    with_l = full.where(~F.col("capped"))
     a, b = with_l.alias("a"), with_l.alias("b")
     pairs = (
         a.join(
@@ -1546,8 +1575,9 @@ def semantic_dedup(
         .join(comp.withColumnRenamed("id", "vec_id"), "vec_id")
         .withColumn("kept", F.row_number().over(wr) == 1)
     )
+    # the base is FULL — capped vectors surface as unpaired rows
     return (
-        with_l.select("vec_id", "list_id", "cent_cos")
+        full.select("vec_id", "list_id", "cent_cos", "capped")
         .join(ranked.select("vec_id", "component", "kept"), "vec_id", "left")
         .select(
             "vec_id",
@@ -1555,5 +1585,6 @@ def semantic_dedup(
             "cent_cos",
             "component",
             F.coalesce("kept", F.lit(True)).alias("kept"),
+            "capped",
         )
     )

@@ -116,7 +116,10 @@ def test_cent_cos_matches_reference(fixture):
         )
 
 
-def test_max_list_cap_excludes_fat_clusters(spark):
+def test_max_list_cap_bypasses_fat_clusters(spark):
+    """Vectors in clusters over the cap stay in the OUTPUT (one row per
+    corpus vector is the contract) but bypass the pair join: they come
+    back capped=true, kept=true, component=null."""
     index = sim.kmeans_ivf_index(spark, SF_SMOKE, n_lists=4)
     sizes = {
         r.list_id: r.n
@@ -126,8 +129,42 @@ def test_max_list_cap_excludes_fat_clusters(spark):
     out = sim.semantic_dedup(
         spark, SF_SMOKE, threshold=THRESHOLD, index=index, max_list=cap
     ).collect()
-    kept_lists = {r.list_id for r in out}
-    assert kept_lists == {l for l, n in sizes.items() if n <= cap}
+    assert len(out) == sum(sizes.values())  # nothing silently dropped
+    capped = [r for r in out if r.capped]
+    assert {r.list_id for r in capped} == {l for l, n in sizes.items() if n > cap}
+    assert all(r.kept and r.component is None for r in capped)
+
+
+def test_default_cap_bounds_degenerate_cluster(spark):
+    """r12 verdict item 2: a degenerate fit with one cluster holding 50%
+    of the vectors must not run that cluster's quadratic pair join under
+    the DERIVED default cap; the healthy clusters still dedup and the
+    keep-set on them matches the per-cluster reference."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n, dim = 400, 8
+    # one fat "cluster" of 200 near-identical vectors + 200 spread ones
+    fat = rng.normal(0, 0.01, (n // 2, dim)) + np.ones(dim)
+    rest = rng.normal(0, 1.0, (n // 2, dim))
+    vecs = np.vstack([fat, rest])
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    # many lists -> derived cap = max(64, ceil(8 * 400 / 40)) = 80 < 200
+    out = sim.semantic_dedup(
+        spark, "", threshold=0.9, emb=emb, n_lists=40,
+        cache_token="degenerate-test",
+    ).collect()
+    assert len(out) == n
+    capped = [r for r in out if r.capped]
+    # the fat cluster (>=200 members in one list under any fit that
+    # groups the near-identical block) is over the 80-row derived cap
+    assert len(capped) >= n // 2
+    assert all(r.kept and r.component is None for r in capped)
+    # un-capped vectors went through the pair join normally
+    assert all(not r.capped or r.component is None for r in out)
 
 
 def test_no_pairs_keeps_everything(spark):
