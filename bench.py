@@ -103,6 +103,10 @@ HEADLINE = [
     "warc_read_text",
     "near_dup_tuned05",
     "classifier_train_score",
+    # round 13 addition (compare totals to r<=12 minus this entry): the
+    # composed crawl-to-corpus funnel — every stage above chained as
+    # one plan family (r12 verdict order #2)
+    "corpus_prep_e2e",
 ]
 
 
@@ -434,11 +438,16 @@ def _warc_corpus(spark, sf_dir) -> str:
         out = os.path.join(
             tempfile.gettempdir(), f"bench_warc_{uuid.uuid4().hex[:10]}"
         )
+        # 256 hosts so the corpus_prep_e2e entry's per-domain cap stage
+        # has real domain cardinality to bind on
         docs = table(spark, sf_dir, "documents").select(
             F.lit("response").alias("rec_type"),
-            F.concat(F.lit("http://doc.example/"), F.col("doc_id")).alias(
-                "target_uri"
-            ),
+            F.concat(
+                F.lit("http://s"),
+                F.pmod(F.col("doc_id"), F.lit(256)),
+                F.lit(".example.com/"),
+                F.col("doc_id"),
+            ).alias("target_uri"),
             F.lit("2024-01-01T00:00:00Z").alias("warc_date"),
             F.lit("application/http; msgtype=response").alias("content_type"),
             F.encode(
@@ -467,6 +476,26 @@ def warc_read_text(spark, sf_dir):
     from streamsum_spark.sources.warc import read_warc_text
 
     return read_warc_text(spark, _warc_corpus(spark, sf_dir))
+
+
+def corpus_prep_e2e(spark, sf_dir):
+    """Headline for the COMPOSED crawl-to-corpus funnel (r12 verdict
+    order #2): WARC ingest -> paragraph dedup -> per-domain cap -> NB
+    quality gate -> tuned near-dup -> semantic dedup (hashed
+    embeddings) -> sequence packing, as ONE chained plan family over
+    the memoized WARC corpus.  Each timed run pays the full pipeline
+    including NB training and the k-means fit — the number a user
+    preparing a corpus actually experiences.  Stage-by-stage survivor
+    equality vs the individual operators is pinned in
+    tests/test_corpus_prep.py."""
+    from streamsum_spark.corpus_prep import corpus_prep_e2e as _cp
+
+    return _cp(
+        spark,
+        _warc_corpus(spark, sf_dir),
+        domain_cap=1000,
+        cache_token=f"bench_corpus_prep:{sf_dir}",
+    )
 
 
 def near_dup_tuned05(spark, sf_dir):
@@ -704,6 +733,7 @@ def extra_queries() -> dict:
         "warc_read_text": warc_read_text,
         "near_dup_tuned05": near_dup_tuned05,
         "classifier_train_score": classifier_train_score,
+        "corpus_prep_e2e": corpus_prep_e2e,
     }
 
 

@@ -73,12 +73,17 @@ GROUP BY 1
 _MINHASH_P = 4294967291  # largest prime < 2^32; j*h2 <= 16*2^48 < 2^63
 
 
-def shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def shingle_sets(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, sh) with sh = the distinct 3-word shingle set — the shared
     input of MinHash signature generation AND exact Jaccard verification.
     Composite pipelines compute this ONCE (and persist it) instead of
-    re-tokenizing the corpus per consumer."""
-    docs = rebalance_for_cpu(table(spark, sf_dir, "documents"))
+    re-tokenizing the corpus per consumer.  ``docs`` (doc_id, text)
+    overrides the sf_dir documents table — a mid-pipeline relation keeps
+    its own partitioning."""
+    if docs is None:
+        docs = rebalance_for_cpu(table(spark, sf_dir, "documents"))
     return docs.withColumn("_toks", F.expr(_TOKS)).select(
         "doc_id", F.expr(f"array_distinct({_SHINGLES_T})").alias("sh")
     )
@@ -1051,6 +1056,8 @@ def near_dup_tuned(
     sf_dir: str,
     threshold: float = 0.5,
     max_bucket: int | None = None,
+    docs: DataFrame | None = None,
+    cache_token: str | None = None,
 ) -> DataFrame:
     """near_dup_verified with threshold-TUNED banding: (b, r) from
     choose_lsh_params, banded candidate join, exact Jaccard verify at
@@ -1058,15 +1065,21 @@ def near_dup_tuned(
     (bucketed band join, optional hot-bucket cap, persisted shared
     shingle relation) — but at tight thresholds the r>1 band key
     suppresses sub-threshold candidates BEFORE the verification join
-    instead of after it, which is where the cost lives at scale."""
+    instead of after it, which is where the cost lives at scale.
+    ``docs`` (doc_id, text) overrides the sf_dir documents table for
+    composite pipelines, with ``cache_token`` keying the persisted
+    intermediates in place of sf_dir."""
     from pyspark.sql import Window
 
     from streamsum_spark.cached import shared_persist
 
     b, r = choose_lsh_params(threshold)
-    sh = shared_persist(("shingle_sets", sf_dir), shingle_sets(spark, sf_dir))
+    key = cache_token or sf_dir
+    sh = shared_persist(
+        ("shingle_sets", key), shingle_sets(spark, sf_dir, docs=docs)
+    )
     bands = shared_persist(
-        ("minhash_banded", sf_dir, b, r), banded_keys(_signatures_from(sh), b, r)
+        ("minhash_banded", key, b, r), banded_keys(_signatures_from(sh), b, r)
     )
     if max_bucket is not None:
         w = Window.partitionBy("band_id", "bkey")

@@ -1471,6 +1471,48 @@ def ivfpq_knn_batch(
     )
 
 
+def hashed_text_embeddings(
+    docs: DataFrame,
+    dim: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic feature-hashing embeddings (the hashing trick,
+    Weinberger et al. 2009): each token lands in ``xxhash64(token) mod
+    dim`` with a ±1 sign from an independent hash bit, summed and
+    L2-normalized — a dense bag-of-words vector with no vocabulary, no
+    model, and no shuffle (the fold is a pure per-row expression chain
+    inside codegen; cost O(dim) per token, so keep ``dim`` modest).
+
+    Output: (vec_id, embedding ARRAY<DOUBLE>) — the shape
+    semantic_dedup / kmeans_ivf_index consume, which is exactly the
+    role this plays in corpus_prep_e2e: giving a text-only corpus a
+    semantic-dedup stage without an external encoder.  A production
+    run swaps in real model embeddings through the same ``emb=``
+    parameter; nothing downstream changes."""
+    if dim < 2 or dim > 256:
+        raise ValueError("dim must be in [2, 256]")
+    # split('') yields [''] — drop empty tokens so blank text maps to
+    # the zero vector, not a hashed empty-string bucket
+    toks = f"filter(split(trim({text_col}), '\\\\s+'), t -> t != '')"
+    signed = (
+        f"aggregate({toks}, array_repeat(0.0D, {dim}), (acc, t) -> "
+        f"transform(acc, (v, i) -> v + IF(pmod(xxhash64(t), {dim}) = i, "
+        f"IF(pmod(xxhash64(concat(t, '#')), 2) = 0, 1.0D, -1.0D), 0.0D)))"
+    )
+    raw = docs.select(
+        F.col(id_col).alias("vec_id"), F.expr(signed).alias("_v")
+    ).withColumn(
+        "_n", F.expr("sqrt(aggregate(_v, 0.0D, (s, x) -> s + x * x))")
+    )
+    return raw.select(
+        "vec_id",
+        F.expr(
+            "CASE WHEN _n = 0.0D THEN _v ELSE transform(_v, x -> x / _n) END"
+        ).alias("embedding"),
+    )
+
+
 def semantic_dedup(
     spark: SparkSession,
     sf_dir: str,

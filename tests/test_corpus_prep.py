@@ -1,0 +1,243 @@
+"""corpus_prep_e2e (r12 verdict order #2): the crawl-to-corpus funnel
+composes without a driver-side seam — each stage's survivor set equals
+the individually-invoked operator run on the previous stage's output,
+and the planted fixtures (boilerplate paragraph, over-cap domain, junk
+docs, a near-dup pair, a semantic-dup pair) each fall at exactly the
+stage built to catch them."""
+
+from __future__ import annotations
+
+import gzip
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamsum_spark.corpus_prep import corpus_prep_e2e, corpus_prep_stages
+from streamsum_spark.sources import warc as W
+
+BANNER = "ACCEPT COOKIES TO CONTINUE"
+CAP = 3
+MIN_WORDS = 40
+
+
+def _good_text(tag: str, n: int = 45) -> str:
+    """n unique words (vocabulary disjoint across docs except planted
+    pairs) + the shared boilerplate paragraph."""
+    words = " ".join(f"{tag}w{j}" for j in range(n))
+    return f"{BANNER}\n{words}"
+
+
+def _build_corpus(tmp_path):
+    """WARC shards holding: 6 good docs on big.com (cap=3 binds), 4 good
+    docs on other domains, a near-dup pair (1-word edit), a semantic-dup
+    pair (same multiset, shuffled order), and 5 junk docs."""
+    docs: list[tuple[str, str]] = []
+    for i in range(6):
+        docs.append((f"http://h{i}.big.com/p{i}", _good_text(f"big{i}")))
+    for i in range(4):
+        docs.append((f"http://site{i}.com/p", _good_text(f"solo{i}")))
+    # near-dup pair: 44 shared words of 45 -> shingle Jaccard ~0.9
+    base = [f"ndw{j}" for j in range(45)]
+    docs.append(("http://ndpair.com/a", BANNER + "\n" + " ".join(base)))
+    docs.append(
+        ("http://ndpair.com/b", BANNER + "\n" + " ".join(base[:-1] + ["ndx"]))
+    )
+    # semantic-dup pair: identical multiset, shuffled -> shingle overlap
+    # ~0, hashed-BoW cosine exactly 1.0
+    sem = [f"semw{j}" for j in range(45)]
+    shuffled = sem[:]
+    random.Random(3).shuffle(shuffled)
+    docs.append(("http://sempair.com/a", BANNER + "\n" + " ".join(sem)))
+    docs.append(("http://sempair.com/b", BANNER + "\n" + " ".join(shuffled)))
+    # junk: short, distinct spam vocabulary
+    for i in range(5):
+        docs.append(
+            (f"http://junk{i}.spam.com/x", f"buy click now pills deal j{i}")
+        )
+
+    recs = []
+    for uri, text in docs:
+        html = f"<html><body><p>{text}</p></body></html>".replace(
+            "\n", "</p><p>"
+        ).encode()
+        http = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            f"Content-Length: {len(html)}\r\n\r\n".encode() + html
+        )
+        recs.append(
+            W.build_warc_record(
+                {
+                    "WARC-Type": "response",
+                    "WARC-Record-ID": f"<urn:t:{uri}>",
+                    "WARC-Date": "2024-01-01T00:00:00Z",
+                    "WARC-Target-URI": uri,
+                    "Content-Type": "application/http; msgtype=response",
+                },
+                http,
+            )
+        )
+    d = tmp_path / "prep_warc"
+    d.mkdir()
+    half = len(recs) // 2
+    for i, chunk in enumerate((recs[:half], recs[half:])):
+        (d / f"s{i}.warc.gz").write_bytes(
+            b"".join(gzip.compress(r, mtime=0) for r in chunk)
+        )
+    return str(d), docs
+
+
+@pytest.fixture(scope="module")
+def prep(spark, tmp_path_factory):
+    warc_dir, docs = _build_corpus(tmp_path_factory.mktemp("cp"))
+    stages = corpus_prep_stages(
+        spark,
+        warc_dir,
+        domain_cap=CAP,
+        min_words=MIN_WORDS,
+        emb_dim=32,
+        cache_token="corpus_prep_test",
+    )
+    return warc_dir, docs, stages, {
+        name: {r.doc_id: r for r in df.collect()}
+        for name, df in stages.items()
+    }
+
+
+def test_funnel_is_monotone_and_stagewise_correct(prep):
+    warc_dir, docs, stages, got = prep
+    n_in = len(docs)
+    assert len(got["ingested"]) == n_in
+    # survivor sets only ever shrink, in stage order
+    order = [
+        "ingested", "para_deduped", "domain_capped", "quality_gated",
+        "near_deduped", "sem_deduped", "packed",
+    ]
+    for a, b in zip(order, order[1:]):
+        assert set(got[b]) <= set(got[a]), (a, b)
+    # paragraph dedup: the banner survives exactly once corpus-wide
+    texts = [r.text for r in got["para_deduped"].values()]
+    assert sum(t.count(BANNER) for t in texts) == 1
+    assert len(got["para_deduped"]) == n_in
+    # domain cap binds on big.com only
+    by_dom = {}
+    for r in got["domain_capped"].values():
+        dom = ".".join(r.target_uri.split("/")[2].split(".")[-2:])
+        by_dom.setdefault(dom, []).append(r)
+    assert len(by_dom["big.com"]) == CAP
+    assert all(len(v) <= CAP for v in by_dom.values())
+    # quality gate: every junk doc is gone, pairs survive
+    gated_uris = {r.target_uri for r in got["quality_gated"].values()}
+    assert not any("spam.com" in u for u in gated_uris)
+    assert {"http://ndpair.com/a", "http://ndpair.com/b"} <= gated_uris
+    assert {"http://sempair.com/a", "http://sempair.com/b"} <= gated_uris
+    # near-dup drops exactly one of the nd pair, leaves the sem pair
+    nd_uris = {r.target_uri for r in got["near_deduped"].values()}
+    assert len(nd_uris & {"http://ndpair.com/a", "http://ndpair.com/b"}) == 1
+    assert {"http://sempair.com/a", "http://sempair.com/b"} <= nd_uris
+    # semantic dedup drops exactly one of the sem pair
+    sem_uris = {r.target_uri for r in got["sem_deduped"].values()}
+    assert len(sem_uris & {"http://sempair.com/a", "http://sempair.com/b"}) == 1
+    # packing covers every survivor with positive token counts
+    assert set(got["packed"]) == set(got["sem_deduped"])
+    assert all(r.n_tokens > 0 and r.chunk >= 0 for r in got["packed"].values())
+
+
+def test_stages_equal_individual_operators(spark, prep):
+    """Survivor-set equality: re-run each operator standalone on the
+    PREVIOUS stage's relation with the same parameters — the composed
+    funnel must produce identical survivors (no seam, no reordering
+    effects)."""
+    warc_dir, docs, stages, got = prep
+    from streamsum_spark.operators.classifier import quality_filter_nb, train_nb
+    from streamsum_spark.operators.clusters import connected_components
+    from streamsum_spark.operators.crawl import cap_per_domain
+    from streamsum_spark.operators.dedup import dedup_paragraphs, near_dup_tuned
+    from streamsum_spark.operators.similarity import (
+        hashed_text_embeddings,
+        semantic_dedup,
+    )
+
+    # stage 2: paragraph dedup on the ingested relation
+    ing = stages["ingested"]
+    direct = {
+        r.doc_id: r.text_clean
+        for r in dedup_paragraphs(
+            spark, "", docs=ing.select("doc_id", "text")
+        ).collect()
+    }
+    assert direct == {k: r.text for k, r in got["para_deduped"].items()}
+    # stage 3: cap on the para-deduped relation
+    capped = {
+        r.doc_id
+        for r in cap_per_domain(
+            stages["para_deduped"], cap=CAP, url_col="target_uri"
+        ).collect()
+    }
+    assert capped == set(got["domain_capped"])
+    # stage 4: train + gate reproduces the composed gate exactly
+    dc = stages["domain_capped"]
+    wc = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    model = train_nb(
+        dc.select(
+            "doc_id", "text",
+            F.when(wc >= MIN_WORDS, F.lit("keep")).otherwise("drop").alias("label"),
+        )
+    )
+    gated = {
+        r.doc_id for r in quality_filter_nb(dc, model, keep_label="keep").collect()
+    }
+    assert gated == set(got["quality_gated"])
+    # stage 5: tuned near-dup + CC keep-min on the gated relation
+    qg = stages["quality_gated"]
+    pairs = near_dup_tuned(
+        spark, "", threshold=0.5, docs=qg.select("doc_id", "text"),
+        cache_token="corpus_prep_test_direct",
+    )
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    drops = {r.id for r in comp.where(F.col("id") != F.col("component")).collect()}
+    assert set(got["quality_gated"]) - drops == set(got["near_deduped"])
+    # stage 6: semantic dedup over the same hashed embeddings
+    emb = hashed_text_embeddings(stages["near_deduped"], dim=32)
+    sem = semantic_dedup(
+        spark, "", threshold=0.9, emb=emb,
+        cache_token="corpus_prep_test_direct",
+    )
+    sem_keep = {r.vec_id for r in sem.collect() if r.kept}
+    assert sem_keep == set(got["sem_deduped"])
+
+
+def test_corpus_prep_e2e_returns_packed(spark, prep):
+    warc_dir, docs, stages, got = prep
+    out = corpus_prep_e2e(
+        spark, warc_dir, domain_cap=CAP, min_words=MIN_WORDS, emb_dim=32,
+        cache_token="corpus_prep_test_e2e",
+    )
+    assert {r.doc_id for r in out.collect()} == set(got["packed"])
+    assert set(out.columns) == {
+        "doc_id", "target_uri", "text", "n_tokens", "part", "chunk",
+    }
+
+
+def test_hashed_text_embeddings_contract(spark):
+    from streamsum_spark.operators.similarity import hashed_text_embeddings
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),
+            (1, "delta gamma beta alpha"),  # same multiset -> same vector
+            (2, "totally different words here"),
+            (3, ""),  # empty text: zero vector stays zero (no NaN)
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.vec_id: list(r.embedding) for r in
+           hashed_text_embeddings(docs, dim=16).collect()}
+    assert all(len(v) == 16 for v in out.values())
+    assert out[0] == out[1]
+    assert out[0] != out[2]
+    for vid in (0, 2):
+        assert sum(x * x for x in out[vid]) == pytest.approx(1.0, abs=1e-9)
+    assert all(x == 0.0 for x in out[3])
+    with pytest.raises(ValueError, match="dim"):
+        hashed_text_embeddings(docs, dim=1)
