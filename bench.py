@@ -438,14 +438,15 @@ def _warc_corpus(spark, sf_dir) -> str:
         out = os.path.join(
             tempfile.gettempdir(), f"bench_warc_{uuid.uuid4().hex[:10]}"
         )
-        # 256 hosts so the corpus_prep_e2e entry's per-domain cap stage
-        # has real domain cardinality to bind on
+        # 64 registered domains (host h.d{k}.com -> domain d{k}.com) so
+        # the corpus_prep_e2e entry's per-domain cap stage has real
+        # domain cardinality to bind on
         docs = table(spark, sf_dir, "documents").select(
             F.lit("response").alias("rec_type"),
             F.concat(
-                F.lit("http://s"),
-                F.pmod(F.col("doc_id"), F.lit(256)),
-                F.lit(".example.com/"),
+                F.lit("http://h.d"),
+                F.pmod(F.col("doc_id"), F.lit(64)),
+                F.lit(".com/"),
                 F.col("doc_id"),
             ).alias("target_uri"),
             F.lit("2024-01-01T00:00:00Z").alias("warc_date"),
@@ -493,7 +494,8 @@ def corpus_prep_e2e(spark, sf_dir):
     return _cp(
         spark,
         _warc_corpus(spark, sf_dir),
-        domain_cap=1000,
+        domain_cap=50,
+        n_lists=8,
         cache_token=f"bench_corpus_prep:{sf_dir}",
     )
 

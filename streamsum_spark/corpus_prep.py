@@ -54,6 +54,8 @@ def corpus_prep_stages(
     emb_dim: int = 16,
     chunk_budget: int = 2048,
     n_lists: int | None = None,
+    kmeans_max_iter: int = 8,
+    nb_bigrams: bool = False,
     cache_token: str = "corpus_prep",
 ) -> dict[str, DataFrame]:
     """Every stage's output relation, keyed by stage name — the form the
@@ -105,7 +107,10 @@ def corpus_prep_stages(
         "text",
         F.when(wc >= min_words, F.lit("keep")).otherwise("drop").alias("label"),
     )
-    model = train_nb(labeled)
+    # unigram features by default: a word-count-seeded gate needs no
+    # bigram discrimination, and halving the feature stream halves the
+    # training shuffle
+    model = train_nb(labeled, bigrams=nb_bigrams)
     quality_gated = quality_filter_nb(
         domain_capped, model, keep_label="keep"
     ).select("doc_id", "target_uri", "text")
@@ -126,10 +131,18 @@ def corpus_prep_stages(
         F.col("id").alias("doc_id")
     )
     near_deduped = quality_gated.join(nd_drops, "doc_id", "left_anti")
+    # persisted: the k-means fit iterates over the embedding relation,
+    # which chains through this anti-join — without a pin every Lloyd
+    # job replays the near-dup stage
+    near_deduped = shared_persist((cache_token, "near_dedup"), near_deduped)
     stages["near_deduped"] = near_deduped
 
     # 6. semantic dedup over hashed embeddings (or real ones — swap emb=)
-    emb = hashed_text_embeddings(near_deduped, dim=emb_dim)
+    emb = shared_persist(
+        (cache_token, "emb"), hashed_text_embeddings(near_deduped, dim=emb_dim)
+    )
+    # bounded Lloyd iterations: SemDeDup buckets by cluster geometry,
+    # it does not need a converged fit
     sem = semantic_dedup(
         spark,
         "",
@@ -137,6 +150,7 @@ def corpus_prep_stages(
         n_lists=n_lists,
         emb=emb,
         cache_token=cache_token,
+        kmeans_max_iter=kmeans_max_iter,
     )
     sem_keep = sem.where(F.col("kept")).select(F.col("vec_id").alias("doc_id"))
     sem_deduped = near_deduped.join(sem_keep, "doc_id")

@@ -60,3 +60,20 @@ def cosine_expr(a: str, b: str, digits: int = 6) -> str:
     na = dot_expr(a, a)
     nb = dot_expr(b, b)
     return f"round({dot} / (sqrt({na}) * sqrt({nb})), {digits})"
+
+
+def cosine_safe_expr(a: str, b: str, digits: int = 6) -> str:
+    """cosine_expr that tolerates a ZERO vector on either side: the
+    cosine is undefined there, and under ANSI mode the bare division
+    throws DIVIDE_BY_ZERO — try_divide + coalesce map it to 0.0 (no
+    similarity), which is the semantics a dedup/kNN stage wants for a
+    degenerate vector (it pairs with nothing).  Identical values to
+    cosine_expr for every nonzero pair, so pins built on the unsafe
+    form carry over."""
+    dot = dot_expr(a, b)
+    na = dot_expr(a, a)
+    nb = dot_expr(b, b)
+    return (
+        f"round(coalesce(try_divide({dot}, sqrt({na}) * sqrt({nb})), "
+        f"0.0D), {digits})"
+    )

@@ -10,15 +10,16 @@ label-array suffix match for the registered domain, window row_number
 for the cap.  One shuffle per operator, keyed by domain — cardinality
 ≪ documents, and the cap's window needs no global sort.
 
-Registered-domain honesty: the real rule is the public-suffix list
-(a ~10k-entry published dataset this offline container does not
-carry).  ``registered_domain_col`` therefore takes a SUFFIX SET —
-defaulting to the common two-label public suffixes — and applies the
-standard longest-match heuristic (match a 2-label suffix → keep 3
-labels, else keep 2).  A deployment passes the full PSL's 2-label
-entries; the operator shape (and the cap/stats built on it) does not
-change.  Pinned against a pure-Python reference implementing the same
-rule in tests/test_crawl.py."""
+Registered-domain honesty: the real rule set is the public-suffix
+list (a ~10k-entry published dataset this offline container does not
+carry, so the BUILT-IN default is a common-suffix slice).
+``registered_domain_col`` accepts the full PSL rule FORMAT — plain,
+wildcard (``*.ck``) and exception (``!www.ck``) rules — and applies
+the published matching algorithm (r12 verdict order #3); a deployment
+passes the real PSL's entries and the operator shape (and the
+cap/stats built on it) does not change.  Pinned against the PSL
+algorithm's published examples and a pure-Python reference in
+tests/test_crawl.py."""
 
 from __future__ import annotations
 
@@ -46,21 +47,79 @@ def url_host_col(url: Column) -> Column:
 def registered_domain_col(
     host: Column, suffixes: tuple[str, ...] = DEFAULT_2LABEL_SUFFIXES
 ) -> Column:
-    """Registered domain from a host by the longest-suffix-match rule
-    over ``suffixes`` (2-label public suffixes): 'a.b.co.uk' → 'b.co.uk',
-    'a.b.example.com' → 'example.com', bare or 1-label hosts pass
-    through.  Pure array expressions over the split host."""
-    suffix_arr = F.array(*[F.lit(s) for s in suffixes])
+    """Registered domain from a host by the published Public Suffix
+    List algorithm (publicsuffix.org/list/) over ``suffixes``, which
+    accepts the PSL rule FORMAT: plain rules (``co.uk``), wildcard
+    rules (``*.ck`` — any single label under .ck is a public suffix),
+    and exception rules (``!www.ck`` — www.ck is registrable despite a
+    covering wildcard).  Matching follows the documented algorithm:
+    exception rules prevail over everything (the registered domain IS
+    the exception), otherwise the matching rule with the most labels
+    wins, and an unlisted TLD falls back to the implicit ``*`` rule
+    (public suffix = the last label).  The registered domain is the
+    public suffix plus one label; a host that IS a public suffix (or a
+    bare 1-label host) passes through unchanged.
+
+    Pure array expressions over the split host — the per-row work is a
+    handful of set-membership checks against literal arrays, so keep
+    the rule set filter-sized (the full PSL's ~10k entries embed fine;
+    a rule set beyond that belongs in a broadcast join).  Pinned
+    against the PSL algorithm's published examples (wildcard,
+    exception, unlisted TLD) in tests/test_crawl.py."""
+    normals: list[str] = []
+    wild_bases: list[str] = []
+    exceptions: list[str] = []
+    for s in suffixes:
+        if s.startswith("!"):
+            exceptions.append(s[1:])
+        elif s.startswith("*."):
+            wild_bases.append(s[2:])
+        else:
+            normals.append(s)
     ls = F.split(host, r"\.")
     n = F.size(ls)
-    last2 = F.concat_ws(".", F.element_at(ls, -2), F.element_at(ls, -1))
-    last3 = F.concat_ws(
-        ".", F.element_at(ls, -3), F.element_at(ls, -2), F.element_at(ls, -1)
-    )
+
+    def last_k(k: int) -> Column:
+        return F.concat_ws(
+            ".", *[F.element_at(ls, -i) for i in range(k, 0, -1)]
+        )
+
+    def labels(s: str) -> int:
+        return s.count(".") + 1
+
+    # public-suffix LENGTH: the implicit '*' rule contributes 1; a
+    # k-label normal rule contributes k; a k-label wildcard base
+    # contributes k+1 (the wildcard consumes one more label)
+    contribs: list[Column] = [F.lit(1)]
+    for k in sorted({labels(s) for s in normals}):
+        nk = [s for s in normals if labels(s) == k]
+        contribs.append(
+            F.when((n >= k) & F.array_contains(
+                F.array(*[F.lit(s) for s in nk]), last_k(k)
+            ), F.lit(k)).otherwise(F.lit(0))
+        )
+    for k in sorted({labels(s) for s in wild_bases}):
+        wk = [s for s in wild_bases if labels(s) == k]
+        contribs.append(
+            F.when((n >= k + 1) & F.array_contains(
+                F.array(*[F.lit(s) for s in wk]), last_k(k)
+            ), F.lit(k + 1)).otherwise(F.lit(0))
+        )
+    pub = F.greatest(*contribs) if len(contribs) > 1 else contribs[0]
+
+    # exception rules: if one matches as a suffix, the registered
+    # domain is the exception itself (PSL: strip the exception's
+    # leftmost label to get the public suffix, then add one back)
+    exc: Column = F.lit(None).cast("string")
+    for s in sorted(exceptions, key=labels):  # longest checked LAST wins
+        k = labels(s)
+        exc = F.when((n >= k) & (last_k(k) == s), F.lit(s)).otherwise(exc)
+
     return (
         F.when(host.isNull() | (n <= 1), host)
-        .when((n >= 3) & F.array_contains(suffix_arr, last2), last3)
-        .otherwise(last2)
+        .when(exc.isNotNull(), exc)
+        .when(n <= pub, host)  # the host IS a public suffix
+        .otherwise(F.array_join(F.slice(ls, n - pub, pub + F.lit(1)), "."))
     )
 
 

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from streamsum_spark.tables import table
 
 from streamsum_spark.functions.expressions import cosine_expr as _cos_expr  # noqa: E402
+from streamsum_spark.functions.expressions import cosine_safe_expr as _cos_safe  # noqa: E402
 from streamsum_spark.functions.expressions import dot_expr  # noqa: E402
 
 
@@ -413,6 +414,7 @@ def kmeans_ivf_index(
     seed: int = 7,
     fit_sample_cap: int | None = FIT_SAMPLE_CAP,
     emb: DataFrame | None = None,
+    max_iter: int = 20,
 ) -> tuple[DataFrame, DataFrame]:
     """Learned IVF coarse quantizer: k-means over the embedding space via
     pyspark.ml (the idiomatic Spark path — Lloyd's iterations are
@@ -448,8 +450,13 @@ def kmeans_ivf_index(
         "vec_id",
         array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
     )
+    # max_iter bounds the Lloyd JOB COUNT (each iteration is a
+    # treeAggregate job): consumers that need cluster GEOMETRY, not
+    # convergence — SemDeDup's bucketing, a coarse IVF quantizer —
+    # pass a small value and save most of the fit's wall-clock
     model = KMeans(
-        k=n_lists, seed=seed, featuresCol="features", predictionCol="list_id"
+        k=n_lists, seed=seed, maxIter=max_iter,
+        featuresCol="features", predictionCol="list_id",
     ).fit(_bounded_fit_sample(feats, fit_sample_cap, seed))
     assignments = model.transform(feats).select(
         "vec_id", F.col("list_id").cast("long").alias("list_id")
@@ -1523,6 +1530,7 @@ def semantic_dedup(
     seed: int = 7,
     emb: DataFrame | None = None,
     cache_token: str | None = None,
+    kmeans_max_iter: int = 20,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means
     the embedding space, call vectors semantic duplicates when their
@@ -1563,7 +1571,8 @@ def semantic_dedup(
 
     if index is None:
         index = kmeans_ivf_index(
-            spark, sf_dir, n_lists=n_lists, seed=seed, emb=emb
+            spark, sf_dir, n_lists=n_lists, seed=seed, emb=emb,
+            max_iter=kmeans_max_iter,
         )
     assignments, centroids = index
     if emb is None:
@@ -1582,7 +1591,10 @@ def semantic_dedup(
             "vec_id",
             "list_id",
             "embedding",
-            F.expr(_cos_expr("embedding", "centroid")).alias("cent_cos"),
+            # zero-safe: a zero vector (e.g. a blank doc's hashed
+            # embedding) has undefined cosine — it pairs with nothing
+            # instead of throwing DIVIDE_BY_ZERO under ANSI mode
+            F.expr(_cos_safe("embedding", "centroid")).alias("cent_cos"),
         )
         .withColumn(
             "capped",
@@ -1604,7 +1616,7 @@ def semantic_dedup(
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.expr(_cos_expr("a.embedding", "b.embedding")).alias("cos"),
+            F.expr(_cos_safe("a.embedding", "b.embedding")).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
     )

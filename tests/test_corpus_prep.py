@@ -182,7 +182,8 @@ def test_stages_equal_individual_operators(spark, prep):
         dc.select(
             "doc_id", "text",
             F.when(wc >= MIN_WORDS, F.lit("keep")).otherwise("drop").alias("label"),
-        )
+        ),
+        bigrams=False,  # the pipeline's nb_bigrams default
     )
     gated = {
         r.doc_id for r in quality_filter_nb(dc, model, keep_label="keep").collect()
@@ -202,6 +203,7 @@ def test_stages_equal_individual_operators(spark, prep):
     sem = semantic_dedup(
         spark, "", threshold=0.9, emb=emb,
         cache_token="corpus_prep_test_direct",
+        kmeans_max_iter=8,  # the pipeline's kmeans_max_iter default
     )
     sem_keep = {r.vec_id for r in sem.collect() if r.kept}
     assert sem_keep == set(got["sem_deduped"])

@@ -253,3 +253,73 @@ def test_crawl_chain_end_to_end(spark, tmp_path):
         per.setdefault(r.domain, []).append(r)
     assert set(per) == {"site0.com", "site1.com"}
     assert all(len(v) == 3 for v in per.values())
+
+
+def test_psl_wildcard_exception_and_unlisted_rules(spark):
+    """r12 verdict order #3: registered_domain_col implements the
+    published PSL matching algorithm — wildcard (*.ck), exception
+    (!www.ck), and the implicit '*' rule for unlisted TLDs — checked
+    against the publicsuffix.org algorithm's canonical examples and a
+    pure-Python implementation of the same spec."""
+    rules = ("com", "co.uk", "*.ck", "!www.ck", "*.kawasaki.jp")
+
+    def py_psl(host: str | None) -> str | None:
+        # the published algorithm, literally
+        if host is None:
+            return None
+        ls = host.split(".")
+        if len(ls) <= 1:
+            return host
+        # exception rules prevail; registered domain = the exception
+        for s in ("www.ck",):
+            k = s.count(".") + 1
+            if len(ls) >= k and ".".join(ls[-k:]) == s:
+                return s
+        pub = 1  # implicit '*'
+        for s in ("com", "co.uk"):
+            k = s.count(".") + 1
+            if len(ls) >= k and ".".join(ls[-k:]) == s:
+                pub = max(pub, k)
+        for s in ("ck", "kawasaki.jp"):
+            k = s.count(".") + 1
+            if len(ls) >= k + 1 and ".".join(ls[-k:]) == s:
+                pub = max(pub, k + 1)
+        if len(ls) <= pub:
+            return host
+        return ".".join(ls[-(pub + 1):])
+
+    hosts = [
+        # canonical PSL ck examples
+        "www.ck",                 # exception -> www.ck itself
+        "foo.www.ck",             # exception suffix -> www.ck
+        "thing.foo.ck",           # *.ck -> foo.ck public -> thing.foo.ck
+        "foo.ck",                 # IS a public suffix -> passthrough
+        # wildcard with a 2-label base
+        "a.b.city.kawasaki.jp",   # *.kawasaki.jp -> b.city... no:
+                                  # public = city.kawasaki.jp -> b.city.kawasaki.jp
+        "city.kawasaki.jp",       # IS a public suffix
+        # plain + unlisted
+        "sub.example.com",
+        "deep.sub.site.co.uk",
+        "example.xyzzy",          # unlisted TLD: implicit '*'
+        "a.b.example.xyzzy",
+        "com",                    # 1-label passthrough
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {
+        r.host: r.dom
+        for r in df.select(
+            "host",
+            CR.registered_domain_col(F.col("host"), rules).alias("dom"),
+        ).collect()
+    }
+    for h in hosts:
+        assert got[h] == py_psl(h), (h, got[h], py_psl(h))
+    # the canonical expectations, spelled out
+    assert got["www.ck"] == "www.ck"
+    assert got["foo.www.ck"] == "www.ck"
+    assert got["thing.foo.ck"] == "thing.foo.ck"
+    assert got["foo.ck"] == "foo.ck"
+    assert got["a.b.city.kawasaki.jp"] == "b.city.kawasaki.jp"
+    assert got["example.xyzzy"] == "example.xyzzy"
+    assert got["a.b.example.xyzzy"] == "example.xyzzy"
