@@ -56,3 +56,40 @@ def has_partial_aggregate(df: DataFrame) -> bool:
     """Partial+final hash aggregation (map-side combine before shuffle)."""
     plan = explain_str(df)
     return "HashAggregate" in plan and "partial_" in plan.lower()
+
+
+def scan_runtime_metrics(df: DataFrame) -> list[dict]:
+    """EXECUTE ``df`` and return one {metric_name: value} dict per
+    file-scan node of the executed plan — the runtime evidence of what
+    a query actually READ (numFiles, numOutputRows, filesSize...).
+
+    ``numOutputRows`` on a parquet scan counts rows the reader
+    MATERIALIZED after row-group/page statistics skipping, which is the
+    read-path proof data-skipping layouts (zorder.py) need: plain Spark
+    opens every file's footer (no file-level stats pruning — that is a
+    Delta/Iceberg table-format feature) but skips row groups and pages
+    whose min/max exclude the pushed predicate, so scanned-row counts
+    are where clustering shows up at runtime.  Classic (non-Connect)
+    sessions only — py4j traversal of the executed plan."""
+    df.collect()
+    out: list[dict] = []
+
+    def walk(node) -> None:
+        name = node.getClass().getSimpleName()
+        if name.startswith(("FileSourceScan", "BatchScan")):
+            m: dict = {}
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                m[kv._1()] = kv._2().value()
+            out.append(m)
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+        if "AdaptiveSparkPlan" in name:
+            walk(node.executedPlan())
+        elif name.endswith("QueryStageExec"):
+            walk(node.plan())
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out

@@ -266,3 +266,64 @@ def test_nan_columns_rank_without_unparseable_literals(spark):
         # finite rows still discriminate: distinct codes across the range
         finite = {r.z for r in got if not math.isnan(r.a)}
         assert len(finite) > 1
+
+
+def test_zorder_read_path_skips_at_runtime(spark, tmp_path):
+    """r12 verdict order #5 — the CONSUMING side of the layout claim:
+    Spark's own scan metrics (plans.inspect.scan_runtime_metrics) show
+    the range-box query materializing <= half the rows from the
+    Z-ordered layouts that the single-column-sort layout reads, on
+    BOTH Morton and Hilbert.  Plain Spark opens every file footer
+    (file-level stats pruning is a table-format feature — numFiles is
+    identical across layouts), so the skipping evidence is row-group/
+    page level: numOutputRows on the scan node counts rows the parquet
+    reader actually materialized after statistics skipping."""
+    from streamsum_spark.plans import inspect as PI
+    from streamsum_spark.tables import table
+
+    ev = table(spark, SF, "events").select("event_id", "user_id", "value")
+    zp, hp, sp = (str(tmp_path / x) for x in ("z", "h", "s"))
+    Z.write_zordered(ev, zp, ["user_id", "value"], n_files=16)
+    Z.write_hilbert(ev, hp, ["user_id", "value"], n_files=16)
+    (
+        ev.repartitionByRange(16, F.col("user_id"))
+        .sortWithinPartitions("user_id")
+        .write.parquet(sp)
+    )
+    n_total = ev.count()
+    u_lo, u_hi, v_lo, v_hi = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).collect()[0]
+
+    def scanned(path, pred):
+        df = spark.read.parquet(path).where(pred).select("event_id")
+        (m,) = PI.scan_runtime_metrics(df)
+        return m["numOutputRows"], m["numFiles"]
+
+    # the two-sided box: the linear layout must materialize every row
+    # group (each spans the full value domain); the clustered layouts
+    # skip most
+    a = (u_lo + (u_hi - u_lo) * 0.40, u_lo + (u_hi - u_lo) * 0.46)
+    b = (v_lo + (v_hi - v_lo) * 0.40, v_lo + (v_hi - v_lo) * 0.46)
+    box = F.col("user_id").between(*a) & F.col("value").between(*b)
+    z_rows, z_nf = scanned(zp, box)
+    h_rows, h_nf = scanned(hp, box)
+    s_rows, s_nf = scanned(sp, box)
+    assert z_nf == h_nf == s_nf == 16  # no file-level pruning in plain Spark
+    assert 0 < z_rows <= 0.5 * s_rows, (z_rows, s_rows)
+    assert 0 < h_rows <= 0.5 * s_rows, (h_rows, s_rows)
+
+    # grid of value-only ranges (the column the 1-D sort does NOT
+    # cover): summed scanned rows from the clustered layouts stay well
+    # under the sorted layout's
+    z_tot = h_tot = s_tot = 0
+    for k in range(8):
+        lo = v_lo + (v_hi - v_lo) * (0.05 + k * 0.115)
+        pred = F.col("value").between(lo, lo + (v_hi - v_lo) * 0.06)
+        z_tot += scanned(zp, pred)[0]
+        h_tot += scanned(hp, pred)[0]
+        s_tot += scanned(sp, pred)[0]
+    assert z_tot <= 0.6 * s_tot, (z_tot, s_tot)
+    assert h_tot <= 0.6 * s_tot, (h_tot, s_tot)
+    # and the sorted layout really was reading most of the table per box
+    assert s_rows == n_total
