@@ -243,3 +243,20 @@ def test_hashed_text_embeddings_contract(spark):
     assert all(x == 0.0 for x in out[3])
     with pytest.raises(ValueError, match="dim"):
         hashed_text_embeddings(docs, dim=1)
+
+
+def test_corpus_prep_plan_is_jvm_side_except_warc_parse(prep):
+    """Scale shape: the whole funnel's plan carries NO row-at-a-time or
+    Arrow Python evaluation and no cartesian/nested-loop join — the one
+    designed Python seam is the WARC record parse (mapInPandas), and
+    every later stage (paragraph dedup, cap window, NB gate, LSH,
+    semantic pairs, packing) stays JVM-side expression work."""
+    from streamsum_spark.plans import inspect as PI
+
+    warc_dir, docs, stages, got = prep
+    plan = PI.explain_str(stages["packed"])
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "MapInPandas" in plan  # the WARC parse seam, and nothing else
