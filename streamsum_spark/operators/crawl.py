@@ -44,6 +44,82 @@ def url_host_col(url: Column) -> Column:
     return F.lower(F.try_parse_url(url, F.lit("HOST")))
 
 
+# tracking parameters every canonicalizer strips (the common public
+# list: Google/Facebook/Microsoft click ids + the utm_* campaign family)
+DEFAULT_TRACKING_PARAMS = ("gclid", "fbclid", "msclkid", "igshid", "mc_eid")
+DEFAULT_TRACKING_PREFIXES = ("utm_",)
+
+
+def canonical_url_col(
+    url: Column,
+    drop_params: tuple[str, ...] = DEFAULT_TRACKING_PARAMS,
+    drop_prefixes: tuple[str, ...] = DEFAULT_TRACKING_PREFIXES,
+) -> Column:
+    """Canonical form of a URL — the key URL-level dedup and crawl
+    frontier de-queueing actually use (two crawls of the same page
+    differ by tracking params and fragments far more often than by
+    content).  RFC 3986 syntax-based normalization plus the standard
+    pragmatic rules, all as one JVM-side expression chain:
+
+    - scheme and host lowercase; userinfo (credentials) dropped
+    - fragment dropped
+    - default ports stripped (``:80`` for http, ``:443`` for https);
+      other explicit ports kept
+    - empty path becomes ``/``
+    - query: tracking parameters removed (names in ``drop_params`` or
+      starting with a ``drop_prefixes`` entry), remaining ``k=v`` terms
+      byte-sorted for order-independence, empty terms dropped; an
+      emptied query loses its ``?``
+    - an unparseable URL (no host) canonicalizes to NULL — groupable
+      and auditable, never a failed task
+
+    Pinned against a pure-Python reference implementing the identical
+    rules in tests/test_crawl.py; compose with ``dedup_exact``-style
+    keep-min grouping for URL-level dedup, or feed ``with_domain`` the
+    canonical column."""
+    scheme = F.lower(F.try_parse_url(url, F.lit("PROTOCOL")))
+    host = F.lower(F.try_parse_url(url, F.lit("HOST")))
+    authority = F.try_parse_url(url, F.lit("AUTHORITY"))
+    port = F.regexp_extract(authority, r":(\d+)$", 1)
+    default_port = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    port_part = F.when((port == "") | default_port, F.lit("")).otherwise(
+        F.concat(F.lit(":"), port)
+    )
+    path = F.try_parse_url(url, F.lit("PATH"))
+    path = F.when(path.isNull() | (path == ""), F.lit("/")).otherwise(path)
+    query = F.try_parse_url(url, F.lit("QUERY"))
+
+    def _keep(p: Column) -> Column:
+        name = F.split_part(p, F.lit("="), F.lit(1))
+        cond = p != ""
+        if drop_params:
+            cond = cond & ~name.isin(*drop_params)
+        for pre in drop_prefixes:
+            cond = cond & ~name.startswith(pre)
+        return cond
+
+    kept = F.array_sort(
+        F.filter(F.split(F.coalesce(query, F.lit("")), "&"), _keep)
+    )
+    return F.when(
+        host.isNull() | scheme.isNull() | (scheme == ""), F.lit(None)
+    ).otherwise(
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            port_part,
+            path,
+            F.when(
+                F.size(kept) > 0,
+                F.concat(F.lit("?"), F.array_join(kept, "&")),
+            ).otherwise(F.lit("")),
+        )
+    )
+
+
 def registered_domain_col(
     host: Column, suffixes: tuple[str, ...] = DEFAULT_2LABEL_SUFFIXES
 ) -> Column:

@@ -323,3 +323,80 @@ def test_psl_wildcard_exception_and_unlisted_rules(spark):
     assert got["a.b.city.kawasaki.jp"] == "b.city.kawasaki.jp"
     assert got["example.xyzzy"] == "example.xyzzy"
     assert got["a.b.example.xyzzy"] == "example.xyzzy"
+
+
+def test_canonical_url_vs_python_reference(spark):
+    """canonical_url_col pinned against a pure-Python implementation of
+    the identical rules (urllib parse + the documented normalization):
+    lowercase scheme/host, credentials dropped, fragment dropped,
+    default ports stripped, empty path -> '/', tracking params removed,
+    remaining query terms byte-sorted, unparseable -> NULL."""
+    from urllib.parse import urlsplit
+
+    def py_canon(u: str) -> str | None:
+        try:
+            parts = urlsplit(u)
+        except ValueError:
+            return None
+        if not parts.hostname or not parts.scheme:
+            return None
+        scheme, host = parts.scheme.lower(), parts.hostname.lower()
+        port = ""
+        try:
+            if parts.port is not None and not (
+                (scheme, parts.port) in (("http", 80), ("https", 443))
+            ):
+                port = f":{parts.port}"
+        except ValueError:
+            pass
+        path = parts.path or "/"
+        terms = []
+        for p in parts.query.split("&"):
+            if not p:
+                continue
+            name = p.split("=", 1)[0]
+            if name in CR.DEFAULT_TRACKING_PARAMS or any(
+                name.startswith(x) for x in CR.DEFAULT_TRACKING_PREFIXES
+            ):
+                continue
+            terms.append(p)
+        q = "?" + "&".join(sorted(terms)) if terms else ""
+        return f"{scheme}://{host}{port}{path}{q}"
+
+    urls = [
+        "HTTP://WWW.Example.COM:80/Path/To?b=2&a=1#frag",
+        "https://example.com:443/",
+        "https://example.com:8443/x?z=1",
+        "http://user:pw@host.org:8080/p?utm_source=x&real=1",
+        "https://news.site.co.uk/story?fbclid=abc123&id=9&utm_campaign=c",
+        "http://example.com",                 # empty path -> /
+        "https://example.com/a?utm_only=1",   # query empties -> no '?'
+        "https://example.com/a?&&b=1",        # empty terms dropped
+        "not a url at all",                   # -> NULL
+        "https://single/x?gclid=1&keep=2&keep=1",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    got = {
+        r.u: r.c
+        for r in df.select(
+            "u", CR.canonical_url_col(F.col("u")).alias("c")
+        ).collect()
+    }
+    for u in urls:
+        assert got[u] == py_canon(u), (u, got[u], py_canon(u))
+    # the load-bearing expectations, spelled out
+    assert got[urls[0]] == "http://www.example.com/Path/To?a=1&b=2"
+    assert got[urls[1]] == "https://example.com/"
+    assert got[urls[2]] == "https://example.com:8443/x?z=1"
+    assert got[urls[3]] == "http://host.org:8080/p?real=1"
+    assert got[urls[6]] == "https://example.com/a"
+    assert got["not a url at all"] is None
+    # canonical-equal variants collapse for URL-level dedup
+    variants = [
+        "https://Example.com/page?b=2&a=1&utm_medium=email",
+        "https://example.com:443/page?a=1&b=2",
+        "https://example.com/page?utm_source=tw&b=2&a=1#sec",
+    ]
+    vdf = spark.createDataFrame([(u,) for u in variants], "u string")
+    canon = {r.c for r in vdf.select(CR.canonical_url_col(F.col("u")).alias("c")).collect()}
+    assert canon == {"https://example.com/page?a=1&b=2"}
