@@ -2,9 +2,9 @@
 every stage of the crawl-to-corpus chain the individual operators
 implement, chained end-to-end with NO driver-side seam —
 
-    WARC shards -> read_warc_text -> paragraph dedup -> per-domain cap
-    -> NB quality gate -> threshold-tuned near-dup -> semantic dedup
-    -> sequence packing
+    WARC shards -> read_warc_text -> canonical-URL dedup -> paragraph
+    dedup -> per-domain cap -> NB quality gate -> threshold-tuned
+    near-dup -> semantic dedup -> sequence packing
 
 This is the capstone proof that the operators COMPOSE: each stage
 consumes the previous stage's DataFrame directly (the only driver-side
@@ -65,7 +65,10 @@ def corpus_prep_stages(
     from streamsum_spark.cached import shared_persist
     from streamsum_spark.operators.classifier import quality_filter_nb, train_nb
     from streamsum_spark.operators.clusters import connected_components
-    from streamsum_spark.operators.crawl import cap_per_domain
+    from streamsum_spark.operators.crawl import (
+        cap_per_domain,
+        dedup_by_canonical_url,
+    )
     from streamsum_spark.operators.dedup import dedup_paragraphs, near_dup_tuned
     from streamsum_spark.operators.sampling import pack_into_chunks
     from streamsum_spark.operators.similarity import (
@@ -83,11 +86,22 @@ def corpus_prep_stages(
     )
     stages["ingested"] = ingested
 
+    # 1b. URL-level dedup: re-fetches of one page differ by tracking
+    # params / fragments far more often than by content — keep the
+    # smallest doc_id per CANONICAL URL (one window, row-unique
+    # fallback keys for unparseable URLs, same posture as the cap)
+    # persisted: both the paragraph explode and the text rebuild join
+    # consume it — unpinned, each would re-run the WARC parse + window
+    url_deduped = shared_persist(
+        (cache_token, "url"), dedup_by_canonical_url(ingested)
+    )
+    stages["url_deduped"] = url_deduped
+
     # 2. paragraph-level exact dedup (boilerplate strip), rebuilt text
     paras = dedup_paragraphs(
-        spark, "", docs=ingested.select("doc_id", "text")
+        spark, "", docs=url_deduped.select("doc_id", "text")
     ).select("doc_id", F.col("text_clean").alias("text"))
-    para_deduped = ingested.drop("text").join(paras, "doc_id")
+    para_deduped = url_deduped.drop("text").join(paras, "doc_id")
     stages["para_deduped"] = para_deduped
 
     # 3. per-registered-domain cap (anti-monoculture)
@@ -114,7 +128,13 @@ def corpus_prep_stages(
     quality_gated = quality_filter_nb(
         domain_capped, model, keep_label="keep"
     ).select("doc_id", "target_uri", "text")
-    quality_gated = shared_persist((cache_token, "gated"), quality_gated)
+    # localCheckpoint, not persist: this is the funnel's waist, and
+    # every downstream stage's LOGICAL plan would otherwise carry the
+    # whole upstream tree (WARC parse + two windows + NB scoring),
+    # which Catalyst re-analyzes per action — at 100 TB this boundary
+    # is where a pipeline writes an intermediate table for the same
+    # reason
+    quality_gated = quality_gated.localCheckpoint()
     stages["quality_gated"] = quality_gated
 
     # 5. threshold-tuned near-dup: verified pairs -> connected

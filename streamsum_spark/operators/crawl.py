@@ -120,6 +120,39 @@ def canonical_url_col(
     )
 
 
+def dedup_by_canonical_url(
+    df: DataFrame,
+    url_col: str = "target_uri",
+    id_col: str = "doc_id",
+    drop_params: tuple[str, ...] = DEFAULT_TRACKING_PARAMS,
+    drop_prefixes: tuple[str, ...] = DEFAULT_TRACKING_PREFIXES,
+) -> DataFrame:
+    """URL-level dedup: keep ONE row per canonical URL (the smallest
+    ``id_col`` — deterministic), so re-fetches that differ only by
+    tracking params / fragments / case collapse before any text-level
+    stage runs.  One window keyed by the canonical URL; rows whose URL
+    does not canonicalize (null) pass through on row-unique fallback
+    keys — the same no-skew posture as cap_per_domain.  Output: the
+    surviving input rows, columns unchanged."""
+    from pyspark.sql import Window
+
+    canon = canonical_url_col(F.col(url_col), drop_params, drop_prefixes)
+    key = F.coalesce(
+        canon,
+        F.concat_ws(
+            "-",
+            F.lit("nocanon"),
+            F.monotonically_increasing_id().cast("string"),
+        ),
+    )
+    w = Window.partitionBy(key).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("_url_rank", F.row_number().over(w))
+        .where(F.col("_url_rank") == 1)
+        .drop("_url_rank")
+    )
+
+
 def registered_domain_col(
     host: Column, suffixes: tuple[str, ...] = DEFAULT_2LABEL_SUFFIXES
 ) -> Column:

@@ -55,6 +55,9 @@ def _build_corpus(tmp_path):
         docs.append(
             (f"http://junk{i}.spam.com/x", f"buy click now pills deal j{i}")
         )
+    # URL-level re-fetch: same page as site0's, URI differs only by a
+    # tracking param — must collapse at the url_deduped stage
+    docs.append(("http://site0.com/p?utm_source=tw", _good_text("solo0")))
 
     recs = []
     for uri, text in docs:
@@ -110,15 +113,21 @@ def test_funnel_is_monotone_and_stagewise_correct(prep):
     assert len(got["ingested"]) == n_in
     # survivor sets only ever shrink, in stage order
     order = [
-        "ingested", "para_deduped", "domain_capped", "quality_gated",
-        "near_deduped", "sem_deduped", "packed",
+        "ingested", "url_deduped", "para_deduped", "domain_capped",
+        "quality_gated", "near_deduped", "sem_deduped", "packed",
     ]
     for a, b in zip(order, order[1:]):
         assert set(got[b]) <= set(got[a]), (a, b)
+    # URL dedup: the tracking-param re-fetch collapses to one survivor
+    surv_uris = [r.target_uri for r in got["url_deduped"].values()]
+    assert len(got["url_deduped"]) == n_in - 1
+    assert (
+        sum(1 for u in surv_uris if u.startswith("http://site0.com/p")) == 1
+    )
     # paragraph dedup: the banner survives exactly once corpus-wide
     texts = [r.text for r in got["para_deduped"].values()]
     assert sum(t.count(BANNER) for t in texts) == 1
-    assert len(got["para_deduped"]) == n_in
+    assert len(got["para_deduped"]) == n_in - 1
     # domain cap binds on big.com only
     by_dom = {}
     for r in got["domain_capped"].values():
@@ -158,8 +167,16 @@ def test_stages_equal_individual_operators(spark, prep):
         semantic_dedup,
     )
 
-    # stage 2: paragraph dedup on the ingested relation
-    ing = stages["ingested"]
+    # stage 1b: canonical-URL dedup on the ingested relation
+    from streamsum_spark.operators.crawl import dedup_by_canonical_url
+
+    direct_url = {
+        r.doc_id
+        for r in dedup_by_canonical_url(stages["ingested"]).collect()
+    }
+    assert direct_url == set(got["url_deduped"])
+    # stage 2: paragraph dedup on the url-deduped relation
+    ing = stages["url_deduped"]
     direct = {
         r.doc_id: r.text_clean
         for r in dedup_paragraphs(
@@ -254,9 +271,14 @@ def test_corpus_prep_plan_is_jvm_side_except_warc_parse(prep):
     from streamsum_spark.plans import inspect as PI
 
     warc_dir, docs, stages, got = prep
-    plan = PI.explain_str(stages["packed"])
-    assert "ArrowEvalPython" not in plan
-    assert "BatchEvalPython" not in plan
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoop" not in plan
-    assert "MapInPandas" in plan  # the WARC parse seam, and nothing else
+    for stage in ("domain_capped", "packed"):
+        plan = PI.explain_str(stages[stage])
+        assert "ArrowEvalPython" not in plan, stage
+        assert "BatchEvalPython" not in plan, stage
+        assert "CartesianProduct" not in plan, stage
+        assert "BroadcastNestedLoop" not in plan, stage
+    # the WARC parse seam shows up in the pre-gate plan; the post-gate
+    # plan starts from the localCheckpoint boundary (lineage cut) and
+    # carries NO Python at all
+    assert "MapInPandas" in PI.explain_str(stages["domain_capped"])
+    assert "MapInPandas" not in PI.explain_str(stages["packed"])
