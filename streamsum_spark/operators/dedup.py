@@ -280,6 +280,8 @@ def near_dup_verified(
     sf_dir: str,
     threshold: float = 0.2,
     max_bucket: int | None = None,
+    docs: DataFrame | None = None,
+    cache_token: str | None = None,
 ) -> DataFrame:
     """Production near-dup pipeline: LSH candidate pairs -> exact n-gram
     Jaccard verification -> threshold filter.
@@ -303,12 +305,18 @@ def near_dup_verified(
     signature/shingle tables out and bucketing them by doc_id); measured
     8.8 s -> ~4 s at sf0.1.  Both pins are keyed via shared_persist:
     re-running the operator replaces its cached relations instead of
-    accumulating blocks per call.
+    accumulating blocks per call.  ``docs`` (doc_id, text) overrides the
+    sf_dir documents table for composite pipelines, with ``cache_token``
+    keying the persisted intermediates (same contract as
+    near_dup_tuned).
     """
     from streamsum_spark.cached import shared_persist
 
-    sh = shared_persist(("shingle_sets", sf_dir), shingle_sets(spark, sf_dir))
-    sig = shared_persist(("minhash_sig", sf_dir), _signatures_from(sh))
+    key = cache_token or sf_dir
+    sh = shared_persist(
+        ("shingle_sets", key), shingle_sets(spark, sf_dir, docs=docs)
+    )
+    sig = shared_persist(("minhash_sig", key), _signatures_from(sh))
     cand = lsh_candidate_pairs(spark, sf_dir, max_bucket=max_bucket, sig=sig)
     scored = (
         cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))

@@ -1822,6 +1822,118 @@ def stream_dedup_paragraphs(
     return read_state_table(spark, flag_tbl).select("doc_id", "idx", "p_md5")
 
 
+def stream_dedup_urls(
+    spark: SparkSession,
+    warc_dir: str,
+    glob: str = "*.warc.gz",
+    max_files_per_trigger: int | None = None,
+    n_buckets: int = 16,
+    state_base: str | None = None,
+    checkpoint: str | None = None,
+) -> DataFrame:
+    """Incremental canonical-URL dedup over a continuously-growing WARC
+    crawl — the streaming twin of crawl.dedup_by_canonical_url on the
+    stream_dedup_paragraphs state recipe: new crawl shards arriving
+    under ``warc_dir`` dedup against every URL ingested so far without
+    rescanning it.
+
+    Per micro-batch: each page gets (doc_id = xxhash64(target_uri),
+    g = md5(canonical URL); unparseable URLs get row-unique keys so
+    they never dedup or skew), the batch collapses same-doc repeats
+    and ranks within itself by doc_id, batch firsts probe the
+    accumulated first-occurrence store with bucket-pruned reads, and a
+    collision flags the LOSER of the doc_id order (a late-arriving
+    globally-first copy flags the stored occurrence and is kept) while
+    the store min-merges — so the flag set converges to the batch
+    operator's keep-smallest-doc_id under any arrival order.  Returns
+    the accumulated FLAG relation (doc_id, url_md5); survivors =
+    ingested docs anti-joined on it — pinned equal to
+    dedup_by_canonical_url across an out-of-order 2-shard split in
+    tests/test_crawl.py."""
+    from streamsum_spark.operators.crawl import canonical_url_col
+    from streamsum_spark.sinks import read_touched_buckets, upsert_batch
+    from streamsum_spark.sources.warc import stream_warc_text
+
+    base = state_base or os.path.join(
+        tempfile.gettempdir(), f"streamsum_urls_{uuid.uuid4().hex[:12]}"
+    )
+    fp_tbl, flag_tbl = base + "_fp", base + "_flags"
+
+    def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import Window
+
+        rows = (
+            batch_df.select(
+                F.xxhash64("target_uri").alias("doc_id"),
+                canonical_url_col(F.col("target_uri")).alias("_canon"),
+            )
+            .select(
+                "doc_id",
+                F.md5(
+                    F.coalesce(
+                        F.col("_canon"),
+                        F.concat_ws("-", F.lit("nocanon"), F.col("doc_id")),
+                    )
+                ).alias("g"),
+            )
+            # same URI repeated in one batch = the same doc, not a dup
+            .dropDuplicates(["doc_id"])
+            .localCheckpoint()
+        )
+        byg = Window.partitionBy("g").orderBy("doc_id")
+        ranked = rows.withColumn("rn", F.row_number().over(byg))
+        flagged = ranked.where(F.col("rn") > 1).select("doc_id", "g")
+        firsts = ranked.where(F.col("rn") == 1).select("doc_id", "g")
+        if os.path.exists(fp_tbl):
+            stored = read_touched_buckets(spark, fp_tbl, firsts.select("g"))
+            joined = (
+                firsts.alias("b")
+                .join(stored.alias("s"), "g")
+                # same doc_id = file-source redelivery, not a duplicate
+                .where(F.col("b.doc_id") != F.col("s.doc_id"))
+            )
+            b_first = F.col("b.doc_id") < F.col("s.doc_id")
+            extra = joined.select(
+                F.when(b_first, F.col("s.doc_id"))
+                .otherwise(F.col("b.doc_id"))
+                .alias("doc_id"),
+                "g",
+            )
+            flagged = flagged.unionByName(extra)
+        flagged = flagged.localCheckpoint()
+        upsert_batch(
+            spark,
+            flag_tbl,
+            flagged.select("doc_id", F.col("g").alias("url_md5")),
+            ["doc_id"],
+            "url_md5",
+            n_buckets=n_buckets,
+        )
+        upsert_batch(
+            spark,
+            fp_tbl,
+            firsts.select("g", "doc_id", (-F.col("doc_id")).alias("_nd")),
+            ["g"],
+            ["_nd"],
+            n_buckets=n_buckets,
+        )
+
+    pages = stream_warc_text(spark, warc_dir, glob, max_files_per_trigger)
+    ckpt = checkpoint or base + "_ckpt"
+    q = (
+        pages.select("target_uri")
+        .writeStream.foreachBatch(on_batch)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.exists(flag_tbl):
+        return spark.createDataFrame([], "doc_id long, url_md5 string")
+    return read_state_table(spark, flag_tbl).select("doc_id", "url_md5")
+
+
 def stream_kn_bigram_perplexity(
     spark: SparkSession,
     sf_dir: str,

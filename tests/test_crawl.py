@@ -400,3 +400,79 @@ def test_canonical_url_vs_python_reference(spark):
     vdf = spark.createDataFrame([(u,) for u in variants], "u string")
     canon = {r.c for r in vdf.select(CR.canonical_url_col(F.col("u")).alias("c")).collect()}
     assert canon == {"https://example.com/page?a=1&b=2"}
+
+
+def test_stream_dedup_urls_out_of_order_equals_batch(spark, tmp_path):
+    """Streaming twin of dedup_by_canonical_url: a canonical-equal URL
+    pair split across shards — with the globally-first (smallest
+    doc_id) copy arriving LAST — must flag exactly the loser, a
+    re-invocation resumes (derived checkpoint, no replay), and
+    survivors equal the batch operator over the full ingest."""
+    import gzip
+    import os
+    import time
+
+    from streamsum_spark.sources import warc as W
+    from streamsum_spark.streaming.pipeline import stream_dedup_urls
+
+    u_a = "http://dup.site.com/page"
+    u_b = "http://DUP.site.com:80/page?utm_x=1"  # same canonical as u_a
+    uniq = ["http://only1.com/x", "http://only2.com/y"]
+    ids = {
+        r.u: r.h
+        for r in spark.createDataFrame(
+            [(u,) for u in (u_a, u_b)], "u string"
+        ).selectExpr("u", "xxhash64(u) AS h").collect()
+    }
+    first_uri = min((u_a, u_b), key=lambda u: ids[u])
+    second_uri = max((u_a, u_b), key=lambda u: ids[u])
+
+    def rec(uri):
+        body = b"<p>some page body text</p>"
+        http = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n".encode() + body
+        )
+        return W.build_warc_record(
+            {
+                "WARC-Type": "response",
+                "WARC-Record-ID": f"<urn:t:{uri}>",
+                "WARC-Date": "2024-01-01T00:00:00Z",
+                "WARC-Target-URI": uri,
+                "Content-Type": "application/http; msgtype=response",
+            },
+            http,
+        )
+
+    d = tmp_path / "uw"
+    d.mkdir()
+    # the LOSER-to-be (larger doc_id) arrives in shard 0; the global
+    # first arrives in shard 1
+    shards = [[second_uri, uniq[0], "::junk url"], [first_uri, uniq[1]]]
+    for i, uris in enumerate(shards):
+        p = d / f"u{i}.warc.gz"
+        p.write_bytes(b"".join(gzip.compress(rec(u), mtime=0) for u in uris))
+        os.utime(p, (time.time() + i * 10, time.time() + i * 10))
+
+    base = str(tmp_path / "url_state")
+    flags = stream_dedup_urls(
+        spark, str(d), glob="*.warc.gz", max_files_per_trigger=1,
+        state_base=base,
+    )
+    assert {r.doc_id for r in flags.collect()} == {ids[second_uri]}
+    # resume: nothing new, flags stable
+    flags2 = stream_dedup_urls(
+        spark, str(d), glob="*.warc.gz", max_files_per_trigger=1,
+        state_base=base,
+    )
+    flag_ids = {r.doc_id for r in flags2.collect()}
+    assert flag_ids == {ids[second_uri]}
+    # survivors == the batch operator over the full ingest
+    ingested = W.read_warc_text(spark, str(d), glob="*.warc.gz").selectExpr(
+        "xxhash64(target_uri) AS doc_id", "target_uri"
+    )
+    batch = {r.doc_id for r in CR.dedup_by_canonical_url(ingested).collect()}
+    stream_surv = {
+        r.doc_id for r in ingested.collect() if r.doc_id not in flag_ids
+    }
+    assert stream_surv == batch and len(batch) == 4  # junk URL passes
