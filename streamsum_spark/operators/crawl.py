@@ -50,6 +50,35 @@ DEFAULT_TRACKING_PARAMS = ("gclid", "fbclid", "msclkid", "igshid", "mc_eid")
 DEFAULT_TRACKING_PREFIXES = ("utm_",)
 
 
+def _pct_norm(s: Column) -> Column:
+    """RFC 3986 §6.2.2-6.2.3 percent-encoding normalization of one URL
+    component: decode percent-encodings of UNRESERVED characters
+    (%41 → A, %7E → ~), uppercase the hex of everything else
+    (%2f → %2F), re-emit invalid escapes verbatim.  Pure expressions:
+    split on '%', fix each tail piece, rejoin."""
+    parts = F.split(s, "%")
+
+    def fix(p: Column) -> Column:
+        hexs = F.substring(p, 1, 2)
+        rest = F.substring(p, 3, 1 << 20)
+        valid = hexs.rlike("^[0-9A-Fa-f]{2}$")
+        ch = F.char(F.conv(hexs, 16, 10).cast("long"))
+        unres = ch.rlike("^[A-Za-z0-9._~-]$")
+        return (
+            F.when(~valid, F.concat(F.lit("%"), p))
+            .when(unres, F.concat(ch, rest))
+            .otherwise(F.concat(F.lit("%"), F.upper(hexs), rest))
+        )
+
+    tail = F.array_join(
+        F.transform(F.slice(parts, 2, F.greatest(F.size(parts), F.lit(1))), fix),
+        "",
+    )
+    return F.when(F.size(parts) <= 1, s).otherwise(
+        F.concat(F.element_at(parts, 1), tail)
+    )
+
+
 def canonical_url_col(
     url: Column,
     drop_params: tuple[str, ...] = DEFAULT_TRACKING_PARAMS,
@@ -66,6 +95,11 @@ def canonical_url_col(
     - default ports stripped (``:80`` for http, ``:443`` for https);
       other explicit ports kept
     - empty path becomes ``/``
+    - percent-encoding normalization (RFC 3986 §6.2.2) on path and
+      query terms: unreserved characters decode (%7E → ~), remaining
+      hex uppercases (%2f → %2F), invalid escapes pass verbatim —
+      applied BEFORE the tracking filter so ``utm%5Fsource``
+      still drops
     - query: tracking parameters removed (names in ``drop_params`` or
       starting with a ``drop_prefixes`` entry), remaining ``k=v`` terms
       byte-sorted for order-independence, empty terms dropped; an
@@ -88,7 +122,9 @@ def canonical_url_col(
         F.concat(F.lit(":"), port)
     )
     path = F.try_parse_url(url, F.lit("PATH"))
-    path = F.when(path.isNull() | (path == ""), F.lit("/")).otherwise(path)
+    path = F.when(path.isNull() | (path == ""), F.lit("/")).otherwise(
+        _pct_norm(path)
+    )
     query = F.try_parse_url(url, F.lit("QUERY"))
 
     def _keep(p: Column) -> Column:
@@ -101,7 +137,12 @@ def canonical_url_col(
         return cond
 
     kept = F.array_sort(
-        F.filter(F.split(F.coalesce(query, F.lit("")), "&"), _keep)
+        F.filter(
+            F.transform(
+                F.split(F.coalesce(query, F.lit("")), "&"), _pct_norm
+            ),
+            _keep,
+        )
     )
     return F.when(
         host.isNull() | scheme.isNull() | (scheme == ""), F.lit(None)

@@ -331,7 +331,24 @@ def test_canonical_url_vs_python_reference(spark):
     lowercase scheme/host, credentials dropped, fragment dropped,
     default ports stripped, empty path -> '/', tracking params removed,
     remaining query terms byte-sorted, unparseable -> NULL."""
+    import re
     from urllib.parse import urlsplit
+
+    def py_pct_norm(s: str) -> str:
+        # RFC 3986 6.2.2: decode unreserved, uppercase remaining hex
+        parts = s.split("%")
+        out = [parts[0]]
+        for p in parts[1:]:
+            h = p[:2]
+            if re.fullmatch(r"[0-9A-Fa-f]{2}", h):
+                ch = chr(int(h, 16))
+                if re.fullmatch(r"[A-Za-z0-9._~-]", ch):
+                    out.append(ch + p[2:])
+                else:
+                    out.append("%" + h.upper() + p[2:])
+            else:
+                out.append("%" + p)
+        return "".join(out)
 
     def py_canon(u: str) -> str | None:
         try:
@@ -340,6 +357,10 @@ def test_canonical_url_vs_python_reference(spark):
             return None
         if not parts.hostname or not parts.scheme:
             return None
+        # java.net.URI (Spark's parser) refuses malformed escapes
+        for comp in (parts.path, parts.query):
+            if re.search(r"%(?![0-9A-Fa-f]{2})", comp):
+                return None
         scheme, host = parts.scheme.lower(), parts.hostname.lower()
         port = ""
         try:
@@ -349,11 +370,12 @@ def test_canonical_url_vs_python_reference(spark):
                 port = f":{parts.port}"
         except ValueError:
             pass
-        path = parts.path or "/"
+        path = py_pct_norm(parts.path) if parts.path else "/"
         terms = []
         for p in parts.query.split("&"):
             if not p:
                 continue
+            p = py_pct_norm(p)
             name = p.split("=", 1)[0]
             if name in CR.DEFAULT_TRACKING_PARAMS or any(
                 name.startswith(x) for x in CR.DEFAULT_TRACKING_PREFIXES
@@ -374,6 +396,10 @@ def test_canonical_url_vs_python_reference(spark):
         "https://example.com/a?&&b=1",        # empty terms dropped
         "not a url at all",                   # -> NULL
         "https://single/x?gclid=1&keep=2&keep=1",
+        # percent-encoding normalization (RFC 3986 6.2.2)
+        "https://example.com/%7euser/%2fdir?n%61me=%2F&utm%5Fx=1",
+        # invalid escapes: java.net.URI refuses the whole URL -> NULL
+        "https://example.com/a%zz%4",
     ]
     df = spark.createDataFrame([(u,) for u in urls], "u string")
     got = {
@@ -391,6 +417,16 @@ def test_canonical_url_vs_python_reference(spark):
     assert got[urls[3]] == "http://host.org:8080/p?real=1"
     assert got[urls[6]] == "https://example.com/a"
     assert got["not a url at all"] is None
+    # pct-normalization: unreserved decodes, reserved hex uppercases,
+    # an encoded utm_ name still drops; malformed escapes -> NULL
+    assert got[urls[10]] == "https://example.com/~user/%2Fdir?name=%2F"
+    assert got[urls[11]] is None
+    # _pct_norm's verbatim branch (defensive: reachable only for
+    # components that never went through java.net.URI) pinned directly
+    raw = spark.createDataFrame(
+        [("a%zz%4",), ("%2fx%7e",), ("plain",)], "s string"
+    ).select(CR._pct_norm(F.col("s")).alias("n")).collect()
+    assert [r.n for r in raw] == ["a%zz%4", "%2Fx~", "plain"]
     # canonical-equal variants collapse for URL-level dedup
     variants = [
         "https://Example.com/page?b=2&a=1&utm_medium=email",
