@@ -60,7 +60,10 @@ def _pct_norm(s: Column) -> Column:
 
     def fix(p: Column) -> Column:
         hexs = F.substring(p, 1, 2)
-        rest = F.substring(p, 3, 1 << 20)
+        # length-safe remainder (no fixed cap): a fixed third argument
+        # would silently truncate a pathological multi-MiB component and
+        # corrupt its canonical key instead of passing it through
+        rest = F.substr(p, F.lit(3))
         valid = hexs.rlike("^[0-9A-Fa-f]{2}$")
         ch = F.char(F.conv(hexs, 16, 10).cast("long"))
         unres = ch.rlike("^[A-Za-z0-9._~-]$")

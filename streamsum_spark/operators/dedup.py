@@ -308,10 +308,20 @@ def near_dup_verified(
     accumulating blocks per call.  ``docs`` (doc_id, text) overrides the
     sf_dir documents table for composite pipelines, with ``cache_token``
     keying the persisted intermediates (same contract as
-    near_dup_tuned).
+    near_dup_tuned); ``docs`` REQUIRES a cache_token — falling back to
+    sf_dir (often '') would let two composite pipelines sharing the
+    default key silently evict each other's persisted shingle/band
+    relations (cache thrash, not wrong results — refused loudly
+    instead).
     """
     from streamsum_spark.cached import shared_persist
 
+    if docs is not None and cache_token is None:
+        raise ValueError(
+            "near_dup_verified(docs=...) needs an explicit cache_token: "
+            "the persisted shingle/signature relations are keyed by it, "
+            "and the sf_dir fallback key would collide across pipelines"
+        )
     key = cache_token or sf_dir
     sh = shared_persist(
         ("shingle_sets", key), shingle_sets(spark, sf_dir, docs=docs)
@@ -1076,12 +1086,19 @@ def near_dup_tuned(
     instead of after it, which is where the cost lives at scale.
     ``docs`` (doc_id, text) overrides the sf_dir documents table for
     composite pipelines, with ``cache_token`` keying the persisted
-    intermediates in place of sf_dir."""
+    intermediates in place of sf_dir (required together — see
+    near_dup_verified)."""
     from pyspark.sql import Window
 
     from streamsum_spark.cached import shared_persist
 
     b, r = choose_lsh_params(threshold)
+    if docs is not None and cache_token is None:
+        raise ValueError(
+            "near_dup_tuned(docs=...) needs an explicit cache_token: "
+            "the persisted shingle/band relations are keyed by it, and "
+            "the sf_dir fallback key would collide across pipelines"
+        )
     key = cache_token or sf_dir
     sh = shared_persist(
         ("shingle_sets", key), shingle_sets(spark, sf_dir, docs=docs)

@@ -1578,13 +1578,7 @@ def semantic_dedup(
     if emb is None:
         emb = table(spark, sf_dir, "embeddings")
     emb = emb.select("vec_id", "embedding")
-    if max_list is None:
-        # 8x the mean list size: generous headroom for a healthy fit,
-        # hard bound for a degenerate one
-        n_vec = assignments.count()
-        n_cl = max(centroids.count(), 1)
-        max_list = max(64, -(-8 * n_vec // n_cl))
-    full = (
+    base = (
         emb.join(assignments, "vec_id")
         .join(F.broadcast(centroids), "list_id")
         .select(
@@ -1597,14 +1591,28 @@ def semantic_dedup(
             F.expr(_cos_safe("embedding", "centroid")).alias("cent_cos"),
         )
         .withColumn(
-            "capped",
-            F.count(F.lit(1)).over(Window.partitionBy("list_id"))
-            > F.lit(max_list),
+            "_list_n", F.count(F.lit(1)).over(Window.partitionBy("list_id"))
         )
     )
     from streamsum_spark.cached import shared_persist
 
-    full = shared_persist(("semdedup_lists", cache_token or sf_dir), full)
+    base = shared_persist(("semdedup_lists", cache_token or sf_dir), base)
+    if max_list is None:
+        # 8x the mean list size: generous headroom for a healthy fit,
+        # hard bound for a degenerate one.  Derived from the PERSISTED
+        # relation: this count is the action that materializes the pin
+        # every downstream consumer needs anyway — it does NOT re-run
+        # the k-means transform as a separate pass (the centroid count
+        # is a driver-built n_lists-row relation, trivial by
+        # construction)
+        n_vec = base.count()
+        n_cl = max(centroids.count(), 1)
+        max_list = max(64, -(-8 * n_vec // n_cl))
+    # the cap column is a lazy comparison on top of the persisted base,
+    # so an explicit max_list= pays no counting action at all
+    full = base.withColumn("capped", F.col("_list_n") > F.lit(max_list)).drop(
+        "_list_n"
+    )
     with_l = full.where(~F.col("capped"))
     a, b = with_l.alias("a"), with_l.alias("b")
     pairs = (
