@@ -39,8 +39,26 @@ parameter of semantic_dedup and nothing else changes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def doc_id_col() -> Column:
+    """Document identity for WARC-ingested pages: xxhash64 of
+    (target_uri, warc_file, ordinal) — the URI alone is NOT an identity
+    (a real crawl re-fetches pages, and two fetches of one URI are two
+    documents with different text), so the per-file record ordinal the
+    WARC reader threads through makes every FETCH a distinct doc_id and
+    keeps the URL-dedup survivor deterministic.
+
+    64-bit honesty: at multi-billion-document scale a birthday
+    collision between two distinct fetches becomes likely (~50% near
+    5e9 docs); a collision merges the two in the dedup windows (the
+    ``tiebreak_cols`` keep even that survivor deterministic).
+    Deployments past ~1e9 docs should widen the key — e.g. md5 of the
+    same triple — at the cost of doubling the join-key width on every
+    doc_id-keyed shuffle."""
+    return F.xxhash64("target_uri", "warc_file", "ordinal")
 
 
 def corpus_prep_stages(
@@ -79,21 +97,31 @@ def corpus_prep_stages(
 
     stages: dict[str, DataFrame] = {}
 
-    # 1. ingest: WARC -> text, with a stable doc identity (the URI hash —
-    # WARC records carry no numeric id)
+    # 1. ingest: WARC -> text, with a per-FETCH doc identity (URI +
+    # file + record ordinal — see doc_id_col for the 64-bit honesty
+    # note; WARC records carry no numeric id)
     ingested = read_warc_text(spark, warc_dir, glob).select(
-        F.xxhash64("target_uri").alias("doc_id"), "target_uri", "text"
+        doc_id_col().alias("doc_id"),
+        "target_uri",
+        "warc_file",
+        "ordinal",
+        "text",
     )
     stages["ingested"] = ingested
 
     # 1b. URL-level dedup: re-fetches of one page differ by tracking
     # params / fragments far more often than by content — keep the
     # smallest doc_id per CANONICAL URL (one window, row-unique
-    # fallback keys for unparseable URLs, same posture as the cap)
+    # fallback keys for unparseable URLs, same posture as the cap).
+    # (warc_file, ordinal) tiebreaks make the survivor deterministic
+    # even under a doc_id hash collision between two fetches.
     # persisted: both the paragraph explode and the text rebuild join
     # consume it — unpinned, each would re-run the WARC parse + window
     url_deduped = shared_persist(
-        (cache_token, "url"), dedup_by_canonical_url(ingested)
+        (cache_token, "url"),
+        dedup_by_canonical_url(
+            ingested, tiebreak_cols=("warc_file", "ordinal")
+        ).select("doc_id", "target_uri", "text"),
     )
     stages["url_deduped"] = url_deduped
 

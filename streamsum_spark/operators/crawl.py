@@ -170,6 +170,8 @@ def dedup_by_canonical_url(
     id_col: str = "doc_id",
     drop_params: tuple[str, ...] = DEFAULT_TRACKING_PARAMS,
     drop_prefixes: tuple[str, ...] = DEFAULT_TRACKING_PREFIXES,
+    tiebreak_cols: tuple[str, ...] = (),
+    canon_col: str | None = None,
 ) -> DataFrame:
     """URL-level dedup: keep ONE row per canonical URL (the smallest
     ``id_col`` — deterministic), so re-fetches that differ only by
@@ -177,10 +179,22 @@ def dedup_by_canonical_url(
     stage runs.  One window keyed by the canonical URL; rows whose URL
     does not canonicalize (null) pass through on row-unique fallback
     keys — the same no-skew posture as cap_per_domain.  Output: the
-    surviving input rows, columns unchanged."""
+    surviving input rows, columns unchanged.
+
+    ``tiebreak_cols`` extend the window order AFTER ``id_col`` so the
+    survivor stays deterministic even when two rows share an id (e.g. a
+    64-bit hash collision between distinct fetches — without a tiebreak
+    the row_number between them is partition-order luck).
+    ``canon_col`` names an already-computed canonical-URL column to key
+    on (null = unparseable) instead of re-deriving it here — composite
+    pipelines canonicalize each URL exactly once."""
     from pyspark.sql import Window
 
-    canon = canonical_url_col(F.col(url_col), drop_params, drop_prefixes)
+    canon = (
+        F.col(canon_col)
+        if canon_col is not None
+        else canonical_url_col(F.col(url_col), drop_params, drop_prefixes)
+    )
     key = F.coalesce(
         canon,
         F.concat_ws(
@@ -189,7 +203,8 @@ def dedup_by_canonical_url(
             F.monotonically_increasing_id().cast("string"),
         ),
     )
-    w = Window.partitionBy(key).orderBy(F.col(id_col).asc())
+    order = [F.col(id_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
+    w = Window.partitionBy(key).orderBy(*order)
     return (
         df.withColumn("_url_rank", F.row_number().over(w))
         .where(F.col("_url_rank") == 1)

@@ -372,6 +372,10 @@ def _html_pages(recs: DataFrame) -> DataFrame:
         & F.col("body").isNotNull()
     ).select(
         "warc_file",
+        # the per-file record ordinal rides along so consumers can mint
+        # a per-FETCH document identity — xxhash64(target_uri) alone
+        # collides two crawls of the same page (corpus_prep.doc_id_col)
+        "ordinal",
         "target_uri",
         "warc_date",
         F.col("body").cast("string").alias("html"),
@@ -384,7 +388,8 @@ def read_warc_text(
 ) -> DataFrame:
     """The composed front door: WARC files → successful HTML responses
     → extracted text, ready for the quality / langid / dedup operators.
-    Output: (warc_file, target_uri, warc_date, text, text_chars).  The
+    Output: (warc_file, ordinal, target_uri, warc_date, text,
+    text_chars).  The
     byte→string step is ``CAST(body AS STRING)`` (lenient UTF-8 — a
     crawl's stray invalid sequences must not fail the scan), and the
     markup strip is html_text's pure-expression chain, fused into the

@@ -1837,12 +1837,15 @@ def stream_dedup_urls(
     under ``warc_dir`` dedup against every URL ingested so far without
     rescanning it.
 
-    Per micro-batch: each page gets (doc_id = xxhash64(target_uri),
-    g = md5(canonical URL); unparseable URLs get row-unique keys so
-    they never dedup or skew), the batch collapses same-doc repeats
-    and ranks within itself by doc_id, batch firsts probe the
-    accumulated first-occurrence store with bucket-pruned reads, and a
-    collision flags the LOSER of the doc_id order (a late-arriving
+    Per micro-batch: each page gets (doc_id = corpus_prep.doc_id_col —
+    xxhash64 of (target_uri, warc_file, ordinal), so every FETCH is a
+    distinct document and repeated crawls of one URI dedup at row
+    granularity exactly like the batch operator; g = md5(canonical
+    URL); unparseable URLs get row-unique keys so they never dedup or
+    skew), the batch collapses redelivered copies and ranks within
+    itself by doc_id, batch firsts probe the accumulated
+    first-occurrence store with bucket-pruned reads, and a collision
+    flags the LOSER of the doc_id order (a late-arriving
     globally-first copy flags the stored occurrence and is kept) while
     the store min-merges — so the flag set converges to the batch
     operator's keep-smallest-doc_id under any arrival order.  Returns
@@ -1850,6 +1853,7 @@ def stream_dedup_urls(
     ingested docs anti-joined on it — pinned equal to
     dedup_by_canonical_url across an out-of-order 2-shard split in
     tests/test_crawl.py."""
+    from streamsum_spark.corpus_prep import doc_id_col
     from streamsum_spark.operators.crawl import canonical_url_col
     from streamsum_spark.sinks import read_touched_buckets, upsert_batch
     from streamsum_spark.sources.warc import stream_warc_text
@@ -1864,7 +1868,7 @@ def stream_dedup_urls(
 
         rows = (
             batch_df.select(
-                F.xxhash64("target_uri").alias("doc_id"),
+                doc_id_col().alias("doc_id"),
                 canonical_url_col(F.col("target_uri")).alias("_canon"),
             )
             .select(
@@ -1876,7 +1880,8 @@ def stream_dedup_urls(
                     )
                 ).alias("g"),
             )
-            # same URI repeated in one batch = the same doc, not a dup
+            # same (uri, file, ordinal) repeated in one batch = a
+            # redelivered record, not a duplicate document
             .dropDuplicates(["doc_id"])
             .localCheckpoint()
         )
@@ -1921,7 +1926,7 @@ def stream_dedup_urls(
     pages = stream_warc_text(spark, warc_dir, glob, max_files_per_trigger)
     ckpt = checkpoint or base + "_ckpt"
     q = (
-        pages.select("target_uri")
+        pages.select("target_uri", "warc_file", "ordinal")
         .writeStream.foreachBatch(on_batch)
         .outputMode("append")
         .option("checkpointLocation", ckpt)

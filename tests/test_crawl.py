@@ -454,14 +454,32 @@ def test_stream_dedup_urls_out_of_order_equals_batch(spark, tmp_path):
     u_a = "http://dup.site.com/page"
     u_b = "http://DUP.site.com:80/page?utm_x=1"  # same canonical as u_a
     uniq = ["http://only1.com/x", "http://only2.com/y"]
-    ids = {
-        r.u: r.h
-        for r in spark.createDataFrame(
-            [(u,) for u in (u_a, u_b)], "u string"
-        ).selectExpr("u", "xxhash64(u) AS h").collect()
-    }
-    first_uri = min((u_a, u_b), key=lambda u: ids[u])
-    second_uri = max((u_a, u_b), key=lambda u: ids[u])
+
+    # doc identity is per-FETCH: xxhash64(uri, file, ordinal) — compute
+    # the candidate ids for both shard placements and pick the one where
+    # the LOSER (larger id) lands in shard 0, so the globally-first copy
+    # arrives LAST (deterministic: the hash values are fixed)
+    def fetch_id(uri, fname, ordinal):
+        return spark.createDataFrame(
+            [(uri, fname, ordinal)],
+            "target_uri string, warc_file string, ordinal int",
+        ).selectExpr(
+            "xxhash64(target_uri, warc_file, ordinal) AS h"
+        ).collect()[0].h
+
+    placements = [
+        # (shard0 uris, shard1 uris) with the dup pair at ordinal 0
+        ((u_a, u_b), ([u_a, uniq[0], "::junk url"], [u_b, uniq[1]])),
+        ((u_b, u_a), ([u_b, uniq[0], "::junk url"], [u_a, uniq[1]])),
+    ]
+    for (dup0, dup1), (s0, s1) in placements:
+        id0 = fetch_id(dup0, "u0.warc.gz", 0)
+        id1 = fetch_id(dup1, "u1.warc.gz", 0)
+        if id0 > id1:
+            shards, loser_id = [s0, s1], id0
+            break
+    else:
+        pytest.fail("neither placement puts the loser in shard 0")
 
     def rec(uri):
         body = b"<p>some page body text</p>"
@@ -484,7 +502,6 @@ def test_stream_dedup_urls_out_of_order_equals_batch(spark, tmp_path):
     d.mkdir()
     # the LOSER-to-be (larger doc_id) arrives in shard 0; the global
     # first arrives in shard 1
-    shards = [[second_uri, uniq[0], "::junk url"], [first_uri, uniq[1]]]
     for i, uris in enumerate(shards):
         p = d / f"u{i}.warc.gz"
         p.write_bytes(b"".join(gzip.compress(rec(u), mtime=0) for u in uris))
@@ -495,20 +512,78 @@ def test_stream_dedup_urls_out_of_order_equals_batch(spark, tmp_path):
         spark, str(d), glob="*.warc.gz", max_files_per_trigger=1,
         state_base=base,
     )
-    assert {r.doc_id for r in flags.collect()} == {ids[second_uri]}
+    assert {r.doc_id for r in flags.collect()} == {loser_id}
     # resume: nothing new, flags stable
     flags2 = stream_dedup_urls(
         spark, str(d), glob="*.warc.gz", max_files_per_trigger=1,
         state_base=base,
     )
     flag_ids = {r.doc_id for r in flags2.collect()}
-    assert flag_ids == {ids[second_uri]}
+    assert flag_ids == {loser_id}
     # survivors == the batch operator over the full ingest
     ingested = W.read_warc_text(spark, str(d), glob="*.warc.gz").selectExpr(
-        "xxhash64(target_uri) AS doc_id", "target_uri"
+        "xxhash64(target_uri, warc_file, ordinal) AS doc_id", "target_uri"
     )
     batch = {r.doc_id for r in CR.dedup_by_canonical_url(ingested).collect()}
     stream_surv = {
         r.doc_id for r in ingested.collect() if r.doc_id not in flag_ids
     }
     assert stream_surv == batch and len(batch) == 4  # junk URL passes
+
+
+def test_refetch_same_uri_survivor_is_deterministic(spark, tmp_path):
+    """r13 verdict order #3: a real crawl re-fetches pages, so the SAME
+    target URI appears twice with DIFFERENT text.  With per-fetch doc
+    identity (uri + file + ordinal) the two fetches are distinct docs,
+    the canonical-URL window picks the min-doc_id copy, and which TEXT
+    survives is deterministic across runs — no row_number tie left to
+    partition-order luck."""
+    import gzip
+
+    from streamsum_spark.corpus_prep import doc_id_col
+    from streamsum_spark.sources import warc as W
+
+    uri = "http://refetch.example.com/page"
+    texts = {0: "first crawl body words", 1: "second crawl body words"}
+
+    def rec(text):
+        body = f"<p>{text}</p>".encode()
+        http = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n".encode() + body
+        )
+        return W.build_warc_record(
+            {
+                "WARC-Type": "response",
+                "WARC-Record-ID": f"<urn:t:{uri}>",
+                "WARC-Date": "2024-01-01T00:00:00Z",
+                "WARC-Target-URI": uri,
+                "Content-Type": "application/http; msgtype=response",
+            },
+            http,
+        )
+
+    d = tmp_path / "refetch"
+    d.mkdir()
+    # both fetches in one shard: same URI, ordinals 0 and 1
+    (d / "r0.warc.gz").write_bytes(
+        b"".join(gzip.compress(rec(texts[i]), mtime=0) for i in (0, 1))
+    )
+
+    ingested = W.read_warc_text(spark, str(d), glob="*.warc.gz").select(
+        doc_id_col().alias("doc_id"), "target_uri", "warc_file",
+        "ordinal", "text",
+    )
+    rows = {r.ordinal: r for r in ingested.collect()}
+    assert rows[0].doc_id != rows[1].doc_id  # per-fetch identity
+    expect_text = rows[min(rows, key=lambda o: rows[o].doc_id)].text
+
+    def run():
+        out = CR.dedup_by_canonical_url(
+            ingested, tiebreak_cols=("warc_file", "ordinal")
+        ).collect()
+        assert len(out) == 1
+        return out[0].text
+
+    assert run() == expect_text
+    assert run() == expect_text  # stable across runs
