@@ -86,6 +86,7 @@ def corpus_prep_stages(
     from streamsum_spark.operators.crawl import (
         cap_per_domain,
         dedup_by_canonical_url,
+        with_url_parts,
     )
     from streamsum_spark.operators.dedup import dedup_paragraphs, near_dup_tuned
     from streamsum_spark.operators.sampling import pack_into_chunks
@@ -99,13 +100,18 @@ def corpus_prep_stages(
 
     # 1. ingest: WARC -> text, with a per-FETCH doc identity (URI +
     # file + record ordinal — see doc_id_col for the 64-bit honesty
-    # note; WARC records carry no numeric id)
-    ingested = read_warc_text(spark, warc_dir, glob).select(
-        doc_id_col().alias("doc_id"),
-        "target_uri",
-        "warc_file",
-        "ordinal",
-        "text",
+    # note; WARC records carry no numeric id).  with_url_parts adds
+    # canonical_url + host in ONE projection — the funnel's single
+    # try_parse_url family: the URL-dedup window and the domain cap
+    # both consume these columns instead of re-parsing the URL
+    ingested = with_url_parts(
+        read_warc_text(spark, warc_dir, glob).select(
+            doc_id_col().alias("doc_id"),
+            "target_uri",
+            "warc_file",
+            "ordinal",
+            "text",
+        )
     )
     stages["ingested"] = ingested
 
@@ -120,8 +126,10 @@ def corpus_prep_stages(
     url_deduped = shared_persist(
         (cache_token, "url"),
         dedup_by_canonical_url(
-            ingested, tiebreak_cols=("warc_file", "ordinal")
-        ).select("doc_id", "target_uri", "text"),
+            ingested,
+            tiebreak_cols=("warc_file", "ordinal"),
+            canon_col="canonical_url",
+        ).select("doc_id", "target_uri", "host", "text"),
     )
     stages["url_deduped"] = url_deduped
 
@@ -132,9 +140,10 @@ def corpus_prep_stages(
     para_deduped = url_deduped.drop("text").join(paras, "doc_id")
     stages["para_deduped"] = para_deduped
 
-    # 3. per-registered-domain cap (anti-monoculture)
+    # 3. per-registered-domain cap (anti-monoculture); host threaded
+    # from the ingest projection — no URL re-parse here
     domain_capped = cap_per_domain(
-        para_deduped, cap=domain_cap, url_col="target_uri"
+        para_deduped, cap=domain_cap, url_col="target_uri", host_col="host"
     ).select("doc_id", "target_uri", "text")
     # persisted: the classifier reads it twice (train + score) and the
     # dedup stages chain from it — without a pin the WARC parse reruns

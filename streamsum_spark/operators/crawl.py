@@ -291,16 +291,42 @@ def registered_domain_col(
     )
 
 
+def with_url_parts(
+    df: DataFrame,
+    url_col: str = "target_uri",
+    drop_params: tuple[str, ...] = DEFAULT_TRACKING_PARAMS,
+    drop_prefixes: tuple[str, ...] = DEFAULT_TRACKING_PREFIXES,
+) -> DataFrame:
+    """The input relation plus ``canonical_url`` and ``host`` — ONE
+    projection holding the funnel's single try_parse_url family for a
+    URL column.  A composed pipeline (corpus_prep) derives both here
+    and threads them to the URL-dedup window (``canon_col=``) and the
+    domain stages (``host_col=``), so each URL parses once instead of
+    once per stage; the HOST part is shared between the two expressions
+    and whole-stage codegen's subexpression elimination evaluates it a
+    single time per row."""
+    return df.withColumn(
+        "canonical_url",
+        canonical_url_col(F.col(url_col), drop_params, drop_prefixes),
+    ).withColumn("host", url_host_col(F.col(url_col)))
+
+
 def with_domain(
     df: DataFrame,
     url_col: str = "target_uri",
     suffixes: tuple[str, ...] = DEFAULT_2LABEL_SUFFIXES,
+    host_col: str | None = None,
 ) -> DataFrame:
     """The input relation plus ``host`` and ``domain`` columns — the
-    shared projection of the stats and cap operators."""
-    host = url_host_col(F.col(url_col))
-    return df.withColumn("host", host).withColumn(
-        "domain", registered_domain_col(F.col("host"), suffixes)
+    shared projection of the stats and cap operators.  ``host_col``
+    names an already-computed host column (with_url_parts) so a
+    composite pipeline skips the re-parse; the domain derivation is the
+    same pure array-expression suffix match either way."""
+    if host_col is None:
+        df = df.withColumn("host", url_host_col(F.col(url_col)))
+        host_col = "host"
+    return df.withColumn(
+        "domain", registered_domain_col(F.col(host_col), suffixes)
     )
 
 
@@ -308,14 +334,16 @@ def domain_stats(
     df: DataFrame,
     url_col: str = "target_uri",
     text_col: str | None = "text",
+    host_col: str | None = None,
 ) -> DataFrame:
     """Per-registered-domain corpus statistics: pages, distinct hosts,
     total/mean text chars — the relation domain-balance decisions read.
-    One shuffle on domain."""
-    d = with_domain(df, url_col)
+    One shuffle on domain.  ``host_col`` reuses a precomputed host
+    column (with_url_parts) instead of re-parsing the URL."""
+    d = with_domain(df, url_col, host_col=host_col)
     aggs = [
         F.count(F.lit(1)).alias("n_pages"),
-        F.countDistinct("host").alias("n_hosts"),
+        F.countDistinct(host_col or "host").alias("n_hosts"),
     ]
     if text_col is not None:
         aggs += [
@@ -330,6 +358,7 @@ def cap_per_domain(
     cap: int,
     url_col: str = "target_uri",
     priority: Column | None = None,
+    host_col: str | None = None,
 ) -> DataFrame:
     """Keep at most ``cap`` pages per registered domain — the C4-style
     anti-monoculture gate.  Selection is DETERMINISTIC: rows rank by
@@ -344,7 +373,11 @@ def cap_per_domain(
     crawl holds millions of garbage URLs, and a common null window key
     would be a corpus-growing skew partition (the same hazard the
     paragraph-dedup blank keys avoid).  Filter ``domain IS NULL``
-    before or after if those rows should drop instead."""
+    before or after if those rows should drop instead.
+
+    ``host_col`` reuses a precomputed host column (with_url_parts)
+    instead of re-parsing the URL; the caller's column passes through
+    untouched."""
     if cap < 1:
         raise ValueError("cap must be >= 1")
     from pyspark.sql import Window
@@ -353,7 +386,7 @@ def cap_per_domain(
     # copies of the same unparseable URL would otherwise share a window
     # key and compete under the cap, contradicting the pass-through
     # contract above
-    d = with_domain(df, url_col).withColumn(
+    d = with_domain(df, url_col, host_col=host_col).withColumn(
         "_row_uid", F.monotonically_increasing_id()
     )
     pr = priority if priority is not None else F.xxhash64(F.col(url_col))
@@ -364,8 +397,10 @@ def cap_per_domain(
         ),
     )
     w = Window.partitionBy(key).orderBy(pr.asc(), F.col(url_col).asc())
-    return (
+    out = (
         d.withColumn("domain_rank", F.row_number().over(w).cast("long"))
         .where(F.col("domain_rank") <= cap)
-        .drop("host", "_row_uid")
+        .drop("_row_uid")
     )
+    # the derived host column is internal; a caller-supplied one is not
+    return out.drop("host") if host_col is None else out

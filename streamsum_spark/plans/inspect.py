@@ -58,6 +58,22 @@ def has_partial_aggregate(df: DataFrame) -> bool:
     return "HashAggregate" in plan and "partial_" in plan.lower()
 
 
+def nodes_with(df: DataFrame, token: str) -> int:
+    """How many DISTINCT formatted-plan node sections mention ``token``
+    — the granularity that survives expression-tree repetition (one
+    node's text repeats a subexpression many times, but one projection
+    is one node) AND print duplication (a cached InMemoryRelation's
+    child plan prints once per reference with the same expression ids,
+    so identical bodies collapse to one).  Used e.g. to pin that a
+    composed pipeline parses each URL column in exactly one projection
+    (token 'ParseUrlEvaluator', the physical rendering of
+    try_parse_url)."""
+    plan = explain_str(df)
+    return len(
+        {sec for sec in re.split(r"\n\(\d+\) ", plan) if token in sec}
+    )
+
+
 def scan_runtime_metrics(df: DataFrame) -> list[dict]:
     """EXECUTE ``df`` and return one {metric_name: value} dict per
     file-scan node of the executed plan — the runtime evidence of what

@@ -282,3 +282,15 @@ def test_corpus_prep_plan_is_jvm_side_except_warc_parse(prep):
     # carries NO Python at all
     assert "MapInPandas" in PI.explain_str(stages["domain_capped"])
     assert "MapInPandas" not in PI.explain_str(stages["packed"])
+
+
+def test_funnel_parses_each_url_once(prep):
+    """r13 verdict order #4: the ingest projection (with_url_parts) is
+    the funnel's ONE try_parse_url family — the URL-dedup window keys
+    on the threaded canonical column and the domain cap on the threaded
+    host, so no later plan node re-parses the URL."""
+    from streamsum_spark.plans import inspect as PI
+
+    warc_dir, docs, stages, got = prep
+    for stage in ("url_deduped", "para_deduped", "domain_capped"):
+        assert PI.nodes_with(stages[stage], "ParseUrlEvaluator") <= 1, stage

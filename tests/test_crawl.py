@@ -531,6 +531,37 @@ def test_stream_dedup_urls_out_of_order_equals_batch(spark, tmp_path):
     assert stream_surv == batch and len(batch) == 4  # junk URL passes
 
 
+def test_threaded_url_parts_skip_the_reparse(spark):
+    """with_url_parts + canon_col/host_col threading: the composed
+    dedup->cap chain keeps URL parsing in exactly ONE plan node (the
+    parts projection), where the unthreaded chain parses again in the
+    dedup window key and the cap's with_domain; results identical."""
+    from streamsum_spark.plans import inspect as PI
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://a.com/x?utm_a=1&q=2"),
+            (2, "http://A.com:80/x?q=2"),
+            (3, "https://b.co.uk/y"),
+            (4, "not a url"),
+        ],
+        "doc_id long, target_uri string",
+    )
+    parts = CR.with_url_parts(df)
+    threaded = CR.cap_per_domain(
+        CR.dedup_by_canonical_url(parts, canon_col="canonical_url"),
+        cap=5,
+        host_col="host",
+    )
+    plain = CR.cap_per_domain(CR.dedup_by_canonical_url(df), cap=5)
+    tok = "ParseUrlEvaluator"  # physical rendering of try_parse_url
+    assert PI.nodes_with(threaded, tok) == 1
+    assert PI.nodes_with(plain, tok) >= 2
+    got_t = {(r.doc_id, r.domain, r.domain_rank) for r in threaded.collect()}
+    got_p = {(r.doc_id, r.domain, r.domain_rank) for r in plain.collect()}
+    assert got_t == got_p and len(got_t) == 3  # the URL-dup pair collapsed
+
+
 def test_refetch_same_uri_survivor_is_deterministic(spark, tmp_path):
     """r13 verdict order #3: a real crawl re-fetches pages, so the SAME
     target URI appears twice with DIFFERENT text.  With per-fetch doc
