@@ -1,0 +1,338 @@
+"""Manifest-backed Z-ordered TABLES: file-level data skipping on top of
+the zorder.py layouts (r13 verdict order #2).
+
+Plain Spark prunes a parquet scan at row-group/page granularity only —
+it still opens every file's footer, because file-level min/max pruning
+is a table-format feature (the Delta/Iceberg data-skipping stats), not
+a parquet one.  The repo's zorder read-path pin documents that honestly
+(tests/test_zorder.py: numFiles equal across layouts).  This module
+adds the missing half the production formats provide:
+
+- ``write_zordered_table`` writes the clustered layout into an
+  IMMUTABLE per-commit data directory, reads every written file's
+  parquet FOOTER (metadata-only IO, one task per file — the same
+  distributed stats collection Delta's OPTIMIZE runs) to record per-file
+  min/max of the clustered columns, and commits a manifest naming the
+  file list + stats.
+- ``read_zordered`` resolves the manifest and prunes the FILE LIST
+  against a range predicate before ``spark.read.parquet(files)`` — at
+  100 TB this is the difference between listing/footer-probing every
+  file of the table and touching only the files whose stats intersect
+  the box.  The residual predicate still applies, so results are exact
+  regardless of stats granularity.
+
+Crash-consistency posture is inherited from snapshots.py, scaled to
+this table shape (a Z-order OPTIMIZE rewrites the whole table, so
+manifests are always full — no delta chain needed):
+
+- data files are immutable and live under ``data-<commit>/``; nothing
+  references them until the manifest commit, so a crashed write leaves
+  an invisible orphan directory, never a torn table;
+- the manifest claims its version with the commit backend's atomic
+  put-if-absent (commitio.py: POSIX hard link / conditional PUT) —
+  two racing writers serialize there with exactly one winner
+  (SnapshotConflictError for the loser, same contract as snapshots);
+- the ``_latest`` pointer replace is THE commit; readers resolve the
+  pointer once and then read an immutable file set, so any retained
+  version stays readable (time travel) until ``vacuum_zordered``.
+
+Reference provenance: the reference engine has no storage layout layer
+at all (in-process caches, caches.clj:27-101); this extends the
+north-star curation surface the way the production lakehouse formats
+do, from published semantics only.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import uuid
+from decimal import Decimal
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from streamsum_spark import commitio
+from streamsum_spark.operators.zorder import hilbert_code, morton_code
+
+_ZDIR = "_zsnap"
+_LATEST = "_latest"
+
+
+def _zdir(path: str) -> str:
+    return os.path.join(path, _ZDIR)
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(_zdir(path), f"v{version:08d}.json")
+
+
+def _latest_version(path: str) -> int | None:
+    ptr = os.path.join(_zdir(path), _LATEST)
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as fh:
+        return int(fh.read().strip())
+
+
+def _norm(v):
+    """Manifest-storable stat value: numbers as float, timestamps as
+    epoch seconds, anything else (unexpected for validated numeric
+    layouts) as None = 'unknown, keep the file'."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return float(v)
+    if isinstance(v, (int, float, Decimal)):
+        v = float(v)
+        return v if v == v else None  # NaN stats cannot prune
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=datetime.timezone.utc)
+        return v.timestamp()
+    if isinstance(v, datetime.date):
+        return float(v.toordinal())
+    return None
+
+
+def _file_stats(spark: SparkSession, files: list[str], cols: list[str]):
+    """Per-file [min, max] of ``cols`` from parquet footers — one task
+    per file (metadata-only IO; the data pages are never read), results
+    collected to the driver bounded at one tiny row per file, exactly
+    the cardinality the manifest records anyway."""
+    import pandas as pd
+
+    col_list = list(cols)
+
+    def footers(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out_f, out_s = [], []
+            for f in pdf["file"]:
+                md = pq.ParquetFile(f).metadata
+                # column name -> [min, max] across the file's row
+                # groups; ONE statless/NaN row group makes the whole
+                # file's span unknown (keep-the-file, never misprune)
+                agg: dict[str, list] = {}
+                bad: set[str] = set()
+                for rg in range(md.num_row_groups):
+                    row = md.row_group(rg)
+                    for ci in range(row.num_columns):
+                        col = row.column(ci)
+                        name = col.path_in_schema
+                        if name not in col_list or name in bad:
+                            continue
+                        st = col.statistics
+                        mn = _norm(st.min) if st is not None else None
+                        mx = _norm(st.max) if st is not None else None
+                        if mn is None or mx is None:
+                            bad.add(name)
+                            agg[name] = [None, None]
+                            continue
+                        cur = agg.get(name)
+                        agg[name] = (
+                            [mn, mx]
+                            if cur is None
+                            else [min(cur[0], mn), max(cur[1], mx)]
+                        )
+                out_f.append(f)
+                out_s.append(json.dumps(agg))
+            yield pd.DataFrame({"file": out_f, "stats": out_s})
+
+    fdf = spark.createDataFrame([(f,) for f in files], "file string")
+    rows = (
+        fdf.repartition(min(max(len(files), 1), 64))
+        .mapInPandas(footers, "file string, stats string")
+        .collect()
+    )
+    return {os.path.basename(r.file): json.loads(r.stats) for r in rows}
+
+
+def write_zordered_table(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    layout: str = "morton",
+    n_files: int = 16,
+    bits: int | None = None,
+    rank: str = "quantile",
+) -> int:
+    """Write ``df`` as a Z-ordered TABLE version: clustered data files
+    (same single range exchange as write_zordered/write_hilbert) into
+    an immutable ``data-<commit>/`` directory, per-file min/max of the
+    clustered columns from the written footers, one manifest commit.
+    Returns the committed version.  ``layout``: 'morton' (any arity) or
+    'hilbert' (2-D)."""
+    from streamsum_spark.snapshots import SnapshotConflictError
+
+    if layout == "morton":
+        code = morton_code(df, cols, bits, rank)
+    elif layout == "hilbert":
+        code = hilbert_code(df, cols, 8 if bits is None else bits, rank)
+    else:
+        raise ValueError(f"unknown layout {layout!r} (morton|hilbert)")
+    spark = df.sparkSession
+    commit_id = uuid.uuid4().hex[:12]
+    data_rel = f"data-{commit_id}"
+    data_dir = os.path.join(path, data_rel)
+    (
+        df.withColumn("_z", code)
+        .repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("errorifexists")
+        .parquet(data_dir)
+    )
+    import glob as g
+
+    files = sorted(g.glob(os.path.join(data_dir, "part-*.parquet")))
+    stats = _file_stats(spark, files, cols)
+    head = _latest_version(path)
+    version = 1 if head is None else head + 1
+    manifest = {
+        "version": version,
+        "layout": layout,
+        "cols": list(cols),
+        "data_dir": data_rel,
+        "schema": df.schema.json(),
+        "files": [
+            {"name": os.path.basename(f), "stats": stats[os.path.basename(f)]}
+            for f in files
+        ],
+    }
+    os.makedirs(_zdir(path), exist_ok=True)
+    mtmp = os.path.join(_zdir(path), f"._v-{commit_id}.json")
+    with open(mtmp, "w") as fh:
+        json.dump(manifest, fh)
+    if not commitio.get_backend().put_if_absent(
+        mtmp, _manifest_path(path, version)
+    ):
+        os.unlink(mtmp)
+        raise SnapshotConflictError(
+            f"{_manifest_path(path, version)} already claimed: a "
+            "concurrent writer committed this version (retry from the "
+            "new head) or a crashed writer left an orphan "
+            "(vacuum_zordered removes manifests above the pointer)"
+        )
+    ptmp = os.path.join(_zdir(path), f"._ptr-{commit_id}")
+    with open(ptmp, "w") as fh:
+        fh.write(str(version))
+    commitio.get_backend().replace(
+        ptmp, os.path.join(_zdir(path), _LATEST)
+    )  # THE commit
+    return version
+
+
+def _load_manifest(path: str, version: int) -> dict:
+    mp = _manifest_path(path, version)
+    if not os.path.exists(mp):
+        raise ValueError(f"z-ordered table {path} has no version {version}")
+    with open(mp) as fh:
+        return json.load(fh)
+
+
+def _pred_overlaps(stats: dict, pred: dict) -> bool:
+    """Keep the file unless SOME predicate column's known [min, max]
+    is disjoint from its range — unknown stats keep the file (exactness
+    comes from the residual filter, pruning is an optimization)."""
+    for c, (lo, hi) in pred.items():
+        st = stats.get(c)
+        if not st or st[0] is None or st[1] is None:
+            continue
+        mn, mx = st
+        if lo is not None and mx < _norm(lo):
+            return False
+        if hi is not None and mn > _norm(hi):
+            return False
+    return True
+
+
+def read_zordered(
+    spark: SparkSession,
+    path: str,
+    pred: dict[str, tuple] | None = None,
+    version: int | None = None,
+) -> DataFrame:
+    """Read a z-ordered table version with FILE-level skipping:
+    ``pred`` maps column -> (lo, hi) inclusive bounds (either side
+    None for open); files whose manifest stats cannot intersect the box
+    are never handed to the reader at all — Spark neither lists nor
+    footer-probes them.  The residual range filter still applies, so
+    the result is exactly the full scan's filter.  The file set comes
+    from the manifest, never a directory listing, so a read is
+    immutable under concurrent rewrites (same posture as
+    read_snapshot)."""
+    if version is None:
+        version = _latest_version(path)
+        if version is None:
+            raise ValueError(f"{path} has no committed z-ordered versions")
+    m = _load_manifest(path, version)
+    entries = m["files"]
+    if pred:
+        unknown = set(pred) - set(m["cols"])
+        if unknown:
+            raise ValueError(
+                f"pred columns {sorted(unknown)} are not clustered columns "
+                f"{m['cols']} — file stats exist only for the latter"
+            )
+        entries = [e for e in entries if _pred_overlaps(e["stats"], pred)]
+    files = [
+        os.path.join(path, m["data_dir"], e["name"]) for e in entries
+    ]
+    if not files:
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        df = spark.createDataFrame([], schema)
+    else:
+        df = spark.read.parquet(*files)
+    if pred:
+        for c, (lo, hi) in pred.items():
+            if lo is not None:
+                df = df.where(F.col(c) >= F.lit(lo))
+            if hi is not None:
+                df = df.where(F.col(c) <= F.lit(hi))
+    return df
+
+
+def zordered_versions(path: str) -> list[int]:
+    """Committed versions (manifest on disk AND at/below the pointer —
+    an orphan claim above the pointer is not a committed version)."""
+    zd = _zdir(path)
+    latest = _latest_version(path)
+    if latest is None or not os.path.isdir(zd):
+        return []
+    vs = sorted(
+        int(f[1:-5])
+        for f in os.listdir(zd)
+        if f.startswith("v") and f.endswith(".json") and not f.startswith("v_")
+    )
+    return [v for v in vs if v <= latest]
+
+
+def vacuum_zordered(path: str, keep_last: int = 2) -> dict:
+    """Delete data directories unreachable from the newest ``keep_last``
+    versions, manifests below them, and orphan manifests above the
+    pointer (a crashed writer's unswapped claim).  Returns counts."""
+    import shutil
+
+    latest = _latest_version(path)
+    if latest is None:
+        return {"data_dirs": 0, "manifests": 0}
+    keep = [v for v in zordered_versions(path) if v > latest - keep_last]
+    live = {_load_manifest(path, v)["data_dir"] for v in keep}
+    n_dirs = n_manifests = 0
+    for d in os.listdir(path):
+        if d.startswith("data-") and d not in live:
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+            n_dirs += 1
+    zd = _zdir(path)
+    for f in os.listdir(zd):
+        if not (f.startswith("v") and f.endswith(".json")):
+            continue
+        v = int(f[1:-5])
+        if v > latest or v not in keep:
+            os.unlink(os.path.join(zd, f))
+            n_manifests += 1
+    return {"data_dirs": n_dirs, "manifests": n_manifests}

@@ -268,6 +268,98 @@ def test_nan_columns_rank_without_unparseable_literals(spark):
         assert len(finite) > 1
 
 
+def test_zordered_table_skips_files_not_just_row_groups(spark, tmp_path):
+    """r13 verdict order #2 — manifest-backed FILE-level skipping: the
+    plain layouts' read-path pin shows numFiles EQUAL across layouts
+    (plain Spark cannot prune files), but read_zordered prunes the file
+    LIST against per-file manifest stats before the reader ever sees
+    it, so the same range box now reads FEWER FILES on both Morton and
+    Hilbert — with results exactly equal to the full-scan filter."""
+    from streamsum_spark.operators import zorder_table as ZT
+    from streamsum_spark.plans import inspect as PI
+    from streamsum_spark.tables import table
+
+    ev = table(spark, SF, "events").select("event_id", "user_id", "value")
+    u_lo, u_hi, v_lo, v_hi = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).collect()[0]
+    a = (u_lo + (u_hi - u_lo) * 0.40, u_lo + (u_hi - u_lo) * 0.46)
+    b = (v_lo + (v_hi - v_lo) * 0.40, v_lo + (v_hi - v_lo) * 0.46)
+    pred = {"user_id": a, "value": b}
+    box = F.col("user_id").between(*a) & F.col("value").between(*b)
+
+    for layout in ("morton", "hilbert"):
+        tpath = str(tmp_path / f"t_{layout}")
+        v = ZT.write_zordered_table(
+            ev, tpath, ["user_id", "value"], layout=layout, n_files=16
+        )
+        assert v == 1
+        got = ZT.read_zordered(spark, tpath, pred).select("event_id")
+        (m,) = PI.scan_runtime_metrics(got)
+        # the claim: FEWER FILES, not just fewer materialized rows
+        assert 0 < m["numFiles"] < 16, (layout, m["numFiles"])
+        full = ZT.read_zordered(spark, tpath)
+        assert {r.event_id for r in got.collect()} == {
+            r.event_id for r in full.where(box).collect()
+        }
+        # a box outside the domain prunes EVERYTHING and still returns
+        # a typed empty relation
+        none = ZT.read_zordered(
+            spark, tpath, {"user_id": (u_hi + 10, u_hi + 20)}
+        )
+        assert none.count() == 0
+        assert none.columns == ["event_id", "user_id", "value"]
+        # non-clustered predicate columns refuse loudly (no stats)
+        with pytest.raises(ValueError, match="not clustered"):
+            ZT.read_zordered(spark, tpath, {"event_id": (0, 1)})
+
+
+def test_zordered_table_crash_consistency_and_time_travel(spark, tmp_path):
+    """Snapshot posture inherited: a crashed writer (data staged,
+    manifest claimed, pointer never swapped) is invisible to readers,
+    wedges the next writer LOUDLY, and vacuum recovers; committed
+    versions stay readable until vacuumed."""
+    import json
+    import os
+
+    from streamsum_spark.operators import zorder_table as ZT
+    from streamsum_spark.snapshots import SnapshotConflictError
+
+    df1 = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(100)], "a long, v double"
+    )
+    df2 = spark.createDataFrame(
+        [(i, float(i % 5)) for i in range(50)], "a long, v double"
+    )
+    tpath = str(tmp_path / "zt")
+    assert ZT.write_zordered_table(df1, tpath, ["a", "v"], n_files=4) == 1
+
+    # simulate the crash: claimed v2 manifest + staged data dir, no
+    # pointer swap
+    os.makedirs(os.path.join(tpath, "data-deadbeef"))
+    with open(os.path.join(tpath, "_zsnap", "v00000002.json"), "w") as fh:
+        json.dump({"version": 2, "data_dir": "data-deadbeef", "files": [],
+                   "cols": ["a", "v"], "layout": "morton",
+                   "schema": df1.schema.json()}, fh)
+    # readers: unaffected (latest pointer still 1)
+    assert ZT.read_zordered(spark, tpath).count() == 100
+    assert ZT.zordered_versions(tpath) == [1]
+    # the next writer refuses loudly instead of racing
+    with pytest.raises(SnapshotConflictError):
+        ZT.write_zordered_table(df2, tpath, ["a", "v"], n_files=4)
+    # vacuum removes the orphan claim + unreferenced data dir; retry wins
+    ZT.vacuum_zordered(tpath, keep_last=2)
+    assert not os.path.exists(os.path.join(tpath, "data-deadbeef"))
+    assert ZT.write_zordered_table(df2, tpath, ["a", "v"], n_files=4) == 2
+    # time travel: both versions readable until vacuumed
+    assert ZT.read_zordered(spark, tpath, version=1).count() == 100
+    assert ZT.read_zordered(spark, tpath).count() == 50
+    ZT.vacuum_zordered(tpath, keep_last=1)
+    assert ZT.read_zordered(spark, tpath).count() == 50
+    with pytest.raises(ValueError, match="no version"):
+        ZT.read_zordered(spark, tpath, version=1).count()
+
+
 def test_zorder_read_path_skips_at_runtime(spark, tmp_path):
     """r12 verdict order #5 — the CONSUMING side of the layout claim:
     Spark's own scan metrics (plans.inspect.scan_runtime_metrics) show
