@@ -107,6 +107,12 @@ HEADLINE = [
     # composed crawl-to-corpus funnel — every stage above chained as
     # one plan family (r12 verdict order #2)
     "corpus_prep_e2e",
+    # round 14 addition (compare totals to r<=13 minus this entry): the
+    # STREAMING funnel's marginal-shard cost — one new WARC shard
+    # ingested against pre-seeded state + the finalize tail (r13
+    # verdict order #1); the number an incremental pipeline pays per
+    # cycle, next to corpus_prep_e2e's full re-run for the ratio
+    "stream_corpus_prep_marginal",
 ]
 
 
@@ -500,6 +506,65 @@ def corpus_prep_e2e(spark, sf_dir):
     )
 
 
+_CPREP_SEED_CACHE: dict[str, str] = {}
+
+
+def _cprep_seed(spark, sf_dir) -> str:
+    """Streaming corpus-prep state pre-seeded with every WARC partition
+    except the last (memoized per sf_dir, built during warm-up)."""
+    import tempfile
+
+    from streamsum_spark.corpus_prep import stream_corpus_prep_ingest
+
+    seed = _CPREP_SEED_CACHE.get(sf_dir)
+    if seed is None:
+        src = _warc_corpus(spark, sf_dir)
+        seed = tempfile.mkdtemp(prefix="bench_cprep_seed_")
+        stream_corpus_prep_ingest(
+            spark, src, glob="warc-0000[0-6]-*.warc.gz",
+            state_base=os.path.join(seed, "state"),
+            checkpoint=os.path.join(seed, "ckpt"),
+        )
+        _CPREP_SEED_CACHE[sf_dir] = seed
+    return seed
+
+
+def stream_corpus_prep_marginal(spark, sf_dir):
+    """Headline for the STREAMING corpus-prep funnel's steady-state
+    shape (r13 verdict order #1): state arrives pre-seeded with 7 of
+    the crawl's 8 WARC partitions, and the timed run pays what an
+    incremental 100 TB pipeline pays per cycle — parse ONLY the new
+    shard's bytes (the file-source log skips the seen ones) + three
+    bucketed state upserts + the finalize tail (cap -> NB gate ->
+    near-dup -> semantic -> pack) over the accumulated PARSED state.
+    The tail re-runs because those stages are whole-corpus functions
+    (the NB model trains on the capped union — membership cannot
+    finalize per batch); the raw-bytes work, the funnel's dominant
+    cost, is never re-paid — compare against corpus_prep_e2e, which
+    re-parses the entire crawl every run.  The per-run copy of the
+    seeded dirs rides inside the timed number (a production ingest
+    mutates in place)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from streamsum_spark.corpus_prep import stream_corpus_prep
+
+    src = _warc_corpus(spark, sf_dir)
+    seed = _cprep_seed(spark, sf_dir)
+    run = os.path.join(
+        tempfile.gettempdir(), f"bench_cprep_marg_{uuid.uuid4().hex[:10]}"
+    )
+    shutil.copytree(seed, run)
+    return stream_corpus_prep(
+        spark, src, glob="warc-*.warc.gz",
+        state_base=os.path.join(run, "state"),
+        checkpoint=os.path.join(run, "ckpt"),
+        domain_cap=50, n_lists=8,
+        cache_token=f"bench_cprep_marg:{sf_dir}",
+    )
+
+
 def near_dup_tuned05(spark, sf_dir):
     """Headline for the threshold-tuned LSH path: (b, r) chosen for
     Jaccard 0.5 (r>1 band keys suppress sub-threshold candidates before
@@ -736,6 +801,7 @@ def extra_queries() -> dict:
         "near_dup_tuned05": near_dup_tuned05,
         "classifier_train_score": classifier_train_score,
         "corpus_prep_e2e": corpus_prep_e2e,
+        "stream_corpus_prep_marginal": stream_corpus_prep_marginal,
     }
 
 
@@ -757,6 +823,7 @@ def prewarm(spark, sf_dir) -> None:
     _sliced_docs(spark, sf_dir)
     _ndup_seed(spark, sf_dir)  # 2-batch state seed for the marginal entry
     _warc_corpus(spark, sf_dir)  # memoized crawl corpus for warc_read_text
+    _cprep_seed(spark, sf_dir)  # 7/8-shard state seed for the funnel entry
     # one full multimodal_decode pass: formats absent from the 8-blob
     # Arrow warm (TIFF LZW, progressive JPEG, lossy VP8) otherwise pay
     # their first-call numpy compile inside timed run 1 (r9 spread 2.1x)

@@ -81,19 +81,11 @@ def corpus_prep_stages(
     the dict runs the bounded driver-side steps (NB model rows, k-means
     centroids); the relations themselves stay lazy."""
     from streamsum_spark.cached import shared_persist
-    from streamsum_spark.operators.classifier import quality_filter_nb, train_nb
-    from streamsum_spark.operators.clusters import connected_components
     from streamsum_spark.operators.crawl import (
-        cap_per_domain,
         dedup_by_canonical_url,
         with_url_parts,
     )
-    from streamsum_spark.operators.dedup import dedup_paragraphs, near_dup_tuned
-    from streamsum_spark.operators.sampling import pack_into_chunks
-    from streamsum_spark.operators.similarity import (
-        hashed_text_embeddings,
-        semantic_dedup,
-    )
+    from streamsum_spark.operators.dedup import dedup_paragraphs
     from streamsum_spark.sources.warc import read_warc_text
 
     stages: dict[str, DataFrame] = {}
@@ -139,6 +131,62 @@ def corpus_prep_stages(
     ).select("doc_id", F.col("text_clean").alias("text"))
     para_deduped = url_deduped.drop("text").join(paras, "doc_id")
     stages["para_deduped"] = para_deduped
+
+    stages.update(
+        _curate_stages(
+            spark,
+            para_deduped,
+            domain_cap=domain_cap,
+            min_words=min_words,
+            nd_threshold=nd_threshold,
+            sem_threshold=sem_threshold,
+            emb_dim=emb_dim,
+            chunk_budget=chunk_budget,
+            n_lists=n_lists,
+            kmeans_max_iter=kmeans_max_iter,
+            nb_bigrams=nb_bigrams,
+            cache_token=cache_token,
+        )
+    )
+    return stages
+
+
+def _curate_stages(
+    spark: SparkSession,
+    para_deduped: DataFrame,
+    *,
+    domain_cap: int,
+    min_words: int,
+    nd_threshold: float,
+    sem_threshold: float,
+    emb_dim: int,
+    chunk_budget: int,
+    n_lists: int | None,
+    kmeans_max_iter: int,
+    nb_bigrams: bool,
+    cache_token: str,
+) -> dict[str, DataFrame]:
+    """Funnel stages 3-7 (cap -> NB gate -> near-dup -> semantic ->
+    pack) over a (doc_id, target_uri, host, text) relation — the
+    curation tail SHARED verbatim by the batch funnel and the streaming
+    funnel's finalize, which is what makes their survivor equality hold
+    by construction: these stages are whole-corpus functions (the NB
+    model trains on the capped corpus; the caps and dedup windows rank
+    globally), so the streaming side cannot finalize them per batch —
+    it accumulates compact parsed state incrementally and runs this
+    tail at read time."""
+    from streamsum_spark.cached import shared_persist
+    from streamsum_spark.operators.classifier import quality_filter_nb, train_nb
+    from streamsum_spark.operators.clusters import connected_components
+    from streamsum_spark.operators.crawl import cap_per_domain
+    from streamsum_spark.operators.dedup import near_dup_tuned
+    from streamsum_spark.operators.sampling import pack_into_chunks
+    from streamsum_spark.operators.similarity import (
+        hashed_text_embeddings,
+        semantic_dedup,
+    )
+
+    stages: dict[str, DataFrame] = {}
 
     # 3. per-registered-domain cap (anti-monoculture); host threaded
     # from the ingest projection — no URL re-parse here
@@ -230,3 +278,287 @@ def corpus_prep_e2e(
     text, n_tokens, part, chunk) — surviving documents with their
     training-chunk assignment.  See corpus_prep_stages for the chain."""
     return corpus_prep_stages(spark, warc_dir, **kwargs)["packed"]
+
+
+# --------------------------------------------------------------------
+# Streaming funnel (r13 verdict order #1): new WARC shards arriving
+# under a directory process INCREMENTALLY, survivors converging to the
+# batch funnel's on the union.
+#
+# What is incremental and what is not — stated precisely, because the
+# split is forced by the semantics, not by implementation convenience:
+#
+# - INCREMENTAL (per micro-batch, never re-run): the raw-bytes work —
+#   WARC record parse + HTTP decomposition + HTML strip (the funnel's
+#   dominant cost: it reads every crawl byte), URL canonicalization,
+#   paragraph split + hashing, and the doc-identity projection.  Each
+#   batch lands in three bucketed idempotent state stores: the parsed
+#   docs table, the canonical-URL first-occurrence store (the
+#   stream_dedup_urls recipe — converges to batch keep-smallest under
+#   any arrival order), and the paragraph OCCURRENCE multiset
+#   (g=md5(para), doc_id, idx — constant ~50 B per paragraph, the
+#   compact form the finalize window needs; storing first-occurrences
+#   only would bake in flags CONDITIONED on nothing, while the batch
+#   funnel's paragraph stage is conditioned on URL survivorship).
+# - FINALIZE (read time, over the compact state): everything from the
+#   paragraph-flag window on — cap, NB gate, near-dup, semantic, pack
+#   — because those are WHOLE-CORPUS functions: the NB model trains on
+#   the capped union, so gate membership (and therefore the near-dup/
+#   semantic input SET) cannot be finalized until read; a per-batch
+#   decision would diverge from the batch funnel a later shard can
+#   always overturn.  The finalize consumes the already-parsed state
+#   tables — no crawl byte is ever re-read — and runs the IDENTICAL
+#   _curate_stages tail as the batch funnel, which is why survivor
+#   equality holds by construction.
+#
+# The marginal-shard cost a production ingest pays per cycle is
+# therefore: parse NEW bytes + three bucketed upserts + finalize over
+# parsed text — benched as stream_corpus_prep_marginal in bench.py.
+# --------------------------------------------------------------------
+
+
+def stream_corpus_prep_ingest(
+    spark: SparkSession,
+    warc_dir: str,
+    glob: str = "*.warc.gz",
+    max_files_per_trigger: int | None = None,
+    n_buckets: int = 16,
+    state_base: str | None = None,
+    checkpoint: str | None = None,
+) -> str:
+    """Ingest NEW WARC shards under ``warc_dir`` into the corpus-prep
+    state tables (docs / URL first-occurrence + flags / paragraph
+    occurrences) and return the state base path.  The checkpoint
+    derives from ``state_base`` (resume, don't replay): re-invoking
+    with the same base processes only files that appeared since.  All
+    stores are keyed upserts — redelivered micro-batches repair, never
+    duplicate."""
+    import os
+    import tempfile
+    import uuid
+
+    from streamsum_spark.operators.crawl import with_url_parts
+    from streamsum_spark.sinks import upsert_batch
+    from streamsum_spark.sources.warc import stream_warc_text
+    from streamsum_spark.streaming.pipeline import _url_dedup_batch
+
+    base = state_base or os.path.join(
+        tempfile.gettempdir(), f"streamsum_cprep_{uuid.uuid4().hex[:12]}"
+    )
+    docs_tbl = base + "_docs"
+    url_fp, url_flags = base + "_urlfp", base + "_urlflags"
+    occ_tbl = base + "_occ"
+
+    def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        rows = (
+            with_url_parts(
+                batch_df.select(
+                    doc_id_col().alias("doc_id"), "target_uri", "text"
+                )
+            )
+            # same (uri, file, ordinal) repeated in one batch = a
+            # redelivered record, not a new document
+            .dropDuplicates(["doc_id"])
+            .localCheckpoint()
+        )
+        upsert_batch(
+            spark,
+            docs_tbl,
+            rows.select("doc_id", "target_uri", "host", "text"),
+            ["doc_id"],
+            "doc_id",
+            n_buckets=n_buckets,
+        )
+        _url_dedup_batch(
+            spark,
+            rows.select(
+                "doc_id",
+                F.md5(
+                    F.coalesce(
+                        F.col("canonical_url"),
+                        F.concat_ws("-", F.lit("nocanon"), F.col("doc_id")),
+                    )
+                ).alias("g"),
+            ),
+            url_fp,
+            url_flags,
+            n_buckets,
+        )
+        # paragraph OCCURRENCES (not first-occurrences): the finalize
+        # window ranks them conditioned on URL survivorship, exactly as
+        # the batch paragraph stage does.  Blank paragraphs are
+        # structure — exempt from dedup, never stored.
+        occ = (
+            rows.select(
+                "doc_id",
+                F.posexplode(F.split(F.col("text"), "\n")).alias(
+                    "idx", "para"
+                ),
+            )
+            .where(F.trim(F.col("para")) != "")
+            .select(
+                F.md5(F.col("para")).alias("g"),
+                "doc_id",
+                F.col("idx").cast("long").alias("idx"),
+            )
+        )
+        upsert_batch(
+            spark,
+            occ_tbl,
+            occ,
+            ["g", "doc_id", "idx"],
+            "idx",
+            n_buckets=n_buckets,
+            bucket_cols=["g"],
+        )
+
+    pages = stream_warc_text(spark, warc_dir, glob, max_files_per_trigger)
+    ckpt = checkpoint or base + "_ckpt"
+    q = (
+        pages.select("target_uri", "warc_file", "ordinal", "text")
+        .writeStream.foreachBatch(on_batch)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return base
+
+
+def stream_corpus_prep_stages(
+    spark: SparkSession,
+    state_base: str,
+    domain_cap: int = 1000,
+    min_words: int = 40,
+    nd_threshold: float = 0.5,
+    sem_threshold: float = 0.9,
+    emb_dim: int = 16,
+    chunk_budget: int = 2048,
+    n_lists: int | None = None,
+    kmeans_max_iter: int = 8,
+    nb_bigrams: bool = False,
+    cache_token: str = "stream_corpus_prep",
+) -> dict[str, DataFrame]:
+    """Finalize the streaming funnel over the accumulated state tables:
+    URL survivors (docs anti-joined on the converged flag store) feed
+    the paragraph-flag window (one shuffle over the hash-width
+    occurrence multiset, conditioned on survivorship), texts rebuild
+    through the SAME strip/rebuild aggregation as the batch stage, and
+    the identical _curate_stages tail runs the cap/gate/near-dup/
+    semantic/pack chain.  Stage keys mirror corpus_prep_stages from
+    url_deduped on."""
+    import os
+
+    from pyspark.sql import Window
+
+    from streamsum_spark.cached import shared_persist
+    from streamsum_spark.operators.dedup import strip_flagged_paragraphs
+    from streamsum_spark.sinks import read_state_table
+
+    docs_tbl = state_base + "_docs"
+    url_flags_tbl = state_base + "_urlflags"
+    occ_tbl = state_base + "_occ"
+    if not os.path.exists(docs_tbl):
+        raise ValueError(
+            f"no ingested corpus-prep state under {state_base!r} — run "
+            "stream_corpus_prep_ingest first"
+        )
+    stages: dict[str, DataFrame] = {}
+    docs = read_state_table(spark, docs_tbl)
+    if os.path.exists(url_flags_tbl):
+        flags = read_state_table(spark, url_flags_tbl).select("doc_id")
+    else:
+        flags = spark.createDataFrame([], "doc_id long")
+    # persisted for the same reason the batch funnel pins url_deduped:
+    # the paragraph window, the rebuild join and the curation tail all
+    # chain from it
+    survivors = shared_persist(
+        (cache_token, "url"), docs.join(flags, "doc_id", "left_anti")
+    )
+    stages["url_deduped"] = survivors
+
+    if os.path.exists(occ_tbl):
+        occ = read_state_table(spark, occ_tbl)
+    else:
+        occ = spark.createDataFrame([], "g string, doc_id long, idx long")
+    occ = occ.join(survivors.select("doc_id"), "doc_id", "left_semi")
+    byg = Window.partitionBy("g").orderBy("doc_id", "idx")
+    pflags = (
+        occ.withColumn("rn", F.row_number().over(byg))
+        .where(F.col("rn") > 1)
+        .select("doc_id", "idx")
+    )
+    cleaned = strip_flagged_paragraphs(
+        survivors.select("doc_id", "text"), pflags
+    ).select("doc_id", F.col("text_clean").alias("text"))
+    para_deduped = survivors.drop("text").join(cleaned, "doc_id")
+    stages["para_deduped"] = para_deduped
+
+    stages.update(
+        _curate_stages(
+            spark,
+            para_deduped,
+            domain_cap=domain_cap,
+            min_words=min_words,
+            nd_threshold=nd_threshold,
+            sem_threshold=sem_threshold,
+            emb_dim=emb_dim,
+            chunk_budget=chunk_budget,
+            n_lists=n_lists,
+            kmeans_max_iter=kmeans_max_iter,
+            nb_bigrams=nb_bigrams,
+            cache_token=cache_token,
+        )
+    )
+    return stages
+
+
+def stream_corpus_prep(
+    spark: SparkSession,
+    warc_dir: str,
+    glob: str = "*.warc.gz",
+    max_files_per_trigger: int | None = None,
+    n_buckets: int = 16,
+    state_base: str | None = None,
+    checkpoint: str | None = None,
+    domain_cap: int = 1000,
+    min_words: int = 40,
+    nd_threshold: float = 0.5,
+    sem_threshold: float = 0.9,
+    emb_dim: int = 16,
+    chunk_budget: int = 2048,
+    n_lists: int | None = None,
+    kmeans_max_iter: int = 8,
+    nb_bigrams: bool = False,
+    cache_token: str = "stream_corpus_prep",
+) -> DataFrame:
+    """The composed STREAMING corpus-prep funnel: ingest whatever WARC
+    shards are new under ``warc_dir`` (incremental parse + state
+    upserts), then finalize over the accumulated state.  Same output
+    relation as corpus_prep_e2e — and pinned EQUAL to it over the union
+    of everything ingested, across out-of-order shard arrival,
+    redelivery, and resume (tests/test_corpus_prep.py)."""
+    base = stream_corpus_prep_ingest(
+        spark,
+        warc_dir,
+        glob,
+        max_files_per_trigger,
+        n_buckets,
+        state_base,
+        checkpoint,
+    )
+    return stream_corpus_prep_stages(
+        spark,
+        base,
+        domain_cap=domain_cap,
+        min_words=min_words,
+        nd_threshold=nd_threshold,
+        sem_threshold=sem_threshold,
+        emb_dim=emb_dim,
+        chunk_budget=chunk_budget,
+        n_lists=n_lists,
+        kmeans_max_iter=kmeans_max_iter,
+        nb_bigrams=nb_bigrams,
+        cache_token=cache_token,
+    )["packed"]

@@ -1822,6 +1822,64 @@ def stream_dedup_paragraphs(
     return read_state_table(spark, flag_tbl).select("doc_id", "idx", "p_md5")
 
 
+def _url_dedup_batch(
+    spark: SparkSession,
+    rows: DataFrame,
+    fp_tbl: str,
+    flag_tbl: str,
+    n_buckets: int,
+) -> None:
+    """One micro-batch of the canonical-URL first-occurrence recipe,
+    shared by stream_dedup_urls and the streaming corpus-prep funnel:
+    ``rows`` is the batch's deduplicated (doc_id, g) relation (g = the
+    md5'd canonical key, row-unique for unparseable URLs).  Batch rows
+    rank within themselves, batch firsts probe the accumulated store
+    with bucket-pruned reads, collisions flag the LOSER of the doc_id
+    order (so the flag set converges to keep-smallest-doc_id under any
+    arrival order), and both stores upsert idempotently."""
+    from pyspark.sql import Window
+
+    from streamsum_spark.sinks import read_touched_buckets, upsert_batch
+
+    byg = Window.partitionBy("g").orderBy("doc_id")
+    ranked = rows.withColumn("rn", F.row_number().over(byg))
+    flagged = ranked.where(F.col("rn") > 1).select("doc_id", "g")
+    firsts = ranked.where(F.col("rn") == 1).select("doc_id", "g")
+    if os.path.exists(fp_tbl):
+        stored = read_touched_buckets(spark, fp_tbl, firsts.select("g"))
+        joined = (
+            firsts.alias("b")
+            .join(stored.alias("s"), "g")
+            # same doc_id = file-source redelivery, not a duplicate
+            .where(F.col("b.doc_id") != F.col("s.doc_id"))
+        )
+        b_first = F.col("b.doc_id") < F.col("s.doc_id")
+        extra = joined.select(
+            F.when(b_first, F.col("s.doc_id"))
+            .otherwise(F.col("b.doc_id"))
+            .alias("doc_id"),
+            "g",
+        )
+        flagged = flagged.unionByName(extra)
+    flagged = flagged.localCheckpoint()
+    upsert_batch(
+        spark,
+        flag_tbl,
+        flagged.select("doc_id", F.col("g").alias("url_md5")),
+        ["doc_id"],
+        "url_md5",
+        n_buckets=n_buckets,
+    )
+    upsert_batch(
+        spark,
+        fp_tbl,
+        firsts.select("g", "doc_id", (-F.col("doc_id")).alias("_nd")),
+        ["g"],
+        ["_nd"],
+        n_buckets=n_buckets,
+    )
+
+
 def stream_dedup_urls(
     spark: SparkSession,
     warc_dir: str,
@@ -1855,7 +1913,6 @@ def stream_dedup_urls(
     tests/test_crawl.py."""
     from streamsum_spark.corpus_prep import doc_id_col
     from streamsum_spark.operators.crawl import canonical_url_col
-    from streamsum_spark.sinks import read_touched_buckets, upsert_batch
     from streamsum_spark.sources.warc import stream_warc_text
 
     base = state_base or os.path.join(
@@ -1864,8 +1921,6 @@ def stream_dedup_urls(
     fp_tbl, flag_tbl = base + "_fp", base + "_flags"
 
     def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        from pyspark.sql import Window
-
         rows = (
             batch_df.select(
                 doc_id_col().alias("doc_id"),
@@ -1885,43 +1940,7 @@ def stream_dedup_urls(
             .dropDuplicates(["doc_id"])
             .localCheckpoint()
         )
-        byg = Window.partitionBy("g").orderBy("doc_id")
-        ranked = rows.withColumn("rn", F.row_number().over(byg))
-        flagged = ranked.where(F.col("rn") > 1).select("doc_id", "g")
-        firsts = ranked.where(F.col("rn") == 1).select("doc_id", "g")
-        if os.path.exists(fp_tbl):
-            stored = read_touched_buckets(spark, fp_tbl, firsts.select("g"))
-            joined = (
-                firsts.alias("b")
-                .join(stored.alias("s"), "g")
-                # same doc_id = file-source redelivery, not a duplicate
-                .where(F.col("b.doc_id") != F.col("s.doc_id"))
-            )
-            b_first = F.col("b.doc_id") < F.col("s.doc_id")
-            extra = joined.select(
-                F.when(b_first, F.col("s.doc_id"))
-                .otherwise(F.col("b.doc_id"))
-                .alias("doc_id"),
-                "g",
-            )
-            flagged = flagged.unionByName(extra)
-        flagged = flagged.localCheckpoint()
-        upsert_batch(
-            spark,
-            flag_tbl,
-            flagged.select("doc_id", F.col("g").alias("url_md5")),
-            ["doc_id"],
-            "url_md5",
-            n_buckets=n_buckets,
-        )
-        upsert_batch(
-            spark,
-            fp_tbl,
-            firsts.select("g", "doc_id", (-F.col("doc_id")).alias("_nd")),
-            ["g"],
-            ["_nd"],
-            n_buckets=n_buckets,
-        )
+        _url_dedup_batch(spark, rows, fp_tbl, flag_tbl, n_buckets)
 
     pages = stream_warc_text(spark, warc_dir, glob, max_files_per_trigger)
     ckpt = checkpoint or base + "_ckpt"

@@ -284,6 +284,107 @@ def test_corpus_prep_plan_is_jvm_side_except_warc_parse(prep):
     assert "MapInPandas" not in PI.explain_str(stages["packed"])
 
 
+def test_stream_corpus_prep_equals_batch_out_of_order(spark, tmp_path):
+    """r13 verdict order #1 — the composed STREAMING funnel: the same
+    corpus split into 3 shards arriving OUT OF ORDER (one file per
+    micro-batch) yields exactly corpus_prep_e2e's survivors on the
+    union; a resume (same state, derived checkpoint) is stable, and a
+    full REDELIVERY (same state, fresh checkpoint re-feeds every
+    shard) changes nothing — the state stores are keyed upserts."""
+    import os
+    import time
+
+    from streamsum_spark.corpus_prep import (
+        corpus_prep_stages,
+        stream_corpus_prep,
+        stream_corpus_prep_stages,
+    )
+
+    # the module corpus's doc list, re-sharded 3 ways by stride so the
+    # URL-dup pair, the near-dup pair and the sem-dup pair all straddle
+    # shards; mtimes make arrival order s2, s0, s1 (out of construction
+    # order)
+    import gzip
+
+    (tmp_path / "c3").mkdir()
+    _, docs = _build_corpus(tmp_path / "c3")
+    d3 = tmp_path / "shards3"
+    d3.mkdir()
+    from streamsum_spark.sources import warc as W
+
+    def rec(uri, text):
+        html = f"<html><body><p>{text}</p></body></html>".replace(
+            "\n", "</p><p>"
+        ).encode()
+        http = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            f"Content-Length: {len(html)}\r\n\r\n".encode() + html
+        )
+        return W.build_warc_record(
+            {
+                "WARC-Type": "response",
+                "WARC-Record-ID": f"<urn:t:{uri}>",
+                "WARC-Date": "2024-01-01T00:00:00Z",
+                "WARC-Target-URI": uri,
+                "Content-Type": "application/http; msgtype=response",
+            },
+            http,
+        )
+
+    arrival = {0: 1, 1: 2, 2: 0}  # shard index -> arrival rank
+    for i in range(3):
+        chunk = docs[i::3]
+        p = d3 / f"s{i}.warc.gz"
+        p.write_bytes(
+            b"".join(gzip.compress(rec(u, t), mtime=0) for u, t in chunk)
+        )
+        t = time.time() + arrival[i] * 20
+        os.utime(p, (t, t))
+
+    kw = dict(domain_cap=CAP, min_words=MIN_WORDS, emb_dim=32)
+    bstages = corpus_prep_stages(
+        spark, str(d3), cache_token="scp_batch", **kw
+    )
+    batch = {
+        (r.doc_id, r.text, r.n_tokens) for r in bstages["packed"].collect()
+    }
+    assert batch  # the funnel keeps something
+
+    base = str(tmp_path / "scp_state")
+    out1 = stream_corpus_prep(
+        spark, str(d3), max_files_per_trigger=1, state_base=base,
+        cache_token="scp_stream", **kw,
+    )
+    assert {(r.doc_id, r.text, r.n_tokens) for r in out1.collect()} == batch
+
+    # stage-level equality against the batch stages (the composed
+    # proof, not just the endpoint)
+    sstages = stream_corpus_prep_stages(
+        spark, base, cache_token="scp_stream2", **kw
+    )
+    for st in ("url_deduped", "para_deduped", "quality_gated", "sem_deduped"):
+        assert {
+            (r.doc_id, r.text) for r in sstages[st].select("doc_id", "text").collect()
+        } == {
+            (r.doc_id, r.text) for r in bstages[st].select("doc_id", "text").collect()
+        }, st
+
+    # resume: derived checkpoint skips the seen files; survivors stable
+    out2 = stream_corpus_prep(
+        spark, str(d3), max_files_per_trigger=1, state_base=base,
+        cache_token="scp_stream3", **kw,
+    )
+    assert {(r.doc_id, r.text, r.n_tokens) for r in out2.collect()} == batch
+
+    # redelivery: fresh checkpoint re-feeds ALL shards into the same
+    # state — keyed upserts make it a no-op
+    out3 = stream_corpus_prep(
+        spark, str(d3), max_files_per_trigger=1, state_base=base,
+        checkpoint=str(tmp_path / "ck2"), cache_token="scp_stream4", **kw,
+    )
+    assert {(r.doc_id, r.text, r.n_tokens) for r in out3.collect()} == batch
+
+
 def test_funnel_parses_each_url_once(prep):
     """r13 verdict order #4: the ingest projection (with_url_parts) is
     the funnel's ONE try_parse_url family — the URL-dedup window keys
