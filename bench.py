@@ -518,6 +518,8 @@ def _cprep_seed(spark, sf_dir) -> str:
 
     seed = _CPREP_SEED_CACHE.get(sf_dir)
     if seed is None:
+        from streamsum_spark.corpus_prep import stream_corpus_prep_stages
+
         src = _warc_corpus(spark, sf_dir)
         seed = tempfile.mkdtemp(prefix="bench_cprep_seed_")
         stream_corpus_prep_ingest(
@@ -525,6 +527,15 @@ def _cprep_seed(spark, sf_dir) -> str:
             state_base=os.path.join(seed, "state"),
             checkpoint=os.path.join(seed, "ckpt"),
         )
+        # one finalize over the seeded state (same params as the timed
+        # entry) so its content-hash band store exists: the timed run
+        # then re-derives LSH bands only for the new shard's docs and
+        # for docs whose cleaned text the new shard changed — the
+        # steady-state shape, not a first-cycle cold start
+        stream_corpus_prep_stages(
+            spark, os.path.join(seed, "state"), domain_cap=50, n_lists=8,
+            cache_token=f"bench_cprep_seed:{sf_dir}",
+        )["packed"].count()
         _CPREP_SEED_CACHE[sf_dir] = seed
     return seed
 

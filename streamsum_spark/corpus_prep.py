@@ -165,6 +165,7 @@ def _curate_stages(
     kmeans_max_iter: int,
     nb_bigrams: bool,
     cache_token: str,
+    nd_pairs_fn=None,
 ) -> dict[str, DataFrame]:
     """Funnel stages 3-7 (cap -> NB gate -> near-dup -> semantic ->
     pack) over a (doc_id, target_uri, host, text) relation — the
@@ -174,7 +175,12 @@ def _curate_stages(
     model trains on the capped corpus; the caps and dedup windows rank
     globally), so the streaming side cannot finalize them per batch —
     it accumulates compact parsed state incrementally and runs this
-    tail at read time."""
+    tail at read time.
+
+    ``nd_pairs_fn`` (spark, quality_gated) -> verified-pair DataFrame
+    replaces the default near_dup_tuned call with a value-identical
+    alternative — the streaming finalize plugs in its content-hash
+    band cache here so only new/changed docs re-shingle."""
     from streamsum_spark.cached import shared_persist
     from streamsum_spark.operators.classifier import quality_filter_nb, train_nb
     from streamsum_spark.operators.clusters import connected_components
@@ -224,13 +230,16 @@ def _curate_stages(
 
     # 5. threshold-tuned near-dup: verified pairs -> connected
     # components -> keep the smallest doc_id per duplicate group
-    pairs = near_dup_tuned(
-        spark,
-        "",
-        threshold=nd_threshold,
-        docs=quality_gated.select("doc_id", "text"),
-        cache_token=cache_token,
-    )
+    if nd_pairs_fn is not None:
+        pairs = nd_pairs_fn(spark, quality_gated)
+    else:
+        pairs = near_dup_tuned(
+            spark,
+            "",
+            threshold=nd_threshold,
+            docs=quality_gated.select("doc_id", "text"),
+            cache_token=cache_token,
+        )
     comp = connected_components(pairs, "doc_a", "doc_b")
     nd_drops = comp.where(F.col("id") != F.col("component")).select(
         F.col("id").alias("doc_id")
@@ -426,6 +435,74 @@ def stream_corpus_prep_ingest(
     return base
 
 
+def _cached_bands(
+    spark: SparkSession,
+    store: str,
+    gated: DataFrame,
+    nd_threshold: float,
+    n_buckets: int,
+) -> tuple[DataFrame, DataFrame]:
+    """LSH banded keys for ``gated`` (doc_id, text) with a CONTENT-HASH
+    cache: the band store keys rows by (doc_id, md5(text), band_id), so
+    a finalize derives signatures only for docs whose cleaned text is
+    new or changed since the last cycle — the text-proportional half of
+    near-dup goes delta-incremental, and only candidate docs ever
+    re-shingle for verification (near_dup_pairs_from_bands).  Stale
+    text versions stay in the store as dead rows (pruned by the
+    version semi-join at read; a compaction cycle reclaims them).
+    Returns (bands for the CURRENT doc versions, the misses relation —
+    empty when nothing changed, which the steady-state pin asserts).
+    The store is valid for ONE threshold (the (b, r) scheme is derived
+    from it); a pipeline's nd_threshold is fixed with its state_base."""
+    import os
+
+    from streamsum_spark.operators.dedup import (
+        _signatures_from,
+        banded_keys,
+        choose_lsh_params,
+        shingle_sets,
+    )
+    from streamsum_spark.sinks import read_state_table, upsert_batch
+
+    b, r = choose_lsh_params(nd_threshold)
+    docs_v = gated.select(
+        "doc_id", F.md5(F.col("text")).alias("tmd5"), "text"
+    )
+    if os.path.exists(store):
+        versions = read_state_table(spark, store).select(
+            "doc_id", "tmd5"
+        ).distinct()
+        misses = docs_v.join(versions, ["doc_id", "tmd5"], "left_anti")
+    else:
+        misses = docs_v
+    # materialize BEFORE the upsert: the lazy plan reads the store's
+    # pre-swap files, which the upsert's bucket swap deletes — the
+    # checkpoint also keeps the anti-join from running once per
+    # consumer (band derivation + the returned misses relation)
+    misses = misses.localCheckpoint()
+    new_bands = banded_keys(
+        _signatures_from(
+            shingle_sets(spark, "", docs=misses.select("doc_id", "text"))
+        ),
+        b,
+        r,
+    ).join(misses.select("doc_id", "tmd5"), "doc_id")
+    upsert_batch(
+        spark,
+        store,
+        new_bands.select("doc_id", "tmd5", "band_id", "bkey"),
+        ["doc_id", "tmd5", "band_id"],
+        "bkey",
+        n_buckets=n_buckets,
+    )
+    bands = (
+        read_state_table(spark, store)
+        .join(docs_v.select("doc_id", "tmd5"), ["doc_id", "tmd5"], "left_semi")
+        .select("doc_id", "band_id", "bkey")
+    )
+    return bands, misses.select("doc_id")
+
+
 def stream_corpus_prep_stages(
     spark: SparkSession,
     state_base: str,
@@ -438,6 +515,7 @@ def stream_corpus_prep_stages(
     n_lists: int | None = None,
     kmeans_max_iter: int = 8,
     nb_bigrams: bool = False,
+    n_buckets: int = 16,
     cache_token: str = "stream_corpus_prep",
 ) -> dict[str, DataFrame]:
     """Finalize the streaming funnel over the accumulated state tables:
@@ -446,8 +524,13 @@ def stream_corpus_prep_stages(
     occurrence multiset, conditioned on survivorship), texts rebuild
     through the SAME strip/rebuild aggregation as the batch stage, and
     the identical _curate_stages tail runs the cap/gate/near-dup/
-    semantic/pack chain.  Stage keys mirror corpus_prep_stages from
-    url_deduped on."""
+    semantic/pack chain — with the near-dup stage's band derivation
+    served from the content-hash cache (_cached_bands): only docs
+    whose cleaned text is new or changed since the previous finalize
+    re-shingle, and only candidate docs shingle for verification.
+    Stage keys mirror corpus_prep_stages from url_deduped on, plus
+    ``nd_band_misses`` — the docs the band cache had to (re)derive
+    this cycle, empty at steady state (pinned)."""
     import os
 
     from pyspark.sql import Window
@@ -495,6 +578,28 @@ def stream_corpus_prep_stages(
     para_deduped = survivors.drop("text").join(cleaned, "doc_id")
     stages["para_deduped"] = para_deduped
 
+    nd_store = state_base + "_ndbands"
+    observed: dict[str, DataFrame] = {}
+
+    def nd_pairs(spark_, quality_gated):
+        from streamsum_spark.operators.dedup import near_dup_pairs_from_bands
+
+        bands, misses = _cached_bands(
+            spark_,
+            nd_store,
+            quality_gated.select("doc_id", "text"),
+            nd_threshold,
+            n_buckets,
+        )
+        observed["misses"] = misses
+        return near_dup_pairs_from_bands(
+            spark_,
+            bands,
+            quality_gated.select("doc_id", "text"),
+            threshold=nd_threshold,
+            cache_token=cache_token,
+        )
+
     stages.update(
         _curate_stages(
             spark,
@@ -509,8 +614,10 @@ def stream_corpus_prep_stages(
             kmeans_max_iter=kmeans_max_iter,
             nb_bigrams=nb_bigrams,
             cache_token=cache_token,
+            nd_pairs_fn=nd_pairs,
         )
     )
+    stages["nd_band_misses"] = observed["misses"]
     return stages
 
 
@@ -560,5 +667,6 @@ def stream_corpus_prep(
         n_lists=n_lists,
         kmeans_max_iter=kmeans_max_iter,
         nb_bigrams=nb_bigrams,
+        n_buckets=n_buckets,
         cache_token=cache_token,
     )["packed"]

@@ -1142,6 +1142,83 @@ def near_dup_tuned(
     return scored.where(F.col("jaccard") >= threshold)
 
 
+def near_dup_pairs_from_bands(
+    spark: SparkSession,
+    bands: DataFrame,
+    docs: DataFrame,
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+    cache_token: str | None = None,
+) -> DataFrame:
+    """near_dup_tuned's pair stage over PRECOMPUTED banded keys: the
+    candidate join runs on ``bands`` (doc_id, band_id, bkey) and the
+    exact-Jaccard verification shingles ONLY the candidate docs from
+    ``docs`` (doc_id, text) — so a caller that caches bands keyed by a
+    content hash (the streaming funnel's finalize) pays band
+    DERIVATION only for new/changed docs and text-proportional
+    shingling only for the candidate set, never the corpus.  Pair
+    values are identical to near_dup_tuned over the same texts: the
+    band keys are the same deterministic function of the text, and the
+    verify formula is shared."""
+    from streamsum_spark.cached import shared_persist
+
+    if cache_token is None:
+        raise ValueError(
+            "near_dup_pairs_from_bands needs a cache_token keying its "
+            "persisted candidate/shingle relations"
+        )
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_id", "bkey")
+        bands = (
+            bands.withColumn("_f", F.count(F.lit(1)).over(w))
+            .where(F.col("_f") <= max_bucket)
+            .drop("_f")
+        )
+    cand = shared_persist(
+        ("nd_band_cand", cache_token),
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct(),
+    )
+    need = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = shared_persist(
+        ("nd_cand_sh", cache_token),
+        shingle_sets(
+            spark, "", docs=docs.join(need, "doc_id", "left_semi")
+        ),
+    )
+    scored = (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("size(array_intersect(sa.sh, sb.sh))").alias("_i"),
+            F.expr("size(sa.sh) + size(sb.sh)").alias("_n"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("_i").cast("double") / (F.col("_n") - F.col("_i"))).alias("jaccard"),
+        )
+    )
+    return scored.where(F.col("jaccard") >= threshold)
+
+
 def near_dup_tuned_oracle_sql(threshold: float = 0.5) -> str:
     """DuckDB twin of near_dup_tuned — same (b, r) selection, same md5
     band keys, same verification — for the value-hash oracle."""

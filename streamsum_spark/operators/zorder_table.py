@@ -178,14 +178,28 @@ def write_zordered_table(
     commit_id = uuid.uuid4().hex[:12]
     data_rel = f"data-{commit_id}"
     data_dir = os.path.join(path, data_rel)
-    (
-        df.withColumn("_z", code)
-        .repartitionByRange(n_files, F.col("_z"))
-        .sortWithinPartitions("_z")
-        .drop("_z")
-        .write.mode("errorifexists")
-        .parquet(data_dir)
-    )
+    # Spark's default INT96 timestamps carry NO parquet statistics (the
+    # encoding predates stats), which would silently disable file
+    # skipping on a timestamp-clustered column — write TIMESTAMP_MICROS
+    # for the duration (what Delta/Iceberg write), restoring the
+    # session's setting after
+    ts_key = "spark.sql.parquet.outputTimestampType"
+    prev_ts = spark.conf.get(ts_key, None)
+    spark.conf.set(ts_key, "TIMESTAMP_MICROS")
+    try:
+        (
+            df.withColumn("_z", code)
+            .repartitionByRange(n_files, F.col("_z"))
+            .sortWithinPartitions("_z")
+            .drop("_z")
+            .write.mode("errorifexists")
+            .parquet(data_dir)
+        )
+    finally:
+        if prev_ts is None:
+            spark.conf.unset(ts_key)
+        else:
+            spark.conf.set(ts_key, prev_ts)
     import glob as g
 
     files = sorted(g.glob(os.path.join(data_dir, "part-*.parquet")))

@@ -362,6 +362,9 @@ def test_stream_corpus_prep_equals_batch_out_of_order(spark, tmp_path):
     sstages = stream_corpus_prep_stages(
         spark, base, cache_token="scp_stream2", **kw
     )
+    # steady state: the second finalize over unchanged state re-derives
+    # ZERO LSH bands — the content-hash cache serves them all
+    assert sstages["nd_band_misses"].count() == 0
     for st in ("url_deduped", "para_deduped", "quality_gated", "sem_deduped"):
         assert {
             (r.doc_id, r.text) for r in sstages[st].select("doc_id", "text").collect()
@@ -383,6 +386,88 @@ def test_stream_corpus_prep_equals_batch_out_of_order(spark, tmp_path):
         checkpoint=str(tmp_path / "ck2"), cache_token="scp_stream4", **kw,
     )
     assert {(r.doc_id, r.text, r.n_tokens) for r in out3.collect()} == batch
+
+
+def test_cached_bands_rederive_only_changed_docs(spark, tmp_path):
+    """The finalize's band cache: first call derives every doc, an
+    unchanged repeat derives none, and a single-doc text change
+    re-derives exactly that doc — with the served bands always equal
+    to a fresh derivation over the current texts."""
+    from streamsum_spark.corpus_prep import _cached_bands
+    from streamsum_spark.operators.dedup import (
+        _signatures_from,
+        banded_keys,
+        choose_lsh_params,
+        shingle_sets,
+    )
+
+    store = str(tmp_path / "bands")
+    t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    t2 = "one two three four five six seven eight nine"
+    docs1 = spark.createDataFrame(
+        [(1, t1), (2, t2)], "doc_id long, text string"
+    )
+    b1, m1 = _cached_bands(spark, store, docs1, 0.5, 4)
+    assert {r.doc_id for r in m1.collect()} == {1, 2}
+    got1 = {(r.doc_id, r.band_id, r.bkey) for r in b1.collect()}
+
+    b2, m2 = _cached_bands(spark, store, docs1, 0.5, 4)
+    assert m2.count() == 0
+    assert {(r.doc_id, r.band_id, r.bkey) for r in b2.collect()} == got1
+
+    docs2 = spark.createDataFrame(
+        [(1, t1), (2, t2 + " changed")], "doc_id long, text string"
+    )
+    b3, m3 = _cached_bands(spark, store, docs2, 0.5, 4)
+    assert {r.doc_id for r in m3.collect()} == {2}
+    bb, rr = choose_lsh_params(0.5)
+    fresh = banded_keys(
+        _signatures_from(shingle_sets(spark, "", docs=docs2)), bb, rr
+    )
+    assert {(r.doc_id, r.band_id, r.bkey) for r in b3.collect()} == {
+        (r.doc_id, r.band_id, r.bkey) for r in fresh.collect()
+    }
+
+
+def test_near_dup_pairs_from_bands_equals_tuned(spark):
+    """near_dup_pairs_from_bands over precomputed bands produces the
+    identical verified pair set as near_dup_tuned over the same texts
+    (same band derivation, same Jaccard formula — only the shingling
+    scope differs: candidates-only vs corpus)."""
+    from streamsum_spark.operators.dedup import (
+        _signatures_from,
+        banded_keys,
+        choose_lsh_params,
+        near_dup_pairs_from_bands,
+        near_dup_tuned,
+        shingle_sets,
+    )
+
+    base = [f"w{j}" for j in range(40)]
+    rows = [
+        (1, " ".join(base)),
+        (2, " ".join(base[:-1] + ["zz"])),  # near-dup of 1
+        (3, " ".join(f"u{j}" for j in range(40))),  # unrelated
+        (4, " ".join(base[:20] + [f"v{j}" for j in range(20)])),  # partial
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    b, r = choose_lsh_params(0.5)
+    bands = banded_keys(
+        _signatures_from(shingle_sets(spark, "", docs=docs)), b, r
+    )
+    got = {
+        (x.doc_a, x.doc_b, round(x.jaccard, 9))
+        for x in near_dup_pairs_from_bands(
+            spark, bands, docs, threshold=0.5, cache_token="fb_test"
+        ).collect()
+    }
+    want = {
+        (x.doc_a, x.doc_b, round(x.jaccard, 9))
+        for x in near_dup_tuned(
+            spark, "", threshold=0.5, docs=docs, cache_token="fb_test2"
+        ).collect()
+    }
+    assert got == want and got
 
 
 def test_funnel_parses_each_url_once(prep):

@@ -314,6 +314,34 @@ def test_zordered_table_skips_files_not_just_row_groups(spark, tmp_path):
             ZT.read_zordered(spark, tpath, {"event_id": (0, 1)})
 
 
+def test_zordered_table_prunes_on_timestamp_column(spark, tmp_path):
+    """Timestamp-clustered tables skip FILES too: the writer emits
+    TIMESTAMP_MICROS for the data files (Spark's default INT96 carries
+    no parquet statistics at all — with it, pruning would silently
+    degrade to keep-every-file) and restores the session setting."""
+    import datetime
+
+    from streamsum_spark.operators import zorder_table as ZT
+    from streamsum_spark.plans import inspect as PI
+
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    rows = [
+        (i, datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=i))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "a long, ts timestamp")
+    tpath = str(tmp_path / "zts")
+    ZT.write_zordered_table(df, tpath, ["a", "ts"], n_files=4)
+    assert spark.conf.get("spark.sql.parquet.outputTimestampType") == prev
+    lo, hi = datetime.datetime(2024, 1, 3), datetime.datetime(2024, 1, 4)
+    got = ZT.read_zordered(spark, tpath, {"ts": (lo, hi)})
+    assert got.count() == sum(1 for _, t in rows if lo <= t <= hi)
+    (m,) = PI.scan_runtime_metrics(
+        ZT.read_zordered(spark, tpath, {"ts": (lo, hi)}).select("a")
+    )
+    assert 0 < m["numFiles"] < 4
+
+
 def test_zordered_table_crash_consistency_and_time_travel(spark, tmp_path):
     """Snapshot posture inherited: a crashed writer (data staged,
     manifest claimed, pointer never swapped) is invisible to readers,
