@@ -453,7 +453,10 @@ def _cached_bands(
     Returns (bands for the CURRENT doc versions, the misses relation —
     empty when nothing changed, which the steady-state pin asserts).
     The store is valid for ONE threshold (the (b, r) scheme is derived
-    from it); a pipeline's nd_threshold is fixed with its state_base."""
+    from it) — a sidecar records the scheme and a mismatched reuse
+    refuses loudly instead of silently mixing band keys from two
+    schemes."""
+    import json
     import os
 
     from streamsum_spark.operators.dedup import (
@@ -465,6 +468,21 @@ def _cached_bands(
     from streamsum_spark.sinks import read_state_table, upsert_batch
 
     b, r = choose_lsh_params(nd_threshold)
+    scheme_path = store + "_scheme.json"
+    if os.path.exists(scheme_path):
+        with open(scheme_path) as fh:
+            prev = json.load(fh)
+        if (prev["b"], prev["r"]) != (b, r):
+            raise ValueError(
+                f"band store {store!r} was built with (b, r)="
+                f"({prev['b']}, {prev['r']}) but nd_threshold="
+                f"{nd_threshold} needs ({b}, {r}) — one store serves one "
+                "threshold; use a fresh state_base"
+            )
+    else:
+        os.makedirs(os.path.dirname(store) or ".", exist_ok=True)
+        with open(scheme_path, "w") as fh:
+            json.dump({"b": b, "r": r}, fh)
     docs_v = gated.select(
         "doc_id", F.md5(F.col("text")).alias("tmd5"), "text"
     )

@@ -427,6 +427,10 @@ def test_cached_bands_rederive_only_changed_docs(spark, tmp_path):
     assert {(r.doc_id, r.band_id, r.bkey) for r in b3.collect()} == {
         (r.doc_id, r.band_id, r.bkey) for r in fresh.collect()
     }
+    # a different threshold needs a different (b, r) scheme: the store
+    # refuses instead of silently mixing band keys
+    with pytest.raises(ValueError, match="one store serves one"):
+        _cached_bands(spark, store, docs2, 0.95, 4)
 
 
 def test_near_dup_pairs_from_bands_equals_tuned(spark):
