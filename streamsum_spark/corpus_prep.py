@@ -495,8 +495,8 @@ def _cached_bands(
         misses = docs_v
     # materialize BEFORE the upsert: the lazy plan reads the store's
     # pre-swap files, which the upsert's bucket swap deletes — the
-    # checkpoint also keeps the anti-join from running once per
-    # consumer (band derivation + the returned misses relation)
+    # checkpoint also keeps the anti-join from re-running per consumer
+    # (band derivation + the returned misses relation)
     misses = misses.localCheckpoint()
     new_bands = banded_keys(
         _signatures_from(
