@@ -39,6 +39,8 @@ parameter of semantic_dedup and nothing else changes.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -521,6 +523,55 @@ def _cached_bands(
     return bands, misses.select("doc_id")
 
 
+def vacuum_band_store(
+    spark: SparkSession, state_base: str, current: DataFrame
+) -> dict:
+    """Reclaim SUPERSEDED text-version rows from the finalize's band
+    store: a row whose doc_id appears in ``current`` (doc_id, tmd5 —
+    the ``nd_band_current`` relation a finalize exposes) under a
+    DIFFERENT tmd5 is a dead version the semi-join will never serve
+    again.  Rows for docs absent from ``current`` are KEPT — a doc the
+    gate dropped this cycle may return with unchanged text, and its
+    cached bands then save a re-derivation.  Bucket layout and sidecars
+    survive (same swap discipline as sinks.compact_parquet).  Run on
+    the same schedule as state-table compaction; returns row counts."""
+    import shutil
+    import uuid as _uuid
+
+    from streamsum_spark.sinks import _atomic_swap
+
+    store = state_base + "_ndbands"
+    if not os.path.exists(store):
+        return {"kept": 0, "dropped": 0}
+    full = spark.read.parquet(store)  # keeps the kb partition column
+    n_before = full.count()
+    superseded = (
+        full.join(current.withColumnRenamed("tmd5", "_cur"), "doc_id")
+        .where(F.col("tmd5") != F.col("_cur"))
+        .select("doc_id", "tmd5")
+        .distinct()
+    )
+    kept = full.join(superseded, ["doc_id", "tmd5"], "left_anti")
+    n_kept = kept.count()
+    tmp = store + f".tmp-{_uuid.uuid4().hex[:8]}"
+    (
+        kept.repartition("kb")
+        .write.mode("overwrite")
+        .partitionBy("kb")
+        .parquet(tmp)
+    )
+    meta = os.path.join(store, "_table_meta.json")
+    if os.path.exists(meta):
+        shutil.copy(meta, os.path.join(tmp, "_table_meta.json"))
+    for d in os.listdir(store):
+        mpath = os.path.join(store, d, "_applied_epochs.json")
+        if d.startswith("kb=") and os.path.exists(mpath):
+            os.makedirs(os.path.join(tmp, d), exist_ok=True)
+            shutil.copy(mpath, os.path.join(tmp, d, "_applied_epochs.json"))
+    _atomic_swap(store, tmp)
+    return {"kept": n_kept, "dropped": n_before - n_kept}
+
+
 def stream_corpus_prep_stages(
     spark: SparkSession,
     state_base: str,
@@ -548,7 +599,10 @@ def stream_corpus_prep_stages(
     re-shingle, and only candidate docs shingle for verification.
     Stage keys mirror corpus_prep_stages from url_deduped on, plus
     ``nd_band_misses`` — the docs the band cache had to (re)derive
-    this cycle, empty at steady state (pinned)."""
+    this cycle, empty at steady state (pinned) — and
+    ``nd_band_current`` — the (doc_id, tmd5) versions this cycle
+    served, the input vacuum_band_store reclaims superseded rows
+    against."""
     import os
 
     from pyspark.sql import Window
@@ -610,6 +664,11 @@ def stream_corpus_prep_stages(
             n_buckets,
         )
         observed["misses"] = misses
+        # the CURRENT (doc_id, text-version) relation — what
+        # vacuum_band_store consumes to reclaim superseded rows
+        observed["current"] = quality_gated.select(
+            "doc_id", F.md5(F.col("text")).alias("tmd5")
+        )
         return near_dup_pairs_from_bands(
             spark_,
             bands,
@@ -636,6 +695,7 @@ def stream_corpus_prep_stages(
         )
     )
     stages["nd_band_misses"] = observed["misses"]
+    stages["nd_band_current"] = observed["current"]
     return stages
 
 

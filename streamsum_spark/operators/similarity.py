@@ -454,10 +454,23 @@ def kmeans_ivf_index(
     # treeAggregate job): consumers that need cluster GEOMETRY, not
     # convergence — SemDeDup's bucketing, a coarse IVF quantizer —
     # pass a small value and save most of the fit's wall-clock
-    model = KMeans(
-        k=n_lists, seed=seed, maxIter=max_iter,
-        featuresCol="features", predictionCol="list_id",
-    ).fit(_bounded_fit_sample(feats, fit_sample_cap, seed))
+    sample = _bounded_fit_sample(feats, fit_sample_cap, seed).persist()
+    try:
+        # clamp k to the sample: more centers than points crashes the
+        # JVM aggregator with a bare AIOOBE, and a composed pipeline's
+        # gated corpus can legitimately be tiny (the count is over the
+        # BOUNDED sample, never the corpus)
+        n_sample = sample.count()
+        if n_sample == 0:
+            raise ValueError(
+                "cannot fit a k-means quantizer on an empty relation"
+            )
+        model = KMeans(
+            k=min(n_lists, n_sample), seed=seed, maxIter=max_iter,
+            featuresCol="features", predictionCol="list_id",
+        ).fit(sample)
+    finally:
+        sample.unpersist(blocking=False)
     assignments = model.transform(feats).select(
         "vec_id", F.col("list_id").cast("long").alias("list_id")
     )

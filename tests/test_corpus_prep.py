@@ -388,6 +388,151 @@ def test_stream_corpus_prep_equals_batch_out_of_order(spark, tmp_path):
     assert {(r.doc_id, r.text, r.n_tokens) for r in out3.collect()} == batch
 
 
+def _warc_rec(uri: str, text: str) -> bytes:
+    html = f"<html><body><p>{text}</p></body></html>".replace(
+        "\n", "</p><p>"
+    ).encode()
+    http = (
+        f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        f"Content-Length: {len(html)}\r\n\r\n".encode() + html
+    )
+    from streamsum_spark.sources import warc as W
+
+    return W.build_warc_record(
+        {
+            "WARC-Type": "response",
+            "WARC-Record-ID": f"<urn:t:{uri}>",
+            "WARC-Date": "2024-01-01T00:00:00Z",
+            "WARC-Target-URI": uri,
+            "Content-Type": "application/http; msgtype=response",
+        },
+        http,
+    )
+
+
+def test_stream_corpus_prep_growing_directory_and_vacuum(spark, tmp_path):
+    """The production cycle: the crawl directory GROWS between
+    finalizes.  Cycle 2 ingests only the new shard; its band cache
+    re-derives exactly the docs the new shard ADDED or whose cleaned
+    text it CHANGED (a new globally-first copy of an old doc's
+    paragraph flags the old occurrence, so the old doc's cleaned text —
+    and tmd5 — changes); survivors equal the batch funnel over the
+    grown union; vacuum_band_store reclaims the superseded version's
+    rows and the next finalize still misses nothing."""
+    import gzip
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from streamsum_spark.corpus_prep import (
+        corpus_prep_e2e,
+        stream_corpus_prep,
+        stream_corpus_prep_stages,
+        vacuum_band_store,
+    )
+
+    def wc_text(tag, extra=""):
+        return extra + " ".join(f"{tag}w{j}" for j in range(45))
+
+    shared_para = "THIS EXACT PARAGRAPH REPEATS ACROSS THE CRAWL"
+    old_uri = "http://old.site0.com/p"
+    old_text = shared_para + "\n" + wc_text("old")
+    cycle1 = [
+        (old_uri, old_text),
+        ("http://a.site1.com/p", wc_text("aa")),
+        ("http://b.site2.com/p", wc_text("bb")),
+        # junk: the self-seeded gate needs a drop class to train on
+        ("http://j0.spam.com/x", "buy click now pills deal j0"),
+        ("http://j1.spam.com/x", "buy click now pills deal j1"),
+    ]
+    d = tmp_path / "grow"
+    d.mkdir()
+    (d / "s0.warc.gz").write_bytes(
+        b"".join(gzip.compress(_warc_rec(u, t), mtime=0) for u, t in cycle1)
+    )
+
+    # n_lists pinned: the auto sqrt(N) sizing is for real corpora, not
+    # a 3-doc fixture (k-means over fewer points than centers)
+    kw = dict(domain_cap=50, min_words=40, emb_dim=32, n_lists=2)
+    base = str(tmp_path / "grow_state")
+    out1 = stream_corpus_prep(
+        spark, str(d), max_files_per_trigger=1, state_base=base,
+        cache_token="grow1", **kw,
+    )
+    got1 = {(r.doc_id, r.text) for r in out1.collect()}
+    assert len(got1) == 3  # nothing dedups yet; old doc keeps its banner
+
+    # pick a NEW uri whose per-fetch doc_id is SMALLER than the old
+    # doc's, so its copy of the shared paragraph becomes globally first
+    # and the OLD doc's cleaned text changes
+    def fid(uri, fname, ordinal):
+        return spark.createDataFrame(
+            [(uri, fname, ordinal)],
+            "target_uri string, warc_file string, ordinal int",
+        ).selectExpr(
+            "xxhash64(target_uri, warc_file, ordinal) AS h"
+        ).collect()[0].h
+
+    old_id = fid(old_uri, "s0.warc.gz", 0)
+    new_uri = next(
+        u for u in (f"http://n{i}.site3.com/p" for i in range(32))
+        if fid(u, "s1.warc.gz", 0) < old_id
+    )
+    cycle2 = [
+        (new_uri, shared_para + "\n" + wc_text("new")),
+        ("http://c.site4.com/p", wc_text("cc")),
+    ]
+    p1 = d / "s1.warc.gz"
+    p1.write_bytes(
+        b"".join(gzip.compress(_warc_rec(u, t), mtime=0) for u, t in cycle2)
+    )
+    t = time.time() + 30
+    os.utime(p1, (t, t))
+
+    out2 = stream_corpus_prep(
+        spark, str(d), max_files_per_trigger=1, state_base=base,
+        cache_token="grow2", **kw,
+    )
+    got2 = {(r.doc_id, r.text) for r in out2.collect()}
+    batch = {
+        (r.doc_id, r.text)
+        for r in corpus_prep_e2e(
+            spark, str(d), cache_token="grow_batch", **kw
+        ).collect()
+    }
+    assert got2 == batch and len(got2) == 5
+    # the old doc's surviving text lost the shared paragraph to the
+    # new doc's globally-first copy
+    by_text = dict(got2)
+    assert by_text[old_id] == wc_text("old")
+    new_id = fid(new_uri, "s1.warc.gz", 0)
+    assert by_text[new_id].startswith(shared_para)
+
+    # cycle 2's band cache re-derived exactly: the 2 new docs + the 1
+    # old doc whose cleaned text changed
+    sstages = stream_corpus_prep_stages(
+        spark, base, cache_token="grow3", **kw
+    )
+    assert sstages["nd_band_misses"].count() == 0  # finalize 3: steady
+    # vacuum: the old doc's superseded version rows drop; steady state
+    # survives the vacuum
+    current = sstages["nd_band_current"].localCheckpoint()
+    stats = vacuum_band_store(spark, base, current)
+    assert stats["dropped"] > 0 and stats["kept"] > 0
+    sstages4 = stream_corpus_prep_stages(
+        spark, base, cache_token="grow4", **kw
+    )
+    assert sstages4["nd_band_misses"].count() == 0
+    assert {
+        (r.doc_id, r.text, r.n_tokens)
+        for r in sstages4["packed"].collect()
+    } == {
+        (r.doc_id, r.text, r.n_tokens)
+        for r in sstages["packed"].collect()
+    }
+
+
 def test_cached_bands_rederive_only_changed_docs(spark, tmp_path):
     """The finalize's band cache: first call derives every doc, an
     unchanged repeat derives none, and a single-doc text change
@@ -431,6 +576,26 @@ def test_cached_bands_rederive_only_changed_docs(spark, tmp_path):
     # refuses instead of silently mixing band keys
     with pytest.raises(ValueError, match="one store serves one"):
         _cached_bands(spark, store, docs2, 0.95, 4)
+
+
+def test_kmeans_index_clamps_k_to_tiny_corpora(spark):
+    """A composed pipeline's gated corpus can be smaller than the
+    quantizer's default center count: k clamps to the fit sample
+    (instead of a bare JVM ArrayIndexOutOfBounds), and an empty
+    relation refuses with a typed error."""
+    import pytest as _pytest
+
+    from streamsum_spark.operators.similarity import kmeans_ivf_index
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0 - i]) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    assignments, centroids = kmeans_ivf_index(spark, "", emb=emb, n_lists=8)
+    assert assignments.count() == 3
+    assert centroids.count() <= 3
+    with _pytest.raises(ValueError, match="empty relation"):
+        kmeans_ivf_index(spark, "", emb=emb.limit(0), n_lists=2)
 
 
 def test_near_dup_pairs_from_bands_equals_tuned(spark):
