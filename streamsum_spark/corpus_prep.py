@@ -1,6 +1,11 @@
-"""The composed corpus-preparation pipeline (r12 verdict order #2):
-every stage of the crawl-to-corpus chain the individual operators
-implement, chained end-to-end with NO driver-side seam —
+"""The composed corpus-preparation pipeline, in BOTH execution shapes:
+the batch funnel (corpus_prep_e2e, r12 verdict order #2) and its
+streaming twin (stream_corpus_prep, r13 verdict order #1 — incremental
+ingest state + a finalize running the identical curation tail; see the
+block comment above stream_corpus_prep_ingest for the precise
+incremental/finalize split and why it is forced by semantics).  Every
+stage of the crawl-to-corpus chain the individual operators implement,
+chained end-to-end with NO driver-side seam —
 
     WARC shards -> read_warc_text -> canonical-URL dedup -> paragraph
     dedup -> per-domain cap -> NB quality gate -> threshold-tuned
