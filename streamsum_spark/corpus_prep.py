@@ -528,6 +528,53 @@ def _cached_bands(
     return bands, misses.select("doc_id")
 
 
+def export_packed_webdataset(
+    packed: DataFrame,
+    out_dir: str,
+    shard_max_bytes: int = 256 << 20,
+) -> DataFrame:
+    """Close the loop: the funnel's packed relation (either funnel —
+    corpus_prep_e2e or stream_corpus_prep) -> WebDataset .tar shards, a
+    delivery format training jobs consume directly.  One sample per
+    training chunk: key ``{part:05d}-{chunk:06d}``, a ``txt`` part
+    holding the chunk's documents concatenated in doc_id order
+    (blank-line separated), and a ``json`` part with per-doc provenance
+    (doc_id, target_uri, n_tokens) in the same order — the lineage a
+    data audit needs to trace a training sample back to its crawl
+    fetches.  One shuffle on (part, chunk) + pure expressions into the
+    existing streaming tar packer (write_webdataset: per-task shard
+    files, bounded memory, deterministic bytes); returns the shard
+    manifest, whose materialization executes the write."""
+    from streamsum_spark.sources.webdataset import write_webdataset
+
+    chunks = packed.groupBy("part", "chunk").agg(
+        F.expr(
+            "sort_array(collect_list(struct(doc_id, target_uri, text, n_tokens)))"
+        ).alias("ds")
+    )
+    samples = chunks.select(
+        F.format_string("%05d-%06d", "part", "chunk").alias("key"),
+        F.create_map(
+            F.lit("txt"),
+            F.encode(
+                F.expr("array_join(transform(ds, d -> d.text), '\\n\\n')"),
+                "UTF-8",
+            ),
+            F.lit("json"),
+            F.encode(
+                F.to_json(
+                    F.expr(
+                        "transform(ds, d -> struct(d.doc_id, d.target_uri,"
+                        " d.n_tokens))"
+                    )
+                ),
+                "UTF-8",
+            ),
+        ).alias("parts"),
+    )
+    return write_webdataset(samples, out_dir, shard_max_bytes)
+
+
 def vacuum_band_store(
     spark: SparkSession, state_base: str, current: DataFrame
 ) -> dict:

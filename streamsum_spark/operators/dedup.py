@@ -1176,6 +1176,9 @@ def near_dup_pairs_from_bands(
             .where(F.col("_f") <= max_bucket)
             .drop("_f")
         )
+    # both sides of the candidate self-join consume bands (Catalyst
+    # does not reuse exchanges across the aliased subtrees)
+    bands = shared_persist(("nd_bands_in", cache_token), bands)
     cand = shared_persist(
         ("nd_band_cand", cache_token),
         bands.alias("a")
