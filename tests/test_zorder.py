@@ -295,6 +295,11 @@ def test_zordered_table_skips_files_not_just_row_groups(spark, tmp_path):
         )
         assert v == 1
         got = ZT.read_zordered(spark, tpath, pred).select("event_id")
+        # the residual filter reaches the parquet scan, so row-group/
+        # page pruning STACKS on the manifest's file pruning
+        assert PI.has_pushed_filters(
+            ZT.read_zordered(spark, tpath, pred), "user_id", "value"
+        ), layout
         (m,) = PI.scan_runtime_metrics(got)
         # the claim: FEWER FILES, not just fewer materialized rows
         assert 0 < m["numFiles"] < 16, (layout, m["numFiles"])
