@@ -528,6 +528,44 @@ def _cached_bands(
     return bands, misses.select("doc_id")
 
 
+FUNNEL_STAGE_ORDER = (
+    "ingested",
+    "url_deduped",
+    "para_deduped",
+    "domain_capped",
+    "quality_gated",
+    "near_deduped",
+    "sem_deduped",
+    "packed",
+)
+
+
+def funnel_report(stages: dict[str, DataFrame]) -> list[dict]:
+    """Per-stage survivor accounting for either funnel's stages dict:
+    one {stage, n_docs, dropped} row per present stage in funnel order
+    — the audit trail a curation run logs per cycle (curation.py's
+    per-rule drop accounting at funnel granularity; which URL/paragraph
+    /cap/gate/dedup stage ate the corpus is the first question a yield
+    regression raises).  Each count is one action over the stage
+    relation — the funnel's shared persists and the gate checkpoint
+    keep those cheap — and driver state is one number per stage."""
+    out: list[dict] = []
+    prev: int | None = None
+    for name in FUNNEL_STAGE_ORDER:
+        if name not in stages:
+            continue
+        n = stages[name].count()
+        out.append(
+            {
+                "stage": name,
+                "n_docs": n,
+                "dropped": (prev - n) if prev is not None else 0,
+            }
+        )
+        prev = n
+    return out
+
+
 def export_packed_webdataset(
     packed: DataFrame,
     out_dir: str,

@@ -226,6 +226,26 @@ def test_stages_equal_individual_operators(spark, prep):
     assert sem_keep == set(got["sem_deduped"])
 
 
+def test_funnel_report_accounts_every_stage(prep):
+    """The audit report walks the stages in funnel order with
+    consistent drop accounting: counts monotone non-increasing, drops
+    non-negative and telescoping (ingested count - packed count =
+    total dropped)."""
+    from streamsum_spark.corpus_prep import FUNNEL_STAGE_ORDER, funnel_report
+
+    warc_dir, docs, stages, got = prep
+    rep = funnel_report(stages)
+    assert [r["stage"] for r in rep] == list(FUNNEL_STAGE_ORDER)
+    assert rep[0]["n_docs"] == len(docs) and rep[0]["dropped"] == 0
+    ns = [r["n_docs"] for r in rep]
+    assert all(a >= b for a, b in zip(ns, ns[1:]))
+    assert all(r["dropped"] >= 0 for r in rep)
+    assert sum(r["dropped"] for r in rep) == ns[0] - ns[-1]
+    # every stage's count matches the collected fixture
+    for r in rep:
+        assert r["n_docs"] == len(got[r["stage"]]), r["stage"]
+
+
 def test_corpus_prep_e2e_returns_packed(spark, prep):
     warc_dir, docs, stages, got = prep
     out = corpus_prep_e2e(
