@@ -518,10 +518,14 @@ def _cprep_seed(spark, sf_dir) -> str:
 
     seed = _CPREP_SEED_CACHE.get(sf_dir)
     if seed is None:
+        import atexit
+        import shutil
+
         from streamsum_spark.corpus_prep import stream_corpus_prep_stages
 
         src = _warc_corpus(spark, sf_dir)
         seed = tempfile.mkdtemp(prefix="bench_cprep_seed_")
+        atexit.register(shutil.rmtree, seed, ignore_errors=True)
         stream_corpus_prep_ingest(
             spark, src, glob="warc-0000[0-6]-*.warc.gz",
             state_base=os.path.join(seed, "state"),
@@ -554,7 +558,11 @@ def stream_corpus_prep_marginal(spark, sf_dir):
     cost, is never re-paid — compare against corpus_prep_e2e, which
     re-parses the entire crawl every run.  The per-run copy of the
     seeded dirs rides inside the timed number (a production ingest
-    mutates in place)."""
+    mutates in place).  Run dirs are reclaimed at process exit
+    (atexit — OUTSIDE every timed region; the returned relation reads
+    the run dir lazily, so an inline rmtree would race the
+    materialization), so repeated bench runs leave nothing in /tmp."""
+    import atexit
     import shutil
     import tempfile
     import uuid
@@ -567,6 +575,7 @@ def stream_corpus_prep_marginal(spark, sf_dir):
         tempfile.gettempdir(), f"bench_cprep_marg_{uuid.uuid4().hex[:10]}"
     )
     shutil.copytree(seed, run)
+    atexit.register(shutil.rmtree, run, ignore_errors=True)
     return stream_corpus_prep(
         spark, src, glob="warc-*.warc.gz",
         state_base=os.path.join(run, "state"),

@@ -103,15 +103,28 @@ def corpus_prep_stages(
     # canonical_url + host in ONE projection — the funnel's single
     # try_parse_url family: the URL-dedup window and the domain cap
     # both consume these columns instead of re-parsing the URL
+    from pyspark.sql import Observation
+
+    ingest_obs = Observation()
+    # the observe() tap is the A11 metrics machinery in batch form: it
+    # records the ingest cardinality AS the rows flow through the first
+    # downstream action, so funnel_report's `ingested` count never has
+    # to re-run the WARC parse (the funnel's dominant cost) just for
+    # accounting — at 100 TB an audit row must not re-read crawl bytes
     ingested = with_url_parts(
-        read_warc_text(spark, warc_dir, glob).select(
+        read_warc_text(spark, warc_dir, glob)
+        .select(
             doc_id_col().alias("doc_id"),
             "target_uri",
             "warc_file",
             "ordinal",
             "text",
         )
+        .observe(ingest_obs, F.count(F.lit(1)).alias("n"))
     )
+    # carried on the relation itself (not a stages entry) so the dict
+    # stays DataFrame-pure for pins/audits that walk every value
+    ingested._streamsum_ingest_obs = ingest_obs
     stages["ingested"] = ingested
 
     # 1b. URL-level dedup: re-fetches of one page differ by tracking
@@ -442,6 +455,101 @@ def stream_corpus_prep_ingest(
     return base
 
 
+class BandStoreWriterConflict(RuntimeError):
+    """A second mutator (finalize band upsert or vacuum_band_store)
+    tried to run against a band store while another holds the advisory
+    writer lock — the store's swap discipline assumes ONE mutator at a
+    time (a vacuum racing an upsert can rewrite a bucket the upsert is
+    mid-swap on)."""
+
+
+class _band_writer_lock:
+    """Advisory single-writer guard for a band store: an O_EXCL lock
+    file claimed through the commit backend (put_if_absent — the same
+    primitive every other claim in this repo serializes on), released
+    on exit.  A lock older than ``stale_s`` is presumed a crashed
+    mutator's leftover and is stolen (atomically, via replace).
+    Readers are unaffected — the lock only serializes MUTATORS."""
+
+    def __init__(self, store: str, stale_s: float = 3600.0):
+        self.lock_path = store + "_writer.lock"
+        self.stale_s = stale_s
+
+    def __enter__(self):
+        from streamsum_spark import commitio
+
+        os.makedirs(os.path.dirname(self.lock_path) or ".", exist_ok=True)
+        tmp = self.lock_path + f".claim-{os.getpid()}"
+        with open(tmp, "w") as fh:
+            fh.write(str(os.getpid()))
+        backend = commitio.get_backend()
+        if backend.put_if_absent(tmp, self.lock_path):
+            return self
+        # lost the claim: an in-flight mutator holds it, unless stale
+        import time as _time
+
+        try:
+            age = _time.time() - os.path.getmtime(self.lock_path)
+        except OSError:  # released between our loss and the stat: retry
+            age = None
+        if age is not None and age < self.stale_s:
+            os.unlink(tmp)
+            raise BandStoreWriterConflict(
+                f"{self.lock_path} is held by another finalize/vacuum "
+                f"(age {age:.0f}s < {self.stale_s:.0f}s) — band-store "
+                "mutators are single-writer; wait or raise stale_s"
+            )
+        backend.replace(tmp, self.lock_path)  # steal the stale lock
+        return self
+
+    def __exit__(self, *exc):
+        try:
+            os.unlink(self.lock_path)
+        except FileNotFoundError:
+            pass
+        return False
+
+
+def _claim_band_scheme(store: str, b: int, r: int, nd_threshold: float) -> None:
+    """Record (or verify) the band store's (b, r) scheme sidecar
+    CRASH-CONSISTENTLY: the JSON is staged to a temp file and published
+    with the commit backend's put-if-absent — a crashed writer can
+    never leave a torn sidecar, and two concurrent first-finalizes
+    serialize with one winner (the loser re-reads and compares, which
+    succeeds because both derive the same scheme from the same
+    threshold).  A mismatched scheme refuses loudly."""
+    import json
+
+    from streamsum_spark import commitio
+
+    scheme_path = store + "_scheme.json"
+    if not os.path.exists(scheme_path):
+        os.makedirs(os.path.dirname(store) or ".", exist_ok=True)
+        tmp = scheme_path + f".claim-{os.getpid()}"
+        with open(tmp, "w") as fh:
+            json.dump({"b": b, "r": r}, fh)
+        if commitio.get_backend().put_if_absent(tmp, scheme_path):
+            return
+        os.unlink(tmp)  # lost the race: fall through and compare
+    try:
+        with open(scheme_path) as fh:
+            prev = json.load(fh)
+    except (json.JSONDecodeError, OSError) as e:
+        raise ValueError(
+            f"band-store scheme sidecar {scheme_path!r} is unreadable "
+            f"({e}) — it predates the crash-consistent claim protocol or "
+            "was written by something else; delete it (with no finalize "
+            "running) and re-finalize to re-record the scheme"
+        ) from e
+    if (prev["b"], prev["r"]) != (b, r):
+        raise ValueError(
+            f"band store {store!r} was built with (b, r)="
+            f"({prev['b']}, {prev['r']}) but nd_threshold="
+            f"{nd_threshold} needs ({b}, {r}) — one store serves one "
+            "threshold; use a fresh state_base"
+        )
+
+
 def _cached_bands(
     spark: SparkSession,
     store: str,
@@ -459,13 +567,16 @@ def _cached_bands(
     version semi-join at read; a compaction cycle reclaims them).
     Returns (bands for the CURRENT doc versions, the misses relation —
     empty when nothing changed, which the steady-state pin asserts).
-    The store is valid for ONE threshold (the (b, r) scheme is derived
-    from it) — a sidecar records the scheme and a mismatched reuse
-    refuses loudly instead of silently mixing band keys from two
-    schemes."""
-    import json
-    import os
 
+    The store is valid for ONE threshold (the (b, r) scheme is derived
+    from it) — a crash-consistent sidecar records the scheme
+    (_claim_band_scheme) and a mismatched reuse refuses loudly instead
+    of silently mixing band keys from two schemes.  A doc whose text
+    yields NO shingles (under 3 words) gets a SENTINEL row (band_id
+    −1) so it too enters the store and stops re-deriving every cycle;
+    sentinels are filtered from the served bands.  Mutation runs under
+    the store's advisory single-writer lock (shared with
+    vacuum_band_store)."""
     from streamsum_spark.operators.dedup import (
         _signatures_from,
         banded_keys,
@@ -475,21 +586,7 @@ def _cached_bands(
     from streamsum_spark.sinks import read_state_table, upsert_batch
 
     b, r = choose_lsh_params(nd_threshold)
-    scheme_path = store + "_scheme.json"
-    if os.path.exists(scheme_path):
-        with open(scheme_path) as fh:
-            prev = json.load(fh)
-        if (prev["b"], prev["r"]) != (b, r):
-            raise ValueError(
-                f"band store {store!r} was built with (b, r)="
-                f"({prev['b']}, {prev['r']}) but nd_threshold="
-                f"{nd_threshold} needs ({b}, {r}) — one store serves one "
-                "threshold; use a fresh state_base"
-            )
-    else:
-        os.makedirs(os.path.dirname(store) or ".", exist_ok=True)
-        with open(scheme_path, "w") as fh:
-            json.dump({"b": b, "r": r}, fh)
+    _claim_band_scheme(store, b, r, nd_threshold)
     docs_v = gated.select(
         "doc_id", F.md5(F.col("text")).alias("tmd5"), "text"
     )
@@ -505,23 +602,47 @@ def _cached_bands(
     # checkpoint also keeps the anti-join from re-running per consumer
     # (band derivation + the returned misses relation)
     misses = misses.localCheckpoint()
-    new_bands = banded_keys(
-        _signatures_from(
-            shingle_sets(spark, "", docs=misses.select("doc_id", "text"))
-        ),
-        b,
-        r,
-    ).join(misses.select("doc_id", "tmd5"), "doc_id")
-    upsert_batch(
-        spark,
-        store,
-        new_bands.select("doc_id", "tmd5", "band_id", "bkey"),
-        ["doc_id", "tmd5", "band_id"],
-        "bkey",
-        n_buckets=n_buckets,
+    # delta-sized materialization: both the upsert union and the
+    # sentinel anti-join consume it — unpinned, the signature
+    # derivation would run twice over the misses set
+    new_bands = (
+        banded_keys(
+            _signatures_from(
+                shingle_sets(spark, "", docs=misses.select("doc_id", "text"))
+            ),
+            b,
+            r,
+        )
+        .join(misses.select("doc_id", "tmd5"), "doc_id")
+        .localCheckpoint()
     )
+    # sentinel rows for missed docs that produced no bands (zero
+    # shingles): without them such docs never enter the store and
+    # reappear in the misses anti-join — re-deriving — every finalize
+    sentinels = (
+        misses.select("doc_id", "tmd5")
+        .join(new_bands.select("doc_id").distinct(), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            "tmd5",
+            F.lit(-1).alias("band_id"),
+            F.lit("").alias("bkey"),
+        )
+    )
+    with _band_writer_lock(store):
+        upsert_batch(
+            spark,
+            store,
+            new_bands.select("doc_id", "tmd5", "band_id", "bkey").unionByName(
+                sentinels
+            ),
+            ["doc_id", "tmd5", "band_id"],
+            "bkey",
+            n_buckets=n_buckets,
+        )
     bands = (
         read_state_table(spark, store)
+        .where(F.col("band_id") >= 0)
         .join(docs_v.select("doc_id", "tmd5"), ["doc_id", "tmd5"], "left_semi")
         .select("doc_id", "band_id", "bkey")
     )
@@ -548,13 +669,37 @@ def funnel_report(stages: dict[str, DataFrame]) -> list[dict]:
     /cap/gate/dedup stage ate the corpus is the first question a yield
     regression raises).  Each count is one action over the stage
     relation — the funnel's shared persists and the gate checkpoint
-    keep those cheap — and driver state is one number per stage."""
+    keep those cheap — and driver state is one number per stage.
+
+    The ``ingested`` count comes from the observe() tap the batch
+    funnel plants on the WARC parse (populated by the first downstream
+    action — here the url_deduped count, which materializes the shared
+    persist this report needs anyway), NEVER from a count() over the
+    unpersisted parse relation: that count would re-read every crawl
+    byte.  Sanity guard: an observation poisoned by an earlier PARTIAL
+    action over the ingest relation (a limit().collect() probe) would
+    undercount, so a value below the url_deduped count falls back to
+    the honest full count."""
+    # downstream-first: counting url_deduped materializes its persist
+    # AND fires the ingest observation riding below it
+    counts: dict[str, int] = {}
+    for name in FUNNEL_STAGE_ORDER:
+        if name == "ingested" or name not in stages:
+            continue
+        counts[name] = stages[name].count()
+    if "ingested" in stages:
+        ing = stages["ingested"]
+        obs = getattr(ing, "_streamsum_ingest_obs", None)
+        n_ing = obs.get["n"] if obs is not None else None
+        if n_ing is None or n_ing < counts.get("url_deduped", 0):
+            n_ing = ing.count()
+        counts["ingested"] = n_ing
     out: list[dict] = []
     prev: int | None = None
     for name in FUNNEL_STAGE_ORDER:
-        if name not in stages:
+        if name not in counts:
             continue
-        n = stages[name].count()
+        n = counts[name]
         out.append(
             {
                 "stage": name,
@@ -624,7 +769,13 @@ def vacuum_band_store(
     gate dropped this cycle may return with unchanged text, and its
     cached bands then save a re-derivation.  Bucket layout and sidecars
     survive (same swap discipline as sinks.compact_parquet).  Run on
-    the same schedule as state-table compaction; returns row counts."""
+    the same schedule as state-table compaction; returns row counts.
+
+    Single-writer contract: the vacuum's read-rewrite-swap and a
+    finalize's band upsert must not interleave (each assumes the other
+    is not mid-swap on the same buckets) — both run under the store's
+    advisory writer lock, so a concurrent mutator raises
+    BandStoreWriterConflict instead of silently corrupting the store."""
     import shutil
     import uuid as _uuid
 
@@ -633,32 +784,35 @@ def vacuum_band_store(
     store = state_base + "_ndbands"
     if not os.path.exists(store):
         return {"kept": 0, "dropped": 0}
-    full = spark.read.parquet(store)  # keeps the kb partition column
-    n_before = full.count()
-    superseded = (
-        full.join(current.withColumnRenamed("tmd5", "_cur"), "doc_id")
-        .where(F.col("tmd5") != F.col("_cur"))
-        .select("doc_id", "tmd5")
-        .distinct()
-    )
-    kept = full.join(superseded, ["doc_id", "tmd5"], "left_anti")
-    n_kept = kept.count()
-    tmp = store + f".tmp-{_uuid.uuid4().hex[:8]}"
-    (
-        kept.repartition("kb")
-        .write.mode("overwrite")
-        .partitionBy("kb")
-        .parquet(tmp)
-    )
-    meta = os.path.join(store, "_table_meta.json")
-    if os.path.exists(meta):
-        shutil.copy(meta, os.path.join(tmp, "_table_meta.json"))
-    for d in os.listdir(store):
-        mpath = os.path.join(store, d, "_applied_epochs.json")
-        if d.startswith("kb=") and os.path.exists(mpath):
-            os.makedirs(os.path.join(tmp, d), exist_ok=True)
-            shutil.copy(mpath, os.path.join(tmp, d, "_applied_epochs.json"))
-    _atomic_swap(store, tmp)
+    with _band_writer_lock(store):
+        full = spark.read.parquet(store)  # keeps the kb partition column
+        n_before = full.count()
+        superseded = (
+            full.join(current.withColumnRenamed("tmd5", "_cur"), "doc_id")
+            .where(F.col("tmd5") != F.col("_cur"))
+            .select("doc_id", "tmd5")
+            .distinct()
+        )
+        kept = full.join(superseded, ["doc_id", "tmd5"], "left_anti")
+        n_kept = kept.count()
+        tmp = store + f".tmp-{_uuid.uuid4().hex[:8]}"
+        (
+            kept.repartition("kb")
+            .write.mode("overwrite")
+            .partitionBy("kb")
+            .parquet(tmp)
+        )
+        meta = os.path.join(store, "_table_meta.json")
+        if os.path.exists(meta):
+            shutil.copy(meta, os.path.join(tmp, "_table_meta.json"))
+        for d in os.listdir(store):
+            mpath = os.path.join(store, d, "_applied_epochs.json")
+            if d.startswith("kb=") and os.path.exists(mpath):
+                os.makedirs(os.path.join(tmp, d), exist_ok=True)
+                shutil.copy(
+                    mpath, os.path.join(tmp, d, "_applied_epochs.json")
+                )
+        _atomic_swap(store, tmp)
     return {"kept": n_kept, "dropped": n_before - n_kept}
 
 

@@ -90,7 +90,17 @@ def _norm(v):
         return v if v == v else None  # NaN stats cannot prune
     if isinstance(v, datetime.datetime):
         if v.tzinfo is None:
-            v = v.replace(tzinfo=datetime.timezone.utc)
+            # PySpark interprets tz-NAIVE datetimes through the driver's
+            # LOCAL timezone (time.mktime — see TimestampType.toInternal
+            # and DatetimeConverter in pyspark.sql.types), both for the
+            # F.lit() bounds in read_zordered's residual filter and for
+            # row values at write.  The manifest bounds must use the
+            # SAME rule or, on any non-UTC host, file pruning disagrees
+            # with the residual filter by the UTC offset and silently
+            # drops files containing matching rows.
+            import time as _time
+
+            return _time.mktime(v.timetuple()) + v.microsecond / 1e6
         return v.timestamp()
     if isinstance(v, datetime.date):
         return float(v.toordinal())
@@ -325,28 +335,70 @@ def zordered_versions(path: str) -> list[int]:
     return [v for v in vs if v <= latest]
 
 
-def vacuum_zordered(path: str, keep_last: int = 2) -> dict:
+def vacuum_zordered(
+    path: str, keep_last: int = 2, orphan_grace_s: float = 3600.0
+) -> dict:
     """Delete data directories unreachable from the newest ``keep_last``
     versions, manifests below them, and orphan manifests above the
-    pointer (a crashed writer's unswapped claim).  Returns counts."""
+    pointer (a crashed writer's unswapped claim).  Returns counts.
+
+    An above-pointer manifest is indistinguishable from an IN-FLIGHT
+    writer between its put-if-absent claim and its pointer swap, so
+    those (and their data directories) are only reclaimed once older
+    than ``orphan_grace_s`` (mtime) — the same age-gated orphan rule
+    Delta's VACUUM applies to unreferenced files.  A crashed claim is
+    reclaimed on the first vacuum after the grace window; a live writer
+    inside the window is never broken.  Pass ``orphan_grace_s=0`` only
+    when the caller guarantees no writer is running."""
     import shutil
+    import time as _time
 
     latest = _latest_version(path)
     if latest is None:
         return {"data_dirs": 0, "manifests": 0}
-    keep = [v for v in zordered_versions(path) if v > latest - keep_last]
-    live = {_load_manifest(path, v)["data_dir"] for v in keep}
-    n_dirs = n_manifests = 0
-    for d in os.listdir(path):
-        if d.startswith("data-") and d not in live:
-            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
-            n_dirs += 1
+    now = _time.time()
     zd = _zdir(path)
+    # above-pointer manifests young enough to be an in-flight writer's
+    # claim: keep them AND their data dirs untouched this pass
+    inflight_dirs: set[str] = set()
+    inflight_vs: set[int] = set()
     for f in os.listdir(zd):
         if not (f.startswith("v") and f.endswith(".json")):
             continue
         v = int(f[1:-5])
-        if v > latest or v not in keep:
+        if v > latest:
+            mp = os.path.join(zd, f)
+            if now - os.path.getmtime(mp) < orphan_grace_s:
+                inflight_vs.add(v)
+                try:
+                    inflight_dirs.add(_load_manifest(path, v)["data_dir"])
+                except (ValueError, json.JSONDecodeError):
+                    pass  # torn claim: dir stays only if age-protected below
+    committed = zordered_versions(path)
+    keep = [v for v in committed if v > latest - keep_last]
+    live = {_load_manifest(path, v)["data_dir"] for v in keep}
+    # dirs referenced by ANY committed (below-pointer) manifest are
+    # definitely not an in-flight writer's — their commit completed —
+    # so retention reclaims them immediately; only UNREFERENCED dirs
+    # (writer mid-write, before its claim) share the orphan age gate
+    committed_refs = {_load_manifest(path, v)["data_dir"] for v in committed}
+    n_dirs = n_manifests = 0
+    for d in os.listdir(path):
+        if d.startswith("data-") and d not in live and d not in inflight_dirs:
+            full = os.path.join(path, d)
+            if d not in committed_refs and (
+                now - os.path.getmtime(full) < orphan_grace_s
+            ):
+                continue
+            shutil.rmtree(full, ignore_errors=True)
+            n_dirs += 1
+    for f in os.listdir(zd):
+        if not (f.startswith("v") and f.endswith(".json")):
+            continue
+        v = int(f[1:-5])
+        if (v > latest and v not in inflight_vs) or (
+            v <= latest and v not in keep
+        ):
             os.unlink(os.path.join(zd, f))
             n_manifests += 1
     return {"data_dirs": n_dirs, "manifests": n_manifests}

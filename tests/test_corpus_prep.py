@@ -246,6 +246,34 @@ def test_funnel_report_accounts_every_stage(prep):
         assert r["n_docs"] == len(got[r["stage"]]), r["stage"]
 
 
+def test_funnel_report_never_rescans_crawl_bytes(spark, tmp_path):
+    """Verdict r14 order #3, the IO assertion: after one full pass the
+    accounting report runs entirely from the funnel's persists plus the
+    observe() tap on the parse — proven by DELETING the WARC files and
+    re-running funnel_report, which would fail loudly on any stage
+    count (including `ingested`, previously a count() over the
+    unpersisted parse) that re-reads crawl bytes."""
+    import shutil
+
+    from streamsum_spark.corpus_prep import funnel_report
+
+    warc_dir, docs = _build_corpus(tmp_path)
+    stages = corpus_prep_stages(
+        spark,
+        warc_dir,
+        domain_cap=CAP,
+        min_words=MIN_WORDS,
+        emb_dim=32,
+        cache_token="corpus_prep_test_noscan",
+    )
+    rep1 = funnel_report(stages)
+    assert rep1[0]["stage"] == "ingested"
+    assert rep1[0]["n_docs"] == len(docs)
+    shutil.rmtree(warc_dir)
+    rep2 = funnel_report(stages)
+    assert rep2 == rep1
+
+
 def test_corpus_prep_e2e_returns_packed(spark, prep):
     warc_dir, docs, stages, got = prep
     out = corpus_prep_e2e(
@@ -596,6 +624,112 @@ def test_cached_bands_rederive_only_changed_docs(spark, tmp_path):
     # refuses instead of silently mixing band keys
     with pytest.raises(ValueError, match="one store serves one"):
         _cached_bands(spark, store, docs2, 0.95, 4)
+
+
+def test_cached_bands_zero_shingle_doc_reaches_steady_state(spark, tmp_path):
+    """A doc too short for any 3-word shingle produces no band rows;
+    the sentinel row keeps it from reappearing in the misses anti-join
+    (and re-deriving) every cycle, and sentinels never leak into the
+    served bands."""
+    from streamsum_spark.corpus_prep import _cached_bands
+
+    store = str(tmp_path / "bands")
+    docs = spark.createDataFrame(
+        [(1, "hi there"), (2, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    b1, m1 = _cached_bands(spark, store, docs, 0.5, 4)
+    assert {r.doc_id for r in m1.collect()} == {1, 2}
+    served1 = b1.collect()
+    assert all(r.band_id >= 0 for r in served1)
+    assert {r.doc_id for r in served1} == {2}  # doc 1 has no real bands
+    # steady state: NOTHING re-derives, including the shingle-less doc
+    b2, m2 = _cached_bands(spark, store, docs, 0.5, 4)
+    assert m2.count() == 0
+    assert {(r.doc_id, r.band_id, r.bkey) for r in b2.collect()} == {
+        (r.doc_id, r.band_id, r.bkey) for r in served1
+    }
+    # and a text change on the short doc still re-derives it
+    docs2 = spark.createDataFrame(
+        [(1, "hi there friend"), (2, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    b3, m3 = _cached_bands(spark, store, docs2, 0.5, 4)
+    assert {r.doc_id for r in m3.collect()} == {1}
+    assert {r.doc_id for r in b3.collect()} == {1, 2}  # 3 words: real bands
+
+
+def test_band_scheme_sidecar_crash_and_race_posture(spark, tmp_path):
+    """Verdict r14 order #2: the (b, r) scheme sidecar goes through the
+    commit backend's put-if-absent — a pre-claimed equal scheme is
+    accepted (the losing racer re-reads and compares), a TORN sidecar
+    (the failure a plain open().write crash used to leave) refuses
+    loudly with recovery instructions instead of crashing json.load in
+    the middle of a finalize."""
+    import json
+
+    from streamsum_spark.corpus_prep import _cached_bands
+    from streamsum_spark.operators.dedup import choose_lsh_params
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    # pre-claimed equal scheme (= losing the race to an identical
+    # first-finalize): proceeds
+    store1 = str(tmp_path / "bands1")
+    b, r = choose_lsh_params(0.5)
+    with open(store1 + "_scheme.json", "w") as fh:
+        json.dump({"b": b, "r": r}, fh)
+    bands, _ = _cached_bands(spark, store1, docs, 0.5, 4)
+    assert bands.count() > 0
+
+    # torn sidecar: loud refusal naming the recovery
+    store2 = str(tmp_path / "bands2")
+    with open(store2 + "_scheme.json", "w") as fh:
+        fh.write('{"b": 3')  # crashed mid-write
+    with pytest.raises(ValueError, match="unreadable"):
+        _cached_bands(spark, store2, docs, 0.5, 4)
+
+
+def test_band_store_single_writer_lock(spark, tmp_path):
+    """Band-store mutators (finalize upsert, vacuum) are single-writer:
+    a held advisory lock makes a second mutator refuse loudly; a STALE
+    lock (crashed mutator) is stolen and the mutation proceeds."""
+    import os
+    import time
+
+    from streamsum_spark.corpus_prep import (
+        BandStoreWriterConflict,
+        _cached_bands,
+        vacuum_band_store,
+    )
+
+    base = str(tmp_path / "st")
+    store = base + "_ndbands"
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    _cached_bands(spark, store, docs, 0.5, 4)  # lock taken and released
+    assert not os.path.exists(store + "_writer.lock")
+
+    with open(store + "_writer.lock", "w") as fh:
+        fh.write("424242")  # a live mutator holds the lock
+    with pytest.raises(BandStoreWriterConflict, match="single-writer"):
+        _cached_bands(spark, store, docs, 0.5, 4)
+    current = docs.select("doc_id").withColumn(
+        "tmd5", F.md5(F.col("doc_id").cast("string"))
+    )
+    with pytest.raises(BandStoreWriterConflict, match="single-writer"):
+        vacuum_band_store(spark, base, current)
+
+    # a crashed mutator's stale lock is stolen, not a permanent wedge
+    old = time.time() - 7200
+    os.utime(store + "_writer.lock", (old, old))
+    _, m = _cached_bands(spark, store, docs, 0.5, 4)
+    assert m.count() == 0
+    assert not os.path.exists(store + "_writer.lock")
 
 
 def test_export_packed_webdataset_roundtrip(spark, tmp_path):

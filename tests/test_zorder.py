@@ -380,8 +380,16 @@ def test_zordered_table_crash_consistency_and_time_travel(spark, tmp_path):
     # the next writer refuses loudly instead of racing
     with pytest.raises(SnapshotConflictError):
         ZT.write_zordered_table(df2, tpath, ["a", "v"], n_files=4)
-    # vacuum removes the orphan claim + unreferenced data dir; retry wins
+    # a fresh above-pointer claim is indistinguishable from an
+    # IN-FLIGHT writer between claim and pointer swap: the default
+    # age-gated vacuum leaves it alone...
     ZT.vacuum_zordered(tpath, keep_last=2)
+    assert os.path.exists(os.path.join(tpath, "data-deadbeef"))
+    with pytest.raises(SnapshotConflictError):
+        ZT.write_zordered_table(df2, tpath, ["a", "v"], n_files=4)
+    # ...and reclaims it only under writer exclusivity (grace 0) or
+    # once older than the grace window; retry then wins
+    ZT.vacuum_zordered(tpath, keep_last=2, orphan_grace_s=0)
     assert not os.path.exists(os.path.join(tpath, "data-deadbeef"))
     assert ZT.write_zordered_table(df2, tpath, ["a", "v"], n_files=4) == 2
     # time travel: both versions readable until vacuumed
@@ -452,3 +460,72 @@ def test_zorder_read_path_skips_at_runtime(spark, tmp_path):
     assert h_tot <= 0.6 * s_tot, (h_tot, s_tot)
     # and the sorted layout really was reading most of the table per box
     assert s_rows == n_total
+
+
+def test_manifest_norm_matches_pyspark_naive_datetime_rule():
+    """Tz-naive predicate bounds must normalize with the SAME rule
+    PySpark applies to naive datetimes (local-tz epoch via time.mktime
+    — TimestampType.toInternal / DatetimeConverter), or on a non-UTC
+    host the manifest pruning bounds disagree with read_zordered's
+    residual F.lit filter by the UTC offset and prune files holding
+    matching rows.  Pinned across several zones by re-running both
+    conversions under a patched TZ; tz-AWARE values stay absolute."""
+    import datetime
+    import os
+    import time
+
+    from pyspark.sql.types import TimestampType
+
+    from streamsum_spark.operators.zorder_table import _norm
+
+    naive = datetime.datetime(2024, 6, 15, 12, 30, 45, 123456)
+    aware = naive.replace(tzinfo=datetime.timezone.utc)
+    prev = os.environ.get("TZ")
+    try:
+        for tz in ("UTC", "America/New_York", "Asia/Tokyo", "Europe/Berlin"):
+            os.environ["TZ"] = tz
+            time.tzset()
+            assert _norm(naive) == TimestampType().toInternal(naive) / 1e6, tz
+            # aware bounds are zone-independent epochs in every zone
+            assert _norm(aware) == aware.timestamp(), tz
+    finally:
+        if prev is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = prev
+        time.tzset()
+
+
+def test_vacuum_age_gate_reclaims_only_stale_orphans(spark, tmp_path):
+    """The orphan age gate end-to-end: a BACKDATED above-pointer claim
+    (a writer that crashed long ago) is reclaimed by the default
+    vacuum, while a fresh claim survives (it may be a live writer
+    between claim and pointer swap) — and an unreferenced data dir
+    follows the same rule."""
+    import json
+    import os
+    import time
+
+    from streamsum_spark.operators import zorder_table as ZT
+
+    df = spark.createDataFrame([(i,) for i in range(20)], "a long")
+    tpath = str(tmp_path / "zt")
+    ZT.write_zordered_table(df, tpath, ["a"], n_files=2)
+
+    orphan_dir = os.path.join(tpath, "data-stale000")
+    os.makedirs(orphan_dir)
+    mpath = os.path.join(tpath, "_zsnap", "v00000002.json")
+    with open(mpath, "w") as fh:
+        json.dump({"version": 2, "data_dir": "data-stale000", "files": [],
+                   "cols": ["a"], "layout": "morton",
+                   "schema": df.schema.json()}, fh)
+    # backdate both past the grace window
+    old = time.time() - 7200
+    os.utime(mpath, (old, old))
+    os.utime(orphan_dir, (old, old))
+    got = ZT.vacuum_zordered(tpath, keep_last=2, orphan_grace_s=3600)
+    assert got == {"data_dirs": 1, "manifests": 1}
+    assert not os.path.exists(orphan_dir)
+    assert not os.path.exists(mpath)
+    # the committed table is untouched
+    assert ZT.read_zordered(spark, tpath).count() == 20
