@@ -49,6 +49,10 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from streamsum_spark.functions.expressions import (
+    cosine_safe_expr as _cos_safe_expr,
+)
+
 
 def doc_id_col() -> Column:
     """Document identity for WARC-ingested pages: xxhash64 of
@@ -550,6 +554,47 @@ def _claim_band_scheme(store: str, b: int, r: int, nd_threshold: float) -> None:
         )
 
 
+def _new_bands_with_sentinels(
+    spark: SparkSession, misses: DataFrame, b: int, r: int
+) -> DataFrame:
+    """Banded keys for a (doc_id, tmd5, text) misses relation, plus a
+    SENTINEL row (band_id −1) per missed doc that produced no bands
+    (zero 3-word shingles) — without sentinels such docs never enter
+    the store and re-derive every cycle.  Delta-checkpointed: both the
+    upsert union and the sentinel anti-join consume the derivation —
+    unpinned, the signature work would run twice over the misses."""
+    from streamsum_spark.operators.dedup import (
+        _signatures_from,
+        banded_keys,
+        shingle_sets,
+    )
+
+    new_bands = (
+        banded_keys(
+            _signatures_from(
+                shingle_sets(spark, "", docs=misses.select("doc_id", "text"))
+            ),
+            b,
+            r,
+        )
+        .join(misses.select("doc_id", "tmd5"), "doc_id")
+        .localCheckpoint()
+    )
+    sentinels = (
+        misses.select("doc_id", "tmd5")
+        .join(new_bands.select("doc_id").distinct(), "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            "tmd5",
+            F.lit(-1).alias("band_id"),
+            F.lit("").alias("bkey"),
+        )
+    )
+    return new_bands.select("doc_id", "tmd5", "band_id", "bkey").unionByName(
+        sentinels
+    )
+
+
 def _cached_bands(
     spark: SparkSession,
     store: str,
@@ -577,12 +622,7 @@ def _cached_bands(
     sentinels are filtered from the served bands.  Mutation runs under
     the store's advisory single-writer lock (shared with
     vacuum_band_store)."""
-    from streamsum_spark.operators.dedup import (
-        _signatures_from,
-        banded_keys,
-        choose_lsh_params,
-        shingle_sets,
-    )
+    from streamsum_spark.operators.dedup import choose_lsh_params
     from streamsum_spark.sinks import read_state_table, upsert_batch
 
     b, r = choose_lsh_params(nd_threshold)
@@ -602,40 +642,11 @@ def _cached_bands(
     # checkpoint also keeps the anti-join from re-running per consumer
     # (band derivation + the returned misses relation)
     misses = misses.localCheckpoint()
-    # delta-sized materialization: both the upsert union and the
-    # sentinel anti-join consume it — unpinned, the signature
-    # derivation would run twice over the misses set
-    new_bands = (
-        banded_keys(
-            _signatures_from(
-                shingle_sets(spark, "", docs=misses.select("doc_id", "text"))
-            ),
-            b,
-            r,
-        )
-        .join(misses.select("doc_id", "tmd5"), "doc_id")
-        .localCheckpoint()
-    )
-    # sentinel rows for missed docs that produced no bands (zero
-    # shingles): without them such docs never enter the store and
-    # reappear in the misses anti-join — re-deriving — every finalize
-    sentinels = (
-        misses.select("doc_id", "tmd5")
-        .join(new_bands.select("doc_id").distinct(), "doc_id", "left_anti")
-        .select(
-            "doc_id",
-            "tmd5",
-            F.lit(-1).alias("band_id"),
-            F.lit("").alias("bkey"),
-        )
-    )
     with _band_writer_lock(store):
         upsert_batch(
             spark,
             store,
-            new_bands.select("doc_id", "tmd5", "band_id", "bkey").unionByName(
-                sentinels
-            ),
+            _new_bands_with_sentinels(spark, misses, b, r),
             ["doc_id", "tmd5", "band_id"],
             "bkey",
             n_buckets=n_buckets,
@@ -830,8 +841,15 @@ def stream_corpus_prep_stages(
     nb_bigrams: bool = False,
     n_buckets: int = 16,
     cache_token: str = "stream_corpus_prep",
+    mode: str = "exact",
 ) -> dict[str, DataFrame]:
-    """Finalize the streaming funnel over the accumulated state tables:
+    """``mode="exact"`` (default): re-run the identical batch curation
+    tail per finalize — exact batch equality every cycle, O(corpus)
+    finalize cost.  ``mode="frozen"``: O(delta) cycles under models
+    frozen at the first full finalize — see
+    stream_corpus_prep_frozen_stages for the contract.
+
+    Finalize the streaming funnel over the accumulated state tables:
     URL survivors (docs anti-joined on the converged flag store) feed
     the paragraph-flag window (one shuffle over the hash-width
     occurrence multiset, conditioned on survivorship), texts rebuild
@@ -854,6 +872,25 @@ def stream_corpus_prep_stages(
     from streamsum_spark.cached import shared_persist
     from streamsum_spark.operators.dedup import strip_flagged_paragraphs
     from streamsum_spark.sinks import read_state_table
+
+    if mode == "frozen":
+        return stream_corpus_prep_frozen_stages(
+            spark,
+            state_base,
+            domain_cap=domain_cap,
+            min_words=min_words,
+            nd_threshold=nd_threshold,
+            sem_threshold=sem_threshold,
+            emb_dim=emb_dim,
+            chunk_budget=chunk_budget,
+            n_lists=n_lists,
+            kmeans_max_iter=kmeans_max_iter,
+            nb_bigrams=nb_bigrams,
+            n_buckets=n_buckets,
+            cache_token=cache_token,
+        )
+    if mode != "exact":
+        raise ValueError(f"mode must be 'exact' or 'frozen', got {mode!r}")
 
     docs_tbl = state_base + "_docs"
     url_flags_tbl = state_base + "_urlflags"
@@ -943,6 +980,762 @@ def stream_corpus_prep_stages(
     return stages
 
 
+# --------------------------------------------------------------------
+# FROZEN-MODEL O(delta) finalize (r14 verdict order #1).
+#
+# The exact finalize above re-runs the whole _curate_stages tail per
+# cycle because its stages are whole-corpus functions — the NB model
+# trains on the capped union, the k-means quantizer fits on the
+# current survivors.  That is the right default for exact batch
+# equality, but it makes the INCREMENTAL cycle O(corpus): at 100 TB an
+# ingest cycle must not re-train, re-band, re-pair and re-pack
+# everything to admit one shard.
+#
+# mode="frozen" trades model freshness for O(delta) cycles, the same
+# trade similarity_incremental makes for the IVF index (and FAISS's
+# add() makes for every vector index): after a first FULL finalize
+# trains and freezes the NB model + the k-means coarse quantizer (+
+# the semantic cap max_list), every curation decision becomes a PURE
+# PER-DOCUMENT function of the doc's cleaned text — gate membership,
+# LSH bands, embedding, cluster assignment — so a cycle only computes
+# them for documents whose cleaned text is new or changed, detected by
+# (doc_id, flag_fp): raw text per doc_id is immutable by construction
+# (the identity hashes the fetch), so cleaned text changes exactly
+# when the paragraph-flag set changes.
+#
+# What stays whole-corpus per cycle, and why it is cheap: the
+# URL-survivor anti-join, the paragraph first-occurrence window, and
+# the domain-cap window all run over COMPACT state (ids, hashes, URL
+# metadata — never document text), and the serve-side group
+# resolution (pair CC, exemplar windows, packing) runs over pair
+# relations and (doc_id, n_tokens) metadata.  Document text is
+# touched only for (a) delta docs and (b) the final packed OUTPUT.
+#
+# Pinned contracts (tests/test_corpus_prep_frozen.py):
+# - freeze-over-the-full-corpus == corpus_prep_e2e exactly (the first
+#   full finalize IS the batch funnel, it just also freezes);
+# - incremental frozen cycles == batch over the union whenever the
+#   frozen models decide like fresh ones (wide-margin gates, stable
+#   vocabulary) — the documented approximation otherwise is precisely
+#   "the models are as of the freeze";
+# - a no-new-data cycle recurates NOTHING (fz_delta empty) and serves
+#   the identical corpus.
+#
+# Documented divergence corners (all require URL retraction or cap
+# eviction of an already-curated doc followed by its return):
+# near-dup/semantic PAIRS are computed when the later endpoint enters
+# the gated set, so a doc absent from the gated set during a partner's
+# delta cycle misses that pair until either side re-enters the delta.
+# The semantic delta join is additionally work-bounded by the frozen
+# max_list on current GATED cluster size (batch bounds on survivor
+# size — a cluster between the two bounds may miss pairs).
+# --------------------------------------------------------------------
+
+
+def _fz_paths(state_base: str) -> dict[str, str]:
+    return {
+        "cur": state_base + "_fzcur",
+        "vec": state_base + "_fzvec",
+        "pairs": state_base + "_fzpairs",
+        "sem": state_base + "_fzsem",
+        "nb": state_base + "_fznb",
+        "nb_meta": state_base + "_fznb.json",
+        "km": state_base + "_fzkm",
+        "cent": state_base + "_fzcentroids",
+        "meta": state_base + "_fzmeta.json",
+        "bands": state_base + "_ndbands",
+    }
+
+
+_N_TOKENS_EXPR = "CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)"
+
+
+def _fz_load_nb(spark: SparkSession, paths: dict):
+    import json
+
+    from streamsum_spark.operators.classifier import NBModel
+
+    with open(paths["nb_meta"]) as fh:
+        m = json.load(fh)
+    return NBModel(
+        labels=m["labels"],
+        log_prior={k: float(v) for k, v in m["log_prior"].items()},
+        total={k: int(v) for k, v in m["total"].items()},
+        counts=spark.read.parquet(paths["nb"]),
+        alpha=m["alpha"],
+        n_buckets=m["n_buckets"],
+        bigrams=m["bigrams"],
+    )
+
+
+def _fz_save_nb(model, paths: dict) -> None:
+    import json
+
+    # overwrite: a crash between the counts write and the meta rename
+    # leaves nb_meta absent, so the repairing retry re-trains the same
+    # deterministic model and must be able to re-write the counts
+    model.counts.write.mode("overwrite").parquet(paths["nb"])
+    with open(paths["nb_meta"] + ".tmp", "w") as fh:
+        json.dump(
+            {
+                "labels": model.labels,
+                "log_prior": model.log_prior,
+                "total": model.total,
+                "alpha": model.alpha,
+                "n_buckets": model.n_buckets,
+                "bigrams": model.bigrams,
+            },
+            fh,
+        )
+    os.replace(paths["nb_meta"] + ".tmp", paths["nb_meta"])
+
+
+def _fz_assign(emb: DataFrame, km_path: str) -> DataFrame:
+    """(doc_id, list_id) through the FROZEN quantizer's own
+    transform() — euclidean nearest centroid with the exact tie and FP
+    behavior of the fit, because it IS the fitted model (saved/loaded
+    through pyspark.ml persistence), not a reimplementation."""
+    from pyspark.ml.clustering import KMeansModel
+    from pyspark.ml.functions import array_to_vector
+
+    model = KMeansModel.load(km_path)
+    feats = emb.select(
+        F.col("vec_id"),
+        array_to_vector(F.col("embedding").cast("array<double>")).alias(
+            "features"
+        ),
+    )
+    return model.transform(feats).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("list_id").cast("long").alias("list_id"),
+    )
+
+
+def _fz_served_nd_pairs(spark, paths, gated_meta: DataFrame) -> DataFrame:
+    """Stored verified pairs restricted to CURRENT gated doc versions:
+    a pair serves only while both endpoints are gated and their stored
+    tmd5 matches the doc's current cleaned text (a changed doc's stale
+    pairs drop out; its re-verified pairs re-enter via the delta
+    join)."""
+    from streamsum_spark.sinks import read_state_table
+
+    if not os.path.exists(paths["pairs"]):
+        return spark.createDataFrame(
+            [], "doc_a long, doc_b long, jaccard double"
+        )
+    p = read_state_table(spark, paths["pairs"])
+    ga = gated_meta.select(
+        F.col("doc_id").alias("doc_a"), F.col("tmd5").alias("tmd5_a")
+    )
+    gb = gated_meta.select(
+        F.col("doc_id").alias("doc_b"), F.col("tmd5").alias("tmd5_b")
+    )
+    return p.join(ga, ["doc_a", "tmd5_a"], "left_semi").join(
+        gb, ["doc_b", "tmd5_b"], "left_semi"
+    ).select("doc_a", "doc_b", "jaccard")
+
+
+def _fz_near_dedup_ids(spark, paths, gated_meta: DataFrame) -> DataFrame:
+    """Near-dup survivor ids over the served pair set: connected
+    components + keep-smallest (the batch rule) — CC runs over the
+    pair relation (duplicates only), never the corpus."""
+    from streamsum_spark.operators.clusters import connected_components
+
+    pairs = _fz_served_nd_pairs(spark, paths, gated_meta)
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    drops = comp.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    return gated_meta.select("doc_id").join(drops, "doc_id", "left_anti")
+
+
+def stream_corpus_prep_frozen_stages(
+    spark: SparkSession,
+    state_base: str,
+    domain_cap: int = 1000,
+    min_words: int = 40,
+    nd_threshold: float = 0.5,
+    sem_threshold: float = 0.9,
+    emb_dim: int = 16,
+    chunk_budget: int = 2048,
+    n_lists: int | None = None,
+    kmeans_max_iter: int = 8,
+    nb_bigrams: bool = False,
+    n_buckets: int = 16,
+    cache_token: str = "stream_corpus_prep_frozen",
+) -> dict[str, DataFrame]:
+    """The O(delta) finalize (see the block comment above): first call
+    runs the full funnel and FREEZES the NB model, the k-means coarse
+    quantizer and max_list; later calls re-curate only docs whose
+    cleaned text is new or changed.  Parameters are frozen with the
+    models — a mismatched re-finalize refuses loudly.  Returns the
+    stage dict (url_deduped, domain_capped, quality_gated,
+    near_deduped, sem_deduped, packed — para_deduped is deliberately
+    absent: serving it would rebuild every survivor's text, exactly the
+    work this mode exists to avoid) plus diagnostics ``fz_delta`` (docs
+    re-curated this cycle) and ``nd_band_misses``."""
+    import json
+
+    from pyspark.sql import Window
+
+    from streamsum_spark.operators.classifier import (
+        classifier_drop_flags,
+        train_nb,
+    )
+    from streamsum_spark.operators.clusters import connected_components
+    from streamsum_spark.operators.crawl import cap_per_domain
+    from streamsum_spark.operators.dedup import (
+        choose_lsh_params,
+        shingle_sets,
+        strip_flagged_paragraphs,
+    )
+    from streamsum_spark.operators.sampling import pack_into_chunks
+    from streamsum_spark.operators.similarity import (
+        hashed_text_embeddings,
+        kmeans_ivf_index,
+    )
+    from streamsum_spark.sinks import (
+        read_state_table,
+        read_touched_buckets,
+        upsert_batch,
+    )
+
+    paths = _fz_paths(state_base)
+    docs_tbl = state_base + "_docs"
+    url_flags_tbl = state_base + "_urlflags"
+    occ_tbl = state_base + "_occ"
+    if not os.path.exists(docs_tbl):
+        raise ValueError(
+            f"no ingested corpus-prep state under {state_base!r} — run "
+            "stream_corpus_prep_ingest first"
+        )
+    params = {
+        "domain_cap": domain_cap,
+        "min_words": min_words,
+        "nd_threshold": nd_threshold,
+        "sem_threshold": sem_threshold,
+        "emb_dim": emb_dim,
+        "chunk_budget": chunk_budget,
+        "n_lists": n_lists,
+        "kmeans_max_iter": kmeans_max_iter,
+        "nb_bigrams": nb_bigrams,
+        "n_buckets": n_buckets,
+    }
+    with _band_writer_lock(state_base + "_fzstate"):
+        meta = None
+        if os.path.exists(paths["meta"]):
+            with open(paths["meta"]) as fh:
+                meta = json.load(fh)
+            if meta["params"] != params:
+                diff = {
+                    k: (meta["params"].get(k), params[k])
+                    for k in params
+                    if meta["params"].get(k) != params[k]
+                }
+                raise ValueError(
+                    "frozen corpus-prep state was frozen with different "
+                    f"parameters (frozen, requested): {diff} — parameters "
+                    "freeze with the models; use a fresh state_base (or "
+                    "exact mode) to change them"
+                )
+        cycle = (meta["fz_cycle"] + 1) if meta else 1
+
+        # ---- whole-corpus METADATA phase (no document text) --------
+        docs_meta = read_state_table(spark, docs_tbl).select(
+            "doc_id", "target_uri", "host"
+        )
+        if os.path.exists(url_flags_tbl):
+            flags = read_state_table(spark, url_flags_tbl).select("doc_id")
+        else:
+            flags = spark.createDataFrame([], "doc_id long")
+        survivors_meta = docs_meta.join(flags, "doc_id", "left_anti")
+        if os.path.exists(occ_tbl):
+            occ = read_state_table(spark, occ_tbl)
+        else:
+            occ = spark.createDataFrame([], "g string, doc_id long, idx long")
+        occ = occ.join(survivors_meta.select("doc_id"), "doc_id", "left_semi")
+        byg = Window.partitionBy("g").orderBy("doc_id", "idx")
+        # flagged-paragraph occurrences, conditioned on URL survivorship
+        # (the batch stage's rule) — hash-width rows, one shuffle
+        pflags = (
+            occ.withColumn("rn", F.row_number().over(byg))
+            .where(F.col("rn") > 1)
+            .select("doc_id", "idx")
+            .localCheckpoint()
+        )
+        fp = pflags.groupBy("doc_id").agg(
+            F.md5(
+                F.concat_ws(",", F.sort_array(F.collect_list("idx")))
+            ).alias("flag_fp")
+        )
+        capped = (
+            cap_per_domain(
+                survivors_meta,
+                cap=domain_cap,
+                url_col="target_uri",
+                host_col="host",
+            )
+            .select("doc_id", "target_uri")
+            .join(fp, "doc_id", "left")
+            .withColumn("flag_fp", F.coalesce("flag_fp", F.lit("")))
+            .localCheckpoint()
+        )
+        cur_schema = (
+            "doc_id long, flag_fp string, tmd5 string, target_uri string, "
+            "text string, n_tokens long, gate_keep boolean, fz_cycle long"
+        )
+        if os.path.exists(paths["cur"]):
+            cur_prev = read_state_table(spark, paths["cur"])
+        else:
+            cur_prev = spark.createDataFrame([], cur_schema)
+        delta = capped.join(
+            cur_prev.select("doc_id", "flag_fp"),
+            ["doc_id", "flag_fp"],
+            "left_anti",
+        ).localCheckpoint()
+        n_delta = delta.count()
+
+        # ---- per-document DELTA phase (text touched for delta only) -
+        if n_delta:
+            raw = (
+                read_touched_buckets(
+                    spark, docs_tbl, delta.select("doc_id")
+                )
+                .join(delta.select("doc_id"), "doc_id", "left_semi")
+                .select("doc_id", "text")
+            )
+            cleaned = strip_flagged_paragraphs(
+                raw,
+                pflags.join(delta.select("doc_id"), "doc_id", "left_semi"),
+            ).select("doc_id", F.col("text_clean").alias("text"))
+            dd = (
+                delta.select("doc_id", "flag_fp", "target_uri")
+                .join(cleaned, "doc_id")
+                .withColumn("tmd5", F.md5(F.col("text")))
+                .withColumn("n_tokens", F.expr(_N_TOKENS_EXPR))
+                .localCheckpoint()
+            )
+            if not os.path.exists(paths["nb_meta"]):
+                # first full finalize: train on the capped corpus with
+                # the SAME self-seeded labels as the batch funnel, then
+                # freeze
+                wc = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+                labeled = dd.select(
+                    "doc_id",
+                    "text",
+                    F.when(wc >= min_words, F.lit("keep"))
+                    .otherwise("drop")
+                    .alias("label"),
+                )
+                _fz_save_nb(train_nb(labeled, bigrams=nb_bigrams), paths)
+            nb_model = _fz_load_nb(spark, paths)
+            gate = classifier_drop_flags(
+                dd.select("doc_id", "text"), nb_model, keep_label="keep"
+            ).select("doc_id", (~F.col("drop_classifier")).alias("gate_keep"))
+            rows = dd.join(gate, "doc_id").select(
+                "doc_id",
+                "flag_fp",
+                "tmd5",
+                "target_uri",
+                "text",
+                "n_tokens",
+                "gate_keep",
+                F.lit(cycle).cast("long").alias("fz_cycle"),
+            )
+            upsert_batch(
+                spark,
+                paths["cur"],
+                rows,
+                ["doc_id"],
+                ["fz_cycle"],
+                n_buckets=n_buckets,
+            )
+
+        # ---- band upkeep over current gated versions ----------------
+        cur = read_state_table(spark, paths["cur"]) if os.path.exists(
+            paths["cur"]
+        ) else spark.createDataFrame([], cur_schema)
+        gated_meta = (
+            cur.join(capped.select("doc_id"), "doc_id", "left_semi")
+            .where(F.col("gate_keep"))
+            .select("doc_id", "tmd5")
+            .localCheckpoint()
+        )
+        b, r = choose_lsh_params(nd_threshold)
+        _claim_band_scheme(paths["bands"], b, r, nd_threshold)
+        if os.path.exists(paths["bands"]):
+            versions = (
+                read_state_table(spark, paths["bands"])
+                .select("doc_id", "tmd5")
+                .distinct()
+            )
+            miss_meta = gated_meta.join(
+                versions, ["doc_id", "tmd5"], "left_anti"
+            )
+        else:
+            miss_meta = gated_meta
+        miss_meta = miss_meta.localCheckpoint()
+        if miss_meta.count():
+            miss_docs = (
+                read_touched_buckets(
+                    spark, paths["cur"], miss_meta.select("doc_id")
+                )
+                .join(miss_meta.select("doc_id"), "doc_id", "left_semi")
+                .select("doc_id", "tmd5", "text")
+            )
+            with _band_writer_lock(paths["bands"]):
+                upsert_batch(
+                    spark,
+                    paths["bands"],
+                    _new_bands_with_sentinels(spark, miss_docs, b, r),
+                    ["doc_id", "tmd5", "band_id"],
+                    "bkey",
+                    n_buckets=n_buckets,
+                )
+        served_bands = (
+            read_state_table(spark, paths["bands"])
+            .where(F.col("band_id") >= 0)
+            .join(gated_meta, ["doc_id", "tmd5"], "left_semi")
+            .select("doc_id", "band_id", "bkey")
+        ) if os.path.exists(paths["bands"]) else spark.createDataFrame(
+            [], "doc_id long, band_id int, bkey string"
+        )
+
+        # ---- near-dup DELTA pairs -----------------------------------
+        delta_gated = gated_meta.join(
+            delta.select("doc_id"), "doc_id", "left_semi"
+        ).localCheckpoint()
+        if delta_gated.count():
+            db = served_bands.join(
+                delta_gated.select("doc_id"), "doc_id", "left_semi"
+            )
+            # delta-side ⋈ ALL current bands (not a full self-join):
+            # symmetric normalization because the delta doc may be
+            # either endpoint
+            cand = (
+                db.alias("a")
+                .join(
+                    served_bands.alias("b"),
+                    (F.col("a.band_id") == F.col("b.band_id"))
+                    & (F.col("a.bkey") == F.col("b.bkey"))
+                    & (F.col("a.doc_id") != F.col("b.doc_id")),
+                )
+                .select(
+                    F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                    F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+                )
+                .distinct()
+                .localCheckpoint()
+            )
+            need = (
+                cand.select(F.col("doc_a").alias("doc_id"))
+                .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+                .distinct()
+            )
+            texts = (
+                read_touched_buckets(spark, paths["cur"], need)
+                .join(need, "doc_id", "left_semi")
+                .select("doc_id", "tmd5", "text")
+                .localCheckpoint()
+            )
+            sh = shingle_sets(
+                spark, "", docs=texts.select("doc_id", "text")
+            ).localCheckpoint()
+            scored = (
+                cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+                .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+                .select(
+                    "doc_a",
+                    "doc_b",
+                    F.expr("size(array_intersect(sa.sh, sb.sh))").alias("_i"),
+                    F.expr("size(sa.sh) + size(sb.sh)").alias("_n"),
+                )
+                .select(
+                    "doc_a",
+                    "doc_b",
+                    (
+                        F.col("_i").cast("double")
+                        / (F.col("_n") - F.col("_i"))
+                    ).alias("jaccard"),
+                )
+                .where(F.col("jaccard") >= nd_threshold)
+            )
+            ta = texts.select(
+                F.col("doc_id").alias("doc_a"), F.col("tmd5").alias("tmd5_a")
+            )
+            tb = texts.select(
+                F.col("doc_id").alias("doc_b"), F.col("tmd5").alias("tmd5_b")
+            )
+            pair_rows = (
+                scored.join(ta, "doc_a")
+                .join(tb, "doc_b")
+                .select(
+                    "doc_a",
+                    "doc_b",
+                    "jaccard",
+                    "tmd5_a",
+                    "tmd5_b",
+                    F.lit(cycle).cast("long").alias("fz_cycle"),
+                )
+            )
+            upsert_batch(
+                spark,
+                paths["pairs"],
+                pair_rows,
+                ["doc_a", "doc_b"],
+                ["fz_cycle"],
+                n_buckets=n_buckets,
+                bucket_cols=["doc_a"],
+            )
+
+        # ---- quantizer freeze (first cycle) or load ------------------
+        # keyed on the META file, not the model dir: a crash between
+        # the model save and the meta commit repairs by re-running the
+        # (deterministic) fit and overwriting
+        if meta is None:
+            near_ids = _fz_near_dedup_ids(spark, paths, gated_meta)
+            nd_texts = (
+                read_touched_buckets(spark, paths["cur"], near_ids)
+                .join(near_ids, "doc_id", "left_semi")
+                .select("doc_id", "text")
+            )
+            emb_fit = hashed_text_embeddings(nd_texts, dim=emb_dim)
+            # identical fit path to semantic_dedup's internal call
+            # (same n_lists resolution, seed, sample cap, max_iter)
+            _, centroids, kmodel = kmeans_ivf_index(
+                spark,
+                "",
+                n_lists=n_lists,
+                seed=7,
+                emb=emb_fit,
+                max_iter=kmeans_max_iter,
+                return_model=True,
+            )
+            kmodel.write().overwrite().save(paths["km"])
+            centroids.write.mode("overwrite").parquet(paths["cent"])
+            # freeze the cap exactly as semantic_dedup derives it:
+            # 8x the mean SURVIVOR list size, floored at 64
+            n_vec = emb_fit.count()
+            n_cl = max(centroids.count(), 1)
+            max_list = max(64, -(-8 * n_vec // n_cl))
+        else:
+            max_list = meta["max_list"]
+
+        # ---- embeddings + assignment for delta gated docs ------------
+        if delta_gated.count():
+            dg_texts = (
+                read_touched_buckets(
+                    spark, paths["cur"], delta_gated.select("doc_id")
+                )
+                .join(delta_gated.select("doc_id"), "doc_id", "left_semi")
+                .select("doc_id", "tmd5", "text")
+            )
+            emb = hashed_text_embeddings(
+                dg_texts.select("doc_id", "text"), dim=emb_dim
+            ).localCheckpoint()
+            assigned = _fz_assign(emb, paths["km"])
+            centroids_df = spark.read.parquet(paths["cent"])
+            vec_rows = (
+                emb.withColumnRenamed("vec_id", "doc_id")
+                .join(assigned, "doc_id")
+                .join(F.broadcast(centroids_df), "list_id")
+                .select(
+                    "doc_id",
+                    F.expr(_cos_safe_expr("embedding", "centroid")).alias(
+                        "cent_cos"
+                    ),
+                    "list_id",
+                    "embedding",
+                )
+                .join(dg_texts.select("doc_id", "tmd5"), "doc_id")
+                .select(
+                    "doc_id",
+                    "tmd5",
+                    "list_id",
+                    "cent_cos",
+                    "embedding",
+                    F.lit(cycle).cast("long").alias("fz_cycle"),
+                )
+            )
+            upsert_batch(
+                spark,
+                paths["vec"],
+                vec_rows,
+                ["doc_id"],
+                ["fz_cycle"],
+                n_buckets=n_buckets,
+            )
+
+            # ---- semantic DELTA pairs --------------------------------
+            vec_gated = (
+                read_state_table(spark, paths["vec"])
+                .join(gated_meta, ["doc_id", "tmd5"], "left_semi")
+                .select("doc_id", "tmd5", "list_id", "embedding")
+            )
+            sizes = vec_gated.groupBy("list_id").agg(
+                F.count(F.lit(1)).alias("_n")
+            )
+            joinable = vec_gated.join(
+                F.broadcast(sizes.where(F.col("_n") <= max_list)),
+                "list_id",
+                "left_semi",
+            ).localCheckpoint()
+            dv = joinable.join(
+                delta_gated.select("doc_id"), "doc_id", "left_semi"
+            )
+            sem_scored = (
+                dv.alias("a")
+                .join(
+                    joinable.alias("b"),
+                    (F.col("a.list_id") == F.col("b.list_id"))
+                    & (F.col("a.doc_id") != F.col("b.doc_id")),
+                )
+                .select(
+                    F.least("a.doc_id", "b.doc_id").alias("vec_a"),
+                    F.greatest("a.doc_id", "b.doc_id").alias("vec_b"),
+                    F.when(
+                        F.col("a.doc_id") < F.col("b.doc_id"),
+                        F.col("a.tmd5"),
+                    )
+                    .otherwise(F.col("b.tmd5"))
+                    .alias("tmd5_a"),
+                    F.when(
+                        F.col("a.doc_id") < F.col("b.doc_id"),
+                        F.col("b.tmd5"),
+                    )
+                    .otherwise(F.col("a.tmd5"))
+                    .alias("tmd5_b"),
+                    F.expr(
+                        _cos_safe_expr("a.embedding", "b.embedding")
+                    ).alias("cos"),
+                )
+                .where(F.col("cos") >= sem_threshold)
+                .distinct()
+                .withColumn("fz_cycle", F.lit(cycle).cast("long"))
+            )
+            upsert_batch(
+                spark,
+                paths["sem"],
+                sem_scored,
+                ["vec_a", "vec_b"],
+                ["fz_cycle"],
+                n_buckets=n_buckets,
+                bucket_cols=["vec_a"],
+            )
+
+        # ---- commit the cycle ----------------------------------------
+        mtmp = paths["meta"] + f".tmp-{os.getpid()}"
+        with open(mtmp, "w") as fh:
+            json.dump(
+                {"fz_cycle": cycle, "max_list": int(max_list),
+                 "params": params},
+                fh,
+            )
+        from streamsum_spark import commitio
+
+        commitio.get_backend().replace(mtmp, paths["meta"])
+
+    # ---- serve (lazy relations over the committed state) -------------
+    stages: dict[str, DataFrame] = {}
+    docs_full = read_state_table(spark, docs_tbl)
+    stages["url_deduped"] = docs_full.join(flags, "doc_id", "left_anti")
+    cur = read_state_table(spark, paths["cur"]) if os.path.exists(
+        paths["cur"]
+    ) else spark.createDataFrame([], cur_schema)
+    domain_capped = capped.select("doc_id").join(
+        cur.select("doc_id", "target_uri", "text", "n_tokens", "gate_keep"),
+        "doc_id",
+    )
+    stages["domain_capped"] = domain_capped.select(
+        "doc_id", "target_uri", "text"
+    )
+    quality_gated = domain_capped.where(F.col("gate_keep")).select(
+        "doc_id", "target_uri", "text", "n_tokens"
+    )
+    stages["quality_gated"] = quality_gated.select(
+        "doc_id", "target_uri", "text"
+    )
+    near_ids = _fz_near_dedup_ids(spark, paths, gated_meta).localCheckpoint()
+    near_deduped = quality_gated.join(near_ids, "doc_id", "left_semi")
+    stages["near_deduped"] = near_deduped.select(
+        "doc_id", "target_uri", "text"
+    )
+    # semantic keep over current nd survivors: batch semantics — capped
+    # clusters (by SURVIVOR size vs the frozen max_list) bypass, pairs
+    # among uncapped clusters resolve to components, the exemplar
+    # farthest from its centroid survives
+    if os.path.exists(paths["vec"]):
+        vec_all = read_state_table(spark, paths["vec"])
+    else:
+        vec_all = spark.createDataFrame(
+            [],
+            "doc_id long, tmd5 string, list_id long, cent_cos double, "
+            "embedding array<double>, fz_cycle long",
+        )
+    nd_vec = (
+        vec_all.join(cur.select("doc_id", "tmd5"), ["doc_id", "tmd5"], "left_semi")
+        .join(near_ids, "doc_id", "left_semi")
+        .select("doc_id", "list_id", "cent_cos")
+    )
+    nd_sizes = nd_vec.groupBy("list_id").agg(F.count(F.lit(1)).alias("_n"))
+    capped_lists = nd_sizes.where(F.col("_n") > max_list).select("list_id")
+    uncapped_vec = nd_vec.join(
+        F.broadcast(capped_lists), "list_id", "left_anti"
+    )
+    if os.path.exists(paths["sem"]):
+        semp = read_state_table(spark, paths["sem"])
+    else:
+        semp = spark.createDataFrame(
+            [],
+            "vec_a long, vec_b long, tmd5_a string, tmd5_b string, "
+            "cos double, fz_cycle long",
+        )
+    ua = uncapped_vec.select(F.col("doc_id").alias("vec_a"))
+    ub = uncapped_vec.select(F.col("doc_id").alias("vec_b"))
+    ca = cur.select(
+        F.col("doc_id").alias("vec_a"), F.col("tmd5").alias("tmd5_a")
+    )
+    cb = cur.select(
+        F.col("doc_id").alias("vec_b"), F.col("tmd5").alias("tmd5_b")
+    )
+    served_sem = (
+        semp.join(ca, ["vec_a", "tmd5_a"], "left_semi")
+        .join(cb, ["vec_b", "tmd5_b"], "left_semi")
+        .join(ua, "vec_a", "left_semi")
+        .join(ub, "vec_b", "left_semi")
+        .select("vec_a", "vec_b", "cos")
+    )
+    comp2 = connected_components(served_sem, "vec_a", "vec_b")
+    wr = Window.partitionBy("component").orderBy(
+        F.col("cent_cos").asc(), F.col("doc_id").asc()
+    )
+    sem_drops = (
+        uncapped_vec.join(
+            comp2.withColumnRenamed("id", "doc_id"), "doc_id"
+        )
+        .withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") > 1)
+        .select("doc_id")
+    )
+    sem_deduped = near_deduped.join(sem_drops, "doc_id", "left_anti")
+    stages["sem_deduped"] = sem_deduped.select(
+        "doc_id", "target_uri", "text"
+    )
+    chunks = pack_into_chunks(
+        spark,
+        "",
+        budget=chunk_budget,
+        docs=sem_deduped.select("doc_id", "n_tokens"),
+        n_tokens_col="n_tokens",
+    )
+    stages["packed"] = sem_deduped.select("doc_id", "target_uri", "text").join(
+        chunks.select("doc_id", "n_tokens", "part", "chunk"), "doc_id"
+    )
+    stages["fz_delta"] = delta.select("doc_id")
+    stages["nd_band_misses"] = miss_meta.select("doc_id")
+    return stages
+
+
 def stream_corpus_prep(
     spark: SparkSession,
     warc_dir: str,
@@ -961,13 +1754,16 @@ def stream_corpus_prep(
     kmeans_max_iter: int = 8,
     nb_bigrams: bool = False,
     cache_token: str = "stream_corpus_prep",
+    mode: str = "exact",
 ) -> DataFrame:
     """The composed STREAMING corpus-prep funnel: ingest whatever WARC
     shards are new under ``warc_dir`` (incremental parse + state
     upserts), then finalize over the accumulated state.  Same output
     relation as corpus_prep_e2e — and pinned EQUAL to it over the union
     of everything ingested, across out-of-order shard arrival,
-    redelivery, and resume (tests/test_corpus_prep.py)."""
+    redelivery, and resume (tests/test_corpus_prep.py).
+    ``mode="frozen"`` switches the finalize to the O(delta) frozen-
+    model path (stream_corpus_prep_frozen_stages)."""
     base = stream_corpus_prep_ingest(
         spark,
         warc_dir,
@@ -991,4 +1787,5 @@ def stream_corpus_prep(
         nb_bigrams=nb_bigrams,
         n_buckets=n_buckets,
         cache_token=cache_token,
+        mode=mode,
     )["packed"]

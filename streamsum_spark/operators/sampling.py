@@ -45,6 +45,7 @@ def pack_into_chunks(
     sf_dir: str,
     budget: int = 2048,
     docs: DataFrame | None = None,
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Sequence packing: deterministically shuffle docs (order by id-hash),
     then assign each to a training chunk so cumulative token count per
@@ -62,14 +63,25 @@ def pack_into_chunks(
     corpora widen ``part`` to 2+ hex chars (256+ streams).
 
     ``docs`` lets a composite (corpus_prep) pack an already-filtered
-    corpus instead of the raw table; it must carry (doc_id, text)."""
+    corpus instead of the raw table; it must carry (doc_id, text) — or
+    (doc_id, <n_tokens_col>) with ``n_tokens_col`` naming a PRECOMPUTED
+    token-count column, in which case the text is never touched: the
+    packing math is a pure function of (doc_id, n_tokens), so a caller
+    holding counts in compact state (the frozen streaming funnel) packs
+    from metadata alone and the assignment is bit-identical to the
+    text-fed form."""
     if docs is None:
         docs = table(spark, sf_dir, "documents")
     toks = "CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)"
     part = "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 1), 16, 10) AS BIGINT)"
+    n_tok = (
+        F.col(n_tokens_col).cast("long")
+        if n_tokens_col is not None
+        else F.expr(toks)
+    )
     shuffled = docs.select(
         "doc_id",
-        F.expr(toks).alias("n_tokens"),
+        n_tok.alias("n_tokens"),
         F.expr(part).alias("part"),
         F.md5(F.col("doc_id").cast("string")).alias("_ord"),
     )

@@ -415,7 +415,8 @@ def kmeans_ivf_index(
     fit_sample_cap: int | None = FIT_SAMPLE_CAP,
     emb: DataFrame | None = None,
     max_iter: int = 20,
-) -> tuple[DataFrame, DataFrame]:
+    return_model: bool = False,
+) -> tuple[DataFrame, DataFrame] | tuple[DataFrame, DataFrame, object]:
     """Learned IVF coarse quantizer: k-means over the embedding space via
     pyspark.ml (the idiomatic Spark path — Lloyd's iterations are
     treeAggregate jobs, no driver-side loops over rows).
@@ -436,7 +437,11 @@ def kmeans_ivf_index(
     list_id so an nprobe-list query prunes to nprobe partitions.
     Pass ``emb`` (vec_id, embedding) to index a relation other than
     the sf_dir embeddings table — composite pipelines hand in derived
-    embeddings directly.
+    embeddings directly.  ``return_model=True`` adds the fitted
+    pyspark.ml KMeansModel as a third element — the handle a FREEZING
+    caller persists (model.write().save) so later delta batches assign
+    through the exact transform() the fit produced (the frozen-
+    quantizer contract of similarity_incremental / FAISS add()).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -478,6 +483,8 @@ def kmeans_ivf_index(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "list_id long, centroid array<double>",
     )
+    if return_model:
+        return assignments, centroids, model
     return assignments, centroids
 
 
