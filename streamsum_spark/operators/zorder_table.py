@@ -21,9 +21,26 @@ adds the missing half the production formats provide:
   the box.  The residual predicate still applies, so results are exact
   regardless of stats granularity.
 
+- ``append_zordered`` commits new rows WITHOUT rewriting the table
+  (a production table takes appends between optimizes): new data files
+  into their own immutable commit directory, footer stats collected,
+  and a manifest that unions the base version's file list — file
+  entries carry their own ``dir``/``clustered`` fields, so one version
+  can span many commit directories.  Appended files are marked
+  unclustered; reads stay exact (stats still prune, just with wider
+  boxes).
+- ``optimize_zordered`` restores clustering INCREMENTALLY: it rewrites
+  only the unclustered (appended) files plus the clustered files whose
+  stat boxes overlap them — disjoint clustered files survive by
+  reference, never re-read or re-written (Delta's OPTIMIZE ZORDER
+  applied to the affected key range, not the whole table).  On an
+  already-optimized table it is a metadata-only no-op.
+
 Crash-consistency posture is inherited from snapshots.py, scaled to
-this table shape (a Z-order OPTIMIZE rewrites the whole table, so
-manifests are always full — no delta chain needed):
+this table shape (manifests are always FULL file lists — no delta
+chain needed; append/optimize derive from an explicit base version and
+claim base+1, so a concurrent commit fails the put-if-absent claim
+instead of silently dropping the other writer's files):
 
 - data files are immutable and live under ``data-<commit>/``; nothing
   references them until the manifest commit, so a crashed write leaves
@@ -161,72 +178,88 @@ def _file_stats(spark: SparkSession, files: list[str], cols: list[str]):
     return {os.path.basename(r.file): json.loads(r.stats) for r in rows}
 
 
-def write_zordered_table(
+def _clustered_write(
     df: DataFrame,
-    path: str,
+    data_dir: str,
     cols: list[str],
-    layout: str = "morton",
-    n_files: int = 16,
-    bits: int | None = None,
-    rank: str = "quantile",
-) -> int:
-    """Write ``df`` as a Z-ordered TABLE version: clustered data files
-    (same single range exchange as write_zordered/write_hilbert) into
-    an immutable ``data-<commit>/`` directory, per-file min/max of the
-    clustered columns from the written footers, one manifest commit.
-    Returns the committed version.  ``layout``: 'morton' (any arity) or
-    'hilbert' (2-D)."""
-    from streamsum_spark.snapshots import SnapshotConflictError
-
+    layout: str,
+    n_files: int,
+    bits: int | None,
+    rank: str,
+) -> None:
+    """The clustered data-file write shared by the full rewrite and the
+    incremental optimize: one range exchange on the space-filling-curve
+    code, sorted within files, written errorifexists into an immutable
+    commit directory."""
     if layout == "morton":
         code = morton_code(df, cols, bits, rank)
     elif layout == "hilbert":
         code = hilbert_code(df, cols, 8 if bits is None else bits, rank)
     else:
         raise ValueError(f"unknown layout {layout!r} (morton|hilbert)")
-    spark = df.sparkSession
-    commit_id = uuid.uuid4().hex[:12]
-    data_rel = f"data-{commit_id}"
-    data_dir = os.path.join(path, data_rel)
+    _ts_micros_write(
+        df.withColumn("_z", code)
+        .repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z"),
+        data_dir,
+    )
+
+
+def _ts_micros_write(df: DataFrame, data_dir: str) -> None:
     # Spark's default INT96 timestamps carry NO parquet statistics (the
     # encoding predates stats), which would silently disable file
     # skipping on a timestamp-clustered column — write TIMESTAMP_MICROS
     # for the duration (what Delta/Iceberg write), restoring the
     # session's setting after
+    spark = df.sparkSession
     ts_key = "spark.sql.parquet.outputTimestampType"
     prev_ts = spark.conf.get(ts_key, None)
     spark.conf.set(ts_key, "TIMESTAMP_MICROS")
     try:
-        (
-            df.withColumn("_z", code)
-            .repartitionByRange(n_files, F.col("_z"))
-            .sortWithinPartitions("_z")
-            .drop("_z")
-            .write.mode("errorifexists")
-            .parquet(data_dir)
-        )
+        df.write.mode("errorifexists").parquet(data_dir)
     finally:
         if prev_ts is None:
             spark.conf.unset(ts_key)
         else:
             spark.conf.set(ts_key, prev_ts)
+
+
+def _new_entries(
+    spark: SparkSession,
+    path: str,
+    data_rel: str,
+    cols: list[str],
+    clustered: bool,
+) -> list[dict]:
+    """Manifest entries (footer stats included) for every data file a
+    commit just wrote under ``data_rel``."""
     import glob as g
 
-    files = sorted(g.glob(os.path.join(data_dir, "part-*.parquet")))
+    files = sorted(
+        g.glob(os.path.join(path, data_rel, "part-*.parquet"))
+    )
     stats = _file_stats(spark, files, cols)
-    head = _latest_version(path)
-    version = 1 if head is None else head + 1
-    manifest = {
-        "version": version,
-        "layout": layout,
-        "cols": list(cols),
-        "data_dir": data_rel,
-        "schema": df.schema.json(),
-        "files": [
-            {"name": os.path.basename(f), "stats": stats[os.path.basename(f)]}
-            for f in files
-        ],
-    }
+    return [
+        {
+            "name": os.path.basename(f),
+            "dir": data_rel,
+            "clustered": clustered,
+            "stats": stats[os.path.basename(f)],
+        }
+        for f in files
+    ]
+
+
+def _commit_manifest(
+    path: str, manifest: dict, commit_id: str, version: int
+) -> int:
+    """Claim ``version`` with put-if-absent, then pointer-swap — exactly
+    one winner per version; the loser's data directory is an invisible
+    orphan for vacuum_zordered."""
+    from streamsum_spark.snapshots import SnapshotConflictError
+
+    manifest = dict(manifest, version=version)
     os.makedirs(_zdir(path), exist_ok=True)
     mtmp = os.path.join(_zdir(path), f"._v-{commit_id}.json")
     with open(mtmp, "w") as fh:
@@ -248,6 +281,195 @@ def write_zordered_table(
         ptmp, os.path.join(_zdir(path), _LATEST)
     )  # THE commit
     return version
+
+
+def write_zordered_table(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    layout: str = "morton",
+    n_files: int = 16,
+    bits: int | None = None,
+    rank: str = "quantile",
+) -> int:
+    """Write ``df`` as a Z-ordered TABLE version: clustered data files
+    (same single range exchange as write_zordered/write_hilbert) into
+    an immutable ``data-<commit>/`` directory, per-file min/max of the
+    clustered columns from the written footers, one manifest commit.
+    Returns the committed version.  ``layout``: 'morton' (any arity) or
+    'hilbert' (2-D)."""
+    spark = df.sparkSession
+    commit_id = uuid.uuid4().hex[:12]
+    data_rel = f"data-{commit_id}"
+    _clustered_write(
+        df, os.path.join(path, data_rel), cols, layout, n_files, bits, rank
+    )
+    head = _latest_version(path)
+    manifest = {
+        "layout": layout,
+        "cols": list(cols),
+        "data_dir": data_rel,
+        "schema": df.schema.json(),
+        "files": _new_entries(spark, path, data_rel, cols, clustered=True),
+    }
+    return _commit_manifest(
+        path, manifest, commit_id, 1 if head is None else head + 1
+    )
+
+
+def append_zordered(
+    df: DataFrame,
+    path: str,
+    n_files: int = 1,
+) -> int:
+    """Commit ``df`` as NEW rows of the z-ordered table WITHOUT
+    rewriting it: new data files into their own immutable commit
+    directory (sorted within files by the clustered columns so footer
+    stats stay as tight as one unclustered commit allows), footer stats
+    collected, and a manifest unioning the base version's file list.
+    Appended entries are marked unclustered — reads stay exact
+    immediately (their stats still prune, with wider boxes), and the
+    next ``optimize_zordered`` folds them back into the clustered
+    layout.  Derives from the CURRENT head and claims head+1, so a
+    concurrent commit raises SnapshotConflictError instead of silently
+    dropping the other writer's files."""
+    spark = df.sparkSession
+    base = _latest_version(path)
+    if base is None:
+        raise ValueError(
+            f"{path} has no committed z-ordered versions — create the "
+            "table with write_zordered_table first"
+        )
+    m = _load_manifest(path, base)
+    want = [f["name"] for f in json.loads(m["schema"])["fields"]]
+    if sorted(df.columns) != sorted(want):
+        raise ValueError(
+            f"append schema columns {sorted(df.columns)} != table "
+            f"columns {sorted(want)}"
+        )
+    cols = m["cols"]
+    commit_id = uuid.uuid4().hex[:12]
+    data_rel = f"data-{commit_id}"
+    _ts_micros_write(
+        df.select(*want)
+        .repartition(n_files)
+        .sortWithinPartitions(*cols),
+        os.path.join(path, data_rel),
+    )
+    old_entries = [
+        dict(
+            e,
+            dir=e.get("dir", m["data_dir"]),
+            clustered=e.get("clustered", True),
+        )
+        for e in m["files"]
+    ]
+    manifest = {
+        "layout": m["layout"],
+        "cols": list(cols),
+        "data_dir": data_rel,
+        "schema": m["schema"],
+        "files": old_entries
+        + _new_entries(spark, path, data_rel, cols, clustered=False),
+    }
+    return _commit_manifest(path, manifest, commit_id, base + 1)
+
+
+def _boxes_overlap(a: dict, b: dict, cols: list[str]) -> bool:
+    """Whether two files' stat boxes can intersect on the clustered
+    columns — unknown stats on either side of a dimension count as
+    overlapping (conservative: rewrite rather than strand)."""
+    for c in cols:
+        sa, sb = a.get(c), b.get(c)
+        if (
+            not sa
+            or not sb
+            or sa[0] is None
+            or sa[1] is None
+            or sb[0] is None
+            or sb[1] is None
+        ):
+            continue
+        if sa[1] < sb[0] or sb[1] < sa[0]:
+            return False
+    return True
+
+
+def optimize_zordered(
+    spark: SparkSession,
+    path: str,
+    n_files: int | None = None,
+    bits: int | None = None,
+    rank: str = "quantile",
+) -> dict:
+    """Fold appended files back into the clustered layout, rewriting
+    ONLY what clustering actually touched: every unclustered (appended)
+    file, plus the clustered files whose stat boxes overlap one of them
+    — a clustered file disjoint from all appends keeps its place in the
+    new manifest by reference, never re-read.  On a table with no
+    unclustered files this is a metadata no-op (no new version).
+    Returns ``{"version", "rewritten", "kept"}``.  ``n_files`` defaults
+    to scaling the base layout's file count by the rewritten fraction
+    (at least 1)."""
+    base = _latest_version(path)
+    if base is None:
+        raise ValueError(f"{path} has no committed z-ordered versions")
+    m = _load_manifest(path, base)
+    cols = m["cols"]
+    entries = [
+        dict(
+            e,
+            dir=e.get("dir", m["data_dir"]),
+            clustered=e.get("clustered", True),
+        )
+        for e in m["files"]
+    ]
+    loose = [e for e in entries if not e["clustered"]]
+    if not loose:
+        return {"version": base, "rewritten": 0, "kept": len(entries)}
+    rewrite = list(loose)
+    for e in entries:
+        if e["clustered"] and any(
+            _boxes_overlap(e["stats"], x["stats"], cols) for x in loose
+        ):
+            rewrite.append(e)
+    rewrite_keys = {(e["dir"], e["name"]) for e in rewrite}
+    kept = [
+        e for e in entries if (e["dir"], e["name"]) not in rewrite_keys
+    ]
+    files = [os.path.join(path, e["dir"], e["name"]) for e in rewrite]
+    schema = T.StructType.fromJson(json.loads(m["schema"]))
+    df = spark.read.schema(schema).parquet(*files)
+    if n_files is None:
+        n_clustered = sum(1 for e in entries if e["clustered"]) or 1
+        n_files = max(
+            1, round(n_clustered * len(rewrite) / max(len(entries), 1))
+        )
+    commit_id = uuid.uuid4().hex[:12]
+    data_rel = f"data-{commit_id}"
+    _clustered_write(
+        df,
+        os.path.join(path, data_rel),
+        cols,
+        m["layout"],
+        n_files,
+        bits,
+        rank,
+    )
+    manifest = {
+        "layout": m["layout"],
+        "cols": list(cols),
+        "data_dir": data_rel,
+        "schema": m["schema"],
+        "files": kept
+        + _new_entries(spark, path, data_rel, cols, clustered=True),
+    }
+    version = _commit_manifest(path, manifest, commit_id, base + 1)
+    return {
+        "version": version,
+        "rewritten": len(rewrite),
+        "kept": len(kept),
+    }
 
 
 def _load_manifest(path: str, version: int) -> dict:
@@ -304,7 +526,8 @@ def read_zordered(
             )
         entries = [e for e in entries if _pred_overlaps(e["stats"], pred)]
     files = [
-        os.path.join(path, m["data_dir"], e["name"]) for e in entries
+        os.path.join(path, e.get("dir", m["data_dir"]), e["name"])
+        for e in entries
     ]
     if not files:
         schema = T.StructType.fromJson(json.loads(m["schema"]))
@@ -318,6 +541,14 @@ def read_zordered(
             if hi is not None:
                 df = df.where(F.col(c) <= F.lit(hi))
     return df
+
+
+def _manifest_dirs(m: dict) -> set[str]:
+    """Every data directory a manifest references — its own commit dir
+    plus any directory an append/optimize carried forward by entry."""
+    return {m["data_dir"]} | {
+        e["dir"] for e in m["files"] if "dir" in e
+    }
 
 
 def zordered_versions(path: str) -> list[int]:
@@ -371,17 +602,21 @@ def vacuum_zordered(
             if now - os.path.getmtime(mp) < orphan_grace_s:
                 inflight_vs.add(v)
                 try:
-                    inflight_dirs.add(_load_manifest(path, v)["data_dir"])
+                    inflight_dirs |= _manifest_dirs(_load_manifest(path, v))
                 except (ValueError, json.JSONDecodeError):
                     pass  # torn claim: dir stays only if age-protected below
     committed = zordered_versions(path)
     keep = [v for v in committed if v > latest - keep_last]
-    live = {_load_manifest(path, v)["data_dir"] for v in keep}
+    live: set[str] = set()
+    for v in keep:
+        live |= _manifest_dirs(_load_manifest(path, v))
     # dirs referenced by ANY committed (below-pointer) manifest are
     # definitely not an in-flight writer's — their commit completed —
     # so retention reclaims them immediately; only UNREFERENCED dirs
     # (writer mid-write, before its claim) share the orphan age gate
-    committed_refs = {_load_manifest(path, v)["data_dir"] for v in committed}
+    committed_refs: set[str] = set()
+    for v in committed:
+        committed_refs |= _manifest_dirs(_load_manifest(path, v))
     n_dirs = n_manifests = 0
     for d in os.listdir(path):
         if d.startswith("data-") and d not in live and d not in inflight_dirs:

@@ -529,3 +529,124 @@ def test_vacuum_age_gate_reclaims_only_stale_orphans(spark, tmp_path):
     assert not os.path.exists(mpath)
     # the committed table is untouched
     assert ZT.read_zordered(spark, tpath).count() == 20
+
+
+def test_append_commits_without_rewrite_and_stays_exact(spark, tmp_path):
+    """r14 verdict order #4, append half: append_zordered commits new
+    rows as their own immutable data dir + a manifest unioning the base
+    file list — the base version's files are never rewritten, reads are
+    exactly the union, time travel still serves the pre-append version,
+    and file skipping keeps working (a box disjoint from the appended
+    rows never reads the appended file)."""
+    import os
+
+    from streamsum_spark.operators import zorder_table as ZT
+    from streamsum_spark.plans import inspect as PI
+    from streamsum_spark.snapshots import SnapshotConflictError
+
+    base = spark.createDataFrame(
+        [(i, float(i % 13)) for i in range(1600)], "a long, v double"
+    )
+    extra = spark.createDataFrame(
+        [(i, float(i % 3)) for i in range(100, 150)], "a long, v double"
+    )
+    tpath = str(tmp_path / "zt")
+    assert ZT.write_zordered_table(base, tpath, ["a"], n_files=8) == 1
+    m1 = ZT._load_manifest(tpath, 1)
+    assert ZT.append_zordered(extra, tpath) == 2
+    m2 = ZT._load_manifest(tpath, 2)
+    # base files carried by REFERENCE: same (dir, name) pairs survive
+    base_keys = {(e.get("dir", m1["data_dir"]), e["name"]) for e in m1["files"]}
+    m2_keys = {(e["dir"], e["name"]) for e in m2["files"]}
+    assert base_keys < m2_keys
+    appended = [e for e in m2["files"] if not e["clustered"]]
+    assert len(appended) == 1 and appended[0]["dir"] == m2["data_dir"]
+    # reads: exact union now, pre-append version unchanged
+    assert ZT.read_zordered(spark, tpath).count() == 1650
+    assert ZT.read_zordered(spark, tpath, version=1).count() == 1600
+    got = {
+        (r.a, r.v)
+        for r in ZT.read_zordered(spark, tpath, {"a": (100, 149)}).collect()
+    }
+    want = {(i, float(i % 13)) for i in range(100, 150)} | {
+        (i, float(i % 3)) for i in range(100, 150)
+    }
+    assert got == want
+    # skipping: a box far from the appended rows reads neither the
+    # appended file nor most base files
+    (met,) = PI.scan_runtime_metrics(
+        ZT.read_zordered(spark, tpath, {"a": (1400, 1450)}).select("a")
+    )
+    assert 0 < met["numFiles"] < 9
+    # guards: schema drift refuses; append before create refuses;
+    # a concurrent claim of base+1 wedges the append loudly
+    with pytest.raises(ValueError, match="schema columns"):
+        ZT.append_zordered(extra.withColumnRenamed("v", "w"), tpath)
+    with pytest.raises(ValueError, match="no committed"):
+        ZT.append_zordered(extra, str(tmp_path / "missing"))
+    claim = os.path.join(tpath, "_zsnap", "v00000003.json")
+    with open(claim, "w") as fh:
+        fh.write("{}")
+    with pytest.raises(SnapshotConflictError):
+        ZT.append_zordered(extra, tpath)
+    os.unlink(claim)
+
+
+def test_optimize_rewrites_only_overlapping_files(spark, tmp_path):
+    """r14 verdict order #4, optimize half: optimize_zordered folds the
+    appended files back into the clustered layout rewriting ONLY the
+    appended files plus clustered files whose stat boxes overlap them —
+    disjoint clustered files survive by reference; results stay exactly
+    the union; a second optimize is a metadata no-op; vacuum reclaims
+    the superseded dirs across the append -> optimize chain."""
+    import os
+
+    from streamsum_spark.operators import zorder_table as ZT
+    from streamsum_spark.plans import inspect as PI
+
+    base = spark.createDataFrame(
+        [(i, float(i % 13)) for i in range(1600)], "a long, v double"
+    )
+    extra = spark.createDataFrame(
+        [(i, float(i)) for i in range(100, 150)], "a long, v double"
+    )
+    tpath = str(tmp_path / "zt")
+    ZT.write_zordered_table(base, tpath, ["a"], n_files=8)
+    m1 = ZT._load_manifest(tpath, 1)
+    # single clustered column => the 8 base files hold disjoint a-ranges
+    ZT.append_zordered(extra, tpath)
+    res = ZT.optimize_zordered(spark, tpath)
+    assert res["version"] == 3
+    # the appended file + ONLY the base files overlapping a in
+    # [100, 150): with 8 files over 1600 contiguous values that is 1
+    # (or 2 at a boundary split) — most of the table survives untouched
+    assert 2 <= res["rewritten"] <= 3
+    assert res["kept"] >= 6
+    m3 = ZT._load_manifest(tpath, 3)
+    assert all(e["clustered"] for e in m3["files"])
+    kept_keys = {(e["dir"], e["name"]) for e in m3["files"]}
+    base_keys = {(e.get("dir", m1["data_dir"]), e["name"]) for e in m1["files"]}
+    assert len(kept_keys & base_keys) == res["kept"]
+    # exactness across the chain
+    got = {(r.a, r.v) for r in ZT.read_zordered(spark, tpath).collect()}
+    want = {(i, float(i % 13)) for i in range(1600)} | {
+        (i, float(i)) for i in range(100, 150)
+    }
+    assert got == want
+    # skipping restored over the optimized region
+    (met,) = PI.scan_runtime_metrics(
+        ZT.read_zordered(spark, tpath, {"a": (100, 149)}).select("a")
+    )
+    assert 0 < met["numFiles"] <= 3
+    # already-clustered table: metadata no-op, no new version
+    again = ZT.optimize_zordered(spark, tpath)
+    assert again == {"version": 3, "rewritten": 0, "kept": len(m3["files"])}
+    assert ZT.zordered_versions(tpath) == [1, 2, 3]
+    # vacuum keeps the table readable and reclaims superseded dirs
+    ZT.vacuum_zordered(tpath, keep_last=1, orphan_grace_s=0)
+    assert {
+        (r.a, r.v) for r in ZT.read_zordered(spark, tpath).collect()
+    } == want
+    live_dirs = {e["dir"] for e in m3["files"]}
+    on_disk = {d for d in os.listdir(tpath) if d.startswith("data-")}
+    assert on_disk == live_dirs
