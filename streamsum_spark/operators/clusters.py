@@ -26,11 +26,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# edge count at or below which component resolution runs as ONE
+# bounded collect + driver union-find instead of iterative star rounds.
+# Each star round costs ~4 shuffles + 2 actions regardless of size —
+# on the small pair graphs a steady-state incremental cycle actually
+# sees (dozens of verified duplicates), the rounds are pure scheduling
+# overhead, ~5 s per resolution.  100k edges is ~1.6 MB collected —
+# the same bounded-driver class as centroid/label collects; a 100 TB
+# pair graph exceeds the cut and takes the distributed star path.
+SMALL_CC_EDGES = 100_000
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 50,
+    small_cut: int = SMALL_CC_EDGES,
 ) -> DataFrame:
     """(id, component) for every vertex appearing in ``pairs``; component
     = the smallest vertex id reachable from it.
@@ -44,11 +56,56 @@ def connected_components(
     shuffle, not an OOM.  The min-label variant is kept as
     ``connected_components_minlabel`` and pinned equal in tests; the
     star form's round count is pinned LOGARITHMIC on a worst-case path
-    graph (7 rounds for diameter 24)."""
-    return _cc_star(pairs, src, dst, max_iter)
+    graph (7 rounds for diameter 24).
+
+    Graphs of at most ``small_cut`` edges resolve on the driver instead
+    (union-find — value-identical, pinned): ONE bounded
+    ``limit(small_cut+1)`` collect both decides the dispatch and feeds
+    the fast path, so a small resolution costs a single Spark job.
+    Pass ``small_cut=0`` to force the distributed path."""
+    return _cc_star(pairs, src, dst, max_iter, small_cut)
 
 
-def _cc_star(pairs: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
+def _cc_driver_union_find(spark, rows: list, edge_schema) -> DataFrame:
+    """Union-find with min-id roots over an already-COLLECTED edge list
+    — the small-graph fast path.  Attaching the larger root under the
+    smaller keeps every root the true component minimum, matching the
+    star algorithm's labels exactly."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in rows:
+        s, b = row.s, row.b
+        parent.setdefault(s, s)
+        parent.setdefault(b, b)
+        rs, rb = find(s), find(b)
+        if rs != rb:
+            lo, hi = (rs, rb) if rs < rb else (rb, rs)
+            parent[hi] = lo
+    out = [(v, find(v)) for v in parent]
+    id_type = edge_schema["s"].dataType
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("id", id_type), T.StructField("component", id_type)]
+    )
+    return spark.createDataFrame(out, schema)
+
+
+def _cc_star(
+    pairs: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int,
+    small_cut: int = 0,
+) -> DataFrame:
     edges = (
         pairs.select(
             F.least(F.col(src), F.col(dst)).alias("s"),
@@ -56,11 +113,20 @@ def _cc_star(pairs: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
         )
         .where(F.col("s") != F.col("b"))
         .distinct()
-        .localCheckpoint()
     )
     spark = pairs.sparkSession
     global _last_cc_rounds
     _last_cc_rounds = 0
+
+    if small_cut:
+        # one bounded probe decides the dispatch AND feeds the fast
+        # path: collect at most small_cut+1 edges — on the small graphs
+        # a steady-state incremental cycle sees, this is the ONLY job
+        # the whole resolution runs (no separate count, no star rounds)
+        probe = edges.limit(small_cut + 1).collect()
+        if len(probe) <= small_cut:
+            return _cc_driver_union_find(spark, probe, edges.schema)
+    edges = edges.localCheckpoint()
 
     def checksum(e):
         r = e.agg(

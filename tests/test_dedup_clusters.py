@@ -43,9 +43,34 @@ def test_path_graph_worst_case_diameter(spark):
     label every vertex with the path's smallest id."""
     edges = [(i, i + 1) for i in range(24)]
     pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
-    got = {r.id: r.component for r in cl.connected_components(pairs, max_iter=50).collect()}
+    # small_cut=0 forces the distributed star path: this test pins ITS
+    # round count (the driver fast path would trivially short-circuit)
+    got = {r.id: r.component for r in cl.connected_components(pairs, max_iter=50, small_cut=0).collect()}
     assert got == {i: 0 for i in range(25)}
     assert cl._last_cc_rounds <= 10, cl._last_cc_rounds  # log^2, not diameter
+
+
+def test_driver_fast_path_equals_star_and_union_find(spark):
+    """The small-graph fast path (bounded collect + driver union-find)
+    must label identically to the distributed star algorithm and the
+    reference union-find — including min-id components on forests and
+    chains — and the cut must actually dispatch both ways."""
+    import random
+
+    rng = random.Random(23)
+    for n, m in ((30, 10), (50, 80), (25, 24)):
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        want = _union_find(edges)
+        fast = {r.id: r.component for r in cl.connected_components(pairs).collect()}
+        star = {
+            r.id: r.component
+            for r in cl.connected_components(pairs, small_cut=0).collect()
+        }
+        assert fast == want == star, (n, m)
 
 
 def test_star_equals_minlabel_on_random_graphs(spark):
@@ -135,7 +160,7 @@ def test_star_rounds_logarithmic_on_10x_dup_stress_graph(spark):
     doc_ids = sorted({v for e in base for v in e})
     edges += [(d + k * n, d + (k + 1) * n) for d in doc_ids for k in range(9)]
     pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
-    got = {r.id: r.component for r in cl.connected_components(pairs, max_iter=50).collect()}
+    got = {r.id: r.component for r in cl.connected_components(pairs, max_iter=50, small_cut=0).collect()}
     assert got == _union_find(edges)
     # ceil(log2(diameter-bound)) + fixpoint-detection round; measured 2-4
     bound = math.ceil(math.log2(16)) + 1
