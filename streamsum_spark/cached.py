@@ -42,6 +42,22 @@ def shared_persist(
     return out
 
 
+def peek_shared(key: tuple, spark=None) -> DataFrame | None:
+    """The relation currently persisted under ``key``, or None.  For
+    IMMUTABLE inputs (a frozen model's parquet) this lets repeated calls
+    in one process reuse the already-materialized blocks instead of
+    evict-and-repersist (shared_persist always replaces).  Pass the
+    live ``spark`` to reject a handle from a stopped session."""
+    df = _TRACKED.get(key)
+    if df is not None and spark is not None:
+        try:
+            if df.sparkSession is not spark:
+                return None
+        except Exception:
+            return None
+    return df
+
+
 def release_shared(prefix: str | None = None) -> int:
     """Unpersist every tracked relation (or only keys whose first element
     equals ``prefix``); returns how many were released."""

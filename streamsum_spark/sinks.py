@@ -287,6 +287,36 @@ def _write_schema_sidecar(target_path: str, schema_json: str) -> None:
     os.replace(tmp, os.path.join(target_path, "_schema.json"))
 
 
+def _sidecar_schema(target_path: str, with_kb: bool | None = None):
+    """The table schema recorded by the last merge, as a StructType — or
+    None when no sidecar exists (pre-sidecar tables, foreign dirs).
+    Passing it to ``spark.read.schema(...)`` skips parquet schema
+    INFERENCE, which is a whole Spark job per read: on an incremental
+    pipeline doing dozens of small state reads per cycle, inference is
+    pure scheduling overhead on data whose schema is enforced constant
+    by _check_state_columns anyway.  ``with_kb`` forces the internal
+    bucket-partition column in (True) or out (False) of the returned
+    schema regardless of what the sidecar recorded."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    sidecar = os.path.join(target_path, "_schema.json")
+    try:
+        with open(sidecar) as fh:
+            schema = T.StructType.fromJson(_json.load(fh))
+    except (OSError, ValueError, KeyError):
+        return None
+    has_kb = any(f.name == "kb" for f in schema.fields)
+    if with_kb is True and not has_kb:
+        schema = T.StructType(
+            schema.fields + [T.StructField("kb", T.IntegerType())]
+        )
+    elif with_kb is False and has_kb:
+        schema = T.StructType([f for f in schema.fields if f.name != "kb"])
+    return schema
+
+
 def _merge_salt_partials(df: DataFrame, meta: dict) -> DataFrame:
     """Collapse a salted additive table's per-salt PARTIAL rows back to
     the logical one-row-per-key table, using the combine recorded at
@@ -311,7 +341,14 @@ def read_state_table(spark: SparkSession, target_path: str) -> DataFrame:
     from pyspark.sql import types as T
 
     try:
-        df = spark.read.parquet(target_path)
+        # bucketed tables need kb in the explicit schema (it is a
+        # partition-directory column the files themselves don't carry)
+        schema = _sidecar_schema(
+            target_path,
+            with_kb=True if _read_meta(target_path) else None,
+        )
+        reader = spark.read.schema(schema) if schema is not None else spark.read
+        df = reader.parquet(target_path)
     except Exception:
         # the typed-empty fallback is ONLY for a genuinely emptied table
         # (every key tombstoned: no data files at all, just the sidecar).
@@ -470,15 +507,27 @@ def _read_touched(
         )
     # Murmur3 hashes int and long (etc.) DIFFERENTLY, so the lookup keys
     # must carry the table's exact key types or they route to the wrong
-    # bucket: cast to the stored schema, read from one bucket's footer
-    any_bucket = next(
-        (d for d in sorted(os.listdir(target_path)) if d.startswith("kb=")), None
-    )
-    if any_bucket is not None:
-        stored_types = {
-            f.name: f.dataType
-            for f in spark.read.parquet(os.path.join(target_path, any_bucket)).schema
-        }
+    # bucket: cast to the stored schema — from the sidecar when present
+    # (zero Spark jobs), else one bucket's footer
+    stored_schema = _sidecar_schema(target_path, with_kb=True)
+    if stored_schema is not None:
+        stored_types = {f.name: f.dataType for f in stored_schema.fields}
+    else:
+        any_bucket = next(
+            (d for d in sorted(os.listdir(target_path)) if d.startswith("kb=")),
+            None,
+        )
+        stored_types = (
+            {
+                f.name: f.dataType
+                for f in spark.read.parquet(
+                    os.path.join(target_path, any_bucket)
+                ).schema
+            }
+            if any_bucket is not None
+            else {}
+        )
+    if stored_types:
         keys_df = keys_df.select(
             *[
                 F.col(c).cast(stored_types[c]).alias(c) if c in stored_types else F.col(c)
@@ -508,7 +557,10 @@ def _read_touched(
     ]
     if not dirs:
         return None
-    stored = spark.read.option("basePath", target_path).parquet(*dirs)
+    reader = spark.read.option("basePath", target_path)
+    if stored_schema is not None:
+        reader = reader.schema(stored_schema)
+    stored = reader.parquet(*dirs)
     return stored.drop("kb"), keys_df
 
 
@@ -582,7 +634,10 @@ def upsert_batch(
         return
     _recover(target_path)
     if os.path.exists(target_path):
-        existing = spark.read.parquet(target_path)
+        fschema = _sidecar_schema(target_path)
+        existing = (
+            spark.read.schema(fschema) if fschema is not None else spark.read
+        ).parquet(target_path)
         _check_state_columns(existing.columns, updates.columns, target_path)
         existing, has_del = _align_tombstones(existing, updates)
         merged = existing.unionByName(updates)
@@ -593,6 +648,7 @@ def upsert_batch(
     deduped.write.mode("overwrite").parquet(tmp)
     _atomic_swap(target_path, tmp)
     _write_schema_sidecar(target_path, deduped.schema.json())
+    _refresh_read_caches(target_path)
 
 
 def _newest_wins(
@@ -660,7 +716,11 @@ def _merge_buckets(
         if os.path.exists(d)
     ]
     if existing_dirs:
-        existing = spark.read.option("basePath", target_path).parquet(*existing_dirs)
+        reader = spark.read.option("basePath", target_path)
+        sschema = _sidecar_schema(target_path, with_kb=True)
+        if sschema is not None:
+            reader = reader.schema(sschema)
+        existing = reader.parquet(*existing_dirs)
         existing, has_del = _align_tombstones(existing, upd)
         merged = existing.unionByName(upd)
     else:
@@ -694,6 +754,25 @@ def _merge_buckets(
                 json.dump(manifests[b], fh)
         _atomic_swap(os.path.join(target_path, f"kb={b}"), src)
     shutil.rmtree(tmp, ignore_errors=True)
+    _refresh_read_caches(target_path)
+
+
+def _refresh_read_caches(target_path: str) -> None:
+    """Writers invalidate Spark-side read caches for the table they just
+    swapped.  Spark's CacheManager matches plan fragments by path +
+    schema — the file LISTING is not part of plan identity — so a
+    persisted relation over this path (or anything derived from one)
+    would keep serving pre-swap rows to every later read in the same
+    session.  With the schema sidecar making repeated reads
+    byte-identical plans, that hazard is no longer dodged by inference
+    jitter; the write path owns the invalidation, as a transactional
+    table format would.  Metadata-only: invalidated entries rebuild
+    lazily on their next access."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        spark.catalog.refreshByPath(target_path)
 
 
 def _atomic_swap(target_path: str, tmp: str) -> None:
@@ -860,6 +939,7 @@ def rebucket_state_table(
                 with open(os.path.join(tmp, d, "_applied_epochs.json"), "w") as fh:
                     json.dump(markers, fh)
     _atomic_swap(target_path, tmp)
+    _refresh_read_caches(target_path)
 
 
 def compact_parquet(
@@ -921,6 +1001,7 @@ def compact_parquet(
                 os.makedirs(os.path.join(tmp, d), exist_ok=True)
                 shutil.copy(mpath, os.path.join(tmp, d, "_applied_epochs.json"))
     _atomic_swap(target_path, tmp)
+    _refresh_read_caches(target_path)
 
 
 def accumulate_batch(
@@ -1086,6 +1167,7 @@ def accumulate_batch(
             new_applied = applied + ([marker] if marker is not None else [])
             json.dump(new_applied[-_MANIFEST_CAP:], fh)
     _atomic_swap(target_path, tmp)
+    _refresh_read_caches(target_path)
 
 
 def stream_accumulate_counts(

@@ -888,3 +888,37 @@ def test_salted_accumulate_spreads_hot_key_and_preserves_semantics(spark, tmp_pa
     # layout contract: mixing salted and unsalted merges is refused
     with pytest.raises(ValueError, match="n_salt"):
         sinks.accumulate_batch(spark, salted, deltas, ["k"], ["c"], n_buckets=16)
+
+
+def test_upsert_invalidates_persisted_reader_caches(spark, tmp_path):
+    """A persisted relation over a state table must not serve pre-merge
+    rows after a later upsert in the same session.  Spark's CacheManager
+    matches plan fragments by path + schema (the file listing is not
+    part of plan identity), and the schema sidecar makes repeated
+    read_state_table plans byte-identical — so the WRITE path owns the
+    invalidation (refreshByPath after every swap), like a transactional
+    format's commit would.  Covers flat and bucketed layouts plus a
+    derived (aggregated) cached plan, the shape cycle-over-cycle
+    incremental pipelines actually persist."""
+    for label, kw in (("flat", {}), ("bucketed", {"n_buckets": 8})):
+        t = str(tmp_path / f"t_{label}")
+        up1 = spark.createDataFrame(
+            [(1, 10, 1), (2, 20, 1)], "k long, v long, ts long"
+        )
+        sinks.upsert_batch(spark, t, up1, ["k"], "ts", **kw)
+        base = sinks.read_state_table(spark, t)
+        derived = base.groupBy().sum("v")
+        base.persist()
+        derived.persist()
+        assert derived.collect()[0][0] == 30
+        up2 = spark.createDataFrame(
+            [(2, 200, 2), (3, 300, 2)], "k long, v long, ts long"
+        )
+        sinks.upsert_batch(spark, t, up2, ["k"], "ts", **kw)
+        fresh = sinks.read_state_table(spark, t)
+        assert {(r.k, r.v) for r in fresh.collect()} == {
+            (1, 10), (2, 200), (3, 300),
+        }, label
+        assert fresh.groupBy().sum("v").collect()[0][0] == 510, label
+        base.unpersist()
+        derived.unpersist()
