@@ -635,18 +635,24 @@ def stream_corpus_prep_frozen_marginal(spark, sf_dir):
     partitions AND an already-frozen model set, and the timed run pays
     a steady-state frozen cycle — parse ONLY the new shard's bytes,
     re-curate (gate/bands/embedding/pairs) ONLY the new shard's docs
-    plus any old doc whose cleaned text the shard changed, then serve
-    the survivors from compact state.  Compare three ways:
+    plus any old doc whose cleaned text the shard changed, maintain the
+    append-stable pack state, and emit ``packed_delta``: this cycle's
+    NEW chunks, the relation an incremental pipeline actually hands its
+    consumer per cycle (old chunks are immutable under the append-pack
+    contract — a consumer already holds them).  Compare three ways:
     corpus_prep_e2e (full batch re-run), stream_corpus_prep_marginal
-    (incremental parse + exact whole-corpus finalize), and this entry
-    (incremental parse + O(delta) finalize).  Same run-dir hygiene as
-    the exact-mode marginal."""
+    (incremental parse + exact whole-corpus finalize + full re-emit),
+    and this entry (incremental parse + O(delta) finalize + delta
+    emit).  Same run-dir hygiene as the exact-mode marginal."""
     import atexit
     import shutil
     import tempfile
     import uuid
 
-    from streamsum_spark.corpus_prep import stream_corpus_prep
+    from streamsum_spark.corpus_prep import (
+        stream_corpus_prep_ingest,
+        stream_corpus_prep_stages,
+    )
 
     src = _warc_corpus(spark, sf_dir)
     seed = _cprep_frozen_seed(spark, sf_dir)
@@ -655,13 +661,16 @@ def stream_corpus_prep_frozen_marginal(spark, sf_dir):
     )
     shutil.copytree(seed, run)
     atexit.register(shutil.rmtree, run, ignore_errors=True)
-    return stream_corpus_prep(
+    stream_corpus_prep_ingest(
         spark, src, glob="warc-*.warc.gz",
         state_base=os.path.join(run, "state"),
         checkpoint=os.path.join(run, "ckpt"),
+    )
+    return stream_corpus_prep_stages(
+        spark, os.path.join(run, "state"),
         domain_cap=50, n_lists=8, mode="frozen",
         cache_token=f"bench_cprep_fzmarg:{sf_dir}",
-    )
+    )["packed_delta"]
 
 
 def near_dup_tuned05(spark, sf_dir):

@@ -43,7 +43,7 @@ def main():
             cache_token=f"prof_fz:{it}",
         )
         t2 = time.perf_counter()
-        bench._materialize(stages["packed"])
+        bench._materialize(stages["packed_delta"])
         t3 = time.perf_counter()
         print(
             json.dumps(

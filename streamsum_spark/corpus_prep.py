@@ -54,6 +54,27 @@ from streamsum_spark.functions.expressions import (
 )
 
 
+def _parallel_jobs(*thunks) -> None:
+    """Run independent Spark actions from separate driver threads so the
+    scheduler overlaps their stages — maintenance of DISJOINT state
+    tables fed by one already-checkpointed batch is embarrassingly
+    parallel, and on a small delta each action's cost is scheduling, not
+    data, so overlap collapses N sequential latencies into ~one.  The
+    callables must touch disjoint tables; the first failure re-raises
+    after all threads finish (no partially-cancelled merges)."""
+    if len(thunks) == 1:
+        thunks[0]()
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
+        futures = [ex.submit(t) for t in thunks]
+    errs = [f.exception() for f in futures]
+    for e in errs:
+        if e is not None:
+            raise e
+
+
 def doc_id_col() -> Column:
     """Document identity for WARC-ingested pages: xxhash64 of
     (target_uri, warc_file, ordinal) — the URI alone is NOT an identity
@@ -392,60 +413,73 @@ def stream_corpus_prep_ingest(
             # same (uri, file, ordinal) repeated in one batch = a
             # redelivered record, not a new document
             .dropDuplicates(["doc_id"])
-            # lazy: the docs upsert's first action materializes it (the
-            # parse runs once; the two later upserts hit the checkpoint)
-            .localCheckpoint(eager=False)
+            # eager: the parse runs exactly once, then the three
+            # independent store-maintenance branches fan out in parallel
+            .localCheckpoint()
         )
-        upsert_batch(
-            spark,
-            docs_tbl,
-            rows.select("doc_id", "target_uri", "host", "text"),
-            ["doc_id"],
-            "doc_id",
-            n_buckets=n_buckets,
-        )
-        _url_dedup_batch(
-            spark,
-            rows.select(
+
+        def _docs() -> None:
+            upsert_batch(
+                spark,
+                docs_tbl,
+                rows.select("doc_id", "target_uri", "host", "text"),
+                ["doc_id"],
                 "doc_id",
-                F.md5(
-                    F.coalesce(
-                        F.col("canonical_url"),
-                        F.concat_ws("-", F.lit("nocanon"), F.col("doc_id")),
-                    )
-                ).alias("g"),
-            ),
-            url_fp,
-            url_flags,
-            n_buckets,
-        )
-        # paragraph OCCURRENCES (not first-occurrences): the finalize
-        # window ranks them conditioned on URL survivorship, exactly as
-        # the batch paragraph stage does.  Blank paragraphs are
-        # structure — exempt from dedup, never stored.
-        occ = (
-            rows.select(
-                "doc_id",
-                F.posexplode(F.split(F.col("text"), "\n")).alias(
-                    "idx", "para"
+                n_buckets=n_buckets,
+            )
+
+        def _urls() -> None:
+            _url_dedup_batch(
+                spark,
+                rows.select(
+                    "doc_id",
+                    F.md5(
+                        F.coalesce(
+                            F.col("canonical_url"),
+                            F.concat_ws(
+                                "-", F.lit("nocanon"), F.col("doc_id")
+                            ),
+                        )
+                    ).alias("g"),
                 ),
+                url_fp,
+                url_flags,
+                n_buckets,
             )
-            .where(F.trim(F.col("para")) != "")
-            .select(
-                F.md5(F.col("para")).alias("g"),
-                "doc_id",
-                F.col("idx").cast("long").alias("idx"),
+
+        def _occ() -> None:
+            # paragraph OCCURRENCES (not first-occurrences): the
+            # finalize window ranks them conditioned on URL
+            # survivorship, exactly as the batch paragraph stage does.
+            # Blank paragraphs are structure — exempt from dedup,
+            # never stored.
+            occ = (
+                rows.select(
+                    "doc_id",
+                    F.posexplode(F.split(F.col("text"), "\n")).alias(
+                        "idx", "para"
+                    ),
+                )
+                .where(F.trim(F.col("para")) != "")
+                .select(
+                    F.md5(F.col("para")).alias("g"),
+                    "doc_id",
+                    F.col("idx").cast("long").alias("idx"),
+                )
             )
-        )
-        upsert_batch(
-            spark,
-            occ_tbl,
-            occ,
-            ["g", "doc_id", "idx"],
-            "idx",
-            n_buckets=n_buckets,
-            bucket_cols=["g"],
-        )
+            upsert_batch(
+                spark,
+                occ_tbl,
+                occ,
+                ["g", "doc_id", "idx"],
+                "idx",
+                n_buckets=n_buckets,
+                bucket_cols=["g"],
+            )
+
+        # the three stores are disjoint relations of one checkpointed
+        # batch — their maintenance overlaps on the cluster
+        _parallel_jobs(_docs, _urls, _occ)
 
     pages = stream_warc_text(spark, warc_dir, glob, max_files_per_trigger)
     ckpt = checkpoint or base + "_ckpt"
@@ -796,7 +830,7 @@ def vacuum_band_store(
     import shutil
     import uuid as _uuid
 
-    from streamsum_spark.sinks import _atomic_swap, _refresh_read_caches
+    from streamsum_spark.sinks import _atomic_swap
 
     store = state_base + "_ndbands"
     if not os.path.exists(store):
@@ -830,7 +864,6 @@ def vacuum_band_store(
                     mpath, os.path.join(tmp, d, "_applied_epochs.json")
                 )
         _atomic_swap(store, tmp)
-        _refresh_read_caches(store)
     return {"kept": n_kept, "dropped": n_before - n_kept}
 
 
@@ -1055,6 +1088,7 @@ LAST_FROZEN_PHASE_JOBS: dict[str, int] = {}
 def _fz_paths(state_base: str) -> dict[str, str]:
     return {
         "cur": state_base + "_fzcur",
+        "pack": state_base + "_fzpack",
         "pairs": state_base + "_fzpairs",
         "sem": state_base + "_fzsem",
         "nb": state_base + "_fznb",
@@ -1333,11 +1367,14 @@ def stream_corpus_prep_frozen_stages(
         byg = Window.partitionBy("g").orderBy("doc_id", "idx")
         # flagged-paragraph occurrences, conditioned on URL survivorship
         # (the batch stage's rule) — hash-width rows, one shuffle
+        # lazy: n_delta's count below materializes pflags, capped and
+        # delta in ONE job — on an O(delta) cycle every separate eager
+        # checkpoint is a whole scheduling round
         pflags = (
             occ.withColumn("rn", F.row_number().over(byg))
             .where(F.col("rn") > 1)
             .select("doc_id", "idx")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         fp = pflags.groupBy("doc_id").agg(
             F.md5(
@@ -1354,7 +1391,7 @@ def stream_corpus_prep_frozen_stages(
             .select("doc_id", "target_uri")
             .join(fp, "doc_id", "left")
             .withColumn("flag_fp", F.coalesce("flag_fp", F.lit("")))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cur_schema = (
             "doc_id long, flag_fp string, tmd5 string, target_uri string, "
@@ -1514,7 +1551,7 @@ def stream_corpus_prep_frozen_stages(
             return fetched if out is None else out.unionByName(fetched)
 
         _mark("delta_curate")
-        # ---- band upkeep over current gated versions ----------------
+        # ---- shared prelude for the two pair branches ---------------
         cur = read_state_table(spark, paths["cur"]) if os.path.exists(
             paths["cur"]
         ) else spark.createDataFrame([], cur_schema)
@@ -1523,154 +1560,301 @@ def stream_corpus_prep_frozen_stages(
             .where(F.col("gate_keep"))
             .select("doc_id", "tmd5")
             # lazy: the n_delta_gated count below materializes this and
-            # delta_gated in one job, pinned before any later bucket swap
+            # delta_gated in one job, pinned before any later bucket
+            # swap and before the pair branches fork threads
             .localCheckpoint(eager=False)
         )
-        b, r = choose_lsh_params(nd_threshold)
-        _claim_band_scheme(paths["bands"], b, r, nd_threshold)
-        # miss detection is bucket-pruned: only DELTA docs' versions can
-        # be missing (non-delta gated docs were banded the cycle they
-        # were curated, and vacuum_band_store never drops a current
-        # version), so the anti-join probes the band store's touched
-        # buckets instead of scanning + distinct-ing the whole store
         delta_gated = gated_meta.join(
             delta.select("doc_id"), "doc_id", "left_semi"
         ).localCheckpoint(eager=False)
         n_delta_gated = delta_gated.count()
-        if os.path.exists(paths["bands"]):
-            versions = (
-                read_touched_buckets(
-                    spark, paths["bands"], delta_gated.select("doc_id")
+
+        def _stamp(phase: str, t_start: float) -> None:
+            # seconds-only phase stamp, safe to call from branch
+            # threads (a per-thread job-count split is meaningless
+            # under overlap — the parallel section's combined job count
+            # lands in nd_sem_parallel)
+            LAST_FROZEN_PHASE_SECONDS[phase] = round(
+                LAST_FROZEN_PHASE_SECONDS.get(phase, 0.0)
+                + _time.perf_counter()
+                - t_start,
+                3,
+            )
+
+        def _nd_branch() -> None:
+            """Band upkeep + near-dup delta pairs.  Ordering contract:
+            every relation that reads the band store's PRE-swap files
+            (the snapshot union both candidate sides consume) is
+            materialized by pair_rows' count BEFORE the branch starts
+            its store writes — so the in-memory read-your-writes view
+            never races the bucket swaps.  The two writes themselves
+            (band store, pair store) are disjoint and run in parallel
+            at the branch tail."""
+            t0 = _time.perf_counter()
+            b, r = choose_lsh_params(nd_threshold)
+            _claim_band_scheme(paths["bands"], b, r, nd_threshold)
+            if os.path.exists(paths["bands"]):
+                store_pre = (
+                    read_state_table(spark, paths["bands"])
+                    .where(F.col("band_id") >= 0)
+                    .join(gated_meta, ["doc_id", "tmd5"], "left_semi")
+                    .select("doc_id", "tmd5", "band_id", "bkey")
                 )
-                .select("doc_id", "tmd5")
-                .distinct()
+            else:
+                store_pre = spark.createDataFrame(
+                    [], "doc_id long, tmd5 string, band_id int, bkey string"
+                )
+            # delta bands derive straight from the checkpointed delta
+            # rebuild — no store miss-probe, no text re-read: a delta
+            # doc's cleaned text is new by construction, and the keyed
+            # idempotent upsert makes re-banding a redelivered
+            # unchanged version a same-rows rewrite, not a duplicate
+            new_bands = (
+                _new_bands_with_sentinels(
+                    spark,
+                    enriched.where(F.col("gate_keep")).select(
+                        "doc_id", "tmd5", "text"
+                    ),
+                    b,
+                    r,
+                )
+                if n_delta_gated
+                else None
             )
-            miss_meta = delta_gated.join(
-                versions, ["doc_id", "tmd5"], "left_anti"
-            )
+            # read-your-writes view: pre-swap store snapshot + this
+            # cycle's fresh bands (duplicate rows from a replayed
+            # version are harmless — candidates are distinct'd).
+            # Persisted: both aliased sides of the candidate join and
+            # the delta-side semi consume it, and Catalyst does not
+            # reuse exchanges across aliased subtrees
+            served_bands = shared_persist(
+                ("fz_bands", cache_token),
+                store_pre
+                if new_bands is None
+                else store_pre.unionByName(
+                    new_bands.where(F.col("band_id") >= 0).select(
+                        "doc_id", "tmd5", "band_id", "bkey"
+                    )
+                ),
+            ).select("doc_id", "band_id", "bkey")
+            _stamp("band_upkeep", t0)
+            t0 = _time.perf_counter()
+            # ---- near-dup DELTA pairs -------------------------------
+            pair_rows = None
+            if n_delta_gated:
+                db = served_bands.join(
+                    delta_gated.select("doc_id"), "doc_id", "left_semi"
+                )
+                # delta-side ⋈ ALL current bands (not a full
+                # self-join): symmetric normalization because the delta
+                # doc may be either endpoint
+                cand = (
+                    db.alias("a")
+                    .join(
+                        served_bands.alias("b"),
+                        (F.col("a.band_id") == F.col("b.band_id"))
+                        & (F.col("a.bkey") == F.col("b.bkey"))
+                        & (F.col("a.doc_id") != F.col("b.doc_id")),
+                    )
+                    .select(
+                        F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                        F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+                    )
+                    .distinct()
+                    .localCheckpoint(eager=False)
+                )
+                need = (
+                    cand.select(F.col("doc_a").alias("doc_id"))
+                    .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+                    .distinct()
+                )
+                texts = _texts_for(need).localCheckpoint(eager=False)
+                sh = shingle_sets(
+                    spark, "", docs=texts.select("doc_id", "text")
+                ).localCheckpoint(eager=False)
+                scored = (
+                    cand.join(
+                        sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id")
+                    )
+                    .join(
+                        sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id")
+                    )
+                    .select(
+                        "doc_a",
+                        "doc_b",
+                        F.expr("size(array_intersect(sa.sh, sb.sh))").alias(
+                            "_i"
+                        ),
+                        F.expr("size(sa.sh) + size(sb.sh)").alias("_n"),
+                    )
+                    .select(
+                        "doc_a",
+                        "doc_b",
+                        (
+                            F.col("_i").cast("double")
+                            / (F.col("_n") - F.col("_i"))
+                        ).alias("jaccard"),
+                    )
+                    .where(F.col("jaccard") >= nd_threshold)
+                )
+                ta = texts.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("tmd5").alias("tmd5_a"),
+                )
+                tb = texts.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("tmd5").alias("tmd5_b"),
+                )
+                pair_rows = (
+                    scored.join(ta, "doc_a")
+                    .join(tb, "doc_b")
+                    .select(
+                        "doc_a",
+                        "doc_b",
+                        "jaccard",
+                        "tmd5_a",
+                        "tmd5_b",
+                        F.lit(cycle).cast("long").alias("fz_cycle"),
+                    )
+                    .localCheckpoint(eager=False)
+                )
+                # the ONE materializing action of the branch: computes
+                # band derivation, the snapshot union, candidates and
+                # verification together — and pins everything the
+                # writes below would otherwise invalidate
+                if not pair_rows.count():
+                    pair_rows = None
+            # ---- branch tail: the two disjoint store writes ---------
+            writes = []
+            if new_bands is not None:
+                def _write_bands():
+                    with _band_writer_lock(paths["bands"]):
+                        upsert_batch(
+                            spark,
+                            paths["bands"],
+                            new_bands,
+                            ["doc_id", "tmd5", "band_id"],
+                            "bkey",
+                            n_buckets=n_buckets,
+                            bucket_cols=["doc_id"],
+                        )
+                writes.append(_write_bands)
+            if pair_rows is not None:
+                _pair_rows = pair_rows
+                def _write_pairs():
+                    upsert_batch(
+                        spark,
+                        paths["pairs"],
+                        _pair_rows,
+                        ["doc_a", "doc_b"],
+                        ["fz_cycle"],
+                        n_buckets=n_buckets,
+                        bucket_cols=["doc_a"],
+                    )
+                writes.append(_write_pairs)
+            if writes:
+                _parallel_jobs(*writes)
+            _stamp("nd_delta_pairs", t0)
+
+        def _sem_branch() -> None:
+            """Semantic delta pairs over the frozen quantizer's lists.
+            Writes the sem store; reads cur only.  ``max_list`` is
+            bound in the enclosing scope before either dispatch."""
+            t0 = _time.perf_counter()
+            if n_delta_gated:
+                vec_gated = (
+                    read_state_table(spark, paths["cur"])
+                    .join(gated_meta, ["doc_id", "tmd5"], "left_semi")
+                    .where(F.col("list_id").isNotNull())
+                    .select("doc_id", "tmd5", "list_id", "embedding")
+                )
+                sizes = vec_gated.groupBy("list_id").agg(
+                    F.count(F.lit(1)).alias("_n")
+                )
+                # only clusters CONTAINING a delta doc can gain pairs
+                # this cycle — everything else skips the join (and the
+                # vector materialization) entirely
+                delta_lists = (
+                    vec_gated.join(
+                        delta_gated.select("doc_id"), "doc_id", "left_semi"
+                    )
+                    .select("list_id")
+                    .distinct()
+                )
+                ok_lists = (
+                    sizes.where(F.col("_n") <= max_list)
+                    .select("list_id")
+                    .join(delta_lists, "list_id", "left_semi")
+                )
+                joinable = vec_gated.join(
+                    F.broadcast(ok_lists),
+                    "list_id",
+                    "left_semi",
+                ).localCheckpoint(eager=False)
+                dv = joinable.join(
+                    delta_gated.select("doc_id"), "doc_id", "left_semi"
+                )
+                sem_scored = (
+                    dv.alias("a")
+                    .join(
+                        joinable.alias("b"),
+                        (F.col("a.list_id") == F.col("b.list_id"))
+                        & (F.col("a.doc_id") != F.col("b.doc_id")),
+                    )
+                    .select(
+                        F.least("a.doc_id", "b.doc_id").alias("vec_a"),
+                        F.greatest("a.doc_id", "b.doc_id").alias("vec_b"),
+                        F.when(
+                            F.col("a.doc_id") < F.col("b.doc_id"),
+                            F.col("a.tmd5"),
+                        )
+                        .otherwise(F.col("b.tmd5"))
+                        .alias("tmd5_a"),
+                        F.when(
+                            F.col("a.doc_id") < F.col("b.doc_id"),
+                            F.col("b.tmd5"),
+                        )
+                        .otherwise(F.col("a.tmd5"))
+                        .alias("tmd5_b"),
+                        F.expr(
+                            _cos_safe_expr("a.embedding", "b.embedding")
+                        ).alias("cos"),
+                    )
+                    .where(F.col("cos") >= sem_threshold)
+                    .distinct()
+                    .withColumn("fz_cycle", F.lit(cycle).cast("long"))
+                    .localCheckpoint(eager=False)
+                )
+                if sem_scored.count():
+                    upsert_batch(
+                        spark,
+                        paths["sem"],
+                        sem_scored,
+                        ["vec_a", "vec_b"],
+                        ["fz_cycle"],
+                        n_buckets=n_buckets,
+                        bucket_cols=["vec_a"],
+                    )
+            _stamp("sem_delta_pairs", t0)
+
+        if meta is not None:
+            # ---- steady state: the two pair branches write DISJOINT
+            # stores (bands+pairs vs sem) off the same checkpointed
+            # prelude — overlap them on the cluster; on a small delta
+            # each branch is scheduling-bound, so the fork collapses
+            # their latencies into ~the longer one
+            max_list = meta["max_list"]
+            _parallel_jobs(_nd_branch, _sem_branch)
+            _mark("nd_sem_parallel")
         else:
-            miss_meta = delta_gated
-        miss_meta = miss_meta.localCheckpoint(eager=False)
-        if miss_meta.count():
-            miss_docs = _texts_for(miss_meta.select("doc_id"))
-            with _band_writer_lock(paths["bands"]):
-                upsert_batch(
-                    spark,
-                    paths["bands"],
-                    _new_bands_with_sentinels(spark, miss_docs, b, r),
-                    ["doc_id", "tmd5", "band_id"],
-                    "bkey",
-                    n_buckets=n_buckets,
-                    bucket_cols=["doc_id"],
-                )
-        # persisted: both sides of the delta candidate join (and the
-        # delta-side semi) consume the store scan — Catalyst does not
-        # reuse exchanges across aliased subtrees
-        served_bands = shared_persist(
-            ("fz_bands", cache_token),
-            (
-                read_state_table(spark, paths["bands"])
-                .where(F.col("band_id") >= 0)
-                .join(gated_meta, ["doc_id", "tmd5"], "left_semi")
-                .select("doc_id", "band_id", "bkey")
-            )
-            if os.path.exists(paths["bands"])
-            else spark.createDataFrame(
-                [], "doc_id long, band_id int, bkey string"
-            ),
-        )
-
-        _mark("band_upkeep")
-        # ---- near-dup DELTA pairs -----------------------------------
-        if n_delta_gated:
-            db = served_bands.join(
-                delta_gated.select("doc_id"), "doc_id", "left_semi"
-            )
-            # delta-side ⋈ ALL current bands (not a full self-join):
-            # symmetric normalization because the delta doc may be
-            # either endpoint
-            cand = (
-                db.alias("a")
-                .join(
-                    served_bands.alias("b"),
-                    (F.col("a.band_id") == F.col("b.band_id"))
-                    & (F.col("a.bkey") == F.col("b.bkey"))
-                    & (F.col("a.doc_id") != F.col("b.doc_id")),
-                )
-                .select(
-                    F.least("a.doc_id", "b.doc_id").alias("doc_a"),
-                    F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
-                )
-                .distinct()
-                .localCheckpoint(eager=False)
-            )
-            need = (
-                cand.select(F.col("doc_a").alias("doc_id"))
-                .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
-                .distinct()
-            )
-            texts = _texts_for(need).localCheckpoint(eager=False)
-            sh = shingle_sets(
-                spark, "", docs=texts.select("doc_id", "text")
-            ).localCheckpoint(eager=False)
-            scored = (
-                cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-                .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
-                .select(
-                    "doc_a",
-                    "doc_b",
-                    F.expr("size(array_intersect(sa.sh, sb.sh))").alias("_i"),
-                    F.expr("size(sa.sh) + size(sb.sh)").alias("_n"),
-                )
-                .select(
-                    "doc_a",
-                    "doc_b",
-                    (
-                        F.col("_i").cast("double")
-                        / (F.col("_n") - F.col("_i"))
-                    ).alias("jaccard"),
-                )
-                .where(F.col("jaccard") >= nd_threshold)
-            )
-            ta = texts.select(
-                F.col("doc_id").alias("doc_a"), F.col("tmd5").alias("tmd5_a")
-            )
-            tb = texts.select(
-                F.col("doc_id").alias("doc_b"), F.col("tmd5").alias("tmd5_b")
-            )
-            pair_rows = (
-                scored.join(ta, "doc_a")
-                .join(tb, "doc_b")
-                .select(
-                    "doc_a",
-                    "doc_b",
-                    "jaccard",
-                    "tmd5_a",
-                    "tmd5_b",
-                    F.lit(cycle).cast("long").alias("fz_cycle"),
-                )
-                .localCheckpoint(eager=False)
-            )
-            # a steady-state cycle usually verifies candidates into ZERO
-            # new pairs — skip the state write (a full bucket-swap
-            # round) entirely then
-            if pair_rows.count():
-                upsert_batch(
-                    spark,
-                    paths["pairs"],
-                    pair_rows,
-                    ["doc_a", "doc_b"],
-                    ["fz_cycle"],
-                    n_buckets=n_buckets,
-                    bucket_cols=["doc_a"],
-                )
-
-        _mark("nd_delta_pairs")
-        # ---- quantizer freeze (first cycle) or load ------------------
-        # keyed on the META file, not the model dir: a crash between
-        # the model save and the meta commit repairs by re-running the
-        # (deterministic) fit and overwriting
-        if meta is None:
+            # ---- freeze cycle: sequential — the quantizer trains on
+            # the near-dup SURVIVORS, which need the pair branch done,
+            # and the sem branch needs the quantizer
+            _nd_branch()
+            _mark("nd_branch_wall")
+            # quantizer freeze: keyed on the META file, not the model
+            # dir — a crash between the model save and the meta commit
+            # repairs by re-running the (deterministic) fit
             near_ids = _fz_near_dedup_ids(spark, paths, gated_meta)
             nd_texts = _texts_for(near_ids).select("doc_id", "text")
             emb_fit = hashed_text_embeddings(nd_texts, dim=emb_dim)
@@ -1692,111 +1876,33 @@ def stream_corpus_prep_frozen_stages(
             n_vec = emb_fit.count()
             n_cl = max(centroids.count(), 1)
             max_list = max(64, -(-8 * n_vec // n_cl))
-        else:
-            max_list = meta["max_list"]
-
-        _mark("quantizer")
-        # ---- freeze-cycle vec backfill -------------------------------
-        # the steady-state path wrote vec columns inline with the cur
-        # upsert; on the FREEZE cycle the quantizer did not exist yet,
-        # so gated rows get their vec columns in a second upsert
-        # (fz_seq=1 outranks the seq-0 row of the same cycle)
-        if meta is None and enriched is not None and n_delta_gated:
-            gated_rows = enriched.join(
-                delta_gated.select("doc_id"), "doc_id", "left_semi"
-            )
-            rows2 = gated_rows.join(
-                _vec_cols(gated_rows.select("doc_id", "text")), "doc_id"
-            )
-            upsert_batch(
-                spark,
-                paths["cur"],
-                rows2.withColumn("fz_cycle", F.lit(cycle).cast("long"))
-                .withColumn("fz_seq", F.lit(1).cast("long"))
-                .select(*_cur_cols),
-                ["doc_id"],
-                ["fz_cycle", "fz_seq"],
-                n_buckets=n_buckets,
-            )
-
-        _mark("vec_backfill")
-        # ---- semantic DELTA pairs ------------------------------------
-        if n_delta_gated:
-            vec_gated = (
-                read_state_table(spark, paths["cur"])
-                .join(gated_meta, ["doc_id", "tmd5"], "left_semi")
-                .where(F.col("list_id").isNotNull())
-                .select("doc_id", "tmd5", "list_id", "embedding")
-            )
-            sizes = vec_gated.groupBy("list_id").agg(
-                F.count(F.lit(1)).alias("_n")
-            )
-            # only clusters CONTAINING a delta doc can gain pairs this
-            # cycle — everything else skips the join (and the vector
-            # materialization) entirely
-            delta_lists = (
-                vec_gated.join(
+            _mark("quantizer")
+            # vec backfill: the steady-state path writes vec columns
+            # inline with the cur upsert; on the FREEZE cycle the
+            # quantizer did not exist yet, so gated rows get their vec
+            # columns in a second upsert (fz_seq=1 outranks the seq-0
+            # row of the same cycle)
+            if enriched is not None and n_delta_gated:
+                gated_rows = enriched.join(
                     delta_gated.select("doc_id"), "doc_id", "left_semi"
                 )
-                .select("list_id")
-                .distinct()
-            )
-            ok_lists = (
-                sizes.where(F.col("_n") <= max_list)
-                .select("list_id")
-                .join(delta_lists, "list_id", "left_semi")
-            )
-            joinable = vec_gated.join(
-                F.broadcast(ok_lists),
-                "list_id",
-                "left_semi",
-            ).localCheckpoint(eager=False)
-            dv = joinable.join(
-                delta_gated.select("doc_id"), "doc_id", "left_semi"
-            )
-            sem_scored = (
-                dv.alias("a")
-                .join(
-                    joinable.alias("b"),
-                    (F.col("a.list_id") == F.col("b.list_id"))
-                    & (F.col("a.doc_id") != F.col("b.doc_id")),
+                rows2 = gated_rows.join(
+                    _vec_cols(gated_rows.select("doc_id", "text")), "doc_id"
                 )
-                .select(
-                    F.least("a.doc_id", "b.doc_id").alias("vec_a"),
-                    F.greatest("a.doc_id", "b.doc_id").alias("vec_b"),
-                    F.when(
-                        F.col("a.doc_id") < F.col("b.doc_id"),
-                        F.col("a.tmd5"),
-                    )
-                    .otherwise(F.col("b.tmd5"))
-                    .alias("tmd5_a"),
-                    F.when(
-                        F.col("a.doc_id") < F.col("b.doc_id"),
-                        F.col("b.tmd5"),
-                    )
-                    .otherwise(F.col("a.tmd5"))
-                    .alias("tmd5_b"),
-                    F.expr(
-                        _cos_safe_expr("a.embedding", "b.embedding")
-                    ).alias("cos"),
-                )
-                .where(F.col("cos") >= sem_threshold)
-                .distinct()
-                .withColumn("fz_cycle", F.lit(cycle).cast("long"))
-                .localCheckpoint(eager=False)
-            )
-            if sem_scored.count():
                 upsert_batch(
                     spark,
-                    paths["sem"],
-                    sem_scored,
-                    ["vec_a", "vec_b"],
-                    ["fz_cycle"],
+                    paths["cur"],
+                    rows2.withColumn("fz_cycle", F.lit(cycle).cast("long"))
+                    .withColumn("fz_seq", F.lit(1).cast("long"))
+                    .select(*_cur_cols),
+                    ["doc_id"],
+                    ["fz_cycle", "fz_seq"],
                     n_buckets=n_buckets,
-                    bucket_cols=["vec_a"],
                 )
+            _mark("vec_backfill")
+            _sem_branch()
+            _mark("sem_branch_wall")
 
-        _mark("sem_delta_pairs")
         # ---- commit the cycle ----------------------------------------
         mtmp = paths["meta"] + f".tmp-{os.getpid()}"
         with open(mtmp, "w") as fh:
@@ -1891,18 +1997,125 @@ def stream_corpus_prep_frozen_stages(
     stages["sem_deduped"] = sem_deduped.select(
         "doc_id", "target_uri", "text"
     )
-    chunks = pack_into_chunks(
-        spark,
-        "",
-        budget=chunk_budget,
-        docs=sem_deduped.select("doc_id", "n_tokens"),
-        n_tokens_col="n_tokens",
+    # ---- incremental pack (append-stable chunk identities) -----------
+    # Batch packing re-flows every chunk whenever membership changes —
+    # O(corpus) serving per cycle, and chunk ids a resumed training
+    # loader cannot trust.  The frozen funnel keeps a pack STATE table
+    # (doc_id -> part/chunk/n_tokens) instead: a survivor keeps its
+    # assignment for as long as it survives with that text
+    # (append-stable), a lapsed doc tombstones out (its chunk id is
+    # never reused), and new survivors pack into FRESH chunks per part
+    # starting one past the part's historical max.  The freeze cycle
+    # seeds the table with pack_into_chunks over the full survivor set
+    # — bit-identical to the batch funnel, so freeze-equals-batch holds
+    # through (part, chunk); later cycles trade batch-identical
+    # chunking for O(delta) pack maintenance, the same
+    # exactness-for-incrementality trade the whole frozen mode makes.
+    surv_meta = sem_deduped.select("doc_id", "n_tokens")
+    pack_tbl = paths["pack"]
+    news_asg = None
+    if not os.path.exists(pack_tbl):
+        seeded = pack_into_chunks(
+            spark,
+            "",
+            budget=chunk_budget,
+            docs=surv_meta,
+            n_tokens_col="n_tokens",
+        ).withColumn("fz_cycle", F.lit(cycle).cast("long"))
+        upsert_batch(
+            spark, pack_tbl, seeded, ["doc_id"], ["fz_cycle"],
+            n_buckets=n_buckets,
+        )
+    else:
+        prev = read_state_table(spark, pack_tbl).select(
+            "doc_id", "n_tokens", "part", "chunk"
+        )
+        # lapsed = no longer surviving, or surviving with a different
+        # token count (superseding text) — the latter re-enter as news
+        stale = prev.join(surv_meta, ["doc_id", "n_tokens"], "left_anti")
+        news = surv_meta.join(prev, ["doc_id", "n_tokens"], "left_anti")
+        bases = prev.groupBy("part").agg(
+            (F.max("chunk") + F.lit(1)).alias("_base")
+        )
+        part_expr = (
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 1), "
+            "16, 10) AS BIGINT)"
+        )
+        wpk = (
+            Window.partitionBy("part")
+            .orderBy("_ord")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        assigned = (
+            news.withColumn("part", F.expr(part_expr))
+            .withColumn("_ord", F.md5(F.col("doc_id").cast("string")))
+            .join(F.broadcast(bases), "part", "left")
+            .withColumn("running", F.sum("n_tokens").over(wpk))
+            .select(
+                "doc_id",
+                "n_tokens",
+                "part",
+                (
+                    F.coalesce(F.col("_base"), F.lit(0))
+                    + F.expr(
+                        f"CAST((running - n_tokens) / {chunk_budget} "
+                        "AS BIGINT)"
+                    )
+                ).alias("chunk"),
+            )
+        )
+        # a re-packed doc is simply overwritten by its new row;
+        # tombstones are only for docs leaving the pack entirely
+        gone = stale.join(news.select("doc_id"), "doc_id", "left_anti")
+        pk_ups = (
+            assigned.withColumn("_deleted", F.lit(False))
+            .unionByName(gone.withColumn("_deleted", F.lit(True)))
+            .withColumn("fz_cycle", F.lit(cycle).cast("long"))
+            .localCheckpoint(eager=False)
+        )
+        # no separate emptiness count: the upsert's own touched-bucket
+        # probe materializes the checkpointed batch and early-returns
+        # when it is empty
+        upsert_batch(
+            spark, pack_tbl, pk_ups, ["doc_id"], ["fz_cycle"],
+            n_buckets=n_buckets,
+        )
+        news_asg = pk_ups.where(~F.col("_deleted")).select(
+            "doc_id", "n_tokens", "part", "chunk"
+        )
+    pack_cur = read_state_table(spark, pack_tbl).select(
+        "doc_id", "n_tokens", "part", "chunk"
     )
-    stages["packed"] = sem_deduped.select("doc_id", "target_uri", "text").join(
-        chunks.select("doc_id", "n_tokens", "part", "chunk"), "doc_id"
-    )
+    stages["packed"] = sem_deduped.select(
+        "doc_id", "target_uri", "text"
+    ).join(pack_cur, "doc_id")
+    # the per-cycle EMISSION an incremental pipeline hands its consumer:
+    # this cycle's newly packed docs (their chunks are whole — chunks
+    # never span cycles).  On the seed cycle everything is new.  Built
+    # DELTA-FIRST, not by filtering the corpus-width packed relation:
+    # texts come from the checkpointed delta rebuild (bucket-pruned cur
+    # reads only for re-entrant survivors that were never re-curated),
+    # uris from the checkpointed capped metadata, assignments from the
+    # checkpointed pack batch — materializing the emission costs
+    # O(delta), never a corpus-width window or text scan.
+    if news_asg is None:
+        stages["packed_delta"] = stages["packed"]
+    else:
+        stages["packed_delta"] = (
+            _texts_for(news_asg.select("doc_id"))
+            .select("doc_id", "text")
+            .join(capped.select("doc_id", "target_uri"), "doc_id")
+            .join(news_asg, "doc_id")
+            .select(
+                "doc_id", "target_uri", "text", "n_tokens", "part", "chunk"
+            )
+        )
     stages["fz_delta"] = delta.select("doc_id")
-    stages["nd_band_misses"] = miss_meta.select("doc_id")
+    # diagnostic: the versions whose bands were (re)derived this cycle
+    # — a delta doc's cleaned text is new by construction, so this IS
+    # the former miss set without the store probe it used to cost; an
+    # idle cycle reports it empty
+    stages["nd_band_misses"] = delta_gated.select("doc_id")
     _mark("serve_build")
     return stages
 

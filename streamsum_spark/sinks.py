@@ -317,6 +317,34 @@ def _sidecar_schema(target_path: str, with_kb: bool | None = None):
     return schema
 
 
+def _list_data_files(target_path: str) -> list[str]:
+    """The table's CURRENT committed data files, pinned into the read
+    plan — snapshot semantics, the from-scratch equivalent of reading a
+    table format's manifest.  Part-file names carry a uuid, so any
+    merge/swap yields a DIFFERENT list: a plan (or a CacheManager entry
+    derived from one) built before a swap can never be mistaken for a
+    post-swap read, killing the stale-cache hazard by construction —
+    while an UNCHANGED table still produces the identical plan and keeps
+    its legitimate cache hits.  Flat layouts list part files at the
+    root; bucketed/salted layouts list inside the kb= directories."""
+    out: list[str] = []
+    try:
+        entries = sorted(os.listdir(target_path))
+    except FileNotFoundError:
+        return out
+    for d in entries:
+        p = os.path.join(target_path, d)
+        if d.startswith("kb=") and os.path.isdir(p):
+            out.extend(
+                os.path.join(p, f)
+                for f in sorted(os.listdir(p))
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            )
+        elif d.endswith(".parquet") and not d.startswith((".", "_")):
+            out.append(p)
+    return out
+
+
 def _merge_salt_partials(df: DataFrame, meta: dict) -> DataFrame:
     """Collapse a salted additive table's per-salt PARTIAL rows back to
     the logical one-row-per-key table, using the combine recorded at
@@ -348,7 +376,18 @@ def read_state_table(spark: SparkSession, target_path: str) -> DataFrame:
             with_kb=True if _read_meta(target_path) else None,
         )
         reader = spark.read.schema(schema) if schema is not None else spark.read
-        df = reader.parquet(target_path)
+        files = _list_data_files(target_path)
+        if files:
+            # snapshot read: the current file set IS the plan identity
+            # (see _list_data_files) — basePath keeps kb partition
+            # discovery working over explicitly-listed leaf files
+            df = reader.option("basePath", target_path).parquet(*files)
+        elif schema is not None:
+            # no data files but a sidecar: a genuinely emptied table
+            # reads as a typed empty relation without touching Spark IO
+            df = spark.createDataFrame([], schema)
+        else:
+            df = reader.parquet(target_path)
     except Exception:
         # the typed-empty fallback is ONLY for a genuinely emptied table
         # (every key tombstoned: no data files at all, just the sidecar).
@@ -550,17 +589,21 @@ def _read_touched(
                 f"{bdir} has a crashed swap (aside dir present); run "
                 "recover_state_table or the next merge before reading"
             )
-    dirs = [
-        d
+    files = [
+        os.path.join(d, f)
         for d in (os.path.join(target_path, f"kb={b}") for b in buckets)
         if os.path.exists(d)
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
     ]
-    if not dirs:
+    if not files:
         return None
+    # snapshot read (see _list_data_files): the touched buckets' current
+    # files pin the plan identity
     reader = spark.read.option("basePath", target_path)
     if stored_schema is not None:
         reader = reader.schema(stored_schema)
-    stored = reader.parquet(*dirs)
+    stored = reader.parquet(*files)
     return stored.drop("kb"), keys_df
 
 
@@ -635,9 +678,13 @@ def upsert_batch(
     _recover(target_path)
     if os.path.exists(target_path):
         fschema = _sidecar_schema(target_path)
-        existing = (
+        freader = (
             spark.read.schema(fschema) if fschema is not None else spark.read
-        ).parquet(target_path)
+        )
+        ffiles = _list_data_files(target_path)
+        existing = (
+            freader.parquet(*ffiles) if ffiles else freader.parquet(target_path)
+        )
         _check_state_columns(existing.columns, updates.columns, target_path)
         existing, has_del = _align_tombstones(existing, updates)
         merged = existing.unionByName(updates)
@@ -648,7 +695,6 @@ def upsert_batch(
     deduped.write.mode("overwrite").parquet(tmp)
     _atomic_swap(target_path, tmp)
     _write_schema_sidecar(target_path, deduped.schema.json())
-    _refresh_read_caches(target_path)
 
 
 def _newest_wins(
@@ -710,17 +756,20 @@ def _merge_buckets(
                 ).columns
         if tbl_cols is not None:
             _check_state_columns(tbl_cols, upd.columns, target_path)
-    existing_dirs = [
-        d
+    existing_files = [
+        os.path.join(d, f)
         for d in (os.path.join(target_path, f"kb={b}") for b in touched)
         if os.path.exists(d)
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
     ]
-    if existing_dirs:
+    if existing_files:
+        # snapshot read (see _list_data_files)
         reader = spark.read.option("basePath", target_path)
         sschema = _sidecar_schema(target_path, with_kb=True)
         if sschema is not None:
             reader = reader.schema(sschema)
-        existing = reader.parquet(*existing_dirs)
+        existing = reader.parquet(*existing_files)
         existing, has_del = _align_tombstones(existing, upd)
         merged = existing.unionByName(upd)
     else:
@@ -754,25 +803,6 @@ def _merge_buckets(
                 json.dump(manifests[b], fh)
         _atomic_swap(os.path.join(target_path, f"kb={b}"), src)
     shutil.rmtree(tmp, ignore_errors=True)
-    _refresh_read_caches(target_path)
-
-
-def _refresh_read_caches(target_path: str) -> None:
-    """Writers invalidate Spark-side read caches for the table they just
-    swapped.  Spark's CacheManager matches plan fragments by path +
-    schema — the file LISTING is not part of plan identity — so a
-    persisted relation over this path (or anything derived from one)
-    would keep serving pre-swap rows to every later read in the same
-    session.  With the schema sidecar making repeated reads
-    byte-identical plans, that hazard is no longer dodged by inference
-    jitter; the write path owns the invalidation, as a transactional
-    table format would.  Metadata-only: invalidated entries rebuild
-    lazily on their next access."""
-    from pyspark.sql import SparkSession
-
-    spark = SparkSession.getActiveSession()
-    if spark is not None:
-        spark.catalog.refreshByPath(target_path)
 
 
 def _atomic_swap(target_path: str, tmp: str) -> None:
@@ -939,7 +969,6 @@ def rebucket_state_table(
                 with open(os.path.join(tmp, d, "_applied_epochs.json"), "w") as fh:
                     json.dump(markers, fh)
     _atomic_swap(target_path, tmp)
-    _refresh_read_caches(target_path)
 
 
 def compact_parquet(
@@ -1001,7 +1030,6 @@ def compact_parquet(
                 os.makedirs(os.path.join(tmp, d), exist_ok=True)
                 shutil.copy(mpath, os.path.join(tmp, d, "_applied_epochs.json"))
     _atomic_swap(target_path, tmp)
-    _refresh_read_caches(target_path)
 
 
 def accumulate_batch(
@@ -1167,7 +1195,6 @@ def accumulate_batch(
             new_applied = applied + ([marker] if marker is not None else [])
             json.dump(new_applied[-_MANIFEST_CAP:], fh)
     _atomic_swap(target_path, tmp)
-    _refresh_read_caches(target_path)
 
 
 def stream_accumulate_counts(

@@ -196,28 +196,64 @@ def test_frozen_incremental_cycles_equal_batch_and_stay_delta(
     assert n1 > 0
     assert st1["fz_delta"].count() == st1["domain_capped"].count()
 
-    # cycle 2: shard 1 arrives; the dispatcher form runs ingest+finalize
-    out2 = stream_corpus_prep(
-        spark, str(d), state_base=base, mode="frozen",
-        cache_token="fz_c2", **KW,
+    got1 = _packed_set(st1["packed"])
+
+    # cycle 2: shard 1 arrives
+    stream_corpus_prep_ingest(spark, str(d), state_base=base)
+    st2c = stream_corpus_prep_stages(
+        spark, base, mode="frozen", cache_token="fz_c2", **KW
     )
+    out2 = st2c["packed"]
     got2 = _packed_set(out2)
+    delta2 = _packed_set(st2c["packed_delta"])
     batch = _packed_set(
         corpus_prep_e2e(spark, str(d), cache_token="fz_b", **KW)
     )
-    assert got2 == batch
+    # SURVIVOR contract: equal to the batch funnel through (doc_id,
+    # target_uri, text, n_tokens, part) — part is a pure hash of
+    # doc_id, so it matches batch; CHUNK is the one coordinate the
+    # frozen mode trades: append-stable ids instead of batch re-flow
+    def _no_chunk(rows):
+        return {(d_, u, t, n, p) for (d_, u, t, n, p, _c) in rows}
 
-    # delta accounting: cycle 2 re-curated the new shard's capped docs
-    # plus every shard-0 banner holder the steal doc displaced — but
-    # NOT the whole corpus
+    assert _no_chunk(got2) == _no_chunk(batch)
+
+    # append stability: a doc surviving cycle 1 -> 2 with unchanged
+    # text keeps its exact (part, chunk); everything else is emitted in
+    # packed_delta, whose union with the stable rows IS cycle 2
+    key1 = {(d_, n): (p, c) for (d_, _u, _t, n, p, c) in got1}
+    stable = {r for r in got2 if key1.get((r[0], r[3])) == (r[4], r[5])}
+    assert stable == {
+        r for r in got2 if (r[0], r[3]) in key1
+    }  # no survivor was silently re-chunked
+    assert delta2 == got2 - stable
+    assert delta2  # the new shard genuinely emitted new chunks
+
+    # greedy budget invariant on every chunk (batch rule, applied
+    # per cycle): cumulative tokens before each chunk's last doc (in
+    # md5(doc_id) order) stay under the budget
+    import hashlib
+    from collections import defaultdict
+
+    by_chunk = defaultdict(list)
+    for (d_, _u, _t, n, p, c) in got2:
+        by_chunk[(p, c)].append(
+            (hashlib.md5(str(d_).encode()).hexdigest(), n)
+        )
+    budget = 2048  # KW default chunk_budget
+    for members in by_chunk.values():
+        members.sort()
+        assert sum(n for _h, n in members[:-1]) < budget
+
+    # cycle 3 — no new data: nothing re-curates, nothing re-bands, no
+    # pack churn, and the served corpus is IDENTICAL including chunk ids
     st2 = stream_corpus_prep_stages(
         spark, base, mode="frozen", cache_token="fz_c2b", **KW
     )
-    # (st2 is cycle 3 — no new data: nothing re-curates, nothing
-    # re-bands, and the served corpus is identical)
     assert st2["fz_delta"].count() == 0
     assert st2["nd_band_misses"].count() == 0
-    assert _packed_set(st2["packed"]) == batch
+    assert st2["packed_delta"].count() == 0
+    assert _packed_set(st2["packed"]) == got2
 
     # the banner-steal actually happened: the smallest-id doc holds the
     # banner, shard-0 good docs lost it (their packed text has no banner)

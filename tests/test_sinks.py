@@ -893,13 +893,15 @@ def test_salted_accumulate_spreads_hot_key_and_preserves_semantics(spark, tmp_pa
 def test_upsert_invalidates_persisted_reader_caches(spark, tmp_path):
     """A persisted relation over a state table must not serve pre-merge
     rows after a later upsert in the same session.  Spark's CacheManager
-    matches plan fragments by path + schema (the file listing is not
-    part of plan identity), and the schema sidecar makes repeated
-    read_state_table plans byte-identical — so the WRITE path owns the
-    invalidation (refreshByPath after every swap), like a transactional
-    format's commit would.  Covers flat and bucketed layouts plus a
-    derived (aggregated) cached plan, the shape cycle-over-cycle
-    incremental pipelines actually persist."""
+    matches plan fragments structurally, and directory-path reads with a
+    sidecar schema make repeated read_state_table plans byte-identical —
+    a post-merge read would silently hit the pre-merge cache entry.  The
+    reads therefore pin the CURRENT file list into the plan (snapshot
+    semantics, _list_data_files): uuid part names make every swap a
+    different plan, so stale entries can never match, while an unchanged
+    table keeps its legitimate cache hits.  Covers flat and bucketed
+    layouts plus a derived (aggregated) cached plan, the shape
+    cycle-over-cycle incremental pipelines actually persist."""
     for label, kw in (("flat", {}), ("bucketed", {"n_buckets": 8})):
         t = str(tmp_path / f"t_{label}")
         up1 = spark.createDataFrame(
