@@ -697,6 +697,84 @@ def upsert_batch(
     _write_schema_sidecar(target_path, deduped.schema.json())
 
 
+def append_batch(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    epoch_id: int,
+    n_buckets: int,
+    bucket_cols: list[str] | None = None,
+) -> None:
+    """Append-only bucketed write for ADD-ONLY keyed relations — the
+    write path for state whose keys are written at most once for the
+    table's lifetime (an LSH signature store, a shingle store, a
+    verified-pair store under the immutable-document ingest model).
+
+    upsert_batch pays O(touched-bucket ROWS) per merge: it reads every
+    touched bucket, re-reduces, and rewrites it — right for mutable
+    keys, pure write amplification for add-only ones (a batch that
+    touches every bucket rewrites the entire accumulated store).  This
+    path writes each bucket's NEW rows as one additional file named by
+    the epoch (``ep-{epoch}.parquet``) and never reads or rewrites
+    existing data: per-batch cost is O(|batch|) regardless of how much
+    state has accumulated.  The read side is unchanged —
+    read_state_table / read_touched_buckets / lookup_state_keys list
+    every data file in a bucket, so multi-file buckets serve
+    identically (and file lists are pinned into plans, so appends
+    invalidate stale cached plans by construction).
+
+    Exactly-once: the epoch-named file makes a replayed micro-batch
+    (same epoch, deterministically identical rows under the file-source
+    checkpoint contract) OVERWRITE its own files via atomic
+    ``os.replace`` instead of duplicating rows.  The caller owns the
+    add-only contract: appending an existing key creates a duplicate
+    row (this function cannot see stored keys by design); use
+    upsert_batch for keys that can be re-written.
+
+    Layout, meta, and schema sidecar match upsert_batch's bucketed
+    form, so the two paths interoperate on one table (e.g. periodic
+    compaction via compact_parquet or a corrective upsert)."""
+    _recover(target_path)
+    _assert_bucketed_layout(target_path)
+    if os.path.isdir(target_path):
+        _recover_buckets(target_path)
+    _check_bucket_meta(
+        spark, target_path, n_buckets, key_cols, bucket_cols,
+        columns=list(updates.columns),
+    )
+    upd = _with_kb(updates, _resolve_bucket_cols(key_cols, bucket_cols), n_buckets)
+    tmp = target_path + f".tmp-{uuid.uuid4().hex[:8]}"
+    # one job: route to buckets and write one file per touched bucket,
+    # key-sorted so parquet min/max stats serve point lookups like the
+    # merged files do
+    (
+        upd.repartition("kb")
+        .sortWithinPartitions("kb", *key_cols)
+        .write.mode("overwrite")
+        .partitionBy("kb")
+        .parquet(tmp)
+    )
+    _write_schema_sidecar(target_path, upd.schema.json())
+    import glob as g
+
+    for srcdir in sorted(g.glob(os.path.join(tmp, "kb=*"))):
+        bucket = os.path.basename(srcdir)
+        bdir = os.path.join(target_path, bucket)
+        os.makedirs(bdir, exist_ok=True)
+        parts = sorted(
+            f for f in os.listdir(srcdir)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+        for i, f in enumerate(parts):
+            suffix = f"-{i}" if i else ""
+            os.replace(
+                os.path.join(srcdir, f),
+                os.path.join(bdir, f"ep-{epoch_id}{suffix}.parquet"),
+            )
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _newest_wins(
     merged: DataFrame, key_cols: list[str], order_col: str | list[str]
 ) -> DataFrame:

@@ -1387,7 +1387,7 @@ def stream_near_dup_pairs(
         def _touched(p, keys_df):
             return snapshots.read_touched_snapshot_buckets(spark, p, keys_df)
 
-        def _upsert(p, df, key_cols, order_col, bucket_cols=None):
+        def _upsert(p, df, key_cols, order_col, bucket_cols=None, epoch_id=0):
             snapshots.snapshot_upsert(
                 spark, p, df, key_cols, order_col,
                 n_buckets=n_buckets, bucket_cols=bucket_cols,
@@ -1397,16 +1397,26 @@ def stream_near_dup_pairs(
             return snapshots.read_snapshot(spark, p)
 
     elif state_layer == "swap":
-        from streamsum_spark.sinks import read_touched_buckets, upsert_batch
+        from streamsum_spark.sinks import append_batch, read_touched_buckets
 
         _exists = os.path.exists
 
         def _touched(p, keys_df):
             return read_touched_buckets(spark, p, keys_df)
 
-        def _upsert(p, df, key_cols, order_col, bucket_cols=None):
-            upsert_batch(
-                spark, p, df, key_cols, order_col,
+        def _upsert(p, df, key_cols, order_col, bucket_cols=None, epoch_id=0):
+            # all three stores are ADD-ONLY under the immutable-document
+            # ingest model (a doc's signature/shingle rows are written in
+            # its own batch exactly once; a pair needs a NEW endpoint, so
+            # it can only be discovered in one batch): append the batch's
+            # rows as epoch-named files instead of read-merge-rewriting
+            # the accumulated buckets — per-batch write cost becomes
+            # O(|batch|) instead of O(touched-bucket rows), which at
+            # steady state is the difference between appending a shard
+            # and rewriting the store.  Epoch-named files keep replayed
+            # micro-batches idempotent (same rows, same file names).
+            append_batch(
+                spark, p, df, key_cols, epoch_id=epoch_id,
                 n_buckets=n_buckets, bucket_cols=bucket_cols,
             )
 
@@ -1422,12 +1432,38 @@ def stream_near_dup_pairs(
     sig_tbl, sh_tbl, pair_tbl = base + "_sig", base + "_sh", base + "_pairs"
 
     def on_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # within-batch duplicate deliveries collapse here (the append
+        # write path is add-only, so the dedup the keyed upsert used to
+        # provide moves to the batch side, where it is batch-sized)
         b_sh = (
             batch_df.withColumn("_toks", F.expr(_TOKS))
             .select("doc_id", F.expr(f"array_distinct({_SHINGLES_T})").alias("sh"))
+            .dropDuplicates(["doc_id"])
             .localCheckpoint()
         )
         b_sig = _signatures_from(b_sh).localCheckpoint()
+        if _exists(sig_tbl):
+            # pruned read: only the signature buckets this batch's
+            # (band, mh) pairs hash into — not the whole store
+            old_sig = _touched(sig_tbl, b_sig.select("band", "mh"))
+            # a doc redelivered in a LATER micro-batch meets its own
+            # stored signature rows on (band, mh, doc_id): its rows are
+            # already in every store and its pairs were found in its
+            # first batch, so drop it from the batch outright — the
+            # add-only append stays exactly-once per doc and no stored
+            # pair is re-derived.  The probe rides the same pruned
+            # bucket files the candidate join reads.
+            seen = (
+                b_sig.join(old_sig, ["band", "mh", "doc_id"], "left_semi")
+                .select("doc_id")
+                .distinct()
+                .localCheckpoint()
+            )
+            # lazy anti-joins against the tiny checkpointed seen-set:
+            # they ride each consumer's job (b_sig/b_sh themselves stay
+            # checkpointed, so nothing upstream recomputes)
+            b_sig = b_sig.join(seen, "doc_id", "left_anti")
+            b_sh = b_sh.join(seen, "doc_id", "left_anti")
         new_new = (
             b_sig.alias("a")
             .join(b_sig.alias("b"), ["band", "mh"])
@@ -1436,9 +1472,6 @@ def stream_near_dup_pairs(
         )
         cands = new_new
         if _exists(sig_tbl):
-            # pruned read: only the signature buckets this batch's
-            # (band, mh) pairs hash into — not the whole store
-            old_sig = _touched(sig_tbl, b_sig.select("band", "mh"))
             new_old = (
                 b_sig.alias("a")
                 .join(old_sig.alias("b"), ["band", "mh"])
@@ -1446,9 +1479,9 @@ def stream_near_dup_pairs(
                     F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
                     F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
                 )
-                # a doc redelivered in a later micro-batch meets its own
-                # stored signature here; the batch pipeline never emits
-                # (d, d) self-pairs
+                # self-collisions of a just-dropped redelivered doc are
+                # gone with the doc; keep the guard for the degenerate
+                # same-id case all the same
                 .where(F.col("doc_a") != F.col("doc_b"))
             )
             cands = cands.unionByName(new_old)
@@ -1481,12 +1514,18 @@ def stream_near_dup_pairs(
             )
             .where(F.col("jaccard") >= threshold)
         )
-        _upsert(pair_tbl, verified, ["doc_a", "doc_b"], "jaccard")
+        _upsert(
+            pair_tbl, verified, ["doc_a", "doc_b"], "jaccard",
+            epoch_id=epoch_id,
+        )
         _upsert(
             sig_tbl, b_sig, ["band", "mh", "doc_id"], "doc_id",
-            bucket_cols=["band", "mh"],
+            bucket_cols=["band", "mh"], epoch_id=epoch_id,
         )
-        _upsert(sh_tbl, b_sh.select("doc_id", "sh"), ["doc_id"], "doc_id")
+        _upsert(
+            sh_tbl, b_sh.select("doc_id", "sh"), ["doc_id"], "doc_id",
+            epoch_id=epoch_id,
+        )
 
     docs = stream_documents(spark, sf_dir, glob, max_files_per_trigger)
     ckpt = checkpoint or os.path.join(
