@@ -14,6 +14,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench  # noqa: E402
 from streamsum_spark.session import get_spark  # noqa: E402
 from streamsum_spark.corpus_prep import (  # noqa: E402
+    LAST_FROZEN_PHASE_JOBS,
     LAST_FROZEN_PHASE_SECONDS,
     stream_corpus_prep_ingest,
     stream_corpus_prep_stages,
@@ -53,6 +54,7 @@ def main():
                     "finalize": round(t2 - t1, 3),
                     "materialize": round(t3 - t2, 3),
                     "phases": dict(LAST_FROZEN_PHASE_SECONDS),
+                    "jobs": dict(LAST_FROZEN_PHASE_JOBS),
                 }
             ),
             flush=True,

@@ -392,7 +392,11 @@ def stream_corpus_prep_ingest(
     import uuid
 
     from streamsum_spark.operators.crawl import with_url_parts
-    from streamsum_spark.sinks import upsert_batch
+    from streamsum_spark.sinks import (
+        append_batch,
+        mark_epoch_complete,
+        read_touched_buckets,
+    )
     from streamsum_spark.sources.warc import stream_warc_text
     from streamsum_spark.streaming.pipeline import _url_dedup_batch
 
@@ -413,25 +417,43 @@ def stream_corpus_prep_ingest(
             # same (uri, file, ordinal) repeated in one batch = a
             # redelivered record, not a new document
             .dropDuplicates(["doc_id"])
-            # eager: the parse runs exactly once, then the three
-            # independent store-maintenance branches fan out in parallel
+            # eager: the parse runs exactly once, then the store-
+            # maintenance branches fan out in parallel
             .localCheckpoint()
         )
-
-        def _docs() -> None:
-            upsert_batch(
-                spark,
-                docs_tbl,
-                rows.select("doc_id", "target_uri", "host", "text"),
-                ["doc_id"],
-                "doc_id",
-                n_buckets=n_buckets,
+        # a (file, ordinal) document is IMMUTABLE, so the docs and occ
+        # stores are add-only: append epoch-named files instead of
+        # read-merge-rewriting every touched bucket (which at steady
+        # state rewrites ~the whole accumulated store per shard).  A
+        # doc already stored — a redelivered epoch under a fresh
+        # checkpoint — is dropped from the batch by a doc_id-only
+        # probe (column-pruned: the scan reads one long column), so
+        # the appends stay exactly-once per doc.  The probe hides the
+        # CURRENT epoch's own uncommitted files (mark_epoch_complete
+        # protocol on the docs store, written LAST): a crash at any
+        # point replays against the deterministic pre-epoch state and
+        # overwrites its own epoch files.
+        if os.path.exists(docs_tbl):
+            seen = (
+                rows.select("doc_id")
+                .join(
+                    read_touched_buckets(
+                        spark, docs_tbl, rows.select("doc_id"),
+                        exclude_epoch=epoch_id,
+                    ).select("doc_id"),
+                    "doc_id",
+                    "left_semi",
+                )
+                .localCheckpoint()
             )
+            new_rows = rows.join(seen, "doc_id", "left_anti")
+        else:
+            new_rows = rows
 
         def _urls() -> None:
             _url_dedup_batch(
                 spark,
-                rows.select(
+                new_rows.select(
                     "doc_id",
                     F.md5(
                         F.coalesce(
@@ -454,7 +476,7 @@ def stream_corpus_prep_ingest(
             # Blank paragraphs are structure — exempt from dedup,
             # never stored.
             occ = (
-                rows.select(
+                new_rows.select(
                     "doc_id",
                     F.posexplode(F.split(F.col("text"), "\n")).alias(
                         "idx", "para"
@@ -467,19 +489,29 @@ def stream_corpus_prep_ingest(
                     F.col("idx").cast("long").alias("idx"),
                 )
             )
-            upsert_batch(
+            append_batch(
                 spark,
                 occ_tbl,
                 occ,
                 ["g", "doc_id", "idx"],
-                "idx",
+                epoch_id=epoch_id,
                 n_buckets=n_buckets,
                 bucket_cols=["g"],
             )
 
-        # the three stores are disjoint relations of one checkpointed
-        # batch — their maintenance overlaps on the cluster
-        _parallel_jobs(_docs, _urls, _occ)
+        # disjoint relations of one checkpointed batch overlap on the
+        # cluster; the docs append — the probe store — commits last,
+        # then its epoch marker
+        _parallel_jobs(_urls, _occ)
+        append_batch(
+            spark,
+            docs_tbl,
+            new_rows.select("doc_id", "target_uri", "host", "text"),
+            ["doc_id"],
+            epoch_id=epoch_id,
+            n_buckets=n_buckets,
+        )
+        mark_epoch_complete(docs_tbl, epoch_id)
 
     pages = stream_warc_text(spark, warc_dir, glob, max_files_per_trigger)
     ckpt = checkpoint or base + "_ckpt"
@@ -1624,26 +1656,31 @@ def stream_corpus_prep_frozen_stages(
             # read-your-writes view: pre-swap store snapshot + this
             # cycle's fresh bands (duplicate rows from a replayed
             # version are harmless — candidates are distinct'd).
-            # Persisted: both aliased sides of the candidate join and
-            # the delta-side semi consume it, and Catalyst does not
-            # reuse exchanges across aliased subtrees
-            served_bands = shared_persist(
-                ("fz_bands", cache_token),
+            # Consumed ONCE, as the candidate join's right side, so it
+            # stays a lazy union — no persist, no second store scan:
+            # the delta side below rides the already-checkpointed
+            # new_bands instead of re-probing the store
+            all_bands = (
                 store_pre
                 if new_bands is None
                 else store_pre.unionByName(
                     new_bands.where(F.col("band_id") >= 0).select(
                         "doc_id", "tmd5", "band_id", "bkey"
                     )
-                ),
+                )
             ).select("doc_id", "band_id", "bkey")
             _stamp("band_upkeep", t0)
             t0 = _time.perf_counter()
             # ---- near-dup DELTA pairs -------------------------------
             pair_rows = None
             if n_delta_gated:
-                db = served_bands.join(
-                    delta_gated.select("doc_id"), "doc_id", "left_semi"
+                # a delta doc's bands are exactly this cycle's fresh
+                # derivation (its cleaned text is new by construction),
+                # so the delta side needs no store read at all
+                db = (
+                    new_bands.where(F.col("band_id") >= 0)
+                    .join(delta_gated.select("doc_id"), "doc_id", "left_semi")
+                    .select("doc_id", "band_id", "bkey")
                 )
                 # delta-side ⋈ ALL current bands (not a full
                 # self-join): symmetric normalization because the delta
@@ -1651,7 +1688,7 @@ def stream_corpus_prep_frozen_stages(
                 cand = (
                     db.alias("a")
                     .join(
-                        served_bands.alias("b"),
+                        all_bands.alias("b"),
                         (F.col("a.band_id") == F.col("b.band_id"))
                         & (F.col("a.bkey") == F.col("b.bkey"))
                         & (F.col("a.doc_id") != F.col("b.doc_id")),
@@ -1825,16 +1862,19 @@ def stream_corpus_prep_frozen_stages(
                     .withColumn("fz_cycle", F.lit(cycle).cast("long"))
                     .localCheckpoint(eager=False)
                 )
-                if sem_scored.count():
-                    upsert_batch(
-                        spark,
-                        paths["sem"],
-                        sem_scored,
-                        ["vec_a", "vec_b"],
-                        ["fz_cycle"],
-                        n_buckets=n_buckets,
-                        bucket_cols=["vec_a"],
-                    )
+                # no separate emptiness count: the upsert's own
+                # touched-bucket probe materializes the checkpointed
+                # batch and early-returns when it is empty — one exec
+                # per cycle instead of two
+                upsert_batch(
+                    spark,
+                    paths["sem"],
+                    sem_scored,
+                    ["vec_a", "vec_b"],
+                    ["fz_cycle"],
+                    n_buckets=n_buckets,
+                    bucket_cols=["vec_a"],
+                )
             _stamp("sem_delta_pairs", t0)
 
         if meta is not None:
@@ -1951,7 +1991,7 @@ def stream_corpus_prep_frozen_stages(
     nd_vec = (
         cur.where(F.col("list_id").isNotNull())
         .join(near_ids, "doc_id", "left_semi")
-        .select("doc_id", "list_id", "cent_cos")
+        .select("doc_id", "tmd5", "list_id", "cent_cos")
     )
     nd_sizes = nd_vec.groupBy("list_id").agg(F.count(F.lit(1)).alias("_n"))
     capped_lists = nd_sizes.where(F.col("_n") > max_list).select("list_id")
@@ -1966,19 +2006,20 @@ def stream_corpus_prep_frozen_stages(
             "vec_a long, vec_b long, tmd5_a string, tmd5_b string, "
             "cos double, fz_cycle long",
         )
-    ua = uncapped_vec.select(F.col("doc_id").alias("vec_a"))
-    ub = uncapped_vec.select(F.col("doc_id").alias("vec_b"))
-    ca = cur.select(
+    # one semi-join per endpoint: uncapped_vec carries tmd5 straight
+    # from cur, so "endpoint is an uncapped survivor" and "stored tmd5
+    # matches the current cleaned text" collapse into a single probe
+    # (uncapped ⊆ cur, tmd5 identical) — this chain is re-evaluated by
+    # every consumer of sem_drops, so each join removed pays repeatedly
+    ua = uncapped_vec.select(
         F.col("doc_id").alias("vec_a"), F.col("tmd5").alias("tmd5_a")
     )
-    cb = cur.select(
+    ub = uncapped_vec.select(
         F.col("doc_id").alias("vec_b"), F.col("tmd5").alias("tmd5_b")
     )
     served_sem = (
-        semp.join(ca, ["vec_a", "tmd5_a"], "left_semi")
-        .join(cb, ["vec_b", "tmd5_b"], "left_semi")
-        .join(ua, "vec_a", "left_semi")
-        .join(ub, "vec_b", "left_semi")
+        semp.join(ua, ["vec_a", "tmd5_a"], "left_semi")
+        .join(ub, ["vec_b", "tmd5_b"], "left_semi")
         .select("vec_a", "vec_b", "cos")
     )
     comp2 = connected_components(served_sem, "vec_a", "vec_b")

@@ -484,7 +484,10 @@ def lookup_state_keys(
 
 
 def read_touched_buckets(
-    spark: SparkSession, target_path: str, keys_df: DataFrame
+    spark: SparkSession,
+    target_path: str,
+    keys_df: DataFrame,
+    exclude_epoch: int | None = None,
 ) -> DataFrame:
     """Read ONLY the bucket directories that ``keys_df``'s rows hash into
     — the DISTRIBUTED sibling of lookup_state_keys for batch-sized key
@@ -499,8 +502,18 @@ def read_touched_buckets(
     O(touched buckets) instead of O(total accumulated state) — e.g. the
     streaming near-dup verifier fetching candidate docs' shingle rows,
     or the LSH join fetching only the signature buckets a batch's
-    (band, mh) pairs collide into."""
-    got = _read_touched(spark, target_path, keys_df, list(keys_df.columns))
+    (band, mh) pairs collide into.
+
+    ``exclude_epoch`` hides files an append_batch call wrote under that
+    epoch id UNLESS the epoch carries a completion marker
+    (mark_epoch_complete) — the read-your-PRE-epoch-writes view a
+    replayed micro-batch needs: a batch that probes a store it also
+    appends to must see the same state on replay as the crashed attempt
+    did, no matter which of the attempt's files landed."""
+    got = _read_touched(
+        spark, target_path, keys_df, list(keys_df.columns),
+        exclude_epoch=exclude_epoch,
+    )
     if got is None:
         return read_state_table(spark, target_path).limit(0)
     return got[0]
@@ -511,6 +524,7 @@ def _read_touched(
     target_path: str,
     keys_df: DataFrame,
     key_cols: list[str],
+    exclude_epoch: int | None = None,
 ) -> tuple[DataFrame, DataFrame] | None:
     """Shared pruned-read body: route ``keys_df`` to its buckets via the
     table's recorded bucket_cols, refuse crashed buckets, and return
@@ -589,12 +603,23 @@ def _read_touched(
                 f"{bdir} has a crashed swap (aside dir present); run "
                 "recover_state_table or the next merge before reading"
             )
+    drop_pfx: tuple[str, ...] | None = None
+    if exclude_epoch is not None and not epoch_is_complete(
+        target_path, exclude_epoch
+    ):
+        # an UNCOMMITTED epoch's files are a crashed attempt's partial
+        # writes: hide them so a replay probes the deterministic
+        # pre-epoch state (a marked-complete epoch is included — that
+        # replay's batch was fully applied and must read as seen)
+        drop_pfx = (f"ep-{exclude_epoch}.", f"ep-{exclude_epoch}-")
     files = [
         os.path.join(d, f)
         for d in (os.path.join(target_path, f"kb={b}") for b in buckets)
         if os.path.exists(d)
         for f in sorted(os.listdir(d))
-        if f.endswith(".parquet") and not f.startswith((".", "_"))
+        if f.endswith(".parquet")
+        and not f.startswith((".", "_"))
+        and not (drop_pfx is not None and f.startswith(drop_pfx))
     ]
     if not files:
         return None
@@ -773,6 +798,27 @@ def append_batch(
                 os.path.join(bdir, f"ep-{epoch_id}{suffix}.parquet"),
             )
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def mark_epoch_complete(target_path: str, epoch_id: int) -> None:
+    """Commit marker for a MULTI-STORE append transaction: a caller
+    appending one micro-batch to several stores writes this marker on
+    its probe store after the LAST append, making "did this epoch fully
+    apply" a single atomic fact.  read_touched_buckets(exclude_epoch=N)
+    hides ep-N files while the marker is absent — so a replayed batch
+    (crash at ANY point, including mid-append) probes the deterministic
+    pre-epoch state and recomputes/overwrites identically, while a
+    redelivered-but-completed epoch (fresh checkpoint over the same
+    files) reads its own writes and no-ops.  Idempotent."""
+    os.makedirs(target_path, exist_ok=True)
+    tmp = os.path.join(target_path, f"._ep-{epoch_id}.done.tmp-{os.getpid()}")
+    with open(tmp, "w") as fh:
+        fh.write("")
+    os.replace(tmp, os.path.join(target_path, f"_ep-{epoch_id}.done"))
+
+
+def epoch_is_complete(target_path: str, epoch_id: int) -> bool:
+    return os.path.exists(os.path.join(target_path, f"_ep-{epoch_id}.done"))
 
 
 def _newest_wins(

@@ -1384,8 +1384,13 @@ def stream_near_dup_pairs(
         def _exists(p):
             return snapshots._latest_version(p) is not None
 
-        def _touched(p, keys_df):
+        def _touched(p, keys_df, exclude_epoch=None):
+            # snapshot commits are atomic per store and the upserts are
+            # keyed merges, so replays repair without epoch exclusion
             return snapshots.read_touched_snapshot_buckets(spark, p, keys_df)
+
+        def _mark_epoch(p, epoch_id):
+            return None
 
         def _upsert(p, df, key_cols, order_col, bucket_cols=None, epoch_id=0):
             snapshots.snapshot_upsert(
@@ -1397,12 +1402,21 @@ def stream_near_dup_pairs(
             return snapshots.read_snapshot(spark, p)
 
     elif state_layer == "swap":
-        from streamsum_spark.sinks import append_batch, read_touched_buckets
+        from streamsum_spark.sinks import (
+            append_batch,
+            mark_epoch_complete,
+            read_touched_buckets,
+        )
 
         _exists = os.path.exists
 
-        def _touched(p, keys_df):
-            return read_touched_buckets(spark, p, keys_df)
+        def _touched(p, keys_df, exclude_epoch=None):
+            return read_touched_buckets(
+                spark, p, keys_df, exclude_epoch=exclude_epoch
+            )
+
+        def _mark_epoch(p, epoch_id):
+            mark_epoch_complete(p, epoch_id)
 
         def _upsert(p, df, key_cols, order_col, bucket_cols=None, epoch_id=0):
             # all three stores are ADD-ONLY under the immutable-document
@@ -1444,8 +1458,13 @@ def stream_near_dup_pairs(
         b_sig = _signatures_from(b_sh).localCheckpoint()
         if _exists(sig_tbl):
             # pruned read: only the signature buckets this batch's
-            # (band, mh) pairs hash into — not the whole store
-            old_sig = _touched(sig_tbl, b_sig.select("band", "mh"))
+            # (band, mh) pairs hash into — not the whole store.  The
+            # current epoch's own UNCOMMITTED files are hidden (swap
+            # layer) so a replayed batch probes the same pre-epoch
+            # state the crashed attempt saw — see mark_epoch_complete
+            old_sig = _touched(
+                sig_tbl, b_sig.select("band", "mh"), exclude_epoch=epoch_id
+            )
             # a doc redelivered in a LATER micro-batch meets its own
             # stored signature rows on (band, mh, doc_id): its rows are
             # already in every store and its pairs were found in its
@@ -1514,18 +1533,25 @@ def stream_near_dup_pairs(
             )
             .where(F.col("jaccard") >= threshold)
         )
+        # write order is a commit protocol: the SIG store — the one the
+        # seen-probe reads — goes LAST, then its epoch marker.  A crash
+        # at any earlier point leaves the marker absent, so the replay
+        # probes pre-epoch state, recomputes the identical batch, and
+        # overwrites every store's epoch files; once the marker lands,
+        # a redelivered epoch reads itself as seen and no-ops.
         _upsert(
             pair_tbl, verified, ["doc_a", "doc_b"], "jaccard",
+            epoch_id=epoch_id,
+        )
+        _upsert(
+            sh_tbl, b_sh.select("doc_id", "sh"), ["doc_id"], "doc_id",
             epoch_id=epoch_id,
         )
         _upsert(
             sig_tbl, b_sig, ["band", "mh", "doc_id"], "doc_id",
             bucket_cols=["band", "mh"], epoch_id=epoch_id,
         )
-        _upsert(
-            sh_tbl, b_sh.select("doc_id", "sh"), ["doc_id"], "doc_id",
-            epoch_id=epoch_id,
-        )
+        _mark_epoch(sig_tbl, epoch_id)
 
     docs = stream_documents(spark, sf_dir, glob, max_files_per_trigger)
     ckpt = checkpoint or os.path.join(

@@ -553,8 +553,8 @@ def test_stream_near_dup_state_reads_are_bucket_pruned(spark, tmp_path, monkeypa
     reads = []
     real = sk.read_touched_buckets
 
-    def spy(sp_, path, keys_df):
-        out = real(sp_, path, keys_df)
+    def spy(sp_, path, keys_df, **kw):
+        out = real(sp_, path, keys_df, **kw)
         kbs = {int(f.split("kb=")[1].split("/")[0]) for f in out.inputFiles()}
         if path.endswith("_sh"):
             routed = keys_df.select(
@@ -742,6 +742,74 @@ def test_stream_near_dup_restart_marginal_batch_equals_full(spark, tmp_path):
         ).collect()
     }
     assert full and marginal == full
+
+
+def test_stream_near_dup_crash_mid_batch_replay_is_exact(
+    spark, tmp_path, monkeypatch
+):
+    """Crash DURING a micro-batch's store appends — after the pair and
+    shingle appends, mid-way through the signature append (some epoch
+    files landed, some did not, no completion marker) — must repair on
+    restart: the replayed epoch hides its own uncommitted files from
+    the seen-probe (sinks.mark_epoch_complete protocol), so it probes
+    the deterministic pre-epoch state, recomputes the identical batch,
+    and overwrites its own epoch files.  Final pair set equals the
+    batch pipeline, with no duplicate rows."""
+    import glob as g
+    import os
+
+    import pytest
+
+    from streamsum_spark import sinks
+    from streamsum_spark.operators.dedup import near_dup_verified
+
+    src = _sliced_docs_src(spark, tmp_path)
+    state = str(tmp_path / "crash_state")
+    ckpt = str(tmp_path / "crash_ckpt")
+    real_append = sinks.append_batch
+    crashed = {}
+
+    def crashing_append(
+        spark_, target, updates, key_cols, epoch_id, n_buckets,
+        bucket_cols=None,
+    ):
+        real_append(
+            spark_, target, updates, key_cols, epoch_id, n_buckets,
+            bucket_cols=bucket_cols,
+        )
+        if target.endswith("_sig") and epoch_id == 1 and not crashed:
+            files = sorted(
+                g.glob(os.path.join(target, "kb=*", f"ep-{epoch_id}*.parquet"))
+            )
+            assert files
+            for f in files[::2]:  # half the epoch's files "didn't land"
+                os.remove(f)
+            crashed["at"] = epoch_id
+            raise RuntimeError("injected crash during sig append")
+
+    monkeypatch.setattr(sinks, "append_batch", crashing_append)
+    with pytest.raises(Exception, match="injected crash|Query.*terminated"):
+        sp.stream_near_dup_pairs(
+            spark, src, glob="documents_*.parquet", max_files_per_trigger=1,
+            state_base=state, checkpoint=ckpt,
+        )
+    assert crashed["at"] == 1
+    # the crashed epoch must NOT carry a completion marker
+    assert not sinks.epoch_is_complete(state + "_sig", 1)
+
+    rows = sp.stream_near_dup_pairs(  # resume: epoch 1 replays
+        spark, src, glob="documents_*.parquet", max_files_per_trigger=1,
+        state_base=state, checkpoint=ckpt,
+    ).collect()
+    got = [(r.doc_a, r.doc_b, round(r.jaccard, 9)) for r in rows]
+    batch = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in near_dup_verified(spark, src).collect()
+    }
+    assert batch and set(got) == batch
+    assert len(got) == len(set(got))  # replay duplicated nothing
+    for ep in (0, 1, 2):
+        assert sinks.epoch_is_complete(state + "_sig", ep)
 
 
 def test_stream_kn_perplexity_multibatch_equals_batch(spark, tmp_path):
