@@ -1206,16 +1206,23 @@ def _fz_load_km(spark: SparkSession, km_path: str):
     return model
 
 
-def _fz_assign(emb: DataFrame, km_path: str) -> DataFrame:
-    """(doc_id, list_id) through the FROZEN quantizer's own
+def _fz_assign(
+    emb: DataFrame, km_path: str, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, list_id[, *carry]) through the FROZEN quantizer's own
     transform() — euclidean nearest centroid with the exact tie and FP
     behavior of the fit, because it IS the fitted model (saved/loaded
-    through pyspark.ml persistence), not a reimplementation."""
+    through pyspark.ml persistence), not a reimplementation.  ``carry``
+    columns ride through the transform (ML transformers keep their
+    input columns), so a caller that needs the embedding next to the
+    assignment gets both in ONE projection instead of re-deriving the
+    embedding and joining on doc_id."""
     from pyspark.ml.functions import array_to_vector
 
     model = _fz_load_km(emb.sparkSession, km_path)
     feats = emb.select(
         F.col("vec_id"),
+        *[F.col(c) for c in carry],
         array_to_vector(F.col("embedding").cast("array<double>")).alias(
             "features"
         ),
@@ -1223,6 +1230,7 @@ def _fz_assign(emb: DataFrame, km_path: str) -> DataFrame:
     return model.transform(feats).select(
         F.col("vec_id").alias("doc_id"),
         F.col("list_id").cast("long").alias("list_id"),
+        *[F.col(c) for c in carry],
     )
 
 
@@ -1454,7 +1462,12 @@ def stream_corpus_prep_frozen_stages(
             emb = hashed_text_embeddings(
                 docs_texts.select("doc_id", "text"), dim=emb_dim
             )
-            assigned = _fz_assign(emb, paths["km"])
+            # embedding rides THROUGH the transform (carry=) — the old
+            # form re-derived the embedding on a second branch and
+            # joined the two on doc_id: one whole shuffle join (and a
+            # double evaluation of the hash fold) for columns that were
+            # already side by side
+            assigned = _fz_assign(emb, paths["km"], carry=("embedding",))
             from streamsum_spark.cached import peek_shared
 
             ckey = ("fz_centroids", paths["cent"], os.path.getmtime(paths["cent"]))
@@ -1463,18 +1476,13 @@ def stream_corpus_prep_frozen_stages(
                 centroids_df = shared_persist(
                     ckey, spark.read.parquet(paths["cent"])
                 )
-            return (
-                emb.withColumnRenamed("vec_id", "doc_id")
-                .join(assigned, "doc_id")
-                .join(F.broadcast(centroids_df), "list_id")
-                .select(
-                    "doc_id",
-                    "list_id",
-                    F.expr(_cos_safe_expr("embedding", "centroid")).alias(
-                        "cent_cos"
-                    ),
-                    "embedding",
-                )
+            return assigned.join(F.broadcast(centroids_df), "list_id").select(
+                "doc_id",
+                "list_id",
+                F.expr(_cos_safe_expr("embedding", "centroid")).alias(
+                    "cent_cos"
+                ),
+                "embedding",
             )
 
         _cur_cols = [
@@ -1537,6 +1545,7 @@ def stream_corpus_prep_frozen_stages(
                     "doc_id",
                     "left",
                 ).localCheckpoint()
+                _mark("delta_enrich")
                 rows = enriched
             else:
                 # freeze cycle: the quantizer trains on this cycle's
@@ -1984,6 +1993,7 @@ def stream_corpus_prep_frozen_stages(
     stages["near_deduped"] = near_deduped.select(
         "doc_id", "target_uri", "text"
     )
+    _mark("serve_nd_cc")
     # semantic keep over current nd survivors: batch semantics — capped
     # clusters (by SURVIVOR size vs the frozen max_list) bypass, pairs
     # among uncapped clusters resolve to components, the exemplar
@@ -2038,6 +2048,7 @@ def stream_corpus_prep_frozen_stages(
     stages["sem_deduped"] = sem_deduped.select(
         "doc_id", "target_uri", "text"
     )
+    _mark("serve_sem_cc")
     # ---- incremental pack (append-stable chunk identities) -----------
     # Batch packing re-flows every chunk whenever membership changes —
     # O(corpus) serving per cycle, and chunk ids a resumed training
@@ -2071,12 +2082,38 @@ def stream_corpus_prep_frozen_stages(
         prev = read_state_table(spark, pack_tbl).select(
             "doc_id", "n_tokens", "part", "chunk"
         )
-        # lapsed = no longer surviving, or surviving with a different
-        # token count (superseding text) — the latter re-enter as news
-        stale = prev.join(surv_meta, ["doc_id", "n_tokens"], "left_anti")
-        news = surv_meta.join(prev, ["doc_id", "n_tokens"], "left_anti")
-        bases = prev.groupBy("part").agg(
-            (F.max("chunk") + F.lit(1)).alias("_base")
+        # ONE full-outer join on doc_id (both sides key-unique) serves
+        # all three derivations — news, gone, bases — where the old
+        # form scanned the pack table three times through two
+        # anti-joins plus a separate groupBy: surviving docs with a
+        # changed token count re-enter as news, prev docs absent from
+        # the survivors leave, and the per-part chunk base rides the
+        # prev side of the same join.  Lazily checkpointed: the upsert
+        # below materializes it once and every consumer reuses it.
+        j = (
+            prev.select(
+                "doc_id",
+                F.col("n_tokens").alias("_p_nt"),
+                "part",
+                F.col("chunk").alias("_p_chunk"),
+            )
+            .join(
+                surv_meta.select(
+                    "doc_id", F.col("n_tokens").alias("_s_nt")
+                ),
+                "doc_id",
+                "full_outer",
+            )
+            .localCheckpoint(eager=False)
+        )
+        news = j.where(
+            F.col("_s_nt").isNotNull()
+            & (F.col("_p_nt").isNull() | (F.col("_p_nt") != F.col("_s_nt")))
+        ).select("doc_id", F.col("_s_nt").alias("n_tokens"))
+        bases = (
+            j.where(F.col("_p_nt").isNotNull())
+            .groupBy("part")
+            .agg((F.max("_p_chunk") + F.lit(1)).alias("_base"))
         )
         part_expr = (
             "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 1), "
@@ -2107,7 +2144,12 @@ def stream_corpus_prep_frozen_stages(
         )
         # a re-packed doc is simply overwritten by its new row;
         # tombstones are only for docs leaving the pack entirely
-        gone = stale.join(news.select("doc_id"), "doc_id", "left_anti")
+        gone = j.where(F.col("_s_nt").isNull()).select(
+            "doc_id",
+            F.col("_p_nt").alias("n_tokens"),
+            "part",
+            F.col("_p_chunk").alias("chunk"),
+        )
         pk_ups = (
             assigned.withColumn("_deleted", F.lit(False))
             .unionByName(gone.withColumn("_deleted", F.lit(True)))
@@ -2124,6 +2166,7 @@ def stream_corpus_prep_frozen_stages(
         news_asg = pk_ups.where(~F.col("_deleted")).select(
             "doc_id", "n_tokens", "part", "chunk"
         )
+    _mark("serve_pack")
     pack_cur = read_state_table(spark, pack_tbl).select(
         "doc_id", "n_tokens", "part", "chunk"
     )

@@ -1337,33 +1337,36 @@ def strip_flagged_paragraphs(docs: DataFrame, flags: DataFrame) -> DataFrame:
     """Rebuild documents with a (doc_id, idx) paragraph drop-set removed
     — the read side shared by dedup_paragraphs' streaming twin and any
     persisted drop-list workflow.  One left join on doc_id (the flag
-    relation is dropped-paragraphs-sized) + the same ordered rebuild as
-    dedup_paragraphs."""
+    relation is dropped-paragraphs-sized) + an index-aware array
+    ``filter`` PROJECTION over the split text: no paragraph explode and
+    no rebuild groupBy — the rebuild costs zero shuffles beyond the
+    drop-set aggregation, where the old explode-and-regroup form paid a
+    corpus-paragraph-wide exchange twice."""
     drops = flags.groupBy("doc_id").agg(
         F.collect_set("idx").alias("_drop_idx")
     )
-    paras = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.col("text"), "\n")).alias("idx", "para"),
-    )
     return (
-        paras.join(drops, "doc_id", "left")
-        .withColumn(
-            "dup",
-            F.coalesce(
-                F.array_contains(F.col("_drop_idx"), F.col("idx")), F.lit(False)
-            ),
-        )
-        .groupBy("doc_id")
-        .agg(
+        # null-text docs produce no row, matching the explode form
+        docs.where(F.col("text").isNotNull())
+        .join(drops, "doc_id", "left")
+        .select(
+            "doc_id",
             F.concat_ws(
                 "\n",
                 F.expr(
-                    "transform(filter(sort_array(collect_list(struct(idx, para, dup))),"
-                    " x -> NOT x.dup), x -> x.para)"
+                    "filter(split(text, '\\n'), (x, i) -> _drop_idx IS NULL"
+                    " OR NOT array_contains(_drop_idx, CAST(i AS BIGINT)))"
                 ),
             ).alias("text_clean"),
-            F.count(F.lit(1)).cast("long").alias("n_paras"),
-            F.sum(F.when(F.col("dup"), 1).otherwise(0)).cast("long").alias("n_dropped"),
+            F.size(F.split(F.col("text"), "\n")).cast("long").alias("n_paras"),
+            F.coalesce(
+                F.size(
+                    F.expr(
+                        "filter(_drop_idx, x -> x >= 0"
+                        " AND x < size(split(text, '\\n')))"
+                    )
+                ),
+                F.lit(0),
+            ).cast("long").alias("n_dropped"),
         )
     )
