@@ -1116,6 +1116,19 @@ def stream_corpus_prep_stages(
 LAST_FROZEN_PHASE_SECONDS: dict[str, float] = {}
 LAST_FROZEN_PHASE_JOBS: dict[str, int] = {}
 
+# Broadcast bound (rows) for the frozen cycle's MICRO-BATCH side.
+# Every delta-sized relation descends from a localCheckpoint, whose
+# size statistic is the planner default (max), so Catalyst never
+# auto-broadcasts it and each tiny delta⋈store join plans as a shuffle
+# join — two Exchanges and an AQE stage round-trip per side, pure
+# scheduling on an O(delta) cycle.  The driver knows the exact delta
+# row count before any of those joins are built, so it picks the join
+# strategy itself: at or below this bound the delta side is hinted
+# broadcast (the stream-static join shape), above it the joins keep
+# the shuffle path.  ~100k rows of id/hash/gate metadata is ~10 MB —
+# the stock broadcast comfort zone; tune per deployment via env.
+_FZ_BC_DELTA_MAX = int(os.environ.get("STREAMSUM_FZ_BC_DELTA_ROWS", "100000"))
+
 
 def _fz_paths(state_base: str) -> dict[str, str]:
     return {
@@ -1453,6 +1466,11 @@ def stream_corpus_prep_frozen_stages(
         ).localCheckpoint(eager=False)
         n_delta = delta.count()
 
+        def _bc(df: DataFrame) -> DataFrame:
+            # broadcast hint for a DELTA-sized relation (see
+            # _FZ_BC_DELTA_MAX) — identity when the batch is large
+            return F.broadcast(df) if n_delta <= _FZ_BC_DELTA_MAX else df
+
         def _vec_cols(docs_texts: DataFrame) -> DataFrame:
             """(doc_id, list_id, cent_cos, embedding) for (doc_id,
             text) rows through the frozen quantizer.  Lazy — the caller
@@ -1499,16 +1517,22 @@ def stream_corpus_prep_frozen_stages(
                 read_touched_buckets(
                     spark, docs_tbl, delta.select("doc_id")
                 )
-                .join(delta.select("doc_id"), "doc_id", "left_semi")
+                .join(_bc(delta.select("doc_id")), "doc_id", "left_semi")
                 .select("doc_id", "text")
             )
             cleaned = strip_flagged_paragraphs(
                 raw,
-                pflags.join(delta.select("doc_id"), "doc_id", "left_semi"),
+                pflags.join(
+                    _bc(delta.select("doc_id")), "doc_id", "left_semi"
+                ),
             ).select("doc_id", F.col("text_clean").alias("text"))
+            # the metadata side (ids/fingerprints, never text) is the
+            # broadcast side of the rebuild join
             dd = (
-                delta.select("doc_id", "flag_fp", "target_uri")
-                .join(cleaned, "doc_id")
+                cleaned.join(
+                    _bc(delta.select("doc_id", "flag_fp", "target_uri")),
+                    "doc_id",
+                )
                 .withColumn("tmd5", F.md5(F.col("text")))
                 .withColumn("n_tokens", F.expr(_N_TOKENS_EXPR))
             )
@@ -1539,9 +1563,9 @@ def stream_corpus_prep_frozen_stages(
                 # (every action on small data is mostly scheduling, so
                 # the cycle's job count is the cost that matters); the
                 # single upsert writes the whole per-doc record
-                with_gate = dd.join(gate, "doc_id")
+                with_gate = dd.join(_bc(gate), "doc_id")
                 enriched = with_gate.join(
-                    _vec_cols(with_gate.where(F.col("gate_keep"))),
+                    _bc(_vec_cols(with_gate.where(F.col("gate_keep")))),
                     "doc_id",
                     "left",
                 ).localCheckpoint()
@@ -1579,14 +1603,14 @@ def stream_corpus_prep_frozen_stages(
                 out = None
             else:
                 out = enriched.select("doc_id", "tmd5", "text").join(
-                    ids_df, "doc_id", "left_semi"
+                    _bc(ids_df), "doc_id", "left_semi"
                 )
                 rest = ids_df.join(
-                    enriched.select("doc_id"), "doc_id", "left_anti"
+                    _bc(enriched.select("doc_id")), "doc_id", "left_anti"
                 )
             fetched = (
                 read_touched_buckets(spark, paths["cur"], rest)
-                .join(rest, "doc_id", "left_semi")
+                .join(_bc(rest), "doc_id", "left_semi")
                 .select("doc_id", "tmd5", "text")
             )
             return fetched if out is None else out.unionByName(fetched)
@@ -1606,7 +1630,7 @@ def stream_corpus_prep_frozen_stages(
             .localCheckpoint(eager=False)
         )
         delta_gated = gated_meta.join(
-            delta.select("doc_id"), "doc_id", "left_semi"
+            _bc(delta.select("doc_id")), "doc_id", "left_semi"
         ).localCheckpoint(eager=False)
         n_delta_gated = delta_gated.count()
 
@@ -1688,14 +1712,22 @@ def stream_corpus_prep_frozen_stages(
                 # so the delta side needs no store read at all
                 db = (
                     new_bands.where(F.col("band_id") >= 0)
-                    .join(delta_gated.select("doc_id"), "doc_id", "left_semi")
+                    .join(
+                        _bc(delta_gated.select("doc_id")),
+                        "doc_id",
+                        "left_semi",
+                    )
                     .select("doc_id", "band_id", "bkey")
                 )
                 # delta-side ⋈ ALL current bands (not a full
                 # self-join): symmetric normalization because the delta
-                # doc may be either endpoint
+                # doc may be either endpoint.  The DELTA side is the
+                # broadcast side (n_delta_gated × b band rows), so the
+                # store-wide side never shuffles — the stream-static
+                # join shape this candidate probe is at scale
+                bc_bands = n_delta_gated * b <= _FZ_BC_DELTA_MAX
                 cand = (
-                    db.alias("a")
+                    (F.broadcast(db) if bc_bands else db).alias("a")
                     .join(
                         all_bands.alias("b"),
                         (F.col("a.band_id") == F.col("b.band_id"))
@@ -1752,8 +1784,8 @@ def stream_corpus_prep_frozen_stages(
                     F.col("tmd5").alias("tmd5_b"),
                 )
                 pair_rows = (
-                    scored.join(ta, "doc_a")
-                    .join(tb, "doc_b")
+                    scored.join(_bc(ta), "doc_a")
+                    .join(_bc(tb), "doc_b")
                     .select(
                         "doc_a",
                         "doc_b",
@@ -1822,7 +1854,9 @@ def stream_corpus_prep_frozen_stages(
                 # vector materialization) entirely
                 delta_lists = (
                     vec_gated.join(
-                        delta_gated.select("doc_id"), "doc_id", "left_semi"
+                        _bc(delta_gated.select("doc_id")),
+                        "doc_id",
+                        "left_semi",
                     )
                     .select("list_id")
                     .distinct()
@@ -1838,10 +1872,13 @@ def stream_corpus_prep_frozen_stages(
                     "left_semi",
                 ).localCheckpoint(eager=False)
                 dv = joinable.join(
-                    delta_gated.select("doc_id"), "doc_id", "left_semi"
+                    _bc(delta_gated.select("doc_id")), "doc_id", "left_semi"
                 )
+                # delta vectors are the broadcast side of the
+                # cluster-pair join — the cluster-wide side stays
+                # shuffle-free (same shape as the band candidate join)
                 sem_scored = (
-                    dv.alias("a")
+                    _bc(dv).alias("a")
                     .join(
                         joinable.alias("b"),
                         (F.col("a.list_id") == F.col("b.list_id"))
@@ -2189,7 +2226,7 @@ def stream_corpus_prep_frozen_stages(
             _texts_for(news_asg.select("doc_id"))
             .select("doc_id", "text")
             .join(capped.select("doc_id", "target_uri"), "doc_id")
-            .join(news_asg, "doc_id")
+            .join(_bc(news_asg), "doc_id")
             .select(
                 "doc_id", "target_uri", "text", "n_tokens", "part", "chunk"
             )
