@@ -421,6 +421,10 @@ def stream_corpus_prep_ingest(
             # maintenance branches fan out in parallel
             .localCheckpoint()
         )
+        # checkpointed relations carry no size statistic, so the batch
+        # side of the probe joins below is hinted broadcast while the
+        # batch is small — the count is a cheap block scan
+        bc_batch = rows.count() <= _FZ_BC_DELTA_MAX
         # a (file, ordinal) document is IMMUTABLE, so the docs and occ
         # stores are add-only: append epoch-named files instead of
         # read-merge-rewriting every touched bucket (which at steady
@@ -446,7 +450,11 @@ def stream_corpus_prep_ingest(
                 )
                 .localCheckpoint()
             )
-            new_rows = rows.join(seen, "doc_id", "left_anti")
+            new_rows = rows.join(
+                F.broadcast(seen) if bc_batch else seen,
+                "doc_id",
+                "left_anti",
+            )
         else:
             new_rows = rows
 
@@ -467,6 +475,7 @@ def stream_corpus_prep_ingest(
                 url_fp,
                 url_flags,
                 n_buckets,
+                bc_batch=bc_batch,
             )
 
         def _occ() -> None:

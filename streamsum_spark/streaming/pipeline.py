@@ -50,6 +50,16 @@ from streamsum_spark.operators.transform import transform_fanout
 # (read as long under the nanosAsLong legacy conf — see tables.py).  Kept as
 # a named constant because tests build synthetic nanos fixtures from it; the
 # live reader infers the actual on-disk schema instead of assuming it.
+# Broadcast bound (rows) for the MICRO-BATCH side of the streaming
+# near-dup joins.  Batch-derived relations are localCheckpoint'ed, so
+# their planner size statistic is the default maximum and Catalyst
+# never auto-broadcasts them — every batch-vs-store join would plan as
+# a shuffle join, shuffling the store side.  The batch row count is
+# driver-known (the checkpointed relations are counted anyway), so at
+# or below this bound the batch side is hinted broadcast — the
+# stream-static join shape — and a bulk batch keeps the shuffle path.
+_NDUP_BC_ROWS = int(os.environ.get("STREAMSUM_NDUP_BC_ROWS", "1000000"))
+
 _EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -1456,6 +1466,14 @@ def stream_near_dup_pairs(
             .localCheckpoint()
         )
         b_sig = _signatures_from(b_sh).localCheckpoint()
+        # already-materialized checkpoint, so this count is a cheap
+        # block scan — it buys the join-strategy choice below
+        n_b_sig = b_sig.count()
+
+        def _bc(df: DataFrame) -> DataFrame:
+            # broadcast hint for a batch-sized relation (_NDUP_BC_ROWS)
+            return F.broadcast(df) if n_b_sig <= _NDUP_BC_ROWS else df
+
         if _exists(sig_tbl):
             # pruned read: only the signature buckets this batch's
             # (band, mh) pairs hash into — not the whole store.  The
@@ -1481,18 +1499,20 @@ def stream_near_dup_pairs(
             # lazy anti-joins against the tiny checkpointed seen-set:
             # they ride each consumer's job (b_sig/b_sh themselves stay
             # checkpointed, so nothing upstream recomputes)
-            b_sig = b_sig.join(seen, "doc_id", "left_anti")
-            b_sh = b_sh.join(seen, "doc_id", "left_anti")
+            b_sig = b_sig.join(_bc(seen), "doc_id", "left_anti")
+            b_sh = b_sh.join(_bc(seen), "doc_id", "left_anti")
         new_new = (
             b_sig.alias("a")
-            .join(b_sig.alias("b"), ["band", "mh"])
+            .join(_bc(b_sig).alias("b"), ["band", "mh"])
             .where(F.col("a.doc_id") < F.col("b.doc_id"))
             .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         )
         cands = new_new
         if _exists(sig_tbl):
+            # the BATCH side is the broadcast side, so the store-wide
+            # side never shuffles
             new_old = (
-                b_sig.alias("a")
+                _bc(b_sig).alias("a")
                 .join(old_sig.alias("b"), ["band", "mh"])
                 .select(
                     F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
@@ -1513,12 +1533,17 @@ def stream_near_dup_pairs(
                 cands.select(F.col("doc_a").alias("doc_id"))
                 .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
                 .distinct()
-                .join(b_sh.select("doc_id"), "doc_id", "left_anti")
+                .join(_bc(b_sh.select("doc_id")), "doc_id", "left_anti")
             )
-            stored_sh = _touched(sh_tbl, need).join(need, "doc_id", "left_semi")
+            stored_sh = _touched(sh_tbl, need).join(
+                _bc(need), "doc_id", "left_semi"
+            )
             all_sh = stored_sh.unionByName(b_sh)
+        # candidate pairs (two longs per row) broadcast; the
+        # shingle-array side — the heavy one — never shuffles
         verified = (
-            cands.join(all_sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+            _bc(cands)
+            .join(all_sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
             .join(all_sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
             .select(
                 "doc_a",
@@ -1893,6 +1918,7 @@ def _url_dedup_batch(
     fp_tbl: str,
     flag_tbl: str,
     n_buckets: int,
+    bc_batch: bool = False,
 ) -> None:
     """One micro-batch of the canonical-URL first-occurrence recipe,
     shared by stream_dedup_urls and the streaming corpus-prep funnel:
@@ -1912,8 +1938,10 @@ def _url_dedup_batch(
     firsts = ranked.where(F.col("rn") == 1).select("doc_id", "g")
     if os.path.exists(fp_tbl):
         stored = read_touched_buckets(spark, fp_tbl, firsts.select("g"))
+        # ``bc_batch`` (caller-measured batch size) broadcasts the
+        # batch side so the store side never shuffles
         joined = (
-            firsts.alias("b")
+            (F.broadcast(firsts) if bc_batch else firsts).alias("b")
             .join(stored.alias("s"), "g")
             # same doc_id = file-source redelivery, not a duplicate
             .where(F.col("b.doc_id") != F.col("s.doc_id"))
