@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 from streamsum_spark.functions.expressions import (
     cosine_safe_expr as _cos_safe_expr,
 )
+from streamsum_spark.util import driver_local, filter_by_ids
 
 
 def _parallel_jobs(*thunks) -> None:
@@ -450,10 +451,13 @@ def stream_corpus_prep_ingest(
                 )
                 .localCheckpoint()
             )
-            new_rows = rows.join(
-                F.broadcast(seen) if bc_batch else seen,
-                "doc_id",
-                "left_anti",
+            # steady state this is EMPTY (no redelivery): a driver-local
+            # copy turns the three store branches' broadcast anti-joins
+            # into a literal predicate (empty set: no filter at all)
+            # instead of a per-action broadcast rebuild
+            seen = driver_local(seen)
+            new_rows = filter_by_ids(
+                rows, "doc_id", seen, anti=True, hint_broadcast=bc_batch
             )
         else:
             new_rows = rows
@@ -1210,6 +1214,33 @@ def _fz_save_nb(model, paths: dict) -> None:
 # several Spark jobs per load — on an O(delta) cycle that is pure
 # scheduling overhead, so loads memoize per (path, mtime, application)
 _FZ_KM_CACHE: dict[tuple, object] = {}
+_FZ_CENT_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _fz_load_centroids(spark: SparkSession, cent_path: str) -> DataFrame:
+    """Centroid rows as a memoized DRIVER-LOCAL relation (bounded by the
+    number of k-means lists at any corpus size): the quantizer join
+    broadcasts them from every consuming action, and a driver-local
+    build is job-free where the persisted-relation build was one
+    scheduling round per action.  Over the (generous) bound it falls
+    back to the persisted distributed relation."""
+    from streamsum_spark.cached import peek_shared, shared_persist
+
+    key = (
+        cent_path,
+        os.path.getmtime(cent_path),
+        spark.sparkContext.applicationId,
+    )
+    df = _FZ_CENT_CACHE.get(key)
+    if df is None:
+        raw = spark.read.parquet(cent_path)
+        df = driver_local(raw, max_rows=1_000_000)
+        if df is raw:  # over the bound: keep the persisted form
+            ckey = ("fz_centroids",) + key
+            df = peek_shared(ckey, spark) or shared_persist(ckey, raw)
+        _FZ_CENT_CACHE.clear()
+        _FZ_CENT_CACHE[key] = df
+    return df
 
 
 def _fz_load_km(spark: SparkSession, km_path: str):
@@ -1283,15 +1314,23 @@ def _fz_served_nd_pairs(spark, paths, gated_meta: DataFrame) -> DataFrame:
 def _fz_near_dedup_ids(spark, paths, gated_meta: DataFrame) -> DataFrame:
     """Near-dup survivor ids over the served pair set: connected
     components + keep-smallest (the batch rule) — CC runs over the
-    pair relation (duplicates only), never the corpus."""
+    pair relation (duplicates only), never the corpus.  The drop set
+    (losers only) rides as a driver-local relation when bounded, so
+    the anti-join collapses to a literal predicate over the
+    checkpointed gated metadata — consumers of the survivor chain stop
+    rebuilding the CC subtree per action."""
     from streamsum_spark.operators.clusters import connected_components
 
     pairs = _fz_served_nd_pairs(spark, paths, gated_meta)
     comp = connected_components(pairs, "doc_a", "doc_b")
-    drops = comp.where(F.col("id") != F.col("component")).select(
-        F.col("id").alias("doc_id")
+    drops = driver_local(
+        comp.where(F.col("id") != F.col("component")).select(
+            F.col("id").alias("doc_id")
+        )
     )
-    return gated_meta.select("doc_id").join(drops, "doc_id", "left_anti")
+    return filter_by_ids(
+        gated_meta.select("doc_id"), "doc_id", drops, anti=True
+    )
 
 
 def stream_corpus_prep_frozen_stages(
@@ -1474,6 +1513,12 @@ def stream_corpus_prep_frozen_stages(
             "left_anti",
         ).localCheckpoint(eager=False)
         n_delta = delta.count()
+        # small deltas become a driver-local relation: ~10 downstream
+        # actions probe delta's id set through broadcast joins, and each
+        # one re-collects the build side as its own Spark job — a
+        # LocalRelation makes those builds job-free (util.driver_local;
+        # large deltas keep the distributed checkpoint unchanged)
+        delta = driver_local(delta, n_rows=n_delta)
 
         def _bc(df: DataFrame) -> DataFrame:
             # broadcast hint for a DELTA-sized relation (see
@@ -1495,14 +1540,7 @@ def stream_corpus_prep_frozen_stages(
             # double evaluation of the hash fold) for columns that were
             # already side by side
             assigned = _fz_assign(emb, paths["km"], carry=("embedding",))
-            from streamsum_spark.cached import peek_shared
-
-            ckey = ("fz_centroids", paths["cent"], os.path.getmtime(paths["cent"]))
-            centroids_df = peek_shared(ckey, spark)
-            if centroids_df is None:
-                centroids_df = shared_persist(
-                    ckey, spark.read.parquet(paths["cent"])
-                )
+            centroids_df = _fz_load_centroids(spark, paths["cent"])
             return assigned.join(F.broadcast(centroids_df), "list_id").select(
                 "doc_id",
                 "list_id",
@@ -1522,17 +1560,19 @@ def stream_corpus_prep_frozen_stages(
         # ---- per-document DELTA phase (text touched for delta only) -
         enriched = None
         if n_delta:
-            raw = (
+            bc_delta = n_delta <= _FZ_BC_DELTA_MAX
+            raw = filter_by_ids(
                 read_touched_buckets(
                     spark, docs_tbl, delta.select("doc_id")
-                )
-                .join(_bc(delta.select("doc_id")), "doc_id", "left_semi")
-                .select("doc_id", "text")
-            )
+                ),
+                "doc_id",
+                delta,
+                hint_broadcast=bc_delta,
+            ).select("doc_id", "text")
             cleaned = strip_flagged_paragraphs(
                 raw,
-                pflags.join(
-                    _bc(delta.select("doc_id")), "doc_id", "left_semi"
+                filter_by_ids(
+                    pflags, "doc_id", delta, hint_broadcast=bc_delta
                 ),
             ).select("doc_id", F.col("text_clean").alias("text"))
             # the metadata side (ids/fingerprints, never text) is the
@@ -1607,21 +1647,22 @@ def stream_corpus_prep_frozen_stages(
             """(doc_id, tmd5, text) for the given ids — served from the
             delta rebuild when possible; bucket-pruned cur reads only
             for non-delta partners."""
+            bc = n_delta <= _FZ_BC_DELTA_MAX
             if enriched is None:
                 rest = ids_df
                 out = None
             else:
-                out = enriched.select("doc_id", "tmd5", "text").join(
-                    _bc(ids_df), "doc_id", "left_semi"
+                out = filter_by_ids(
+                    enriched.select("doc_id", "tmd5", "text"),
+                    "doc_id", ids_df, hint_broadcast=bc,
                 )
-                rest = ids_df.join(
+                rest = ids_df.select("doc_id").join(
                     _bc(enriched.select("doc_id")), "doc_id", "left_anti"
                 )
-            fetched = (
-                read_touched_buckets(spark, paths["cur"], rest)
-                .join(_bc(rest), "doc_id", "left_semi")
-                .select("doc_id", "tmd5", "text")
-            )
+            fetched = filter_by_ids(
+                read_touched_buckets(spark, paths["cur"], rest),
+                "doc_id", rest, hint_broadcast=bc,
+            ).select("doc_id", "tmd5", "text")
             return fetched if out is None else out.unionByName(fetched)
 
         _mark("delta_curate")
@@ -1638,10 +1679,14 @@ def stream_corpus_prep_frozen_stages(
             # swap and before the pair branches fork threads
             .localCheckpoint(eager=False)
         )
-        delta_gated = gated_meta.join(
-            _bc(delta.select("doc_id")), "doc_id", "left_semi"
+        delta_gated = filter_by_ids(
+            gated_meta, "doc_id", delta,
+            hint_broadcast=n_delta <= _FZ_BC_DELTA_MAX,
         ).localCheckpoint(eager=False)
         n_delta_gated = delta_gated.count()
+        # same trade as delta above: both pair branches and the freeze
+        # backfill probe this id set from separate actions
+        delta_gated = driver_local(delta_gated, n_rows=n_delta_gated)
 
         def _stamp(phase: str, t_start: float) -> None:
             # seconds-only phase stamp, safe to call from branch
@@ -1719,15 +1764,12 @@ def stream_corpus_prep_frozen_stages(
                 # a delta doc's bands are exactly this cycle's fresh
                 # derivation (its cleaned text is new by construction),
                 # so the delta side needs no store read at all
-                db = (
-                    new_bands.where(F.col("band_id") >= 0)
-                    .join(
-                        _bc(delta_gated.select("doc_id")),
-                        "doc_id",
-                        "left_semi",
-                    )
-                    .select("doc_id", "band_id", "bkey")
-                )
+                db = filter_by_ids(
+                    new_bands.where(F.col("band_id") >= 0),
+                    "doc_id",
+                    delta_gated,
+                    hint_broadcast=n_delta_gated <= _FZ_BC_DELTA_MAX,
+                ).select("doc_id", "band_id", "bkey")
                 # delta-side ⋈ ALL current bands (not a full
                 # self-join): symmetric normalization because the delta
                 # doc may be either endpoint.  The DELTA side is the
@@ -1862,10 +1904,9 @@ def stream_corpus_prep_frozen_stages(
                 # this cycle — everything else skips the join (and the
                 # vector materialization) entirely
                 delta_lists = (
-                    vec_gated.join(
-                        _bc(delta_gated.select("doc_id")),
-                        "doc_id",
-                        "left_semi",
+                    filter_by_ids(
+                        vec_gated, "doc_id", delta_gated,
+                        hint_broadcast=n_delta_gated <= _FZ_BC_DELTA_MAX,
                     )
                     .select("list_id")
                     .distinct()
@@ -1880,8 +1921,9 @@ def stream_corpus_prep_frozen_stages(
                     "list_id",
                     "left_semi",
                 ).localCheckpoint(eager=False)
-                dv = joinable.join(
-                    _bc(delta_gated.select("doc_id")), "doc_id", "left_semi"
+                dv = filter_by_ids(
+                    joinable, "doc_id", delta_gated,
+                    hint_broadcast=n_delta_gated <= _FZ_BC_DELTA_MAX,
                 )
                 # delta vectors are the broadcast side of the
                 # cluster-pair join — the cluster-wide side stays
@@ -1978,8 +2020,9 @@ def stream_corpus_prep_frozen_stages(
             # columns in a second upsert (fz_seq=1 outranks the seq-0
             # row of the same cycle)
             if enriched is not None and n_delta_gated:
-                gated_rows = enriched.join(
-                    delta_gated.select("doc_id"), "doc_id", "left_semi"
+                gated_rows = filter_by_ids(
+                    enriched, "doc_id", delta_gated,
+                    hint_broadcast=n_delta_gated <= _FZ_BC_DELTA_MAX,
                 )
                 rows2 = gated_rows.join(
                     _vec_cols(gated_rows.select("doc_id", "text")), "doc_id"
@@ -2050,9 +2093,22 @@ def stream_corpus_prep_frozen_stages(
         .select("doc_id", "tmd5", "list_id", "cent_cos")
     )
     nd_sizes = nd_vec.groupBy("list_id").agg(F.count(F.lit(1)).alias("_n"))
-    capped_lists = nd_sizes.where(F.col("_n") > max_list).select("list_id")
-    uncapped_vec = nd_vec.join(
-        F.broadcast(capped_lists), "list_id", "left_anti"
+    # bounded by the number of k-means lists at ANY corpus size, and the
+    # uncapped_vec chain below is re-evaluated by every consumer of
+    # sem_drops (CC probe, pack maintenance, packed materialization) —
+    # each would re-run this aggregation as its own broadcast-build job;
+    # one driver-local copy makes those rebuilds free
+    capped_lists = driver_local(
+        nd_sizes.where(F.col("_n") > max_list).select("list_id"),
+        max_rows=1_000_000,
+    )
+    # metadata-width (ids + list routing, no text/vectors) and consumed
+    # by FOUR chains (sem pair serve x2, the drop window, the pack and
+    # packed consumers downstream of sem_deduped): one lazy checkpoint,
+    # materialized by the CC probe below, replaces a per-action re-read
+    # of cur + the near-dup anti + the capped-list filter
+    uncapped_vec = filter_by_ids(
+        nd_vec, "list_id", capped_lists, anti=True, id_col="list_id"
     )
     if os.path.exists(paths["sem"]):
         semp = read_state_table(spark, paths["sem"])
@@ -2082,7 +2138,10 @@ def stream_corpus_prep_frozen_stages(
     wr = Window.partitionBy("component").orderBy(
         F.col("cent_cos").asc(), F.col("doc_id").asc()
     )
-    sem_drops = (
+    # duplicates-only (losers of clustered components): bounded
+    # driver-local, so the anti below is a literal predicate and no
+    # downstream consumer re-runs the window + component join
+    sem_drops = driver_local(
         uncapped_vec.join(
             comp2.withColumnRenamed("id", "doc_id"), "doc_id"
         )
@@ -2090,7 +2149,9 @@ def stream_corpus_prep_frozen_stages(
         .where(F.col("rn") > 1)
         .select("doc_id")
     )
-    sem_deduped = near_deduped.join(sem_drops, "doc_id", "left_anti")
+    sem_deduped = filter_by_ids(
+        near_deduped, "doc_id", sem_drops, anti=True
+    )
     stages["sem_deduped"] = sem_deduped.select(
         "doc_id", "target_uri", "text"
     )
@@ -2209,8 +2270,14 @@ def stream_corpus_prep_frozen_stages(
             spark, pack_tbl, pk_ups, ["doc_id"], ["fz_cycle"],
             n_buckets=n_buckets,
         )
-        news_asg = pk_ups.where(~F.col("_deleted")).select(
-            "doc_id", "n_tokens", "part", "chunk"
+        # delta-sized by construction; the emission chain probes it from
+        # several actions (texts fetch, uri attach, final join) — see
+        # driver_local.  Over the bound it stays a lazy view of the
+        # already-materialized pk_ups checkpoint.
+        news_asg = driver_local(
+            pk_ups.where(~F.col("_deleted")).select(
+                "doc_id", "n_tokens", "part", "chunk"
+            )
         )
     _mark("serve_pack")
     pack_cur = read_state_table(spark, pack_tbl).select(
@@ -2232,7 +2299,7 @@ def stream_corpus_prep_frozen_stages(
         stages["packed_delta"] = stages["packed"]
     else:
         stages["packed_delta"] = (
-            _texts_for(news_asg.select("doc_id"))
+            _texts_for(news_asg)
             .select("doc_id", "text")
             .join(capped.select("doc_id", "target_uri"), "doc_id")
             .join(_bc(news_asg), "doc_id")

@@ -122,8 +122,13 @@ def _cc_star(
         # one bounded probe decides the dispatch AND feeds the fast
         # path: collect at most small_cut+1 edges — on the small graphs
         # a steady-state incremental cycle sees, this is the ONLY job
-        # the whole resolution runs (no separate count, no star rounds)
-        probe = edges.limit(small_cut + 1).collect()
+        # the whole resolution runs (no separate count, no star rounds;
+        # one_shot_take scans all partitions in round one, where
+        # executeTake's default escalation spends ~log4(partitions)
+        # separate jobs discovering a small graph)
+        from streamsum_spark.util import one_shot_take
+
+        probe = one_shot_take(edges, small_cut + 1)
         if len(probe) <= small_cut:
             return _cc_driver_union_find(spark, probe, edges.schema)
     edges = edges.localCheckpoint()

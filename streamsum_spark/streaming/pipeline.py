@@ -40,6 +40,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from streamsum_spark.sinks import read_state_table
+from streamsum_spark.util import driver_local, filter_by_ids
 
 from streamsum_spark.config import DEFAULT_CONFIG
 from streamsum_spark.operators.caches import count_cache
@@ -1496,11 +1497,18 @@ def stream_near_dup_pairs(
                 .distinct()
                 .localCheckpoint()
             )
-            # lazy anti-joins against the tiny checkpointed seen-set:
-            # they ride each consumer's job (b_sig/b_sh themselves stay
-            # checkpointed, so nothing upstream recomputes)
-            b_sig = b_sig.join(_bc(seen), "doc_id", "left_anti")
-            b_sh = b_sh.join(_bc(seen), "doc_id", "left_anti")
+            # steady state this is EMPTY (no redelivery): a driver-local
+            # copy turns every consumer's broadcast anti-join into a
+            # literal predicate (empty set: no filter at all) instead
+            # of a per-action broadcast rebuild
+            seen = driver_local(seen)
+            bc_seen = n_b_sig <= _NDUP_BC_ROWS
+            b_sig = filter_by_ids(
+                b_sig, "doc_id", seen, anti=True, hint_broadcast=bc_seen
+            )
+            b_sh = filter_by_ids(
+                b_sh, "doc_id", seen, anti=True, hint_broadcast=bc_seen
+            )
         new_new = (
             b_sig.alias("a")
             .join(_bc(b_sig).alias("b"), ["band", "mh"])

@@ -29,6 +29,120 @@ def rebalance_for_cpu(df: DataFrame, min_ratio: float = 0.5) -> DataFrame:
     return df
 
 
+_LOCAL_REL_ROWS = int(os.environ.get("STREAMSUM_LOCAL_REL_ROWS", "20000"))
+
+
+def one_shot_take(df: DataFrame, n: int) -> list:
+    """``limit(n).collect()`` that scans the relation in ONE Spark job.
+
+    executeTake's default strategy probes 1 partition, then 4x more per
+    round (``spark.sql.limit.scaleUpFactor``) until the limit fills — on
+    a bounded probe of a mostly-EMPTY relation (a dispatch probe, a
+    redelivery check) that is ~log4(partitions) scheduling rounds, each
+    a separate job, to discover there is nothing there.  Raising
+    ``spark.sql.limit.initialNumPartitions`` to cover the session's
+    parallelism makes round one scan everything.  The conf is
+    semantically neutral (it only sizes executeTake's first round) and
+    is left set for the session; driver results stay bounded at
+    n x initialNumPartitions rows in the worst (relation-bigger-than-n)
+    case, which the callers' small n keeps in the tens of MB."""
+    spark = df.sparkSession
+    want = max(4 * (spark.sparkContext.defaultParallelism or 8), 128)
+    cur = int(spark.conf.get("spark.sql.limit.initialNumPartitions", "1") or 1)
+    if cur < want:
+        spark.conf.set("spark.sql.limit.initialNumPartitions", str(want))
+    return df.limit(n).collect()
+
+
+def driver_local(
+    df: DataFrame, max_rows: int | None = None, n_rows: int | None = None
+) -> DataFrame:
+    """Driver-local (LocalRelation) copy of a SMALL metadata relation.
+
+    A broadcast-hash join whose build side is a distributed relation pays
+    one Spark job PER CONSUMING ACTION to rebuild the broadcast (exchange
+    reuse only applies within a single query execution), even when the
+    input is an already-materialized localCheckpoint.  An incremental
+    cycle that probes the same batch-sized id set from a dozen separate
+    actions therefore spends a dozen scheduling rounds re-collecting the
+    same rows.  Collecting the relation ONCE into a LocalRelation makes
+    every later broadcast build job-free (LocalTableScan.executeCollect
+    launches no tasks) and drops the relation's whole upstream subtree
+    from every consumer's plan.
+
+    Returns ``df`` unchanged when the relation exceeds ``max_rows``
+    (default $STREAMSUM_LOCAL_REL_ROWS = 20k rows) — large batches keep
+    the distributed form, so this is a fixed-overhead trade, never a
+    driver-memory hazard; the rows it does collect are rows a broadcast
+    join would have collected to the driver anyway.  Pass ``n_rows``
+    when the caller already knows the count (skips the bounded probe).
+    The input should be cheap to evaluate once (e.g. a materialized
+    checkpoint): this evaluates it one extra time."""
+    bound = _LOCAL_REL_ROWS if max_rows is None else max_rows
+    spark = df.sparkSession
+    if n_rows is not None:
+        if n_rows > bound:
+            return df
+        rows = df.collect()
+    else:
+        rows = one_shot_take(df, bound + 1)
+        if len(rows) > bound:
+            return df
+    # ONE slice: every broadcast build over this relation is a 1-task
+    # job instead of one task per default-parallelism slice
+    out = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1) if rows else rows,
+        df.schema,
+    )
+    # consumers with a single-key probe shape can skip the join
+    # entirely via filter_by_ids (a literal predicate needs no
+    # broadcast build at all, and it pushes down to scans)
+    out._streamsum_local_rows = rows
+    return out
+
+
+_ISIN_MAX = int(os.environ.get("STREAMSUM_ISIN_MAX", "20000"))
+
+
+def filter_by_ids(
+    df: DataFrame,
+    col: str,
+    ids_df: DataFrame,
+    anti: bool = False,
+    id_col: str | None = None,
+    hint_broadcast: bool = True,
+) -> DataFrame:
+    """Semi/anti join of ``df`` against ``ids_df``'s key column — as a
+    literal InSet PREDICATE when ``ids_df`` is a driver_local relation
+    within the isin bound, else as the broadcast semi/anti join.
+
+    The predicate form costs no broadcast-build job in ANY consuming
+    action and is a pushable filter (key-sorted state-table files then
+    prune row groups under it — the same sub-bucket pruning
+    lookup_state_keys gets from its IN filters).  Exactness: a semi
+    join never matches a NULL key and an anti join KEEPS null-key rows;
+    the predicates reproduce both (``isin`` is NULL on NULL input)."""
+    from pyspark.sql import functions as F
+
+    rows = getattr(ids_df, "_streamsum_local_rows", None)
+    key = id_col or col
+    if rows is not None and len(rows) <= _ISIN_MAX:
+        vals = list({r[key] for r in rows})
+        if anti:
+            if not vals:
+                return df
+            return df.where(
+                F.col(col).isNull() | ~F.col(col).isin(vals)
+            )
+        if not vals:
+            return df.where(F.lit(False))
+        return df.where(F.col(col).isin(vals))
+    probe = ids_df.select(F.col(key).alias(col))
+    if hint_broadcast:
+        probe = F.broadcast(probe)
+    return df.join(probe, col, "left_anti" if anti else "left_semi")
+
+
 def salted_count(df: DataFrame, key_cols: list[str], salt_buckets: int = 16) -> DataFrame:
     """Skew-resistant grouped count: two-phase aggregation through a salted
     key.  Phase 1 shuffles on (key, salt) — a hot key spreads over
