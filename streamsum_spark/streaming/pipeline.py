@@ -1566,6 +1566,17 @@ def stream_near_dup_pairs(
             )
             .where(F.col("jaccard") >= threshold)
         )
+        expl = os.environ.get("STREAMSUM_NDUP_EXPLAIN_TO")
+        if expl:
+            # evidence tap (plan-capture scripts only): the micro-batch
+            # verify plan, where the broadcast-hint work shows up
+            with open(expl, "a") as fh:
+                fh.write(f"==== epoch {epoch_id} verified ====\n")
+                fh.write(
+                    verified._sc._jvm.PythonSQLUtils.explainString(
+                        verified._jdf.queryExecution(), "formatted"
+                    )
+                )
         # write order is a commit protocol: the SIG store — the one the
         # seen-probe reads — goes LAST, then its epoch marker.  A crash
         # at any earlier point leaves the marker absent, so the replay
