@@ -1582,14 +1582,21 @@ def stream_near_dup_pairs(
         # at any earlier point leaves the marker absent, so the replay
         # probes pre-epoch state, recomputes the identical batch, and
         # overwrites every store's epoch files; once the marker lands,
-        # a redelivered epoch reads itself as seen and no-ops.
-        _upsert(
-            pair_tbl, verified, ["doc_a", "doc_b"], "jaccard",
-            epoch_id=epoch_id,
-        )
-        _upsert(
-            sh_tbl, b_sh.select("doc_id", "sh"), ["doc_id"], "doc_id",
-            epoch_id=epoch_id,
+        # a redelivered epoch reads itself as seen and no-ops.  The
+        # pair and shingle writes are mutually unordered (disjoint
+        # stores, both pre-marker), so they overlap on driver threads
+        # (guide §2.6) — only the sig write + marker must come after.
+        from streamsum_spark.corpus_prep import _parallel_jobs
+
+        _parallel_jobs(
+            lambda: _upsert(
+                pair_tbl, verified, ["doc_a", "doc_b"], "jaccard",
+                epoch_id=epoch_id,
+            ),
+            lambda: _upsert(
+                sh_tbl, b_sh.select("doc_id", "sh"), ["doc_id"], "doc_id",
+                epoch_id=epoch_id,
+            ),
         )
         _upsert(
             sig_tbl, b_sig, ["band", "mh", "doc_id"], "doc_id",
