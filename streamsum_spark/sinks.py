@@ -469,10 +469,22 @@ def lookup_state_keys(
         # per-column IN filters (a superset of the composite key set) are
         # PUSHABLE predicates: merges write each bucket as one key-sorted
         # file, so the parquet scan skips row groups via min/max stats
-        # before the exact semi-join below — sub-bucket pruning
+        # before the exact semi-join below — sub-bucket pruning.
+        # Rendered as ONE parsed SQL IN per column (_in_set_pred):
+        # isin() pays a py4j round trip per literal, ~3 s just to build
+        # a 1000-key predicate
+        from streamsum_spark.util import _in_set_pred
+
         rows = keys_cast.collect()
         for c in key_cols:
-            pruned = pruned.where(F.col(c).isin([r[c] for r in rows]))
+            vals = {r[c] for r in rows}
+            vals.discard(None)
+            if not vals:
+                continue
+            pred = _in_set_pred(c, vals)
+            pruned = pruned.where(
+                pred if pred is not None else F.col(c).isin(list(vals))
+            )
     out = pruned.join(
         F.broadcast(keys_cast.drop(SALT_COL) if n_salt else keys_cast),
         on=key_cols,

@@ -305,9 +305,20 @@ def lookup_snapshot_keys(
         return read_snapshot(spark, path, version).limit(0)
     pruned = spark.read.option("basePath", path).parquet(*files).drop("kb")
     if 0 < len(key_values) <= 1000:
+        # one parsed SQL IN per column — isin() costs a py4j round trip
+        # per literal (see sinks.lookup_state_keys)
+        from streamsum_spark.util import _in_set_pred
+
         rows = keys_cast.collect()
         for c in key_cols:
-            pruned = pruned.where(F.col(c).isin([r[c] for r in rows]))
+            vals = {r[c] for r in rows}
+            vals.discard(None)
+            if not vals:
+                continue
+            pred = _in_set_pred(c, vals)
+            pruned = pruned.where(
+                pred if pred is not None else F.col(c).isin(list(vals))
+            )
     out = pruned.join(
         F.broadcast(keys_cast.drop(SALT_COL) if n_salt else keys_cast),
         on=key_cols,

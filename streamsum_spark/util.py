@@ -103,6 +103,36 @@ def driver_local(
 
 _ISIN_MAX = int(os.environ.get("STREAMSUM_ISIN_MAX", "20000"))
 
+_IDENT_OK = __import__("re").compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _in_set_pred(col: str, vals: set):
+    """One-round-trip IN predicate: ``F.col(col).isin(vals)`` makes a
+    py4j call PER LITERAL (~3 ms each — an 1,200-id set costs ~4 s to
+    merely CONSTRUCT, at every call site, before any analysis), so the
+    predicate is rendered as ONE SQL string and parsed JVM-side
+    (~30 ms for the same set).  Identical Catalyst ``In`` expression,
+    so InSet conversion and parquet pushdown are unchanged.  Returns
+    None when a value type (or the column name) has no safe SQL
+    literal rendering — caller falls back to ``isin``."""
+    from pyspark.sql import functions as F
+
+    if not _IDENT_OK.match(col):
+        return None
+    parts = []
+    for v in vals:
+        if isinstance(v, bool):
+            parts.append("TRUE" if v else "FALSE")
+        elif isinstance(v, int):
+            parts.append(str(v))
+        elif isinstance(v, str):
+            parts.append(
+                "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+            )
+        else:
+            return None
+    return F.expr(f"`{col}` IN ({','.join(parts)})")
+
 
 def filter_by_ids(
     df: DataFrame,
@@ -121,22 +151,29 @@ def filter_by_ids(
     prune row groups under it — the same sub-bucket pruning
     lookup_state_keys gets from its IN filters).  Exactness: a semi
     join never matches a NULL key and an anti join KEEPS null-key rows;
-    the predicates reproduce both (``isin`` is NULL on NULL input)."""
+    the predicates reproduce both (``isin`` is NULL on NULL input, and
+    a NULL id value — which could match nothing in either join — is
+    dropped from the set before rendering)."""
     from pyspark.sql import functions as F
 
     rows = getattr(ids_df, "_streamsum_local_rows", None)
     key = id_col or col
     if rows is not None and len(rows) <= _ISIN_MAX:
-        vals = list({r[key] for r in rows})
+        vals = {r[key] for r in rows}
+        vals.discard(None)
         if anti:
             if not vals:
                 return df
-            return df.where(
-                F.col(col).isNull() | ~F.col(col).isin(vals)
-            )
+            pred = _in_set_pred(col, vals)
+            if pred is None:
+                pred = F.col(col).isin(list(vals))
+            return df.where(F.col(col).isNull() | ~pred)
         if not vals:
             return df.where(F.lit(False))
-        return df.where(F.col(col).isin(vals))
+        pred = _in_set_pred(col, vals)
+        if pred is None:
+            pred = F.col(col).isin(list(vals))
+        return df.where(pred)
     probe = ids_df.select(F.col(key).alias(col))
     if hint_broadcast:
         probe = F.broadcast(probe)

@@ -97,3 +97,50 @@ def test_one_shot_take_bounded_and_complete(spark):
     got = one_shot_take(df.where("id < 7"), 50)
     assert sorted(r.id for r in got) == list(range(7))
     assert len(one_shot_take(df, 10)) == 10
+
+
+def test_in_set_pred_rendering_and_fallback(spark):
+    from streamsum_spark.util import _in_set_pred
+
+    df = _df(
+        spark,
+        [(1, "it's", True), (2, "a\\b", False), (3, "plain", True)],
+        "id long, s string, b boolean",
+    )
+    # ints, escaped strings, booleans render; the predicate is the same
+    # Catalyst In as isin would build
+    assert sorted(
+        r.id for r in df.where(_in_set_pred("id", {1, 3})).collect()
+    ) == [1, 3]
+    assert sorted(
+        r.id for r in df.where(_in_set_pred("s", {"it's", "a\\b"})).collect()
+    ) == [1, 2]
+    assert sorted(
+        r.id for r in df.where(_in_set_pred("b", {True})).collect()
+    ) == [1, 3]
+    # unrenderable value types and non-identifier columns fall back
+    assert _in_set_pred("id", {1.5}) is None
+    assert _in_set_pred("a.b", {1}) is None
+
+
+def test_filter_by_ids_large_set_one_expr(spark):
+    # a big id set must not pay a py4j round trip per literal (isin()
+    # costs ~3 ms/LITERAL to construct): the rendered form must take
+    # the one-parsed-expression path — pinned structurally (the
+    # renderer accepts the set) plus a generous wall bound that the
+    # per-literal path (~5 s here) cannot meet even on a noisy host
+    import time
+
+    from streamsum_spark.util import _in_set_pred
+
+    assert _in_set_pred("k", set(range(0, 3000, 2))) is not None
+    left = _df(spark, [(i,) for i in range(3000)], "k long")
+    ids = driver_local(
+        _df(spark, [(i,) for i in range(0, 3000, 2)], "k long"),
+        max_rows=5000,
+    )
+    t0 = time.perf_counter()
+    semi = filter_by_ids(left, "k", ids)
+    build = time.perf_counter() - t0
+    assert build < 4.0, f"predicate construction took {build:.2f}s"
+    assert semi.count() == 1500
