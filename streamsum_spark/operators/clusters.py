@@ -125,13 +125,25 @@ def _cc_star(
         # the whole resolution runs (no separate count, no star rounds;
         # one_shot_take scans all partitions in round one, where
         # executeTake's default escalation spends ~log4(partitions)
-        # separate jobs discovering a small graph)
+        # separate jobs discovering a small graph).  The LAZY checkpoint
+        # BELOW the probe makes the probe's scan double as the star
+        # path's materialization: a big graph pays ONE evaluation of
+        # the edge-producing chain (probing first and eagerly
+        # checkpointing after re-evaluated the whole chain — measured
+        # 4-7x the first evaluation's cost on the uncapped verified-
+        # pair chain at 10x scale, the sweep's superlinear flag), while
+        # the small-graph dispatch still costs a single job.  Partition
+        # coverage is guaranteed either way: round one spans the
+        # session's parallelism, and LocalRDDCheckpointData completes
+        # any partitions a satisfied limit skipped.
         from streamsum_spark.util import one_shot_take
 
+        edges = edges.localCheckpoint(eager=False)
         probe = one_shot_take(edges, small_cut + 1)
         if len(probe) <= small_cut:
             return _cc_driver_union_find(spark, probe, edges.schema)
-    edges = edges.localCheckpoint()
+    else:
+        edges = edges.localCheckpoint()
 
     def checksum(e):
         r = e.agg(
