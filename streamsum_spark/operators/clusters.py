@@ -141,6 +141,17 @@ def _cc_star(
         edges = edges.localCheckpoint(eager=False)
         probe = one_shot_take(edges, small_cut + 1)
         if len(probe) <= small_cut:
+            # the probe materialized the checkpoint (MEMORY_AND_DISK
+            # blocks) but the fast path never reads it again: release
+            # the blocks now instead of waiting for driver GC +
+            # ContextCleaner — a steady-state incremental loop calls
+            # this every cycle (r15 ADVICE).  Best-effort: the JVM
+            # handle walk depends on the checkpointed plan being a
+            # LogicalRDD, which Dataset.localCheckpoint guarantees.
+            try:
+                edges._jdf.queryExecution().analyzed().rdd().unpersist(False)
+            except Exception:
+                pass
             return _cc_driver_union_find(spark, probe, edges.schema)
     else:
         edges = edges.localCheckpoint()

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame
 
@@ -32,6 +33,11 @@ def rebalance_for_cpu(df: DataFrame, min_ratio: float = 0.5) -> DataFrame:
 _LOCAL_REL_ROWS = int(os.environ.get("STREAMSUM_LOCAL_REL_ROWS", "20000"))
 
 
+_TAKE_LOCK = threading.Lock()
+_TAKE_DEPTH = 0
+_TAKE_SAVED: str | None = None
+
+
 def one_shot_take(df: DataFrame, n: int) -> list:
     """``limit(n).collect()`` that scans the relation in ONE Spark job.
 
@@ -41,17 +47,35 @@ def one_shot_take(df: DataFrame, n: int) -> list:
     redelivery check) that is ~log4(partitions) scheduling rounds, each
     a separate job, to discover there is nothing there.  Raising
     ``spark.sql.limit.initialNumPartitions`` to cover the session's
-    parallelism makes round one scan everything.  The conf is
-    semantically neutral (it only sizes executeTake's first round) and
-    is left set for the session; driver results stay bounded at
+    parallelism makes round one scan everything.  The conf is SCOPED to
+    the call (saved and restored, depth-counted so overlapped probes
+    from parallel branch threads restore exactly once): a raised value
+    left session-wide would make every later user ``take(5)`` scan
+    4x-parallelism partitions in round one — harmless here, wasteful on
+    a real cluster.  Driver results stay bounded at
     n x initialNumPartitions rows in the worst (relation-bigger-than-n)
     case, which the callers' small n keeps in the tens of MB."""
+    global _TAKE_DEPTH, _TAKE_SAVED
     spark = df.sparkSession
     want = max(4 * (spark.sparkContext.defaultParallelism or 8), 128)
-    cur = int(spark.conf.get("spark.sql.limit.initialNumPartitions", "1") or 1)
-    if cur < want:
-        spark.conf.set("spark.sql.limit.initialNumPartitions", str(want))
-    return df.limit(n).collect()
+    key = "spark.sql.limit.initialNumPartitions"
+    with _TAKE_LOCK:
+        if _TAKE_DEPTH == 0:
+            saved = str(spark.conf.get(key, "1") or "1")
+            if int(saved) >= want:
+                _TAKE_SAVED = None  # already high enough: leave it alone
+            else:
+                _TAKE_SAVED = saved
+                spark.conf.set(key, str(want))
+        _TAKE_DEPTH += 1
+    try:
+        return df.limit(n).collect()
+    finally:
+        with _TAKE_LOCK:
+            _TAKE_DEPTH -= 1
+            if _TAKE_DEPTH == 0 and _TAKE_SAVED is not None:
+                spark.conf.set(key, _TAKE_SAVED)
+                _TAKE_SAVED = None
 
 
 def driver_local(
@@ -106,6 +130,31 @@ _ISIN_MAX = int(os.environ.get("STREAMSUM_ISIN_MAX", "20000"))
 _IDENT_OK = __import__("re").compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
+def _raw_string_literals() -> bool:
+    """Whether the ACTIVE session's SQL parser treats backslash
+    sequences in string literals as raw text
+    (``spark.sql.parser.escapedStringLiterals=true`` — the
+    Hive-compatible mode).  String rendering in ``_in_set_pred`` must
+    match the parser that will read it back or keys containing
+    backslashes/quotes filter the wrong rows."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return False
+    try:
+        return (
+            str(
+                spark.conf.get(
+                    "spark.sql.parser.escapedStringLiterals", "false"
+                )
+            ).lower()
+            == "true"
+        )
+    except Exception:
+        return False
+
+
 def _in_set_pred(col: str, vals: set):
     """One-round-trip IN predicate: ``F.col(col).isin(vals)`` makes a
     py4j call PER LITERAL (~3 ms each — an 1,200-id set costs ~4 s to
@@ -114,11 +163,23 @@ def _in_set_pred(col: str, vals: set):
     (~30 ms for the same set).  Identical Catalyst ``In`` expression,
     so InSet conversion and parquet pushdown are unchanged.  Returns
     None when a value type (or the column name) has no safe SQL
-    literal rendering — caller falls back to ``isin``."""
+    literal rendering — caller falls back to ``isin``.
+
+    String escaping matches the session parser's mode: the default
+    parser understands ``\\\\`` / ``\\'``; with
+    ``spark.sql.parser.escapedStringLiterals=true`` there IS no escape
+    on the unescaping side (text stays raw) while the LEXER still
+    pairs ``\\X`` to find the closing delimiter — so a value holding a
+    quote renders via the OTHER delimiter (``\"...\"``) and a value
+    holding a backslash has no safe rendering at all (a trailing
+    backslash swallows the delimiter): those return None and the
+    caller's ``isin`` fallback (driver-built literals, no parser
+    involved) keeps the semantics exact."""
     from pyspark.sql import functions as F
 
     if not _IDENT_OK.match(col):
         return None
+    raw_mode = None  # resolved lazily, only if a string value appears
     parts = []
     for v in vals:
         if isinstance(v, bool):
@@ -126,9 +187,21 @@ def _in_set_pred(col: str, vals: set):
         elif isinstance(v, int):
             parts.append(str(v))
         elif isinstance(v, str):
-            parts.append(
-                "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
-            )
+            if raw_mode is None:
+                raw_mode = _raw_string_literals()
+            if raw_mode:
+                if "\\" in v:
+                    return None
+                if "'" in v:
+                    if '"' in v:
+                        return None
+                    parts.append('"' + v + '"')
+                else:
+                    parts.append("'" + v + "'")
+            else:
+                parts.append(
+                    "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+                )
         else:
             return None
     return F.expr(f"`{col}` IN ({','.join(parts)})")

