@@ -52,7 +52,14 @@ from pyspark.sql import functions as F
 from streamsum_spark.functions.expressions import (
     cosine_safe_expr as _cos_safe_expr,
 )
-from streamsum_spark.util import driver_local, filter_by_ids
+from streamsum_spark.util import (
+    _LOCAL_REL_ROWS,
+    driver_local,
+    driver_local_from_rows,
+    filter_by_ids,
+    one_shot_take,
+    unpersist_checkpoint,
+)
 
 
 def _parallel_jobs(*thunks) -> None:
@@ -418,13 +425,14 @@ def stream_corpus_prep_ingest(
             # same (uri, file, ordinal) repeated in one batch = a
             # redelivered record, not a new document
             .dropDuplicates(["doc_id"])
-            # eager: the parse runs exactly once, then the store-
-            # maintenance branches fan out in parallel
-            .localCheckpoint()
+            # lazy: the count below materializes the parse in the SAME
+            # job (an eager checkpoint would spend a separate one), then
+            # the store-maintenance branches read blocks
+            .localCheckpoint(eager=False)
         )
         # checkpointed relations carry no size statistic, so the batch
         # side of the probe joins below is hinted broadcast while the
-        # batch is small — the count is a cheap block scan
+        # batch is small — the count is the materializing scan
         bc_batch = rows.count() <= _FZ_BC_DELTA_MAX
         # a (file, ordinal) document is IMMUTABLE, so the docs and occ
         # stores are add-only: append epoch-named files instead of
@@ -449,12 +457,16 @@ def stream_corpus_prep_ingest(
                     "doc_id",
                     "left_semi",
                 )
-                .localCheckpoint()
             )
             # steady state this is EMPTY (no redelivery): a driver-local
             # copy turns the three store branches' broadcast anti-joins
             # into a literal predicate (empty set: no filter at all)
-            # instead of a per-action broadcast rebuild
+            # instead of a per-action broadcast rebuild.  driver_local's
+            # own bounded probe doubles as the materializing action (the
+            # old shape paid an eager checkpoint AND a collect); over
+            # the bound the rare oversized-redelivery batch recomputes
+            # the pruned probe per consuming branch, which is still
+            # bucket-pruned reads of delta-sized data
             seen = driver_local(seen)
             new_rows = filter_by_ids(
                 rows, "doc_id", seen, anti=True, hint_broadcast=bc_batch
@@ -1161,6 +1173,9 @@ def _fz_paths(state_base: str) -> dict[str, str]:
 _N_TOKENS_EXPR = "CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)"
 
 
+_FZ_NB_LOCAL: dict = {}
+
+
 def _fz_load_nb(spark: SparkSession, paths: dict):
     import json
 
@@ -1173,9 +1188,21 @@ def _fz_load_nb(spark: SparkSession, paths: dict):
     # written, so repeated cycles in one process reuse the materialized
     # blocks (peek first — shared_persist always evicts-and-replaces)
     key = ("fz_nb_counts", paths["nb"])
-    counts = peek_shared(key, spark)
+    counts = _FZ_NB_LOCAL.get(key) or peek_shared(key, spark)
     if counts is None:
-        counts = shared_persist(key, spark.read.parquet(paths["nb"]))
+        raw = spark.read.parquet(paths["nb"])
+        # frozen counts within the driver-local bound become a
+        # LocalRelation: the gate scoring broadcasts them from every
+        # delta evaluation, and a LocalRelation build is job-free where
+        # the persisted-relation build was one scheduling round per
+        # action; larger vocabularies keep the persisted form
+        local = driver_local(raw)
+        if local is not raw:
+            counts = local
+            _FZ_NB_LOCAL.clear()  # one frozen model per process is typical
+            _FZ_NB_LOCAL[key] = counts
+        else:
+            counts = shared_persist(key, raw)
     return NBModel(
         labels=m["labels"],
         log_prior={k: float(v) for k, v in m["log_prior"].items()},
@@ -1360,7 +1387,8 @@ def stream_corpus_prep_frozen_stages(
     re-curated this cycle) and ``nd_band_misses``."""
     import json
 
-    from pyspark.sql import Window
+    from pyspark.sql import Row, Window
+    from pyspark.sql import types as T
 
     from streamsum_spark.operators.classifier import (
         classifier_drop_flags,
@@ -1504,42 +1532,50 @@ def stream_corpus_prep_frozen_stages(
             cur_prev = read_state_table(spark, paths["cur"])
         else:
             cur_prev = spark.createDataFrame([], cur_schema)
-        # lazy checkpoint + immediate count: the count materializes the
-        # checkpoint in the SAME job (an eager checkpoint would spend a
-        # separate one — on an O(delta) cycle, job count IS the cost)
+        # lazy checkpoint + immediate bounded probe: ONE job both
+        # materializes the checkpoint (round one spans the session's
+        # parallelism and LocalRDDCheckpointData completes skipped
+        # partitions) and, when the delta is small, collects it for the
+        # driver-local form — where a count + a separate driver_local
+        # collect paid two scheduling rounds for the same data
         delta = capped.join(
             cur_prev.select("doc_id", "flag_fp"),
             ["doc_id", "flag_fp"],
             "left_anti",
         ).localCheckpoint(eager=False)
-        n_delta = delta.count()
-        # small deltas become a driver-local relation: ~10 downstream
-        # actions probe delta's id set through broadcast joins, and each
-        # one re-collects the build side as its own Spark job — a
-        # LocalRelation makes those builds job-free (util.driver_local;
-        # large deltas keep the distributed checkpoint unchanged)
-        delta = driver_local(delta, n_rows=n_delta)
+        _d_rows = one_shot_take(delta, _LOCAL_REL_ROWS + 1)
+        if len(_d_rows) <= _LOCAL_REL_ROWS:
+            # small deltas become a driver-local LocalRelation: ~10
+            # downstream actions probe delta's id set through broadcast
+            # joins, and over a LocalRelation every build is job-free
+            n_delta = len(_d_rows)
+            delta = driver_local_from_rows(spark, _d_rows, delta.schema)
+        else:
+            n_delta = delta.count()
 
         def _bc(df: DataFrame) -> DataFrame:
             # broadcast hint for a DELTA-sized relation (see
             # _FZ_BC_DELTA_MAX) — identity when the batch is large
             return F.broadcast(df) if n_delta <= _FZ_BC_DELTA_MAX else df
 
-        def _vec_cols(docs_texts: DataFrame) -> DataFrame:
-            """(doc_id, list_id, cent_cos, embedding) for (doc_id,
-            text) rows through the frozen quantizer.  Lazy — the caller
-            checkpoints the composed row relation once; the embedding
-            fold is a pure projection so its re-evaluation across the
-            assign/join branches is expression work, not IO."""
+        def _vec_cols(
+            docs_texts: DataFrame, carry: tuple[str, ...] = ()
+        ) -> DataFrame:
+            """(doc_id, list_id, cent_cos, embedding[, *carry]) for
+            (doc_id, text[, ...]) rows through the frozen quantizer.
+            Lazy — the caller checkpoints the composed row relation
+            once; the embedding fold is a pure projection.  ``carry``
+            columns ride through the fold AND the transform, so a
+            caller that needs the vec columns next to the full row gets
+            them in one projection chain instead of a join-back on
+            doc_id (the centroid attach stays a join, but its build
+            side is a driver-local LocalRelation — job-free)."""
             emb = hashed_text_embeddings(
-                docs_texts.select("doc_id", "text"), dim=emb_dim
+                docs_texts, dim=emb_dim, carry=tuple(carry)
             )
-            # embedding rides THROUGH the transform (carry=) — the old
-            # form re-derived the embedding on a second branch and
-            # joined the two on doc_id: one whole shuffle join (and a
-            # double evaluation of the hash fold) for columns that were
-            # already side by side
-            assigned = _fz_assign(emb, paths["km"], carry=("embedding",))
+            assigned = _fz_assign(
+                emb, paths["km"], carry=("embedding",) + tuple(carry)
+            )
             centroids_df = _fz_load_centroids(spark, paths["cent"])
             return assigned.join(F.broadcast(centroids_df), "list_id").select(
                 "doc_id",
@@ -1548,6 +1584,7 @@ def stream_corpus_prep_frozen_stages(
                     "cent_cos"
                 ),
                 "embedding",
+                *[F.col(c) for c in carry],
             )
 
         _cur_cols = [
@@ -1611,13 +1648,40 @@ def stream_corpus_prep_frozen_stages(
                 # columns composed into ONE delta-sized materialization
                 # (every action on small data is mostly scheduling, so
                 # the cycle's job count is the cost that matters); the
-                # single upsert writes the whole per-doc record
-                with_gate = dd.join(_bc(gate), "doc_id")
-                enriched = with_gate.join(
-                    _bc(_vec_cols(with_gate.where(F.col("gate_keep")))),
-                    "doc_id",
-                    "left",
+                # single upsert writes the whole per-doc record.  The
+                # vec columns ride the projection chain (carry=) as a
+                # gated/ungated UNION instead of the old left join-back
+                # on doc_id — one broadcast build fewer per evaluation,
+                # and the lazy checkpoint under the union makes the
+                # rebuild+gate work evaluate once, not once per branch.
+                with_gate = dd.join(_bc(gate), "doc_id").localCheckpoint(
+                    eager=False
+                )
+                _wg_carry = tuple(
+                    c for c in with_gate.columns if c != "doc_id"
+                )
+                vec_half = _vec_cols(
+                    with_gate.where(F.col("gate_keep")), carry=_wg_carry
+                )
+                # exact left-join semantics: a NULL gate_keep row (none
+                # by construction, but pinned) lands in the ungated
+                # half with its vec columns NULL
+                ungated_half = (
+                    with_gate.where(
+                        ~F.coalesce(F.col("gate_keep"), F.lit(False))
+                    )
+                    .withColumn("list_id", F.lit(None).cast("long"))
+                    .withColumn("cent_cos", F.lit(None).cast("double"))
+                    .withColumn(
+                        "embedding", F.lit(None).cast("array<double>")
+                    )
+                )
+                enriched = vec_half.unionByName(
+                    ungated_half
                 ).localCheckpoint()
+                # the union's branches were the checkpoint's only
+                # readers — release its blocks now
+                unpersist_checkpoint(with_gate)
                 _mark("delta_enrich")
                 rows = enriched
             else:
@@ -1683,10 +1747,16 @@ def stream_corpus_prep_frozen_stages(
             gated_meta, "doc_id", delta,
             hint_broadcast=n_delta <= _FZ_BC_DELTA_MAX,
         ).localCheckpoint(eager=False)
-        n_delta_gated = delta_gated.count()
-        # same trade as delta above: both pair branches and the freeze
-        # backfill probe this id set from separate actions
-        delta_gated = driver_local(delta_gated, n_rows=n_delta_gated)
+        # same one-probe trade as delta above: both pair branches and
+        # the freeze backfill probe this id set from separate actions
+        _dg_rows = one_shot_take(delta_gated, _LOCAL_REL_ROWS + 1)
+        if len(_dg_rows) <= _LOCAL_REL_ROWS:
+            n_delta_gated = len(_dg_rows)
+            delta_gated = driver_local_from_rows(
+                spark, _dg_rows, delta_gated.schema
+            )
+        else:
+            n_delta_gated = delta_gated.count()
 
         def _stamp(phase: str, t_start: float) -> None:
             # seconds-only phase stamp, safe to call from branch
@@ -2118,37 +2188,98 @@ def stream_corpus_prep_frozen_stages(
             "vec_a long, vec_b long, tmd5_a string, tmd5_b string, "
             "cos double, fz_cycle long",
         )
-    # one semi-join per endpoint: uncapped_vec carries tmd5 straight
+    # one inner join per endpoint: uncapped_vec carries tmd5 straight
     # from cur, so "endpoint is an uncapped survivor" and "stored tmd5
     # matches the current cleaned text" collapse into a single probe
-    # (uncapped ⊆ cur, tmd5 identical) — this chain is re-evaluated by
-    # every consumer of sem_drops, so each join removed pays repeatedly
+    # (uncapped ⊆ cur, tmd5 identical; one row per doc_id, so the inner
+    # join is the semi join plus the endpoint's cent_cos riding along).
+    # Carrying cent_cos on the EDGES lets the whole serve step — CC and
+    # the keep-one-exemplar window — run on the driver from the one
+    # bounded edge collect: the old shape paid a second full
+    # cur-scan-join-window job to attach cent_cos back to components.
     ua = uncapped_vec.select(
-        F.col("doc_id").alias("vec_a"), F.col("tmd5").alias("tmd5_a")
+        F.col("doc_id").alias("vec_a"),
+        F.col("tmd5").alias("tmd5_a"),
+        F.col("cent_cos").alias("cent_a"),
     )
     ub = uncapped_vec.select(
-        F.col("doc_id").alias("vec_b"), F.col("tmd5").alias("tmd5_b")
+        F.col("doc_id").alias("vec_b"),
+        F.col("tmd5").alias("tmd5_b"),
+        F.col("cent_cos").alias("cent_b"),
     )
-    served_sem = (
-        semp.join(ua, ["vec_a", "tmd5_a"], "left_semi")
-        .join(ub, ["vec_b", "tmd5_b"], "left_semi")
-        .select("vec_a", "vec_b", "cos")
+    sem_edges = (
+        semp.join(ua, ["vec_a", "tmd5_a"])
+        .join(ub, ["vec_b", "tmd5_b"])
+        .select("vec_a", "vec_b", "cos", "cent_a", "cent_b")
+        .localCheckpoint(eager=False)
     )
-    comp2 = connected_components(served_sem, "vec_a", "vec_b")
-    wr = Window.partitionBy("component").orderBy(
-        F.col("cent_cos").asc(), F.col("doc_id").asc()
+    from streamsum_spark.operators.clusters import (
+        SMALL_CC_EDGES,
+        union_find_components,
     )
-    # duplicates-only (losers of clustered components): bounded
-    # driver-local, so the anti below is a literal predicate and no
-    # downstream consumer re-runs the window + component join
-    sem_drops = driver_local(
-        uncapped_vec.join(
-            comp2.withColumnRenamed("id", "doc_id"), "doc_id"
+
+    _sem_probe = one_shot_take(sem_edges, SMALL_CC_EDGES + 1)
+    if len(_sem_probe) <= SMALL_CC_EDGES:
+        unpersist_checkpoint(sem_edges)
+        # driver-side CC + exemplar choice, value-identical to the
+        # distributed window (pinned in tests): component = min id
+        # reachable; within a component the FIRST row of the window
+        # ordered (cent_cos ASC NULLS FIRST with NaN greatest, doc_id
+        # ASC) survives, the rest drop.  cent_cos is doc-unique (cur is
+        # doc_id-keyed), so the edge-carried copies agree.
+        import math
+
+        cent: dict = {}
+        for r in _sem_probe:
+            cent[r.vec_a] = r.cent_a
+            cent[r.vec_b] = r.cent_b
+        groups: dict = {}
+        for v, root in union_find_components(
+            [(r.vec_a, r.vec_b) for r in _sem_probe]
+        ):
+            groups.setdefault(root, []).append(v)
+
+        def _ord(d):
+            c = cent.get(d)
+            if c is None:
+                return (0, 0.0, d)  # NULLS FIRST under ASC
+            if isinstance(c, float) and math.isnan(c):
+                return (2, 0.0, d)  # NaN sorts greater than any double
+            return (1, c, d)
+
+        drop_ids = []
+        for members in groups.values():
+            members.sort(key=_ord)
+            drop_ids.extend(members[1:])
+        sem_drops = driver_local_from_rows(
+            spark,
+            [Row(doc_id=d) for d in sorted(drop_ids)],
+            T.StructType(
+                [T.StructField("doc_id", cur.schema["doc_id"].dataType)]
+            ),
         )
-        .withColumn("rn", F.row_number().over(wr))
-        .where(F.col("rn") > 1)
-        .select("doc_id")
-    )
+    else:
+        # big pair graph: the distributed CC + window path, unchanged
+        # (small_cut=0 — the edge relation is already materialized and
+        # known big, so the dispatch probe would be wasted)
+        served_sem = sem_edges.select("vec_a", "vec_b", "cos")
+        comp2 = connected_components(
+            served_sem, "vec_a", "vec_b", small_cut=0
+        )
+        wr = Window.partitionBy("component").orderBy(
+            F.col("cent_cos").asc(), F.col("doc_id").asc()
+        )
+        # duplicates-only (losers of clustered components): bounded
+        # driver-local, so the anti below is a literal predicate and no
+        # downstream consumer re-runs the window + component join
+        sem_drops = driver_local(
+            uncapped_vec.join(
+                comp2.withColumnRenamed("id", "doc_id"), "doc_id"
+            )
+            .withColumn("rn", F.row_number().over(wr))
+            .where(F.col("rn") > 1)
+            .select("doc_id")
+        )
     sem_deduped = filter_by_ids(
         near_deduped, "doc_id", sem_drops, anti=True
     )

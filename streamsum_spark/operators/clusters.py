@@ -66,11 +66,12 @@ def connected_components(
     return _cc_star(pairs, src, dst, max_iter, small_cut)
 
 
-def _cc_driver_union_find(spark, rows: list, edge_schema) -> DataFrame:
-    """Union-find with min-id roots over an already-COLLECTED edge list
-    — the small-graph fast path.  Attaching the larger root under the
-    smaller keeps every root the true component minimum, matching the
-    star algorithm's labels exactly."""
+def union_find_components(edges: list) -> list:
+    """Pure driver-side union-find with min-id roots over an iterable of
+    (small, big) edge tuples — returns [(vertex, component_min)].
+    Attaching the larger root under the smaller keeps every root the
+    true component minimum, matching the star algorithm's labels
+    exactly (pinned in tests/test_dedup_clusters.py)."""
     parent: dict = {}
 
     def find(x):
@@ -81,22 +82,35 @@ def _cc_driver_union_find(spark, rows: list, edge_schema) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for row in rows:
-        s, b = row.s, row.b
+    for s, b in edges:
         parent.setdefault(s, s)
         parent.setdefault(b, b)
         rs, rb = find(s), find(b)
         if rs != rb:
             lo, hi = (rs, rb) if rs < rb else (rb, rs)
             parent[hi] = lo
-    out = [(v, find(v)) for v in parent]
+    return [(v, find(v)) for v in parent]
+
+
+def _cc_driver_union_find(spark, rows: list, edge_schema) -> DataFrame:
+    """Union-find over an already-COLLECTED edge list — the small-graph
+    fast path."""
+    out = union_find_components([(row.s, row.b) for row in rows])
     id_type = edge_schema["s"].dataType
     from pyspark.sql import types as T
+
+    from streamsum_spark.util import local_relation
 
     schema = T.StructType(
         [T.StructField("id", id_type), T.StructField("component", id_type)]
     )
-    return spark.createDataFrame(out, schema)
+    # LocalRelation: downstream filters/projections constant-fold and
+    # their collects launch no job; the raw pairs ride along so callers
+    # that keep working driver-side (drop-set derivation) skip Spark
+    # entirely
+    df = local_relation(spark, out, schema)
+    df._streamsum_cc_pairs = out
+    return df
 
 
 def _cc_star(
@@ -145,13 +159,10 @@ def _cc_star(
             # blocks) but the fast path never reads it again: release
             # the blocks now instead of waiting for driver GC +
             # ContextCleaner — a steady-state incremental loop calls
-            # this every cycle (r15 ADVICE).  Best-effort: the JVM
-            # handle walk depends on the checkpointed plan being a
-            # LogicalRDD, which Dataset.localCheckpoint guarantees.
-            try:
-                edges._jdf.queryExecution().analyzed().rdd().unpersist(False)
-            except Exception:
-                pass
+            # this every cycle (r15 ADVICE).
+            from streamsum_spark.util import unpersist_checkpoint
+
+            unpersist_checkpoint(edges)
             return _cc_driver_union_find(spark, probe, edges.schema)
     else:
         edges = edges.localCheckpoint()

@@ -1503,6 +1503,7 @@ def hashed_text_embeddings(
     dim: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Deterministic feature-hashing embeddings (the hashing trick,
     Weinberger et al. 2009): each token lands in ``xxhash64(token) mod
@@ -1527,13 +1528,20 @@ def hashed_text_embeddings(
         f"transform(acc, (v, i) -> v + IF(pmod(xxhash64(t), {dim}) = i, "
         f"IF(pmod(xxhash64(concat(t, '#')), 2) = 0, 1.0D, -1.0D), 0.0D)))"
     )
+    # ``carry`` columns ride through the fold projections so a composed
+    # pipeline keeps the embedding NEXT TO its row instead of paying a
+    # join-back on the id (everything here is one codegen'd projection
+    # chain either way)
     raw = docs.select(
-        F.col(id_col).alias("vec_id"), F.expr(signed).alias("_v")
+        F.col(id_col).alias("vec_id"),
+        *[F.col(c) for c in carry],
+        F.expr(signed).alias("_v"),
     ).withColumn(
         "_n", F.expr("sqrt(aggregate(_v, 0.0D, (s, x) -> s + x * x))")
     )
     return raw.select(
         "vec_id",
+        *[F.col(c) for c in carry],
         F.expr(
             "CASE WHEN _n = 0.0D THEN _v ELSE transform(_v, x -> x / _n) END"
         ).alias("embedding"),

@@ -104,6 +104,37 @@ def _with_kb(df: DataFrame, key_cols: list[str], n_buckets: int) -> DataFrame:
     )
 
 
+def _distinct_kbs(df: DataFrame) -> list[int]:
+    """Distinct ``kb`` values of a routed relation.  When the relation
+    folds to a LocalRelation (driver-held key sets: driver_local
+    relations and their projections), the collect is driver-side and
+    the dedup happens in Python — no job, no exchange; otherwise the
+    usual distinct aggregation runs."""
+    from streamsum_spark.util import is_local_relation
+
+    if is_local_relation(df):
+        return sorted({r.kb for r in df.select("kb").collect()})
+    return sorted(r.kb for r in df.select("kb").distinct().collect())
+
+
+def _cheap_to_reevaluate(df: DataFrame) -> bool:
+    """Whether every leaf of ``df``'s optimized plan is already
+    materialized driver- or block-side (LocalRelation / LogicalRDD,
+    i.e. collected rows or localCheckpoint output): re-evaluating such
+    a plan re-reads blocks instead of recomputing upstream work, so a
+    defensive checkpoint before a probe+write double evaluation would
+    only add a copy.  Best-effort False on introspection errors."""
+    try:
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        names = {
+            leaves.apply(i).getClass().getSimpleName()
+            for i in range(leaves.size())
+        }
+        return bool(names) and names <= {"LocalRelation", "LogicalRDD"}
+    except Exception:
+        return False
+
+
 def _assert_bucketed_layout(target_path: str) -> None:
     """A bucketed merge against a FLAT table would silently ignore all
     existing rows (it only reads kb= subdirectories) — refuse instead."""
@@ -600,7 +631,8 @@ def _read_touched(
             ]
         )
     want = _with_kb(keys_df, bcols, n_buckets)
-    buckets = sorted({r.kb for r in want.select("kb").distinct().collect()})
+    # driver-held key sets (LocalRelation) route without a Spark job
+    buckets = _distinct_kbs(want)
     for b in buckets:
         bdir = os.path.join(target_path, f"kb={b}")
         if not os.path.exists(bdir) and g.glob(
@@ -704,13 +736,33 @@ def upsert_batch(
             columns=[c for c in updates.columns if c != DELETED_COL],
         )
         upd = _with_kb(updates, _resolve_bucket_cols(key_cols, bucket_cols), n_buckets)
-        touched = sorted(r.kb for r in upd.select("kb").distinct().collect())
-        if not touched:
-            # an all-empty stream still yields a READABLE (typed empty)
-            # table: record the schema so read_state_table has a fallback
-            _write_schema_sidecar(target_path, upd.drop("kb").schema.json())
-            return
-        _merge_buckets(spark, target_path, upd, key_cols, order_col, touched)
+        # the touched probe and the merge write would otherwise each
+        # evaluate the batch chain (guide §1.2: don't compute things
+        # twice): a lazy checkpoint makes the probe's full scan double
+        # as the materialization and the write read blocks.  Skipped
+        # when the chain already bottoms out in collected/checkpointed
+        # data — there the second evaluation IS a block read.
+        ckpt = not _cheap_to_reevaluate(upd)
+        if ckpt:
+            upd = upd.localCheckpoint(eager=False)
+        try:
+            touched = _distinct_kbs(upd)
+            if not touched:
+                # an all-empty stream still yields a READABLE (typed
+                # empty) table: record the schema so read_state_table
+                # has a fallback
+                _write_schema_sidecar(
+                    target_path, upd.drop("kb").schema.json()
+                )
+                return
+            _merge_buckets(
+                spark, target_path, upd, key_cols, order_col, touched
+            )
+        finally:
+            if ckpt:
+                from streamsum_spark.util import unpersist_checkpoint
+
+                unpersist_checkpoint(upd)
         return
     _recover(target_path)
     if os.path.exists(target_path):
@@ -1268,7 +1320,12 @@ def accumulate_batch(
         if os.path.isdir(target_path):
             _recover_buckets(target_path)  # manifests must be read post-repair
         upd = _with_kb(deltas, _resolve_bucket_cols(key_cols, bucket_cols), n_buckets)
-        touched = sorted(r.kb for r in upd.select("kb").distinct().collect())
+        # same single-evaluation trade as upsert_batch: the probe
+        # materializes the lazy checkpoint, the merge reads blocks
+        ckpt = not _cheap_to_reevaluate(upd)
+        if ckpt:
+            upd = upd.localCheckpoint(eager=False)
+        touched = _distinct_kbs(upd)
         manifests: dict[int, list] = {}
         todo = []
         for b in touched:
@@ -1286,19 +1343,26 @@ def accumulate_batch(
             manifests[b] = (applied_b + ([marker] if marker is not None else []))[
                 -_MANIFEST_CAP:
             ]
-        if not todo:
-            return
-        upd = upd.where(F.col("kb").isin([int(b) for b in todo]))
+        upd_ck = upd if ckpt else None
+        try:
+            if not todo:
+                return
+            upd = upd.where(F.col("kb").isin([int(b) for b in todo]))
 
-        def _sum_agg(merged: DataFrame) -> DataFrame:
-            return merged.groupBy("kb", *key_cols).agg(
-                *[agg_fn(c).cast("long").alias(c) for c in sum_cols]
+            def _sum_agg(merged: DataFrame) -> DataFrame:
+                return merged.groupBy("kb", *key_cols).agg(
+                    *[agg_fn(c).cast("long").alias(c) for c in sum_cols]
+                )
+
+            _merge_buckets(
+                spark, target_path, upd, key_cols, order_col=None,
+                touched=todo, manifests=manifests, agg=_sum_agg,
             )
+        finally:
+            if upd_ck is not None:
+                from streamsum_spark.util import unpersist_checkpoint
 
-        _merge_buckets(
-            spark, target_path, upd, key_cols, order_col=None,
-            touched=todo, manifests=manifests, agg=_sum_agg,
-        )
+                unpersist_checkpoint(upd_ck)
         return
 
     _recover(target_path)

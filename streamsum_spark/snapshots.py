@@ -70,12 +70,26 @@ from streamsum_spark.sinks import (
     SALT_COL,
     _align_tombstones,
     _check_state_columns,
+    _cheap_to_reevaluate,
+    _distinct_kbs,
     _drop_deleted,
     _merge_salt_partials,
     _newest_wins,
     _resolve_bucket_cols,
     _with_kb,
 )
+from streamsum_spark.util import unpersist_checkpoint
+
+
+def _ckpt_once(upd: DataFrame) -> tuple[DataFrame, DataFrame | None]:
+    """Same single-evaluation trade as sinks.upsert_batch: the touched
+    probe and the generation write would each evaluate the batch chain;
+    a lazy checkpoint makes the probe's scan double as the
+    materialization.  Returns (relation, handle-to-unpersist-or-None)."""
+    if _cheap_to_reevaluate(upd):
+        return upd, None
+    ck = upd.localCheckpoint(eager=False)
+    return ck, ck
 
 _SNAP_DIR = "_snap"
 _LATEST = "_latest"
@@ -579,7 +593,7 @@ def _touched_stored(
     upd: DataFrame,
     buckets: dict[str, list[str]],
 ) -> tuple[list[int], DataFrame | None]:
-    touched = sorted(r.kb for r in upd.select("kb").distinct().collect())
+    touched = _distinct_kbs(upd)
     files = [
         os.path.join(path, f"kb={b}", name)
         for b in touched
@@ -675,29 +689,35 @@ def _snapshot_upsert_once(
     tbl_cols = _peek_columns(spark, path, buckets, head if head != "replay" else None)
     if tbl_cols is not None:
         _check_state_columns(tbl_cols, upd.columns, path)
-    touched, stored = _touched_stored(spark, path, upd, buckets)
-    if not touched:
-        return
-    stored, has_del = _align_tombstones(stored, upd)
-    merged = stored.unionByName(upd) if stored is not None else upd
-    reduced = _newest_wins(merged, key_cols, order_col)
-    changes = None
-    if change_feed:
-        reduced = reduced.localCheckpoint()  # reuse one materialization
-        # the feed records winners for every batch key INCLUDING deletes
-        # (with the tombstone marker), so a consumer can apply removals
-        changes = reduced.drop("kb").join(
-            upd.select(*key_cols).distinct(), key_cols, "left_semi"
+    upd, ck = _ckpt_once(upd)
+    try:
+        touched, stored = _touched_stored(spark, path, upd, buckets)
+        if not touched:
+            return
+        stored, has_del = _align_tombstones(stored, upd)
+        merged = stored.unionByName(upd) if stored is not None else upd
+        reduced = _newest_wins(merged, key_cols, order_col)
+        changes = None
+        if change_feed:
+            reduced = reduced.localCheckpoint()  # reuse one materialization
+            # the feed records winners for every batch key INCLUDING
+            # deletes (with the tombstone marker), so a consumer can
+            # apply removals
+            changes = reduced.drop("kb").join(
+                upd.select(*key_cols).distinct(), key_cols, "left_semi"
+            )
+            if not has_del:
+                changes = changes.withColumn(DELETED_COL, F.lit(False))
+        reduced = _drop_deleted(reduced, has_del)
+        _commit(
+            spark, path, _bucket_writer(reduced, key_cols), touched, head,
+            buckets, n_buckets, bcols, marker, checkpoint_interval,
+            changes=changes, schema_json=reduced.schema.json(),
+            extra_fields=extra_fields,
         )
-        if not has_del:
-            changes = changes.withColumn(DELETED_COL, F.lit(False))
-    reduced = _drop_deleted(reduced, has_del)
-    _commit(
-        spark, path, _bucket_writer(reduced, key_cols), touched, head,
-        buckets, n_buckets, bcols, marker, checkpoint_interval,
-        changes=changes, schema_json=reduced.schema.json(),
-        extra_fields=extra_fields,
-    )
+    finally:
+        if ck is not None:
+            unpersist_checkpoint(ck)
 
 
 def snapshot_accumulate(
@@ -777,8 +797,11 @@ def _snapshot_accumulate_once(
     tbl_cols = _peek_columns(spark, path, buckets, head if head != "replay" else None)
     if tbl_cols is not None:
         _check_state_columns(tbl_cols, upd.columns, path)
+    upd, _up_ck = _ckpt_once(upd)
     touched, stored = _touched_stored(spark, path, upd, buckets)
     if not touched:
+        if _up_ck is not None:
+            unpersist_checkpoint(_up_ck)
         return
     merged = stored.unionByName(upd) if stored is not None else upd
     reduced = merged.groupBy("kb", *key_cols).agg(
@@ -832,16 +855,21 @@ def _snapshot_accumulate_once(
             changes = allp.groupBy(*okeys).agg(
                 *[agg_fn(c).cast("long").alias(c) for c in sum_cols]
             )
-    _commit(
-        spark, path, _bucket_writer(reduced, key_cols), touched, head,
-        buckets, n_buckets, bcols, marker, checkpoint_interval,
-        changes=changes,
-        extra_fields=(
-            {"n_salt": n_salt, "sum_cols": list(sum_cols), "combine": combine}
-            if n_salt is not None
-            else None
-        ),
-    )
+    try:
+        _commit(
+            spark, path, _bucket_writer(reduced, key_cols), touched, head,
+            buckets, n_buckets, bcols, marker, checkpoint_interval,
+            changes=changes,
+            extra_fields=(
+                {"n_salt": n_salt, "sum_cols": list(sum_cols),
+                 "combine": combine}
+                if n_salt is not None
+                else None
+            ),
+        )
+    finally:
+        if _up_ck is not None:
+            unpersist_checkpoint(_up_ck)
 
 
 def snapshot_changes(

@@ -1464,11 +1464,12 @@ def stream_near_dup_pairs(
             batch_df.withColumn("_toks", F.expr(_TOKS))
             .select("doc_id", F.expr(f"array_distinct({_SHINGLES_T})").alias("sh"))
             .dropDuplicates(["doc_id"])
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        b_sig = _signatures_from(b_sh).localCheckpoint()
-        # already-materialized checkpoint, so this count is a cheap
-        # block scan — it buys the join-strategy choice below
+        b_sig = _signatures_from(b_sh).localCheckpoint(eager=False)
+        # ONE materializing scan pins both checkpoints (b_sh computes
+        # inside b_sig's lineage) AND buys the join-strategy choice —
+        # the two eager checkpoints spent two extra scheduling rounds
         n_b_sig = b_sig.count()
 
         def _bc(df: DataFrame) -> DataFrame:
@@ -1495,12 +1496,15 @@ def stream_near_dup_pairs(
                 b_sig.join(old_sig, ["band", "mh", "doc_id"], "left_semi")
                 .select("doc_id")
                 .distinct()
-                .localCheckpoint()
             )
             # steady state this is EMPTY (no redelivery): a driver-local
             # copy turns every consumer's broadcast anti-join into a
             # literal predicate (empty set: no filter at all) instead
-            # of a per-action broadcast rebuild
+            # of a per-action broadcast rebuild.  driver_local's bounded
+            # probe IS the materializing action (the old eager
+            # checkpoint + collect paid two); an over-bound redelivery
+            # storm recomputes the pruned probe per consumer, still
+            # bucket-pruned batch-sized work
             seen = driver_local(seen)
             bc_seen = n_b_sig <= _NDUP_BC_ROWS
             b_sig = filter_by_ids(
@@ -1532,7 +1536,10 @@ def stream_near_dup_pairs(
                 .where(F.col("doc_a") != F.col("doc_b"))
             )
             cands = cands.unionByName(new_old)
-        cands = cands.distinct().localCheckpoint()
+        # lazy: the verify action (the pair upsert's probe — a full
+        # scan, never a bounded limit) materializes the candidate set
+        # once; all later consumers read blocks
+        cands = cands.distinct().localCheckpoint(eager=False)
         all_sh = b_sh
         if _exists(sh_tbl):
             # candidate ids not in this batch: their shingles live in the

@@ -78,6 +78,103 @@ def one_shot_take(df: DataFrame, n: int) -> list:
                 _TAKE_SAVED = None
 
 
+def _pa_type(dt):
+    """Arrow type for a Spark type on the LocalRelation-safe allowlist
+    (exact null/NaN round-trip verified) — None for anything else
+    (timestamps, decimals, structs, maps take the RDD fallback)."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    m = {
+        T.LongType: pa.int64,
+        T.IntegerType: pa.int32,
+        T.ShortType: pa.int16,
+        T.ByteType: pa.int8,
+        T.DoubleType: pa.float64,
+        T.FloatType: pa.float32,
+        T.StringType: pa.string,
+        T.BooleanType: pa.bool_,
+        T.BinaryType: pa.binary,
+    }
+    fn = m.get(type(dt))
+    if fn is not None:
+        return fn()
+    if isinstance(dt, T.ArrayType):
+        inner = _pa_type(dt.elementType)
+        return pa.list_(inner) if inner is not None else None
+    return None
+
+
+def local_relation(spark, rows: list, schema) -> DataFrame:
+    """DataFrame over a genuine Catalyst ``LocalRelation`` built from
+    already-collected rows.  A broadcast-exchange build over a
+    LocalRelation launches NO Spark job (LocalTableScan.executeCollect
+    is driver-side), where the ``parallelize(rows, 1)`` form pays one
+    1-task job per CONSUMING ACTION — an incremental cycle that probes
+    the same delta relation from a dozen actions spends a dozen
+    scheduling rounds on builds of data the driver already holds.
+    Conversion goes through one Arrow batch (one py4j call, None/NaN
+    preserved exactly — pinned in tests); types outside the allowlist,
+    or any conversion failure, fall back to the RDD-backed form, which
+    is value-identical, just not job-free."""
+    try:
+        import pyarrow as pa
+
+        pa_fields = []
+        for f in schema.fields:
+            t = _pa_type(f.dataType)
+            if t is None:
+                raise TypeError(f"no arrow mapping for {f.dataType}")
+            pa_fields.append(pa.field(f.name, t, nullable=True))
+        arrays = [
+            pa.array([r[i] for r in rows], type=pa_fields[i].type)
+            for i in range(len(pa_fields))
+        ]
+        tbl = pa.Table.from_arrays(arrays, schema=pa.schema(pa_fields))
+        return spark.createDataFrame(tbl, schema)
+    except Exception:
+        return spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1) if rows else rows,
+            schema,
+        )
+
+
+def driver_local_from_rows(spark, rows: list, schema) -> DataFrame:
+    """driver_local for rows the caller ALREADY collected (e.g. a probe
+    that doubled as the size check): builds the LocalRelation and tags
+    the rows for filter_by_ids, without any Spark action."""
+    out = local_relation(spark, rows, schema)
+    out._streamsum_local_rows = rows
+    return out
+
+
+def is_local_relation(df: DataFrame) -> bool:
+    """Whether ``df``'s OPTIMIZED plan folds to a Catalyst
+    LocalRelation (driver-held rows: collects need no job, probes can
+    run in Python).  Best-effort — False on any introspection error."""
+    try:
+        return (
+            df._jdf.queryExecution().optimizedPlan().getClass()
+            .getSimpleName() == "LocalRelation"
+        )
+    except Exception:
+        return False
+
+
+def unpersist_checkpoint(df: DataFrame) -> None:
+    """Best-effort release of a ``localCheckpoint``'s storage blocks
+    once the caller knows the relation will not be read again —
+    otherwise they sit until driver GC + ContextCleaner get around to
+    them, which on a steady-state incremental loop means unbounded
+    block-metadata churn.  The JVM-handle walk depends on the
+    checkpointed plan being a LogicalRDD (Dataset.localCheckpoint
+    guarantees it); anything else is silently left to the GC path."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def driver_local(
     df: DataFrame, max_rows: int | None = None, n_rows: int | None = None
 ) -> DataFrame:
@@ -112,12 +209,7 @@ def driver_local(
         rows = one_shot_take(df, bound + 1)
         if len(rows) > bound:
             return df
-    # ONE slice: every broadcast build over this relation is a 1-task
-    # job instead of one task per default-parallelism slice
-    out = spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1) if rows else rows,
-        df.schema,
-    )
+    out = local_relation(spark, rows, df.schema)
     # consumers with a single-key probe shape can skip the join
     # entirely via filter_by_ids (a literal predicate needs no
     # broadcast build at all, and it pushes down to scans)

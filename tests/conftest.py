@@ -22,7 +22,17 @@ SF_ORACLE = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("streamsum_spark_tests")
+    # 8 shuffle/state partitions, not the session default (= cpu count):
+    # the suite's data is sf0.001-0.01, where per-partition work is
+    # nil but every stateful STREAMING operator commits one state-store
+    # delta file per partition per micro-batch (a stream-stream join
+    # keeps four stores per partition) — at 32 partitions the streaming
+    # modules spent their wall-clock on thousands of tiny state commits,
+    # not on computation (driver pytest gate timed out; r15 verdict
+    # item 1).  8 keeps real multi-partition coverage (hash spread,
+    # AQE coalesce/skew paths) while cutting the commit count 4x.
+    # Value-parity tests are partition-count independent by design.
+    s = get_spark("streamsum_spark_tests", shuffle_partitions=8)
     yield s
 
 

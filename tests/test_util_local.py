@@ -19,8 +19,11 @@ def test_driver_local_rows_and_schema(spark):
     loc = driver_local(src, max_rows=10)
     assert loc.schema == src.schema
     assert sorted(r.id for r in loc.collect()) == [1, 2, 3]
-    # 1-slice local relation, tagged for the predicate path
-    assert loc.rdd.getNumPartitions() == 1
+    # genuine LocalRelation for allowlisted types: broadcast builds over
+    # it are job-free (the old pin was a 1-slice RDD — one job per build)
+    from streamsum_spark.util import is_local_relation
+
+    assert is_local_relation(loc)
     assert len(loc._streamsum_local_rows) == 3
 
 
