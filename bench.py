@@ -995,11 +995,14 @@ def main() -> None:
         # contention guard (r12 verdict order #1): when the post-compile
         # runs still disagree by >1.5x — run 1 is excluded from the
         # trigger because its codegen/JIT tail is expected — the min is
-        # probably a co-tenant-inflated estimate; buy up to 2 extra
-        # runs and keep the min over all of them.  One-sided noise
-        # means extra runs can only IMPROVE the estimator.
+        # probably a co-tenant-inflated estimate; buy up to 4 extra
+        # runs (r15 verdict item 4 raised the budget from 2: spreads of
+        # 1.6-3.0 survived the smaller budget and burned a verdict
+        # section on phantom regressions) and keep the min over all.
+        # One-sided noise means extra runs can only IMPROVE the
+        # estimator.
         while (
-            len(runs) < 5
+            len(runs) < 7
             and min(runs) > 0.2  # sub-0.2 s entries: spread is all jitter
             and max(runs[1:]) / max(min(runs), 1e-9) > _SPREAD_BOUND
         ):

@@ -144,6 +144,7 @@ def lsh_candidate_pairs(
     sf_dir: str,
     max_bucket: int | None = None,
     sig: DataFrame | None = None,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """LSH banding (r=1): docs sharing any (band, minhash) bucket are
     candidate near-dup pairs.  The join is on the tiny signature relation;
@@ -161,7 +162,12 @@ def lsh_candidate_pairs(
 
     ``sig`` lets a composite pipeline pass a persisted signature relation
     so the self-join's two sides share one computation (Catalyst does not
-    reuse the exchange across these aliased subtrees).
+    reuse the exchange across these aliased subtrees).  ``cache_key``
+    (with ``max_bucket``) persists the CAP-FILTERED signature relation
+    too: the frequency window otherwise evaluates once per self-join
+    side — a second exchange + sort of the whole signature relation for
+    the identical result (plan evidence: 2x [Exchange->Sort->Window]
+    subtrees without it, one shared InMemoryTableScan with it).
     """
     if sig is None:
         sig = minhash_signatures(spark, sf_dir)
@@ -174,6 +180,12 @@ def lsh_candidate_pairs(
             .where(F.col("_f") <= max_bucket)
             .drop("_f")
         )
+        if cache_key is not None:
+            from streamsum_spark.cached import shared_persist
+
+            sig = shared_persist(
+                ("lsh_sig_capped", cache_key, max_bucket), sig
+            )
     a = sig.alias("a")
     b = sig.alias("b")
     return (
@@ -327,7 +339,9 @@ def near_dup_verified(
         ("shingle_sets", key), shingle_sets(spark, sf_dir, docs=docs)
     )
     sig = shared_persist(("minhash_sig", key), _signatures_from(sh))
-    cand = lsh_candidate_pairs(spark, sf_dir, max_bucket=max_bucket, sig=sig)
+    cand = lsh_candidate_pairs(
+        spark, sf_dir, max_bucket=max_bucket, sig=sig, cache_key=key
+    )
     scored = (
         cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
