@@ -36,6 +36,19 @@ def get_spark(app_name: str = "streamsum_spark", shuffle_partitions: int | None 
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # committer v2: task outputs commit directly to the job's
+        # destination instead of the two-phase rename.  Safe HERE
+        # because every state write in this engine lands in a PRIVATE
+        # tmp directory that the sink layer publishes with its own
+        # atomic swap/pointer protocols (sinks._atomic_swap, snapshot
+        # manifests) — the v1 committer's extra rename pass protects
+        # against a failure mode our commit protocol already owns, and
+        # it costs two renames per task on every bucket write (a
+        # 16-bucket merge pays it 16x per commit).
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+            "2",
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
